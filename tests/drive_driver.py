@@ -1,0 +1,55 @@
+"""Simulate the driver: vanilla SparkSession, no builder configs from the repo."""
+import sys, os, math
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+import duckdb
+
+spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()  # deliberately vanilla
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as E
+
+# 1. smoke: entry()
+df = E.entry(spark)
+rows = df.collect()
+print("ENTRY rows:", rows, "schema:", df.schema.simpleString())
+assert len(rows) >= 0
+
+# 2. queries vs oracle at sf0.01
+sf = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    p = f"{sf}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+Q, O = E.queries(), E.oracle_sql()
+def norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    return str(v)
+fails = []
+for name in sorted(Q):
+    d = Q[name](spark, sf)
+    s_cols, s_rows = d.columns, [tuple(r) for r in d.collect()]
+    if name not in O:
+        print(f"{name}: rows-only, {len(s_rows)} rows")
+        continue
+    rel = con.sql(O[name]); d_cols, d_rows = list(rel.columns), rel.fetchall()
+    ok = True; msg = ""
+    if sorted(map(str.lower, s_cols)) != sorted(map(str.lower, d_cols)):
+        ok, msg = False, f"cols {s_cols} vs {d_cols}"
+    elif len(s_rows) != len(d_rows):
+        ok, msg = False, f"rowcount {len(s_rows)} vs {len(d_rows)}"
+    else:
+        so = sorted(range(len(s_cols)), key=lambda i: s_cols[i].lower())
+        do = sorted(range(len(d_cols)), key=lambda i: d_cols[i].lower())
+        sn = sorted(tuple(norm(r[i]) for i in so) for r in s_rows)
+        dn = sorted(tuple(norm(r[i]) for i in do) for r in d_rows)
+        if sn != dn:
+            ok = False
+            msg = "values: " + str([(a,b) for a,b in zip(sn,dn) if a!=b][:2])
+    print(("PASS " if ok else "FAIL ") + name + ("" if ok else " — " + msg), f"({len(s_rows)} rows)")
+    if not ok: fails.append(name)
+print("RESULT:", "ALL PASS" if not fails else f"FAILURES: {fails}")
+sys.exit(1 if fails else 0)

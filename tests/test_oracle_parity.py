@@ -1,0 +1,36 @@
+"""The primary differential suite (SURVEY §5.1): every gate query's
+Spark result must match its DuckDB oracle exactly — the same check the
+driver runs for CORRECTNESS_r{N}.json, replicated locally."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.driver_sim import compare, duck_connection
+
+
+def _gate_cases():
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    return [(name, q[name], o.get(name)) for name in sorted(q)]
+
+
+@pytest.mark.parametrize(
+    "name,fn,oracle", _gate_cases(), ids=[c[0] for c in _gate_cases()]
+)
+def test_gate_query_matches_oracle(spark, sf_correctness, name, fn, oracle):
+    df = fn(spark, sf_correctness)
+    if oracle is None:
+        # rows-only contract: must run and produce a stable schema
+        assert df.columns
+        assert df.count() >= 0
+        return
+    con = duck_connection(sf_correctness)
+    ok, msg = compare(df, con, oracle)
+    assert ok, f"{name}: {msg}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["sum_value", "cnt", "min_value", "max_value", "avg_value"]

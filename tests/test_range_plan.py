@@ -1,0 +1,84 @@
+"""Unit tests for the pure-Python range planner (SURVEY §5.2):
+cover exactness, alignment edge cases, fallback routing."""
+
+import random
+
+from uwheel_datafusion_spark.functions.time import DAY_MS, HOUR_MS, MINUTE_MS
+from uwheel_datafusion_spark.plans.range_plan import decompose_range
+
+
+def _assert_exact_cover(plan):
+    """Runs must tile [start, end) exactly, in order, no gaps/overlap."""
+    assert plan.fallback is None
+    cur = plan.start_ms
+    for run in plan.runs:
+        assert run.start_ms == cur
+        assert run.end_ms > run.start_ms
+        assert run.start_ms % run.slot_ms == 0
+        assert run.end_ms % run.slot_ms == 0
+        cur = run.end_ms
+    assert cur == plan.end_ms
+
+
+def test_empty_range():
+    p = decompose_range(1000 * MINUTE_MS, 1000 * MINUTE_MS)
+    assert p.runs == [] and p.fallback is None and p.cost == 0
+    p = decompose_range(2000 * MINUTE_MS, 1000 * MINUTE_MS)
+    assert p.runs == []
+
+
+def test_single_minute():
+    s = 1234 * MINUTE_MS
+    p = decompose_range(s, s + MINUTE_MS)
+    _assert_exact_cover(p)
+    assert p.total_slots == 1 and p.runs[0].granularity == "minute"
+
+
+def test_exact_day():
+    s = 10 * DAY_MS
+    p = decompose_range(s, s + 3 * DAY_MS)
+    _assert_exact_cover(p)
+    assert len(p.runs) == 1 and p.runs[0].granularity == "day"
+    assert p.cost == 3
+
+
+def test_cross_boundary_mixed():
+    # 2024-01-03 04:17 → 2024-01-20 07:42 style: minutes|hours|days|hours|minutes
+    s = 3 * DAY_MS + 4 * HOUR_MS + 17 * MINUTE_MS
+    e = 20 * DAY_MS + 7 * HOUR_MS + 42 * MINUTE_MS
+    p = decompose_range(s, e)
+    _assert_exact_cover(p)
+    grans = [r.granularity for r in p.runs]
+    assert grans == ["minute", "hour", "day", "hour", "minute"]
+    assert p.cost == 43 + 19 + 16 + 7 + 42
+
+
+def test_unaligned_falls_back():
+    p = decompose_range(1000, 2000)  # sub-minute endpoints
+    assert p.fallback is not None
+
+
+def test_no_hour_granularity():
+    s, e = 0, 2 * DAY_MS + 30 * MINUTE_MS
+    p = decompose_range(s, e, granularities=("day", "minute"))
+    _assert_exact_cover(p)
+    assert {r.granularity for r in p.runs} == {"day", "minute"}
+
+
+def test_property_exact_cover_random():
+    rng = random.Random(42)
+    horizon = 45 * DAY_MS // MINUTE_MS  # in minutes
+    for _ in range(500):
+        a = rng.randrange(0, horizon) * MINUTE_MS
+        b = rng.randrange(0, horizon) * MINUTE_MS
+        s, e = min(a, b), max(a, b)
+        p = decompose_range(s, e)
+        if s == e:
+            assert p.runs == []
+            continue
+        _assert_exact_cover(p)
+        # never more slots than pure-minute cover; and the greedy cover
+        # uses at most 59+59 minutes + 23+23 hours + days
+        assert p.cost <= (e - s) // MINUTE_MS
+        n_days = (e - s) // DAY_MS
+        assert p.cost <= 59 * 2 + 23 * 2 + n_days + 2

@@ -1,0 +1,169 @@
+"""WheelIndex semantics (SURVEY §5.1/§5.2): differential index-vs-SQL
+on seeded random ranges, watermark/late-data handling, cascade
+invariant, empty-slot semantics, driver-index parity."""
+
+import random
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from uwheel_datafusion_spark.functions.time import (
+    DAY_MS,
+    HOUR_MS,
+    MINUTE_MS,
+    to_epoch_ms,
+)
+from uwheel_datafusion_spark.operators.wheel import WheelIndex
+from uwheel_datafusion_spark.sources.registry import load_table
+
+WM = to_epoch_ms(datetime(2024, 1, 1))
+ADV = to_epoch_ms(datetime(2024, 2, 1))
+
+
+@pytest.fixture(scope="module")
+def wheel(spark, sf_smoke):
+    df = load_table(spark, sf_smoke, "events")
+    return WheelIndex.build(df, "ts", "value", WM, ADV)
+
+
+@pytest.fixture(scope="module")
+def events_view(spark, sf_smoke):
+    load_table(spark, sf_smoke, "events").createOrReplaceTempView("events_t")
+    return "events_t"
+
+
+def _sql_truth(spark, view, s_ms, e_ms):
+    row = spark.sql(
+        f"""
+        SELECT SUM(CAST(round(value*1000000) AS BIGINT)) AS sm,
+               COUNT(*) AS c, MIN(value) AS mn, MAX(value) AS mx
+        FROM {view}
+        WHERE unix_micros(ts) >= {s_ms * 1000} AND unix_micros(ts) < {e_ms * 1000}
+        """
+    ).first()
+    return row
+
+
+def test_build_stats(wheel):
+    st = wheel.stats
+    assert st.n_input_rows == 1000
+    assert st.n_late_rows == 0 and st.n_ahead_rows == 0
+    assert st.n_indexed_rows == 1000
+    assert st.slot_counts["minute"] >= st.slot_counts["hour"] >= st.slot_counts["day"]
+
+
+def test_differential_random_ranges(spark, wheel, events_view):
+    """Index path == SQL full-scan path on seeded random minute- and
+    hour-aligned ranges plus adversarial edges."""
+    di = wheel.to_driver_index()
+    rng = random.Random(42)
+    horizon_min = (ADV - WM) // MINUTE_MS
+    cases = []
+    for _ in range(25):  # minute-aligned (reference workload B2)
+        a = rng.randrange(0, horizon_min)
+        b = rng.randrange(0, horizon_min)
+        cases.append((WM + min(a, b) * MINUTE_MS, WM + max(a, b) * MINUTE_MS))
+    for _ in range(10):  # hour-aligned (B3, bug-fixed semantics)
+        a = rng.randrange(0, horizon_min // 60)
+        b = rng.randrange(0, horizon_min // 60)
+        cases.append((WM + min(a, b) * HOUR_MS, WM + max(a, b) * HOUR_MS))
+    cases += [
+        (WM, WM),  # empty
+        (WM, WM + MINUTE_MS),  # single slot
+        (WM, ADV),  # full span
+        (ADV - MINUTE_MS, ADV),  # last slot
+        (WM + 5 * DAY_MS, WM + 5 * DAY_MS + MINUTE_MS),
+        (ADV, ADV + DAY_MS),  # fully beyond watermark
+        (WM - DAY_MS, WM),  # fully before data
+    ]
+    for s, e in cases:
+        truth = _sql_truth(spark, events_view, s, e)
+        got_sum = di.query_sum(s, e)
+        if truth["c"] == 0:
+            assert got_sum is None, (s, e)
+            assert di.query_count(s, e) == 0
+        else:
+            assert got_sum is not None
+            # exact integer equality under the scaled-long policy
+            assert round(got_sum * 1e6) == truth["sm"], (s, e)
+            assert di.query_count(s, e) == truth["c"]
+            assert di.query_min(s, e) == truth["mn"]
+            assert di.query_max(s, e) == truth["mx"]
+
+
+def test_distributed_path_matches_driver_path(spark, wheel):
+    di = wheel.to_driver_index()
+    s = WM + 2 * DAY_MS + 7 * HOUR_MS + 13 * MINUTE_MS
+    e = WM + 9 * DAY_MS + 22 * HOUR_MS + 51 * MINUTE_MS
+    row = wheel.range_agg_df(s, e).first()
+    assert round(row["sum_value"] * 1e6) == round(di.query_sum(s, e) * 1e6)
+    assert row["cnt"] == di.query_count(s, e)
+    assert row["min_value"] == di.query_min(s, e)
+    assert row["max_value"] == di.query_max(s, e)
+
+
+def test_cascade_invariant(spark, wheel):
+    """hour rollup == re-agg of minute; day == re-agg of hour (A4),
+    exactly (associative scaled-long sums)."""
+    minute = wheel.rollups["minute"]
+    hour = wheel.rollups["hour"]
+    direct = (
+        minute.groupBy((F.floor(F.col("bucket_ms") / HOUR_MS) * HOUR_MS).alias("b"))
+        .agg(F.sum("sum_micros").alias("sm"), F.sum("cnt").alias("c"))
+        .collect()
+    )
+    got = {r["bucket_ms"]: (r["sum_micros"], r["cnt"]) for r in hour.collect()}
+    assert len(direct) == len(got)
+    for r in direct:
+        assert got[r["b"]] == (r["sm"], r["c"])
+
+
+def test_late_and_ahead_rows_dropped(spark):
+    """Watermark semantics: rows before the watermark are rejected as
+    late; rows at/after the advance target stay unfinalized (A3)."""
+    rows = [
+        (datetime(2023, 12, 31, 23, 59, tzinfo=timezone.utc), 100.0),  # late
+        (datetime(2024, 1, 1, 0, 0, tzinfo=timezone.utc), 1.0),
+        (datetime(2024, 1, 15, 12, 0, tzinfo=timezone.utc), 2.0),
+        (datetime(2024, 2, 1, 0, 0, tzinfo=timezone.utc), 50.0),  # ahead
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    idx = WheelIndex.build(df, "ts", "value", WM, ADV)
+    assert idx.stats.n_late_rows == 1
+    assert idx.stats.n_ahead_rows == 1
+    assert idx.stats.n_indexed_rows == 2
+    di = idx.to_driver_index()
+    assert di.landmark()["sum"] == 3.0
+    assert di.landmark()["cnt"] == 2
+
+
+def test_landmark_and_interval(wheel):
+    di = wheel.to_driver_index()
+    lm = di.landmark()
+    assert lm["cnt"] == 1000
+    iv = di.interval(7 * DAY_MS)
+    assert 0 < iv["cnt"] < lm["cnt"]
+    full = di.query_all(WM, ADV)
+    assert full == lm
+
+
+def test_out_of_contract_alignment_raises(wheel):
+    di = wheel.to_driver_index()
+    with pytest.raises(ValueError):
+        di.query_sum(WM + 500, WM + MINUTE_MS)  # sub-minute start
+
+
+def test_explain_plan(wheel):
+    s = WM + 3 * DAY_MS + 4 * HOUR_MS + 17 * MINUTE_MS
+    e = WM + 20 * DAY_MS + 7 * HOUR_MS + 42 * MINUTE_MS
+    plan = wheel.plan(s, e)
+    assert plan.fallback is None
+    assert [r.granularity for r in plan.runs] == [
+        "minute",
+        "hour",
+        "day",
+        "hour",
+        "minute",
+    ]
+    assert "cost=" in plan.describe()

@@ -1,0 +1,62 @@
+"""Time-domain functions.
+
+The wheel's time domain is integer epoch **milliseconds**, UTC — the
+reference converts parquet µs timestamps to ms on ingest
+(/root/reference/src/main.rs:133-135) and builds query ranges as ms
+pairs (/root/reference/src/main.rs:171-174). All conversions here stay
+JVM-side (built-in functions, codegen'd) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MINUTE_MS = 60_000
+HOUR_MS = 3_600_000
+DAY_MS = 86_400_000
+
+#: granularity name → slot width in ms (coarse→fine order matters for
+#: the greedy range decomposition in plans.range_plan)
+GRANULARITY_MS = {"day": DAY_MS, "hour": HOUR_MS, "minute": MINUTE_MS}
+
+
+def ts_to_ms(col: Column | str) -> Column:
+    """timestamp column → epoch milliseconds (truncating, like µs→ms at
+    /root/reference/src/main.rs:133-135)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(F.unix_micros(c) / 1000).cast("long")
+
+
+def bucket_ms(ms_col: Column, granularity_ms: int) -> Column:
+    """epoch-ms column → its UTC-aligned slot start for a granularity."""
+    return (F.floor(ms_col / granularity_ms) * granularity_ms).cast("long")
+
+
+def to_epoch_ms(dt: datetime) -> int:
+    """Python datetime → epoch ms (naive datetimes are taken as UTC,
+    matching the reference's ``naive_utc`` handling,
+    /root/reference/src/main.rs:242-251)."""
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
+def ms_to_ts_literal(ms: int) -> str:
+    """epoch ms → naive-UTC SQL timestamp literal ('2024-01-01 00:00:00')
+    — the string form the reference interpolates into SQL
+    (/root/reference/src/main.rs:242-258)."""
+    dt = datetime.fromtimestamp(ms / 1000, tz=timezone.utc)
+    return dt.strftime("%Y-%m-%d %H:%M:%S") + (
+        f".{dt.microsecond:06d}" if dt.microsecond else ""
+    )
+
+
+def floor_ms(ms: int, granularity_ms: int) -> int:
+    return (ms // granularity_ms) * granularity_ms
+
+
+def ceil_ms(ms: int, granularity_ms: int) -> int:
+    return -((-ms) // granularity_ms) * granularity_ms

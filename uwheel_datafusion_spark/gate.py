@@ -1,0 +1,439 @@
+"""Correctness-gate query registry.
+
+Every operator claimed in SURVEY §2 gets a named entry here: a PySpark
+implementation ``fn(spark, sf_dir) -> DataFrame`` plus (when SQL can
+express it) a DuckDB oracle string over the same parquet tables. The
+driver (see __spark_entry__.py) runs both at sf0.01 and compares
+row-count + schema + order-insensitive value hashes.
+
+Determinism policy (SURVEY §5): every gated aggregate uses the
+scaled-long exact-sum policy from functions.quant, so Spark and DuckDB
+agree bit-for-bit regardless of partitioning. Column names are aliased
+identically on both sides. Ranked/limited outputs always carry a unique
+tie-break key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from uwheel_datafusion_spark.functions.quant import micros_to_value, value_to_micros
+from uwheel_datafusion_spark.functions.time import DAY_MS, to_epoch_ms
+from uwheel_datafusion_spark.operators.wheel import WheelIndex
+from uwheel_datafusion_spark.sources.registry import load_table, register_tables
+
+# --------------------------------------------------------------------------
+# registry plumbing
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class GateQuery:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None ⇒ non-SQL-expressible ⇒ rows-only check
+
+
+REGISTRY: dict[str, GateQuery] = {}
+
+
+def gate(name: str, oracle: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = GateQuery(fn=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+# SQL fragments for the exact-sum policy (DuckDB side; see functions.quant)
+def _s(expr: str) -> str:
+    """SUM of scaled longs, lowered to double."""
+    return f"(CAST(SUM(CAST(round(({expr}) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)"
+
+
+def _avg(expr: str, cnt: str = "COUNT(*)") -> str:
+    """AVG via exact sum / exact count (same IEEE op order as Spark side)."""
+    return (
+        f"((CAST(SUM(CAST(round(({expr}) * 1000000) AS BIGINT)) AS DOUBLE)"
+        f" / CAST({cnt} AS DOUBLE)) / 1000000)"
+    )
+
+
+def _sum_micros(col) -> F.Column:
+    return F.sum(value_to_micros(col))
+
+
+def _avg_col(sum_micros_col, cnt_col) -> F.Column:
+    return sum_micros_col.cast("double") / cnt_col.cast("double") / 1_000_000
+
+
+# --------------------------------------------------------------------------
+# wheel-index fixtures (the reference's workload, on the events table)
+# --------------------------------------------------------------------------
+
+from datetime import datetime
+
+EVENTS_WM_MS = to_epoch_ms(datetime(2024, 1, 1))  # watermark₀ (FIXTURES.md)
+EVENTS_ADV_MS = to_epoch_ms(datetime(2024, 2, 1))  # advance target
+
+# fixed gated ranges: minute-aligned multi-granularity, hour-aligned, day-aligned
+RANGE_MINUTE = (to_epoch_ms(datetime(2024, 1, 3, 4, 17)), to_epoch_ms(datetime(2024, 1, 20, 7, 42)))
+RANGE_HOUR = (to_epoch_ms(datetime(2024, 1, 2, 6)), to_epoch_ms(datetime(2024, 1, 29, 18)))
+RANGE_DAY = (to_epoch_ms(datetime(2024, 1, 5)), to_epoch_ms(datetime(2024, 1, 25)))
+
+
+def _ts_lit(ms: int) -> str:
+    from uwheel_datafusion_spark.functions.time import ms_to_ts_literal
+
+    return f"TIMESTAMP '{ms_to_ts_literal(ms)}'"
+
+
+_WHEEL_CACHE: dict[tuple[int, str], WheelIndex] = {}
+
+
+def _tune_session(spark: SparkSession) -> None:
+    """The driver calls us under its own session (default 200 shuffle
+    partitions → 1000-task stages on tiny rollups). These are
+    runtime-settable; harmless if already set."""
+    try:
+        cores = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+
+
+def events_wheel(spark: SparkSession, sf_dir: str) -> WheelIndex:
+    key = (id(spark), sf_dir)
+    if key not in _WHEEL_CACHE:
+        _tune_session(spark)
+        df = load_table(spark, sf_dir, "events")
+        _WHEEL_CACHE[key] = WheelIndex.build(
+            df, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS
+        )
+    return _WHEEL_CACHE[key]
+
+
+def _range_oracle(s_ms: int, e_ms: int) -> str:
+    return f"""
+        SELECT {_s('value')} AS sum_value,
+               COUNT(*) AS cnt,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value,
+               {_avg('value')} AS avg_value
+        FROM events
+        WHERE ts >= {_ts_lit(s_ms)} AND ts < {_ts_lit(e_ms)}
+    """
+
+
+def _mk_range_query(s_ms: int, e_ms: int):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return events_wheel(spark, sf_dir).range_agg_df(s_ms, e_ms)
+
+    return fn
+
+
+gate("wheel_range_minute_aligned", _range_oracle(*RANGE_MINUTE))(
+    _mk_range_query(*RANGE_MINUTE)
+)
+gate("wheel_range_hour_aligned", _range_oracle(*RANGE_HOUR))(
+    _mk_range_query(*RANGE_HOUR)
+)
+gate("wheel_range_day_aligned", _range_oracle(*RANGE_DAY))(_mk_range_query(*RANGE_DAY))
+
+
+@gate(
+    "wheel_landmark",
+    _range_oracle(EVENTS_WM_MS, EVENTS_ADV_MS),
+)
+def wheel_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: aggregate of the full indexed history."""
+    return events_wheel(spark, sf_dir).range_agg_df(EVENTS_WM_MS, EVENTS_ADV_MS)
+
+
+@gate(
+    "wheel_interval_7d",
+    _range_oracle(EVENTS_ADV_MS - 7 * DAY_MS, EVENTS_ADV_MS),
+)
+def wheel_interval_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: trailing-window aggregate [advanced − 7d, advanced)."""
+    return events_wheel(spark, sf_dir).range_agg_df(
+        EVENTS_ADV_MS - 7 * DAY_MS, EVENTS_ADV_MS
+    )
+
+
+def _rollup_oracle(slot_ms: int) -> str:
+    return f"""
+        SELECT (epoch_ms(ts) // {slot_ms}) * {slot_ms} AS bucket_ms,
+               {_s('value')} AS sum_value,
+               COUNT(*) AS cnt,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value,
+               {_avg('value')} AS avg_value
+        FROM events
+        WHERE ts >= {_ts_lit(EVENTS_WM_MS)} AND ts < {_ts_lit(EVENTS_ADV_MS)}
+        GROUP BY 1
+    """
+
+
+def _mk_rollup_query(granularity: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return events_wheel(spark, sf_dir).rollup_df(granularity)
+
+    return fn
+
+
+from uwheel_datafusion_spark.functions.time import HOUR_MS, MINUTE_MS
+
+gate("wheel_rollup_minute", _rollup_oracle(MINUTE_MS))(_mk_rollup_query("minute"))
+gate("wheel_rollup_hour", _rollup_oracle(HOUR_MS))(_mk_rollup_query("hour"))
+gate("wheel_rollup_day", _rollup_oracle(DAY_MS))(_mk_rollup_query("day"))
+
+
+@gate("sql_scan_sum_range", _range_oracle(*RANGE_MINUTE))
+def sql_scan_sum_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — the DataFusion-role path: full SQL lifecycle per query
+    (parse → Catalyst → pushdown parquet scan → partial/final agg),
+    cf. /root/reference/src/main.rs:237-288."""
+    register_tables(spark, sf_dir, ("events",))
+    s, e = RANGE_MINUTE
+    return spark.sql(
+        f"""
+        SELECT CAST(SUM(CAST(round((value) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_value,
+               COUNT(*) AS cnt,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value,
+               (CAST(SUM(CAST(round((value) * 1000000) AS BIGINT)) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE)) / 1000000 AS avg_value
+        FROM events
+        WHERE ts >= {_ts_lit(s)} AND ts < {_ts_lit(e)}
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# general SQL-engine surface (scans/filters/joins/group-by/window/top-k) —
+# engine-sanity beyond the single-table reference (SURVEY §2.3, §2.5-2.7)
+# --------------------------------------------------------------------------
+
+
+@gate(
+    "events_by_type",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           {_s('value')} AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        micros_to_value(_sum_micros(F.col("value"))).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@gate(
+    "tpch_q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_s('l_quantity')} AS sum_qty,
+           {_s('l_extendedprice')} AS sum_base_price,
+           {_s('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_s('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {_avg('l_quantity')} AS avg_qty,
+           {_avg('l_extendedprice')} AS avg_price,
+           {_avg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
+    cnt = F.count(F.lit(1))
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        micros_to_value(_sum_micros(F.col("l_quantity"))).alias("sum_qty"),
+        micros_to_value(_sum_micros(F.col("l_extendedprice"))).alias("sum_base_price"),
+        micros_to_value(_sum_micros(disc_price)).alias("sum_disc_price"),
+        micros_to_value(_sum_micros(charge)).alias("sum_charge"),
+        _avg_col(_sum_micros(F.col("l_quantity")), cnt).alias("avg_qty"),
+        _avg_col(_sum_micros(F.col("l_extendedprice")), cnt).alias("avg_price"),
+        _avg_col(_sum_micros(F.col("l_discount")), cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@gate(
+    "region_revenue_join",
+    f"""
+    SELECT r_name,
+           COUNT(*) AS n_orders,
+           {_s('o_totalprice')} AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def region_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact orders ⋈ broadcast dims (SURVEY §2.3 — Spark
+    gives every join flavor; dims are broadcast so the only shuffle is
+    the final group-by)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        micros_to_value(_sum_micros(F.col("o_totalprice"))).alias("revenue"),
+    )
+
+
+@gate(
+    "tpch_q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {_s('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_orderkey
+    ORDER BY SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) DESC,
+             l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(_sum_micros(rev).alias("rev_micros"))
+    )
+    # exact-integer ordering + unique tie-break ⇒ deterministic top-k
+    return (
+        agg.orderBy(F.col("rev_micros").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", micros_to_value(F.col("rev_micros")).alias("revenue"))
+    )
+
+
+@gate(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@gate(
+    "window_top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rnk
+        FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def window_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL analytic window function (SURVEY §2.5 — absent in the
+    reference, free in Spark)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@gate(
+    "orders_priority_distribution",
+    """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def orders_priority_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# --------------------------------------------------------------------------
+# public API used by __spark_entry__
+# --------------------------------------------------------------------------
+
+
+def _tuned(fn):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _tune_session(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _tuned(gq.fn) for name, gq in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: gq.oracle for name, gq in REGISTRY.items() if gq.oracle}
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """Driver smoke entry: the headline wheel range-aggregate on
+    sf0.001 (E1+E2 end-to-end)."""
+    return _mk_range_query(*RANGE_MINUTE)(spark, "/root/testdata/sf0.001")

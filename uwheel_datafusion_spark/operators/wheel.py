@@ -1,0 +1,274 @@
+"""WheelIndex — the PySpark-native Hierarchical Aggregation Wheel.
+
+Reference semantics being reproduced (SURVEY §1.1, §4.2):
+
+- ``RwWheel<F64SumAggregator>`` with minute/hour/day wheels, Keep
+  retention, ``WheelMode::Index`` (/root/reference/src/main.rs:86-103);
+- event-time **watermark**: entries with ts < watermark are rejected as
+  late; ``advance(to)`` finalizes slots up to ``to``
+  (/root/reference/src/main.rs:86-88,140);
+- aggregator framework lift/combine/lower (SURVEY §1.3): we store the
+  "all" partial ``(sum, count, min, max)`` per slot, from which
+  sum/count/min/max/avg all lower — a strict superset of the
+  reference's ``F64SumAggregator``.
+
+Spark-first realization (NOT a translation of the Rust ring buffers):
+
+- the minute rollup is ONE distributed ``groupBy`` over the fact table
+  (map-side partial aggregation + one shuffle on the bucket key);
+- hour and day rollups **re-aggregate the minute rollup** — this *is*
+  µWheel's tick cascade (minute rotations combine into the hour wheel,
+  /root/reference/src/main.rs:140), and it guarantees the cascade
+  invariant exactly because the gated sums are associative scaled
+  longs (see functions.quant);
+- at 100 TB the rollups are tiny relative to the fact table (1 row per
+  key-minute); they'd be written as parquet partitioned by UTC date so
+  the distributed serving path gets partition pruning. Locally we
+  cache() them;
+- the serving fast path collects the *minute* rollup (44 640 rows for
+  a 31-day span ≈ a few hundred KB — same footprint class as
+  ``wheel.size_bytes()``, /root/reference/src/main.rs:144) to a NumPy
+  prefix-sum index: O(1) per query, the analogue of
+  ``WheelMode::Index`` + SIMD wheels (/root/reference/src/main.rs:146-148).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uwheel_datafusion_spark.functions.quant import micros_to_value, value_to_micros
+from uwheel_datafusion_spark.functions.time import (
+    DAY_MS,
+    HOUR_MS,
+    MINUTE_MS,
+    bucket_ms,
+    ts_to_ms,
+)
+from uwheel_datafusion_spark.plans.range_plan import RangePlan, decompose_range
+
+GRANULARITIES: dict[str, int] = {"minute": MINUTE_MS, "hour": HOUR_MS, "day": DAY_MS}
+
+#: rollup schema, one row per non-empty slot:
+#: (bucket_ms long, sum_micros long, cnt long, min_value double, max_value double)
+ROLLUP_COLS = ("bucket_ms", "sum_micros", "cnt", "min_value", "max_value")
+
+
+@dataclass
+class BuildStats:
+    """Build-time observability (B6/B7 in SURVEY §2.11)."""
+
+    n_input_rows: int
+    n_late_rows: int  # ts < watermark — rejected, like µWheel late inserts
+    n_ahead_rows: int  # ts >= advanced watermark — buffered, not finalized
+    n_indexed_rows: int
+    slot_counts: dict[str, int]
+
+
+class WheelIndex:
+    """Multi-granularity pre-aggregated temporal index over one
+    (timestamp, value) pair of a fact DataFrame."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        rollups: dict[str, DataFrame],
+        watermark_ms: int,
+        advanced_ms: int,
+        stats: BuildStats,
+    ) -> None:
+        self.spark = spark
+        self.rollups = rollups
+        self.watermark_ms = watermark_ms  # watermark₀ (low)
+        self.advanced_ms = advanced_ms  # watermark after advance()
+        self.stats = stats
+        self._driver_index = None
+
+    # ------------------------------------------------------------------ build
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        ts_col: str,
+        value_col: str,
+        watermark_ms: int,
+        advance_to_ms: int,
+        granularities: tuple[str, ...] = ("minute", "hour", "day"),
+        cache: bool = True,
+    ) -> "WheelIndex":
+        """E1 of SURVEY §3: fact table → rollups under watermark semantics.
+
+        ``watermark_ms`` is the initial low watermark (rows below it are
+        late ⇒ dropped & counted); ``advance_to_ms`` plays
+        ``wheel.advance(31.days())`` (/root/reference/src/main.rs:140):
+        only rows with ts < advance_to_ms are finalized into slots; rows
+        at/after it are "write-ahead" (counted, not indexed).
+        """
+        spark = df.sparkSession
+        if "minute" not in granularities:
+            raise ValueError("the minute granularity is the cascade base")
+
+        ms = ts_to_ms(F.col(ts_col))
+        base = df.select(
+            ms.alias("ms"), F.col(value_col).cast("double").alias("value")
+        )
+
+        # one pass for the late/ahead/indexed partition counts (B7 metric)
+        counts = base.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("ms") < watermark_ms).cast("long")).alias("late"),
+            F.sum((F.col("ms") >= advance_to_ms).cast("long")).alias("ahead"),
+        ).first()
+        n_input = counts["n"] or 0
+        n_late = counts["late"] or 0
+        n_ahead = counts["ahead"] or 0
+
+        live = base.filter(
+            (F.col("ms") >= watermark_ms) & (F.col("ms") < advance_to_ms)
+        )
+
+        # minute rollup: the single distributed shuffle of the build
+        minute = (
+            live.select(
+                bucket_ms(F.col("ms"), MINUTE_MS).alias("bucket_ms"),
+                value_to_micros(F.col("value")).alias("v_micros"),
+                F.col("value"),
+            )
+            .groupBy("bucket_ms")
+            .agg(
+                F.sum("v_micros").alias("sum_micros"),
+                F.count(F.lit(1)).alias("cnt"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+        )
+
+        rollups: dict[str, DataFrame] = {"minute": minute}
+        # cascade: hour from minute, day from hour (tick/rotate, A4)
+        prev = "minute"
+        for g in ("hour", "day"):
+            if g not in granularities:
+                continue
+            rollups[g] = cls._reaggregate(rollups[prev], GRANULARITIES[g])
+            prev = g
+
+        if cache:
+            for g in rollups:
+                rollups[g] = rollups[g].cache()
+
+        slot_counts = {g: r.count() for g, r in rollups.items()}
+        stats = BuildStats(
+            n_input_rows=n_input,
+            n_late_rows=n_late,
+            n_ahead_rows=n_ahead,
+            n_indexed_rows=n_input - n_late - n_ahead,
+            slot_counts=slot_counts,
+        )
+        return cls(spark, rollups, watermark_ms, advance_to_ms, stats)
+
+    @staticmethod
+    def _reaggregate(finer: DataFrame, coarser_slot_ms: int) -> DataFrame:
+        """Combine finer partials into coarser slots (pure partial-merge:
+        sum-of-sums, min-of-mins — SURVEY §1.3)."""
+        return (
+            finer.groupBy(
+                bucket_ms(F.col("bucket_ms"), coarser_slot_ms).alias("bucket_ms")
+            )
+            .agg(
+                F.sum("sum_micros").alias("sum_micros"),
+                F.sum("cnt").alias("cnt"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+        )
+
+    # ------------------------------------------------------------ query paths
+
+    def plan(self, start_ms: int, end_ms: int) -> RangePlan:
+        """A6 ``explain_combine_range`` analogue."""
+        start_ms = max(start_ms, self.watermark_ms)
+        end_ms = min(end_ms, self.advanced_ms)
+        return decompose_range(start_ms, end_ms, tuple(self.rollups))
+
+    def range_agg_df(self, start_ms: int, end_ms: int) -> DataFrame:
+        """Distributed serving path: decompose the range, filter each
+        rollup to its runs (partition-prunable range predicates on the
+        bucket key), union the partials, combine, lower.
+
+        Returns a 1-row DataFrame
+        ``(sum_value double, cnt long, min_value double, max_value
+        double, avg_value double)`` with nulls for an empty range —
+        matching A5's ``Option<f64>`` semantics.
+        """
+        plan = self.plan(start_ms, end_ms)
+        parts: list[DataFrame] = []
+        for run in plan.runs:
+            r = self.rollups[run.granularity]
+            parts.append(
+                r.filter(
+                    (F.col("bucket_ms") >= run.start_ms)
+                    & (F.col("bucket_ms") < run.end_ms)
+                ).select("sum_micros", "cnt", "min_value", "max_value")
+            )
+        if not parts:
+            empty = self.spark.range(0).select(
+                F.lit(None).cast("long").alias("sum_micros"),
+                F.lit(None).cast("long").alias("cnt"),
+                F.lit(None).cast("double").alias("min_value"),
+                F.lit(None).cast("double").alias("max_value"),
+            )
+            parts = [empty]
+        unioned = reduce(DataFrame.unionByName, parts)
+        combined = unioned.agg(
+            F.sum("sum_micros").alias("sum_micros"),
+            F.sum("cnt").alias("cnt"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        return combined.select(
+            micros_to_value(F.col("sum_micros")).alias("sum_value"),
+            F.col("cnt"),
+            F.col("min_value"),
+            F.col("max_value"),
+            (
+                F.col("sum_micros").cast("double") / F.col("cnt").cast("double") / 1e6
+            ).alias("avg_value"),
+        )
+
+    def rollup_df(self, granularity: str) -> DataFrame:
+        """The rollup table itself, lowered to user-facing columns."""
+        r = self.rollups[granularity]
+        return r.select(
+            F.col("bucket_ms"),
+            micros_to_value(F.col("sum_micros")).alias("sum_value"),
+            F.col("cnt"),
+            F.col("min_value"),
+            F.col("max_value"),
+            (
+                F.col("sum_micros").cast("double") / F.col("cnt").cast("double") / 1e6
+            ).alias("avg_value"),
+        )
+
+    # ------------------------------------------------------- driver fast path
+
+    def to_driver_index(self):
+        """Collect the minute rollup into the O(1) NumPy serving index
+        (benchmark path; µWheel latency class)."""
+        from uwheel_datafusion_spark.operators.driver_index import DriverWheelIndex
+
+        if self._driver_index is None:
+            rows = self.rollups["minute"].select(*ROLLUP_COLS).collect()
+            self._driver_index = DriverWheelIndex.from_minute_rows(
+                rows, self.watermark_ms, self.advanced_ms
+            )
+        return self._driver_index
+
+    def size_bytes(self) -> int:
+        """Index footprint (B6, cf. ``wheel.size_bytes()``
+        /root/reference/src/main.rs:144)."""
+        idx = self.to_driver_index()
+        return idx.size_bytes()
