@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Round benchmark — prints ONE JSON line the driver records.
+
+Protocol (BASELINE.md): build the wheel index over `events`, run the
+reference's two randomized range workloads (1000 queries each) down
+both paths — the driver prefix-sum index (µWheel's role) and Spark SQL
+full scan (DataFusion's role, sampled) — plus the headline SQL/join
+queries at the bench scale factor.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_queries = int(os.environ.get("BENCH_QUERIES", "1000"))
+    sql_sample = int(os.environ.get("BENCH_SQL_SAMPLE", "30"))
+
+    from uwheel_datafusion_spark import WheelIndex, get_spark
+    from uwheel_datafusion_spark.bench.harness import (
+        gen_hour_ranges,
+        gen_minute_ranges,
+        run_latency_bench,
+    )
+    from uwheel_datafusion_spark.functions.time import ms_to_ts_literal
+    from uwheel_datafusion_spark.gate import (
+        EVENTS_ADV_MS,
+        EVENTS_WM_MS,
+        REGISTRY,
+    )
+    from uwheel_datafusion_spark.sources.registry import load_table, register_tables
+
+    spark = get_spark(app_name="uwheel_bench")
+    timings: dict[str, float] = {}
+    extras: dict[str, dict] = {}
+    t_total0 = time.perf_counter()
+
+    # ---------------------------------------------------------- index build (E1)
+    ev = load_table(spark, sf_dir, "events")
+    t0 = time.perf_counter()
+    idx = WheelIndex.build(ev, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS)
+    di = idx.to_driver_index()
+    timings["index_build"] = time.perf_counter() - t0
+    extras["index"] = {
+        "size_bytes": di.size_bytes(),
+        "rows_indexed": idx.stats.n_indexed_rows,
+        "slots": idx.stats.slot_counts,
+    }
+
+    horizon = EVENTS_ADV_MS - EVENTS_WM_MS
+
+    # ------------------------------------------------- wheel path (E2, B2+B3)
+    minute_ranges = gen_minute_ranges(EVENTS_WM_MS, horizon, n_queries)
+    r = run_latency_bench("wheel_minute_ranges", di.query_sum, minute_ranges)
+    timings["wheel_minute_ranges"] = r.wall_sec
+    extras["wheel_minute_ranges"] = {"qps": r.qps, **r.latency}
+
+    hour_ranges = gen_hour_ranges(EVENTS_WM_MS, horizon, n_queries)
+    r = run_latency_bench("wheel_hour_ranges", di.query_sum, hour_ranges)
+    timings["wheel_hour_ranges"] = r.wall_sec
+    extras["wheel_hour_ranges"] = {"qps": r.qps, **r.latency}
+
+    # ------------------------------------------- SQL full-scan path (E3, sampled)
+    register_tables(spark, sf_dir, ("events",))
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()  # warm FS
+
+    def sql_sum(s_ms: int, e_ms: int):
+        return spark.sql(
+            f"SELECT SUM(value) FROM events "
+            f"WHERE ts >= TIMESTAMP '{ms_to_ts_literal(s_ms)}' "
+            f"AND ts < TIMESTAMP '{ms_to_ts_literal(e_ms)}'"
+        ).collect()[0][0]
+
+    r = run_latency_bench("sql_scan_ranges", sql_sum, minute_ranges[:sql_sample])
+    timings["sql_scan_ranges"] = r.wall_sec
+    extras["sql_scan_ranges"] = {"qps": r.qps, **r.latency}
+
+    # ------------------------------------------------ headline gate queries
+    headline = (
+        "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority",
+        "region_revenue_join",
+        "window_top3_orders_per_customer",
+        "events_by_type",
+        "topk_orders",
+    )
+    for name in headline:
+        if name not in REGISTRY:
+            continue
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).collect()
+        timings[name] = time.perf_counter() - t0
+
+    total = time.perf_counter() - t_total0
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 4) for k, v in timings.items()},
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "detail": extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
