@@ -1,0 +1,170 @@
+"""Dual-dialect SQL expression builders.
+
+The training-data operators (dedup, text analysis, similarity) are
+correctness-gated against a DuckDB oracle, so every expression must
+evaluate **identically** in Spark SQL and DuckDB. This module is the
+single source of truth: each builder emits the same logical expression
+in either dialect, so the Spark implementation and the oracle cannot
+drift apart.
+
+Portability rules baked in (verified empirically on pyspark 4.1 /
+duckdb 1.0):
+
+- ``md5`` of a string yields the same lowercase hex in both (Spark
+  needs a binary cast);
+- ``split``/``string_split`` keep empty tokens and agree on '' → [''];
+- list lambdas: transform/filter/reduce all exist in both (DuckDB's
+  ``list_reduce`` has no zero element — emulated via ``list_prepend``);
+- integer arithmetic, ``>>``, ``&``, ``bit_count`` agree; XOR is ``^``
+  in Spark but ``xor()`` in DuckDB (``^`` is POWER there!);
+- float math is only used via double-cast single IEEE ops.
+
+All derived hashes/scores are pure integer math on top of md5 nibbles,
+so results are deterministic and engine-independent.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+HEX = "0123456789abcdef"
+
+
+@dataclass(frozen=True)
+class Dialect:
+    name: str
+
+    # ---- naming differences -------------------------------------------------
+    @property
+    def is_spark(self) -> bool:
+        return self.name == "spark"
+
+    def md5(self, e: str) -> str:
+        return f"md5(CAST({e} AS BINARY))" if self.is_spark else f"md5({e})"
+
+    def split(self, e: str, sep: str = " ") -> str:
+        fn = "split" if self.is_spark else "string_split"
+        return f"{fn}({e}, '{sep}')"
+
+    def size(self, arr: str) -> str:
+        return f"{'size' if self.is_spark else 'len'}({arr})"
+
+    def idx(self, arr: str, i: str) -> str:
+        """1-based list element access."""
+        return (
+            f"element_at({arr}, {i})" if self.is_spark else f"list_extract({arr}, {i})"
+        )
+
+    def transform(self, arr: str, var: str, body: str) -> str:
+        fn = "transform" if self.is_spark else "list_transform"
+        return f"{fn}({arr}, {var} -> {body})"
+
+    def filter(self, arr: str, var: str, body: str) -> str:
+        fn = "filter" if self.is_spark else "list_filter"
+        return f"{fn}({arr}, {var} -> {body})"
+
+    def array_distinct(self, arr: str) -> str:
+        fn = "array_distinct" if self.is_spark else "list_distinct"
+        return f"{fn}({arr})"
+
+    def array_min(self, arr: str) -> str:
+        fn = "array_min" if self.is_spark else "list_min"
+        return f"{fn}({arr})"
+
+    def seq1(self, n: str) -> str:
+        """[1..n] as a list; empty when n < 1 (Spark's sequence() would
+        count DOWN for n<1, so it is sliced defensively)."""
+        if self.is_spark:
+            return f"slice(sequence(1, greatest({n}, 1)), 1, greatest({n}, 0))"
+        return f"generate_series(1, {n})"
+
+    def reduce(self, arr: str, zero: str, a: str, b: str, body: str) -> str:
+        """Left fold with explicit zero element."""
+        if self.is_spark:
+            return f"aggregate({arr}, CAST({zero} AS BIGINT), ({a}, {b}) -> {body})"
+        return (
+            f"list_reduce(list_prepend(CAST({zero} AS BIGINT), {arr}),"
+            f" ({a}, {b}) -> {body})"
+        )
+
+    def xor(self, a: str, b: str) -> str:
+        return f"({a} ^ {b})" if self.is_spark else f"xor({a}, {b})"
+
+    def sum_list_bigint(self, arr: str) -> str:
+        """Sum a bigint list → bigint (DuckDB's list_sum widens to
+        HUGEINT, so cast back)."""
+        if self.is_spark:
+            return self.reduce(arr, "0", "a", "b", "a + b")
+        return f"CAST(list_sum({arr}) AS BIGINT)"
+
+    def zip_mult(self, a: str, b: str) -> str:
+        """Element-wise product of two bigint lists."""
+        if self.is_spark:
+            return f"zip_with({a}, {b}, (x, y) -> x * y)"
+        return f"list_transform(list_zip({a}, {b}), z -> z[1] * z[2])"
+
+    # ---- shared building blocks --------------------------------------------
+
+    def hex_nibble(self, e: str, i: int) -> str:
+        """i-th (1-based) hex char of a hex string → 0..15 as BIGINT
+        (instr yields int32; Spark's ANSI mode overflows on
+        nibble * 16^7 unless widened first)."""
+        return f"CAST(instr('{HEX}', substring({e}, {i}, 1)) - 1 AS BIGINT)"
+
+    def hash32(self, e: str) -> str:
+        """Portable 32-bit token hash: first 8 md5 nibbles as an int.
+        Uniform, deterministic, identical across engines."""
+        h = self.md5(e)
+        # evaluate md5 once per token via nested transform when used on
+        # lists; inline here for scalar use
+        terms = " + ".join(
+            f"{self.hex_nibble(h, i)} * {16 ** (8 - i)}" for i in range(1, 9)
+        )
+        return f"CAST({terms} AS BIGINT)"
+
+    def hash32_of_hex(self, h: str) -> str:
+        """hash32 when the md5 hex string is already materialized."""
+        terms = " + ".join(
+            f"{self.hex_nibble(h, i)} * {16 ** (8 - i)}" for i in range(1, 9)
+        )
+        return f"CAST({terms} AS BIGINT)"
+
+    def token_hashes(self, tokens: str) -> str:
+        """list<string> tokens → list<bigint> 32-bit hashes (md5
+        materialized once per token)."""
+        md5s = self.transform(tokens, "t", self.md5("t"))
+        return self.transform(md5s, "h", self.hash32_of_hex("h"))
+
+    def shingles(self, tokens: str, n: int = 3) -> str:
+        """Word n-grams joined by spaces; empty list when < n tokens."""
+        positions = self.seq1(f"{self.size(tokens)} - {n - 1}")
+        parts = ", ".join(
+            [self.idx(tokens, f"i + {k}") if k else self.idx(tokens, "i") for k in range(n)]
+        )
+        return self.transform(positions, "i", f"concat_ws(' ', {parts})")
+
+    def stopword_hits(self, tokens: str, words: tuple[str, ...]) -> str:
+        lst = ", ".join(f"'{w}'" for w in words)
+        return self.size(self.filter(tokens, "t", f"t IN ({lst})"))
+
+    def quantize_vec(self, arr: str, scale: int = 10_000) -> str:
+        """array<float> → list<bigint> of round(x·scale): integer dot
+        products are then exact & associative (same trick as the wheel's
+        scaled-long sums)."""
+        return self.transform(
+            arr, "x", f"CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)"
+        )
+
+    def dot_q(self, a: str, b: str) -> str:
+        """Exact integer dot product of two quantized vectors."""
+        return self.sum_list_bigint(self.zip_mult(a, b))
+
+    def cosine_q(self, dot: str, na: str, nb: str) -> str:
+        """cos = dot / sqrt(na·nb), all single IEEE double ops."""
+        return (
+            f"(CAST({dot} AS DOUBLE) / sqrt(CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE)))"
+        )
+
+
+SPARK = Dialect("spark")
+DUCK = Dialect("duck")

@@ -413,6 +413,92 @@ def orders_priority_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# training-data pipeline operators (north-star surface; BASELINE.json)
+# --------------------------------------------------------------------------
+
+from uwheel_datafusion_spark.operators import dedup as _dd
+from uwheel_datafusion_spark.operators import multimodal as _mm
+from uwheel_datafusion_spark.operators import similarity as _sim
+from uwheel_datafusion_spark.operators import textops as _tx
+
+KNN_QUERY_IDS = (0, 1, 2)
+
+
+@gate("text_profile", _tx.text_profile_oracle())
+def text_profile_q(spark, sf_dir):
+    return _tx.text_profile(load_table(spark, sf_dir, "documents"))
+
+
+@gate("text_langid_summary", _tx.langid_summary_oracle())
+def langid_summary_q(spark, sf_dir):
+    return _tx.langid_summary(load_table(spark, sf_dir, "documents"))
+
+
+@gate("dedup_exact_groups", _dd.exact_dup_groups_oracle())
+def dedup_exact_q(spark, sf_dir):
+    return _dd.exact_dup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@gate("dedup_ngram_jaccard_pairs", _dd.ngram_jaccard_pairs_oracle(threshold=0.5))
+def dedup_jaccard_q(spark, sf_dir):
+    return _dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@gate("dedup_minhash_signatures", _dd.minhash_signatures_oracle())
+def minhash_sig_q(spark, sf_dir):
+    return _dd.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@gate("dedup_minhash_lsh_candidates", _dd.minhash_lsh_candidates_oracle())
+def minhash_lsh_q(spark, sf_dir):
+    return _dd.minhash_lsh_candidates(load_table(spark, sf_dir, "documents"))
+
+
+@gate("dedup_simhash_fingerprints", _dd.simhash_fingerprints_oracle())
+def simhash_fp_q(spark, sf_dir):
+    return _dd.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@gate("dedup_simhash_near_pairs", _dd.simhash_near_pairs_oracle())
+def simhash_pairs_q(spark, sf_dir):
+    return _dd.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@gate(
+    "similarity_knn_brute_force",
+    _sim.knn_brute_force_oracle(query_ids=KNN_QUERY_IDS, k=5),
+)
+def knn_q(spark, sf_dir):
+    return _sim.knn_brute_force(
+        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=5
+    )
+
+
+@gate("similarity_cosine_pair_dedup", _sim.cosine_pair_dedup_oracle(threshold=0.45))
+def cos_pairs_q(spark, sf_dir):
+    return _sim.cosine_pair_dedup(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+@gate(
+    "similarity_ann_ivf_topk",
+    _sim.ann_ivf_topk_oracle(query_ids=KNN_QUERY_IDS, k=3),
+)
+def ann_q(spark, sf_dir):
+    return _sim.ann_ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=3
+    )
+
+
+@gate("multimodal_decode_stub", _mm.decode_stub_oracle())
+def multimodal_q(spark, sf_dir):
+    return _mm.decode_stub_pipeline(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # public API used by __spark_entry__
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,349 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each designed for 100 TB scale first and oracle-exact
+determinism second:
+
+- **exact**: md5-groupBy — one shuffle on the digest, no full-text
+  shuffle (the digest is 32 bytes regardless of document size).
+- **n-gram Jaccard (exact)**: inverted-index (posting-list) self-join
+  on shingles — the scalable exact-similarity join (never a cross
+  join; candidate pairs are generated only for docs sharing a
+  shingle). Skew note: a shingle shared by k docs yields k² join rows,
+  so frequent-shingle removal (stop-shingles) is the production knob;
+  AQE skew-join handles the remainder.
+- **MinHash**: k seeded affine hashes over the portable 32-bit token
+  hash (functions.dialect.hash32) — pure integer math, deterministic,
+  identical in the DuckDB oracle.
+- **MinHash-LSH**: band signatures → equi-join on (band_idx, band
+  value). This is the sub-quadratic candidate generator; with fixed
+  hash constants it is fully deterministic, so even the LSH output is
+  oracle-checked (not rows-only).
+- **SimHash**: 16-bit fingerprints via md5-nibble bit votes; near-dup
+  pairs by Hamming distance with a pigeonhole band join (4 bands of 4
+  bits — any pair within distance 3 must agree on ≥1 band), verified
+  by exact bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from uwheel_datafusion_spark.functions.dialect import DUCK, SPARK, Dialect
+
+# fixed MinHash constants (any odd a works; deterministic by design —
+# the reference's unseeded RNG non-reproducibility is a bug we fix,
+# SURVEY §2.8 F5)
+MINHASH_PRIME = 2_147_483_647
+MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
+    (1_103_515_245, 12_345),
+    (214_013, 2_531_011),
+    (69_069, 1_234_567),
+    (1_664_525, 1_013_904_223),
+    (22_695_477, 1),
+    (134_775_813, 1_023),
+    (1_099_087_573, 511),
+    (48_271, 3),
+)
+# 8 minhashes → 2 bands × 4 rows: candidate threshold ≈ (1/b)^(1/r) ≈ 0.84
+# Jaccard — tuned for near-dup detection; 2-row bands drown in candidates
+# when the corpus shares vocabulary (measured: 80% of all pairs at sf0.01).
+N_BANDS = 2
+ROWS_PER_BAND = 4
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 4 bands × 8 bits; pigeonhole-complete for dist ≤ 3
+SIMHASH_BAND_WIDTH = SIMHASH_BITS // SIMHASH_BANDS
+HAMMING_MAX = 3
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group by content digest. Returns every group with its size and
+    canonical (min) doc_id — dedup = keep canonical, drop the rest.
+    At scale: shuffle moves only (digest, doc_id) pairs."""
+    d = SPARK
+    return (
+        docs.select("doc_id", F.expr(d.md5(text_col)).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def exact_dup_groups_oracle(table: str = "documents", text_col: str = "text") -> str:
+    d = DUCK
+    return f"""
+        SELECT {d.md5(text_col)} AS text_md5,
+               COUNT(*) AS n_copies,
+               MIN(doc_id) AS keep_doc_id
+        FROM {table}
+        GROUP BY 1
+    """
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard via posting-list join
+# --------------------------------------------------------------------------
+
+
+def _shingle_sets(docs: DataFrame, text_col: str, n: int) -> DataFrame:
+    d = SPARK
+    sh = d.array_distinct(d.shingles(d.split(text_col), n))
+    return docs.select("doc_id", F.expr(sh).alias("shingles")).withColumn(
+        "n_shingles", F.size("shingles")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard-similarity join: explode distinct shingles to a
+    posting list, self-join on the shingle, count commons per pair, compute
+    jaccard = |∩| / (|A|+|B|−|∩|). Output (doc_a, doc_b, n_common,
+    jaccard) for pairs ≥ threshold.
+
+    Scale shape: |postings| = Σ shingles ≈ tokens; the join is
+    hash-partitioned on the shingle string; no cross join anywhere."""
+    sets = _shingle_sets(docs, text_col, n)
+    posting = sets.select(
+        "doc_id", "n_shingles", F.explode("shingles").alias("shingle")
+    )
+    a = posting.alias("a")
+    b = posting.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.n_shingles").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    ).cast("double")
+    return (
+        common.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_oracle(
+    table: str = "documents", text_col: str = "text", n: int = 3, threshold: float = 0.5
+) -> str:
+    d = DUCK
+    sh = d.array_distinct(d.shingles(d.split(text_col), n))
+    return f"""
+        WITH sets AS (
+            SELECT doc_id, {sh} AS shingles FROM {table}
+        ),
+        sized AS (SELECT doc_id, len(shingles) AS n_shingles FROM sets),
+        posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sets),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM posting a JOIN posting b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_common,
+               CAST(n_common AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) AS jaccard
+        FROM common
+        JOIN sized sa ON sa.doc_id = doc_a
+        JOIN sized sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) >= {threshold}
+    """
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs
+# --------------------------------------------------------------------------
+
+
+def _minhash_exprs(d: Dialect, text_col: str) -> list[str]:
+    toks = d.array_distinct(d.split(text_col))
+    hashes = d.token_hashes(toks)
+    out = []
+    for a, b in MINHASH_COEFFS:
+        transformed = d.transform(hashes, "h", f"(h * {a} + {b}) % {MINHASH_PRIME}")
+        out.append(f"COALESCE({d.array_min(transformed)}, {MINHASH_PRIME})")
+    return out
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """k=8 MinHash values per document (map-only, no shuffle)."""
+    exprs = _minhash_exprs(SPARK, text_col)
+    return docs.select(
+        "doc_id", *[F.expr(e).alias(f"mh{i}") for i, e in enumerate(exprs)]
+    )
+
+
+def minhash_signatures_oracle(table: str = "documents", text_col: str = "text") -> str:
+    exprs = _minhash_exprs(DUCK, text_col)
+    cols = ",\n  ".join(f"{e} AS mh{i}" for i, e in enumerate(exprs))
+    return f"SELECT doc_id, {cols} FROM {table}"
+
+
+def _band_hash_expr(j: int) -> str:
+    """Combine the band's ROWS_PER_BAND minhashes into one bigint key
+    (Horner mix mod p — stays in int64, identical in both dialects)."""
+    expr = f"mh{j * ROWS_PER_BAND}"
+    for r in range(1, ROWS_PER_BAND):
+        expr = f"(({expr}) * 31 + mh{j * ROWS_PER_BAND + r}) % {MINHASH_PRIME}"
+    return expr
+
+
+def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """LSH: N_BANDS bands × ROWS_PER_BAND rows; docs sharing any band become a candidate
+    pair. Sub-quadratic: the join key is (band_idx, band_hash) — at
+    scale this is the only way a Jaccard join touches 100 TB without
+    a quadratic blowup. Deterministic constants ⇒ exact oracle."""
+    sig = minhash_signatures(docs, text_col)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.expr(_band_hash_expr(j)).alias("band_hash"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_candidates_oracle(table: str = "documents", text_col: str = "text") -> str:
+    sig_sql = minhash_signatures_oracle(table, text_col)
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_idx, {_band_hash_expr(j)} AS band_hash FROM sig"
+        for j in range(N_BANDS)
+    )
+    return f"""
+        WITH sig AS ({sig_sql}),
+        bands AS ({band_selects})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprints + Hamming near-dup pairs
+# --------------------------------------------------------------------------
+
+
+def _simhash_expr(d: Dialect, text_col: str) -> str:
+    """SimHash over SIMHASH_BITS bits of hash32: per token vote ±1 per
+    bit position weighted by occurrence, final bit = sign of the vote."""
+    toks = d.split(text_col)
+    hashes = d.token_hashes(toks)
+    bit_terms = []
+    for bit in range(SIMHASH_BITS):
+        votes = d.sum_list_bigint(
+            d.transform(hashes, "h", f"CASE WHEN ((h >> {bit}) & 1) = 1 THEN 1 ELSE -1 END")
+        )
+        bit_terms.append(f"(CASE WHEN ({votes}) > 0 THEN {1 << bit} ELSE 0 END)")
+    return "CAST(" + " + ".join(bit_terms) + " AS BIGINT)"
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select(
+        "doc_id", F.expr(_simhash_expr(SPARK, text_col)).alias("simhash")
+    )
+
+
+def simhash_fingerprints_oracle(table: str = "documents", text_col: str = "text") -> str:
+    return f"SELECT doc_id, {_simhash_expr(DUCK, text_col)} AS simhash FROM {table}"
+
+
+def simhash_near_pairs(
+    docs: DataFrame, text_col: str = "text", max_dist: int = HAMMING_MAX
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_dist.
+
+    Scale path: band join (pigeonhole — with 4 bands over the simhash
+    bits, any pair at distance ≤ 3 shares at least one intact band), then exact
+    bit_count(xor) verification. Identical result set to a cross join,
+    at a fraction of the pairs generated."""
+    fp = simhash_fingerprints(docs, text_col)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), j * SIMHASH_BAND_WIDTH)
+                        .bitwiseAND(F.lit((1 << SIMHASH_BAND_WIDTH) - 1))
+                        .alias("band_val"),
+                    )
+                    for j in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(F.expr("sh_a ^ sh_b"))
+    return (
+        pairs.withColumn("hamming", dist.cast("long"))
+        .filter(F.col("hamming") <= max_dist)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_near_pairs_oracle(
+    table: str = "documents", text_col: str = "text", max_dist: int = HAMMING_MAX
+) -> str:
+    """Oracle uses the brute-force pair join — same result as the band
+    join by the pigeonhole argument (that equivalence IS the test)."""
+    fp = simhash_fingerprints_oracle(table, text_col)
+    return f"""
+        WITH fp AS ({fp})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_dist}
+    """

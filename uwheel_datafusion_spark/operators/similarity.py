@@ -1,0 +1,210 @@
+"""Similarity search over an embedding column (array<float>).
+
+Cosine similarity is computed on **quantized integer vectors**
+(round(x·1e4) per element — functions.dialect.quantize_vec): integer
+dot products are exact and associative, so Spark and the DuckDB oracle
+agree bit-for-bit, top-k boundaries can't flip on float noise, and the
+semantics are engine-independent. The quantization error (≤1e-4 per
+element) is far below any meaningful similarity resolution.
+
+Three strategies:
+
+- **brute-force top-k** (the correctness baseline): broadcast the k
+  query vectors, one pass over the corpus, per-query top-k via window
+  rank. At scale: O(Q·N) work but embarrassingly parallel, no shuffle
+  except the final per-query top-k (tiny).
+- **threshold pair join**: all pairs ≥ t. Implemented as a self-join;
+  at 100 TB this is where the LSH/IVF variants below take over.
+- **IVF-style partitioned ANN**: restrict the search to the probe's
+  coarse cell (here the `label` column plays the quantizer-cell role —
+  with real data, a k-means assignment column produced upstream).
+  Deterministic cell assignment ⇒ exact oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from uwheel_datafusion_spark.functions.dialect import DUCK, SPARK
+
+Q_SCALE = 10_000
+
+
+def _quantized(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    d = SPARK
+    q = d.quantize_vec(vec_col, Q_SCALE)
+    return vecs.withColumn("qvec", F.expr(q)).withColumn(
+        "qnorm", F.expr(d.dot_q("qvec", "qvec"))
+    )
+
+
+_COS = SPARK.cosine_q(
+    SPARK.dot_q("a.qvec", "b.qvec"), "a.qnorm", "b.qnorm"
+)
+
+
+def knn_brute_force(
+    vecs: DataFrame, query_ids: tuple[int, ...], k: int = 5, vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector; ties broken by
+    vec_id so results are fully deterministic."""
+    qv = _quantized(vecs, vec_col)
+    queries = qv.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm").alias("q_qnorm"),
+    )
+    cos = F.expr(
+        SPARK.cosine_q(SPARK.dot_q("q_qvec", "qvec"), "q_qnorm", "qnorm")
+    )
+    scored = (
+        qv.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def _oracle_qv(table: str, vec_col: str) -> str:
+    d = DUCK
+    q = d.quantize_vec(vec_col, Q_SCALE)
+    return f"""
+        qv AS (
+            SELECT vec_id, label, {q} AS qvec FROM {table}
+        ),
+        qn AS (
+            SELECT vec_id, label, qvec, {d.dot_q('qvec', 'qvec')} AS qnorm FROM qv
+        )
+    """
+
+
+def knn_brute_force_oracle(
+    table: str = "embeddings",
+    query_ids: tuple[int, ...] = (),
+    k: int = 5,
+    vec_col: str = "embedding",
+) -> str:
+    d = DUCK
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = d.cosine_q(d.dot_q("q.qvec", "v.qvec"), "q.qnorm", "v.qnorm")
+    return f"""
+        WITH {_oracle_qv(table, vec_col)},
+        scored AS (
+            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, {cos} AS cosine
+            FROM qn q JOIN qn v ON v.vec_id <> q.vec_id
+            WHERE q.vec_id IN ({ids})
+        )
+        SELECT query_id, neighbor_id, cosine, rnk FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                   ) AS BIGINT) AS rnk
+            FROM scored
+        ) WHERE rnk <= {k}
+    """
+
+
+def cosine_pair_dedup(
+    vecs: DataFrame, threshold: float = 0.45, vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ≥ threshold (exact)."""
+    qv = _quantized(vecs, vec_col).select("vec_id", "qvec", "qnorm")
+    a = qv.alias("a")
+    b = qv.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cosine", F.expr(_COS))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cosine",
+        )
+    )
+
+
+def cosine_pair_dedup_oracle(
+    table: str = "embeddings", threshold: float = 0.45, vec_col: str = "embedding"
+) -> str:
+    d = DUCK
+    cos = d.cosine_q(d.dot_q("a.qvec", "b.qvec"), "a.qnorm", "b.qnorm")
+    return f"""
+        WITH {_oracle_qv(table, vec_col)}
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+        FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+        WHERE {cos} >= {threshold}
+    """
+
+
+def ann_ivf_topk(
+    vecs: DataFrame,
+    query_ids: tuple[int, ...],
+    k: int = 3,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: search only the query's coarse cell. The cell
+    assignment is a precomputed column (`label` in the fixture; k-means
+    cell ids in production), so the probe is a cheap equi-join on the
+    cell key — the 100 TB path: partition/bucket the corpus by cell,
+    and a probe touches one partition instead of the whole table."""
+    qv = _quantized(vecs, vec_col)
+    queries = qv.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(cell_col).alias("q_cell"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm").alias("q_qnorm"),
+    )
+    cos = F.expr(
+        SPARK.cosine_q(SPARK.dot_q("q_qvec", "qvec"), "q_qnorm", "qnorm")
+    )
+    scored = (
+        qv.join(
+            F.broadcast(queries),
+            (F.col(cell_col) == F.col("q_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("cosine", cos)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def ann_ivf_topk_oracle(
+    table: str = "embeddings",
+    query_ids: tuple[int, ...] = (),
+    k: int = 3,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> str:
+    d = DUCK
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = d.cosine_q(d.dot_q("q.qvec", "v.qvec"), "q.qnorm", "v.qnorm")
+    return f"""
+        WITH {_oracle_qv(table, vec_col)},
+        scored AS (
+            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, {cos} AS cosine
+            FROM qn q JOIN qn v
+              ON v.{cell_col} = q.{cell_col} AND v.vec_id <> q.vec_id
+            WHERE q.vec_id IN ({ids})
+        )
+        SELECT query_id, neighbor_id, cosine, rnk FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                   ) AS BIGINT) AS rnk
+            FROM scored
+        ) WHERE rnk <= {k}
+    """

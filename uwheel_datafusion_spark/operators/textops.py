@@ -1,0 +1,132 @@
+"""Text-analysis operators for training-data pipelines (beyond-parity,
+first-class per BASELINE.json's north star): token counting, quality
+scoring, language ID, document fingerprinting.
+
+Everything is built from the dual-dialect expression builders in
+functions.dialect, so each operator has an *exact* DuckDB oracle twin —
+and stays entirely JVM-side in Spark (no Python UDFs: these run inside
+whole-stage codegen, which is what survives a 100 TB scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from uwheel_datafusion_spark.functions.dialect import DUCK, SPARK, Dialect
+
+#: tiny per-language stopword lists for the n-gram/stopword language
+#: heuristic (deterministic; order = tie-break priority)
+LANG_STOPWORDS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "of", "and", "to", "in", "is", "it", "that", "for", "on")),
+    ("es", ("el", "la", "de", "que", "y", "en", "un", "los", "se", "no")),
+    ("de", ("der", "die", "und", "das", "ist", "ein", "nicht", "mit", "zu", "auf")),
+    ("fr", ("le", "la", "de", "et", "les", "des", "un", "est", "une", "du")),
+    ("zh", ("的", "是", "不", "了", "在", "人", "有", "我", "他", "这")),
+)
+
+PUNCT_CLASS = r"[.,!?;:]"
+FP_MOD = 2_147_483_647  # 2^31-1 rolling-hash modulus
+
+
+def _exprs(d: Dialect, text: str = "text") -> dict[str, str]:
+    """The shared logical expressions, rendered in one dialect."""
+    toks = d.split(text)
+    n_tokens = d.size(toks)
+    out = {
+        "n_tokens": f"CAST({n_tokens} AS BIGINT)",
+        "n_chars_text": f"CAST(length({text}) AS BIGINT)",
+        "n_punct": (
+            f"CAST(length({text}) - length(regexp_replace({text}, '{PUNCT_CLASS}', '')) AS BIGINT)"
+        ),
+        "n_distinct_tokens": f"CAST({d.size(d.array_distinct(toks))} AS BIGINT)",
+        # deterministic rolling-hash fingerprint over token hash32s
+        "fingerprint": d.reduce(
+            d.token_hashes(toks), "0", "a", "b", f"(a * 31 + b) % {FP_MOD}"
+        ),
+    }
+    for lang, words in LANG_STOPWORDS:
+        out[f"hits_{lang}"] = f"CAST({d.stopword_hits(toks, words)} AS BIGINT)"
+    return out
+
+
+def _langid_expr() -> str:
+    """argmax over per-language stopword hits, first-listed wins ties."""
+    langs = [lang for lang, _ in LANG_STOPWORDS]
+    cases = []
+    for i, lang in enumerate(langs):
+        others = [f"hits_{lang} >= hits_{o}" for o in langs if o != lang]
+        cases.append(f"WHEN {' AND '.join(others)} THEN '{lang}'")
+    return f"CASE {' '.join(cases)} ELSE 'und' END"
+
+
+def _quality_exprs() -> dict[str, str]:
+    """Quality metrics from the base counts (identical SQL both sides:
+    pure double divisions of exact ints)."""
+    total_hits = " + ".join(f"hits_{lang}" for lang, _ in LANG_STOPWORDS)
+    return {
+        "punct_ratio": (
+            "(CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars_text, 1) AS DOUBLE))"
+        ),
+        "stopword_ratio": (
+            f"(CAST({total_hits} AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE))"
+        ),
+        "distinct_ratio": (
+            "(CAST(n_distinct_tokens AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE))"
+        ),
+        "quality_ok": (
+            "CAST(CASE WHEN n_tokens >= 5 AND n_chars_text >= 20 "
+            "AND (CAST(n_distinct_tokens AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) >= 0.2 "
+            "THEN 1 ELSE 0 END AS BIGINT)"
+        ),
+        "lang_pred": _langid_expr(),
+    }
+
+
+def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document text analysis: counts, fingerprint, language ID,
+    quality flags. One narrow projection — no shuffle at all: this is a
+    map-only operator and scales linearly with input splits."""
+    base = docs.select(
+        "doc_id",
+        *[F.expr(e).alias(k) for k, e in _exprs(SPARK, text_col).items()],
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_text",
+        "n_punct",
+        "n_distinct_tokens",
+        "fingerprint",
+        *[F.expr(e).alias(k) for k, e in _quality_exprs().items()],
+    )
+
+
+def text_profile_oracle(table: str = "documents", text_col: str = "text") -> str:
+    inner = ",\n  ".join(
+        f"{e} AS {k}" for k, e in _exprs(DUCK, text_col).items()
+    )
+    outer = ",\n  ".join(f"{e} AS {k}" for k, e in _quality_exprs().items())
+    return f"""
+        WITH base AS (SELECT doc_id, {inner} FROM {table})
+        SELECT doc_id, n_tokens, n_chars_text, n_punct, n_distinct_tokens,
+               fingerprint, {outer}
+        FROM base
+    """
+
+
+def langid_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Predicted-language distribution (drill-down of text_profile)."""
+    return (
+        text_profile(docs, text_col)
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def langid_summary_oracle(table: str = "documents") -> str:
+    return f"""
+        SELECT lang_pred, COUNT(*) AS cnt
+        FROM ({text_profile_oracle(table)})
+        GROUP BY lang_pred
+    """
