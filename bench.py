@@ -38,7 +38,10 @@ def main() -> None:
         EVENTS_WM_MS,
         REGISTRY,
     )
-    from uwheel_datafusion_spark.sources.registry import load_table, register_tables
+    from uwheel_datafusion_spark.sources.registry import (
+        load_table_raw,
+        register_tables,
+    )
 
     spark = get_spark(app_name="uwheel_bench")
     timings: dict[str, float] = {}
@@ -46,7 +49,7 @@ def main() -> None:
     t_total0 = time.perf_counter()
 
     # ---------------------------------------------------------- index build (E1)
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table_raw(spark, sf_dir, "events")
     t0 = time.perf_counter()
     idx = WheelIndex.build(ev, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS)
     di = idx.to_driver_index()

@@ -25,7 +25,8 @@ GRANULARITY_MS = {"day": DAY_MS, "hour": HOUR_MS, "minute": MINUTE_MS}
 
 def ts_to_ms(col: Column | str) -> Column:
     """timestamp column → epoch milliseconds (truncating, like µs→ms at
-    /root/reference/src/main.rs:133-135)."""
+    /root/reference/src/main.rs:133-135; floor-div on µs longs is exact
+    below 2^53)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.floor(F.unix_micros(c) / 1000).cast("long")
 

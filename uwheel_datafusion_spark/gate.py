@@ -25,7 +25,11 @@ from pyspark.sql import Window as W
 from uwheel_datafusion_spark.functions.quant import micros_to_value, value_to_micros
 from uwheel_datafusion_spark.functions.time import DAY_MS, to_epoch_ms
 from uwheel_datafusion_spark.operators.wheel import WheelIndex
-from uwheel_datafusion_spark.sources.registry import load_table, register_tables
+from uwheel_datafusion_spark.sources.registry import (
+    load_table,
+    load_table_raw,
+    register_tables,
+)
 
 # --------------------------------------------------------------------------
 # registry plumbing
@@ -113,7 +117,8 @@ def events_wheel(spark: SparkSession, sf_dir: str) -> WheelIndex:
     key = (id(spark), sf_dir)
     if key not in _WHEEL_CACHE:
         _tune_session(spark)
-        df = load_table(spark, sf_dir, "events")
+        # raw-ns load: watermark range pushes down to the parquet scan
+        df = load_table_raw(spark, sf_dir, "events")
         _WHEEL_CACHE[key] = WheelIndex.build(
             df, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS
         )

@@ -107,15 +107,41 @@ class WheelIndex:
         ``wheel.advance(31.days())`` (/root/reference/src/main.rs:140):
         only rows with ts < advance_to_ms are finalized into slots; rows
         at/after it are "write-ahead" (counted, not indexed).
+
+        ``ts_col`` may be a TimestampType column OR a raw epoch-ns long
+        (how Spark reads TIMESTAMP(NANOS) parquet). The long path keeps
+        every predicate on the raw column, so the watermark range
+        pushes down to parquet row-group stats — the difference between
+        scanning one month and scanning 100 TB.
         """
         spark = df.sparkSession
         if "minute" not in granularities:
             raise ValueError("the minute granularity is the cascade base")
 
-        ms = ts_to_ms(F.col(ts_col))
-        base = df.select(
-            ms.alias("ms"), F.col(value_col).cast("double").alias("value")
-        )
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema[ts_col].dataType, LongType):
+            # raw epoch-ns: prune on the raw column FIRST so the range
+            # reaches parquet row-group stats, then derive ms with
+            # exact integer division (`div`; ns exceeds double's 2^53).
+            # floor(ns/1e6) ∈ [wm, adv) ⇔ ns ∈ [wm·1e6, adv·1e6).
+            pruned = df.filter(
+                (F.col(ts_col) >= watermark_ms * 1_000_000)
+                & (F.col(ts_col) < advance_to_ms * 1_000_000)
+            )
+            ms = F.expr(f"`{ts_col}` div 1000000")
+            base = df.select(
+                ms.alias("ms"), F.col(value_col).cast("double").alias("value")
+            )
+            live_base = pruned.select(
+                ms.alias("ms"), F.col(value_col).cast("double").alias("value")
+            )
+        else:
+            ms = ts_to_ms(F.col(ts_col))
+            base = df.select(
+                ms.alias("ms"), F.col(value_col).cast("double").alias("value")
+            )
+            live_base = None
 
         # one pass for the late/ahead/indexed partition counts (B7 metric)
         counts = base.select(
@@ -127,8 +153,12 @@ class WheelIndex:
         n_late = counts["late"] or 0
         n_ahead = counts["ahead"] or 0
 
-        live = base.filter(
-            (F.col("ms") >= watermark_ms) & (F.col("ms") < advance_to_ms)
+        live = (
+            live_base
+            if live_base is not None
+            else base.filter(
+                (F.col("ms") >= watermark_ms) & (F.col("ms") < advance_to_ms)
+            )
         )
 
         # minute rollup: the single distributed shuffle of the build

@@ -68,6 +68,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _restore_ns_timestamps(df, name)
 
 
+def load_table_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load WITHOUT the ns→timestamp restoration: nanosecond columns
+    stay raw longs. This is the scan-heavy ingest path — predicates on
+    the raw integer column push down to parquet row-group statistics,
+    which the converted ``timestamp_micros(floor(ts/1000))`` expression
+    never can (measured: PushedFilters degrade to [IsNotNull] on the
+    converted view — a full scan at 100 TB)."""
+    _ensure_nanos_conf(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
 def register_tables(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

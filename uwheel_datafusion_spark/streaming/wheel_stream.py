@@ -1,0 +1,174 @@
+"""Streaming wheel maintenance — µWheel's insert/advance as a
+Structured Streaming job (SURVEY §2.9, build-plan step 5).
+
+Semantics mapping (reference → Spark):
+
+- ``wheel.insert(entry)`` with out-of-order tolerance inside the
+  write-ahead horizon (/root/reference/src/main.rs:102,137) →
+  ``withWatermark(ts, delay)`` + windowed aggregation: the state store
+  buffers open windows, accepting disorder within the watermark delay.
+- late entries rejected below the low watermark [uwheel-pub] → rows
+  older than the event-time watermark are dropped by Spark; the count
+  is surfaced per micro-batch via ``numRowsDroppedByWatermark`` — the
+  observable late-drop metric (SURVEY §2.9).
+- ``wheel.advance(d)`` finalizing slots (/root/reference/src/main.rs:140)
+  → watermark progression per trigger; finalized window updates flow to
+  ``foreachBatch``, which upserts them into the rollup store.
+
+The micro-batch sink upserts (window → partial) rows into a driver
+store here; on a production cluster the same ``foreachBatch`` body
+would MERGE into a Delta/Iceberg rollup table — the serving side
+(DriverWheelIndex / distributed rollup queries) is identical either
+way, which is the point: batch and streaming build the SAME index.
+
+Update output mode is used so each trigger emits the current total for
+every touched window — the upsert is therefore idempotent (exactly-once
+results under at-least-once delivery of micro-batches).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from uwheel_datafusion_spark.functions.quant import value_to_micros
+from uwheel_datafusion_spark.functions.time import MINUTE_MS
+
+
+@dataclass
+class RollupStore:
+    """Driver-side upsert store for (bucket_ms → partial) rows.
+    Production swap-in: Delta MERGE keyed on bucket_ms.
+
+    IMPORTANT (learned from a restart probe): the Spark checkpoint
+    makes the *source* exactly-once — a restarted query will NOT replay
+    micro-batches this store already consumed. The store must therefore
+    be persisted alongside the checkpoint (``save``/``load``, or the
+    Delta table in production); a fresh store + old checkpoint silently
+    serves an empty index."""
+
+    slots: dict[int, tuple[int, int, float, float]] = field(default_factory=dict)
+    n_late_rows: int = 0  # accumulated numRowsDroppedByWatermark
+
+    def upsert(self, rows) -> None:
+        for r in rows:
+            self.slots[r["bucket_ms"]] = (
+                r["sum_micros"],
+                r["cnt"],
+                r["min_value"],
+                r["max_value"],
+            )
+
+    def save(self, path: str) -> None:
+        import json
+
+        with open(path, "w") as f:
+            json.dump(
+                {"slots": list(self.slots.items()), "n_late_rows": self.n_late_rows},
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "RollupStore":
+        import json
+
+        with open(path) as f:
+            d = json.load(f)
+        return cls(
+            slots={int(b): tuple(v) for b, v in d["slots"]},
+            n_late_rows=int(d["n_late_rows"]),
+        )
+
+    def to_driver_index(self, watermark_ms: int, advanced_ms: int):
+        from uwheel_datafusion_spark.operators.driver_index import DriverWheelIndex
+
+        rows = [
+            {
+                "bucket_ms": b,
+                "sum_micros": s,
+                "cnt": c,
+                "min_value": mn,
+                "max_value": mx,
+            }
+            for b, (s, c, mn, mx) in self.slots.items()
+        ]
+        return DriverWheelIndex.from_minute_rows(rows, watermark_ms, advanced_ms)
+
+
+class StreamingWheel:
+    """Maintain the minute rollup from a streaming source."""
+
+    def __init__(
+        self,
+        stream_df: DataFrame,
+        ts_col: str,
+        value_col: str,
+        watermark_delay: str = "1 hour",
+        store: RollupStore | None = None,
+    ) -> None:
+        self.store = store if store is not None else RollupStore()
+        self._delay = watermark_delay
+        self._agg = (
+            stream_df.withWatermark(ts_col, watermark_delay)
+            .groupBy(F.window(ts_col, "1 minute").alias("w"))
+            .agg(
+                F.sum(value_to_micros(F.col(value_col))).alias("sum_micros"),
+                F.count(F.lit(1)).alias("cnt"),
+                F.min(value_col).alias("min_value"),
+                F.max(value_col).alias("max_value"),
+            )
+            .select(
+                F.unix_millis(F.col("w.start")).alias("bucket_ms"),
+                "sum_micros",
+                "cnt",
+                "min_value",
+                "max_value",
+            )
+        )
+        self._query = None
+
+    def start(self, checkpoint_dir: str):
+        store = self.store
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            store.upsert(batch_df.collect())
+
+        self._query = (
+            self._agg.writeStream.outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(sink)
+            .start()
+        )
+        return self._query
+
+    def process_available(self) -> None:
+        """Drain everything currently available (test/smoke path);
+        production runs with a processing-time trigger instead."""
+        assert self._query is not None, "call start() first"
+        self._query.processAllAvailable()
+        self._harvest_late_metric()
+
+    def _harvest_late_metric(self) -> None:
+        q = self._query
+        try:
+            for prog in q.recentProgress:
+                for op in prog.get("stateOperators", []):
+                    self.store.n_late_rows += int(
+                        op.get("numRowsDroppedByWatermark", 0)
+                    )
+        except Exception:
+            pass
+
+    def stop(self) -> None:
+        if self._query is not None:
+            self._query.stop()
+            self._query = None
+
+    # serving --------------------------------------------------------------
+
+    def snapshot_index(self, watermark_ms: int, advanced_ms: int):
+        """Freeze the current rollup into the O(1) serving index —
+        same structure the batch build produces (A4/A5 equivalence)."""
+        return self.store.to_driver_index(watermark_ms, advanced_ms)
