@@ -167,3 +167,19 @@ def test_explain_plan(wheel):
         "minute",
     ]
     assert "cost=" in plan.describe()
+
+
+def test_save_load_roundtrip(spark, wheel, tmp_path):
+    """Persisted rollups reopen into an equivalent index (no rebuild)."""
+    path = str(tmp_path / "wheel_idx")
+    wheel.save(path)
+    reopened = WheelIndex.load(spark, path)
+    assert reopened.watermark_ms == wheel.watermark_ms
+    assert reopened.advanced_ms == wheel.advanced_ms
+    assert reopened.stats.n_indexed_rows == wheel.stats.n_indexed_rows
+    assert reopened.stats.slot_counts == wheel.stats.slot_counts
+    s = WM + 2 * DAY_MS + 30 * MINUTE_MS
+    e = WM + 9 * DAY_MS + 5 * HOUR_MS
+    a = wheel.to_driver_index().query_all(s, e)
+    b = reopened.to_driver_index().query_all(s, e)
+    assert a == b

@@ -302,3 +302,66 @@ class WheelIndex:
         /root/reference/src/main.rs:144)."""
         idx = self.to_driver_index()
         return idx.size_bytes()
+
+    # ------------------------------------------------------------ persistence
+
+    def save(self, path: str) -> None:
+        """Persist rollups as parquet, partitioned by UTC date — at
+        scale this gives the distributed serving path partition pruning
+        on day boundaries (PLANS.md). Metadata (watermarks, stats)
+        rides along as JSON."""
+        import json
+        import os
+
+        for g, r in self.rollups.items():
+            (
+                r.withColumn(
+                    "dt",
+                    F.date_format(
+                        F.timestamp_millis(F.col("bucket_ms")), "yyyy-MM-dd"
+                    ),
+                )
+                .repartition("dt")
+                .write.mode("overwrite")
+                .partitionBy("dt")
+                .parquet(os.path.join(path, f"agg_{g}"))
+            )
+        meta = {
+            "watermark_ms": self.watermark_ms,
+            "advanced_ms": self.advanced_ms,
+            "granularities": list(self.rollups),
+            "stats": {
+                "n_input_rows": self.stats.n_input_rows,
+                "n_late_rows": self.stats.n_late_rows,
+                "n_ahead_rows": self.stats.n_ahead_rows,
+                "n_indexed_rows": self.stats.n_indexed_rows,
+                "slot_counts": self.stats.slot_counts,
+            },
+        }
+        with open(os.path.join(path, "wheel_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "WheelIndex":
+        """Reopen a persisted index (no rebuild — the rollups are the
+        index)."""
+        import json
+        import os
+
+        with open(os.path.join(path, "wheel_meta.json")) as f:
+            meta = json.load(f)
+        rollups = {
+            g: spark.read.parquet(os.path.join(path, f"agg_{g}")).select(
+                *ROLLUP_COLS
+            )
+            for g in meta["granularities"]
+        }
+        st = meta["stats"]
+        stats = BuildStats(
+            n_input_rows=st["n_input_rows"],
+            n_late_rows=st["n_late_rows"],
+            n_ahead_rows=st["n_ahead_rows"],
+            n_indexed_rows=st["n_indexed_rows"],
+            slot_counts={k: int(v) for k, v in st["slot_counts"].items()},
+        )
+        return cls(spark, rollups, meta["watermark_ms"], meta["advanced_ms"], stats)
