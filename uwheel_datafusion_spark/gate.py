@@ -201,6 +201,25 @@ gate("wheel_rollup_hour", _rollup_oracle(HOUR_MS))(_mk_rollup_query("hour"))
 gate("wheel_rollup_day", _rollup_oracle(DAY_MS))(_mk_rollup_query("day"))
 
 
+@gate(
+    "wheel_topn_minutes",
+    f"""
+    SELECT (epoch_ms(ts) // {MINUTE_MS}) * {MINUTE_MS} AS bucket_ms,
+           {_s('value')} AS sum_value,
+           COUNT(*) AS cnt
+    FROM events
+    WHERE ts >= {_ts_lit(RANGE_DAY[0])} AND ts < {_ts_lit(RANGE_DAY[1])}
+    GROUP BY 1
+    ORDER BY SUM(CAST(round((value) * 1000000) AS BIGINT)) DESC, bucket_ms
+    LIMIT 5
+    """,
+)
+def wheel_topn_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: top-N aggregator over the index — 5 heaviest minute slots in
+    a day-aligned range (exact scaled-long ordering + tie-break)."""
+    return events_wheel(spark, sf_dir).topn_slots_df("minute", 5, *RANGE_DAY)
+
+
 @gate("sql_scan_sum_range", _range_oracle(*RANGE_MINUTE))
 def sql_scan_sum_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 — the DataFusion-role path: full SQL lifecycle per query
@@ -414,6 +433,182 @@ def orders_priority_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt")
+    )
+
+
+from uwheel_datafusion_spark.operators import windows as _win
+
+
+@gate("sliding_window_1h_15m", _win.sliding_window_oracle())
+def sliding_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.9: sliding (hopping) windows — uwheel exposes a
+    sliding-window API the reference never calls; Spark's window(size,
+    slide) is the native form."""
+    return _win.sliding_window_agg(load_table(spark, sf_dir, "events"))
+
+
+@gate("session_window_30m_by_user", _win.session_window_oracle())
+def session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.9: per-user session windows (30 min gap)."""
+    return _win.session_window_agg(load_table(spark, sf_dir, "events"))
+
+
+@gate(
+    "cube_orders_status_priority",
+    f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS cnt,
+           {_s('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.4 last row: SQL grouping sets (CUBE) — absent in the
+    reference, free in Spark. One shuffle; Spark expands the grouping
+    sets map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            micros_to_value(_sum_micros(F.col("o_totalprice"))).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "cnt",
+            "revenue",
+        )
+    )
+
+
+@gate(
+    "set_ops_priority_customers",
+    """
+    SELECT 'both' AS tag, o_custkey AS custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    )
+    UNION ALL
+    SELECT 'urgent_only' AS tag, o_custkey AS custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    )
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.7: INTERSECT / EXCEPT / UNION ALL — absent in the
+    reference, built-in in Spark."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    both = urgent.intersect(low).select(
+        F.lit("both").alias("tag"), F.col("o_custkey").alias("custkey")
+    )
+    only = urgent.subtract(low).select(
+        F.lit("urgent_only").alias("tag"), F.col("o_custkey").alias("custkey")
+    )
+    return both.unionByName(only)
+
+
+@gate(
+    "semi_join_active_customers",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3: left-semi join (EXISTS). The filtered orders side
+    stays a shuffle-free broadcast at small selectivity; at scale AQE
+    picks the join strategy."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@gate(
+    "anti_join_customers_without_urgent_orders",
+    """
+    SELECT c_custkey, c_nationkey FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3: left-anti join (NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.col("c_nationkey").cast("int").alias("c_nationkey")
+    )
+
+
+@gate(
+    "scalar_functions_monthly",
+    f"""
+    SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(extract(month FROM o_orderdate) AS BIGINT) AS mon,
+           lower(o_orderstatus) AS status_lc,
+           CAST(o_orderkey % 7 AS BIGINT) AS key_mod7,
+           COUNT(*) AS cnt,
+           {_s('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def scalar_functions_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.8: date extraction + string + integer-math scalar
+    functions (all absent from the reference's issued SQL, all
+    codegen'd built-ins in Spark)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.expr("CAST(extract(year FROM o_orderdate) AS BIGINT)").alias("yr"),
+            F.expr("CAST(extract(month FROM o_orderdate) AS BIGINT)").alias("mon"),
+            F.lower("o_orderstatus").alias("status_lc"),
+            (F.col("o_orderkey") % 7).cast("long").alias("key_mod7"),
+            "o_totalprice",
+        )
+        .groupBy("yr", "mon", "status_lc", "key_mod7")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            micros_to_value(_sum_micros(F.col("o_totalprice"))).alias("revenue"),
+        )
+    )
+
+
+@gate(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.8: JSON scalar functions over the events.props JSON
+    column (string-typed payload → typed field extraction)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("cnt"),
     )
 
 

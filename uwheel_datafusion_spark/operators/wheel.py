@@ -269,6 +269,37 @@ class WheelIndex:
             ).alias("avg_value"),
         )
 
+    def topn_slots_df(
+        self,
+        granularity: str,
+        n: int,
+        start_ms: int | None = None,
+        end_ms: int | None = None,
+    ) -> DataFrame:
+        """A8: µWheel's top-N aggregator class, re-expressed over the
+        rollups — the N heaviest slots by SUM within ``[start, end)``
+        (uwheel 0.1.2 ships top-N aggregators; the reference binary
+        never exercises them, SURVEY §2.4 A8). Exact integer ordering
+        on the scaled-long sum + bucket tie-break ⇒ deterministic.
+
+        Scales as a top-k over the (tiny) rollup, not the fact table:
+        Spark runs it as per-partition TakeOrdered + driver merge — no
+        full sort, no extra shuffle."""
+        s = self.watermark_ms if start_ms is None else max(start_ms, self.watermark_ms)
+        e = self.advanced_ms if end_ms is None else min(end_ms, self.advanced_ms)
+        r = self.rollups[granularity].filter(
+            (F.col("bucket_ms") >= s) & (F.col("bucket_ms") < e)
+        )
+        return (
+            r.orderBy(F.col("sum_micros").desc(), F.col("bucket_ms"))
+            .limit(n)
+            .select(
+                F.col("bucket_ms"),
+                micros_to_value(F.col("sum_micros")).alias("sum_value"),
+                F.col("cnt"),
+            )
+        )
+
     def rollup_df(self, granularity: str) -> DataFrame:
         """The rollup table itself, lowered to user-facing columns."""
         r = self.rollups[granularity]

@@ -55,8 +55,10 @@ def _restore_ns_timestamps(df: DataFrame, name: str) -> DataFrame:
 
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+            # integer `div`, NOT `/`: epoch-ns exceeds double's 2^53, so
+            # float division rounds some values up a full microsecond
             df = df.withColumn(
-                col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long"))
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
             )
     return df
 
