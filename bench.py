@@ -73,6 +73,23 @@ def main() -> None:
     timings["wheel_hour_ranges"] = r.wall_sec
     extras["wheel_hour_ranges"] = {"qps": r.qps, **r.latency}
 
+    # --------------------------- SQL-router rewrite path (§7.6 rewrite + E2)
+    from uwheel_datafusion_spark.plans.sql_router import WheelSqlRouter
+
+    router = WheelSqlRouter(spark)
+    router.register_index("events", "ts", "value", idx)
+
+    def routed_sum(s_ms: int, e_ms: int):
+        return router.sql_scalar(
+            f"SELECT SUM(value) FROM events "
+            f"WHERE ts >= '{ms_to_ts_literal(s_ms)}' "
+            f"AND ts < '{ms_to_ts_literal(e_ms)}'"
+        )
+
+    r = run_latency_bench("router_rewrite_ranges", routed_sum, minute_ranges)
+    timings["router_rewrite_ranges"] = r.wall_sec
+    extras["router_rewrite_ranges"] = {"qps": r.qps, **r.latency}
+
     # ------------------------------------------- SQL full-scan path (E3, sampled)
     register_tables(spark, sf_dir, ("events",))
     spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()  # warm FS

@@ -1,0 +1,117 @@
+"""WheelSqlRouter (SURVEY §4.1 last row / §7.6) and the hybrid
+unaligned-range serving path: matched reference-shaped SQL is rewritten
+onto the index; everything else reaches spark.sql unchanged — and both
+paths agree with the full scan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from uwheel_datafusion_spark.functions.quant import QUANT_SCALE
+from uwheel_datafusion_spark.functions.time import (
+    MINUTE_MS,
+    ms_to_ts_literal,
+    to_epoch_ms,
+)
+from uwheel_datafusion_spark.operators.wheel import WheelIndex
+from uwheel_datafusion_spark.plans.sql_router import WheelSqlRouter
+from uwheel_datafusion_spark.sources.registry import load_table, load_table_raw
+
+from datetime import datetime
+
+WM = to_epoch_ms(datetime(2024, 1, 1))
+ADV = to_epoch_ms(datetime(2024, 2, 1))
+S = to_epoch_ms(datetime(2024, 1, 3, 4, 17))
+E = to_epoch_ms(datetime(2024, 1, 20, 7, 42))
+
+
+@pytest.fixture(scope="module")
+def router(spark, sf_smoke):
+    df = load_table_raw(spark, sf_smoke, "events")
+    idx = WheelIndex.build(df, "ts", "value", WM, ADV)
+    load_table(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    r = WheelSqlRouter(spark)
+    r.register_index("events", "ts", "value", idx)
+    return r
+
+
+def _q(agg: str, s_ms: int, e_ms: int, col: str = "value") -> str:
+    return (
+        f"SELECT {agg}({col}) FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s_ms)}' AND ts < '{ms_to_ts_literal(e_ms)}'"
+    )
+
+
+def _scan_truth(spark, s_ms, e_ms):
+    return spark.sql(
+        f"""SELECT SUM(CAST(round(value*1000000) AS BIGINT)) AS sm, COUNT(*) AS c,
+                   MIN(value) AS mn, MAX(value) AS mx
+            FROM events WHERE ts >= '{ms_to_ts_literal(s_ms)}'
+              AND ts < '{ms_to_ts_literal(e_ms)}'"""
+    ).first()
+
+
+def test_matched_query_takes_index_path(router):
+    got = router.sql_scalar(_q("SUM", S, E))
+    assert router.last_decision.path == "index"
+    truth = _scan_truth(router.spark, S, E)
+    assert got == pytest.approx(truth["sm"] / QUANT_SCALE, abs=0)
+    assert router.sql_scalar(_q("COUNT", S, E, "*")) == truth["c"]
+    assert router.sql_scalar(_q("MIN", S, E)) == truth["mn"]
+    assert router.sql_scalar(_q("MAX", S, E)) == truth["mx"]
+
+
+def test_dataframe_form(router):
+    df = router.sql(_q("SUM", S, E))
+    assert router.last_decision.path == "index"
+    assert df.columns == ["sum_value"]
+    truth = _scan_truth(router.spark, S, E)
+    assert df.first()[0] == truth["sm"] / QUANT_SCALE
+
+
+def test_unaligned_falls_back_to_sql(router):
+    q = _q("SUM", S + 500, E)  # sub-minute start
+    got = router.sql_scalar(q)
+    assert router.last_decision.path == "sql"
+    assert "not minute-aligned" in router.last_decision.reason
+    assert got is not None
+
+
+def test_unmatched_shape_falls_back(router):
+    df = router.sql("SELECT event_type, COUNT(*) AS c FROM events GROUP BY event_type")
+    assert router.last_decision.path == "sql"
+    assert df.count() == 5
+
+
+def test_out_of_horizon_falls_back(router):
+    router.sql_scalar(_q("SUM", WM - MINUTE_MS, E))
+    assert router.last_decision.path == "sql"
+    assert "horizon" in router.last_decision.reason
+
+
+def test_explain(router):
+    assert router.explain(_q("AVG", S, E)).startswith("INDEX")
+    assert router.explain("SELECT 1").startswith("SQL")
+
+
+def test_hybrid_unaligned_range(spark, sf_smoke, router):
+    """Index interior + fact-scan edges == full scan, for ragged
+    endpoints 37s / 11s inside the minutes."""
+    idx = router._indexes["events"][2]
+    fact = load_table_raw(spark, sf_smoke, "events")
+    s, e = S + 37_000, E - 11_000
+    row = idx.range_agg_hybrid_df(fact, "ts", "value", s, e).first()
+    truth = _scan_truth(spark, s, e)
+    assert row["cnt"] == truth["c"]
+    assert row["sum_value"] == truth["sm"] / QUANT_SCALE
+    assert row["min_value"] == truth["mn"]
+    assert row["max_value"] == truth["mx"]
+
+
+def test_hybrid_subminute_range(spark, sf_smoke, router):
+    """Whole range inside one minute slot: pure edge scan."""
+    idx = router._indexes["events"][2]
+    fact = load_table_raw(spark, sf_smoke, "events")
+    s = S + 5_000
+    row = idx.range_agg_hybrid_df(fact, "ts", "value", s, s + 20_000).first()
+    truth = _scan_truth(spark, s, s + 20_000)
+    assert row["cnt"] == (truth["c"] or 0)

@@ -201,6 +201,21 @@ gate("wheel_rollup_hour", _rollup_oracle(HOUR_MS))(_mk_rollup_query("hour"))
 gate("wheel_rollup_day", _rollup_oracle(DAY_MS))(_mk_rollup_query("day"))
 
 
+#: ragged endpoints (37 s / 49 s into a minute) — out of the v1 index
+#: contract, served by the hybrid path (index interior + edge scans)
+RANGE_UNALIGNED = (RANGE_MINUTE[0] + 37_000, RANGE_MINUTE[1] - 11_000)
+
+
+@gate("wheel_range_unaligned_hybrid", _range_oracle(*RANGE_UNALIGNED))
+def wheel_range_unaligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-minute endpoints: aligned interior from the index, ragged
+    edges from a pushdown scan of the fact table (µWheel would use its
+    seconds wheel; SURVEY §4.2)."""
+    wheel = events_wheel(spark, sf_dir)
+    fact = load_table_raw(spark, sf_dir, "events")
+    return wheel.range_agg_hybrid_df(fact, "ts", "value", *RANGE_UNALIGNED)
+
+
 @gate(
     "wheel_topn_minutes",
     f"""

@@ -1,0 +1,151 @@
+"""WheelSqlRouter — materialized-view-style SQL rewrite onto the index.
+
+The reference issues exactly one SQL shape per query
+(``SELECT SUM(fare_amount) FROM yellow_tripdata WHERE
+tpep_dropoff_datetime >= '?' AND tpep_dropoff_datetime < '?'``,
+/root/reference/src/main.rs:252-257) and the later ``datafusion-uwheel``
+crate's whole design is an optimizer rule that recognizes that
+``Aggregate(Filter(range))`` plan and answers it from the wheel instead
+of the scan [uwheel-pub]. This module is the Spark-side equivalent at
+the library level (SURVEY §4.1 last row, §7.6): a router that
+
+- pattern-matches the query string against the reference shape for any
+  registered (table, ts_col, value_col) index, for SUM / COUNT / MIN /
+  MAX / AVG;
+- answers matched, minute-aligned queries from the O(1) driver index —
+  no Spark job at all, the µWheel latency class;
+- falls back to ``spark.sql`` verbatim for everything else (unmatched
+  shape, unknown table/columns, unaligned or out-of-horizon ranges
+  route to the full Catalyst pipeline, E3).
+
+``explain(query)`` reports which path a query would take and why —
+the analogue of ``explain_combine_range`` one level up.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+from uwheel_datafusion_spark.functions.time import MINUTE_MS
+from uwheel_datafusion_spark.operators.wheel import WheelIndex
+
+_AGGS = ("SUM", "COUNT", "MIN", "MAX", "AVG")
+
+#: SELECT <agg>(<col>) FROM <table> WHERE <ts> >= '<lit>' AND <ts> < '<lit>'
+_PATTERN = re.compile(
+    r"^\s*SELECT\s+(?P<agg>SUM|COUNT|MIN|MAX|AVG)\s*\(\s*(?P<col>\w+|\*)\s*\)\s*"
+    r"(?:AS\s+(?P<alias>\w+)\s+)?"
+    r"FROM\s+(?P<table>\w+)\s+"
+    r"WHERE\s+(?P<ts1>\w+)\s*>=\s*(?:TIMESTAMP\s+)?'(?P<start>[^']+)'\s+"
+    r"AND\s+(?P<ts2>\w+)\s*<\s*(?:TIMESTAMP\s+)?'(?P<end>[^']+)'\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _parse_ts_literal(lit: str) -> int | None:
+    """Naive-UTC timestamp literal → epoch ms (the string form the
+    reference interpolates, /root/reference/src/main.rs:242-258)."""
+    for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            dt = datetime.strptime(lit, fmt).replace(tzinfo=timezone.utc)
+            return int(dt.timestamp() * 1000)
+        except ValueError:
+            continue
+    return None
+
+
+@dataclass
+class RouteDecision:
+    path: str  # "index" | "sql"
+    reason: str
+    table: str | None = None
+    agg: str | None = None
+    range_ms: tuple[int, int] | None = None
+
+
+class WheelSqlRouter:
+    """Register wheel indexes per (table, ts_col, value_col); run SQL."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        self._indexes: dict[str, tuple[str, str, WheelIndex]] = {}
+        self.last_decision: RouteDecision | None = None
+
+    def register_index(
+        self, table: str, ts_col: str, value_col: str, index: WheelIndex
+    ) -> None:
+        self._indexes[table.lower()] = (ts_col.lower(), value_col.lower(), index)
+
+    # ------------------------------------------------------------------ route
+
+    def _decide(self, query: str) -> RouteDecision:
+        m = _PATTERN.match(query)
+        if not m:
+            return RouteDecision("sql", "shape not Aggregate(Filter(range))")
+        table = m["table"].lower()
+        reg = self._indexes.get(table)
+        if reg is None:
+            return RouteDecision("sql", f"no index registered for table {table}")
+        ts_col, value_col, index = reg
+        if m["ts1"].lower() != ts_col or m["ts2"].lower() != ts_col:
+            return RouteDecision("sql", "filter column is not the indexed ts")
+        agg = m["agg"].upper()
+        col = m["col"].lower()
+        if col != value_col and not (agg == "COUNT" and col in ("*", "1")):
+            return RouteDecision("sql", "aggregated column is not the indexed value")
+        s = _parse_ts_literal(m["start"])
+        e = _parse_ts_literal(m["end"])
+        if s is None or e is None:
+            return RouteDecision("sql", "unparseable timestamp literal")
+        if s % MINUTE_MS or e % MINUTE_MS:
+            return RouteDecision(
+                "sql", "endpoints not minute-aligned (index contract, SURVEY §4.2)"
+            )
+        if s < index.watermark_ms or e > index.advanced_ms:
+            return RouteDecision("sql", "range outside the indexed horizon")
+        return RouteDecision("index", "rewritten onto wheel index", table, agg, (s, e))
+
+    def explain(self, query: str) -> str:
+        d = self._decide(query)
+        rng = f" range={d.range_ms}" if d.range_ms else ""
+        return f"{d.path.upper()}: {d.reason}{rng}"
+
+    # -------------------------------------------------------------------- run
+
+    def sql_scalar(self, query: str):
+        """Route and return the scalar answer (index path: pure driver
+        arithmetic, no Spark job — the benchmarkable entry point)."""
+        d = self._decide(query)
+        self.last_decision = d
+        if d.path == "index":
+            _, _, index = self._indexes[d.table]
+            di = index.to_driver_index()
+            s, e = d.range_ms
+            fn = {
+                "SUM": di.query_sum,
+                "COUNT": di.query_count,
+                "MIN": di.query_min,
+                "MAX": di.query_max,
+                "AVG": di.query_avg,
+            }[d.agg]
+            return fn(s, e)
+        row = self.spark.sql(query).first()
+        return row[0] if row is not None else None
+
+    def sql(self, query: str) -> DataFrame:
+        """DataFrame-returning form (uniform with ``spark.sql``)."""
+        d = self._decide(query)
+        self.last_decision = d
+        if d.path == "sql":
+            return self.spark.sql(query)
+        value = self.sql_scalar(query)
+        m = _PATTERN.match(query)
+        alias = m["alias"] or f"{d.agg.lower()}_value"
+        typ = "bigint" if d.agg == "COUNT" else "double"
+        return self.spark.createDataFrame(
+            [(value,)], schema=f"{alias} {typ}"
+        )
