@@ -96,3 +96,67 @@ def test_streaming_drops_late_rows(spark, tmp_path):
     assert lm["cnt"] == 3  # the late 100.0 row is NOT in the index
     assert lm["sum"] == 6.0
     assert sw.store.n_late_rows >= 1
+
+
+def test_stateful_sessionizer_matches_batch(spark, sf_smoke, tmp_path):
+    """applyInPandasWithState sessionizer == batch session_window_agg.
+    Chunks are fed strictly in time order (one write + drain per chunk)
+    — the operator's documented ordering contract across micro-batches;
+    far-future sentinel events then advance the watermark so every
+    event-time timeout fires."""
+    from uwheel_datafusion_spark.operators.windows import session_window_agg
+    from uwheel_datafusion_spark.streaming.stateful import StreamingSessionizer
+
+    GAP_MS = 1_800_000
+    ev = load_table(spark, sf_smoke, "events").select("user_id", "ts", "value")
+    batch = {
+        (r["user_id"], r["session_start_ms"]): (
+            r["session_end_ms"],
+            r["cnt"],
+            r["sum_value"],
+        )
+        for r in session_window_agg(ev, gap_ms=GAP_MS).collect()
+    }
+
+    src = str(tmp_path / "sess_in")
+    os.makedirs(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ss = StreamingSessionizer(stream, gap_ms=GAP_MS)
+    ss.start(str(tmp_path / "ckpt_sess"))
+
+    bounds = [f"2024-01-{d:02d} 00:00:00" for d in (1, 9, 17, 25)] + [
+        "2024-02-01 00:00:00"
+    ]
+    for lo, hi in zip(bounds, bounds[1:]):
+        chunk = ev.filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        )
+        chunk.coalesce(1).write.mode("append").parquet(src)
+        ss.process_available()
+
+    # sentinels: watermark must pass every session end, and timeouts
+    # fire in the trigger AFTER the watermark advances — hence two
+    for ts in ("2024-03-01 00:00:00", "2024-03-02 00:00:00"):
+        spark.createDataFrame(
+            [(-1, ts, 0.0)], "user_id long, ts_s string, value double"
+        ).select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+        ).coalesce(1).write.mode("append").parquet(src)
+        ss.process_available()
+    ss.stop()
+
+    got = {
+        (d["user_id"], d["session_start_ms"]): (
+            d["session_end_ms"],
+            d["cnt"],
+            d["sum_value"],
+        )
+        for d in ss.closed_sessions()
+        if d["user_id"] >= 0
+    }
+    assert got == batch
