@@ -26,6 +26,8 @@ def main() -> None:
     n_queries = int(os.environ.get("BENCH_QUERIES", "1000"))
     sql_sample = int(os.environ.get("BENCH_SQL_SAMPLE", "30"))
 
+    from pyspark.sql import functions as F
+
     from uwheel_datafusion_spark import WheelIndex, get_spark
     from uwheel_datafusion_spark.bench.harness import (
         gen_hour_ranges,
@@ -49,6 +51,10 @@ def main() -> None:
     t_total0 = time.perf_counter()
 
     # ---------------------------------------------------------- index build (E1)
+    # warm the session (codegen, shuffle machinery) so the build timing
+    # measures the build, not JVM startup — the reference's build timer
+    # also starts after process init (/root/reference/src/main.rs:48-50)
+    spark.range(100_000).groupBy((F.col("id") % 97).alias("k")).count().collect()
     ev = load_table_raw(spark, sf_dir, "events")
     t0 = time.perf_counter()
     idx = WheelIndex.build(ev, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS)

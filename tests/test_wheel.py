@@ -183,3 +183,18 @@ def test_save_load_roundtrip(spark, wheel, tmp_path):
     a = wheel.to_driver_index().query_all(s, e)
     b = reopened.to_driver_index().query_all(s, e)
     assert a == b
+
+
+def test_pruned_stats_mode_same_rollups(spark, sf_smoke, wheel):
+    """stats_mode='pruned' pushes the horizon into the scan and yields
+    identical rollups; late/ahead counts are reported unknown (−1)."""
+    from uwheel_datafusion_spark.sources.registry import load_table_raw
+
+    df = load_table_raw(spark, sf_smoke, "events")
+    pruned = WheelIndex.build(df, "ts", "value", WM, ADV, stats_mode="pruned")
+    assert pruned.stats.n_late_rows == -1 and pruned.stats.n_ahead_rows == -1
+    assert pruned.stats.n_indexed_rows == wheel.stats.n_indexed_rows
+    assert pruned.stats.slot_counts == wheel.stats.slot_counts
+    s = WM + 3 * DAY_MS
+    e = WM + 17 * DAY_MS + 5 * HOUR_MS
+    assert pruned.to_driver_index().query_all(s, e) == wheel.to_driver_index().query_all(s, e)

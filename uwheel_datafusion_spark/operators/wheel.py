@@ -66,6 +66,8 @@ class BuildStats:
     n_ahead_rows: int  # ts >= advanced watermark — buffered, not finalized
     n_indexed_rows: int
     slot_counts: dict[str, int]
+    # late/ahead are −1 under stats_mode="pruned" (never scanned);
+    # n_input_rows then counts only the scanned (indexed) rows
 
 
 class WheelIndex:
@@ -99,6 +101,7 @@ class WheelIndex:
         advance_to_ms: int,
         granularities: tuple[str, ...] = ("minute", "hour", "day"),
         cache: bool = True,
+        stats_mode: str = "tagged",
     ) -> "WheelIndex":
         """E1 of SURVEY §3: fact table → rollups under watermark semantics.
 
@@ -113,60 +116,65 @@ class WheelIndex:
         every predicate on the raw column, so the watermark range
         pushes down to parquet row-group stats — the difference between
         scanning one month and scanning 100 TB.
+
+        ``stats_mode``:
+
+        - ``"tagged"`` (default): ONE scan + ONE shuffle builds the
+          rollup AND the exact late/ahead counts — late/ahead rows are
+          tagged into sentinel buckets (−1/−2) in the same aggregation
+          (the reference's build also sees every row: it must attempt
+          the insert to reject it, /root/reference/src/main.rs:128-138).
+        - ``"pruned"``: the watermark range is pushed into the scan, so
+          only the indexed horizon is read — the right choice at 100 TB
+          when the table spans far more history than the index, at the
+          cost of late/ahead counts (reported as −1 = unknown).
         """
         spark = df.sparkSession
         if "minute" not in granularities:
             raise ValueError("the minute granularity is the cascade base")
+        if stats_mode not in ("tagged", "pruned"):
+            raise ValueError("stats_mode must be 'tagged' or 'pruned'")
 
         from pyspark.sql.types import LongType
 
-        if isinstance(df.schema[ts_col].dataType, LongType):
-            # raw epoch-ns: prune on the raw column FIRST so the range
-            # reaches parquet row-group stats, then derive ms with
-            # exact integer division (`div`; ns exceeds double's 2^53).
+        raw_ns = isinstance(df.schema[ts_col].dataType, LongType)
+        if raw_ns:
+            # raw epoch-ns: keep predicates on the raw column so they
+            # reach parquet row-group stats; derive ms with exact
+            # integer division (`div`; ns exceeds double's 2^53).
             # floor(ns/1e6) ∈ [wm, adv) ⇔ ns ∈ [wm·1e6, adv·1e6).
-            pruned = df.filter(
-                (F.col(ts_col) >= watermark_ms * 1_000_000)
-                & (F.col(ts_col) < advance_to_ms * 1_000_000)
-            )
             ms = F.expr(f"`{ts_col}` div 1000000")
-            base = df.select(
-                ms.alias("ms"), F.col(value_col).cast("double").alias("value")
-            )
-            live_base = pruned.select(
-                ms.alias("ms"), F.col(value_col).cast("double").alias("value")
-            )
         else:
             ms = ts_to_ms(F.col(ts_col))
-            base = df.select(
-                ms.alias("ms"), F.col(value_col).cast("double").alias("value")
+
+        if stats_mode == "pruned":
+            if raw_ns:
+                scan = df.filter(
+                    (F.col(ts_col) >= watermark_ms * 1_000_000)
+                    & (F.col(ts_col) < advance_to_ms * 1_000_000)
+                )
+            else:
+                scan = df.filter(
+                    (F.col(ts_col) >= F.timestamp_millis(F.lit(watermark_ms)))
+                    & (F.col(ts_col) < F.timestamp_millis(F.lit(advance_to_ms)))
+                )
+            bucket = bucket_ms(ms, MINUTE_MS)
+        else:
+            scan = df
+            bucket = (
+                F.when(ms < watermark_ms, F.lit(-1))
+                .when(ms >= advance_to_ms, F.lit(-2))
+                .otherwise(bucket_ms(ms, MINUTE_MS))
+                .cast("long")
             )
-            live_base = None
 
-        # one pass for the late/ahead/indexed partition counts (B7 metric)
-        counts = base.select(
-            F.count(F.lit(1)).alias("n"),
-            F.sum((F.col("ms") < watermark_ms).cast("long")).alias("late"),
-            F.sum((F.col("ms") >= advance_to_ms).cast("long")).alias("ahead"),
-        ).first()
-        n_input = counts["n"] or 0
-        n_late = counts["late"] or 0
-        n_ahead = counts["ahead"] or 0
-
-        live = (
-            live_base
-            if live_base is not None
-            else base.filter(
-                (F.col("ms") >= watermark_ms) & (F.col("ms") < advance_to_ms)
-            )
-        )
-
-        # minute rollup: the single distributed shuffle of the build
-        minute = (
-            live.select(
-                bucket_ms(F.col("ms"), MINUTE_MS).alias("bucket_ms"),
-                value_to_micros(F.col("value")).alias("v_micros"),
-                F.col("value"),
+        # the single distributed scan+shuffle of the build: minute
+        # rollup, with late/ahead rows folded into sentinel buckets
+        tagged = (
+            scan.select(
+                bucket.alias("bucket_ms"),
+                value_to_micros(F.col(value_col).cast("double")).alias("v_micros"),
+                F.col(value_col).cast("double").alias("value"),
             )
             .groupBy("bucket_ms")
             .agg(
@@ -175,7 +183,18 @@ class WheelIndex:
                 F.min("value").alias("min_value"),
                 F.max("value").alias("max_value"),
             )
+            .cache()
         )
+        sentinels = {
+            r["bucket_ms"]: r["cnt"]
+            for r in tagged.filter(F.col("bucket_ms") < 0).collect()
+        }
+        minute = tagged.filter(F.col("bucket_ms") >= 0)
+        if stats_mode == "tagged":
+            n_late = int(sentinels.get(-1, 0))
+            n_ahead = int(sentinels.get(-2, 0))
+        else:
+            n_late = n_ahead = -1  # unknown: late/ahead never scanned
 
         rollups: dict[str, DataFrame] = {"minute": minute}
         # cascade: hour from minute, day from hour (tick/rotate, A4)
@@ -191,11 +210,17 @@ class WheelIndex:
                 rollups[g] = rollups[g].cache()
 
         slot_counts = {g: r.count() for g, r in rollups.items()}
+        n_indexed = (
+            rollups["minute"].agg(F.sum("cnt")).first()[0] or 0
+        )  # tiny job over the cached rollup
+        n_input = (
+            n_indexed + n_late + n_ahead if stats_mode == "tagged" else n_indexed
+        )
         stats = BuildStats(
-            n_input_rows=n_input,
+            n_input_rows=int(n_input),
             n_late_rows=n_late,
             n_ahead_rows=n_ahead,
-            n_indexed_rows=n_input - n_late - n_ahead,
+            n_indexed_rows=int(n_indexed),
             slot_counts=slot_counts,
         )
         return cls(spark, rollups, watermark_ms, advance_to_ms, stats)
