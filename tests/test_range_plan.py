@@ -82,3 +82,43 @@ def test_property_exact_cover_random():
         assert p.cost <= (e - s) // MINUTE_MS
         n_days = (e - s) // DAY_MS
         assert p.cost <= 59 * 2 + 23 * 2 + n_days + 2
+
+
+# ---------------------------------------------------------------- properties
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _N_MIN = 60 * 24 * 40  # 40 days of minutes
+
+    @given(
+        a=st.integers(min_value=0, max_value=_N_MIN - 1),
+        span=st.integers(min_value=1, max_value=_N_MIN),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_property_exact_cover_and_optimality(a, span):
+        """For ANY minute-aligned range: exact disjoint cover, and the
+        greedy plan never uses more slots than the all-minutes plan."""
+        s, e = a * MINUTE_MS, min(a + span, _N_MIN) * MINUTE_MS
+        if e <= s:
+            return
+        plan = decompose_range(s, e)
+        _assert_exact_cover(plan)
+        n_minutes = (e - s) // MINUTE_MS
+        assert plan.cost <= n_minutes
+        # each granularity appears in at most two runs (prefix+suffix)
+        from collections import Counter
+
+        c = Counter(r.granularity for r in plan.runs)
+        assert all(v <= 2 for v in c.values())
+
+    @given(a=st.integers(min_value=0, max_value=_N_MIN * MINUTE_MS))
+    @settings(max_examples=100, deadline=None)
+    def test_property_unaligned_falls_back(a):
+        s = a - (a % MINUTE_MS) + 1  # force sub-minute start
+        p = decompose_range(s, s + 2 * MINUTE_MS)
+        assert p.fallback is not None
+
+except ImportError:  # pragma: no cover
+    pass

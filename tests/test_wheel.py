@@ -198,3 +198,14 @@ def test_pruned_stats_mode_same_rollups(spark, sf_smoke, wheel):
     s = WM + 3 * DAY_MS
     e = WM + 17 * DAY_MS + 5 * HOUR_MS
     assert pruned.to_driver_index().query_all(s, e) == wheel.to_driver_index().query_all(s, e)
+
+
+def test_approx_count_distinct_bound(spark, sf_smoke):
+    """SURVEY §2.4 last row: approximate aggregates are Spark
+    built-ins; sanity-check HLL++ error against the exact count."""
+    ev = load_table(spark, sf_smoke, "events")
+    row = ev.agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        F.countDistinct("user_id").alias("exact"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) <= max(3, 0.05 * row["exact"])

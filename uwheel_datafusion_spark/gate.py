@@ -451,6 +451,37 @@ def orders_priority_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@gate(
+    "keyed_hourly_rollup_by_type",
+    f"""
+    SELECT event_type,
+           (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS bucket_ms,
+           COUNT(*) AS cnt,
+           {_s('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def keyed_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key temporal rollup (hypertable continuous-aggregate style):
+    tumbling F.window per event_type — the keyed generalization of the
+    wheel's single-series rollups. One shuffle on (key, window)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            micros_to_value(_sum_micros(F.col("value"))).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_millis(F.col("w.start")).alias("bucket_ms"),
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
 from uwheel_datafusion_spark.operators import windows as _win
 
 
