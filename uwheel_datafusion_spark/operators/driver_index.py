@@ -116,28 +116,33 @@ class DriverWheelIndex:
     def query_sum(self, start_ms: int, end_ms: int) -> float | None:
         """SUM over [start, end) — two array reads (A5)."""
         s = self._slots(start_ms, end_ms)
-        if s is None or self.query_count(start_ms, end_ms) == 0:
+        if s is None:
+            return None
+        cp = self._cnt_prefix
+        if cp[s[1]] == cp[s[0]]:  # no rows in range ⇒ Option::None
             return None
         total = int(self._sum_prefix[s[1]] - self._sum_prefix[s[0]])
         return float(total) / QUANT_SCALE
 
     def query_min(self, start_ms: int, end_ms: int) -> float | None:
         s = self._slots(start_ms, end_ms)
-        if s is None or self.query_count(start_ms, end_ms) == 0:
+        if s is None or self._cnt_prefix[s[1]] == self._cnt_prefix[s[0]]:
             return None
         return float(self._min.query(s[0], s[1]))
 
     def query_max(self, start_ms: int, end_ms: int) -> float | None:
         s = self._slots(start_ms, end_ms)
-        if s is None or self.query_count(start_ms, end_ms) == 0:
+        if s is None or self._cnt_prefix[s[1]] == self._cnt_prefix[s[0]]:
             return None
         return float(self._max.query(s[0], s[1]))
 
     def query_avg(self, start_ms: int, end_ms: int) -> float | None:
-        c = self.query_count(start_ms, end_ms)
+        s = self._slots(start_ms, end_ms)
+        if s is None:
+            return None
+        c = int(self._cnt_prefix[s[1]] - self._cnt_prefix[s[0]])
         if not c:
             return None
-        s = self._slots(start_ms, end_ms)
         total = int(self._sum_prefix[s[1]] - self._sum_prefix[s[0]])
         return float(total) / float(c) / QUANT_SCALE
 
