@@ -392,6 +392,39 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "brand_supplier_revenue",
+    f"""
+    SELECT p_brand,
+           s_name,
+           COUNT(*) AS n_items,
+           {_s('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_size <= 15
+    GROUP BY p_brand, s_name
+    """,
+)
+def brand_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ two broadcast dims (part, supplier) with a dim-side
+    filter pushed into the part scan — completes join coverage over
+    every fixture table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    s = load_table(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            micros_to_value(_sum_micros(rev)).alias("revenue"),
+        )
+    )
+
+
+@gate(
     "topk_orders",
     """
     SELECT o_orderkey, o_custkey, o_totalprice
