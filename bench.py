@@ -79,6 +79,15 @@ def main() -> None:
     timings["wheel_hour_ranges"] = r.wall_sec
     extras["wheel_hour_ranges"] = {"qps": r.qps, **r.latency}
 
+    # the reference's buggy hour generator (minute offsets — B3), kept
+    # as a labelled replica workload for apples-to-apples comparison
+    refbug_ranges = gen_hour_ranges(
+        EVENTS_WM_MS, horizon, n_queries, replicate_ref_bug=True
+    )
+    r = run_latency_bench("wheel_hour_ranges_refbug", di.query_sum, refbug_ranges)
+    timings["wheel_hour_ranges_refbug"] = r.wall_sec
+    extras["wheel_hour_ranges_refbug"] = {"qps": r.qps, **r.latency}
+
     # --------------------------- SQL-router rewrite path (§7.6 rewrite + E2)
     from uwheel_datafusion_spark.plans.sql_router import WheelSqlRouter
 
@@ -119,12 +128,17 @@ def main() -> None:
         "window_top3_orders_per_customer",
         "events_by_type",
         "topk_orders",
+        "text_profile",
+        "dedup_minhash_lsh_candidates",
+        "pipeline_clean_corpus",
     )
     for name in headline:
         if name not in REGISTRY:
             continue
         t0 = time.perf_counter()
-        REGISTRY[name].fn(spark, sf_dir).collect()
+        # count() executes the full plan without shipping wide results
+        # to the driver (an operator benchmark, not a collect benchmark)
+        REGISTRY[name].fn(spark, sf_dir).count()
         timings[name] = time.perf_counter() - t0
 
     total = time.perf_counter() - t_total0

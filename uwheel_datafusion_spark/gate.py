@@ -735,6 +735,18 @@ def minhash_lsh_q(spark, sf_dir):
     return _dd.minhash_lsh_candidates(load_table(spark, sf_dir, "documents"))
 
 
+@gate(
+    "dedup_minhash_lsh_capped",
+    _dd.minhash_lsh_candidates_oracle(max_bucket_size=20),
+)
+def minhash_lsh_capped_q(spark, sf_dir):
+    """LSH with boilerplate mega-buckets dropped (bucket cap 20) — the
+    scale-safe variant: candidate volume is bounded per bucket."""
+    return _dd.minhash_lsh_candidates(
+        load_table(spark, sf_dir, "documents"), max_bucket_size=20
+    )
+
+
 @gate("dedup_simhash_fingerprints", _dd.simhash_fingerprints_oracle())
 def simhash_fp_q(spark, sf_dir):
     return _dd.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
@@ -770,6 +782,33 @@ def ann_q(spark, sf_dir):
     return _sim.ann_ivf_topk(
         load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=3
     )
+
+
+@gate(
+    "pipeline_clean_corpus",
+    f"""
+    WITH profile AS ({_tx.text_profile_oracle()}),
+    canonical AS (
+        SELECT MIN(doc_id) AS keep_doc_id
+        FROM documents GROUP BY md5(text)
+    )
+    SELECT p.doc_id, p.n_tokens, p.lang_pred
+    FROM profile p
+    JOIN canonical c ON p.doc_id = c.keep_doc_id
+    WHERE p.quality_ok = 1
+    """,
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """The composed training-data pipeline: quality-filter (map-only
+    profile) ∘ exact-dedup keep-canonical (one shuffle on the digest,
+    then a broadcast-able semi join) — what a 100 TB corpus clean
+    actually runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    profile = _tx.text_profile(docs).filter(F.col("quality_ok") == 1)
+    keep = _dd.exact_dup_groups(docs).select("keep_doc_id")
+    return profile.join(
+        F.broadcast(keep), profile.doc_id == keep.keep_doc_id, "left_semi"
+    ).select("doc_id", "n_tokens", "lang_pred")
 
 
 @gate("multimodal_decode_stub", _mm.decode_stub_oracle())

@@ -201,11 +201,22 @@ def _band_hash_expr(j: int) -> str:
     return expr
 
 
-def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """LSH: N_BANDS bands × ROWS_PER_BAND rows; docs sharing any band become a candidate
     pair. Sub-quadratic: the join key is (band_idx, band_hash) — at
     scale this is the only way a Jaccard join touches 100 TB without
-    a quadratic blowup. Deterministic constants ⇒ exact oracle."""
+    a quadratic blowup. Deterministic constants ⇒ exact oracle.
+
+    ``max_bucket_size`` drops buckets with more members (boilerplate
+    mega-buckets: a bucket of b docs emits b·(b−1)/2 pairs, so one
+    viral template can dominate the whole job). Dropped buckets are
+    near-useless for dedup — their members pair up through their other,
+    discriminative bands. The cap is applied identically in the oracle.
+    """
     sig = minhash_signatures(docs, text_col)
     bands = sig.select(
         "doc_id",
@@ -221,6 +232,17 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text") -> DataFrame
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
+    # materialize once: the self-join would otherwise recompute the
+    # md5-chain minhash expressions on BOTH sides
+    bands = bands.cache()
+    if max_bucket_size is not None:
+        small = (
+            bands.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= max_bucket_size)
+            .select("band_idx", "band_hash")
+        )
+        bands = bands.join(small, ["band_idx", "band_hash"], "left_semi")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -237,12 +259,35 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text") -> DataFrame
     )
 
 
-def minhash_lsh_candidates_oracle(table: str = "documents", text_col: str = "text") -> str:
+def minhash_lsh_candidates_oracle(
+    table: str = "documents",
+    text_col: str = "text",
+    max_bucket_size: int | None = None,
+) -> str:
     sig_sql = minhash_signatures_oracle(table, text_col)
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {j} AS band_idx, {_band_hash_expr(j)} AS band_hash FROM sig"
         for j in range(N_BANDS)
     )
+    bucket_filter = ""
+    if max_bucket_size is not None:
+        bucket_filter = f"""
+        , small AS (
+            SELECT band_idx, band_hash FROM bands
+            GROUP BY band_idx, band_hash
+            HAVING COUNT(*) <= {max_bucket_size}
+        )"""
+        joined = "bands a JOIN small s ON a.band_idx = s.band_idx AND a.band_hash = s.band_hash"
+        # restrict both sides to surviving buckets
+        return f"""
+            WITH sig AS ({sig_sql}),
+            bands AS ({band_selects}){bucket_filter},
+            kept AS (SELECT a.doc_id, a.band_idx, a.band_hash FROM {joined})
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM kept a JOIN kept b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        """
     return f"""
         WITH sig AS ({sig_sql}),
         bands AS ({band_selects})
