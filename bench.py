@@ -120,6 +120,23 @@ def main() -> None:
     timings["sql_scan_ranges"] = r.wall_sec
     extras["sql_scan_ranges"] = {"qps": r.qps, **r.latency}
 
+    # pushdown-fair SQL scan: predicates on the raw epoch-ns column
+    # reach parquet row-group stats (the reference's DataFusion path
+    # also scans with pushdown) — the ns→timestamp view cannot
+    ev.createOrReplaceTempView("events_raw")
+
+    def sql_sum_pushdown(s_ms: int, e_ms: int):
+        return spark.sql(
+            f"SELECT SUM(value) FROM events_raw "
+            f"WHERE ts >= {s_ms * 1_000_000} AND ts < {e_ms * 1_000_000}"
+        ).collect()[0][0]
+
+    r = run_latency_bench(
+        "sql_scan_ranges_pushdown", sql_sum_pushdown, minute_ranges[:sql_sample]
+    )
+    timings["sql_scan_ranges_pushdown"] = r.wall_sec
+    extras["sql_scan_ranges_pushdown"] = {"qps": r.qps, **r.latency}
+
     # ------------------------------------------------ headline gate queries
     headline = (
         "tpch_q1_pricing_summary",

@@ -29,7 +29,14 @@ Architecture (Spark-first, not a port):
 from uwheel_datafusion_spark.session import get_spark
 from uwheel_datafusion_spark.operators.wheel import WheelIndex
 from uwheel_datafusion_spark.plans.range_plan import RangePlan, decompose_range
+from uwheel_datafusion_spark.plans.sql_router import WheelSqlRouter
 
-__all__ = ["get_spark", "WheelIndex", "RangePlan", "decompose_range"]
+__all__ = [
+    "get_spark",
+    "WheelIndex",
+    "WheelSqlRouter",
+    "RangePlan",
+    "decompose_range",
+]
 
 __version__ = "0.1.0"
