@@ -122,3 +122,20 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_week_level_decomposition():
+    """With the week wheel enabled, a multi-year range's interior is
+    covered by week runs; the cover stays exact."""
+    from uwheel_datafusion_spark.functions.time import WEEK_MS
+
+    s = 1000 * DAY_MS + 7 * HOUR_MS
+    e = s + 200 * DAY_MS + 5 * HOUR_MS + 42 * MINUTE_MS
+    p = decompose_range(s, e, ("minute", "hour", "day", "week"))
+    _assert_exact_cover(p)
+    assert any(r.granularity == "week" for r in p.runs)
+    n_week_slots = sum(r.n_slots for r in p.runs if r.granularity == "week")
+    assert n_week_slots >= 26
+    # without weeks the same range costs more slots
+    p_noweek = decompose_range(s, e, ("minute", "hour", "day"))
+    assert p.cost < p_noweek.cost

@@ -17,18 +17,26 @@ from pyspark.sql import functions as F
 MINUTE_MS = 60_000
 HOUR_MS = 3_600_000
 DAY_MS = 86_400_000
+WEEK_MS = 604_800_000  # 7-day epoch-aligned slots (µWheel's week wheel)
 
 #: granularity name → slot width in ms (coarse→fine order matters for
 #: the greedy range decomposition in plans.range_plan)
-GRANULARITY_MS = {"day": DAY_MS, "hour": HOUR_MS, "minute": MINUTE_MS}
+GRANULARITY_MS = {
+    "week": WEEK_MS,
+    "day": DAY_MS,
+    "hour": HOUR_MS,
+    "minute": MINUTE_MS,
+}
 
 
 def ts_to_ms(col: Column | str) -> Column:
     """timestamp column → epoch milliseconds (truncating, like µs→ms at
     /root/reference/src/main.rs:133-135; floor-div on µs longs is exact
-    below 2^53)."""
+    below 2^53). TIMESTAMP_NTZ (how Spark reads tz-less parquet) is
+    cast first — value-preserving under the UTC session timezone, and
+    exactly DuckDB's naive-UTC reading of the same file."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.floor(F.unix_micros(c) / 1000).cast("long")
+    return F.floor(F.unix_micros(c.cast("timestamp")) / 1000).cast("long")
 
 
 def bucket_ms(ms_col: Column, granularity_ms: int) -> Column:
@@ -53,6 +61,22 @@ def ms_to_ts_literal(ms: int) -> str:
     return dt.strftime("%Y-%m-%d %H:%M:%S") + (
         f".{dt.microsecond:06d}" if dt.microsecond else ""
     )
+
+
+def ts_range_pred(df, ts_col: str, start_ms: int, end_ms: int) -> Column:
+    """Pushdown-friendly ``ts ∈ [start_ms, end_ms)`` predicate that
+    matches the column's timestamp flavor (TIMESTAMP vs TIMESTAMP_NTZ —
+    a literal of the wrong flavor fails analysis; a cast on the column
+    would block parquet pushdown)."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        lo = F.to_timestamp_ntz(F.lit(ms_to_ts_literal(start_ms)))
+        hi = F.to_timestamp_ntz(F.lit(ms_to_ts_literal(end_ms)))
+    else:
+        lo = F.timestamp_millis(F.lit(start_ms))
+        hi = F.timestamp_millis(F.lit(end_ms))
+    return (F.col(ts_col) >= lo) & (F.col(ts_col) < hi)
 
 
 def floor_ms(ms: int, granularity_ms: int) -> int:

@@ -201,6 +201,52 @@ gate("wheel_rollup_hour", _rollup_oracle(HOUR_MS))(_mk_rollup_query("hour"))
 gate("wheel_rollup_day", _rollup_oracle(DAY_MS))(_mk_rollup_query("day"))
 
 
+#: a second wheel over a *native-timestamp* fact table spanning years,
+#: with the opt-in week granularity in the cascade (µWheel's week wheel)
+ORDERS_WM_MS = to_epoch_ms(datetime(1995, 1, 1))
+ORDERS_ADV_MS = to_epoch_ms(datetime(2002, 1, 1))
+ORDERS_RANGE = (to_epoch_ms(datetime(1996, 3, 5)), to_epoch_ms(datetime(2000, 11, 23)))
+
+_ORDERS_WHEEL_CACHE: dict[tuple[int, str], WheelIndex] = {}
+
+
+def orders_wheel(spark: SparkSession, sf_dir: str) -> WheelIndex:
+    key = (id(spark), sf_dir)
+    if key not in _ORDERS_WHEEL_CACHE:
+        _tune_session(spark)
+        df = load_table(spark, sf_dir, "orders")
+        _ORDERS_WHEEL_CACHE[key] = WheelIndex.build(
+            df,
+            "o_orderdate",
+            "o_totalprice",
+            ORDERS_WM_MS,
+            ORDERS_ADV_MS,
+            granularities=("minute", "hour", "day", "week"),
+        )
+    return _ORDERS_WHEEL_CACHE[key]
+
+
+@gate(
+    "wheel_orders_range_with_weeks",
+    f"""
+    SELECT {_s('o_totalprice')} AS sum_value,
+           COUNT(*) AS cnt,
+           MIN(o_totalprice) AS min_value,
+           MAX(o_totalprice) AS max_value,
+           {_avg('o_totalprice')} AS avg_value
+    FROM orders
+    WHERE o_orderdate >= {_ts_lit(ORDERS_RANGE[0])}
+      AND o_orderdate < {_ts_lit(ORDERS_RANGE[1])}
+    """,
+)
+def wheel_orders_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed serving over a 7-year horizon: the interior of the
+    range is covered by week runs (the week wheel), edges by
+    day/hour/minute — the plan touches ~250 slots instead of ~2.5M
+    minutes."""
+    return orders_wheel(spark, sf_dir).range_agg_df(*ORDERS_RANGE)
+
+
 #: ragged endpoints (37 s / 49 s into a minute) — out of the v1 index
 #: contract, served by the hybrid path (index interior + edge scans)
 RANGE_UNALIGNED = (RANGE_MINUTE[0] + 37_000, RANGE_MINUTE[1] - 11_000)

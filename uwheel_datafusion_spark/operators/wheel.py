@@ -45,12 +45,19 @@ from uwheel_datafusion_spark.functions.time import (
     DAY_MS,
     HOUR_MS,
     MINUTE_MS,
+    WEEK_MS,
     bucket_ms,
+    ts_range_pred,
     ts_to_ms,
 )
 from uwheel_datafusion_spark.plans.range_plan import RangePlan, decompose_range
 
-GRANULARITIES: dict[str, int] = {"minute": MINUTE_MS, "hour": HOUR_MS, "day": DAY_MS}
+GRANULARITIES: dict[str, int] = {
+    "minute": MINUTE_MS,
+    "hour": HOUR_MS,
+    "day": DAY_MS,
+    "week": WEEK_MS,  # opt-in (µWheel's week wheel); 7-day epoch slots
+}
 
 #: rollup schema, one row per non-empty slot:
 #: (bucket_ms long, sum_micros long, cnt long, min_value double, max_value double)
@@ -155,8 +162,7 @@ class WheelIndex:
                 )
             else:
                 scan = df.filter(
-                    (F.col(ts_col) >= F.timestamp_millis(F.lit(watermark_ms)))
-                    & (F.col(ts_col) < F.timestamp_millis(F.lit(advance_to_ms)))
+                    ts_range_pred(df, ts_col, watermark_ms, advance_to_ms)
                 )
             bucket = bucket_ms(ms, MINUTE_MS)
         else:
@@ -199,7 +205,7 @@ class WheelIndex:
         rollups: dict[str, DataFrame] = {"minute": minute}
         # cascade: hour from minute, day from hour (tick/rotate, A4)
         prev = "minute"
-        for g in ("hour", "day"):
+        for g in ("hour", "day", "week"):
             if g not in granularities:
                 continue
             rollups[g] = cls._reaggregate(rollups[prev], GRANULARITIES[g])
@@ -336,9 +342,7 @@ class WheelIndex:
                     F.col(ts_col) < e * 1_000_000
                 )
             else:
-                pred = (F.col(ts_col) >= F.timestamp_millis(F.lit(s))) & (
-                    F.col(ts_col) < F.timestamp_millis(F.lit(e))
-                )
+                pred = ts_range_pred(fact_df, ts_col, s, e)
             parts.append(
                 fact_df.filter(pred)
                 .select(F.col(value_col).cast("double").alias("value"))

@@ -26,10 +26,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from uwheel_datafusion_spark.functions.time import DAY_MS, HOUR_MS, MINUTE_MS
+from uwheel_datafusion_spark.functions.time import DAY_MS, HOUR_MS, MINUTE_MS, WEEK_MS
 
-#: coarse → fine; each divides the previous
+#: coarse → fine; each divides the previous (weeks are 7-day epoch
+#: multiples — µWheel's week wheel is likewise just 7 day slots)
 _LEVELS: tuple[tuple[str, int], ...] = (
+    ("week", WEEK_MS),
     ("day", DAY_MS),
     ("hour", HOUR_MS),
     ("minute", MINUTE_MS),
