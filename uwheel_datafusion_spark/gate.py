@@ -862,6 +862,30 @@ def multimodal_q(spark, sf_dir):
     return _mm.decode_stub_pipeline(load_table(spark, sf_dir, "documents"))
 
 
+@gate("multimodal_resize_stub", _mm.resize_stub_oracle())
+def multimodal_resize_q(spark, sf_dir):
+    """decode → resize: two chained mapInPandas stages (map-only,
+    payloads cross the Arrow boundary once per stage)."""
+    return _mm.resize_batch(
+        _mm.decode_stub_pipeline(load_table(spark, sf_dir, "documents"))
+    )
+
+
+@gate("multimodal_frame_sample", _mm.frame_sample_oracle())
+def multimodal_frames_q(spark, sf_dir):
+    """decode → frame-sample fan-out (1 row per k-th frame)."""
+    return _mm.frame_sample(
+        _mm.decode_stub_pipeline(load_table(spark, sf_dir, "documents"))
+    )
+
+
+@gate("multimodal_feature_extract", _mm.feature_extract_oracle())
+def multimodal_features_q(spark, sf_dir):
+    """Python-kernel feature extraction with an exact SQL oracle
+    (hashlib md5 ≡ dialect hash32 across the Arrow round-trip)."""
+    return _mm.feature_extract(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # public API used by __spark_entry__
 # --------------------------------------------------------------------------

@@ -89,6 +89,130 @@ def decode_stub_pipeline(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return decode_batch(with_binary_payload(docs, text_col))
 
 
+RESIZE_SCHEMA = "doc_id long, width long, height long, resized_bytes long"
+
+
+def resize_batch(
+    decoded: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """STUB resize stage: real pipelines run PIL/opencv here; the stub
+    scales the byte count by the area ratio (exact integer arithmetic
+    ⇒ SQL oracle). Same Spark shape as production: mapInPandas over the
+    decoded metadata, map-only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "resized_bytes": (
+                        pdf["payload_bytes"] * (target_w * target_h)
+                    )
+                    // (pdf["width"] * pdf["height"]),
+                }
+            )
+            yield out
+
+    return decoded.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long"
+
+
+def frame_sample(decoded: DataFrame, every_k: int = 5) -> DataFrame:
+    """STUB frame sampler: emits one row per k-th frame (fan-out via
+    mapInPandas — each input row yields n_frames/k rows; production
+    would attach the decoded frame bytes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs = [], []
+            for doc_id, n_frames in zip(pdf["doc_id"], pdf["n_frames"]):
+                for f in range(0, int(n_frames), every_k):
+                    ids.append(int(doc_id))
+                    idxs.append(f)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs})
+
+    return decoded.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+N_FEATURES = 4
+FEATURE_SCHEMA = "doc_id long, " + ", ".join(
+    f"f{i} long" for i in range(N_FEATURES)
+)
+
+
+def feature_extract(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """STUB feature extractor: a real pipeline would run a vision/audio
+    encoder per payload; the stub derives k deterministic 32-bit
+    features with md5 (hashlib ≡ the dual-dialect hash32, so the whole
+    Python-side Arrow round-trip has an exact SQL oracle)."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict = {"doc_id": pdf["doc_id"]}
+            for i in range(N_FEATURES):
+                cols[f"f{i}"] = [
+                    int(
+                        hashlib.md5(f"{t}{i}".encode("utf-8")).hexdigest()[:8],
+                        16,
+                    )
+                    for t in pdf[text_col]
+                ]
+            yield pd.DataFrame(cols)
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
+
+
+def resize_stub_oracle(
+    table: str = "documents",
+    text_col: str = "text",
+    target_w: int = 224,
+    target_h: int = 224,
+) -> str:
+    return f"""
+        SELECT doc_id,
+               CAST({target_w} AS BIGINT) AS width,
+               CAST({target_h} AS BIGINT) AS height,
+               CAST(
+                   (octet_length(encode({text_col})) * {target_w * target_h})
+                   // ((64 + (doc_id % 512)) * (64 + ((doc_id * 7) % 512)))
+               AS BIGINT) AS resized_bytes
+        FROM {table}
+    """
+
+
+def frame_sample_oracle(
+    table: str = "documents", text_col: str = "text", every_k: int = 5
+) -> str:
+    return f"""
+        SELECT doc_id,
+               CAST(unnest(generate_series(
+                   0, CAST(n_frames - 1 AS BIGINT), {every_k}
+               )) AS BIGINT) AS frame_idx
+        FROM (
+            SELECT doc_id,
+                   1 + (octet_length(encode({text_col})) % 24) AS n_frames
+            FROM {table}
+        ) d
+    """
+
+
+def feature_extract_oracle(table: str = "documents", text_col: str = "text") -> str:
+    from uwheel_datafusion_spark.functions.dialect import DUCK
+
+    cols = ",\n  ".join(
+        DUCK.hash32(f"concat({text_col}, '{i}')") + f" AS f{i}"
+        for i in range(N_FEATURES)
+    )
+    return f"SELECT doc_id, {cols} FROM {table}"
+
+
 def decode_stub_oracle(table: str = "documents", text_col: str = "text") -> str:
     """SQL twin of the stubbed pipeline — verifies the Arrow round-trip
     byte-for-byte (payload length + first byte survive the transfer)."""
