@@ -88,6 +88,16 @@ def main() -> None:
     timings["wheel_hour_ranges_refbug"] = r.wall_sec
     extras["wheel_hour_ranges_refbug"] = {"qps": r.qps, **r.latency}
 
+    # -------------------- distributed serving path (SURVEY §4.3, sampled)
+    def dist_sum(s_ms: int, e_ms: int):
+        return idx.range_agg_df(s_ms, e_ms).collect()[0][0]
+
+    r = run_latency_bench(
+        "wheel_distributed_ranges", dist_sum, minute_ranges[:sql_sample]
+    )
+    timings["wheel_distributed_ranges"] = r.wall_sec
+    extras["wheel_distributed_ranges"] = {"qps": r.qps, **r.latency}
+
     # --------------------------- SQL-router rewrite path (§7.6 rewrite + E2)
     from uwheel_datafusion_spark.plans.sql_router import WheelSqlRouter
 

@@ -716,6 +716,31 @@ def scalar_functions_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@gate(
+    "pivot_event_type_by_user_decile",
+    f"""
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_decile,
+           {", ".join(f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}" for t in _EVENT_TYPES)}
+    FROM events
+    GROUP BY 1
+    """,
+)
+def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.4 family: PIVOT (wide aggregation). The explicit value
+    list keeps it one pass — without it Spark first runs a distinct
+    scan to discover the columns."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_decile", (F.col("user_id") % 10).cast("long"))
+        .groupBy("user_decile")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+
+
 @gate(
     "json_props_extract",
     """

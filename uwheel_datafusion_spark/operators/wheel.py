@@ -213,7 +213,11 @@ class WheelIndex:
 
         if cache:
             for g in rollups:
-                rollups[g] = rollups[g].cache()
+                # rollups are tiny regardless of fact-table size (one
+                # row per non-empty slot — ~0.5M rows/year at minute
+                # grain): serve them from a handful of partitions so a
+                # range query doesn't pay 32 near-empty task launches
+                rollups[g] = rollups[g].coalesce(4).cache()
 
         slot_counts = {g: r.count() for g, r in rollups.items()}
         n_indexed = (
@@ -255,16 +259,39 @@ class WheelIndex:
         end_ms = min(end_ms, self.advanced_ms)
         return decompose_range(start_ms, end_ms, tuple(self.rollups))
 
+    #: below this many minute slots, a single filter+agg over the
+    #: (cached) minute rollup beats the multi-granularity union plan —
+    #: the union's extra stages cost more than scanning a few thousand
+    #: in-memory rows. Above it (or for parquet-backed rollups at huge
+    #: horizons) the decomposition's coarse runs win.
+    SINGLE_LEVEL_SLOT_THRESHOLD = 200_000
+
     def range_agg_df(self, start_ms: int, end_ms: int) -> DataFrame:
         """Distributed serving path: decompose the range, filter each
         rollup to its runs (partition-prunable range predicates on the
-        bucket key), union the partials, combine, lower.
+        bucket key), union the partials, combine, lower. Short ranges
+        take a cost-based single-level shortcut (one filter+agg job on
+        the minute rollup).
 
         Returns a 1-row DataFrame
         ``(sum_value double, cnt long, min_value double, max_value
         double, avg_value double)`` with nulls for an empty range —
         matching A5's ``Option<f64>`` semantics.
         """
+        s = max(start_ms, self.watermark_ms)
+        e = min(end_ms, self.advanced_ms)
+        if (
+            s < e
+            and s % MINUTE_MS == 0
+            and e % MINUTE_MS == 0
+            and (e - s) // MINUTE_MS <= self.SINGLE_LEVEL_SLOT_THRESHOLD
+        ):
+            parts = [
+                self.rollups["minute"]
+                .filter((F.col("bucket_ms") >= s) & (F.col("bucket_ms") < e))
+                .select("sum_micros", "cnt", "min_value", "max_value")
+            ]
+            return self._combine_parts(parts)
         plan = self.plan(start_ms, end_ms)
         parts: list[DataFrame] = []
         for run in plan.runs:
@@ -275,14 +302,19 @@ class WheelIndex:
                     & (F.col("bucket_ms") < run.end_ms)
                 ).select("sum_micros", "cnt", "min_value", "max_value")
             )
+        return self._combine_parts(parts)
+
+    def _combine_parts(self, parts: list[DataFrame]) -> DataFrame:
+        """Union partial frames, combine, lower (A5's combine+lower)."""
         if not parts:
-            empty = self.spark.range(0).select(
-                F.lit(None).cast("long").alias("sum_micros"),
-                F.lit(None).cast("long").alias("cnt"),
-                F.lit(None).cast("double").alias("min_value"),
-                F.lit(None).cast("double").alias("max_value"),
-            )
-            parts = [empty]
+            parts = [
+                self.spark.range(0).select(
+                    F.lit(None).cast("long").alias("sum_micros"),
+                    F.lit(None).cast("long").alias("cnt"),
+                    F.lit(None).cast("double").alias("min_value"),
+                    F.lit(None).cast("double").alias("max_value"),
+                )
+            ]
         unioned = reduce(DataFrame.unionByName, parts)
         combined = unioned.agg(
             F.sum("sum_micros").alias("sum_micros"),
@@ -364,22 +396,7 @@ class WheelIndex:
                     )
                     .select("sum_micros", "cnt", "min_value", "max_value")
                 )
-        unioned = reduce(DataFrame.unionByName, parts)
-        combined = unioned.agg(
-            F.sum("sum_micros").alias("sum_micros"),
-            F.sum("cnt").alias("cnt"),
-            F.min("min_value").alias("min_value"),
-            F.max("max_value").alias("max_value"),
-        )
-        return combined.select(
-            micros_to_value(F.col("sum_micros")).alias("sum_value"),
-            F.col("cnt"),
-            F.col("min_value"),
-            F.col("max_value"),
-            (
-                F.col("sum_micros").cast("double") / F.col("cnt").cast("double") / 1e6
-            ).alias("avg_value"),
-        )
+        return self._combine_parts(parts)
 
     def topn_slots_df(
         self,
