@@ -1,0 +1,106 @@
+"""Physical-plan regression tests — the audits in PLANS.md, enforced.
+
+These guard the scale properties that correctness tests can't see:
+pushdown reaching the scan, broadcasts staying broadcasts, map-only
+operators staying shuffle-free. A regression here is invisible at
+sf0.01 and catastrophic at 100 TB.
+"""
+
+import pytest
+
+from uwheel_datafusion_spark import WheelIndex
+from uwheel_datafusion_spark import gate as g
+from uwheel_datafusion_spark.sources.registry import load_table, load_table_raw
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_pruned_build_pushes_watermark_to_scan(spark, sf_smoke):
+    """stats_mode='pruned' on the raw-ns path must reach parquet
+    row-group stats (PLANS.md anti-pattern guard)."""
+    df = load_table_raw(spark, sf_smoke, "events")
+    from uwheel_datafusion_spark.gate import EVENTS_ADV_MS, EVENTS_WM_MS
+
+    idx = WheelIndex.build(
+        df, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS, cache=False,
+        stats_mode="pruned",
+    )
+    plan = _executed_plan(idx.rollups["minute"])
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
+    # column pruning: only the two needed columns are read
+    assert "ReadSchema: struct<ts:bigint,value:double>" in plan
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_correctness):
+    plan = _executed_plan(g.REGISTRY["region_revenue_join"].fn(spark, sf_correctness))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_anti_joins_broadcast_with_pushed_filter(spark, sf_correctness):
+    semi = _executed_plan(
+        g.REGISTRY["semi_join_active_customers"].fn(spark, sf_correctness)
+    )
+    assert "BroadcastHashJoin" in semi and "LeftSemi" in semi
+    assert "GreaterThan(o_totalprice,300000" in semi  # pushed to scan
+    anti = _executed_plan(
+        g.REGISTRY["anti_join_customers_without_urgent_orders"].fn(
+            spark, sf_correctness
+        )
+    )
+    assert "BroadcastHashJoin" in anti and "LeftAnti" in anti
+
+
+def test_text_profile_is_map_only(spark, sf_correctness):
+    """No shuffle: the profile is a projection (scales linearly)."""
+    plan = _executed_plan(g.REGISTRY["text_profile"].fn(spark, sf_correctness))
+    assert "Exchange" not in plan
+
+
+def test_multimodal_stages_are_map_only(spark, sf_correctness):
+    for name in (
+        "multimodal_decode_stub",
+        "multimodal_resize_stub",
+        "multimodal_frame_sample",
+        "multimodal_feature_extract",
+    ):
+        plan = _executed_plan(g.REGISTRY[name].fn(spark, sf_correctness))
+        assert "Exchange" not in plan, name
+
+
+def test_hybrid_edges_push_raw_ns_range(spark, sf_correctness):
+    plan = _executed_plan(
+        g.REGISTRY["wheel_range_unaligned_hybrid"].fn(spark, sf_correctness)
+    )
+    # edge scans carry a tight raw-ns range filter (sliver reads)
+    assert "GreaterThanOrEqual(ts,17" in plan and "LessThan(ts,17" in plan
+
+
+def test_sliding_window_single_shuffle(spark, sf_correctness):
+    plan = _executed_plan(
+        g.REGISTRY["sliding_window_1h_15m"].fn(spark, sf_correctness)
+    )
+    # Expand (window replication) + exactly one hash-partitioning shuffle
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_empty_fact_table_builds_empty_index(spark):
+    """Edge hardening: zero input rows → empty rollups, None lowerings."""
+    from uwheel_datafusion_spark.gate import EVENTS_ADV_MS, EVENTS_WM_MS
+
+    empty = spark.createDataFrame([], "ts timestamp, value double")
+    idx = WheelIndex.build(empty, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS)
+    assert idx.stats.n_input_rows == 0
+    assert idx.stats.slot_counts["minute"] == 0
+    di = idx.to_driver_index()
+    assert di.query_sum(EVENTS_WM_MS, EVENTS_ADV_MS) is None
+    assert di.query_count(EVENTS_WM_MS, EVENTS_ADV_MS) == 0
+    row = idx.range_agg_df(EVENTS_WM_MS, EVENTS_ADV_MS).first()
+    assert row["sum_value"] is None and (row["cnt"] in (0, None))
