@@ -22,9 +22,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n_queries = int(os.environ.get("BENCH_QUERIES", "1000"))
-    sql_sample = int(os.environ.get("BENCH_SQL_SAMPLE", "30"))
+    import argparse
+
+    # B1 parity: the reference's CLI takes --queries (default 1000,
+    # /root/reference/src/main.rs:28-33); env vars override for the
+    # round driver, flags for humans
+    ap = argparse.ArgumentParser(description="spark-wheel round benchmark")
+    ap.add_argument("--queries", type=int, default=None, help="ranges per workload")
+    ap.add_argument("--sf-dir", default=None, help="scale-factor data dir")
+    ap.add_argument("--sql-sample", type=int, default=None, help="SQL-path sample size")
+    args = ap.parse_args()
+
+    sf_dir = args.sf_dir or os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    n_queries = args.queries or int(os.environ.get("BENCH_QUERIES", "1000"))
+    sql_sample = args.sql_sample or int(os.environ.get("BENCH_SQL_SAMPLE", "30"))
 
     from pyspark.sql import functions as F
 

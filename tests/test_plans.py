@@ -104,3 +104,39 @@ def test_empty_fact_table_builds_empty_index(spark):
     assert di.query_count(EVENTS_WM_MS, EVENTS_ADV_MS) == 0
     row = idx.range_agg_df(EVENTS_WM_MS, EVENTS_ADV_MS).first()
     assert row["sum_value"] is None and (row["cnt"] in (0, None))
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_smoke, tmp_path):
+    """Bucketing both sides on the join key co-locates them: the join
+    runs with ZERO exchanges (PLANS.md's co-located join strategy — at
+    100 TB this is the difference between a full-table shuffle and
+    none). Uses the built-in catalog, no Hive required."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    o = load_table(spark, sf_smoke, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, sf_smoke, "customer").select("c_custkey", "c_mktsegment")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
+        "overwrite"
+    ).saveAsTable("b_orders")
+    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode(
+        "overwrite"
+    ).saveAsTable("b_customer")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at fixture scale the planner would rightly broadcast the tiny
+        # dim; disable that to exercise the big-joins-big bucket path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bo = spark.table("b_orders")
+        bc = spark.table("b_customer")
+        joined = bo.join(bc, bo.o_custkey == bc.c_custkey)
+        plan = _executed_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and it still returns the right rows
+        expected = o.join(c, o.o_custkey == c.c_custkey).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
