@@ -846,6 +846,19 @@ def cos_pairs_q(spark, sf_dir):
 
 
 @gate(
+    "similarity_hyperplane_lsh_pairs",
+    _sim.hyperplane_lsh_pairs_oracle(threshold=0.45),
+)
+def hyperplane_lsh_q(spark, sf_dir):
+    """Random-hyperplane LSH (SimHash-for-vectors): bucket on 8 sign
+    bits, verify candidates exactly — the no-precomputed-cells scale
+    path for embedding near-dup."""
+    return _sim.hyperplane_lsh_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+@gate(
     "similarity_ann_ivf_topk",
     _sim.ann_ivf_topk_oracle(query_ids=KNN_QUERY_IDS, k=3),
 )

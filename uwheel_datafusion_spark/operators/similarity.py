@@ -182,6 +182,125 @@ def ann_ivf_topk(
     )
 
 
+#: banded random-hyperplane LSH: L tables × b sign bits. At cosine
+#: ≥ 0.45 a bit agrees w.p. 1 − arccos(0.45)/π ≈ 0.65, so one table of
+#: b=4 catches ≈ 0.65⁴ ≈ 18% of true pairs and L=8 tables lift recall
+#: to 1 − (1−0.18)⁸ ≈ 0.79; tune (L, b) to corpus size — larger b
+#: shrinks buckets (fewer candidates), larger L restores recall.
+LSH_TABLES = 8
+LSH_BITS = 4
+
+
+def _plane_expr(d, t: int, j: int) -> str:
+    """Deterministic pseudo-random hyperplane (table t, bit j):
+    component i is a hash-derived int in [-1000, 1000] — identical in
+    both dialects, so the whole LSH pipeline has an exact oracle (the
+    'random' planes are fixed by construction, like seeded random)."""
+    h = d.hash32(f"concat('plane{t}_{j}_', i)")
+    comp = f"({h} % 2001) - 1000"
+    return d.transform(d.seq1(d.size("qvec")), "i", comp)
+
+
+def _bucket_expr(d, t: int) -> str:
+    """Table t's bucket id: the b sign bits of qvec·plane_j."""
+    bits = []
+    for j in range(LSH_BITS):
+        dot = d.sum_list_bigint(d.zip_mult("qvec", _plane_expr(d, t, j)))
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def hyperplane_lsh_pairs(
+    vecs: DataFrame, threshold: float = 0.45, vec_col: str = "embedding"
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) LSH near-dup pairs: the
+    scale path when no precomputed IVF cell exists. Candidates = pairs
+    sharing any table's sign bucket (collision probability rises with
+    cosine — Charikar's SimHash guarantee); candidates are verified
+    exactly, so precision is 1 and only recall depends on (L, b).
+    L equi-join shuffles on small bucket keys instead of a quadratic
+    cross join; at 100 TB, partition the corpus by bucket."""
+    qv = _quantized(vecs, vec_col).select("vec_id", "qvec", "qnorm")
+    bucketed = qv.select(
+        "vec_id",
+        "qvec",
+        "qnorm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        F.expr(_bucket_expr(SPARK, t)).alias("bucket"),
+                    )
+                    for t in range(LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "qvec", "qnorm", "tb.t", "tb.bucket").cache()
+    keys = bucketed.select("vec_id", "t", "bucket")
+    a = keys.alias("a")
+    b = keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    va = qv.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("qvec").alias("qva"),
+        F.col("qnorm").alias("qna"),
+    )
+    vb = qv.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("qvec").alias("qvb"),
+        F.col("qnorm").alias("qnb"),
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn(
+            "cosine",
+            F.expr(SPARK.cosine_q(SPARK.dot_q("qva", "qvb"), "qna", "qnb")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def hyperplane_lsh_pairs_oracle(
+    table: str = "embeddings",
+    threshold: float = 0.45,
+    vec_col: str = "embedding",
+) -> str:
+    d = DUCK
+    cos = d.cosine_q(d.dot_q("a.qvec", "b.qvec"), "a.qnorm", "b.qnorm")
+    per_table = " UNION ALL ".join(
+        f"SELECT vec_id, qvec, qnorm, {t} AS t, {_bucket_expr(d, t)} AS bucket FROM qn"
+        for t in range(LSH_TABLES)
+    )
+    return f"""
+        WITH {_oracle_qv(table, vec_col)},
+        bucketed AS ({per_table}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bucketed a JOIN bucketed b
+              ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT c.vec_a, c.vec_b, {cos} AS cosine
+        FROM cand c
+        JOIN qn a ON a.vec_id = c.vec_a
+        JOIN qn b ON b.vec_id = c.vec_b
+        WHERE {cos} >= {threshold}
+    """
+
+
 def ann_ivf_topk_oracle(
     table: str = "embeddings",
     query_ids: tuple[int, ...] = (),
