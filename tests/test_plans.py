@@ -140,3 +140,23 @@ def test_bucketed_join_avoids_shuffle(spark, sf_smoke, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_asof_join_single_shuffle_and_left_variant(spark, sf_correctness):
+    """The as-of join is one shuffle on the key (union + window carry),
+    not a per-row range probe; how='left' keeps unmatched left rows."""
+    from uwheel_datafusion_spark.operators import asof as a
+
+    ev = load_table(spark, sf_correctness, "events")
+    inner = g.REGISTRY["asof_join_purchase_to_click"].fn(spark, sf_correctness)
+    plan = _executed_plan(inner)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+    purchases = ev.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts")
+    left = a.asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        payload={"ts": "click_ts"}, how="left",
+    )
+    n_left, n_inner = left.count(), inner.count()
+    assert n_left == purchases.count() >= n_inner

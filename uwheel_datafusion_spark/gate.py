@@ -716,6 +716,17 @@ def scalar_functions_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from uwheel_datafusion_spark.operators import asof as _asof
+
+
+@gate("asof_join_purchase_to_click", _asof.purchase_asof_click_oracle())
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark has no native ASOF): each
+    purchase matched to the user's latest prior click; oracle is
+    DuckDB's native ASOF JOIN."""
+    return _asof.purchase_asof_click(load_table(spark, sf_dir, "events"))
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
