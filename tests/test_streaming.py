@@ -160,3 +160,52 @@ def test_stateful_sessionizer_matches_batch(spark, sf_smoke, tmp_path):
         if d["user_id"] >= 0
     }
     assert got == batch
+
+
+def test_streaming_sliding_window_equals_batch(spark, sf_smoke, stream_dir, tmp_path):
+    """Streaming hopping-window aggregation (update mode, foreachBatch
+    upsert) converges to the batch sliding_window_agg result."""
+    from uwheel_datafusion_spark.operators.windows import sliding_window_agg
+    from uwheel_datafusion_spark.functions.quant import value_to_micros
+
+    ev = load_table(spark, sf_smoke, "events")
+    batch = {
+        r["w_start_ms"]: (r["cnt"], r["sum_value"])
+        for r in sliding_window_agg(ev).collect()
+    }
+
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .select("ts", "value")
+    )
+    agg = (
+        stream.withWatermark("ts", "31 days")
+        .groupBy(F.window("ts", "3600 seconds", "900 seconds").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(value_to_micros(F.col("value"))).alias("sum_micros"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("w_start_ms"),
+            "cnt",
+            "sum_micros",
+        )
+    )
+    store: dict = {}
+
+    def sink(bdf, epoch_id):
+        for r in bdf.collect():
+            store[r["w_start_ms"]] = (r["cnt"], r["sum_micros"] / 1_000_000)
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_slide"))
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert store == batch
