@@ -97,6 +97,24 @@ class Dialect:
             return self.reduce(arr, "0", "a", "b", "a + b")
         return f"CAST(list_sum({arr}) AS BIGINT)"
 
+    def idiv(self, a: str, b: str) -> str:
+        """Integer floor division: Spark `div`, DuckDB `//`."""
+        if self.is_spark:
+            return f"(({a}) div ({b}))"
+        return f"(({a}) // ({b}))"
+
+    def slice(self, arr: str, start: str, length: int) -> str:
+        """1-based sublist of ``length`` elements (shorter at the end).
+        Spark's slice(a, s, L) ≡ DuckDB's inclusive list_slice(a, s,
+        s+L-1)."""
+        if self.is_spark:
+            return f"slice({arr}, {start}, {length})"
+        return f"list_slice({arr}, {start}, ({start}) + {length - 1})"
+
+    def array_join(self, arr: str, sep: str = " ") -> str:
+        fn = "array_join" if self.is_spark else "array_to_string"
+        return f"{fn}({arr}, '{sep}')"
+
     def zip_mult(self, a: str, b: str) -> str:
         """Element-wise product of two bigint lists."""
         if self.is_spark:

@@ -795,6 +795,13 @@ def langid_summary_q(spark, sf_dir):
     return _tx.langid_summary(load_table(spark, sf_dir, "documents"))
 
 
+@gate("text_chunking", _tx.chunk_documents_oracle())
+def text_chunking_q(spark, sf_dir):
+    """LLM-prep chunking: overlapping token windows (50 wide, stride
+    40) — map-only + explode fan-out."""
+    return _tx.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
 @gate("dedup_exact_groups", _dd.exact_dup_groups_oracle())
 def dedup_exact_q(spark, sf_dir):
     return _dd.exact_dup_groups(load_table(spark, sf_dir, "documents"))

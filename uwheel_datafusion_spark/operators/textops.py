@@ -130,3 +130,66 @@ def langid_summary_oracle(table: str = "documents") -> str:
         FROM ({text_profile_oracle(table)})
         GROUP BY lang_pred
     """
+
+
+def _chunk_exprs(d: Dialect, text: str, chunk: int, stride: int) -> tuple[str, str]:
+    """(n_chunks expr over toks, chunk_text expr over (toks, start))."""
+    toks = d.split(text)
+    n = d.size(toks)
+    # chunks start at 1, 1+stride, 1+2·stride, … while start <= n
+    n_chunks = f"(1 + {d.idiv(f'greatest({n}, 1) - 1', stride)})"
+    return toks, n_chunks
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 50,
+    stride_tokens: int = 40,
+) -> DataFrame:
+    """Split each document into overlapping token windows (`chunk_tokens`
+    wide, advancing `stride_tokens` — overlap = chunk − stride), the
+    standard LLM-training prep step. Map-only + explode (fan-out ≈
+    n_tokens/stride); one narrow projection, no shuffle."""
+    d = SPARK
+    toks, n_chunks = _chunk_exprs(d, text_col, chunk_tokens, stride_tokens)
+    starts = d.transform(d.seq1(n_chunks), "i", f"1 + (i - 1) * {stride_tokens}")
+    piece = d.array_join(d.slice("_toks", "_start", chunk_tokens))
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(toks).alias("_toks"),
+            F.explode(F.expr(starts)).alias("_start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("_start") - 1) / stride_tokens).cast("long").alias("chunk_idx"),
+            F.expr(piece).alias("chunk_text"),
+            F.expr(d.size(d.slice("_toks", "_start", chunk_tokens)))
+            .cast("long")
+            .alias("chunk_tokens"),
+        )
+    )
+
+
+def chunk_documents_oracle(
+    table: str = "documents",
+    text_col: str = "text",
+    chunk_tokens: int = 50,
+    stride_tokens: int = 40,
+) -> str:
+    d = DUCK
+    toks, n_chunks = _chunk_exprs(d, text_col, chunk_tokens, stride_tokens)
+    starts = d.transform(d.seq1(n_chunks), "i", f"1 + (i - 1) * {stride_tokens}")
+    piece = d.array_join(d.slice("_toks", "_start", chunk_tokens))
+    return f"""
+        SELECT doc_id,
+               CAST((_start - 1) // {stride_tokens} AS BIGINT) AS chunk_idx,
+               {piece} AS chunk_text,
+               CAST({d.size(d.slice('_toks', '_start', chunk_tokens))} AS BIGINT)
+                   AS chunk_tokens
+        FROM (
+            SELECT doc_id, {toks} AS _toks, unnest({starts}) AS _start
+            FROM {table}
+        )
+    """
