@@ -438,6 +438,158 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "tpch_q6_forecast_revenue",
+    f"""
+    SELECT {_s('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the classic selective-scan aggregate — every predicate
+    pushes to the parquet scan (ts + two value ranges), zero joins, one
+    partial+final agg. At 100 TB this is the query shape where pushdown
+    and row-group pruning dominate; cf. the reference's range-SUM scan
+    path (src/main.rs:252-257), widened with non-time predicates."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        micros_to_value(
+            _sum_micros(F.col("l_extendedprice") * F.col("l_discount"))
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@gate(
+    "tpch_q5_local_supplier_volume",
+    f"""
+    SELECT n_name,
+           {_s('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: six-way join with a compound join condition
+    (supplier must share the customer's nation). The two fact tables
+    (orders, lineitem) sort-merge/shuffle-hash on orderkey; customer,
+    supplier, nation, region broadcast — so the plan has exactly one
+    big shuffle pair plus the final group-by, which is what survives a
+    100× scale-up."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        micros_to_value(_sum_micros(rev)).alias("revenue")
+    )
+
+
+@gate(
+    "tpch_q13_customer_order_counts",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: left outer join with a residual predicate on the
+    join itself (not a WHERE — unmatched customers must survive with
+    count 0), then a two-level aggregation. Covers outer joins +
+    COUNT(col)-skips-nulls semantics."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@gate(
+    "window_customer_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           (CAST(SUM(CAST(round(o_totalprice * 1000000) AS BIGINT))
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / 1000000) AS running_total,
+           epoch_ms(o_orderdate)
+             - lag(epoch_ms(o_orderdate))
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS ms_since_prev
+    FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL analytic windows (SURVEY §2.5): per-customer cumulative
+    revenue (exact scaled-long running sum, lowered per row) and
+    lag() inter-order gap. ROWS frame + unique (date, orderkey)
+    ordering ⇒ deterministic; one shuffle on o_custkey serves both
+    window functions."""
+    from uwheel_datafusion_spark.functions.time import ts_to_ms
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrows = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ms = ts_to_ms("o_orderdate")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        micros_to_value(F.sum(value_to_micros("o_totalprice")).over(wrows)).alias(
+            "running_total"
+        ),
+        (ms - F.lag(ms).over(w)).alias("ms_since_prev"),
+    )
+
+
+@gate(
     "brand_supplier_revenue",
     f"""
     SELECT p_brand,
