@@ -1,0 +1,62 @@
+"""Sampling / split / quantile operator properties beyond the oracle
+gate: determinism across partitionings, approx-vs-exact closeness, and
+map-only plan shape."""
+
+from pyspark.sql import functions as F
+
+from uwheel_datafusion_spark.operators import sampling as sp
+from uwheel_datafusion_spark.sources.registry import load_table
+
+
+def test_hash_sample_deterministic_across_partitionings(spark, sf_correctness):
+    docs = load_table(spark, sf_correctness, "documents")
+    a = sorted(
+        r.doc_id for r in sp.hash_sample(docs, "doc_id", 10).select("doc_id").collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in sp.hash_sample(docs.repartition(7, "lang"), "doc_id", 10)
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b and len(a) > 0
+    # a hash sample should land near its nominal rate
+    n = docs.count()
+    assert 0.05 * n < len(a) < 0.15 * n
+
+
+def test_split_is_total_and_disjoint(spark, sf_correctness):
+    docs = load_table(spark, sf_correctness, "documents")
+    counts = {
+        r.split: r.n_docs for r in sp.train_val_test_summary(docs).collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()
+    # 80/10/10 within slack
+    n = docs.count()
+    assert counts["train"] > 0.7 * n and counts["test"] < 0.2 * n
+
+
+def test_approx_percentile_tracks_exact_deciles(spark, sf_correctness):
+    orders = load_table(spark, sf_correctness, "orders")
+    exact = {
+        int(r.decile): r.decile_value for r in sp.exact_deciles(orders).collect()
+    }
+    probs = [k / 10 for k in range(1, 11)]
+    approx = orders.agg(
+        F.percentile_approx("o_totalprice", probs, 10_000).alias("q")
+    ).first()["q"]
+    lo, hi = (
+        orders.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    )
+    span = hi - lo
+    for k, appr in zip(range(1, 11), approx):
+        # distributed scale path must stay within 2% of the value range
+        assert abs(appr - exact[k]) < 0.02 * span, (k, appr, exact[k])
+
+
+def test_histogram_is_single_narrow_shuffle(spark, sf_correctness):
+    df = sp.value_histogram(load_table(spark, sf_correctness, "events"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ShuffleExchange") + plan.count("Exchange hashpartitioning") <= 1
+    assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan

@@ -954,6 +954,41 @@ def text_chunking_q(spark, sf_dir):
     return _tx.chunk_documents(load_table(spark, sf_dir, "documents"))
 
 
+from uwheel_datafusion_spark.operators import sampling as _sp
+
+
+@gate("sample_hash_10pct", _sp.hash_sample_oracle())
+def sample_hash_q(spark, sf_dir):
+    """Deterministic ~10% hash-bucket sample of documents — the
+    reproducible, engine-portable substitute for random TABLESAMPLE
+    (map-only filter; same rows every run/engine/partitioning)."""
+    return _sp.hash_sample(
+        load_table(spark, sf_dir, "documents"), "doc_id", 10
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+@gate("split_train_val_test", _sp.train_val_test_summary_oracle())
+def split_q(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split by doc_id hash;
+    per-split doc count + exact char volume."""
+    return _sp.train_val_test_summary(load_table(spark, sf_dir, "documents"))
+
+
+@gate("histogram_event_values", _sp.value_histogram_oracle())
+def histogram_q(spark, sf_dir):
+    """Fixed-width (5.0) histogram of event values via exact
+    scaled-long binning; map-side partial agg ⇒ tiny shuffle."""
+    return _sp.value_histogram(load_table(spark, sf_dir, "events"))
+
+
+@gate("quantiles_order_value_deciles", _sp.exact_deciles_oracle())
+def deciles_q(spark, sf_dir):
+    """Exact discrete deciles of order value (rank-select, no
+    interpolation); scale path = percentile_approx (see docstring +
+    closeness test)."""
+    return _sp.exact_deciles(load_table(spark, sf_dir, "orders"))
+
+
 @gate("dedup_exact_groups", _dd.exact_dup_groups_oracle())
 def dedup_exact_q(spark, sf_dir):
     return _dd.exact_dup_groups(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,198 @@
+"""Deterministic sampling / splitting / distribution operators for
+training-data pipelines (beyond-parity north star, alongside textops).
+
+Random sampling is useless for a reproducible 100 TB pipeline: Spark's
+`df.sample` and DuckDB's `USING SAMPLE` draw from different RNGs, so no
+oracle can match, and re-runs see different rows. The scalable,
+reproducible alternative — and what production corpus pipelines use —
+is **hash-based bucketing on a stable key**: a pure-arithmetic mix of
+the key selects the same rows on every engine, every partitioning,
+every run. All operators here are map-only projections/filters (no
+shuffle, full pushdown, whole-stage codegen) except the exact-quantile
+one, which documents its scale path.
+
+Mix function: ``h(k) = ((k mod 1000003) * 2654435761 + 987654321)
+mod 1000000007`` — Knuth multiplicative hashing; every intermediate
+stays < 2^52, so int64 arithmetic is exact (no overflow) under Spark
+ANSI mode and DuckDB alike, and the same expression renders in both
+dialects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from uwheel_datafusion_spark.functions.quant import (
+    micros_to_value,
+    sql_micros_to_value,
+    sql_value_to_micros,
+    value_to_micros,
+)
+
+_P1 = 1_000_003  # prime folding the key into multiply-safe range
+_KNUTH = 2_654_435_761  # 2^32 · golden-ratio conjugate
+_OFF = 987_654_321
+_P2 = 1_000_000_007
+
+
+def hash_bucket_sql(key: str, buckets: int = 100) -> str:
+    """Portable SQL: stable bucket in [0, buckets) for a bigint key.
+    Renders identically in Spark SQL and DuckDB (only +, *, %)."""
+    return (
+        f"((((({key}) % {_P1}) * {_KNUTH} + {_OFF}) % {_P2}) % {buckets})"
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, pct: int, buckets: int = 100
+) -> DataFrame:
+    """Keep rows whose hash bucket < ``pct`` — a deterministic ~pct%
+    sample, stable across runs/engines/partitionings. Map-only: the
+    filter is a scan-adjacent projection predicate, no shuffle."""
+    bucket = F.expr(hash_bucket_sql(key_col, buckets))
+    return df.filter(bucket < pct)
+
+
+def split_column(key_col: str, train_pct: int = 80, val_pct: int = 10) -> F.Column:
+    """'train' / 'val' / 'test' label from the stable hash bucket."""
+    b = F.expr(hash_bucket_sql(key_col))
+    return (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def split_column_sql(key_col: str, train_pct: int = 80, val_pct: int = 10) -> str:
+    b = hash_bucket_sql(key_col)
+    return (
+        f"CASE WHEN {b} < {train_pct} THEN 'train' "
+        f"WHEN {b} < {train_pct + val_pct} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+def train_val_test_summary(docs: DataFrame) -> DataFrame:
+    """Assign each document a deterministic split and summarize size
+    per split (doc count + exact char volume). One narrow shuffle on a
+    3-value key; the assignment itself is map-only and would be
+    written out as a column (or partition dir) at scale."""
+    return (
+        docs.select(
+            split_column("doc_id").alias("split"),
+            F.col("n_chars"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+def train_val_test_summary_oracle(table: str = "documents") -> str:
+    return f"""
+        SELECT {split_column_sql('doc_id')} AS split,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS sum_chars
+        FROM {table}
+        GROUP BY 1
+    """
+
+
+def hash_sample_oracle(table: str = "documents", pct: int = 10) -> str:
+    return f"""
+        SELECT doc_id, lang, source, n_chars
+        FROM {table}
+        WHERE {hash_bucket_sql('doc_id')} < {pct}
+    """
+
+
+def value_histogram(
+    events: DataFrame, value_col: str = "value", bin_width: float = 5.0
+) -> DataFrame:
+    """Fixed-width histogram of a double measure. Binning is done on
+    scaled longs (exact integer floor-div), so bin assignment is
+    bit-identical across engines; the bin lower edge lowers to double
+    once. Map-side partial aggregation ⇒ one tiny shuffle of
+    (n_bins × cores) rows regardless of input size."""
+    w_micros = int(round(bin_width * 1_000_000))
+    bin_idx = F.floor(value_to_micros(value_col) / w_micros).cast("long")
+    return (
+        events.select(bin_idx.alias("bin_idx"))
+        .groupBy("bin_idx")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bin_idx",
+            micros_to_value(F.col("bin_idx") * w_micros).alias("bin_lo"),
+            "n_rows",
+        )
+    )
+
+
+def value_histogram_oracle(
+    table: str = "events", value_col: str = "value", bin_width: float = 5.0
+) -> str:
+    w_micros = int(round(bin_width * 1_000_000))
+    scaled = sql_value_to_micros(value_col)
+    # DuckDB // on BIGINT is floor division, same as Spark FLOOR(/)
+    return f"""
+        SELECT bin_idx,
+               {sql_micros_to_value(f'bin_idx * {w_micros}')} AS bin_lo,
+               COUNT(*) AS n_rows
+        FROM (SELECT CAST({scaled} // {w_micros} AS BIGINT) AS bin_idx FROM {table})
+        GROUP BY bin_idx
+    """
+
+
+def exact_deciles(
+    orders: DataFrame, value_col: str = "o_totalprice", key_col: str = "o_orderkey"
+) -> DataFrame:
+    """Exact decile values of a measure: rank every row by (scaled
+    value, unique key) and select ranks ceil(n·k/10), k = 1…10 — the
+    same discrete-quantile definition rendered on both engines, so
+    results match bit-for-bit (no interpolation arithmetic to disagree
+    on).
+
+    Scale note: the global row_number forces a total order (single
+    reduce partition after a distributed range-sort). Exact quantiles
+    over 100 TB pay that price by definition; the production path at
+    scale is `percentile_approx` (t-digest, fully distributed), which
+    tests assert stays within tolerance of this exact operator."""
+    vm = value_to_micros(value_col)
+    w = W.orderBy(vm, F.col(key_col))
+    ranked = orders.select(
+        vm.alias("_vm"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("_n"),
+    )
+    k = F.col("decile")
+    target = F.ceil(F.col("_n") * k / 10).cast("long")
+    deciles = ranked.crossJoin(
+        F.broadcast(
+            ranked.sparkSession.range(1, 11).select(F.col("id").alias("decile"))
+        )
+    ).filter(F.col("_rn") == target)
+    return deciles.select(
+        "decile", micros_to_value(F.col("_vm")).alias("decile_value")
+    )
+
+
+def exact_deciles_oracle(
+    table: str = "orders", value_col: str = "o_totalprice", key_col: str = "o_orderkey"
+) -> str:
+    scaled = sql_value_to_micros(value_col)
+    return f"""
+        SELECT d.decile,
+               {sql_micros_to_value('r._vm')} AS decile_value
+        FROM (
+            SELECT {scaled} AS _vm,
+                   row_number() OVER (ORDER BY {scaled}, {key_col}) AS _rn,
+                   COUNT(*) OVER () AS _n
+            FROM {table}
+        ) r
+        JOIN (SELECT unnest(range(1, 11)) AS decile) d
+          ON r._rn = CAST(ceil(r._n * d.decile / 10) AS BIGINT)
+    """
