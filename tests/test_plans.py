@@ -160,3 +160,67 @@ def test_asof_join_single_shuffle_and_left_variant(spark, sf_correctness):
     )
     n_left, n_inner = left.count(), inner.count()
     assert n_left == purchases.count() >= n_inner
+
+
+def _formatted_plan(df) -> str:
+    """explain('formatted') text — unlike executedPlan().toString(),
+    it does not truncate the PushedFilters list."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_full_predicate_pushdown(spark, sf_correctness):
+    """TPC-H q6: every predicate reaches the parquet scan and only the
+    4 referenced columns are read — the shape where row-group pruning
+    carries a 100 TB scan."""
+    plan = _formatted_plan(
+        g.REGISTRY["tpch_q6_forecast_revenue"].fn(spark, sf_correctness)
+    )
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert pushed in plan, pushed
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp_ntz>" in plan
+    )
+
+
+def test_q5_broadcasts_all_dimensions(spark, sf_correctness):
+    """TPC-H q5: customer/supplier/nation/region must broadcast; no
+    cartesian products from the compound join condition."""
+    plan = _executed_plan(
+        g.REGISTRY["tpch_q5_local_supplier_volume"].fn(spark, sf_correctness)
+    )
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "EqualTo(r_name,ASIA)" in plan  # dim filter pushed to scan
+
+
+def test_q13_keeps_outer_join(spark, sf_correctness):
+    """TPC-H q13: the priority predicate is a join residual, not a
+    WHERE — Catalyst must not rewrite the outer join to inner."""
+    plan = _executed_plan(
+        g.REGISTRY["tpch_q13_customer_order_counts"].fn(spark, sf_correctness)
+    )
+    assert "LeftOuter" in plan
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan  # pushed on orders side
+
+
+def test_running_total_single_window_shuffle(spark, sf_correctness):
+    """Both window functions (running sum, lag) share one hash
+    partitioning on o_custkey — a single shuffle, no extra sort."""
+    plan = _executed_plan(
+        g.REGISTRY["window_customer_running_total"].fn(spark, sf_correctness)
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("WindowExec") <= 1 or plan.count("Window") <= 2
