@@ -164,6 +164,8 @@ def main() -> None:
     headline = (
         "tpch_q1_pricing_summary",
         "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier_volume",
+        "tpch_q6_forecast_revenue",
         "region_revenue_join",
         "window_top3_orders_per_customer",
         "events_by_type",
