@@ -224,3 +224,13 @@ def test_running_total_single_window_shuffle(spark, sf_correctness):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("WindowExec") <= 1 or plan.count("Window") <= 2
+
+
+def test_salted_agg_two_phase_fanout(spark, sf_correctness):
+    """Salted aggregation: phase 1 shuffles on (key, salt) — the hot
+    key spreads over 16 reduce tasks — phase 2 merges per key."""
+    plan = _executed_plan(
+        g.REGISTRY["skew_salted_events_by_type"].fn(spark, sf_correctness)
+    )
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "_salt" in plan

@@ -731,6 +731,39 @@ def session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "rollup_orders_year_status",
+    f"""
+    SELECT COALESCE(CAST(year(o_orderdate) AS BIGINT), -1) AS order_year,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS cnt,
+           {_s('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+    """,
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ROLLUP grouping sets (the hierarchy-subtotal flavor, distinct
+    from µWheel's physical time rollup — SURVEY §2.4 naming-trap note):
+    per (year, status), per year, and grand total in one shuffle."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("long")
+    )
+    return (
+        o.rollup("order_year", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            micros_to_value(_sum_micros(F.col("o_totalprice"))).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("order_year"), F.lit(-1)).alias("order_year"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "cnt",
+            "revenue",
+        )
+    )
+
+
+@gate(
     "cube_orders_status_priority",
     f"""
     SELECT COALESCE(o_orderstatus, 'ALL') AS status,
@@ -955,6 +988,23 @@ def text_chunking_q(spark, sf_dir):
 
 
 from uwheel_datafusion_spark.operators import sampling as _sp
+from uwheel_datafusion_spark.operators import skew as _sk
+
+
+@gate(
+    "skew_salted_events_by_type",
+    _sk.salted_sum_count_oracle("events", ("event_type",), "value"),
+)
+def salted_agg_q(spark, sf_dir):
+    """Salted two-phase aggregation for hot keys (scale pattern AQE
+    can't express): identical result to plain GROUP BY by monoid
+    associativity — which is exactly what the oracle checks."""
+    return _sk.salted_sum_count(
+        load_table(spark, sf_dir, "events"),
+        ("event_type",),
+        "value",
+        salt_key="event_id",
+    )
 
 
 @gate("sample_hash_10pct", _sp.hash_sample_oracle())
