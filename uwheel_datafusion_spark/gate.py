@@ -1150,6 +1150,47 @@ def pipeline_clean_corpus(spark, sf_dir):
     ).select("doc_id", "n_tokens", "lang_pred")
 
 
+@gate(
+    "pipeline_training_corpus",
+    f"""
+    WITH profile AS ({_tx.text_profile_oracle()}),
+    canonical AS (
+        SELECT MIN(doc_id) AS keep_doc_id
+        FROM documents GROUP BY md5(text)
+    ),
+    clean AS (
+        SELECT d.doc_id, d.text
+        FROM documents d
+        JOIN canonical c ON d.doc_id = c.keep_doc_id
+        JOIN profile p ON p.doc_id = d.doc_id AND p.quality_ok = 1
+    )
+    SELECT {_sp.split_column_sql('doc_id')} AS split,
+           doc_id, chunk_idx, chunk_text, chunk_tokens
+    FROM ({_tx.chunk_documents_oracle(table='clean')})
+    """,
+)
+def pipeline_training_corpus(spark, sf_dir):
+    """End-to-end LLM training-data prep: quality-filter (map-only) ∘
+    exact-dedup keep-canonical (one digest shuffle + semi join) ∘
+    deterministic train/val/test split (map-only hash) ∘ overlapping
+    token chunking (map-only + explode). One shuffle total — the whole
+    pipeline is otherwise embarrassingly parallel, which is the 100 TB
+    design point."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = _dd.exact_dup_groups(docs).select("keep_doc_id")
+    clean = _tx.quality_filter(docs).join(
+        F.broadcast(keep), F.col("doc_id") == F.col("keep_doc_id"), "left_semi"
+    )
+    chunks = _tx.chunk_documents(clean)
+    return chunks.select(
+        _sp.split_column("doc_id").alias("split"),
+        "doc_id",
+        "chunk_idx",
+        "chunk_text",
+        "chunk_tokens",
+    )
+
+
 @gate("multimodal_decode_stub", _mm.decode_stub_oracle())
 def multimodal_q(spark, sf_dir):
     return _mm.decode_stub_pipeline(load_table(spark, sf_dir, "documents"))

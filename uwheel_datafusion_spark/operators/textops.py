@@ -193,3 +193,17 @@ def chunk_documents_oracle(
             FROM {table}
         )
     """
+
+
+def quality_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rows passing the quality gate, with all input columns kept
+    (unlike text_profile, which projects to metrics) — map-only, so it
+    composes into pipelines without a shuffle. Uses the exact same
+    expressions as text_profile's quality_ok."""
+    e = _exprs(SPARK, text_col)
+    counts = ("n_tokens", "n_chars_text", "n_distinct_tokens")
+    with_counts = docs.select(
+        "*", *[F.expr(e[k]).alias(k) for k in counts]
+    )
+    ok = _quality_exprs()["quality_ok"]
+    return with_counts.filter(F.expr(ok) == 1).drop(*counts)
