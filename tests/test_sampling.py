@@ -60,3 +60,29 @@ def test_histogram_is_single_narrow_shuffle(spark, sf_correctness):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ShuffleExchange") + plan.count("Exchange hashpartitioning") <= 1
     assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan
+
+
+def test_training_shard_sink_partitions_and_prunes(spark, sf_correctness, tmp_path):
+    """The sink writes ≤ n_shards files per split partition, and a
+    reader filtering one split prunes the others at planning time
+    (PartitionFilters on the scan — directory-level skip at 100 TB)."""
+    from uwheel_datafusion_spark.gate import REGISTRY
+    from uwheel_datafusion_spark.sources import sinks
+
+    chunks = REGISTRY["pipeline_training_corpus"].fn(spark, sf_correctness)
+    out = str(tmp_path / "shards")
+    sinks.write_training_shards(chunks, out, n_shards=4)
+
+    for split in ("train", "val", "test"):
+        files = sinks.shard_files(out, split)
+        assert 1 <= len(files) <= 4, (split, files)
+
+    train = sinks.read_split(spark, out, "train")
+    plan = train._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(split" in plan
+    # round trip: written rows == pipeline rows, per split
+    expected = {
+        r.split: r.n
+        for r in chunks.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert train.count() == expected["train"]
