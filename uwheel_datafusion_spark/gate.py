@@ -1123,6 +1123,13 @@ def ann_q(spark, sf_dir):
     )
 
 
+@gate("similarity_label_centroids", _sim.label_centroids_oracle())
+def centroids_q(spark, sf_dir):
+    """IVF cell-centroid build (posexplode + partial agg on
+    (cell, pos)): reduce volume is n_cells × dim, not corpus size."""
+    return _sim.label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
 @gate(
     "pipeline_clean_corpus",
     f"""

@@ -327,3 +327,54 @@ def ann_ivf_topk_oracle(
             FROM scored
         ) WHERE rnk <= {k}
     """
+
+
+def label_centroids(
+    vecs: DataFrame, cell_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-cell centroid components — the build step IVF's coarse cells
+    come from (one k-means iteration = assign + this). posexplode
+    fans each vector into (pos, component) rows map-side; one shuffle
+    on (cell, pos) with partial aggregation, so the reduce volume is
+    n_cells × dim regardless of corpus size. Component means use the
+    exact scaled-long policy, hence the DuckDB oracle matches
+    bit-for-bit."""
+    from uwheel_datafusion_spark.functions.quant import value_to_micros
+
+    ex = vecs.select(
+        F.col(cell_col).cast("long").alias("cell"),
+        F.posexplode(vec_col).alias("pos", "comp"),
+    )
+    return (
+        ex.groupBy(F.col("cell"), F.col("pos").cast("long").alias("pos"))
+        .agg(
+            F.sum(value_to_micros(F.col("comp").cast("double"))).alias("_sm"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "cell",
+            "pos",
+            (F.col("_sm").cast("double") / F.col("cnt").cast("double") / 1_000_000)
+            .alias("centroid"),
+            "cnt",
+        )
+    )
+
+
+def label_centroids_oracle(
+    table: str = "embeddings", cell_col: str = "label", vec_col: str = "embedding"
+) -> str:
+    return f"""
+        SELECT CAST({cell_col} AS BIGINT) AS cell,
+               CAST(pos AS BIGINT) AS pos,
+               ((CAST(SUM(CAST(round(CAST(comp AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE)) / 1000000) AS centroid,
+               COUNT(*) AS cnt
+        FROM (
+            SELECT {cell_col},
+                   unnest(range(len({vec_col}))) AS pos,
+                   unnest({vec_col}) AS comp
+            FROM {table}
+        )
+        GROUP BY 1, 2
+    """
