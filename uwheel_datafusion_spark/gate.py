@@ -552,6 +552,48 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
 
+_EXISTS_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o_orderpriority
+"""
+
+
+@gate("subquery_exists_shipped_after_order", _EXISTS_SQL)
+def subquery_exists_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4 shape: correlated EXISTS — Catalyst decorrelates it to
+    a left-semi join on l_orderkey (SURVEY §4.1 'subquery
+    decorrelation', unreachable in the reference, free in Spark). The
+    identical SQL string is the DuckDB oracle."""
+    register_tables(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(_EXISTS_SQL)
+
+
+_SCALAR_SUBQ_SQL = f"""
+    SELECT COUNT(*) AS n_above,
+           {_s('o_totalprice')} AS revenue_above
+    FROM orders
+    WHERE o_totalprice > (
+        SELECT (CAST(SUM(CAST(round((o_totalprice) * 1000000) AS BIGINT)) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE)) / 1000000
+        FROM orders
+    )
+"""
+
+
+@gate("subquery_scalar_above_avg_order", _SCALAR_SUBQ_SQL)
+def subquery_scalar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery as a filter threshold; the
+    threshold itself uses the exact-sum avg policy so both engines
+    compare against the identical double."""
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(_SCALAR_SUBQ_SQL)
+
+
 @gate(
     "window_customer_running_total",
     """
