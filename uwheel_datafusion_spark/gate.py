@@ -552,6 +552,76 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
 
+@gate(
+    "tpch_q19_disjunctive_revenue",
+    f"""
+    SELECT {_s('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size <= 5  AND l_quantity >= 1  AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size <= 10 AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#34' AND p_size <= 15 AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19 shape: OR-of-ANDs across both join sides. Catalyst
+    splits the disjunction: per-side implied filters
+    (q ∈ [1,30], brand ∈ {{...}}) push to each scan, the residual OR
+    evaluates post-join — disjunctions don't defeat pushdown."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & (s <= 5) & (q >= 1) & (q <= 11))
+        | ((b == "Brand#23") & (s <= 10) & (q >= 10) & (q <= 20))
+        | ((b == "Brand#34") & (s <= 15) & (q >= 20) & (q <= 30))
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            micros_to_value(_sum_micros(rev)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@gate(
+    "window_trailing_7d_user_revenue",
+    """
+    SELECT event_id, user_id,
+           (CAST(SUM(CAST(round(value * 1000000) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                           RANGE BETWEEN 604799999 PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / 1000000) AS trailing_7d
+    FROM events
+    """,
+)
+def window_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, vs the ROWS frame of
+    running_total): per-user trailing-7-day revenue at every event.
+    Ordering key = epoch ms (numeric RANGE frames are
+    engine-portable; ties all enter the same frame, so the result is
+    deterministic even with duplicate timestamps)."""
+    from uwheel_datafusion_spark.functions.time import ts_to_ms
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(ts_to_ms("ts"))
+        .rangeBetween(-(7 * DAY_MS - 1), W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        micros_to_value(F.sum(value_to_micros("value")).over(w)).alias(
+            "trailing_7d"
+        ),
+    )
+
+
 _EXISTS_SQL = """
     SELECT o_orderpriority, COUNT(*) AS n_orders
     FROM orders o
