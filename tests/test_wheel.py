@@ -209,3 +209,34 @@ def test_approx_count_distinct_bound(spark, sf_smoke):
         F.countDistinct("user_id").alias("exact"),
     ).first()
     assert abs(row["approx"] - row["exact"]) <= max(3, 0.05 * row["exact"])
+
+
+def test_custom_aggregator_protocol(spark, sf_smoke):
+    """§2.10: a user-defined lift/combine/lower aggregator (sum of
+    squares) built as a distributed slot rollup + driver fold must
+    equal the direct SQL computation over the same range — and an
+    empty range lowers to None (Option contract)."""
+    from uwheel_datafusion_spark.functions.aggregator import (
+        CustomSlotIndex,
+        build_custom_rollup,
+        sum_of_squares_aggregator,
+    )
+    from uwheel_datafusion_spark.gate import EVENTS_ADV_MS, EVENTS_WM_MS, RANGE_MINUTE
+    from uwheel_datafusion_spark.functions.time import ts_to_ms
+    from uwheel_datafusion_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_smoke, "events")
+    agg = sum_of_squares_aggregator("value")
+    rollup = build_custom_rollup(ev, "ts", agg, EVENTS_WM_MS, EVENTS_ADV_MS)
+    idx = CustomSlotIndex(rollup, agg)
+
+    s, e = RANGE_MINUTE
+    ms = ts_to_ms("ts")
+    direct = (
+        ev.filter((ms >= s) & (ms < e))
+        .agg(F.sum(F.round(F.col("value") * F.col("value") * 1_000_000).cast("long")))
+        .first()[0]
+    )
+    assert idx.query(s, e) == float(direct) / 1_000_000
+    # a range wholly before any data lowers to None
+    assert idx.query(EVENTS_WM_MS - 60_000, EVENTS_WM_MS) is None
