@@ -86,3 +86,23 @@ def test_training_shard_sink_partitions_and_prunes(spark, sf_correctness, tmp_pa
         for r in chunks.groupBy("split").agg(F.count("*").alias("n")).collect()
     }
     assert train.count() == expected["train"]
+
+
+def test_hash_bucket_parity_spark_vs_duckdb(spark):
+    """The portable mix must produce the IDENTICAL bucket in Spark SQL
+    and DuckDB for positive and negative keys — that's what makes
+    sampled/split gate queries oracle-checkable at all."""
+    import duckdb
+
+    keys = [0, 1, 2, 999, 10**12, 7, -1, -999, -(10**12), 2**52]
+    expr = sp.hash_bucket_sql("k", 100)
+    sdf = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    spark_buckets = {
+        r.k: r.b for r in sdf.selectExpr("k", f"{expr} AS b").collect()
+    }
+    duck = duckdb.sql(
+        f"SELECT k, {expr} AS b FROM (SELECT unnest({keys!r}) AS k)"
+    ).fetchall()
+    duck_buckets = {k: b for k, b in duck}
+    assert spark_buckets == duck_buckets
+    assert all(0 <= b < 100 for b in spark_buckets.values())

@@ -39,9 +39,12 @@ _P2 = 1_000_000_007
 
 def hash_bucket_sql(key: str, buckets: int = 100) -> str:
     """Portable SQL: stable bucket in [0, buckets) for a bigint key.
-    Renders identically in Spark SQL and DuckDB (only +, *, %)."""
+    Renders identically in Spark SQL and DuckDB (abs, +, *, % — both
+    engines use C-style truncating %, so folding through abs keeps
+    every intermediate non-negative and the bucket in range for
+    negative keys too; INT64_MIN is out of contract)."""
     return (
-        f"((((({key}) % {_P1}) * {_KNUTH} + {_OFF}) % {_P2}) % {buckets})"
+        f"(((abs({key}) % {_P1}) * {_KNUTH} + {_OFF}) % {_P2} % {buckets})"
     )
 
 
