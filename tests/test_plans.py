@@ -234,3 +234,15 @@ def test_salted_agg_two_phase_fanout(spark, sf_correctness):
     )
     assert plan.count("Exchange hashpartitioning") == 2
     assert "_salt" in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_correctness):
+    """The binned range join must plan as hash equi-joins — a
+    BroadcastNestedLoopJoin/CartesianProduct here is the O(n²) failure
+    the binning exists to prevent."""
+    plan = _executed_plan(
+        g.REGISTRY["range_join_purchase_click_5m"].fn(spark, sf_correctness)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan

@@ -1099,8 +1099,34 @@ def text_chunking_q(spark, sf_dir):
     return _tx.chunk_documents(load_table(spark, sf_dir, "documents"))
 
 
+from uwheel_datafusion_spark.operators import rangejoin as _rj
 from uwheel_datafusion_spark.operators import sampling as _sp
 from uwheel_datafusion_spark.operators import skew as _sk
+
+
+@gate(
+    "range_join_purchase_click_5m",
+    _rj.purchase_click_followups_oracle(),
+)
+def range_join_q(spark, sf_dir):
+    """Binned range join: clicks within 5 min after a purchase by the
+    same user — two equi-join legs on (user, bin) + residual filter,
+    never a nested-loop (see operators/rangejoin.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return _rj.binned_interval_join(
+        ev.filter(F.col("event_type") == "purchase").withColumnRenamed(
+            "event_id", "purchase_event_id"
+        ),
+        ev.filter(F.col("event_type") == "click").withColumnRenamed(
+            "event_id", "click_event_id"
+        ),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        window_ms=300_000,
+        left_id="purchase_event_id",
+        right_id="click_event_id",
+    )
 
 
 @gate(
