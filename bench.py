@@ -173,6 +173,8 @@ def main() -> None:
         "text_profile",
         "dedup_minhash_lsh_candidates",
         "pipeline_clean_corpus",
+        "pipeline_training_corpus",
+        "range_join_purchase_click_5m",
     )
     for name in headline:
         if name not in REGISTRY:

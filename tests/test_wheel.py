@@ -240,3 +240,17 @@ def test_custom_aggregator_protocol(spark, sf_smoke):
     assert idx.query(s, e) == float(direct) / 1_000_000
     # a range wholly before any data lowers to None
     assert idx.query(EVENTS_WM_MS - 60_000, EVENTS_WM_MS) is None
+
+
+def test_wheel_cache_keyed_by_sf_dir(spark, sf_smoke, sf_correctness):
+    """Two scale factors in one session must build two distinct
+    indexes — a stale shared cache would silently serve sf0.001
+    results for sf0.01 queries (driver runs multiple sf dirs)."""
+    from uwheel_datafusion_spark.gate import events_wheel
+
+    a = events_wheel(spark, sf_smoke)
+    b = events_wheel(spark, sf_correctness)
+    assert a is not b
+    assert a.stats.n_indexed_rows != b.stats.n_indexed_rows
+    # repeat call returns the cached object (no rebuild)
+    assert events_wheel(spark, sf_smoke) is a
