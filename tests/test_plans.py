@@ -246,3 +246,29 @@ def test_range_join_is_equi_not_nested_loop(spark, sf_correctness):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_argmax_is_single_hash_aggregate_no_window(spark, sf_correctness):
+    """max_by must stay a two-phase aggregate: partial_max_by merges
+    map-side so the shuffle carries one row per (task, customer), and
+    there is exactly ONE exchange. A Window here means the plan
+    silently degraded to the row_number()=1 idiom, which shuffles
+    every input row. (Spark picks SortAggregate — max_by's buffer
+    holds a string, so no hash aggregate — but the partial/final
+    split is what scales.)"""
+    plan = _executed_plan(
+        g.REGISTRY["argmax_latest_order_per_customer"].fn(spark, sf_correctness)
+    )
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_grouping_sets_expand_single_shuffle(spark, sf_correctness):
+    """GROUPING SETS expands rows map-side (Expand) and aggregates with
+    ONE shuffle — not one scan+shuffle per set."""
+    plan = _executed_plan(
+        g.REGISTRY["grouping_sets_orders_status_priority"].fn(spark, sf_correctness)
+    )
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -938,6 +938,88 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "grouping_sets_orders_status_priority",
+    f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS grp_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS grp_priority,
+           COUNT(*) AS cnt,
+           {_s('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.4 last row: explicit GROUPING SETS (the general form of
+    ROLLUP/CUBE — an arbitrary subset of the power set) plus the
+    GROUPING() marker that disambiguates a NULL key from a subtotal
+    row. Spark expands the sets map-side; still one shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("grp_status"),
+            F.grouping("o_orderpriority").cast("int").alias("grp_priority"),
+            F.count(F.lit(1)).alias("cnt"),
+            micros_to_value(_sum_micros(F.col("o_totalprice"))).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "grp_status",
+            "grp_priority",
+            "cnt",
+            "revenue",
+        )
+    )
+
+
+# arg-max ordering key: DuckDB's arg_max can't order by a struct, so the
+# deterministic tie-break (order date, then unique orderkey) is encoded
+# as ONE bigint on both engines: epoch_ms(date) * 2^21 + orderkey.
+# 2001-epoch-ms (≈9.8e11) * 2^21 ≈ 2.1e18 < 2^63; fixture orderkeys stay
+# < 2^21 through sf0.1. The pure-Spark scale path (no oracle constraint)
+# would order max_by by struct(o_orderdate, o_orderkey) instead.
+_ARGMAX_ORD_SQL = "(epoch_ms(o_orderdate) * 2097152 + o_orderkey)"
+
+
+@gate(
+    "argmax_latest_order_per_customer",
+    f"""
+    SELECT o_custkey,
+           arg_max(o_orderkey, {_ARGMAX_ORD_SQL}) AS latest_orderkey,
+           arg_max(o_orderpriority, {_ARGMAX_ORD_SQL}) AS latest_priority,
+           arg_max(o_totalprice, {_ARGMAX_ORD_SQL}) AS latest_totalprice,
+           epoch_ms(max(o_orderdate)) AS latest_order_ms
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def argmax_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max aggregation (max_by): each customer's most recent order
+    in ONE hash aggregate — the scale-friendly replacement for the
+    window+filter (row_number()=1) idiom, which needs a full sort per
+    key. Partial max_by merges map-side, so shuffle traffic is one row
+    per (partition, customer)."""
+    from uwheel_datafusion_spark.functions.time import ts_to_ms
+
+    o = load_table(spark, sf_dir, "orders")
+    ord_key = ts_to_ms("o_orderdate") * F.lit(2097152) + F.col("o_orderkey")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", ord_key).alias("latest_orderkey"),
+        F.max_by("o_orderpriority", ord_key).alias("latest_priority"),
+        F.max_by("o_totalprice", ord_key).alias("latest_totalprice"),
+        ts_to_ms(F.max("o_orderdate")).alias("latest_order_ms"),
+    )
+
+
+@gate(
     "semi_join_active_customers",
     """
     SELECT c_custkey, c_mktsegment FROM customer c
