@@ -93,10 +93,24 @@ def exact_dup_groups_oracle(table: str = "documents", text_col: str = "text") ->
 # --------------------------------------------------------------------------
 
 
+def _fan_out(docs: DataFrame) -> DataFrame:
+    """Give the map-heavy hashing stages at least one partition per
+    core. A small corpus arrives as ONE parquet file → one task, and
+    the md5-chain minhash expression serializes on a single core (32×
+    slowdown observed at sf0.1). At 100 TB the scan already yields
+    thousands of partitions, so this branch never fires and no shuffle
+    is added."""
+    sc = docs.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target, "doc_id")
+    return docs
+
+
 def _shingle_sets(docs: DataFrame, text_col: str, n: int) -> DataFrame:
     d = SPARK
     sh = d.array_distinct(d.shingles(d.split(text_col), n))
-    return docs.select("doc_id", F.expr(sh).alias("shingles")).withColumn(
+    return _fan_out(docs).select("doc_id", F.expr(sh).alias("shingles")).withColumn(
         "n_shingles", F.size("shingles")
     )
 
@@ -181,6 +195,7 @@ def _minhash_exprs(d: Dialect, text_col: str) -> list[str]:
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """k=8 MinHash values per document (map-only, no shuffle)."""
     exprs = _minhash_exprs(SPARK, text_col)
+    docs = _fan_out(docs)
     return docs.select(
         "doc_id", *[F.expr(e).alias(f"mh{i}") for i, e in enumerate(exprs)]
     )
@@ -318,6 +333,7 @@ def _simhash_expr(d: Dialect, text_col: str) -> str:
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    docs = _fan_out(docs)
     return docs.select(
         "doc_id", F.expr(_simhash_expr(SPARK, text_col)).alias("simhash")
     )
@@ -354,6 +370,9 @@ def simhash_near_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    # materialize once: the self-join would otherwise evaluate the
+    # 32-bit-vote simhash expression on BOTH sides
+    bands = bands.cache()
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
