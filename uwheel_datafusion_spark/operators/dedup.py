@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from uwheel_datafusion_spark.functions.dialect import DUCK, SPARK, Dialect
+from uwheel_datafusion_spark.operators.util import ensure_min_parallelism
 
 # fixed MinHash constants (any odd a works; deterministic by design —
 # the reference's unseeded RNG non-reproducibility is a bug we fix,
@@ -94,17 +95,9 @@ def exact_dup_groups_oracle(table: str = "documents", text_col: str = "text") ->
 
 
 def _fan_out(docs: DataFrame) -> DataFrame:
-    """Give the map-heavy hashing stages at least one partition per
-    core. A small corpus arrives as ONE parquet file → one task, and
-    the md5-chain minhash expression serializes on a single core (32×
-    slowdown observed at sf0.1). At 100 TB the scan already yields
-    thousands of partitions, so this branch never fires and no shuffle
-    is added."""
-    sc = docs.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        return docs.repartition(target, "doc_id")
-    return docs
+    """See operators.util.ensure_min_parallelism — the md5-chain
+    hashing expressions must not serialize on a single-file scan."""
+    return ensure_min_parallelism(docs, "doc_id")
 
 
 def _shingle_sets(docs: DataFrame, text_col: str, n: int) -> DataFrame:

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from uwheel_datafusion_spark.functions.dialect import DUCK, SPARK
+from uwheel_datafusion_spark.operators.util import ensure_min_parallelism
 
 Q_SCALE = 10_000
 
@@ -35,6 +36,11 @@ Q_SCALE = 10_000
 def _quantized(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
     d = SPARK
     q = d.quantize_vec(vec_col, Q_SCALE)
+    # fan a single-file scan out to all cores: every consumer of qvec
+    # (pair joins, LSH bucketing, top-k scoring) is dot-product heavy,
+    # and a non-equi pair join inherits the streamed side's partition
+    # count — 1 task without this
+    vecs = ensure_min_parallelism(vecs, "vec_id")
     return vecs.withColumn("qvec", F.expr(q)).withColumn(
         "qnorm", F.expr(d.dot_q("qvec", "qvec"))
     )
@@ -191,27 +197,47 @@ LSH_TABLES = 8
 LSH_BITS = 4
 
 
-def _plane_expr(d, t: int, j: int) -> str:
+#: fixture embedding dimensionality; hyperplane_lsh_pairs takes a dim
+#: override for other corpora
+PLANE_DIM = 64
+
+
+def _plane_components(t: int, j: int, dim: int) -> list[int]:
     """Deterministic pseudo-random hyperplane (table t, bit j):
-    component i is a hash-derived int in [-1000, 1000] — identical in
-    both dialects, so the whole LSH pipeline has an exact oracle (the
-    'random' planes are fixed by construction, like seeded random)."""
-    h = d.hash32(f"concat('plane{t}_{j}_', i)")
-    comp = f"({h} % 2001) - 1000"
-    return d.transform(d.seq1(d.size("qvec")), "i", comp)
+    component i is md5-derived in [-1000, 1000] — the same values the
+    SQL ``hash32(concat('plane{t}_{j}_', i))`` expression yields (unit
+    test pins this), but computed ONCE here instead of per row. The
+    per-row form cost ~2 048 md5 calls per vector (32 planes × 64
+    components) and dominated the whole LSH job."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"plane{t}_{j}_{i}".encode()).hexdigest()[:8], 16) % 2001)
+        - 1000
+        for i in range(1, dim + 1)
+    ]
 
 
-def _bucket_expr(d, t: int) -> str:
-    """Table t's bucket id: the b sign bits of qvec·plane_j."""
+def _plane_expr(d, t: int, j: int, dim: int) -> str:
+    comps = ", ".join(str(c) for c in _plane_components(t, j, dim))
+    return f"array({comps})" if d.is_spark else f"[{comps}]"
+
+
+def _bucket_expr(d, t: int, dim: int) -> str:
+    """Table t's bucket id: the b sign bits of qvec·plane_j (planes are
+    inlined literal arrays — constant-folded, zero per-row hashing)."""
     bits = []
     for j in range(LSH_BITS):
-        dot = d.sum_list_bigint(d.zip_mult("qvec", _plane_expr(d, t, j)))
+        dot = d.sum_list_bigint(d.zip_mult("qvec", _plane_expr(d, t, j, dim)))
         bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
 
 
 def hyperplane_lsh_pairs(
-    vecs: DataFrame, threshold: float = 0.45, vec_col: str = "embedding"
+    vecs: DataFrame,
+    threshold: float = 0.45,
+    vec_col: str = "embedding",
+    dim: int = PLANE_DIM,
 ) -> DataFrame:
     """Random-hyperplane (SimHash-for-vectors) LSH near-dup pairs: the
     scale path when no precomputed IVF cell exists. Candidates = pairs
@@ -230,7 +256,7 @@ def hyperplane_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(t).alias("t"),
-                        F.expr(_bucket_expr(SPARK, t)).alias("bucket"),
+                        F.expr(_bucket_expr(SPARK, t, dim)).alias("bucket"),
                     )
                     for t in range(LSH_TABLES)
                 ]
@@ -278,11 +304,12 @@ def hyperplane_lsh_pairs_oracle(
     table: str = "embeddings",
     threshold: float = 0.45,
     vec_col: str = "embedding",
+    dim: int = PLANE_DIM,
 ) -> str:
     d = DUCK
     cos = d.cosine_q(d.dot_q("a.qvec", "b.qvec"), "a.qnorm", "b.qnorm")
     per_table = " UNION ALL ".join(
-        f"SELECT vec_id, qvec, qnorm, {t} AS t, {_bucket_expr(d, t)} AS bucket FROM qn"
+        f"SELECT vec_id, qvec, qnorm, {t} AS t, {_bucket_expr(d, t, dim)} AS bucket FROM qn"
         for t in range(LSH_TABLES)
     )
     return f"""
