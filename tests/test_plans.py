@@ -272,3 +272,44 @@ def test_grouping_sets_expand_single_shuffle(spark, sf_correctness):
     )
     assert "Expand" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_correctness, tmp_path):
+    """A fact table laid out with partitionBy(ship_year) must get
+    DYNAMIC partition pruning when joined to a filtered dim: the scan
+    waits for the broadcast result and reads only the matching
+    partitions. At 100 TB this is the difference between scanning one
+    year and scanning the whole table."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_correctness, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    path = str(tmp_path / "lineitem_by_year")
+    li.write.partitionBy("ship_year").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    # the filter is on a NON-join column, so the pruning value is only
+    # known at runtime from the broadcast — a literal filter on yr
+    # would be constant-propagated into a static partition filter
+    # instead (also fine, also tested below)
+    dim = spark.createDataFrame(
+        [(y, "keep" if y == 1996 else "drop") for y in range(1995, 2002)],
+        "yr int, tag string",
+    ).filter(F.col("tag") == "keep")
+    joined = fact.join(dim, fact.ship_year == dim.yr).agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+    lit_dim = spark.range(1995, 2002).select(
+        F.col("id").cast("int").alias("yr")
+    ).filter(F.col("yr") == 1996)
+    lit_plan = (
+        fact.join(lit_dim, fact.ship_year == lit_dim.yr)
+        .agg(F.sum("l_quantity").alias("qty"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [(ship_year" in lit_plan  # static pruning

@@ -256,3 +256,60 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
         for r in chunk1.unionByName(chunk2).dropDuplicates(["k"]).select("k").collect()
     )
     assert sorted(seen) == batch_keys == [1, 2, 3]
+
+
+def test_stream_static_join_enrichment(spark, sf_smoke, stream_dir, tmp_path):
+    """Stream-static broadcast join: enrich a stream with a static
+    dimension (event_type -> weight), then a windowed weighted sum.
+    The static side re-broadcasts per micro-batch; no stateful join
+    state is needed — this is THE scale pattern for dimension
+    enrichment (a stream-stream join would shuffle both sides and
+    keep watermark state)."""
+    from pyspark.sql import functions as SF
+
+    weights = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("purchase", 5), ("signup", 3), ("error", 0)],
+        "event_type string, weight int",
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    expected = {
+        r["h"]: r["wsum"]
+        for r in (
+            ev.join(SF.broadcast(weights), "event_type")
+            .groupBy(SF.date_trunc("hour", "ts").alias("h"))
+            .agg(SF.sum(SF.col("weight").cast("long")).alias("wsum"))
+            .collect()
+        )
+    }
+
+    schema = load_table(spark, sf_smoke, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .select("ts", "event_type")
+    )
+    enriched = (
+        stream.join(SF.broadcast(weights), "event_type")
+        .withWatermark("ts", "31 days")
+        .groupBy(SF.window("ts", "1 hour").alias("w"))
+        .agg(SF.sum(SF.col("weight").cast("long")).alias("wsum"))
+        .select(SF.col("w.start").alias("h"), "wsum")
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("stream_static_enriched")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["h"]: r["wsum"]
+        for r in spark.sql("SELECT * FROM stream_static_enriched").collect()
+    }
+    assert got == expected
