@@ -34,3 +34,36 @@ def test_plane_components_match_sql_hash32():
         expr = DUCK.transform(DUCK.seq1("7"), "i", f"({h} % 2001) - 1000")
         sql_vals = list(con.execute(f"SELECT {expr}").fetchone()[0])
         assert sql_vals == sim._plane_components(t, j, 7), (t, j)
+
+
+def test_kmeans_tdiv_matches_sql_integer_division():
+    """Python fold must truncate toward zero like Spark `div` and
+    DuckDB `//` (Python's // floors — differs on negatives)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for a, b in ((-7, 2), (7, 2), (-8, 4), (-9, 4), (1, 3), (-1, 3)):
+        assert sim._tdiv(a, b) == con.execute(f"SELECT {a} // {b}").fetchone()[0]
+
+
+def test_kmeans_assignment_is_map_only(spark, sf_correctness):
+    """The assignment pass must not shuffle: centroids are literal
+    arrays, so the only exchange in the whole lineage is the one-off
+    small-corpus fan-out repartition (and none for the final argmin)."""
+    df = sim.kmeans_assignments(
+        load_table(spark, sf_correctness, "embeddings"), k=4, n_iter=2
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "least(" in plan
+    # no aggregate/window/join in the serving pass
+    for op in ("HashAggregate", "SortAggregate", "Window", "Join"):
+        assert op not in plan, op
+
+
+def test_kmeans_rejects_bad_k(spark, sf_smoke):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sim.kmeans_assignments(load_table(spark, sf_smoke, "embeddings"), k=17)
+    with _pt.raises(ValueError):
+        sim.kmeans_assignments(load_table(spark, sf_smoke, "embeddings"), k=1)

@@ -121,6 +121,16 @@ class Dialect:
             return f"zip_with({a}, {b}, (x, y) -> x * y)"
         return f"list_transform(list_zip({a}, {b}), z -> z[1] * z[2])"
 
+    def zip_sqdiff(self, a: str, b: str) -> str:
+        """Element-wise squared difference of two bigint lists (the
+        summand of an exact integer squared-L2 distance)."""
+        if self.is_spark:
+            return f"zip_with({a}, {b}, (x, y) -> (x - y) * (x - y))"
+        return (
+            f"list_transform(list_zip({a}, {b}), "
+            f"z -> (z[1] - z[2]) * (z[1] - z[2]))"
+        )
+
     # ---- shared building blocks --------------------------------------------
 
     def hex_nibble(self, e: str, i: int) -> str:

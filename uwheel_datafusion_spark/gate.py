@@ -1351,6 +1351,21 @@ def centroids_q(spark, sf_dir):
 
 
 @gate(
+    "kmeans_lloyd_2iter_embeddings",
+    _sim.kmeans_assignments_oracle(k=4, n_iter=2),
+)
+def kmeans_q(spark, sf_dir):
+    """Iterative Lloyd k-means, the broadcast-centroid loop: map-only
+    assignment against literal centroids, one k×dim-row shuffle per
+    update, driver fold between iterations. Exact int64 arithmetic
+    end-to-end, so the DuckDB oracle replays the same two iterations
+    as CTEs and hash-matches."""
+    return _sim.kmeans_assignments(
+        load_table(spark, sf_dir, "embeddings"), k=4, n_iter=2
+    )
+
+
+@gate(
     "pipeline_clean_corpus",
     f"""
     WITH profile AS ({_tx.text_profile_oracle()}),

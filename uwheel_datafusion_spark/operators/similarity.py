@@ -405,3 +405,147 @@ def label_centroids_oracle(
         )
         GROUP BY 1, 2
     """
+
+
+# --------------------------------------------------------------------------
+# Lloyd k-means (iterative algorithm over the corpus)
+# --------------------------------------------------------------------------
+#
+# The distributed shape per iteration — the same one you'd run at
+# 100 TB:
+#   assign:  MAP-ONLY. Centroids are tiny (k × dim ints), so they are
+#            inlined as literal arrays and every vector picks
+#            argmin-distance in a single projection — no join, no
+#            shuffle.
+#   update:  posexplode → groupBy(cluster, pos) with partial aggregation
+#            — ONE shuffle whose reduce volume is k × dim rows
+#            regardless of corpus size; the k×dim sums are collected
+#            and folded into the next literal centroids driver-side
+#            (the classic broadcast-centroid Lloyd loop).
+#
+# All arithmetic is exact int64 (quantized vectors, truncating integer
+# division — Spark `div` and DuckDB `//` both truncate toward zero), so
+# DuckDB replays the identical iterations CTE-by-CTE and the gate
+# hash-matches bit-for-bit. Ties (equidistant centroids) break toward
+# the lower cluster id via the dist·16+cid encoding.
+
+KMEANS_ENC = 16  # ord = sq_dist * 16 + cid  ⇒  requires k ≤ 16
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero division, matching SQL integer division
+    (Python's // floors, which differs on negative numerators)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def _dist_ord_exprs(d, centroids: list[list[int]]) -> list[str]:
+    """One encoded-distance expression per centroid, with the centroid
+    inlined as a literal array."""
+    out = []
+    for cid, cvec in enumerate(centroids):
+        comps = ", ".join(str(c) for c in cvec)
+        lit = f"array({comps})" if d.is_spark else f"[{comps}]"
+        dist = d.sum_list_bigint(d.zip_sqdiff("qvec", lit))
+        out.append(f"({dist} * {KMEANS_ENC} + {cid})")
+    return out
+
+
+def _assign(qv: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    ords = [F.expr(e) for e in _dist_ord_exprs(SPARK, centroids)]
+    return qv.withColumn("mord", F.least(*ords))
+
+
+def kmeans_assignments(
+    vecs: DataFrame, k: int = 4, n_iter: int = 2, vec_col: str = "embedding"
+) -> DataFrame:
+    """Final (vec_id, cluster, sq_dist) after ``n_iter`` Lloyd
+    assignment passes (n_iter − 1 centroid updates in between).
+    Init: the k lowest-vec_id vectors, cluster ids in vec_id order."""
+    if not 2 <= k <= KMEANS_ENC:
+        raise ValueError(f"k must be in [2, {KMEANS_ENC}]")
+    qv = _quantized(vecs, vec_col).select("vec_id", "qvec").cache()
+    init_rows = qv.orderBy("vec_id").limit(k).collect()
+    centroids = [list(r["qvec"]) for r in init_rows]
+
+    for _ in range(n_iter - 1):
+        assigned = _assign(qv, centroids).select(
+            (F.col("mord") % KMEANS_ENC).alias("cid"),
+            F.posexplode("qvec").alias("pos", "comp"),
+        )
+        sums = (
+            assigned.groupBy("cid", "pos")
+            .agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        nxt = [list(c) for c in centroids]  # empty cluster keeps its centroid
+        for r in sums:
+            nxt[r["cid"]][r["pos"]] = _tdiv(r["s"], r["c"])
+        centroids = nxt
+
+    return _assign(qv, centroids).select(
+        "vec_id",
+        (F.col("mord") % KMEANS_ENC).cast("long").alias("cluster"),
+        (F.col("mord") / F.lit(KMEANS_ENC)).cast("long").alias("sq_dist"),
+    )
+
+
+def kmeans_assignments_oracle(
+    table: str = "embeddings",
+    k: int = 4,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+) -> str:
+    """The same iterations as nested CTEs (no driver loop): c0 = init
+    centroids; a_i = assignment under c_{i-1}; c_i = truncated
+    component means with empty clusters keeping c_{i-1}."""
+    d = DUCK
+    q = d.quantize_vec(vec_col, Q_SCALE)
+    dist = d.sum_list_bigint(d.zip_sqdiff("qv.qvec", "c.cvec"))
+    parts = [
+        f"qv AS (SELECT vec_id, {q} AS qvec FROM {table})",
+        f"""c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+                   qvec AS cvec
+            FROM (SELECT vec_id, qvec FROM qv ORDER BY vec_id LIMIT {k})
+        )""",
+    ]
+    for i in range(1, n_iter):
+        prev = f"c{i - 1}"
+        parts.append(
+            f"""a{i} AS (
+                SELECT qv.vec_id, min({dist} * {KMEANS_ENC} + c.cid) AS mord
+                FROM qv CROSS JOIN {prev} c GROUP BY qv.vec_id
+            )"""
+        )
+        parts.append(
+            f"""u{i} AS (
+                SELECT (a.mord % {KMEANS_ENC}) AS cid, pos, SUM(comp) AS s, COUNT(*) AS c
+                FROM a{i} a JOIN qv USING (vec_id),
+                     LATERAL (SELECT unnest(range(len(qv.qvec))) AS pos,
+                                     unnest(qv.qvec) AS comp)
+                GROUP BY 1, 2
+            )"""
+        )
+        parts.append(
+            f"""c{i} AS (
+                SELECT p.cid,
+                       COALESCE(n.cvec, p.cvec) AS cvec
+                FROM {prev} p LEFT JOIN (
+                    SELECT cid, list(s // c ORDER BY pos) AS cvec
+                    FROM u{i} GROUP BY cid
+                ) n USING (cid)
+            )"""
+        )
+    last = f"c{n_iter - 1}"
+    return f"""
+        WITH {", ".join(parts)},
+        afin AS (
+            SELECT qv.vec_id, min({dist} * {KMEANS_ENC} + c.cid) AS mord
+            FROM qv CROSS JOIN {last} c GROUP BY qv.vec_id
+        )
+        SELECT vec_id,
+               CAST(mord % {KMEANS_ENC} AS BIGINT) AS cluster,
+               CAST(mord // {KMEANS_ENC} AS BIGINT) AS sq_dist
+        FROM afin
+    """
