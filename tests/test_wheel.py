@@ -254,3 +254,58 @@ def test_wheel_cache_keyed_by_sf_dir(spark, sf_smoke, sf_correctness):
     assert a.stats.n_indexed_rows != b.stats.n_indexed_rows
     # repeat call returns the cached object (no rebuild)
     assert events_wheel(spark, sf_smoke) is a
+
+
+def test_incremental_extend_equals_one_shot_build(spark, sf_smoke):
+    """insert+advance parity (/root/reference/src/main.rs:128-140):
+    indexing January in two chunks (split at Jan 16) then advancing
+    must yield the SAME index as one full build — landmark, random
+    ranges, slot counts, and row stats all equal — without re-reading
+    the first chunk."""
+    from datetime import datetime
+
+    from uwheel_datafusion_spark.functions.time import MINUTE_MS, to_epoch_ms
+    from uwheel_datafusion_spark.gate import EVENTS_ADV_MS, EVENTS_WM_MS
+
+    split_ms = to_epoch_ms(datetime(2024, 1, 16))
+    ev = load_table(spark, sf_smoke, "events")
+    chunk1 = ev.filter(F.col("ts") < F.timestamp_millis(F.lit(split_ms)))
+    chunk2 = ev.filter(F.col("ts") >= F.timestamp_millis(F.lit(split_ms)))
+
+    base = WheelIndex.build(
+        chunk1, "ts", "value", EVENTS_WM_MS, split_ms, cache=False
+    )
+    extended = base.extend(chunk2, "ts", "value", EVENTS_ADV_MS)
+    full = WheelIndex.build(ev, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS)
+
+    assert extended.stats.n_indexed_rows == full.stats.n_indexed_rows
+    assert extended.stats.slot_counts == full.stats.slot_counts
+
+    di_ext = extended.to_driver_index()
+    di_full = full.to_driver_index()
+    assert di_ext.landmark() == di_full.landmark()
+    import random
+
+    rng = random.Random(11)
+    n_min = (EVENTS_ADV_MS - EVENTS_WM_MS) // MINUTE_MS
+    for _ in range(25):
+        a = rng.randrange(0, n_min)
+        b = rng.randrange(a + 1, n_min + 1)
+        s, e = EVENTS_WM_MS + a * MINUTE_MS, EVENTS_WM_MS + b * MINUTE_MS
+        assert di_ext.query_sum(s, e) == di_full.query_sum(s, e)
+        assert di_ext.query_all(s, e) == di_full.query_all(s, e)
+
+    # late rows (below the advanced watermark) are rejected + counted,
+    # not silently re-indexed
+    re_extended = extended.extend(ev, "ts", "value", EVENTS_ADV_MS)
+    assert re_extended.stats.n_late_rows == full.stats.n_indexed_rows
+    assert re_extended.stats.n_indexed_rows == full.stats.n_indexed_rows
+    assert (
+        re_extended.to_driver_index().landmark() == di_full.landmark()
+    )
+
+    # watermark cannot move backwards
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        extended.extend(chunk2, "ts", "value", EVENTS_WM_MS)
