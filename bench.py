@@ -175,6 +175,9 @@ def main() -> None:
         "pipeline_clean_corpus",
         "pipeline_training_corpus",
         "range_join_purchase_click_5m",
+        "similarity_hyperplane_lsh_pairs",
+        "kmeans_lloyd_2iter_embeddings",
+        "argmax_latest_order_per_customer",
     )
     for name in headline:
         if name not in REGISTRY:
