@@ -67,3 +67,35 @@ def test_kmeans_rejects_bad_k(spark, sf_smoke):
         sim.kmeans_assignments(load_table(spark, sf_smoke, "embeddings"), k=17)
     with _pt.raises(ValueError):
         sim.kmeans_assignments(load_table(spark, sf_smoke, "embeddings"), k=1)
+
+
+def test_zero_and_null_embeddings_excluded_from_cosine_ops(spark):
+    """A zero-norm or null embedding would make cosine 0/0 = NaN, and
+    Spark ranks NaN above every real number — one bad row would win
+    every top-k. All cosine ops must drop such rows; kmeans keeps them
+    (squared-L2 needs no norm)."""
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [0.0, 0.0], 1),   # zero vector
+        (4, None, 1),          # null vector
+        (5, [0.5, 0.5], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    knn = sim.knn_brute_force(df, query_ids=(1,), k=10).collect()
+    ids = {r["neighbor_id"] for r in knn}
+    assert ids == {2, 5}
+    assert all(r["cosine"] == r["cosine"] for r in knn)  # no NaN
+
+    pairs = sim.cosine_pair_dedup(df, threshold=-1.0).collect()
+    touched = {v for r in pairs for v in (r["vec_a"], r["vec_b"])}
+    assert touched == {1, 2, 5}
+
+    lsh = sim.hyperplane_lsh_pairs(df, threshold=-1.0, dim=2).collect()
+    touched = {v for r in lsh for v in (r["vec_a"], r["vec_b"])}
+    assert 3 not in touched and 4 not in touched
+
+    km = sim.kmeans_assignments(df.filter("embedding IS NOT NULL"), k=2).collect()
+    assert {r["vec_id"] for r in km} == {1, 2, 3, 5}  # zero vec clustered

@@ -33,7 +33,9 @@ from uwheel_datafusion_spark.operators.util import ensure_min_parallelism
 Q_SCALE = 10_000
 
 
-def _quantized(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def _quantized(
+    vecs: DataFrame, vec_col: str = "embedding", drop_zero: bool = False
+) -> DataFrame:
     d = SPARK
     q = d.quantize_vec(vec_col, Q_SCALE)
     # fan a single-file scan out to all cores: every consumer of qvec
@@ -41,9 +43,17 @@ def _quantized(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
     # and a non-equi pair join inherits the streamed side's partition
     # count — 1 task without this
     vecs = ensure_min_parallelism(vecs, "vec_id")
-    return vecs.withColumn("qvec", F.expr(q)).withColumn(
+    out = vecs.withColumn("qvec", F.expr(q)).withColumn(
         "qnorm", F.expr(d.dot_q("qvec", "qvec"))
     )
+    if drop_zero:
+        # zero-norm (or null) embeddings make cosine 0/0 = NaN — and
+        # Spark sorts NaN ABOVE every number while DuckDB yields NULL,
+        # so at scale one bad row corrupts every top-k it touches.
+        # Cosine-based ops exclude them up front (oracles filter
+        # identically); kmeans keeps them (squared-L2 needs no norm).
+        out = out.filter(F.col("qnorm") > 0)
+    return out
 
 
 _COS = SPARK.cosine_q(
@@ -56,7 +66,7 @@ def knn_brute_force(
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector; ties broken by
     vec_id so results are fully deterministic."""
-    qv = _quantized(vecs, vec_col)
+    qv = _quantized(vecs, vec_col, drop_zero=True)
     queries = qv.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("qvec").alias("q_qvec"),
@@ -86,7 +96,10 @@ def _oracle_qv(table: str, vec_col: str) -> str:
             SELECT vec_id, label, {q} AS qvec FROM {table}
         ),
         qn AS (
-            SELECT vec_id, label, qvec, {d.dot_q('qvec', 'qvec')} AS qnorm FROM qv
+            SELECT * FROM (
+                SELECT vec_id, label, qvec,
+                       {d.dot_q('qvec', 'qvec')} AS qnorm FROM qv
+            ) WHERE qnorm > 0
         )
     """
 
@@ -121,7 +134,7 @@ def cosine_pair_dedup(
     vecs: DataFrame, threshold: float = 0.45, vec_col: str = "embedding"
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs ≥ threshold (exact)."""
-    qv = _quantized(vecs, vec_col).select("vec_id", "qvec", "qnorm")
+    qv = _quantized(vecs, vec_col, drop_zero=True).select("vec_id", "qvec", "qnorm")
     a = qv.alias("a")
     b = qv.alias("b")
     return (
@@ -161,7 +174,7 @@ def ann_ivf_topk(
     cell ids in production), so the probe is a cheap equi-join on the
     cell key — the 100 TB path: partition/bucket the corpus by cell,
     and a probe touches one partition instead of the whole table."""
-    qv = _quantized(vecs, vec_col)
+    qv = _quantized(vecs, vec_col, drop_zero=True)
     queries = qv.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col(cell_col).alias("q_cell"),
@@ -246,7 +259,7 @@ def hyperplane_lsh_pairs(
     exactly, so precision is 1 and only recall depends on (L, b).
     L equi-join shuffles on small bucket keys instead of a quadratic
     cross join; at 100 TB, partition the corpus by bucket."""
-    qv = _quantized(vecs, vec_col).select("vec_id", "qvec", "qnorm")
+    qv = _quantized(vecs, vec_col, drop_zero=True).select("vec_id", "qvec", "qnorm")
     bucketed = qv.select(
         "vec_id",
         "qvec",
