@@ -99,3 +99,27 @@ def test_zero_and_null_embeddings_excluded_from_cosine_ops(spark):
 
     km = sim.kmeans_assignments(df.filter("embedding IS NOT NULL"), k=2).collect()
     assert {r["vec_id"] for r in km} == {1, 2, 3, 5}  # zero vec clustered
+
+
+def test_dedup_ops_tolerate_null_and_empty_text(spark):
+    """Null/empty text must not crash any dedup stage; null texts get
+    the sentinel minhash signature (all-PRIME) and group with each
+    other — at real scale the bucket cap (dedup_minhash_lsh_capped)
+    keeps such degenerate buckets from exploding the pair join."""
+    from uwheel_datafusion_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, None), (3, ""), (4, None),
+         (5, "the quick brown fox")],
+        "doc_id long, text string",
+    )
+    groups = dd.exact_dup_groups(docs).collect()
+    assert any(r["n_copies"] >= 2 for r in groups)  # docs 1 & 5
+    sigs = {r["doc_id"]: r["mh0"] for r in dd.minhash_signatures(docs).collect()}
+    assert sigs[2] == sigs[4]  # null docs share the sentinel signature
+    cands = dd.minhash_lsh_candidates(docs).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in cands} >= {(1, 5), (2, 4)}
+    capped = dd.minhash_lsh_candidates(docs, max_bucket_size=1).collect()
+    assert capped == []  # cap drops every degenerate bucket
+    fps = dd.simhash_fingerprints(docs).collect()
+    assert len(fps) == 5  # no crash on null/empty

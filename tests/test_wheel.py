@@ -309,3 +309,30 @@ def test_incremental_extend_equals_one_shot_build(spark, sf_smoke):
 
     with _pt.raises(ValueError):
         extended.extend(chunk2, "ts", "value", EVENTS_WM_MS)
+
+
+def test_extend_composes_with_save_load(spark, sf_smoke, tmp_path):
+    """The nightly-ingest lifecycle: build → save → load → extend with
+    the next chunk — the loaded (parquet-backed) rollups must merge
+    exactly like in-memory ones."""
+    from datetime import datetime
+
+    from uwheel_datafusion_spark.gate import EVENTS_ADV_MS, EVENTS_WM_MS
+    from uwheel_datafusion_spark.functions.time import to_epoch_ms
+
+    split_ms = to_epoch_ms(datetime(2024, 1, 16))
+    ev = load_table(spark, sf_smoke, "events")
+    chunk1 = ev.filter(F.col("ts") < F.timestamp_millis(F.lit(split_ms)))
+    chunk2 = ev.filter(F.col("ts") >= F.timestamp_millis(F.lit(split_ms)))
+
+    base = WheelIndex.build(chunk1, "ts", "value", EVENTS_WM_MS, split_ms)
+    path = str(tmp_path / "wheel_ckpt")
+    base.save(path)
+    loaded = WheelIndex.load(spark, path)
+    extended = loaded.extend(chunk2, "ts", "value", EVENTS_ADV_MS)
+    full = WheelIndex.build(ev, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS)
+    assert (
+        extended.to_driver_index().landmark()
+        == full.to_driver_index().landmark()
+    )
+    assert extended.stats.slot_counts == full.stats.slot_counts
