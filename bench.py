@@ -83,12 +83,12 @@ def main() -> None:
 
     # ------------------------------------------------- wheel path (E2, B2+B3)
     minute_ranges = gen_minute_ranges(EVENTS_WM_MS, horizon, n_queries)
-    r = run_latency_bench("wheel_minute_ranges", di.query_sum, minute_ranges)
+    r = run_latency_bench("wheel_minute_ranges", di.query_sum, minute_ranges, warmup=200)
     timings["wheel_minute_ranges"] = r.wall_sec
     extras["wheel_minute_ranges"] = {"qps": r.qps, **r.latency}
 
     hour_ranges = gen_hour_ranges(EVENTS_WM_MS, horizon, n_queries)
-    r = run_latency_bench("wheel_hour_ranges", di.query_sum, hour_ranges)
+    r = run_latency_bench("wheel_hour_ranges", di.query_sum, hour_ranges, warmup=200)
     timings["wheel_hour_ranges"] = r.wall_sec
     extras["wheel_hour_ranges"] = {"qps": r.qps, **r.latency}
 
@@ -97,7 +97,7 @@ def main() -> None:
     refbug_ranges = gen_hour_ranges(
         EVENTS_WM_MS, horizon, n_queries, replicate_ref_bug=True
     )
-    r = run_latency_bench("wheel_hour_ranges_refbug", di.query_sum, refbug_ranges)
+    r = run_latency_bench("wheel_hour_ranges_refbug", di.query_sum, refbug_ranges, warmup=200)
     timings["wheel_hour_ranges_refbug"] = r.wall_sec
     extras["wheel_hour_ranges_refbug"] = {"qps": r.qps, **r.latency}
 
@@ -124,7 +124,7 @@ def main() -> None:
             f"AND ts < '{ms_to_ts_literal(e_ms)}'"
         )
 
-    r = run_latency_bench("router_rewrite_ranges", routed_sum, minute_ranges)
+    r = run_latency_bench("router_rewrite_ranges", routed_sum, minute_ranges, warmup=50)
     timings["router_rewrite_ranges"] = r.wall_sec
     extras["router_rewrite_ranges"] = {"qps": r.qps, **r.latency}
 

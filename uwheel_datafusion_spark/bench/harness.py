@@ -93,9 +93,16 @@ class BenchResult:
         }
 
 
-def run_latency_bench(name: str, fn, ranges: list[tuple[int, int]]) -> BenchResult:
+def run_latency_bench(
+    name: str, fn, ranges: list[tuple[int, int]], warmup: int = 0
+) -> BenchResult:
     """Run ``fn(s_ms, e_ms)`` per range, capturing per-query latency
-    (B4) and batch QPS (B5)."""
+    (B4) and batch QPS (B5). ``warmup`` untimed leading queries let the
+    µs-class in-process paths measure steady state instead of
+    first-call interpreter/cache warmup (the Spark-job paths don't use
+    it — their per-query cost dwarfs warmup effects)."""
+    for s, e in ranges[: max(0, warmup)]:
+        fn(s, e)
     lat = np.empty(len(ranges), dtype=np.int64)
     t0 = time.perf_counter_ns()
     for i, (s, e) in enumerate(ranges):
