@@ -122,6 +122,9 @@ def ngram_jaccard_pairs(
     posting = sets.select(
         "doc_id", "n_shingles", F.explode("shingles").alias("shingle")
     )
+    # NOT cached: both join sides shuffle on the shingle with identical
+    # subplans, so ReuseExchange already computes the postings once; an
+    # explicit cache() would break that reuse
     a = posting.alias("a")
     b = posting.alias("b")
     common = (
