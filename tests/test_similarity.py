@@ -123,3 +123,18 @@ def test_dedup_ops_tolerate_null_and_empty_text(spark):
     assert capped == []  # cap drops every degenerate bucket
     fps = dd.simhash_fingerprints(docs).collect()
     assert len(fps) == 5  # no crash on null/empty
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A chain A-B, B-C must collapse into one component labeled by its
+    min id; disjoint pairs stay separate; self-loops are harmless."""
+    from uwheel_datafusion_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 7), (9, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5, 7: 7}

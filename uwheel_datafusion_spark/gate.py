@@ -1304,6 +1304,21 @@ def simhash_pairs_q(spark, sf_dir):
 
 
 @gate(
+    "dedup_connected_components",
+    _dd.connected_components_oracle(
+        "SELECT doc_a, doc_b FROM (" + _dd.simhash_near_pairs_oracle() + ")"
+    ),
+)
+def connected_components_q(spark, sf_dir):
+    """Transitive closure of simhash near-dup pairs into dedup groups
+    (doc_id → min reachable doc_id): iterative min-label propagation to
+    a fixpoint in Spark; WITH RECURSIVE reachability in the oracle —
+    two independent derivations of the same components."""
+    pairs = _dd.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+    return _dd.connected_components(pairs)
+
+
+@gate(
     "similarity_knn_brute_force",
     _sim.knn_brute_force_oracle(query_ids=KNN_QUERY_IDS, k=5),
 )

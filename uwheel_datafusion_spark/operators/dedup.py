@@ -407,3 +407,88 @@ def simhash_near_pairs_oracle(
         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_dist}
     """
+
+
+# --------------------------------------------------------------------------
+# connected components over the near-dup pair graph
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Transitive closure of pairwise candidates into dedup GROUPS:
+    (doc_id, component) where component = min doc_id reachable — the
+    step that turns "A~B, B~C" into one keep-one-drop-two group.
+
+    Iterative min-label propagation to a fixpoint: each round joins
+    labels to the symmetric edge list and takes the per-node min. Each
+    round is one shuffle on doc id; rounds needed = graph diameter
+    (near-dup components are shallow), and the loop stops at the first
+    unchanged round. Every round ``localCheckpoint``s the labels — the
+    new labels reference the old twice (union + convergence check), so
+    without lineage truncation the logical plan doubles per round and
+    the DRIVER dies on plan analysis long before the data is big
+    (observed: OOM at ~1 450 edges). GraphFrames/GraphX
+    large-star-small-star is the drop-in upgrade if components turn
+    out deep. Deterministic: min() is order-free."""
+    sym = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = sym.join(labels, sym.src == labels.doc).select(
+            F.col("dst").alias("doc"), "label"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("doc").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
+def connected_components_oracle(pairs_sql: str) -> str:
+    """Fixpoint via WITH RECURSIVE reachability + min-label lowering —
+    the same answer as the propagation loop, derived independently."""
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        sym AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS doc FROM sym),
+        reach(doc, label) AS (
+            SELECT doc, doc FROM nodes
+            UNION
+            SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.doc
+        )
+        SELECT doc AS doc_id, MIN(label) AS component
+        FROM reach GROUP BY doc
+    """
