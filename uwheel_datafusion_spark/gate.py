@@ -1448,6 +1448,44 @@ def pipeline_training_corpus(spark, sf_dir):
     )
 
 
+_NEARDUP_PAIRS_SQL = (
+    "SELECT doc_a, doc_b FROM (" + _dd.simhash_near_pairs_oracle() + ")"
+)
+
+
+@gate(
+    "pipeline_neardup_corpus",
+    f"""
+    WITH comp AS ({_dd.connected_components_oracle(_NEARDUP_PAIRS_SQL)}),
+    profile AS ({_tx.text_profile_oracle()})
+    SELECT d.doc_id, p.n_tokens
+    FROM documents d
+    JOIN profile p ON p.doc_id = d.doc_id AND p.quality_ok = 1
+    LEFT JOIN comp c ON c.doc_id = d.doc_id
+    WHERE c.doc_id IS NULL OR c.component = d.doc_id
+    """,
+)
+def pipeline_neardup_corpus(spark, sf_dir):
+    """Fuzzy-dedup corpus selection — what production LLM pipelines run
+    where exact dedup misses template/boilerplate copies: simhash
+    near-dup pairs → connected components → keep only each component's
+    canonical (min-id) member, plus every doc outside the pair graph;
+    then quality-filter. The component table is tiny (one row per doc
+    IN a near-dup cluster), so the final exclusion join broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dd.simhash_near_pairs(docs)
+    comp = _dd.connected_components(pairs)
+    keep_or_absent = (
+        F.col("component").isNull() | (F.col("component") == F.col("doc_id"))
+    )
+    prof = _tx.text_profile(docs).filter(F.col("quality_ok") == 1)
+    return (
+        prof.join(F.broadcast(comp), "doc_id", "left")
+        .filter(keep_or_absent)
+        .select("doc_id", "n_tokens")
+    )
+
+
 @gate("multimodal_decode_stub", _mm.decode_stub_oracle())
 def multimodal_q(spark, sf_dir):
     return _mm.decode_stub_pipeline(load_table(spark, sf_dir, "documents"))
