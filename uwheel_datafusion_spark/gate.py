@@ -96,7 +96,7 @@ def _ts_lit(ms: int) -> str:
     return f"TIMESTAMP '{ms_to_ts_literal(ms)}'"
 
 
-_WHEEL_CACHE: dict[tuple[int, str], WheelIndex] = {}
+_WHEEL_CACHE: dict[tuple[str, str], WheelIndex] = {}
 
 
 def _tune_session(spark: SparkSession) -> None:
@@ -114,7 +114,10 @@ def _tune_session(spark: SparkSession) -> None:
 
 
 def events_wheel(spark: SparkSession, sf_dir: str) -> WheelIndex:
-    key = (id(spark), sf_dir)
+    # keyed by applicationId, not id(spark): Python reuses object ids
+    # after GC, and a collision would serve rollups bound to a STOPPED
+    # SparkContext; the app id is unique per live context
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _WHEEL_CACHE:
         _tune_session(spark)
         # raw-ns load: watermark range pushes down to the parquet scan
@@ -207,11 +210,11 @@ ORDERS_WM_MS = to_epoch_ms(datetime(1995, 1, 1))
 ORDERS_ADV_MS = to_epoch_ms(datetime(2002, 1, 1))
 ORDERS_RANGE = (to_epoch_ms(datetime(1996, 3, 5)), to_epoch_ms(datetime(2000, 11, 23)))
 
-_ORDERS_WHEEL_CACHE: dict[tuple[int, str], WheelIndex] = {}
+_ORDERS_WHEEL_CACHE: dict[tuple[str, str], WheelIndex] = {}
 
 
 def orders_wheel(spark: SparkSession, sf_dir: str) -> WheelIndex:
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)  # see events_wheel
     if key not in _ORDERS_WHEEL_CACHE:
         _tune_session(spark)
         df = load_table(spark, sf_dir, "orders")
