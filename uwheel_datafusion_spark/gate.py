@@ -556,6 +556,87 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4: date-windowed orders with a correlated EXISTS against
+    lineitem, counted by priority. The quarter filter pushes to the
+    orders scan; the EXISTS decorrelates to a left-semi join whose
+    residual (shipdate > orderdate) evaluates inside the join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    windowed = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    semi = windowed.join(
+        li,
+        (windowed.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > windowed.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@gate(
+    "tpch_q14_promo_revenue_share",
+    f"""
+    SELECT (100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) AS DOUBLE))
+           AS promo_share_pct,
+           {_s('l_extendedprice * (1 - l_discount)')} AS total_revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14: conditional aggregation — a CASE inside the sum
+    splits promo revenue from total in ONE pass (no second scan, no
+    self-join); the month filter pushes to the lineitem scan and the
+    part dim broadcasts. Both sums use the scaled-long policy; the
+    ratio divides the exact int64 sums as the final lowering."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    rev_micros = value_to_micros(rev)
+    promo_micros = F.when(
+        F.col("p_type").startswith("PROMO"), rev_micros
+    ).otherwise(F.lit(0))
+    month = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    return (
+        month.join(F.broadcast(p), month.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo_micros).cast("double")
+                / F.sum(rev_micros).cast("double")
+            ).alias("promo_share_pct"),
+            micros_to_value(F.sum(rev_micros)).alias("total_revenue"),
+        )
+    )
+
+
+@gate(
     "tpch_q19_disjunctive_revenue",
     f"""
     SELECT {_s('l_extendedprice * (1 - l_discount)')} AS revenue,
