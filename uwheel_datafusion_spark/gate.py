@@ -748,6 +748,29 @@ def subquery_scalar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SCALAR_SUBQ_SQL)
 
 
+_CORR_SCALAR_SQL = """
+    SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice = (
+        SELECT MAX(i.o_totalprice) FROM orders i
+        WHERE i.o_custkey = o.o_custkey
+    )
+"""
+
+
+@gate("subquery_correlated_max_order", _CORR_SCALAR_SQL)
+def subquery_correlated_max_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED scalar aggregate subquery (each customer's max-priced
+    orders — TPC-H q2's access pattern): Catalyst decorrelates it into
+    a per-key aggregate joined back to the outer table — one aggregate
+    over the inner + one join, not one subquery execution per outer
+    row. Exact double equality on a stored value, so no float policy
+    needed; ties (two orders at the max) are all returned, identically
+    in both engines."""
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(_CORR_SCALAR_SQL)
+
+
 @gate(
     "window_customer_running_total",
     """
