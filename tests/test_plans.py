@@ -313,3 +313,31 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_correctness, tm
         .toString()
     )
     assert "PartitionFilters: [(ship_year" in lit_plan  # static pruning
+
+
+def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_correctness):
+    """Fleet-wide audit: across EVERY gated query plan, the only
+    nested-loop/cartesian joins allowed are the three deliberate
+    brute-force baselines (each with a documented sub-quadratic scale
+    path: percentile_approx, LSH, IVF). A new query accidentally
+    planning a cartesian join fails here before it fails at 100 TB."""
+    allowed_bnlj = {
+        "quantiles_order_value_deciles",   # broadcast decile thresholds
+        "similarity_cosine_pair_dedup",    # exact baseline for LSH
+        "similarity_knn_brute_force",      # exact baseline for IVF
+    }
+    flagged = {}
+    for name, gq in sorted(g.REGISTRY.items()):
+        plan = _executed_plan(gq.fn(spark, sf_correctness))
+        marks = [
+            m
+            for m, op in (
+                ("cartesian", "CartesianProduct"),
+                ("bnlj", "BroadcastNestedLoopJoin"),
+            )
+            if op in plan
+        ]
+        if marks:
+            flagged[name] = marks
+    assert set(flagged) <= allowed_bnlj, flagged
+    assert all(v == ["bnlj"] for v in flagged.values()), flagged
