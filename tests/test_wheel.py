@@ -336,3 +336,68 @@ def test_extend_composes_with_save_load(spark, sf_smoke, tmp_path):
         == full.to_driver_index().landmark()
     )
     assert extended.stats.slot_counts == full.stats.slot_counts
+
+
+def test_keyed_wheel_differential(spark, sf_smoke, wheel):
+    """KeyedWheelIndex: per-key probes == per-key SQL group-by on random
+    minute-aligned ranges; Σ over keys == the unkeyed wheel's answer."""
+    from uwheel_datafusion_spark.operators.keyed_wheel import KeyedWheelIndex
+
+    ev = load_table(spark, sf_smoke, "events")
+    kw = KeyedWheelIndex.build(ev, "event_type", "ts", "value", WM, ADV)
+    assert kw.keys()  # at least one series
+    di = wheel.to_driver_index()
+
+    rng = random.Random(7)
+    n_min = (ADV - WM) // MINUTE_MS
+    for _ in range(15):
+        a = rng.randrange(n_min)
+        b = rng.randrange(n_min)
+        s, e = WM + min(a, b) * MINUTE_MS, WM + (max(a, b) + 1) * MINUTE_MS
+        truth = {
+            r["event_type"]: r
+            for r in ev.filter(
+                (F.unix_micros(F.col("ts").cast("timestamp")) >= s * 1000)
+                & (F.unix_micros(F.col("ts").cast("timestamp")) < e * 1000)
+            )
+            .groupBy("event_type")
+            .agg(
+                F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("sm"),
+                F.count(F.lit(1)).alias("c"),
+                F.min("value").alias("mn"),
+                F.max("value").alias("mx"),
+            )
+            .collect()
+        }
+        total = 0
+        for k in kw.keys():
+            got = kw.query_all(k, s, e)
+            t = truth.get(k)
+            if t is None:
+                assert got["cnt"] == 0 and got["sum"] is None
+                continue
+            assert got["cnt"] == t["c"]
+            assert round(got["sum"] * 1e6) == t["sm"]
+            assert got["min"] == t["mn"] and got["max"] == t["mx"]
+            total += t["sm"]
+        whole = di.query_sum(s, e)
+        assert round((whole or 0.0) * 1e6) == total
+
+    # unknown key ⇒ None, matching a missing series
+    assert kw.query_all("no-such-type", WM, ADV) is None
+    assert kw.size_bytes() > 0
+
+
+def test_keyed_wheel_raw_ns_matches_timestamp_build(spark, sf_smoke):
+    """The raw-ns (pushdown) build and the TimestampType build must
+    produce identical per-key answers."""
+    from uwheel_datafusion_spark.operators.keyed_wheel import KeyedWheelIndex
+    from uwheel_datafusion_spark.sources.registry import load_table_raw
+
+    ev_ts = load_table(spark, sf_smoke, "events")
+    ev_ns = load_table_raw(spark, sf_smoke, "events")
+    kw_ts = KeyedWheelIndex.build(ev_ts, "event_type", "ts", "value", WM, ADV)
+    kw_ns = KeyedWheelIndex.build(ev_ns, "event_type", "ts", "value", WM, ADV)
+    assert kw_ts.keys() == kw_ns.keys()
+    for k in kw_ts.keys():
+        assert kw_ts.query_all(k, WM, ADV) == kw_ns.query_all(k, WM, ADV)

@@ -305,6 +305,56 @@ def sql_scan_sum_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: keyed wheel — hypertable-style continuous aggregate: the reference's
+#: single-series index sharded by a dimension key (one distributed
+#: rollup on (key, minute), per-key O(1) driver serving)
+_KEYED_WHEEL_CACHE: dict[tuple[str, str], "KeyedWheelIndex"] = {}
+
+
+def events_keyed_wheel(spark: SparkSession, sf_dir: str):
+    from uwheel_datafusion_spark.operators.keyed_wheel import KeyedWheelIndex
+
+    key = (spark.sparkContext.applicationId, sf_dir)  # see events_wheel
+    if key not in _KEYED_WHEEL_CACHE:
+        _tune_session(spark)
+        df = load_table_raw(spark, sf_dir, "events")
+        _KEYED_WHEEL_CACHE[key] = KeyedWheelIndex.build(
+            df, "event_type", "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS
+        )
+    return _KEYED_WHEEL_CACHE[key]
+
+
+@gate(
+    "keyed_wheel_by_type_range",
+    f"""
+    SELECT event_type AS key,
+           {_s('value')} AS sum_value,
+           COUNT(*) AS cnt,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           {_avg('value')} AS avg_value
+    FROM events
+    WHERE ts >= {_ts_lit(RANGE_MINUTE[0])} AND ts < {_ts_lit(RANGE_MINUTE[1])}
+    GROUP BY event_type
+    """,
+)
+def keyed_wheel_by_type_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series range aggregate answered from the keyed driver index
+    (one probe per key), not a per-query scan."""
+    kw = events_keyed_wheel(spark, sf_dir)
+    s, e = RANGE_MINUTE
+    rows = []
+    for k in kw.keys():
+        a = kw.query_all(k, s, e)
+        if a is not None and a["cnt"]:
+            rows.append((k, a["sum"], a["cnt"], a["min"], a["max"], a["avg"]))
+    return spark.createDataFrame(
+        rows,
+        "key string, sum_value double, cnt bigint, "
+        "min_value double, max_value double, avg_value double",
+    )
+
+
 # --------------------------------------------------------------------------
 # general SQL-engine surface (scans/filters/joins/group-by/window/top-k) —
 # engine-sanity beyond the single-table reference (SURVEY §2.3, §2.5-2.7)
