@@ -723,6 +723,485 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year, {_s('volume')} AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: nation self-join through two different foreign keys
+    (supplier's nation vs customer's nation) with a symmetric pair
+    disjunction. Both nation copies broadcast; the only big shuffle is
+    lineitem⋈orders on orderkey."""
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    sn, cn = F.col("supp_nation"), F.col("cust_nation")
+    vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(
+            ((sn == "NATION_1") & (cn == "NATION_2"))
+            | ((sn == "NATION_2") & (cn == "NATION_1"))
+        )
+        .groupBy(sn, cn, F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(micros_to_value(_sum_micros(vol)).alias("revenue"))
+    )
+
+
+@gate(
+    "tpch_q8_market_share",
+    """
+    SELECT o_year,
+           (CAST(SUM(CASE WHEN nation = 'NATION_3' THEN v_micros ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(v_micros) AS DOUBLE)) AS mkt_share
+    FROM (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT) AS v_micros,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: 8-way join, conditional share-of-total aggregate.
+    The share is a ratio of two exact scaled-long sums (numerator via
+    CASE), lowered to double once — bit-identical across engines and
+    partitionings."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    v_micros = value_to_micros(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    )
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            v_micros.alias("v_micros"),
+            F.col("nation"),
+        )
+    )
+    num = F.sum(F.when(F.col("nation") == "NATION_3", F.col("v_micros")).otherwise(0))
+    den = F.sum("v_micros")
+    return joined.groupBy("o_year").agg(
+        (num.cast("double") / den.cast("double")).alias("mkt_share")
+    )
+
+
+@gate(
+    "tpch_q9_product_profit",
+    f"""
+    SELECT nation, o_year, {_s('amount')} AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                 - l_quantity * p_retailprice * 0.1 AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: LIKE-filtered part dimension, profit expression
+    across join sides, nation × year grouping. The fixtures carry no
+    partsupp table, so supply cost is proxied by 10% of
+    p_retailprice — the operator shape (substring filter, 5-way join,
+    two-key group-by) is what's under test."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) - F.col(
+        "l_quantity"
+    ) * F.col("p_retailprice") * F.lit(0.1)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(micros_to_value(_sum_micros(amount)).alias("sum_profit"))
+    )
+
+
+@gate(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, {_s('l_extendedprice * (1 - l_discount)')} AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) DESC,
+             c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by returned-item revenue in a
+    quarter. Ranking on the exact scaled-long sum with c_custkey as
+    tie-break keeps the LIMIT deterministic across engines."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_sum_micros(rev).alias("rev_micros"))
+        .orderBy(F.col("rev_micros").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            micros_to_value(F.col("rev_micros")).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+@gate(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT))
+                   AS total_micros
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_micros AS DOUBLE) / 1000000 AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_micros = (SELECT MAX(total_micros) FROM revenue)
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: CTE reused twice — once as the join input, once in a
+    scalar MAX subquery. The Spark side caches the tiny per-supplier
+    rollup and compares on the exact scaled-long total, so 'equals the
+    max' is unambiguous."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_sum_micros(rev).alias("total_micros"))
+        .cache()
+    )
+    max_micros = revenue.agg(F.max("total_micros")).first()[0]
+    return (
+        revenue.filter(F.col("total_micros") == F.lit(max_micros))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            micros_to_value(F.col("total_micros")).alias("total_revenue"),
+        )
+    )
+
+
+@gate(
+    "tpch_q17_small_quantity_revenue",
+    """
+    SELECT (CAST(SUM(CAST(round(l_extendedprice * 1000000) AS BIGINT)) AS DOUBLE)
+            / 1000000) / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23' AND p_size <= 3
+      AND l_quantity < (
+          SELECT 0.2 * (SUM(l_quantity) / COUNT(*))
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated per-part average-quantity subquery,
+    decorrelated on the Spark side into a per-part aggregate joined
+    back (what Catalyst produces for the SQL form too). Quantities are
+    integral doubles, so SUM/COUNT and the 0.2× threshold are exact
+    and engine-portable."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 3)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    li_p = li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+    per_part = li_p.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li_p.join(F.broadcast(per_part), li_p.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (
+                micros_to_value(_sum_micros(F.col("l_extendedprice"))) / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@gate(
+    "tpch_q18_large_volume_customer",
+    f"""
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(epoch_ms(o_orderdate) AS BIGINT) AS o_orderdate_ms,
+           o_totalprice, {_s('l_quantity')} AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(round(l_quantity * 1000000) AS BIGINT)) > 300000000
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: IN over a grouped-HAVING subquery — a semi-join
+    against an aggregate, the classic two-phase heavy-hitter pattern
+    (find hot orderkeys, then re-join the fact). The orderkey set is
+    small, so it broadcasts."""
+    from uwheel_datafusion_spark.functions.time import ts_to_ms
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hot = (
+        li.groupBy("l_orderkey")
+        .agg(_sum_micros(F.col("l_quantity")).alias("q_micros"))
+        .filter(F.col("q_micros") > 300_000_000)
+        .select(F.col("l_orderkey").alias("hot_key"))
+    )
+    return (
+        li.join(F.broadcast(hot), li.l_orderkey == F.col("hot_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            ts_to_ms("o_orderdate").alias("o_orderdate_ms"),
+            "o_totalprice",
+        )
+        .agg(micros_to_value(_sum_micros(F.col("l_quantity"))).alias("total_qty"))
+    )
+
+
+@gate(
+    "tpch_q21_waiting_supplier",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+      )
+      AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_5'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS self-joins on the fact
+    table ("the only late supplier of a multi-supplier order").
+    Decorrelated manually into ONE pass of per-(order, supplier) /
+    per-order aggregates instead of two extra fact-table joins — at
+    100 TB this replaces two shuffle joins of lineitem×lineitem with
+    one reused grouped rollup. 'Late' = shipped >60 days after the
+    order date (the fixtures carry no commit/receipt dates)."""
+    o_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.join(o_f, li.l_orderkey == o_f.o_orderkey)
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    per_os = l1.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(late).alias("n_late_rows"),
+        F.max(late).alias("any_late"),
+    )
+    per_order = per_os.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("any_late").alias("n_late_supp"),
+    )
+    s5 = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_5"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        per_os.join(per_order, per_os.l_orderkey == F.col("ok"))
+        .filter(
+            (F.col("any_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
+        .join(F.broadcast(s5), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("n_late_rows").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )
+
+
+@gate(
+    "tpch_q22_dormant_customers",
+    f"""
+    SELECT SUBSTRING(c_name, 17, 2) AS cust_group,
+           COUNT(*) AS numcust,
+           {_s('c_acctbal')} AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT (CAST(SUM(CAST(round(c_acctbal * 1000000) AS BIGINT)) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE)) / 1000000
+        FROM customer WHERE c_acctbal > 0
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
+    GROUP BY SUBSTRING(c_name, 17, 2)
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar average threshold + anti-join against
+    recent orders, grouped by a name-derived code (the fixtures carry
+    no c_phone, so the 'country code' is the customer number's last
+    two digits; 'dormant' = no order since 2000). The threshold is the
+    exact scaled-long average, computed once driver-side."""
+    c = load_table(spark, sf_dir, "customer")
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        _sum_micros(F.col("c_acctbal")).alias("sm"), F.count(F.lit(1)).alias("n")
+    ).first()
+    threshold = (float(pos["sm"]) / float(pos["n"])) / 1_000_000
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.filter(F.col("c_acctbal") > F.lit(threshold))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.substring("c_name", 17, 2).alias("cust_group"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            micros_to_value(_sum_micros(F.col("c_acctbal"))).alias("totacctbal"),
+        )
+    )
+
+
+@gate(
     "window_trailing_7d_user_revenue",
     """
     SELECT event_id, user_id,
