@@ -1817,6 +1817,20 @@ def text_chunking_q(spark, sf_dir):
     return _tx.chunk_documents(load_table(spark, sf_dir, "documents"))
 
 
+@gate("text_winnow_fingerprints", _tx.winnow_fingerprints_oracle())
+def text_winnow_fingerprints_q(spark, sf_dir):
+    """Winnowing (MOSS): min k-gram hash per w-window — localized
+    rolling-hash fingerprints for partial-overlap detection."""
+    return _tx.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@gate("dedup_winnow_shared_pairs", _tx.winnow_shared_pairs_oracle())
+def dedup_winnow_shared_pairs_q(spark, sf_dir):
+    """Overlap-candidate pairs sharing ≥2 winnowing fingerprints —
+    posting self-join keyed on the fingerprint."""
+    return _tx.winnow_shared_pairs(load_table(spark, sf_dir, "documents"))
+
+
 from uwheel_datafusion_spark.operators import rangejoin as _rj
 from uwheel_datafusion_spark.operators import sampling as _sp
 from uwheel_datafusion_spark.operators import skew as _sk

@@ -207,3 +207,92 @@ def quality_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     ok = _quality_exprs()["quality_ok"]
     return with_counts.filter(F.expr(ok) == 1).drop(*counts)
+
+
+# --------------------------------------------------------------------------
+# winnowing — localized rolling-hash fingerprints (Schleimer et al.,
+# SIGMOD 2003; the MOSS algorithm). Unlike the whole-document rolling
+# hash above (one fingerprint per doc, any edit changes it) or SimHash
+# (one global sketch), winnowing selects the MIN k-gram hash of every
+# w-window of consecutive k-grams, so two documents sharing any long
+# enough passage share fingerprints — partial-overlap detection.
+# --------------------------------------------------------------------------
+
+WINNOW_K = 4  # k-gram width (tokens)
+WINNOW_W = 4  # window: one fingerprint guaranteed per w k-grams
+
+
+def _winnow_expr(d: Dialect, text_col: str, k: int, w: int) -> str:
+    """list<bigint> of distinct selected fingerprints per document.
+
+    Window count = m−w+1 for m ≥ w k-grams; short non-empty docs
+    (1 ≤ m < w) contribute their single whole-array min; empty → [].
+    """
+    hashes = d.token_hashes(d.shingles(d.split(text_col), k))
+    m = d.size(hashes)
+    n_windows = f"greatest({m} - {w - 1}, least({m}, 1))"
+    mins = d.transform(
+        d.seq1(n_windows), "i", d.array_min(d.slice(hashes, "i", w))
+    )
+    return d.array_distinct(mins)
+
+
+def winnow_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """(doc_id, fp) posting rows — map-only (scan → explode), no
+    shuffle; the downstream pair join is keyed on fp."""
+    from uwheel_datafusion_spark.operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(docs, "doc_id")
+    fps = F.expr(_winnow_expr(SPARK, text_col, k, w))
+    return docs.select("doc_id", F.explode(fps).alias("fp"))
+
+
+def winnow_fingerprints_oracle(
+    table: str = "documents", text_col: str = "text",
+    k: int = WINNOW_K, w: int = WINNOW_W,
+) -> str:
+    return f"""
+        SELECT doc_id, unnest({_winnow_expr(DUCK, text_col, k, w)}) AS fp
+        FROM {table}
+    """
+
+
+def winnow_shared_pairs(
+    docs: DataFrame, text_col: str = "text", min_shared: int = 2,
+    k: int = WINNOW_K, w: int = WINNOW_W,
+) -> DataFrame:
+    """Candidate overlap pairs: documents sharing ≥ min_shared selected
+    fingerprints. Posting-list self-join hash-partitioned on fp (same
+    scale shape as the Jaccard join — never a cross join); frequent-fp
+    removal is the skew knob at corpus scale."""
+    posting = winnow_fingerprints(docs, text_col, k, w)
+    a, b = posting.alias("a"), posting.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_shared_pairs_oracle(
+    table: str = "documents", text_col: str = "text", min_shared: int = 2,
+    k: int = WINNOW_K, w: int = WINNOW_W,
+) -> str:
+    return f"""
+        WITH posting AS (
+            SELECT doc_id, unnest({_winnow_expr(DUCK, text_col, k, w)}) AS fp
+            FROM {table}
+        )
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               COUNT(*) AS n_shared
+        FROM posting a JOIN posting b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= {min_shared}
+    """
