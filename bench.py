@@ -166,6 +166,10 @@ def main() -> None:
         "tpch_q3_shipping_priority",
         "tpch_q5_local_supplier_volume",
         "tpch_q6_forecast_revenue",
+        "tpch_q8_market_share",
+        "tpch_q9_product_profit",
+        "tpch_q18_large_volume_customer",
+        "tpch_q21_waiting_supplier",
         "region_revenue_join",
         "window_top3_orders_per_customer",
         "events_by_type",

@@ -106,3 +106,34 @@ def test_hash_bucket_parity_spark_vs_duckdb(spark):
     duck_buckets = {k: b for k, b in duck}
     assert spark_buckets == duck_buckets
     assert all(0 <= b < 100 for b in spark_buckets.values())
+
+
+def test_stratified_sample_exact_counts_and_stability(spark, sf_smoke):
+    """Per-stratum count == min(n, |stratum|); the selected set is
+    invariant under repartitioning (deterministic hash order)."""
+    from pyspark.sql import functions as F
+
+    from uwheel_datafusion_spark.operators.sampling import stratified_sample
+    from uwheel_datafusion_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    n = 7
+    sample = stratified_sample(docs, "lang", "doc_id", n)
+    got = {
+        r["lang"]: r["c"]
+        for r in sample.groupBy("lang").agg(F.count("*").alias("c")).collect()
+    }
+    full = {
+        r["lang"]: r["c"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("c")).collect()
+    }
+    assert got == {k: min(n, v) for k, v in full.items()}
+
+    ids1 = sorted(r["doc_id"] for r in sample.select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(docs.repartition(13), "lang", "doc_id", n)
+        .select("doc_id")
+        .collect()
+    )
+    assert ids1 == ids2

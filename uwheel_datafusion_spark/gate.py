@@ -1894,6 +1894,14 @@ def split_q(spark, sf_dir):
     return _sp.train_val_test_summary(load_table(spark, sf_dir, "documents"))
 
 
+@gate("sample_stratified_per_lang", _sp.stratified_sample_summary_oracle())
+def sample_stratified_q(spark, sf_dir):
+    """Exactly 25 docs per language by deterministic hash order —
+    reproducible stratified sampling (WindowGroupLimit: map-side top-n
+    per stratum before the single shuffle)."""
+    return _sp.stratified_sample_summary(load_table(spark, sf_dir, "documents"))
+
+
 @gate("histogram_event_values", _sp.value_histogram_oracle())
 def histogram_q(spark, sf_dir):
     """Fixed-width (5.0) histogram of event values via exact

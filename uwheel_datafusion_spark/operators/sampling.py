@@ -199,3 +199,60 @@ def exact_deciles_oracle(
         JOIN (SELECT unnest(range(1, 11)) AS decile) d
           ON r._rn = CAST(ceil(r._n * d.decile / 10) AS BIGINT)
     """
+
+
+def _mix_sql(key: str) -> str:
+    """The full-range mix (no bucket mod): a deterministic pseudo-random
+    total order key, identical in both dialects."""
+    return f"(((abs({key}) % {_P1}) * {_KNUTH} + {_OFF}) % {_P2})"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    n_per_stratum: int,
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, chosen by the
+    deterministic hash order (mix(key), key) — the reproducible version
+    of 'sample N documents per language'.
+
+    Scale shape: ONE hash shuffle on the stratum key + per-partition
+    top-n (Spark plans rank-filter windows as WindowGroupLimit: each
+    map task keeps only n rows per stratum before the shuffle, so the
+    exchange carries ≤ n·|strata| rows per task, not the corpus). A
+    dominant stratum therefore costs n rows per upstream task, not a
+    skewed full-stratum partition."""
+    order = F.expr(_mix_sql(key_col))
+    w = W.partitionBy(strata_col).orderBy(order, F.col(key_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
+def stratified_sample_summary(
+    docs: DataFrame, n_per_stratum: int = 25
+) -> DataFrame:
+    """Gate shape: the sampled doc rows, projected to stable columns."""
+    return stratified_sample(docs, "lang", "doc_id", n_per_stratum).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def stratified_sample_summary_oracle(
+    table: str = "documents", n_per_stratum: int = 25
+) -> str:
+    return f"""
+        SELECT doc_id, lang, source, n_chars
+        FROM (
+            SELECT doc_id, lang, source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY {_mix_sql('doc_id')}, doc_id
+                   ) AS _rn
+            FROM {table}
+        )
+        WHERE _rn <= {n_per_stratum}
+    """
