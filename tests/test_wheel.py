@@ -401,3 +401,30 @@ def test_keyed_wheel_raw_ns_matches_timestamp_build(spark, sf_smoke):
     assert kw_ts.keys() == kw_ns.keys()
     for k in kw_ts.keys():
         assert kw_ts.query_all(k, WM, ADV) == kw_ns.query_all(k, WM, ADV)
+
+
+def test_gapfill_rollup_dense_and_locf(spark, wheel):
+    """One row per horizon slot; empty slots cnt=0/NULL aggregates;
+    sum_locf carries the last non-empty slot's sum forward."""
+    df = wheel.gapfill_rollup_df("hour").orderBy("bucket_ms")
+    rows = df.collect()
+    n_expected = (ADV - WM) // HOUR_MS
+    assert len(rows) == n_expected
+    assert [r["bucket_ms"] for r in rows] == [
+        WM + i * HOUR_MS for i in range(n_expected)
+    ]
+    last_seen = None
+    for r in rows:
+        if r["cnt"] == 0:
+            assert r["sum_value"] is None and r["min_value"] is None
+        else:
+            assert r["sum_value"] is not None
+            last_seen = r["sum_value"]
+        assert r["sum_locf"] == last_seen
+    # densified sums must agree with the sparse rollup
+    sparse = {
+        r["bucket_ms"]: r["sum_value"]
+        for r in wheel.rollup_df("hour").collect()
+    }
+    for r in rows:
+        assert r["sum_value"] == sparse.get(r["bucket_ms"])

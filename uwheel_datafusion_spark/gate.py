@@ -305,6 +305,41 @@ def sql_scan_sum_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@gate(
+    "wheel_gapfill_hour_locf",
+    f"""
+    WITH slots AS (
+        SELECT CAST({EVENTS_WM_MS} + (i - 1) * {HOUR_MS} AS BIGINT) AS bucket_ms
+        FROM generate_series(1, {(EVENTS_ADV_MS - EVENTS_WM_MS) // HOUR_MS}) t(i)
+    ),
+    r AS (
+        SELECT (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS bucket_ms,
+               {_s('value')} AS sum_value,
+               COUNT(*) AS cnt,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM events
+        WHERE ts >= {_ts_lit(EVENTS_WM_MS)} AND ts < {_ts_lit(EVENTS_ADV_MS)}
+        GROUP BY 1
+    )
+    SELECT s.bucket_ms, r.sum_value,
+           COALESCE(r.cnt, 0) AS cnt,
+           r.min_value, r.max_value,
+           last_value(r.sum_value IGNORE NULLS) OVER (
+               ORDER BY s.bucket_ms
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sum_locf
+    FROM slots s LEFT JOIN r ON r.bucket_ms = s.bucket_ms
+    """,
+)
+def wheel_gapfill_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hour rollup with LOCF — every slot of the horizon
+    materialized, empty slots cnt=0 with the last seen sum carried
+    forward (time_bucket_gapfill semantics over the wheel's gap-free
+    slot contract)."""
+    return events_wheel(spark, sf_dir).gapfill_rollup_df("hour")
+
+
 #: keyed wheel — hypertable-style continuous aggregate: the reference's
 #: single-series index sharded by a dimension key (one distributed
 #: rollup on (key, minute), per-key O(1) driver serving)

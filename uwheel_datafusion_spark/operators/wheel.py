@@ -515,6 +515,42 @@ class WheelIndex:
             ).alias("avg_value"),
         )
 
+    def gapfill_rollup_df(self, granularity: str) -> DataFrame:
+        """Gap-filled (densified) rollup: exactly one row per slot of
+        the indexed horizon — empty slots surface as cnt=0 / NULL
+        aggregates (the identity-slot semantics of §4.2: the wheel's
+        ring buffer is gap-free even when no entry hit a slot) — plus
+        a last-observation-carried-forward ``sum_locf`` column
+        (TimescaleDB's ``time_bucket_gapfill`` + ``locf``).
+
+        Scale note: the LOCF window here is a single global ordered
+        window — fine for rollups (one row per slot, ≤ ~0.5M/year at
+        minute grain, far below window-task limits). If a horizon ever
+        outgrew one task, the standard fix is per-UTC-day partitioned
+        LOCF plus a broadcast fix-up of each day's last value.
+        """
+        gms = GRANULARITIES[granularity]
+        n = (self.advanced_ms - self.watermark_ms) // gms
+        slots = self.spark.range(0, n).select(
+            (F.lit(self.watermark_ms) + F.col("id") * gms)
+            .cast("long")
+            .alias("bucket_ms")
+        )
+        from pyspark.sql import Window
+
+        filled = slots.join(self.rollup_df(granularity), "bucket_ms", "left")
+        w = Window.orderBy("bucket_ms").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return filled.select(
+            "bucket_ms",
+            "sum_value",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            "min_value",
+            "max_value",
+            F.last("sum_value", ignorenulls=True).over(w).alias("sum_locf"),
+        )
+
     # ------------------------------------------------------- driver fast path
 
     def to_driver_index(self):
