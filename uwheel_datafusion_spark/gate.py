@@ -1237,6 +1237,262 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH costs AS (
+        SELECT p_partkey, p_type, s_suppkey, s_name, s_acctbal, n_name,
+               MIN(l_extendedprice) AS supply_cost
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE p_size = 15 AND r_name = 'EUROPE'
+        GROUP BY p_partkey, p_type, s_suppkey, s_name, s_acctbal, n_name
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, s_suppkey, supply_cost
+    FROM costs
+    WHERE supply_cost = (
+        SELECT MIN(supply_cost) FROM costs c2 WHERE c2.p_partkey = costs.p_partkey
+    )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-cost supplier per part within a region — a
+    correlated MIN subquery against a grouped CTE. The fixtures carry
+    no partsupp, so the part↔supplier 'supply cost' is derived from
+    lineitem (MIN observed l_extendedprice per pair — reference shape
+    at src/main.rs has no joins at all; this is engine-sanity).
+    Decorrelated: per-pair agg (one fact shuffle) → tiny per-part MIN →
+    broadcast join back. MIN over doubles is exact, so both engines
+    agree bit-for-bit; s_suppkey in the output uniquifies the top-100
+    tie-break."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    li = load_table(spark, sf_dir, "lineitem")
+    sn = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = (
+        li.join(F.broadcast(p.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .groupBy("p_partkey", "p_type", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min("l_extendedprice").alias("supply_cost"))
+    )
+    best = costs.groupBy(F.col("p_partkey").alias("bk")).agg(
+        F.min("supply_cost").alias("best_cost")
+    )
+    return (
+        costs.join(
+            F.broadcast(best),
+            (costs.p_partkey == F.col("bk"))
+            & (costs.supply_cost == F.col("best_cost")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            "s_suppkey", "supply_cost",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@gate(
+    "tpch_q11_important_part_value",
+    """
+    WITH pv AS (
+        SELECT l_partkey AS partkey,
+               SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000)
+                        AS BIGINT)) AS v_micros
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey
+    )
+    SELECT partkey, (CAST(v_micros AS DOUBLE) / 1000000) AS part_value
+    FROM pv
+    WHERE v_micros * 1000 > (SELECT SUM(v_micros) FROM pv)
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part 'stock value' from one nation's
+    suppliers, kept only when it exceeds a fraction (1/1000) of the
+    grand total — a HAVING against a scalar subquery over the same
+    grouped CTE. No partsupp in the fixtures, so value = discounted
+    lineitem revenue. The threshold compare stays in scaled-long
+    integer space (v*1000 > Σv) so both engines agree exactly; the
+    grand total is a 1-row broadcast cross join, not a driver
+    collect."""
+    n3 = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n3), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    pv = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(_sum_micros(rev).alias("v_micros"))
+    )
+    total = pv.agg(F.sum("v_micros").alias("total_micros"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("v_micros") * 1000 > F.col("total_micros"))
+        .select("partkey", micros_to_value(F.col("v_micros")).alias("part_value"))
+    )
+
+
+@gate(
+    "tpch_q12_late_priority_lines",
+    """
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact⋈fact join + conditional CASE counts by
+    category. The fixtures carry no l_shipmode/commit/receipt dates, so
+    the grouping key is l_linestatus and 'late' = shipped ≥30 days
+    after the order date. The year filter pushes down to the lineitem
+    scan; the join is a key-shuffle (both sides large) that AQE can
+    re-plan."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(F.lit(1) - high).alias("low_line_count"),
+        )
+    )
+
+
+@gate(
+    "tpch_q16_supplier_part_variety",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier count per part attribute
+    triple, excluding a NOT IN supplier denylist (s_acctbal < 0 stands
+    in for the 'customer complaints' comment filter; no partsupp, so
+    lineitem provides the part↔supplier pairs). NOT IN over a non-null
+    key column ≡ anti-join; the denylist broadcasts."""
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_suppkey"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == F.col("bad_suppkey"), "left_anti")
+        .join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@gate(
+    "tpch_q20_promotable_supplier",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_2'
+      AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          WHERE p_name LIKE 'red%'
+          GROUP BY l_suppkey, l_partkey
+          HAVING 2 * SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                               AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                              THEN CAST(round(l_quantity * 1000000) AS BIGINT)
+                              ELSE 0 END)
+              > SUM(CAST(round(l_quantity * 1000000) AS BIGINT))
+      )
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-joins — suppliers in one nation
+    whose shipments of a name-prefixed part were concentrated in one
+    year (1997 volume > half of the pair's all-time volume; canonical
+    availqty > ½·year-qty has no partsupp to read from). The HAVING
+    compare is integer micros (2·Σ₁₉₉₇ > Σ_all) so both engines agree
+    exactly. Conditional sum = one pass over the pair groups; the
+    qualifying supplier set is tiny and broadcasts into the semi."""
+    red = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    in_97 = (
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    qm = value_to_micros(F.col("l_quantity"))
+    promo = (
+        li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_97, qm).otherwise(F.lit(0))).alias("q97_micros"),
+            F.sum(qm).alias("qall_micros"),
+        )
+        .filter(F.lit(2) * F.col("q97_micros") > F.col("qall_micros"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    n2 = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        s.join(F.broadcast(promo), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@gate(
     "window_trailing_7d_user_revenue",
     """
     SELECT event_id, user_id,
