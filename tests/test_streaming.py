@@ -7,7 +7,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from uwheel_datafusion_spark.functions.time import MINUTE_MS, to_epoch_ms
+from uwheel_datafusion_spark.functions.time import MINUTE_MS, to_epoch_ms, ts_to_ms
 from uwheel_datafusion_spark.operators.wheel import WheelIndex
 from uwheel_datafusion_spark.sources.registry import load_table
 from uwheel_datafusion_spark.streaming.wheel_stream import StreamingWheel
@@ -189,7 +189,7 @@ def test_streaming_sliding_window_equals_batch(spark, sf_smoke, stream_dir, tmp_
             F.sum(value_to_micros(F.col("value"))).alias("sum_micros"),
         )
         .select(
-            F.unix_millis(F.col("w.start")).alias("w_start_ms"),
+            ts_to_ms(F.col("w.start")).alias("w_start_ms"),
             "cnt",
             "sum_micros",
         )

@@ -1736,6 +1736,8 @@ def keyed_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key temporal rollup (hypertable continuous-aggregate style):
     tumbling F.window per event_type — the keyed generalization of the
     wheel's single-series rollups. One shuffle on (key, window)."""
+    from uwheel_datafusion_spark.functions.time import ts_to_ms
+
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
@@ -1745,7 +1747,7 @@ def keyed_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "event_type",
-            F.unix_millis(F.col("w.start")).alias("bucket_ms"),
+            ts_to_ms(F.col("w.start")).alias("bucket_ms"),
             "cnt",
             "sum_value",
         )

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from uwheel_datafusion_spark.functions.time import ts_to_ms
+
 
 def asof_join(
     left: DataFrame,
@@ -105,6 +107,6 @@ def purchase_asof_click(events: DataFrame) -> DataFrame:
     return joined.select(
         "event_id",
         "user_id",
-        F.unix_millis("ts").alias("purchase_ms"),
-        F.unix_millis("click_ts").alias("click_ms"),
+        ts_to_ms("ts").alias("purchase_ms"),
+        ts_to_ms("click_ts").alias("click_ms"),
     )

@@ -22,9 +22,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from uwheel_datafusion_spark.functions.quant import value_to_micros
-from uwheel_datafusion_spark.functions.time import MINUTE_MS, ts_to_ms
+from uwheel_datafusion_spark.functions.time import (
+    MINUTE_MS,
+    ts_range_pred,
+    ts_to_ms,
+)
 from uwheel_datafusion_spark.operators.driver_index import DriverWheelIndex
 from uwheel_datafusion_spark.operators.wheel import bucket_ms
+
+#: hot-serving ceiling: collecting the (key × minute) rollup to the
+#: driver is only sane for dashboard-cardinality keys. Above this the
+#: build refuses and callers use the distributed rollup instead
+#: (``build_rollup`` + ``query_rollup_df``), which never collects.
+MAX_HOT_KEYS = 10_000
 
 
 class KeyedWheelIndex:
@@ -40,31 +50,22 @@ class KeyedWheelIndex:
         self.watermark_ms = watermark_ms
         self.advanced_ms = advanced_ms
 
-    @classmethod
-    def build(
-        cls,
+    @staticmethod
+    def build_rollup(
         df: DataFrame,
         key_col: str,
         ts_col: str,
         value_col: str,
         watermark_ms: int,
         advance_to_ms: int,
-    ) -> "KeyedWheelIndex":
-        from pyspark.sql.types import LongType
-
-        if isinstance(df.schema[ts_col].dataType, LongType):
-            # raw epoch-ns (TIMESTAMP(NANOS) parquet): predicates stay on
-            # the raw column so the horizon filter reaches row-group
-            # stats; exact integer `div` (ns exceeds double's 2^53)
-            ms = F.expr(f"`{ts_col}` div 1000000")
-            horizon = (F.col(ts_col) >= watermark_ms * 1_000_000) & (
-                F.col(ts_col) < advance_to_ms * 1_000_000
-            )
-        else:
-            ms = ts_to_ms(F.col(ts_col))
-            horizon = (ms >= watermark_ms) & (ms < advance_to_ms)
-        rollup = (
-            df.filter(horizon)
+    ) -> DataFrame:
+        """The distributed (key, minute-bucket) rollup — ONE shuffle,
+        map-side partials; safe at any key cardinality (never collects).
+        The horizon predicate stays on the timestamp column itself so
+        it reaches parquet row-group stats."""
+        ms = ts_to_ms(F.col(ts_col))
+        return (
+            df.filter(ts_range_pred(df, ts_col, watermark_ms, advance_to_ms))
             .select(
                 F.col(key_col).alias("key"),
                 bucket_ms(ms, MINUTE_MS).alias("bucket_ms"),
@@ -79,6 +80,31 @@ class KeyedWheelIndex:
                 F.max("value").alias("max_value"),
             )
         )
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        key_col: str,
+        ts_col: str,
+        value_col: str,
+        watermark_ms: int,
+        advance_to_ms: int,
+        max_keys: int = MAX_HOT_KEYS,
+    ) -> "KeyedWheelIndex":
+        rollup = cls.build_rollup(
+            df, key_col, ts_col, value_col, watermark_ms, advance_to_ms
+        )
+        # guard BEFORE collecting: a high-cardinality key would OOM the
+        # driver. countDistinct over the rollup is cheap (rollup rows,
+        # not fact rows).
+        n_keys = rollup.select(F.countDistinct("key")).first()[0]
+        if n_keys > max_keys:
+            raise ValueError(
+                f"{n_keys} distinct keys exceeds the hot-serving cap "
+                f"({max_keys}); use build_rollup() + query_rollup_df() "
+                f"(distributed, collect-free) for high-cardinality keys"
+            )
         by_key: dict = {}
         for r in rollup.collect():
             by_key.setdefault(r["key"], []).append(r)
@@ -87,6 +113,41 @@ class KeyedWheelIndex:
             for k, rows in by_key.items()
         }
         return cls(indexes, watermark_ms, advance_to_ms)
+
+    @staticmethod
+    def query_rollup_df(
+        rollup: DataFrame, key, start_ms: int, end_ms: int
+    ) -> DataFrame:
+        """Distributed per-key range aggregate over a ``build_rollup``
+        frame — the high-cardinality serving path: a (key, bucket range)
+        probe that prunes to one key's slots, no driver state."""
+        from uwheel_datafusion_spark.functions.quant import micros_to_value
+
+        return (
+            rollup.filter(
+                (F.col("key") == key)
+                & (F.col("bucket_ms") >= start_ms)
+                & (F.col("bucket_ms") < end_ms)
+            )
+            .agg(
+                F.sum("sum_micros").alias("_sum_micros"),
+                F.sum("cnt").alias("cnt"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+            .select(
+                micros_to_value(F.col("_sum_micros")).alias("sum_value"),
+                "cnt",
+                "min_value",
+                "max_value",
+                # avg on the scaled-long sum: deterministic vs the oracle
+                (
+                    F.col("_sum_micros").cast("double")
+                    / F.col("cnt").cast("double")
+                    / 1_000_000
+                ).alias("avg_value"),
+            )
+        )
 
     def keys(self) -> list:
         return sorted(self._indexes)

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from uwheel_datafusion_spark.functions.quant import micros_to_value, value_to_micros
+from uwheel_datafusion_spark.functions.time import ts_to_ms
 
 #: the gated configuration: 1-hour windows sliding by 15 minutes
 SLIDE_SIZE_MS = 3_600_000
@@ -64,8 +65,8 @@ def sliding_window_agg(
             F.max(value_col).alias("max_value"),
         )
         .select(
-            F.unix_millis(F.col("w.start")).alias("w_start_ms"),
-            F.unix_millis(F.col("w.end")).alias("w_end_ms"),
+            ts_to_ms(F.col("w.start")).alias("w_start_ms"),
+            ts_to_ms(F.col("w.end")).alias("w_end_ms"),
             F.col("cnt"),
             micros_to_value(F.col("sum_micros")).alias("sum_value"),
             F.col("min_value"),
@@ -120,8 +121,8 @@ def session_window_agg(
         )
         .select(
             F.col(key_col),
-            F.unix_millis(F.col("s.start")).alias("session_start_ms"),
-            F.unix_millis(F.col("s.end")).alias("session_end_ms"),
+            ts_to_ms(F.col("s.start")).alias("session_start_ms"),
+            ts_to_ms(F.col("s.end")).alias("session_end_ms"),
             F.col("cnt"),
             micros_to_value(F.col("sum_micros")).alias("sum_value"),
         )

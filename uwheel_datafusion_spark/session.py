@@ -40,10 +40,6 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # the driver-generated events.parquet stores ts as TIMESTAMP(NANOS),
-        # which Spark 4 rejects unless read as raw long ns; sources.registry
-        # converts back to TimestampType (truncating ns→µs, same as DuckDB)
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )

@@ -33,52 +33,22 @@ TABLES = (
 )
 
 
-#: columns stored as TIMESTAMP(NANOS) in the driver-generated parquet;
-#: Spark 4 reads them as long ns (spark.sql.legacy.parquet.nanosAsLong)
-#: and we convert back to TimestampType, truncating ns→µs exactly as
-#: DuckDB's µs TIMESTAMP does, so both engines see identical values.
-_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
-
-
-def _ensure_nanos_conf(spark: SparkSession) -> None:
-    """Make nanosecond parquet readable even under a caller-provided
-    session (the conf is runtime-settable; verified on pyspark 4.1)."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
-
-
-def _restore_ns_timestamps(df: DataFrame, name: str) -> DataFrame:
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
-
-    for col in _NANOS_TS_COLS.get(name, ()):
-        if col in df.columns and isinstance(df.schema[col].dataType, LongType):
-            # integer `div`, NOT `/`: epoch-ns exceeds double's 2^53, so
-            # float division rounds some values up a full microsecond
-            df = df.withColumn(
-                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
-            )
-    return df
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one parquet table (vectorized scan; pushdown-capable)."""
-    _ensure_nanos_conf(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    return _restore_ns_timestamps(df, name)
+    """Load one parquet table (vectorized scan; pushdown-capable).
 
-
-def load_table_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load WITHOUT the ns→timestamp restoration: nanosecond columns
-    stay raw longs. This is the scan-heavy ingest path — predicates on
-    the raw integer column push down to parquet row-group statistics,
-    which the converted ``timestamp_micros(floor(ts/1000))`` expression
-    never can (measured: PushedFilters degrade to [IsNotNull] on the
-    converted view — a full scan at 100 TB)."""
-    _ensure_nanos_conf(spark)
+    The driver fixtures store timestamps as parquet timestamp[us]
+    without a timezone, which Spark 4 reads as TIMESTAMP_NTZ — the
+    exact naive-UTC reading DuckDB uses, so both engines see identical
+    values with no conversion layer. NTZ literals built by
+    ``functions.time.ts_range_pred`` push down to parquet row-group
+    stats natively (verified: PushedFilters shows the range)."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# Historical alias from the round-1 TIMESTAMP(NANOS) premise (fixtures
+# were assumed to need a raw-long read + restore). With the real
+# timestamp[us]/NTZ fixtures both loaders are the same plain scan.
+load_table_raw = load_table
 
 
 def register_tables(
@@ -89,13 +59,12 @@ def register_tables(
     Returns the DataFrames keyed by table name. Views are temp (session
     scoped); re-registering is idempotent.
     """
-    _ensure_nanos_conf(spark)
     out: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = _restore_ns_timestamps(spark.read.parquet(path), name)
+        df = spark.read.parquet(path)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

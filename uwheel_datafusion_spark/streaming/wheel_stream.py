@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from uwheel_datafusion_spark.functions.quant import value_to_micros
-from uwheel_datafusion_spark.functions.time import MINUTE_MS
+from uwheel_datafusion_spark.functions.time import MINUTE_MS, ts_to_ms
 
 
 @dataclass
@@ -120,7 +120,7 @@ class StreamingWheel:
                 F.max(value_col).alias("max_value"),
             )
             .select(
-                F.unix_millis(F.col("w.start")).alias("bucket_ms"),
+                ts_to_ms(F.col("w.start")).alias("bucket_ms"),
                 "sum_micros",
                 "cnt",
                 "min_value",
