@@ -7,6 +7,11 @@ both paths — the driver prefix-sum index (µWheel's role) and Spark SQL
 full scan (DataFusion's role, sampled) — plus the headline SQL/join
 queries at the bench scale factor.
 
+Crash-tolerance contract: every workload runs inside try/except and the
+JSON line is printed from a finally block, so a single failing workload
+(or a mid-run crash) can never discard the numbers that DID complete.
+Failed workloads appear under detail.errors instead of silently dying.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all).
 """
@@ -17,6 +22,7 @@ import json
 import os
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -39,6 +45,60 @@ def main() -> None:
     n_queries = args.queries or int(os.environ.get("BENCH_QUERIES", "1000"))
     sql_sample = args.sql_sample or int(os.environ.get("BENCH_SQL_SAMPLE", "30"))
 
+    timings: dict[str, float] = {}
+    extras: dict[str, dict] = {}
+    errors: dict[str, str] = {}
+    t_total0 = time.perf_counter()
+
+    def emit() -> None:
+        """Print the single driver-facing JSON line from whatever completed."""
+        total = time.perf_counter() - t_total0
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        if errors:
+            extras["errors"] = errors
+        print(
+            json.dumps(
+                {
+                    "metric": "bench_total_wall",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": {k: round(v, 4) for k, v in timings.items()},
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "detail": extras,
+                }
+            ),
+            flush=True,
+        )
+
+    def step(name):
+        """Run one workload; record its failure instead of dying."""
+
+        def deco(fn):
+            try:
+                fn()
+            except Exception as exc:  # noqa: BLE001 — bench must survive anything
+                errors[name] = f"{type(exc).__name__}: {exc}"
+                traceback.print_exc(file=sys.stderr)
+
+        return deco
+
+    try:
+        _run(
+            sf_dir=sf_dir,
+            n_queries=n_queries,
+            sql_sample=sql_sample,
+            timings=timings,
+            extras=extras,
+            step=step,
+        )
+    except BaseException as exc:  # noqa: BLE001 — emit partial numbers, then re-raise
+        errors["__fatal__"] = f"{type(exc).__name__}: {exc}"
+        traceback.print_exc(file=sys.stderr)
+    finally:
+        emit()
+
+
+def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
     from pyspark.sql import functions as F
 
     from uwheel_datafusion_spark import WheelIndex, get_spark
@@ -54,21 +114,18 @@ def main() -> None:
         REGISTRY,
     )
     from uwheel_datafusion_spark.sources.registry import (
-        load_table_raw,
+        load_table,
         register_tables,
     )
 
     spark = get_spark(app_name="uwheel_bench")
-    timings: dict[str, float] = {}
-    extras: dict[str, dict] = {}
-    t_total0 = time.perf_counter()
 
     # ---------------------------------------------------------- index build (E1)
     # warm the session (codegen, shuffle machinery) so the build timing
     # measures the build, not JVM startup — the reference's build timer
     # also starts after process init (/root/reference/src/main.rs:48-50)
     spark.range(100_000).groupBy((F.col("id") % 97).alias("k")).count().collect()
-    ev = load_table_raw(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events")
     t0 = time.perf_counter()
     idx = WheelIndex.build(ev, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS)
     di = idx.to_driver_index()
@@ -83,82 +140,90 @@ def main() -> None:
 
     # ------------------------------------------------- wheel path (E2, B2+B3)
     minute_ranges = gen_minute_ranges(EVENTS_WM_MS, horizon, n_queries)
-    r = run_latency_bench("wheel_minute_ranges", di.query_sum, minute_ranges, warmup=200)
-    timings["wheel_minute_ranges"] = r.wall_sec
-    extras["wheel_minute_ranges"] = {"qps": r.qps, **r.latency}
 
-    hour_ranges = gen_hour_ranges(EVENTS_WM_MS, horizon, n_queries)
-    r = run_latency_bench("wheel_hour_ranges", di.query_sum, hour_ranges, warmup=200)
-    timings["wheel_hour_ranges"] = r.wall_sec
-    extras["wheel_hour_ranges"] = {"qps": r.qps, **r.latency}
+    @step("wheel_minute_ranges")
+    def _():
+        r = run_latency_bench(
+            "wheel_minute_ranges", di.query_sum, minute_ranges, warmup=200
+        )
+        timings["wheel_minute_ranges"] = r.wall_sec
+        extras["wheel_minute_ranges"] = {"qps": r.qps, **r.latency}
 
-    # the reference's buggy hour generator (minute offsets — B3), kept
-    # as a labelled replica workload for apples-to-apples comparison
-    refbug_ranges = gen_hour_ranges(
-        EVENTS_WM_MS, horizon, n_queries, replicate_ref_bug=True
-    )
-    r = run_latency_bench("wheel_hour_ranges_refbug", di.query_sum, refbug_ranges, warmup=200)
-    timings["wheel_hour_ranges_refbug"] = r.wall_sec
-    extras["wheel_hour_ranges_refbug"] = {"qps": r.qps, **r.latency}
+    @step("wheel_hour_ranges")
+    def _():
+        hour_ranges = gen_hour_ranges(EVENTS_WM_MS, horizon, n_queries)
+        r = run_latency_bench(
+            "wheel_hour_ranges", di.query_sum, hour_ranges, warmup=200
+        )
+        timings["wheel_hour_ranges"] = r.wall_sec
+        extras["wheel_hour_ranges"] = {"qps": r.qps, **r.latency}
+
+    # the reference's buggy hour generator (minute offsets — B3,
+    # /root/reference/src/main.rs:194-195), kept as a labelled replica
+    # workload for apples-to-apples comparison
+    @step("wheel_hour_ranges_refbug")
+    def _():
+        refbug_ranges = gen_hour_ranges(
+            EVENTS_WM_MS, horizon, n_queries, replicate_ref_bug=True
+        )
+        r = run_latency_bench(
+            "wheel_hour_ranges_refbug", di.query_sum, refbug_ranges, warmup=200
+        )
+        timings["wheel_hour_ranges_refbug"] = r.wall_sec
+        extras["wheel_hour_ranges_refbug"] = {"qps": r.qps, **r.latency}
 
     # -------------------- distributed serving path (SURVEY §4.3, sampled)
-    def dist_sum(s_ms: int, e_ms: int):
-        return idx.range_agg_df(s_ms, e_ms).collect()[0][0]
+    @step("wheel_distributed_ranges")
+    def _():
+        def dist_sum(s_ms: int, e_ms: int):
+            return idx.range_agg_df(s_ms, e_ms).collect()[0][0]
 
-    r = run_latency_bench(
-        "wheel_distributed_ranges", dist_sum, minute_ranges[:sql_sample]
-    )
-    timings["wheel_distributed_ranges"] = r.wall_sec
-    extras["wheel_distributed_ranges"] = {"qps": r.qps, **r.latency}
+        r = run_latency_bench(
+            "wheel_distributed_ranges", dist_sum, minute_ranges[:sql_sample]
+        )
+        timings["wheel_distributed_ranges"] = r.wall_sec
+        extras["wheel_distributed_ranges"] = {"qps": r.qps, **r.latency}
 
     # --------------------------- SQL-router rewrite path (§7.6 rewrite + E2)
-    from uwheel_datafusion_spark.plans.sql_router import WheelSqlRouter
+    @step("router_rewrite_ranges")
+    def _():
+        from uwheel_datafusion_spark.plans.sql_router import WheelSqlRouter
 
-    router = WheelSqlRouter(spark)
-    router.register_index("events", "ts", "value", idx)
+        router = WheelSqlRouter(spark)
+        router.register_index("events", "ts", "value", idx)
 
-    def routed_sum(s_ms: int, e_ms: int):
-        return router.sql_scalar(
-            f"SELECT SUM(value) FROM events "
-            f"WHERE ts >= '{ms_to_ts_literal(s_ms)}' "
-            f"AND ts < '{ms_to_ts_literal(e_ms)}'"
+        def routed_sum(s_ms: int, e_ms: int):
+            return router.sql_scalar(
+                f"SELECT SUM(value) FROM events "
+                f"WHERE ts >= '{ms_to_ts_literal(s_ms)}' "
+                f"AND ts < '{ms_to_ts_literal(e_ms)}'"
+            )
+
+        r = run_latency_bench(
+            "router_rewrite_ranges", routed_sum, minute_ranges, warmup=50
         )
-
-    r = run_latency_bench("router_rewrite_ranges", routed_sum, minute_ranges, warmup=50)
-    timings["router_rewrite_ranges"] = r.wall_sec
-    extras["router_rewrite_ranges"] = {"qps": r.qps, **r.latency}
+        timings["router_rewrite_ranges"] = r.wall_sec
+        extras["router_rewrite_ranges"] = {"qps": r.qps, **r.latency}
 
     # ------------------------------------------- SQL full-scan path (E3, sampled)
-    register_tables(spark, sf_dir, ("events",))
-    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()  # warm FS
+    # TIMESTAMP literals against the TIMESTAMP_NTZ ts column push down to
+    # parquet row-group stats (asserted by tests/test_plans.py), so this
+    # single workload is the pushdown-fair DataFusion analogue.
+    @step("sql_scan_ranges")
+    def _():
+        register_tables(spark, sf_dir, ("events",))
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()  # warm FS
 
-    def sql_sum(s_ms: int, e_ms: int):
-        return spark.sql(
-            f"SELECT SUM(value) FROM events "
-            f"WHERE ts >= TIMESTAMP '{ms_to_ts_literal(s_ms)}' "
-            f"AND ts < TIMESTAMP '{ms_to_ts_literal(e_ms)}'"
-        ).collect()[0][0]
+        def sql_sum(s_ms: int, e_ms: int):
+            return spark.sql(
+                f"SELECT SUM(value) FROM events "
+                f"WHERE ts >= TIMESTAMP '{ms_to_ts_literal(s_ms)}' "
+                f"AND ts < TIMESTAMP '{ms_to_ts_literal(e_ms)}'"
+            ).collect()[0][0]
 
-    r = run_latency_bench("sql_scan_ranges", sql_sum, minute_ranges[:sql_sample])
-    timings["sql_scan_ranges"] = r.wall_sec
-    extras["sql_scan_ranges"] = {"qps": r.qps, **r.latency}
-
-    # pushdown-fair SQL scan: predicates on the raw epoch-ns column
-    # reach parquet row-group stats (the reference's DataFusion path
-    # also scans with pushdown) — the ns→timestamp view cannot
-    ev.createOrReplaceTempView("events_raw")
-
-    def sql_sum_pushdown(s_ms: int, e_ms: int):
-        return spark.sql(
-            f"SELECT SUM(value) FROM events_raw "
-            f"WHERE ts >= {s_ms * 1_000_000} AND ts < {e_ms * 1_000_000}"
-        ).collect()[0][0]
-
-    r = run_latency_bench(
-        "sql_scan_ranges_pushdown", sql_sum_pushdown, minute_ranges[:sql_sample]
-    )
-    timings["sql_scan_ranges_pushdown"] = r.wall_sec
-    extras["sql_scan_ranges_pushdown"] = {"qps": r.qps, **r.latency}
+        r = run_latency_bench("sql_scan_ranges", sql_sum, minute_ranges[:sql_sample])
+        timings["sql_scan_ranges"] = r.wall_sec
+        extras["sql_scan_ranges"] = {"qps": r.qps, **r.latency}
 
     # ------------------------------------------------ headline gate queries
     headline = (
@@ -186,26 +251,15 @@ def main() -> None:
     for name in headline:
         if name not in REGISTRY:
             continue
-        t0 = time.perf_counter()
-        # count() executes the full plan without shipping wide results
-        # to the driver (an operator benchmark, not a collect benchmark)
-        REGISTRY[name].fn(spark, sf_dir).count()
-        timings[name] = time.perf_counter() - t0
 
-    total = time.perf_counter() - t_total0
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": {k: round(v, 4) for k, v in timings.items()},
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "detail": extras,
-            }
-        )
-    )
+        @step(name)
+        def _(name=name):
+            t0 = time.perf_counter()
+            # count() executes the full plan without shipping wide results
+            # to the driver (an operator benchmark, not a collect benchmark)
+            REGISTRY[name].fn(spark, sf_dir).count()
+            timings[name] = time.perf_counter() - t0
+
     spark.stop()
 
 
