@@ -10,7 +10,7 @@ import pytest
 
 from uwheel_datafusion_spark import WheelIndex
 from uwheel_datafusion_spark import gate as g
-from uwheel_datafusion_spark.sources.registry import load_table, load_table_raw
+from uwheel_datafusion_spark.sources.registry import load_table
 
 
 def _executed_plan(df) -> str:
@@ -22,9 +22,9 @@ def _optimized_plan(df) -> str:
 
 
 def test_pruned_build_pushes_watermark_to_scan(spark, sf_smoke):
-    """stats_mode='pruned' on the raw-ns path must reach parquet
-    row-group stats (PLANS.md anti-pattern guard)."""
-    df = load_table_raw(spark, sf_smoke, "events")
+    """stats_mode='pruned' must reach parquet row-group stats with the
+    NTZ watermark range (PLANS.md anti-pattern guard)."""
+    df = load_table(spark, sf_smoke, "events")
     from uwheel_datafusion_spark.gate import EVENTS_ADV_MS, EVENTS_WM_MS
 
     idx = WheelIndex.build(
@@ -32,9 +32,10 @@ def test_pruned_build_pushes_watermark_to_scan(spark, sf_smoke):
         stats_mode="pruned",
     )
     plan = _executed_plan(idx.rollups["minute"])
-    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
+    assert "GreaterThanOrEqual(ts,2024-01-01T00:00)" in plan
+    assert "LessThan(ts,2024-02-01T00:00)" in plan
     # column pruning: only the two needed columns are read
-    assert "ReadSchema: struct<ts:bigint,value:double>" in plan
+    assert "ReadSchema: struct<ts:timestamp_ntz,value:double>" in plan
 
 
 def test_star_join_broadcasts_dimensions(spark, sf_correctness):
@@ -74,12 +75,12 @@ def test_multimodal_stages_are_map_only(spark, sf_correctness):
         assert "Exchange" not in plan, name
 
 
-def test_hybrid_edges_push_raw_ns_range(spark, sf_correctness):
+def test_hybrid_edges_push_ntz_range(spark, sf_correctness):
     plan = _executed_plan(
         g.REGISTRY["wheel_range_unaligned_hybrid"].fn(spark, sf_correctness)
     )
-    # edge scans carry a tight raw-ns range filter (sliver reads)
-    assert "GreaterThanOrEqual(ts,17" in plan and "LessThan(ts,17" in plan
+    # edge scans carry a tight NTZ range filter (sliver reads)
+    assert "GreaterThanOrEqual(ts,2024-" in plan and "LessThan(ts,2024-" in plan
 
 
 def test_sliding_window_single_shuffle(spark, sf_correctness):
@@ -325,6 +326,9 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_correctness):
         "quantiles_order_value_deciles",   # broadcast decile thresholds
         "similarity_cosine_pair_dedup",    # exact baseline for LSH
         "similarity_knn_brute_force",      # exact baseline for IVF
+        "tpch_q11_important_part_value",   # 1-row broadcast threshold
+                                           # (crossJoin of a scalar agg —
+                                           # benign at any scale)
     }
     flagged = {}
     for name, gq in sorted(g.REGISTRY.items()):

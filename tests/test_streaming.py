@@ -7,7 +7,12 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from uwheel_datafusion_spark.functions.time import MINUTE_MS, to_epoch_ms, ts_to_ms
+from uwheel_datafusion_spark.functions.time import (
+    MINUTE_MS,
+    ensure_event_time,
+    to_epoch_ms,
+    ts_to_ms,
+)
 from uwheel_datafusion_spark.operators.wheel import WheelIndex
 from uwheel_datafusion_spark.sources.registry import load_table
 from uwheel_datafusion_spark.streaming.wheel_stream import StreamingWheel
@@ -182,7 +187,8 @@ def test_streaming_sliding_window_equals_batch(spark, sf_smoke, stream_dir, tmp_
         .select("ts", "value")
     )
     agg = (
-        stream.withWatermark("ts", "31 days")
+        ensure_event_time(stream, "ts")
+        .withWatermark("ts", "31 days")
         .groupBy(F.window("ts", "3600 seconds", "900 seconds").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -273,11 +279,13 @@ def test_stream_static_join_enrichment(spark, sf_smoke, stream_dir, tmp_path):
     )
 
     ev = load_table(spark, sf_smoke, "events")
+    # compare on epoch-ms keys: driver-side datetime conversion differs
+    # between TIMESTAMP (session-tz) and TIMESTAMP_NTZ (naive) columns
     expected = {
         r["h"]: r["wsum"]
         for r in (
             ev.join(SF.broadcast(weights), "event_type")
-            .groupBy(SF.date_trunc("hour", "ts").alias("h"))
+            .groupBy(ts_to_ms(SF.date_trunc("hour", "ts")).alias("h"))
             .agg(SF.sum(SF.col("weight").cast("long")).alias("wsum"))
             .collect()
         )
@@ -291,11 +299,11 @@ def test_stream_static_join_enrichment(spark, sf_smoke, stream_dir, tmp_path):
         .select("ts", "event_type")
     )
     enriched = (
-        stream.join(SF.broadcast(weights), "event_type")
+        ensure_event_time(stream.join(SF.broadcast(weights), "event_type"), "ts")
         .withWatermark("ts", "31 days")
         .groupBy(SF.window("ts", "1 hour").alias("w"))
         .agg(SF.sum(SF.col("weight").cast("long")).alias("wsum"))
-        .select(SF.col("w.start").alias("h"), "wsum")
+        .select(ts_to_ms(SF.col("w.start")).alias("h"), "wsum")
     )
     q = (
         enriched.writeStream.format("memory")

@@ -12,6 +12,7 @@ from uwheel_datafusion_spark.functions.time import (
     DAY_MS,
     HOUR_MS,
     MINUTE_MS,
+    ms_to_ts_literal,
     to_epoch_ms,
 )
 from uwheel_datafusion_spark.operators.wheel import WheelIndex
@@ -39,7 +40,8 @@ def _sql_truth(spark, view, s_ms, e_ms):
         SELECT SUM(CAST(round(value*1000000) AS BIGINT)) AS sm,
                COUNT(*) AS c, MIN(value) AS mn, MAX(value) AS mx
         FROM {view}
-        WHERE unix_micros(ts) >= {s_ms * 1000} AND unix_micros(ts) < {e_ms * 1000}
+        WHERE ts >= TIMESTAMP '{ms_to_ts_literal(s_ms)}'
+          AND ts < TIMESTAMP '{ms_to_ts_literal(e_ms)}'
         """
     ).first()
     return row

@@ -79,6 +79,19 @@ def ts_range_pred(df, ts_col: str, start_ms: int, end_ms: int) -> Column:
     return (F.col(ts_col) >= lo) & (F.col(ts_col) < hi)
 
 
+def ensure_event_time(df, ts_col: str):
+    """Return ``df`` with ``ts_col`` usable as a streaming event-time
+    column. Structured Streaming's ``withWatermark`` requires TIMESTAMP
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on TIMESTAMP_NTZ), so NTZ —
+    how Spark reads tz-less parquet — is cast; value-preserving under
+    the UTC session timezone the repo sessions pin."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def floor_ms(ms: int, granularity_ms: int) -> int:
     return (ms // granularity_ms) * granularity_ms
 

@@ -45,6 +45,7 @@ from pyspark.sql.types import (
 )
 
 from uwheel_datafusion_spark.functions.quant import QUANT_SCALE
+from uwheel_datafusion_spark.functions.time import ensure_event_time
 
 OUTPUT_SCHEMA = StructType(
     [
@@ -145,7 +146,8 @@ class StreamingSessionizer:
     ) -> None:
         self.closed: list[dict] = []
         prepared = (
-            stream_df.withWatermark(ts_col, watermark_delay)
+            ensure_event_time(stream_df, ts_col)
+            .withWatermark(ts_col, watermark_delay)
             .select(
                 F.col(key_col).cast("long").alias("user_id"),
                 F.col(ts_col).alias("ts"),

@@ -34,7 +34,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from uwheel_datafusion_spark.functions.quant import value_to_micros
-from uwheel_datafusion_spark.functions.time import MINUTE_MS, ts_to_ms
+from uwheel_datafusion_spark.functions.time import (
+    MINUTE_MS,
+    ensure_event_time,
+    ts_to_ms,
+)
 
 
 @dataclass
@@ -111,7 +115,8 @@ class StreamingWheel:
         self.store = store if store is not None else RollupStore()
         self._delay = watermark_delay
         self._agg = (
-            stream_df.withWatermark(ts_col, watermark_delay)
+            ensure_event_time(stream_df, ts_col)
+            .withWatermark(ts_col, watermark_delay)
             .groupBy(F.window(ts_col, "1 minute").alias("w"))
             .agg(
                 F.sum(value_to_micros(F.col(value_col))).alias("sum_micros"),
