@@ -14,7 +14,7 @@ from uwheel_datafusion_spark.functions.time import (
 )
 from uwheel_datafusion_spark.operators.wheel import WheelIndex
 from uwheel_datafusion_spark.plans.sql_router import WheelSqlRouter
-from uwheel_datafusion_spark.sources.registry import load_table, load_table_raw
+from uwheel_datafusion_spark.sources.registry import load_table
 
 from datetime import datetime
 
@@ -26,7 +26,7 @@ E = to_epoch_ms(datetime(2024, 1, 20, 7, 42))
 
 @pytest.fixture(scope="module")
 def router(spark, sf_smoke):
-    df = load_table_raw(spark, sf_smoke, "events")
+    df = load_table(spark, sf_smoke, "events")
     idx = WheelIndex.build(df, "ts", "value", WM, ADV)
     load_table(spark, sf_smoke, "events").createOrReplaceTempView("events")
     r = WheelSqlRouter(spark)
@@ -97,7 +97,7 @@ def test_hybrid_unaligned_range(spark, sf_smoke, router):
     """Index interior + fact-scan edges == full scan, for ragged
     endpoints 37s / 11s inside the minutes."""
     idx = router._indexes["events"][2]
-    fact = load_table_raw(spark, sf_smoke, "events")
+    fact = load_table(spark, sf_smoke, "events")
     s, e = S + 37_000, E - 11_000
     row = idx.range_agg_hybrid_df(fact, "ts", "value", s, e).first()
     truth = _scan_truth(spark, s, e)
@@ -110,7 +110,7 @@ def test_hybrid_unaligned_range(spark, sf_smoke, router):
 def test_hybrid_subminute_range(spark, sf_smoke, router):
     """Whole range inside one minute slot: pure edge scan."""
     idx = router._indexes["events"][2]
-    fact = load_table_raw(spark, sf_smoke, "events")
+    fact = load_table(spark, sf_smoke, "events")
     s = S + 5_000
     row = idx.range_agg_hybrid_df(fact, "ts", "value", s, s + 20_000).first()
     truth = _scan_truth(spark, s, s + 20_000)

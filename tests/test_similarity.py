@@ -138,3 +138,28 @@ def test_connected_components_chain_and_singletons(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_plan_depth_bounded(spark):
+    """The per-round localCheckpoint must truncate lineage: a long
+    chain (many propagation rounds) may not grow the final plan — the
+    100×-scale guard against driver-side plan blowup. A 33-node chain
+    needs ~6 rounds; the checkpointed plan stays the size of ONE round
+    regardless (compare against a 3-node/1-round baseline)."""
+    from uwheel_datafusion_spark.operators.dedup import connected_components
+
+    def plan_len(n_chain: int) -> tuple[int, dict]:
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, n_chain)], "doc_a long, doc_b long"
+        )
+        out = connected_components(pairs)
+        labels = {r["doc_id"]: r["component"] for r in out.collect()}
+        return len(out._jdf.queryExecution().optimizedPlan().toString()), labels
+
+    short_len, short_labels = plan_len(3)
+    long_len, long_labels = plan_len(33)
+    assert long_labels == {i: 1 for i in range(1, 34)}
+    assert short_labels == {1: 1, 2: 1, 3: 1}
+    # bounded: the deep run's plan is the same shape as the shallow one
+    # (checkpoint truncation), not 2^rounds bigger
+    assert long_len <= short_len * 2

@@ -185,14 +185,29 @@ def test_save_load_roundtrip(spark, wheel, tmp_path):
     a = wheel.to_driver_index().query_all(s, e)
     b = reopened.to_driver_index().query_all(s, e)
     assert a == b
+    # distributed serving on the reopened index agrees too
+    row = reopened.range_agg_df(s, e).first()
+    assert row["cnt"] == a["cnt"]
+    assert round(row["sum_value"] * 1e6) == round(a["sum"] * 1e6)
+    # and its range probes prune day partitions STATICALLY — the on-disk
+    # layout's whole point: day-range file listing, not full-index scans
+    plan = (
+        reopened.range_agg_df(s, e)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pfs, "no file scans in reopened-index plan"
+    assert all("dt" in p and ">=" in p and "<=" in p for p in pfs), pfs
 
 
 def test_pruned_stats_mode_same_rollups(spark, sf_smoke, wheel):
     """stats_mode='pruned' pushes the horizon into the scan and yields
     identical rollups; late/ahead counts are reported unknown (−1)."""
-    from uwheel_datafusion_spark.sources.registry import load_table_raw
-
-    df = load_table_raw(spark, sf_smoke, "events")
+    df = load_table(spark, sf_smoke, "events")
     pruned = WheelIndex.build(df, "ts", "value", WM, ADV, stats_mode="pruned")
     assert pruned.stats.n_late_rows == -1 and pruned.stats.n_ahead_rows == -1
     assert pruned.stats.n_indexed_rows == wheel.stats.n_indexed_rows
@@ -390,19 +405,40 @@ def test_keyed_wheel_differential(spark, sf_smoke, wheel):
     assert kw.size_bytes() > 0
 
 
-def test_keyed_wheel_raw_ns_matches_timestamp_build(spark, sf_smoke):
-    """The raw-ns (pushdown) build and the TimestampType build must
-    produce identical per-key answers."""
+def test_keyed_rollup_distributed_matches_driver_path(spark, sf_smoke):
+    """build_rollup + query_rollup_df (the collect-free high-cardinality
+    serving path) must agree with the hot DriverWheelIndex path — on
+    matching ranges AND the empty range, where both sides now lower to
+    cnt=0 with NULL/None value aggregates."""
     from uwheel_datafusion_spark.operators.keyed_wheel import KeyedWheelIndex
-    from uwheel_datafusion_spark.sources.registry import load_table_raw
 
-    ev_ts = load_table(spark, sf_smoke, "events")
-    ev_ns = load_table_raw(spark, sf_smoke, "events")
-    kw_ts = KeyedWheelIndex.build(ev_ts, "event_type", "ts", "value", WM, ADV)
-    kw_ns = KeyedWheelIndex.build(ev_ns, "event_type", "ts", "value", WM, ADV)
-    assert kw_ts.keys() == kw_ns.keys()
-    for k in kw_ts.keys():
-        assert kw_ts.query_all(k, WM, ADV) == kw_ns.query_all(k, WM, ADV)
+    ev = load_table(spark, sf_smoke, "events")
+    kw = KeyedWheelIndex.build(ev, "event_type", "ts", "value", WM, ADV)
+    rollup = KeyedWheelIndex.build_rollup(ev, "event_type", "ts", "value", WM, ADV)
+    rollup.persist()
+    try:
+        ranges = [
+            (WM, ADV),                                   # full span
+            (WM + 3 * DAY_MS, WM + 11 * DAY_MS),         # interior
+            (ADV, ADV + DAY_MS),                         # empty (beyond)
+        ]
+        for key in kw.keys():
+            for s, e in ranges:
+                hot = kw.query_all(key, s, e)
+                row = KeyedWheelIndex.query_rollup_df(rollup, key, s, e).first()
+                assert row["cnt"] == hot["cnt"], (key, s, e)
+                if hot["cnt"] == 0:
+                    assert hot["sum"] is None
+                    assert row["sum_value"] is None
+                    assert row["min_value"] is None and row["max_value"] is None
+                    assert row["avg_value"] is None
+                else:
+                    assert round(row["sum_value"] * 1e6) == round(hot["sum"] * 1e6)
+                    assert row["min_value"] == hot["min"]
+                    assert row["max_value"] == hot["max"]
+                    assert abs(row["avg_value"] - hot["avg"]) < 1e-9
+    finally:
+        rollup.unpersist()
 
 
 def test_gapfill_rollup_dense_and_locf(spark, wheel):

@@ -27,7 +27,6 @@ from uwheel_datafusion_spark.functions.time import DAY_MS, to_epoch_ms
 from uwheel_datafusion_spark.operators.wheel import WheelIndex
 from uwheel_datafusion_spark.sources.registry import (
     load_table,
-    load_table_raw,
     register_tables,
 )
 
@@ -121,7 +120,7 @@ def events_wheel(spark: SparkSession, sf_dir: str) -> WheelIndex:
     if key not in _WHEEL_CACHE:
         _tune_session(spark)
         # raw-ns load: watermark range pushes down to the parquet scan
-        df = load_table_raw(spark, sf_dir, "events")
+        df = load_table(spark, sf_dir, "events")
         _WHEEL_CACHE[key] = WheelIndex.build(
             df, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS
         )
@@ -261,7 +260,7 @@ def wheel_range_unaligned(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges from a pushdown scan of the fact table (µWheel would use its
     seconds wheel; SURVEY §4.2)."""
     wheel = events_wheel(spark, sf_dir)
-    fact = load_table_raw(spark, sf_dir, "events")
+    fact = load_table(spark, sf_dir, "events")
     return wheel.range_agg_hybrid_df(fact, "ts", "value", *RANGE_UNALIGNED)
 
 
@@ -352,7 +351,7 @@ def events_keyed_wheel(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)  # see events_wheel
     if key not in _KEYED_WHEEL_CACHE:
         _tune_session(spark)
-        df = load_table_raw(spark, sf_dir, "events")
+        df = load_table(spark, sf_dir, "events")
         _KEYED_WHEEL_CACHE[key] = KeyedWheelIndex.build(
             df, "event_type", "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS
         )

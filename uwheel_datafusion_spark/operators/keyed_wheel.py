@@ -95,19 +95,25 @@ class KeyedWheelIndex:
         rollup = cls.build_rollup(
             df, key_col, ts_col, value_col, watermark_ms, advance_to_ms
         )
-        # guard BEFORE collecting: a high-cardinality key would OOM the
-        # driver. countDistinct over the rollup is cheap (rollup rows,
-        # not fact rows).
-        n_keys = rollup.select(F.countDistinct("key")).first()[0]
-        if n_keys > max_keys:
-            raise ValueError(
-                f"{n_keys} distinct keys exceeds the hot-serving cap "
-                f"({max_keys}); use build_rollup() + query_rollup_df() "
-                f"(distributed, collect-free) for high-cardinality keys"
-            )
-        by_key: dict = {}
-        for r in rollup.collect():
-            by_key.setdefault(r["key"], []).append(r)
+        # two actions follow (cardinality guard, collect) — persist so
+        # the distributed rollup job runs once, not twice
+        rollup.persist()
+        try:
+            # guard BEFORE collecting: a high-cardinality key would OOM
+            # the driver. countDistinct over the rollup is cheap (rollup
+            # rows, not fact rows).
+            n_keys = rollup.select(F.countDistinct("key")).first()[0]
+            if n_keys > max_keys:
+                raise ValueError(
+                    f"{n_keys} distinct keys exceeds the hot-serving cap "
+                    f"({max_keys}); use build_rollup() + query_rollup_df() "
+                    f"(distributed, collect-free) for high-cardinality keys"
+                )
+            by_key: dict = {}
+            for r in rollup.collect():
+                by_key.setdefault(r["key"], []).append(r)
+        finally:
+            rollup.unpersist()
         indexes = {
             k: DriverWheelIndex.from_minute_rows(rows, watermark_ms, advance_to_ms)
             for k, rows in by_key.items()
@@ -131,7 +137,10 @@ class KeyedWheelIndex:
             )
             .agg(
                 F.sum("sum_micros").alias("_sum_micros"),
-                F.sum("cnt").alias("cnt"),
+                # empty range ⇒ cnt 0 (not NULL), matching the
+                # DriverWheelIndex serving path's query_count contract;
+                # value aggregates stay NULL ≙ its None lowering
+                F.coalesce(F.sum("cnt"), F.lit(0).cast("long")).alias("cnt"),
                 F.min("min_value").alias("min_value"),
                 F.max("max_value").alias("max_value"),
             )

@@ -64,6 +64,29 @@ GRANULARITIES: dict[str, int] = {
 ROLLUP_COLS = ("bucket_ms", "sum_micros", "cnt", "min_value", "max_value")
 
 
+def _bucket_range_pred(df: DataFrame, s_ms: int, e_ms: int):
+    """``bucket_ms ∈ [s, e)`` predicate; when the rollup carries the
+    ``dt`` partition column (a reopened on-disk index, partitioned by
+    UTC date in ``save``), conjoin the equivalent static date-range so
+    Catalyst prunes day partitions at planning time — bucket_ms alone
+    only skips row groups AFTER listing every partition, which is the
+    difference between O(days-touched) and O(all-days) file listings at
+    100 TB. Sound for any granularity: a bucket in [s, e) starts in
+    [date(s), date(e-1)]."""
+    pred = (F.col("bucket_ms") >= s_ms) & (F.col("bucket_ms") < e_ms)
+    if "dt" in df.columns and e_ms > s_ms:
+        from datetime import datetime, timezone
+
+        lo = datetime.fromtimestamp(s_ms / 1000, tz=timezone.utc)
+        hi = datetime.fromtimestamp((e_ms - 1) / 1000, tz=timezone.utc)
+        pred = (
+            pred
+            & (F.col("dt") >= lo.strftime("%Y-%m-%d"))
+            & (F.col("dt") <= hi.strftime("%Y-%m-%d"))
+        )
+    return pred
+
+
 @dataclass
 class BuildStats:
     """Build-time observability (B6/B7 in SURVEY §2.11)."""
@@ -142,28 +165,12 @@ class WheelIndex:
         if stats_mode not in ("tagged", "pruned"):
             raise ValueError("stats_mode must be 'tagged' or 'pruned'")
 
-        from pyspark.sql.types import LongType
-
-        raw_ns = isinstance(df.schema[ts_col].dataType, LongType)
-        if raw_ns:
-            # raw epoch-ns: keep predicates on the raw column so they
-            # reach parquet row-group stats; derive ms with exact
-            # integer division (`div`; ns exceeds double's 2^53).
-            # floor(ns/1e6) ∈ [wm, adv) ⇔ ns ∈ [wm·1e6, adv·1e6).
-            ms = F.expr(f"`{ts_col}` div 1000000")
-        else:
-            ms = ts_to_ms(F.col(ts_col))
+        ms = ts_to_ms(F.col(ts_col))
 
         if stats_mode == "pruned":
-            if raw_ns:
-                scan = df.filter(
-                    (F.col(ts_col) >= watermark_ms * 1_000_000)
-                    & (F.col(ts_col) < advance_to_ms * 1_000_000)
-                )
-            else:
-                scan = df.filter(
-                    ts_range_pred(df, ts_col, watermark_ms, advance_to_ms)
-                )
+            scan = df.filter(
+                ts_range_pred(df, ts_col, watermark_ms, advance_to_ms)
+            )
             bucket = bucket_ms(ms, MINUTE_MS)
         else:
             scan = df
@@ -293,8 +300,11 @@ class WheelIndex:
         merged: dict[str, DataFrame] = {}
         for g in self.rollups:
             merged[g] = (
+                # normalize to the core columns: a loaded index carries
+                # the dt partition column, a fresh delta does not
                 self.rollups[g]
-                .unionByName(delta.rollups[g])
+                .select(*ROLLUP_COLS)
+                .unionByName(delta.rollups[g].select(*ROLLUP_COLS))
                 .groupBy("bucket_ms")
                 .agg(
                     F.sum("sum_micros").alias("sum_micros"),
@@ -360,7 +370,7 @@ class WheelIndex:
         ):
             parts = [
                 self.rollups["minute"]
-                .filter((F.col("bucket_ms") >= s) & (F.col("bucket_ms") < e))
+                .filter(_bucket_range_pred(self.rollups["minute"], s, e))
                 .select("sum_micros", "cnt", "min_value", "max_value")
             ]
             return self._combine_parts(parts)
@@ -370,8 +380,7 @@ class WheelIndex:
             r = self.rollups[run.granularity]
             parts.append(
                 r.filter(
-                    (F.col("bucket_ms") >= run.start_ms)
-                    & (F.col("bucket_ms") < run.end_ms)
+                    _bucket_range_pred(r, run.start_ms, run.end_ms)
                 ).select("sum_micros", "cnt", "min_value", "max_value")
             )
         return self._combine_parts(parts)
@@ -434,19 +443,11 @@ class WheelIndex:
         else:
             edges = [(start_ms, core_s), (core_e, end_ms)]
 
-        from pyspark.sql.types import LongType
-
-        raw_ns = isinstance(fact_df.schema[ts_col].dataType, LongType)
         parts: list[DataFrame] = []
         for s, e in edges:
             if e <= s:
                 continue
-            if raw_ns:  # epoch-ns long: predicate the raw column (pushdown)
-                pred = (F.col(ts_col) >= s * 1_000_000) & (
-                    F.col(ts_col) < e * 1_000_000
-                )
-            else:
-                pred = ts_range_pred(fact_df, ts_col, s, e)
+            pred = ts_range_pred(fact_df, ts_col, s, e)
             parts.append(
                 fact_df.filter(pred)
                 .select(F.col(value_col).cast("double").alias("value"))
@@ -463,8 +464,11 @@ class WheelIndex:
                 parts.append(
                     self.rollups[run.granularity]
                     .filter(
-                        (F.col("bucket_ms") >= run.start_ms)
-                        & (F.col("bucket_ms") < run.end_ms)
+                        _bucket_range_pred(
+                            self.rollups[run.granularity],
+                            run.start_ms,
+                            run.end_ms,
+                        )
                     )
                     .select("sum_micros", "cnt", "min_value", "max_value")
                 )
@@ -489,7 +493,7 @@ class WheelIndex:
         s = self.watermark_ms if start_ms is None else max(start_ms, self.watermark_ms)
         e = self.advanced_ms if end_ms is None else min(end_ms, self.advanced_ms)
         r = self.rollups[granularity].filter(
-            (F.col("bucket_ms") >= s) & (F.col("bucket_ms") < e)
+            _bucket_range_pred(self.rollups[granularity], s, e)
         )
         return (
             r.orderBy(F.col("sum_micros").desc(), F.col("bucket_ms"))
@@ -618,9 +622,11 @@ class WheelIndex:
 
         with open(os.path.join(path, "wheel_meta.json")) as f:
             meta = json.load(f)
+        # keep the dt partition column: _bucket_range_pred uses it to
+        # turn range probes into static partition pruning
         rollups = {
             g: spark.read.parquet(os.path.join(path, f"agg_{g}")).select(
-                *ROLLUP_COLS
+                *ROLLUP_COLS, "dt"
             )
             for g in meta["granularities"]
         }

@@ -42,13 +42,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     values with no conversion layer. NTZ literals built by
     ``functions.time.ts_range_pred`` push down to parquet row-group
     stats natively (verified: PushedFilters shows the range)."""
+    _ensure_utc(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-# Historical alias from the round-1 TIMESTAMP(NANOS) premise (fixtures
-# were assumed to need a raw-long read + restore). With the real
-# timestamp[us]/NTZ fixtures both loaders are the same plain scan.
-load_table_raw = load_table
+def _ensure_utc(spark: SparkSession) -> None:
+    """Pin the session timezone to UTC. ``ts_to_ms`` casts TIMESTAMP_NTZ
+    through the session timezone, so a non-UTC caller session would
+    silently shift every epoch-ms value and bucket boundary; set it
+    defensively at every table load (idempotent, matches both the repo
+    sessions and DuckDB's naive-UTC reading of the fixtures)."""
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def register_tables(
@@ -59,6 +64,7 @@ def register_tables(
     Returns the DataFrames keyed by table name. Views are temp (session
     scoped); re-registering is idempotent.
     """
+    _ensure_utc(spark)
     out: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
