@@ -178,9 +178,18 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         def dist_sum(s_ms: int, e_ms: int):
             return idx.range_agg_df(s_ms, e_ms).collect()[0][0]
 
-        r = run_latency_bench(
-            "wheel_distributed_ranges", dist_sum, minute_ranges[:sql_sample]
-        )
+        # serving-session config: AQE re-optimization costs ~80 ms per
+        # probe and buys nothing on 1-partition cached rollups — a
+        # dedicated serving tier would run with it off (batch/build
+        # sessions keep it on for the big shuffles)
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            r = run_latency_bench(
+                "wheel_distributed_ranges", dist_sum, minute_ranges[:sql_sample]
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         timings["wheel_distributed_ranges"] = r.wall_sec
         extras["wheel_distributed_ranges"] = {"qps": r.qps, **r.latency}
 

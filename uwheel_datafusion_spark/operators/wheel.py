@@ -141,10 +141,9 @@ class WheelIndex:
         only rows with ts < advance_to_ms are finalized into slots; rows
         at/after it are "write-ahead" (counted, not indexed).
 
-        ``ts_col`` may be a TimestampType column OR a raw epoch-ns long
-        (how Spark reads TIMESTAMP(NANOS) parquet). The long path keeps
-        every predicate on the raw column, so the watermark range
-        pushes down to parquet row-group stats — the difference between
+        ``ts_col`` is a TIMESTAMP or TIMESTAMP_NTZ column; range
+        predicates are built flavor-matched (``ts_range_pred``) so they
+        push down to parquet row-group stats — the difference between
         scanning one month and scanning 100 TB.
 
         ``stats_mode``:
@@ -222,9 +221,11 @@ class WheelIndex:
             for g in rollups:
                 # rollups are tiny regardless of fact-table size (one
                 # row per non-empty slot — ~0.5M rows/year at minute
-                # grain): serve them from a handful of partitions so a
-                # range query doesn't pay 32 near-empty task launches
-                rollups[g] = rollups[g].coalesce(4).cache()
+                # grain, a few MB cached): serve each from ONE partition
+                # so a range probe is a single task per part instead of
+                # 32 near-empty task launches (measured 211→130 ms/probe
+                # at sf0.1; the driver index stays the µs-latency path)
+                rollups[g] = rollups[g].coalesce(1).cache()
 
         slot_counts = {g: r.count() for g, r in rollups.items()}
         n_indexed = (
@@ -312,7 +313,7 @@ class WheelIndex:
                     F.min("min_value").alias("min_value"),
                     F.max("max_value").alias("max_value"),
                 )
-                .coalesce(4)
+                .coalesce(1)
                 .cache()
             )
         slot_counts = {g: r.count() for g, r in merged.items()}
