@@ -103,6 +103,74 @@ def test_streaming_drops_late_rows(spark, tmp_path):
     assert sw.store.n_late_rows >= 1
 
 
+def test_streaming_restart_resumes_exactly_once(spark, sf_smoke, tmp_path):
+    """Kill-and-restart lifecycle: the Spark checkpoint makes the source
+    exactly-once (consumed micro-batches are NOT replayed), so the
+    RollupStore must be persisted alongside the checkpoint and reloaded
+    on restart — the contract documented on RollupStore. A restarted
+    StreamingWheel with (old checkpoint + loaded store) must converge to
+    the same index as the batch build; a fresh store with the old
+    checkpoint would silently lose chunk-1's slots."""
+    from uwheel_datafusion_spark.streaming.wheel_stream import RollupStore
+
+    ev = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "restart_in")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "restart_ckpt")
+    store_path = str(tmp_path / "rollup_store.json")
+    split = "2024-01-16 00:00:00"
+
+    # run 1: first half, then a clean shutdown (store saved)
+    ev.filter(F.col("ts") < F.lit(split).cast("timestamp")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("ts", "value")
+    )
+    sw1 = StreamingWheel(stream, "ts", "value", watermark_delay="31 days")
+    sw1.start(ckpt)
+    sw1.process_available()
+    sw1.stop()
+    sw1.store.save(store_path)
+    n_slots_run1 = len(sw1.store.slots)
+    assert n_slots_run1 > 0
+
+    # run 2: restart from the same checkpoint with the LOADED store,
+    # feed the second half
+    ev.filter(F.col("ts") >= F.lit(split).cast("timestamp")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("ts", "value")
+    )
+    sw2 = StreamingWheel(
+        stream2, "ts", "value", watermark_delay="31 days",
+        store=RollupStore.load(store_path),
+    )
+    sw2.start(ckpt)
+    sw2.process_available()
+    sw2.stop()
+
+    batch_idx = WheelIndex.build(ev, "ts", "value", WM, ADV).to_driver_index()
+    stream_idx = sw2.snapshot_index(WM, ADV)
+    assert stream_idx.landmark() == batch_idx.landmark()
+    # spot ranges across the restart boundary
+    for s, e in [
+        (WM, WM + 10 * 86_400_000),
+        (WM + 14 * 86_400_000, WM + 18 * 86_400_000),
+        (WM + 20 * 86_400_000, ADV),
+    ]:
+        assert stream_idx.query_sum(s, e) == batch_idx.query_sum(s, e)
+        assert stream_idx.query_count(s, e) == batch_idx.query_count(s, e)
+
+
 def test_stateful_sessionizer_matches_batch(spark, sf_smoke, tmp_path):
     """applyInPandasWithState sessionizer == batch session_window_agg.
     Chunks are fed strictly in time order (one write + drain per chunk)
