@@ -68,6 +68,38 @@ def test_dataframe_form(router):
     assert df.first()[0] == truth["sm"] / QUANT_SCALE
 
 
+def test_multi_aggregate_select_list_one_index_hit(router):
+    """All five lowerings of the 'all' partial in ONE rewritten query —
+    `SELECT SUM(v), COUNT(*), MIN(v), MAX(v), AVG(v) … WHERE range`
+    routes to the index and matches the full-scan answer column-wise."""
+    q = (
+        f"SELECT SUM(value) AS s, COUNT(*) AS c, MIN(value) AS mn, "
+        f"MAX(value) AS mx, AVG(value) AS av FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(S)}' AND ts < '{ms_to_ts_literal(E)}'"
+    )
+    df = router.sql(q)
+    assert router.last_decision.path == "index"
+    assert [a for _, a in router.last_decision.items] == ["s", "c", "mn", "mx", "av"]
+    row = df.first()
+    assert df.columns == ["s", "c", "mn", "mx", "av"]
+    truth = _scan_truth(router.spark, S, E)
+    assert row["s"] == truth["sm"] / QUANT_SCALE
+    assert row["c"] == truth["c"]
+    assert row["mn"] == truth["mn"] and row["mx"] == truth["mx"]
+    assert row["av"] == pytest.approx(truth["sm"] / QUANT_SCALE / truth["c"])
+    # the scalar entry point stays single-aggregate by contract
+    with pytest.raises(ValueError, match="multi-aggregate"):
+        router.sql_scalar(q)
+    # default aliases when none given
+    q2 = (
+        f"SELECT SUM(value), COUNT(*) FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(S)}' AND ts < '{ms_to_ts_literal(E)}'"
+    )
+    df2 = router.sql(q2)
+    assert router.last_decision.path == "index"
+    assert df2.columns == ["sum_value", "count_value"]
+
+
 def test_unaligned_falls_back_to_sql(router):
     q = _q("SUM", S + 500, E)  # sub-minute start
     got = router.sql_scalar(q)

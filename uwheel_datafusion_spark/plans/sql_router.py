@@ -35,13 +35,26 @@ from uwheel_datafusion_spark.operators.wheel import WheelIndex
 
 _AGGS = ("SUM", "COUNT", "MIN", "MAX", "AVG")
 
-#: SELECT <agg>(<col>) FROM <table> WHERE <ts> >= '<lit>' AND <ts> < '<lit>'
+_AGG_ITEM = (
+    r"(?:SUM|COUNT|MIN|MAX|AVG)\s*\(\s*(?:\w+|\*)\s*\)(?:\s+AS\s+\w+)?"
+)
+
+#: SELECT <agg>(<col>) [AS a] [, <agg>(<col>) [AS a]]*
+#: FROM <table> WHERE <ts> >= '<lit>' AND <ts> < '<lit>'
+#: — one index hit answers ANY mix of the five lowerings because every
+#: slot stores the "all" partial (sum, cnt, min, max), uwheel's all
+#: aggregator (SURVEY §2.4 A8).
 _PATTERN = re.compile(
-    r"^\s*SELECT\s+(?P<agg>SUM|COUNT|MIN|MAX|AVG)\s*\(\s*(?P<col>\w+|\*)\s*\)\s*"
-    r"(?:AS\s+(?P<alias>\w+)\s+)?"
+    r"^\s*SELECT\s+(?P<items>" + _AGG_ITEM + r"(?:\s*,\s*" + _AGG_ITEM + r")*)\s+"
     r"FROM\s+(?P<table>\w+)\s+"
     r"WHERE\s+(?P<ts1>\w+)\s*>=\s*(?:TIMESTAMP\s+)?'(?P<start>[^']+)'\s+"
     r"AND\s+(?P<ts2>\w+)\s*<\s*(?:TIMESTAMP\s+)?'(?P<end>[^']+)'\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_ITEM_PATTERN = re.compile(
+    r"(?P<agg>SUM|COUNT|MIN|MAX|AVG)\s*\(\s*(?P<col>\w+|\*)\s*\)"
+    r"(?:\s+AS\s+(?P<alias>\w+))?",
     re.IGNORECASE,
 )
 
@@ -63,8 +76,11 @@ class RouteDecision:
     path: str  # "index" | "sql"
     reason: str
     table: str | None = None
-    agg: str | None = None
+    agg: str | None = None  # first aggregate (scalar entry point)
     range_ms: tuple[int, int] | None = None
+    #: full select list as (agg, alias) pairs — all lowered from the
+    #: same "all" partial in one index hit
+    items: tuple[tuple[str, str], ...] = ()
 
 
 class WheelSqlRouter:
@@ -93,10 +109,15 @@ class WheelSqlRouter:
         ts_col, value_col, index = reg
         if m["ts1"].lower() != ts_col or m["ts2"].lower() != ts_col:
             return RouteDecision("sql", "filter column is not the indexed ts")
-        agg = m["agg"].upper()
-        col = m["col"].lower()
-        if col != value_col and not (agg == "COUNT" and col in ("*", "1")):
-            return RouteDecision("sql", "aggregated column is not the indexed value")
+        items: list[tuple[str, str]] = []
+        for im in _ITEM_PATTERN.finditer(m["items"]):
+            agg = im["agg"].upper()
+            col = im["col"].lower()
+            if col != value_col and not (agg == "COUNT" and col in ("*", "1")):
+                return RouteDecision(
+                    "sql", "aggregated column is not the indexed value"
+                )
+            items.append((agg, im["alias"] or f"{agg.lower()}_value"))
         s = _parse_ts_literal(m["start"])
         e = _parse_ts_literal(m["end"])
         if s is None or e is None:
@@ -107,7 +128,14 @@ class WheelSqlRouter:
             )
         if s < index.watermark_ms or e > index.advanced_ms:
             return RouteDecision("sql", "range outside the indexed horizon")
-        return RouteDecision("index", "rewritten onto wheel index", table, agg, (s, e))
+        return RouteDecision(
+            "index",
+            "rewritten onto wheel index",
+            table,
+            items[0][0],
+            (s, e),
+            tuple(items),
+        )
 
     def explain(self, query: str) -> str:
         d = self._decide(query)
@@ -121,6 +149,10 @@ class WheelSqlRouter:
         arithmetic, no Spark job — the benchmarkable entry point)."""
         d = self._decide(query)
         self.last_decision = d
+        if d.path == "index" and len(d.items) > 1:
+            raise ValueError(
+                "multi-aggregate select list: use .sql() (DataFrame form)"
+            )
         if d.path == "index":
             _, _, index = self._indexes[d.table]
             di = index.to_driver_index()
@@ -137,15 +169,29 @@ class WheelSqlRouter:
         return row[0] if row is not None else None
 
     def sql(self, query: str) -> DataFrame:
-        """DataFrame-returning form (uniform with ``spark.sql``)."""
+        """DataFrame-returning form (uniform with ``spark.sql``). A
+        multi-aggregate select list over the same indexed (ts, value)
+        pair is one index hit: every lowering reads the one "all"
+        partial (sum, cnt, min, max) the slots store."""
         d = self._decide(query)
         self.last_decision = d
         if d.path == "sql":
             return self.spark.sql(query)
-        value = self.sql_scalar(query)
-        m = _PATTERN.match(query)
-        alias = m["alias"] or f"{d.agg.lower()}_value"
-        typ = "bigint" if d.agg == "COUNT" else "double"
+        _, _, index = self._indexes[d.table]
+        di = index.to_driver_index()
+        s, e = d.range_ms
+        all_parts = di.query_all(s, e)
+        lowered = {
+            "SUM": all_parts["sum"],
+            "COUNT": all_parts["cnt"],
+            "MIN": all_parts["min"],
+            "MAX": all_parts["max"],
+            "AVG": all_parts["avg"],
+        }
+        schema = ", ".join(
+            f"{alias} {'bigint' if agg == 'COUNT' else 'double'}"
+            for agg, alias in d.items
+        )
         return self.spark.createDataFrame(
-            [(value,)], schema=f"{alias} {typ}"
+            [tuple(lowered[agg] for agg, _ in d.items)], schema=schema
         )
