@@ -58,6 +58,24 @@ _ITEM_PATTERN = re.compile(
     re.IGNORECASE,
 )
 
+#: SELECT date_trunc('<g>', <ts>) [AS b], <agg list>
+#: FROM <table> WHERE <range> GROUP BY date_trunc('<g>', <ts>)|1|<b>
+#: — the continuous-aggregate shape: served from the <g> rollup table
+#: (distributed, partition-prunable), never the fact scan. Week is
+#: excluded: date_trunc('week') is Monday-based while the wheel's week
+#: slots are 7-day epoch-aligned.
+_GROUP_PATTERN = re.compile(
+    r"^\s*SELECT\s+DATE_TRUNC\s*\(\s*'(?P<gran>minute|hour|day)'\s*,\s*"
+    r"(?P<ts0>\w+)\s*\)\s*(?:AS\s+(?P<balias>\w+)\s*)?,\s*"
+    r"(?P<items>" + _AGG_ITEM + r"(?:\s*,\s*" + _AGG_ITEM + r")*)\s+"
+    r"FROM\s+(?P<table>\w+)\s+"
+    r"WHERE\s+(?P<ts1>\w+)\s*>=\s*(?:TIMESTAMP\s+)?'(?P<start>[^']+)'\s+"
+    r"AND\s+(?P<ts2>\w+)\s*<\s*(?:TIMESTAMP\s+)?'(?P<end>[^']+)'\s*"
+    r"GROUP\s+BY\s+(?:1|(?P<gb_alias>\w+)|DATE_TRUNC\s*\(\s*'(?P<gran2>\w+)'\s*,"
+    r"\s*(?P<ts3>\w+)\s*\))\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 
 def _parse_ts_literal(lit: str) -> int | None:
     """Naive-UTC timestamp literal → epoch ms (the string form the
@@ -73,7 +91,7 @@ def _parse_ts_literal(lit: str) -> int | None:
 
 @dataclass
 class RouteDecision:
-    path: str  # "index" | "sql"
+    path: str  # "index" | "rollup" | "sql"
     reason: str
     table: str | None = None
     agg: str | None = None  # first aggregate (scalar entry point)
@@ -81,6 +99,10 @@ class RouteDecision:
     #: full select list as (agg, alias) pairs — all lowered from the
     #: same "all" partial in one index hit
     items: tuple[tuple[str, str], ...] = ()
+    #: rollup path: which granularity table serves the GROUP BY, and
+    #: the output alias of the time-bucket column
+    granularity: str | None = None
+    bucket_alias: str | None = None
 
 
 class WheelSqlRouter:
@@ -99,6 +121,9 @@ class WheelSqlRouter:
     # ------------------------------------------------------------------ route
 
     def _decide(self, query: str) -> RouteDecision:
+        gm = _GROUP_PATTERN.match(query)
+        if gm is not None:
+            return self._decide_grouped(gm)
         m = _PATTERN.match(query)
         if not m:
             return RouteDecision("sql", "shape not Aggregate(Filter(range))")
@@ -137,6 +162,66 @@ class WheelSqlRouter:
             tuple(items),
         )
 
+    def _decide_grouped(self, m: re.Match) -> RouteDecision:
+        """Continuous-aggregate shape: GROUP BY date_trunc over the
+        indexed ts within an aligned range → serve from the rollup
+        table of that granularity (distributed, partition-prunable;
+        never touches the fact scan)."""
+        from uwheel_datafusion_spark.functions.time import GRANULARITY_MS
+
+        table = m["table"].lower()
+        reg = self._indexes.get(table)
+        if reg is None:
+            return RouteDecision("sql", f"no index registered for table {table}")
+        ts_col, value_col, index = reg
+        ts_refs = {m["ts0"].lower(), m["ts1"].lower(), m["ts2"].lower()}
+        if m["ts3"]:
+            ts_refs.add(m["ts3"].lower())
+        if ts_refs != {ts_col}:
+            return RouteDecision("sql", "bucket/filter column is not the indexed ts")
+        gran = m["gran"].lower()
+        if m["gran2"] and m["gran2"].lower() != gran:
+            return RouteDecision("sql", "GROUP BY granularity differs from SELECT")
+        balias = m["balias"] or "bucket"
+        if m["gb_alias"] and m["gb_alias"].lower() not in (
+            balias.lower(),
+            ts_col,
+        ):
+            return RouteDecision("sql", "GROUP BY key is not the bucket expression")
+        if gran not in index.rollups:
+            return RouteDecision("sql", f"no {gran} rollup in the index")
+        items: list[tuple[str, str]] = []
+        for im in _ITEM_PATTERN.finditer(m["items"]):
+            agg = im["agg"].upper()
+            col = im["col"].lower()
+            if col != value_col and not (agg == "COUNT" and col in ("*", "1")):
+                return RouteDecision(
+                    "sql", "aggregated column is not the indexed value"
+                )
+            items.append((agg, im["alias"] or f"{agg.lower()}_value"))
+        s = _parse_ts_literal(m["start"])
+        e = _parse_ts_literal(m["end"])
+        if s is None or e is None:
+            return RouteDecision("sql", "unparseable timestamp literal")
+        g_ms = GRANULARITY_MS[gran]
+        if s % g_ms or e % g_ms:
+            return RouteDecision(
+                "sql",
+                f"endpoints not {gran}-aligned (edge buckets would be partial)",
+            )
+        if s < index.watermark_ms or e > index.advanced_ms:
+            return RouteDecision("sql", "range outside the indexed horizon")
+        return RouteDecision(
+            "rollup",
+            f"rewritten onto {gran} rollup table",
+            table,
+            items[0][0],
+            (s, e),
+            tuple(items),
+            granularity=gran,
+            bucket_alias=balias,
+        )
+
     def explain(self, query: str) -> str:
         d = self._decide(query)
         rng = f" range={d.range_ms}" if d.range_ms else ""
@@ -149,9 +234,9 @@ class WheelSqlRouter:
         arithmetic, no Spark job — the benchmarkable entry point)."""
         d = self._decide(query)
         self.last_decision = d
-        if d.path == "index" and len(d.items) > 1:
+        if d.path == "rollup" or (d.path == "index" and len(d.items) > 1):
             raise ValueError(
-                "multi-aggregate select list: use .sql() (DataFrame form)"
+                "non-scalar result shape: use .sql() (DataFrame form)"
             )
         if d.path == "index":
             _, _, index = self._indexes[d.table]
@@ -177,6 +262,8 @@ class WheelSqlRouter:
         self.last_decision = d
         if d.path == "sql":
             return self.spark.sql(query)
+        if d.path == "rollup":
+            return self._serve_rollup(d)
         _, _, index = self._indexes[d.table]
         di = index.to_driver_index()
         s, e = d.range_ms
@@ -195,3 +282,37 @@ class WheelSqlRouter:
         return self.spark.createDataFrame(
             [tuple(lowered[agg] for agg, _ in d.items)], schema=schema
         )
+
+    def _serve_rollup(self, d: RouteDecision) -> DataFrame:
+        """GROUP BY date_trunc served from the rollup: filter the slot
+        range (partition-prunable on a reopened index) and lower each
+        requested aggregate from the stored 'all' partial — empty
+        buckets are absent, matching GROUP BY-over-scan semantics. The
+        bucket column is emitted as TIMESTAMP_NTZ (the fixtures'
+        flavor, naive UTC)."""
+        from pyspark.sql import functions as F
+
+        from uwheel_datafusion_spark.functions.quant import micros_to_value
+        from uwheel_datafusion_spark.operators.wheel import _bucket_range_pred
+
+        _, _, index = self._indexes[d.table]
+        r = index.rollups[d.granularity]
+        s, e = d.range_ms
+        lowered = {
+            "SUM": lambda: micros_to_value(F.col("sum_micros")),
+            "COUNT": lambda: F.col("cnt"),
+            "MIN": lambda: F.col("min_value"),
+            "MAX": lambda: F.col("max_value"),
+            "AVG": lambda: (
+                F.col("sum_micros").cast("double")
+                / F.col("cnt").cast("double")
+                / 1_000_000
+            ),
+        }
+        cols = [
+            F.timestamp_millis(F.col("bucket_ms"))
+            .cast("timestamp_ntz")
+            .alias(d.bucket_alias)
+        ]
+        cols += [lowered[agg]().alias(alias) for agg, alias in d.items]
+        return r.filter(_bucket_range_pred(r, s, e)).select(*cols)
