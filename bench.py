@@ -234,6 +234,25 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         timings["sql_scan_ranges"] = r.wall_sec
         extras["sql_scan_ranges"] = {"qps": r.qps, **r.latency}
 
+        # B7 parity: the reference's debug feature prints both engines'
+        # answers per range (/root/reference/src/main.rs:214-224,275-277);
+        # here the dual-execution check is recorded, not eyeballed.
+        # The wheel sums exact scaled longs while SQL SUM is a float
+        # fold, so compare at 1e-9 relative (f64 noise, not semantics —
+        # the gate's oracles quantize BOTH sides for exactness).
+        mismatches = []
+        for s_ms, e_ms in minute_ranges[:sql_sample]:
+            a = di.query_sum(s_ms, e_ms)
+            b = sql_sum(s_ms, e_ms)
+            if (a is None) != (b is None) or (
+                a is not None and abs(a - b) > 1e-9 * max(1.0, abs(a))
+            ):
+                mismatches.append({"s": s_ms, "e": e_ms, "wheel": a, "sql": b})
+        extras["dual_check"] = {
+            "n": len(minute_ranges[:sql_sample]),
+            "mismatches": mismatches,
+        }
+
     # ------------------------------------------------ headline gate queries
     headline = (
         "tpch_q1_pricing_summary",
