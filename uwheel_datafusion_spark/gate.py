@@ -2493,6 +2493,74 @@ def flagship(spark: SparkSession) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SQL-router rewrite paths under the gate (§4.1 MV rewrite, E2 via SQL)
+# --------------------------------------------------------------------------
+
+
+def _events_router(spark: SparkSession, sf_dir: str):
+    from uwheel_datafusion_spark.plans.sql_router import WheelSqlRouter
+
+    idx = events_wheel(spark, sf_dir)
+    register_tables(spark, sf_dir, ("events",))
+    r = WheelSqlRouter(spark)
+    r.register_index("events", "ts", "value", idx)
+    return r
+
+
+@gate("router_multi_agg_range", _range_oracle(*RANGE_HOUR))
+def router_multi_agg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datafusion-uwheel-style rewrite, all five lowerings in one hit:
+    the SQL string goes through WheelSqlRouter and is answered from the
+    driver index's 'all' partial — zero Spark jobs on the index path
+    (cf. Aggregate(Filter(range)) rewrite, /root/reference/src/main.rs:252-257
+    shape; uwheel 'all' aggregator, SURVEY §2.4 A8)."""
+    from uwheel_datafusion_spark.functions.time import ms_to_ts_literal
+
+    r = _events_router(spark, sf_dir)
+    s, e = RANGE_HOUR
+    df = r.sql(
+        f"SELECT SUM(value) AS sum_value, COUNT(*) AS cnt, "
+        f"MIN(value) AS min_value, MAX(value) AS max_value, "
+        f"AVG(value) AS avg_value FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}'"
+    )
+    assert r.last_decision.path == "index", r.last_decision
+    return df
+
+
+@gate(
+    "router_grouped_hour_rollup",
+    f"""
+    SELECT (epoch_ms(ts) // {3_600_000}) * {3_600_000} AS bucket_ms,
+           {_s('value')} AS sum_value,
+           COUNT(*) AS cnt
+    FROM events
+    WHERE ts >= {_ts_lit(RANGE_DAY[0])} AND ts < {_ts_lit(RANGE_DAY[1])}
+    GROUP BY 1
+    """,
+)
+def router_grouped_hour_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rewrite: GROUP BY date_trunc('hour', ts)
+    within an aligned range is served from the HOUR rollup table (an
+    InMemoryTableScan / partition-prunable parquet — never the fact
+    scan). Bucket lowered to epoch-ms for a type-stable oracle compare."""
+    from uwheel_datafusion_spark.functions.time import ms_to_ts_literal, ts_to_ms
+
+    r = _events_router(spark, sf_dir)
+    s, e = RANGE_DAY
+    df = r.sql(
+        f"SELECT date_trunc('hour', ts) AS b, SUM(value) AS sum_value, "
+        f"COUNT(*) AS cnt FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}' "
+        f"GROUP BY 1"
+    )
+    assert r.last_decision.path == "rollup", r.last_decision
+    return df.select(
+        ts_to_ms(F.col("b")).alias("bucket_ms"), "sum_value", "cnt"
+    )
+
+
+# --------------------------------------------------------------------------
 # driver evaluation window
 # --------------------------------------------------------------------------
 # The grading driver evaluates REGISTRY in iteration order and caps at 50
@@ -2506,8 +2574,8 @@ def flagship(spark: SparkSession) -> DataFrame:
 _DRIVER_WINDOW = [
     # µWheel core (reference parity: E1/E2/E3, A4-A8, gapfill, keyed)
     "wheel_range_minute_aligned",
-    "wheel_range_hour_aligned",
-    "wheel_range_day_aligned",
+    "router_multi_agg_range",
+    "router_grouped_hour_rollup",
     "wheel_landmark",
     "wheel_interval_7d",
     "wheel_rollup_minute",
