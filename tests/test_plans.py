@@ -60,8 +60,9 @@ def test_semi_anti_joins_broadcast_with_pushed_filter(spark, sf_correctness):
 
 def test_text_profile_is_map_only(spark, sf_correctness):
     """No shuffle: the profile is a projection (scales linearly)."""
-    plan = _executed_plan(g.REGISTRY["text_profile"].fn(spark, sf_correctness))
-    assert "Exchange" not in plan
+    for name in ("text_profile", "text_token_stats"):
+        plan = _executed_plan(g.REGISTRY[name].fn(spark, sf_correctness))
+        assert "Exchange" not in plan, name
 
 
 def test_multimodal_stages_are_map_only(spark, sf_correctness):

@@ -90,6 +90,15 @@ class Dialect:
     def xor(self, a: str, b: str) -> str:
         return f"({a} ^ {b})" if self.is_spark else f"xor({a}, {b})"
 
+    def regexp_tokens(self, e: str, pattern: str) -> str:
+        """All non-overlapping matches of ``pattern`` as a list. The
+        pattern must keep alternatives start-disjoint so Java regex
+        (leftmost-first) and RE2 (DuckDB) agree; Spark string literals
+        process backslash escapes, so backslashes are doubled there."""
+        if self.is_spark:
+            return f"regexp_extract_all({e}, '{pattern.replace(chr(92), chr(92) * 2)}', 0)"
+        return f"regexp_extract_all({e}, '{pattern}')"
+
     def sum_list_bigint(self, arr: str) -> str:
         """Sum a bigint list → bigint (DuckDB's list_sum widens to
         HUGEINT, so cast back)."""

@@ -2097,6 +2097,13 @@ def text_profile_q(spark, sf_dir):
     return _tx.text_profile(load_table(spark, sf_dir, "documents"))
 
 
+@gate("text_token_stats", _tx.token_stats_oracle())
+def text_token_stats_q(spark, sf_dir):
+    """Token counting, whitespace + BPE-ish regex (GPT-2 pre-tokenize
+    structure) — the unit an LLM data pipeline budgets by. Map-only."""
+    return _tx.token_stats(load_table(spark, sf_dir, "documents"))
+
+
 @gate("text_langid_summary", _tx.langid_summary_oracle())
 def langid_summary_q(spark, sf_dir):
     return _tx.langid_summary(load_table(spark, sf_dir, "documents"))

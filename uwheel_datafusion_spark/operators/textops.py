@@ -83,6 +83,45 @@ def _quality_exprs() -> dict[str, str]:
     }
 
 
+#: BPE-ish pre-tokenizer: letter runs | digit runs | punctuation runs —
+#: the GPT-2 pre-tokenization structure (minus contraction splitting),
+#: with start-disjoint alternatives so Java regex and RE2 match
+#: identically (verified both engines incl. non-ASCII).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def _token_stats_exprs(d: Dialect, text: str = "text") -> dict[str, str]:
+    ws = d.split(text)
+    bpe = d.regexp_tokens(text, BPE_PATTERN)
+    return {
+        # whitespace tokens: split-on-space ('' → [''] in both engines)
+        "n_ws_tokens": f"CAST({d.size(ws)} AS BIGINT)",
+        # BPE-ish subword-boundary units: the cost-model count an LLM
+        # pipeline budgets by (≈ tokens before BPE merges)
+        "n_bpe_tokens": f"CAST({d.size(bpe)} AS BIGINT)",
+        "n_bpe_distinct": f"CAST({d.size(d.array_distinct(bpe))} AS BIGINT)",
+    }
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting both ways (whitespace + BPE-ish regex): map-only
+    projection, no shuffle — scales linearly with input splits."""
+    return docs.select(
+        "doc_id",
+        *[
+            F.expr(e).alias(k)
+            for k, e in _token_stats_exprs(SPARK, text_col).items()
+        ],
+    )
+
+
+def token_stats_oracle(table: str = "documents", text_col: str = "text") -> str:
+    cols = ",\n  ".join(
+        f"{e} AS {k}" for k, e in _token_stats_exprs(DUCK, text_col).items()
+    )
+    return f"SELECT doc_id, {cols} FROM {table}"
+
+
 def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document text analysis: counts, fingerprint, language ID,
     quality flags. One narrow projection — no shuffle at all: this is a
