@@ -389,6 +389,58 @@ def keyed_wheel_by_type_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@gate(
+    "keyed_gapfill_hour_locf_by_type",
+    f"""
+    WITH keys AS (
+        SELECT DISTINCT event_type AS key FROM events
+        WHERE ts >= {_ts_lit(EVENTS_WM_MS)} AND ts < {_ts_lit(EVENTS_ADV_MS)}
+    ),
+    slots AS (
+        SELECT CAST({EVENTS_WM_MS} + (i - 1) * {HOUR_MS} AS BIGINT) AS bucket_ms
+        FROM generate_series(1, {(EVENTS_ADV_MS - EVENTS_WM_MS) // HOUR_MS}) t(i)
+    ),
+    r AS (
+        SELECT event_type AS key,
+               (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS bucket_ms,
+               {_s('value')} AS sum_value,
+               COUNT(*) AS cnt,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM events
+        WHERE ts >= {_ts_lit(EVENTS_WM_MS)} AND ts < {_ts_lit(EVENTS_ADV_MS)}
+        GROUP BY 1, 2
+    )
+    SELECT k.key, s.bucket_ms, r.sum_value,
+           COALESCE(r.cnt, 0) AS cnt,
+           r.min_value, r.max_value,
+           last_value(r.sum_value IGNORE NULLS) OVER (
+               PARTITION BY k.key ORDER BY s.bucket_ms
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sum_locf
+    FROM keys k CROSS JOIN slots s
+    LEFT JOIN r ON r.key = k.key AND r.bucket_ms = s.bucket_ms
+    """,
+)
+def keyed_gapfill_hour_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style per-series gap-fill + LOCF: every (series, hour
+    slot) of the horizon materialized in one pass — explode-based
+    densification (no cross join), one equi-join, one per-key window."""
+    from uwheel_datafusion_spark.operators.keyed_wheel import KeyedWheelIndex
+
+    rollup = KeyedWheelIndex.build_rollup(
+        load_table(spark, sf_dir, "events"),
+        "event_type",
+        "ts",
+        "value",
+        EVENTS_WM_MS,
+        EVENTS_ADV_MS,
+    )
+    return KeyedWheelIndex.gapfill_rollup_df(
+        rollup, EVENTS_WM_MS, EVENTS_ADV_MS, HOUR_MS
+    )
+
+
 # --------------------------------------------------------------------------
 # general SQL-engine surface (scans/filters/joins/group-by/window/top-k) —
 # engine-sanity beyond the single-table reference (SURVEY §2.3, §2.5-2.7)

@@ -121,6 +121,79 @@ class KeyedWheelIndex:
         return cls(indexes, watermark_ms, advance_to_ms)
 
     @staticmethod
+    def gapfill_rollup_df(
+        rollup: DataFrame,
+        watermark_ms: int,
+        advance_to_ms: int,
+        granularity_ms: int = 3_600_000,
+    ) -> DataFrame:
+        """Per-key gap-filled rollup + LOCF — TimescaleDB's
+        ``time_bucket_gapfill`` + ``locf`` over EVERY series at once:
+        one row per (key, slot) across the horizon, empty slots cnt=0
+        with the key's last seen sum carried forward.
+
+        Scale shape: densification is an ``explode(sequence)`` fan-out
+        from the distinct-key frame — map-side row generation, NOT a
+        cross join (no BroadcastNestedLoopJoin); then one equi-join on
+        (key, bucket) against the re-aggregated rollup and one LOCF
+        window partitioned by key. Output is |keys| × slots rows —
+        bounded by the horizon, not the fact table."""
+        from pyspark.sql import Window
+
+        from uwheel_datafusion_spark.functions.quant import micros_to_value
+
+        n = (advance_to_ms - watermark_ms) // granularity_ms
+        agg = (
+            rollup.groupBy(
+                "key", bucket_ms(F.col("bucket_ms"), granularity_ms).alias("bucket_ms")
+            )
+            .agg(
+                F.sum("sum_micros").alias("sum_micros"),
+                F.sum("cnt").alias("cnt"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+            .select(
+                "key",
+                "bucket_ms",
+                micros_to_value(F.col("sum_micros")).alias("sum_value"),
+                "cnt",
+                "min_value",
+                "max_value",
+            )
+        )
+        dense = (
+            rollup.select("key")
+            .distinct()
+            .select(
+                "key",
+                F.explode(F.sequence(F.lit(0), F.lit(int(n - 1)))).alias("i"),
+            )
+            .select(
+                "key",
+                (
+                    F.lit(watermark_ms)
+                    + F.col("i").cast("long") * F.lit(granularity_ms).cast("long")
+                ).alias("bucket_ms"),
+            )
+        )
+        filled = dense.join(agg, ["key", "bucket_ms"], "left")
+        w = (
+            Window.partitionBy("key")
+            .orderBy("bucket_ms")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return filled.select(
+            "key",
+            "bucket_ms",
+            "sum_value",
+            F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
+            "min_value",
+            "max_value",
+            F.last("sum_value", ignorenulls=True).over(w).alias("sum_locf"),
+        )
+
+    @staticmethod
     def query_rollup_df(
         rollup: DataFrame, key, start_ms: int, end_ms: int
     ) -> DataFrame:
