@@ -56,6 +56,14 @@ def main() -> None:
         sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         if errors:
             extras["errors"] = errors
+        wheel = extras.get("wheel_minute_ranges", {}).get("qps")
+        sql = extras.get("sql_scan_ranges", {}).get("qps")
+        router = extras.get("router_rewrite_ranges", {}).get("qps")
+        if wheel and sql:
+            extras["speedup"] = {
+                "wheel_vs_sql_scan": round(wheel / sql, 1),
+                **({"router_vs_sql_scan": round(router / sql, 1)} if router else {}),
+            }
         print(
             json.dumps(
                 {
