@@ -103,6 +103,44 @@ def test_streaming_drops_late_rows(spark, tmp_path):
     assert sw.store.n_late_rows >= 1
 
 
+def test_streaming_keyed_wheel_equals_batch(spark, sf_smoke, stream_dir, tmp_path):
+    """Per-series streaming rollup == batch KeyedWheelIndex: every key's
+    landmark and random ranges agree — KeyedWheelIndex's insert/advance
+    semantics maintained incrementally by Structured Streaming."""
+    from uwheel_datafusion_spark.operators.keyed_wheel import KeyedWheelIndex
+
+    ev = load_table(spark, sf_smoke, "events")
+    batch = KeyedWheelIndex.build(ev, "event_type", "ts", "value", WM, ADV)
+
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .select("ts", "value", "event_type")
+    )
+    sw = StreamingWheel(
+        stream, "ts", "value", watermark_delay="31 days", key_col="event_type"
+    )
+    sw.start(str(tmp_path / "ckpt_keyed"))
+    sw.process_available()
+    sw.stop()
+
+    keyed = sw.snapshot_keyed_indexes(WM, ADV)
+    assert set(keyed) == set(batch.keys())
+    import random
+
+    rng = random.Random(11)
+    n_min = (ADV - WM) // MINUTE_MS
+    for k in batch.keys():
+        assert keyed[k].landmark() == batch.query_all(k, WM, ADV)
+        for _ in range(5):
+            a = rng.randrange(0, n_min)
+            b = rng.randrange(a + 1, n_min + 1)
+            s, e = WM + a * MINUTE_MS, WM + b * MINUTE_MS
+            assert keyed[k].query_all(s, e) == batch.query_all(k, s, e)
+
+
 def test_streaming_restart_resumes_exactly_once(spark, sf_smoke, tmp_path):
     """Kill-and-restart lifecycle: the Spark checkpoint makes the source
     exactly-once (consumed micro-batches are NOT replayed), so the

@@ -58,11 +58,15 @@ class RollupStore:
 
     def upsert(self, rows) -> None:
         for r in rows:
-            self.slots[r["bucket_ms"]] = (
-                r["sum_micros"],
-                r["cnt"],
-                r["min_value"],
-                r["max_value"],
+            d = r.asDict() if hasattr(r, "asDict") else r
+            slot = (
+                (d["key"], d["bucket_ms"]) if "key" in d else d["bucket_ms"]
+            )
+            self.slots[slot] = (
+                d["sum_micros"],
+                d["cnt"],
+                d["min_value"],
+                d["max_value"],
             )
 
     def save(self, path: str) -> None:
@@ -80,10 +84,13 @@ class RollupStore:
 
         with open(path) as f:
             d = json.load(f)
-        return cls(
-            slots={int(b): tuple(v) for b, v in d["slots"]},
-            n_late_rows=int(d["n_late_rows"]),
-        )
+        # unkeyed slots are int buckets; keyed slots round-trip JSON as
+        # [key, bucket] lists — coerce back to tuples
+        slots = {
+            (tuple((b[0], int(b[1]))) if isinstance(b, list) else int(b)): tuple(v)
+            for b, v in d["slots"]
+        }
+        return cls(slots=slots, n_late_rows=int(d["n_late_rows"]))
 
     def to_driver_index(self, watermark_ms: int, advanced_ms: int):
         from uwheel_datafusion_spark.operators.driver_index import DriverWheelIndex
@@ -97,12 +104,40 @@ class RollupStore:
                 "max_value": mx,
             }
             for b, (s, c, mn, mx) in self.slots.items()
+            if not isinstance(b, tuple)
         ]
         return DriverWheelIndex.from_minute_rows(rows, watermark_ms, advanced_ms)
 
+    def to_keyed_indexes(self, watermark_ms: int, advanced_ms: int) -> dict:
+        """Keyed store → {key: DriverWheelIndex} — the same serving
+        structure KeyedWheelIndex.build collects from its batch rollup."""
+        from uwheel_datafusion_spark.operators.driver_index import DriverWheelIndex
+
+        by_key: dict = {}
+        for slot, (s, c, mn, mx) in self.slots.items():
+            if not isinstance(slot, tuple):
+                continue
+            k, b = slot
+            by_key.setdefault(k, []).append(
+                {
+                    "bucket_ms": b,
+                    "sum_micros": s,
+                    "cnt": c,
+                    "min_value": mn,
+                    "max_value": mx,
+                }
+            )
+        return {
+            k: DriverWheelIndex.from_minute_rows(rows, watermark_ms, advanced_ms)
+            for k, rows in by_key.items()
+        }
+
 
 class StreamingWheel:
-    """Maintain the minute rollup from a streaming source."""
+    """Maintain the minute rollup from a streaming source — unkeyed, or
+    per-series when ``key_col`` is given (the streaming twin of
+    KeyedWheelIndex: state is keyed by (series, window), the sink
+    upserts (key, bucket) partials)."""
 
     def __init__(
         self,
@@ -111,13 +146,20 @@ class StreamingWheel:
         value_col: str,
         watermark_delay: str = "1 hour",
         store: RollupStore | None = None,
+        key_col: str | None = None,
     ) -> None:
         self.store = store if store is not None else RollupStore()
         self._delay = watermark_delay
+        self.key_col = key_col
+        group_cols = [F.window(ts_col, "1 minute").alias("w")]
+        out_cols = [ts_to_ms(F.col("w.start")).alias("bucket_ms")]
+        if key_col is not None:
+            group_cols.append(F.col(key_col).alias("key"))
+            out_cols.insert(0, F.col("key"))
         self._agg = (
             ensure_event_time(stream_df, ts_col)
             .withWatermark(ts_col, watermark_delay)
-            .groupBy(F.window(ts_col, "1 minute").alias("w"))
+            .groupBy(*group_cols)
             .agg(
                 F.sum(value_to_micros(F.col(value_col))).alias("sum_micros"),
                 F.count(F.lit(1)).alias("cnt"),
@@ -125,7 +167,7 @@ class StreamingWheel:
                 F.max(value_col).alias("max_value"),
             )
             .select(
-                ts_to_ms(F.col("w.start")).alias("bucket_ms"),
+                *out_cols,
                 "sum_micros",
                 "cnt",
                 "min_value",
@@ -177,3 +219,8 @@ class StreamingWheel:
         """Freeze the current rollup into the O(1) serving index —
         same structure the batch build produces (A4/A5 equivalence)."""
         return self.store.to_driver_index(watermark_ms, advanced_ms)
+
+    def snapshot_keyed_indexes(self, watermark_ms: int, advanced_ms: int) -> dict:
+        """Keyed variant: {key: DriverWheelIndex}, the serving structure
+        of the batch KeyedWheelIndex."""
+        return self.store.to_keyed_indexes(watermark_ms, advanced_ms)
