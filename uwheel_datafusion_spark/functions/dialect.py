@@ -27,9 +27,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-HEX = "0123456789abcdef"
-
-
 @dataclass(frozen=True)
 class Dialect:
     name: str
@@ -142,29 +139,19 @@ class Dialect:
 
     # ---- shared building blocks --------------------------------------------
 
-    def hex_nibble(self, e: str, i: int) -> str:
-        """i-th (1-based) hex char of a hex string → 0..15 as BIGINT
-        (instr yields int32; Spark's ANSI mode overflows on
-        nibble * 16^7 unless widened first)."""
-        return f"CAST(instr('{HEX}', substring({e}, {i}, 1)) - 1 AS BIGINT)"
-
     def hash32(self, e: str) -> str:
-        """Portable 32-bit token hash: first 8 md5 nibbles as an int.
-        Uniform, deterministic, identical across engines."""
-        h = self.md5(e)
-        # evaluate md5 once per token via nested transform when used on
-        # lists; inline here for scalar use
-        terms = " + ".join(
-            f"{self.hex_nibble(h, i)} * {16 ** (8 - i)}" for i in range(1, 9)
-        )
-        return f"CAST({terms} AS BIGINT)"
+        """Portable 32-bit token hash: first 8 md5 hex chars parsed as
+        an int. Uniform, deterministic, identical across engines (and
+        bit-identical to the former per-nibble weighted sum — a hex
+        parse IS that sum, at 1 expression instead of 8×(instr +
+        substring))."""
+        return self.hash32_of_hex(self.md5(e))
 
     def hash32_of_hex(self, h: str) -> str:
         """hash32 when the md5 hex string is already materialized."""
-        terms = " + ".join(
-            f"{self.hex_nibble(h, i)} * {16 ** (8 - i)}" for i in range(1, 9)
-        )
-        return f"CAST({terms} AS BIGINT)"
+        if self.is_spark:
+            return f"CAST(conv(substring({h}, 1, 8), 16, 10) AS BIGINT)"
+        return f"CAST(('0x' || substr({h}, 1, 8)) AS BIGINT)"
 
     def token_hashes(self, tokens: str) -> str:
         """list<string> tokens → list<bigint> 32-bit hashes (md5

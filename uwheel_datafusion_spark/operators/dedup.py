@@ -178,9 +178,14 @@ def ngram_jaccard_pairs_oracle(
 # --------------------------------------------------------------------------
 
 
-def _minhash_exprs(d: Dialect, text_col: str) -> list[str]:
-    toks = d.array_distinct(d.split(text_col))
-    hashes = d.token_hashes(toks)
+def _token_hashes_expr(d: Dialect, text_col: str) -> str:
+    return d.token_hashes(d.array_distinct(d.split(text_col)))
+
+
+def _minhash_exprs(d: Dialect, hashes: str) -> list[str]:
+    """k affine min-hashes over an ALREADY-MATERIALIZED bigint list
+    (column/CTE reference). Inlining the md5 chain here instead would
+    re-hash every token k times — materialize once, derive k times."""
     out = []
     for a, b in MINHASH_COEFFS:
         transformed = d.transform(hashes, "h", f"(h * {a} + {b}) % {MINHASH_PRIME}")
@@ -189,18 +194,28 @@ def _minhash_exprs(d: Dialect, text_col: str) -> list[str]:
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """k=8 MinHash values per document (map-only, no shuffle)."""
-    exprs = _minhash_exprs(SPARK, text_col)
+    """k=8 MinHash values per document (map-only, no shuffle; the
+    token-hash array is computed once per row, then k affine mins)."""
     docs = _fan_out(docs)
-    return docs.select(
+    hashed = docs.select(
+        "doc_id", F.expr(_token_hashes_expr(SPARK, text_col)).alias("_hs")
+    )
+    exprs = _minhash_exprs(SPARK, "_hs")
+    return hashed.select(
         "doc_id", *[F.expr(e).alias(f"mh{i}") for i, e in enumerate(exprs)]
     )
 
 
 def minhash_signatures_oracle(table: str = "documents", text_col: str = "text") -> str:
-    exprs = _minhash_exprs(DUCK, text_col)
-    cols = ",\n  ".join(f"{e} AS mh{i}" for i, e in enumerate(exprs))
-    return f"SELECT doc_id, {cols} FROM {table}"
+    cols = ",\n  ".join(
+        f"{e} AS mh{i}" for i, e in enumerate(_minhash_exprs(DUCK, "_hs"))
+    )
+    return f"""
+        WITH hashed AS (
+            SELECT doc_id, {_token_hashes_expr(DUCK, text_col)} AS _hs FROM {table}
+        )
+        SELECT doc_id, {cols} FROM hashed
+    """
 
 
 def _band_hash_expr(j: int) -> str:

@@ -261,13 +261,19 @@ WINNOW_K = 4  # k-gram width (tokens)
 WINNOW_W = 4  # window: one fingerprint guaranteed per w k-grams
 
 
-def _winnow_expr(d: Dialect, text_col: str, k: int, w: int) -> str:
-    """list<bigint> of distinct selected fingerprints per document.
+def _winnow_hashes_expr(d: Dialect, text_col: str, k: int) -> str:
+    return d.token_hashes(d.shingles(d.split(text_col), k))
+
+
+def _winnow_select_expr(d: Dialect, hashes: str, w: int) -> str:
+    """list<bigint> of distinct selected fingerprints, over an
+    ALREADY-MATERIALIZED k-gram hash list (column/CTE reference —
+    inlining the md5 chain here makes every window min re-hash the
+    whole document: O(m²) md5 calls; measured 14 s → 0.6 s at sf0.1).
 
     Window count = m−w+1 for m ≥ w k-grams; short non-empty docs
     (1 ≤ m < w) contribute their single whole-array min; empty → [].
     """
-    hashes = d.token_hashes(d.shingles(d.split(text_col), k))
     m = d.size(hashes)
     n_windows = f"greatest({m} - {w - 1}, least({m}, 1))"
     mins = d.transform(
@@ -284,8 +290,11 @@ def winnow_fingerprints(
     from uwheel_datafusion_spark.operators.util import ensure_min_parallelism
 
     docs = ensure_min_parallelism(docs, "doc_id")
-    fps = F.expr(_winnow_expr(SPARK, text_col, k, w))
-    return docs.select("doc_id", F.explode(fps).alias("fp"))
+    hashed = docs.select(
+        "doc_id", F.expr(_winnow_hashes_expr(SPARK, text_col, k)).alias("_hs")
+    )
+    fps = F.expr(_winnow_select_expr(SPARK, "_hs", w))
+    return hashed.select("doc_id", F.explode(fps).alias("fp"))
 
 
 def winnow_fingerprints_oracle(
@@ -293,8 +302,12 @@ def winnow_fingerprints_oracle(
     k: int = WINNOW_K, w: int = WINNOW_W,
 ) -> str:
     return f"""
-        SELECT doc_id, unnest({_winnow_expr(DUCK, text_col, k, w)}) AS fp
-        FROM {table}
+        WITH hashed AS (
+            SELECT doc_id, {_winnow_hashes_expr(DUCK, text_col, k)} AS _hs
+            FROM {table}
+        )
+        SELECT doc_id, unnest({_winnow_select_expr(DUCK, '_hs', w)}) AS fp
+        FROM hashed
     """
 
 
@@ -324,9 +337,13 @@ def winnow_shared_pairs_oracle(
     k: int = WINNOW_K, w: int = WINNOW_W,
 ) -> str:
     return f"""
-        WITH posting AS (
-            SELECT doc_id, unnest({_winnow_expr(DUCK, text_col, k, w)}) AS fp
+        WITH hashed AS (
+            SELECT doc_id, {_winnow_hashes_expr(DUCK, text_col, k)} AS _hs
             FROM {table}
+        ),
+        posting AS (
+            SELECT doc_id, unnest({_winnow_select_expr(DUCK, '_hs', w)}) AS fp
+            FROM hashed
         )
         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
                COUNT(*) AS n_shared
