@@ -141,6 +141,9 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
     extras["index"] = {
         "size_bytes": di.size_bytes(),
         "rows_indexed": idx.stats.n_indexed_rows,
+        "rows_late": idx.stats.n_late_rows,
+        "rows_ahead": idx.stats.n_ahead_rows,
+        "build_sec": round(timings["index_build"], 3),
         "slots": idx.stats.slot_counts,
     }
 
