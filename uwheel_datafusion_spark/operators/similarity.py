@@ -259,11 +259,18 @@ def hyperplane_lsh_pairs(
     exactly, so precision is 1 and only recall depends on (L, b).
     L equi-join shuffles on small bucket keys instead of a quadratic
     cross join; at 100 TB, partition the corpus by bucket."""
-    qv = _quantized(vecs, vec_col, drop_zero=True).select("vec_id", "qvec", "qnorm")
-    bucketed = qv.select(
+    # qv feeds three branches (bucket keys + both verify sides); cache the
+    # small quantized projection so each branch doesn't redo the scan +
+    # min-parallelism shuffle. The bucket branch keeps ONLY
+    # (vec_id, t, bucket) — carrying the 64-element qvec through the
+    # 8-table explode would duplicate every vector 8× in the shuffle.
+    qv = (
+        _quantized(vecs, vec_col, drop_zero=True)
+        .select("vec_id", "qvec", "qnorm")
+        .cache()
+    )
+    keys = qv.select(
         "vec_id",
-        "qvec",
-        "qnorm",
         F.explode(
             F.array(
                 *[
@@ -275,8 +282,7 @@ def hyperplane_lsh_pairs(
                 ]
             )
         ).alias("tb"),
-    ).select("vec_id", "qvec", "qnorm", "tb.t", "tb.bucket").cache()
-    keys = bucketed.select("vec_id", "t", "bucket")
+    ).select("vec_id", "tb.t", "tb.bucket")
     a = keys.alias("a")
     b = keys.alias("b")
     cand = (
