@@ -203,6 +203,65 @@ gate("wheel_rollup_hour", _rollup_oracle(HOUR_MS))(_mk_rollup_query("hour"))
 gate("wheel_rollup_day", _rollup_oracle(DAY_MS))(_mk_rollup_query("day"))
 
 
+# --------------------------------------------------------------------------
+# distinct-count aggregator (mergeable-set/sketch partial; operators/distinct)
+# --------------------------------------------------------------------------
+
+_DISTINCT_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def events_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (minute-bucket, user_id) distinct-pair partial over the
+    same watermark horizon as the events wheel (see operators/distinct
+    for the HLL-sketch production variant, unit-tested to tolerance —
+    the gate pins the exact path, like deciles vs percentile_approx)."""
+    from uwheel_datafusion_spark.operators.distinct import build_distinct_pairs
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DISTINCT_PAIRS_CACHE:
+        _tune_session(spark)
+        df = load_table(spark, sf_dir, "events")
+        _DISTINCT_PAIRS_CACHE[key] = build_distinct_pairs(
+            df, "ts", "user_id", EVENTS_WM_MS, EVENTS_ADV_MS
+        )
+    return _DISTINCT_PAIRS_CACHE[key]
+
+
+@gate(
+    "distinct_users_by_day",
+    f"""
+    SELECT (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS bucket_ms,
+           COUNT(DISTINCT user_id) AS n_distinct
+    FROM events
+    WHERE ts >= {_ts_lit(EVENTS_WM_MS)} AND ts < {_ts_lit(EVENTS_ADV_MS)}
+    GROUP BY 1
+    """,
+)
+def distinct_users_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct users served from the minute-grain pair partial
+    (COUNT DISTINCT does not add across buckets — the rollup keeps the
+    distinct set as rows, so coarser grains re-distinct exactly)."""
+    from uwheel_datafusion_spark.operators.distinct import grouped_distinct_exact
+
+    return grouped_distinct_exact(events_distinct_pairs(spark, sf_dir), DAY_MS)
+
+
+@gate(
+    "distinct_users_range",
+    f"""
+    SELECT COUNT(DISTINCT user_id) AS n_distinct
+    FROM events
+    WHERE ts >= {_ts_lit(RANGE_DAY[0])} AND ts < {_ts_lit(RANGE_DAY[1])}
+    """,
+)
+def distinct_users_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users over the day-aligned benchmark range, from the
+    same pair partial (A5-style range serving for a set aggregator)."""
+    from uwheel_datafusion_spark.operators.distinct import range_distinct_exact
+
+    return range_distinct_exact(events_distinct_pairs(spark, sf_dir), *RANGE_DAY)
+
+
 #: a second wheel over a *native-timestamp* fact table spanning years,
 #: with the opt-in week granularity in the cascade (µWheel's week wheel)
 ORDERS_WM_MS = to_epoch_ms(datetime(1995, 1, 1))
@@ -2636,7 +2695,9 @@ _DRIVER_WINDOW = [
     "router_multi_agg_range",
     "router_grouped_hour_rollup",
     "wheel_landmark",
-    "wheel_interval_7d",
+    # (wheel_interval_7d cedes its slot — same A7 family as landmark —
+    # so the distinct-count aggregator family gets a driver row)
+    "distinct_users_by_day",
     "wheel_rollup_minute",
     "wheel_orders_range_with_weeks",
     "wheel_range_unaligned_hybrid",
