@@ -286,6 +286,7 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         "similarity_hyperplane_lsh_pairs",
         "kmeans_lloyd_2iter_embeddings",
         "argmax_latest_order_per_customer",
+        "distinct_users_by_day",
     )
     for name in headline:
         if name not in REGISTRY:
