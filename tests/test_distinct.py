@@ -131,3 +131,31 @@ def test_watermark_horizon_respected(spark, sf_correctness):
     lo = narrow.agg(F.min("bucket_ms").alias("m")).first()["m"]
     hi = narrow.agg(F.max("bucket_ms").alias("m")).first()["m"]
     assert lo >= S and hi < E
+
+
+def test_keyed_distinct_matches_direct(spark, sf_correctness):
+    from uwheel_datafusion_spark.operators.distinct import (
+        build_keyed_distinct_pairs,
+        keyed_grouped_distinct_exact,
+    )
+    from uwheel_datafusion_spark.functions.time import bucket_ms, ts_range_pred, ts_to_ms
+
+    ev = _events(spark, sf_correctness)
+    pairs = build_keyed_distinct_pairs(
+        ev, "ts", "user_id", "event_type", WM, ADV, cache=False
+    )
+    got = {
+        (r["grp"], r["bucket_ms"]): r["n_distinct"]
+        for r in keyed_grouped_distinct_exact(pairs, DAY_MS).collect()
+    }
+    want = {
+        (r["grp"], r["b"]): r["n"]
+        for r in ev.filter(ts_range_pred(ev, "ts", WM, ADV))
+        .groupBy(
+            F.col("event_type").alias("grp"),
+            bucket_ms(ts_to_ms(F.col("ts")), DAY_MS).alias("b"),
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want and len({g for g, _ in got}) > 1

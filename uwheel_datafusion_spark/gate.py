@@ -262,6 +262,36 @@ def distinct_users_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_distinct_exact(events_distinct_pairs(spark, sf_dir), *RANGE_DAY)
 
 
+@gate(
+    "distinct_users_by_type_day",
+    f"""
+    SELECT event_type,
+           (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS bucket_ms,
+           COUNT(DISTINCT user_id) AS n_distinct
+    FROM events
+    WHERE ts >= {_ts_lit(EVENTS_WM_MS)} AND ts < {_ts_lit(EVENTS_ADV_MS)}
+    GROUP BY 1, 2
+    """,
+)
+def distinct_users_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed (hypertable-style) distinct-count: one logical
+    distinct-wheel per event_type from a single build shuffle — the
+    keyed_wheel pattern applied to the set aggregator."""
+    from uwheel_datafusion_spark.operators.distinct import (
+        build_keyed_distinct_pairs,
+        keyed_grouped_distinct_exact,
+    )
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    pairs = build_keyed_distinct_pairs(
+        ev, "ts", "user_id", "event_type", EVENTS_WM_MS, EVENTS_ADV_MS, cache=False
+    )
+    return keyed_grouped_distinct_exact(pairs, DAY_MS).withColumnRenamed(
+        "grp", "event_type"
+    )
+
+
 #: a second wheel over a *native-timestamp* fact table spanning years,
 #: with the opt-in week granularity in the cascade (µWheel's week wheel)
 ORDERS_WM_MS = to_epoch_ms(datetime(1995, 1, 1))

@@ -148,3 +148,40 @@ def range_distinct_hll(
             ).alias("n_distinct_approx")
         )
     )
+
+
+def build_keyed_distinct_pairs(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    group_col: str,
+    watermark_ms: int,
+    advance_to_ms: int,
+    slot_ms: int = MINUTE_MS,
+    cache: bool = True,
+) -> DataFrame:
+    """Keyed (hypertable-style, like operators/keyed_wheel) exact
+    partial: distinct ``(group, bucket_ms, key)`` rows — one logical
+    distinct-wheel per group value sharing a single build shuffle."""
+    pairs = (
+        df.filter(ts_range_pred(df, ts_col, watermark_ms, advance_to_ms))
+        .select(
+            F.col(group_col).alias("grp"),
+            bucket_ms(ts_to_ms(F.col(ts_col)), slot_ms).alias("bucket_ms"),
+            F.col(key_col).alias("key"),
+        )
+        .distinct()
+    )
+    return pairs.cache() if cache else pairs
+
+
+def keyed_grouped_distinct_exact(pairs: DataFrame, slot_ms: int) -> DataFrame:
+    """Per-(group, coarse-bucket) exact distinct counts
+    ``(grp, bucket_ms, n_distinct)``."""
+    coarse = (F.col("bucket_ms") - F.col("bucket_ms") % F.lit(slot_ms)).alias(
+        "bucket_ms"
+    )
+    return (
+        pairs.groupBy("grp", coarse)
+        .agg(F.count_distinct("key").alias("n_distinct"))
+    )
