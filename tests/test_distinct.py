@@ -159,3 +159,27 @@ def test_keyed_distinct_matches_direct(spark, sf_correctness):
         .collect()
     }
     assert got == want and len({g for g, _ in got}) > 1
+
+
+def test_hll_rollup_save_load_roundtrip(spark, sf_correctness, tmp_path):
+    """Persisted sketch rollups reopen to identical estimates, and a
+    range probe on the reopened table prunes day partitions."""
+    from uwheel_datafusion_spark.operators.distinct import load_rollup, save_rollup
+
+    ev = _events(spark, sf_correctness)
+    hll = build_hll_rollup(ev, "ts", "user_id", WM, ADV, cache=False)
+    path = str(tmp_path / "hll_rollup")
+    save_rollup(hll, path)
+    reopened = load_rollup(spark, path)
+
+    want = range_distinct_hll(hll, S, E).first()["n_distinct_approx"]
+    got = range_distinct_hll(reopened, S, E).first()["n_distinct_approx"]
+    assert got == want > 0
+
+    from uwheel_datafusion_spark.operators.wheel import _bucket_range_pred
+
+    probe = reopened.filter(_bucket_range_pred(reopened, S, E))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # planning-time partition pruning: the static dt bounds must reach
+    # the scan's PartitionFilters (O(days-touched) listings at scale)
+    assert "PartitionFilters" in plan and "dt" in plan.split("PartitionFilters")[1][:200]

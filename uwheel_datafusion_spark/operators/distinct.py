@@ -78,10 +78,14 @@ def range_distinct_exact(
 ) -> DataFrame:
     """Exact distinct keys in the bucket-aligned ``[start, end)``:
     1-row ``(n_distinct bigint)``; 0 for an empty range (unlike the
-    wheel's Option<f64> nulls, a distinct count of nothing IS 0)."""
-    return pairs.filter(
-        (F.col("bucket_ms") >= start_ms) & (F.col("bucket_ms") < end_ms)
-    ).agg(F.count_distinct("key").alias("n_distinct"))
+    wheel's Option<f64> nulls, a distinct count of nothing IS 0).
+    On a reopened (dt-partitioned) rollup the predicate also prunes
+    day partitions (see wheel._bucket_range_pred)."""
+    from uwheel_datafusion_spark.operators.wheel import _bucket_range_pred
+
+    return pairs.filter(_bucket_range_pred(pairs, start_ms, end_ms)).agg(
+        F.count_distinct("key").alias("n_distinct")
+    )
 
 
 def grouped_distinct_exact(pairs: DataFrame, slot_ms: int) -> DataFrame:
@@ -137,11 +141,12 @@ def range_distinct_hll(
 ) -> DataFrame:
     """Approximate distinct keys in the bucket-aligned ``[start, end)``:
     union the covered slots' sketches, estimate once. 1-row
-    ``(n_distinct_approx bigint)``, 0 for an empty range."""
+    ``(n_distinct_approx bigint)``, 0 for an empty range. On a reopened
+    (dt-partitioned) rollup the predicate also prunes day partitions."""
+    from uwheel_datafusion_spark.operators.wheel import _bucket_range_pred
+
     return (
-        rollup.filter(
-            (F.col("bucket_ms") >= start_ms) & (F.col("bucket_ms") < end_ms)
-        )
+        rollup.filter(_bucket_range_pred(rollup, start_ms, end_ms))
         .agg(
             F.coalesce(
                 F.hll_sketch_estimate(F.hll_union_agg("hll")), F.lit(0)
@@ -185,3 +190,27 @@ def keyed_grouped_distinct_exact(pairs: DataFrame, slot_ms: int) -> DataFrame:
         pairs.groupBy("grp", coarse)
         .agg(F.count_distinct("key").alias("n_distinct"))
     )
+
+
+def save_rollup(rollup: DataFrame, path: str) -> None:
+    """Persist a distinct rollup (pair or sketch) as parquet partitioned
+    by UTC date — same layout as WheelIndex.save, so serving probes
+    prune to the touched day partitions at any scale."""
+    (
+        rollup.withColumn(
+            "dt",
+            F.date_format(F.timestamp_millis(F.col("bucket_ms")), "yyyy-MM-dd"),
+        )
+        .repartition("dt")
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(path)
+    )
+
+
+def load_rollup(spark, path: str) -> DataFrame:
+    """Reopen a persisted distinct rollup. The ``dt`` partition column
+    is KEPT: the range-serving predicates conjoin static day bounds on
+    it (wheel._bucket_range_pred), so Catalyst prunes partitions at
+    planning time — O(days-touched) file listings, not O(all-days)."""
+    return spark.read.parquet(path)
