@@ -183,3 +183,30 @@ def test_hll_rollup_save_load_roundtrip(spark, sf_correctness, tmp_path):
     # planning-time partition pruning: the static dt bounds must reach
     # the scan's PartitionFilters (O(days-touched) listings at scale)
     assert "PartitionFilters" in plan and "dt" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_hll_extend_equals_full_build(spark, sf_correctness):
+    """Incremental maintenance (insert+advance): building on half the
+    horizon then extending with the other half gives estimates exactly
+    equal to one build over the full horizon."""
+    from uwheel_datafusion_spark.operators.distinct import extend_hll_rollup
+
+    ev = _events(spark, sf_correctness)
+    mid = WM + (ADV - WM) // 2
+    first = build_hll_rollup(ev, "ts", "user_id", WM, mid, cache=False)
+    extended = extend_hll_rollup(first, ev, "ts", "user_id", mid, ADV)
+    full = build_hll_rollup(ev, "ts", "user_id", WM, ADV, cache=False)
+
+    got = {
+        r["bucket_ms"]: r["n"]
+        for r in extended.select(
+            "bucket_ms", F.hll_sketch_estimate("hll").alias("n")
+        ).collect()
+    }
+    want = {
+        r["bucket_ms"]: r["n"]
+        for r in full.select(
+            "bucket_ms", F.hll_sketch_estimate("hll").alias("n")
+        ).collect()
+    }
+    assert got == want and len(want) > 1000

@@ -214,3 +214,31 @@ def load_rollup(spark, path: str) -> DataFrame:
     it (wheel._bucket_range_pred), so Catalyst prunes partitions at
     planning time — O(days-touched) file listings, not O(all-days)."""
     return spark.read.parquet(path)
+
+
+def extend_hll_rollup(
+    rollup: DataFrame,
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    from_ms: int,
+    advance_to_ms: int,
+    slot_ms: int = MINUTE_MS,
+    lg_k: int = DEFAULT_LG_K,
+) -> DataFrame:
+    """Incremental insert+advance for the sketch rollup (the
+    WheelIndex.extend analogue, /root/reference/src/main.rs:128-140
+    semantics): sketch the new rows in ``[from, advance)`` and union
+    into the existing slots. Register-max associativity makes the
+    result estimate-identical to a from-scratch build over the combined
+    horizon (pinned in tests) — the property that lets a 100 TB rollup
+    absorb daily increments without ever re-scanning history."""
+    delta = build_hll_rollup(
+        df, ts_col, key_col, from_ms, advance_to_ms, slot_ms, lg_k, cache=False
+    )
+    return (
+        rollup.select("bucket_ms", "hll")
+        .unionByName(delta.select("bucket_ms", "hll"))
+        .groupBy("bucket_ms")
+        .agg(F.hll_union_agg("hll").alias("hll"))
+    )
