@@ -247,6 +247,52 @@ def distinct_users_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "distinct_users_by_day_hll",
+    f"""
+    SELECT (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS bucket_ms,
+           COUNT(DISTINCT user_id) AS n_distinct,
+           TRUE AS within_5pct
+    FROM events
+    WHERE ts >= {_ts_lit(EVENTS_WM_MS)} AND ts < {_ts_lit(EVENTS_ADV_MS)}
+    GROUP BY 1
+    """,
+)
+def distinct_users_by_day_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB distinct-count serving shape, driver-gated: per-day
+    HLL++ sketches cascaded from the minute-grain sketch rollup
+    (hll_sketch_agg → hll_union_agg tick/rotate, operators/distinct),
+    checked in-query against the exact path — each day's row carries
+    the exact count plus ``within_5pct := |est − exact| ≤ 5%·exact``,
+    so the DuckDB oracle (exact counts + literal TRUE) hash-matches
+    deterministically while the Spark side genuinely exercises the
+    sketch build, the cascade, AND the estimate. Sketch error at the
+    default lgK=12 is ~1.6 %, far inside the 5 % band."""
+    from uwheel_datafusion_spark.operators.distinct import (
+        build_hll_rollup,
+        cascade_hll,
+        grouped_distinct_exact,
+    )
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    hll_minute = build_hll_rollup(
+        ev, "ts", "user_id", EVENTS_WM_MS, EVENTS_ADV_MS, cache=False
+    )
+    est = cascade_hll(hll_minute, DAY_MS).select(
+        "bucket_ms", F.hll_sketch_estimate("hll").alias("est")
+    )
+    exact = grouped_distinct_exact(events_distinct_pairs(spark, sf_dir), DAY_MS)
+    return exact.join(est, "bucket_ms").select(
+        "bucket_ms",
+        "n_distinct",
+        (
+            F.abs(F.col("est") - F.col("n_distinct"))
+            <= F.lit(0.05) * F.col("n_distinct")
+        ).alias("within_5pct"),
+    )
+
+
+@gate(
     "distinct_users_range",
     f"""
     SELECT COUNT(DISTINCT user_id) AS n_distinct

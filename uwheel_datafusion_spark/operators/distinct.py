@@ -123,7 +123,11 @@ def build_hll_rollup(
         .groupBy("bucket_ms")
         .agg(F.hll_sketch_agg("key", lg_k).alias("hll"))
     )
-    return rollup.coalesce(1).cache() if cache else rollup
+    # NOTE: no coalesce(1) here — a single-partition cached rollup would
+    # serialize every union/probe onto one task, the opposite of the
+    # scale path this rollup exists for. At 100 TB, persist via
+    # save_rollup (dt-partitioned) instead of caching.
+    return rollup.cache() if cache else rollup
 
 
 def cascade_hll(rollup: DataFrame, slot_ms: int) -> DataFrame:
