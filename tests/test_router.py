@@ -194,3 +194,43 @@ def test_hybrid_subminute_range(spark, sf_smoke, router):
     row = idx.range_agg_hybrid_df(fact, "ts", "value", s, s + 20_000).first()
     truth = _scan_truth(spark, s, s + 20_000)
     assert row["cnt"] == (truth["c"] or 0)
+
+
+def test_week_rollup_route_and_values(router):
+    """Monday-aligned date_trunc('week') GROUP BY routes to the day
+    rollup's Monday-week re-aggregation and matches the full scan."""
+    s = to_epoch_ms(datetime(2024, 1, 1))  # 2024-01-01 is a Monday
+    e = to_epoch_ms(datetime(2024, 1, 29))
+    df = router.sql(
+        f"SELECT date_trunc('week', ts) AS b, SUM(value) AS sv, COUNT(*) AS c "
+        f"FROM events WHERE ts >= '{ms_to_ts_literal(s)}' "
+        f"AND ts < '{ms_to_ts_literal(e)}' GROUP BY 1"
+    )
+    d = router.last_decision
+    assert d.path == "rollup" and d.granularity == "week", d
+    got = {r["b"]: (r["sv"], r["c"]) for r in df.collect()}
+    truth = {
+        r["b"]: (r["sm"] / QUANT_SCALE, r["c"])
+        for r in router.spark.sql(
+            f"""SELECT date_trunc('week', ts) AS b,
+                       SUM(CAST(round(value*1000000) AS BIGINT)) AS sm,
+                       COUNT(*) AS c
+                FROM events WHERE ts >= '{ms_to_ts_literal(s)}'
+                  AND ts < '{ms_to_ts_literal(e)}' GROUP BY 1"""
+        ).collect()
+    }
+    assert got == truth
+    assert len(got) == 4
+
+
+def test_week_unaligned_falls_back(router):
+    """A Thursday start is NOT Monday-week-aligned: route to sql."""
+    s = to_epoch_ms(datetime(2024, 1, 4))
+    e = to_epoch_ms(datetime(2024, 1, 25))
+    router.sql(
+        f"SELECT date_trunc('week', ts) AS b, SUM(value) AS sv "
+        f"FROM events WHERE ts >= '{ms_to_ts_literal(s)}' "
+        f"AND ts < '{ms_to_ts_literal(e)}' GROUP BY 1"
+    )
+    assert router.last_decision.path == "sql"
+    assert "aligned" in router.last_decision.reason

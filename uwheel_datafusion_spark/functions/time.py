@@ -19,6 +19,11 @@ HOUR_MS = 3_600_000
 DAY_MS = 86_400_000
 WEEK_MS = 604_800_000  # 7-day epoch-aligned slots (µWheel's week wheel)
 
+#: epoch (1970-01-01) is a Thursday; the first Monday is 1970-01-05.
+#: Shifting epoch-ms by this before flooring to WEEK_MS yields the
+#: Monday-anchored weeks of SQL date_trunc('week', ...).
+MONDAY_EPOCH_OFFSET_MS = 4 * DAY_MS
+
 #: granularity name → slot width in ms (coarse→fine order matters for
 #: the greedy range decomposition in plans.range_plan)
 GRANULARITY_MS = {

@@ -2754,6 +2754,47 @@ def router_grouped_hour_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Monday-aligned 4-week span: 2024-01-01 (a Monday) .. 2024-01-29
+WEEK_RANGE = (
+    to_epoch_ms(datetime(2024, 1, 1)),
+    to_epoch_ms(datetime(2024, 1, 29)),
+)
+
+
+@gate(
+    "router_week_rollup",
+    f"""
+    SELECT epoch_ms(date_trunc('week', ts)) AS bucket_ms,
+           {_s('value')} AS sum_value,
+           COUNT(*) AS cnt
+    FROM events
+    WHERE ts >= {_ts_lit(WEEK_RANGE[0])} AND ts < {_ts_lit(WEEK_RANGE[1])}
+    GROUP BY 1
+    """,
+)
+def router_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY date_trunc('week', ts) — Monday-based weeks — rewritten
+    by the router onto the DAY rollup with a Monday-anchored 7-day
+    re-aggregation (plans/sql_router._serve_rollup): ≤ 7 day-partials
+    fold into each week row; the fact table is never scanned. The
+    oracle pins DuckDB's own date_trunc('week') Monday semantics."""
+    from uwheel_datafusion_spark.functions.time import ms_to_ts_literal, ts_to_ms
+
+    r = _events_router(spark, sf_dir)
+    s, e = WEEK_RANGE
+    df = r.sql(
+        f"SELECT date_trunc('week', ts) AS b, SUM(value) AS sum_value, "
+        f"COUNT(*) AS cnt FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}' "
+        f"GROUP BY 1"
+    )
+    d = r.last_decision
+    assert d.path == "rollup" and d.granularity == "week", d
+    return df.select(
+        ts_to_ms(F.col("b")).alias("bucket_ms"), "sum_value", "cnt"
+    )
+
+
 # --------------------------------------------------------------------------
 # driver evaluation window
 # --------------------------------------------------------------------------

@@ -61,11 +61,14 @@ _ITEM_PATTERN = re.compile(
 #: SELECT date_trunc('<g>', <ts>) [AS b], <agg list>
 #: FROM <table> WHERE <range> GROUP BY date_trunc('<g>', <ts>)|1|<b>
 #: — the continuous-aggregate shape: served from the <g> rollup table
-#: (distributed, partition-prunable), never the fact scan. Week is
-#: excluded: date_trunc('week') is Monday-based while the wheel's week
-#: slots are 7-day epoch-aligned.
+#: (distributed, partition-prunable), never the fact scan. Week note:
+#: date_trunc('week') is Monday-based while the wheel's opt-in week
+#: slots are 7-day epoch-aligned (Thursday-anchored), so week queries
+#: are served by re-aggregating the DAY rollup onto Monday-aligned
+#: 7-day buckets — still never the fact scan (≤ 7 day-rows fold into
+#: each week row).
 _GROUP_PATTERN = re.compile(
-    r"^\s*SELECT\s+DATE_TRUNC\s*\(\s*'(?P<gran>minute|hour|day)'\s*,\s*"
+    r"^\s*SELECT\s+DATE_TRUNC\s*\(\s*'(?P<gran>minute|hour|day|week)'\s*,\s*"
     r"(?P<ts0>\w+)\s*\)\s*(?:AS\s+(?P<balias>\w+)\s*)?,\s*"
     r"(?P<items>" + _AGG_ITEM + r"(?:\s*,\s*" + _AGG_ITEM + r")*)\s+"
     r"FROM\s+(?P<table>\w+)\s+"
@@ -167,7 +170,10 @@ class WheelSqlRouter:
         indexed ts within an aligned range → serve from the rollup
         table of that granularity (distributed, partition-prunable;
         never touches the fact scan)."""
-        from uwheel_datafusion_spark.functions.time import GRANULARITY_MS
+        from uwheel_datafusion_spark.functions.time import (
+            GRANULARITY_MS,
+            MONDAY_EPOCH_OFFSET_MS,
+        )
 
         table = m["table"].lower()
         reg = self._indexes.get(table)
@@ -188,8 +194,10 @@ class WheelSqlRouter:
             ts_col,
         ):
             return RouteDecision("sql", "GROUP BY key is not the bucket expression")
-        if gran not in index.rollups:
-            return RouteDecision("sql", f"no {gran} rollup in the index")
+        # Monday-based weeks fold from the day rollup (see _serve_rollup)
+        base_rollup = "day" if gran == "week" else gran
+        if base_rollup not in index.rollups:
+            return RouteDecision("sql", f"no {base_rollup} rollup in the index")
         items: list[tuple[str, str]] = []
         for im in _ITEM_PATTERN.finditer(m["items"]):
             agg = im["agg"].upper()
@@ -204,7 +212,10 @@ class WheelSqlRouter:
         if s is None or e is None:
             return RouteDecision("sql", "unparseable timestamp literal")
         g_ms = GRANULARITY_MS[gran]
-        if s % g_ms or e % g_ms:
+        # week buckets are Monday-anchored (date_trunc semantics), so
+        # the alignment check shifts by the epoch→Monday offset
+        off = MONDAY_EPOCH_OFFSET_MS if gran == "week" else 0
+        if (s - off) % g_ms or (e - off) % g_ms:
             return RouteDecision(
                 "sql",
                 f"endpoints not {gran}-aligned (edge buckets would be partial)",
@@ -213,7 +224,11 @@ class WheelSqlRouter:
             return RouteDecision("sql", "range outside the indexed horizon")
         return RouteDecision(
             "rollup",
-            f"rewritten onto {gran} rollup table",
+            (
+                "rewritten onto day rollup (Monday-week re-aggregation)"
+                if gran == "week"
+                else f"rewritten onto {gran} rollup table"
+            ),
             table,
             items[0][0],
             (s, e),
@@ -293,11 +308,38 @@ class WheelSqlRouter:
         from pyspark.sql import functions as F
 
         from uwheel_datafusion_spark.functions.quant import micros_to_value
+        from uwheel_datafusion_spark.functions.time import (
+            MONDAY_EPOCH_OFFSET_MS,
+            WEEK_MS,
+        )
         from uwheel_datafusion_spark.operators.wheel import _bucket_range_pred
 
         _, _, index = self._indexes[d.table]
-        r = index.rollups[d.granularity]
         s, e = d.range_ms
+        if d.granularity == "week":
+            # Monday-anchored weeks: fold the day rollup (≤ 7 day-rows
+            # per week) onto offset-shifted 7-day buckets — a partial
+            # merge, never a fact-table scan. The range endpoints are
+            # Monday-aligned (checked in _decide_grouped) and day
+            # buckets nest inside weeks, so the day filter is exact.
+            day = index.rollups["day"]
+            shifted = F.col("bucket_ms") - F.lit(MONDAY_EPOCH_OFFSET_MS)
+            week_start = (
+                (F.floor(shifted / WEEK_MS) * WEEK_MS)
+                + F.lit(MONDAY_EPOCH_OFFSET_MS)
+            ).cast("long")
+            r = (
+                day.filter(_bucket_range_pred(day, s, e))
+                .groupBy(week_start.alias("bucket_ms"))
+                .agg(
+                    F.sum("sum_micros").alias("sum_micros"),
+                    F.sum("cnt").alias("cnt"),
+                    F.min("min_value").alias("min_value"),
+                    F.max("max_value").alias("max_value"),
+                )
+            )
+        else:
+            r = index.rollups[d.granularity]
         lowered = {
             "SUM": lambda: micros_to_value(F.col("sum_micros")),
             "COUNT": lambda: F.col("cnt"),
