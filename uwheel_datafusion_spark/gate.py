@@ -474,6 +474,67 @@ def wheel_gapfill_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_wheel(spark, sf_dir).gapfill_rollup_df("hour")
 
 
+@gate("streaming_wheel_rollup_parity", _rollup_oracle(MINUTE_MS))
+def streaming_wheel_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert/advance stream parity, driver-gated (the reference's
+    streaming ingest loop, /root/reference/src/main.rs:128-140): the
+    events fixture is replayed as 4 time-ordered micro-batches through
+    a Structured Streaming windowed aggregation whose foreachBatch sink
+    upserts finalized minute slots into the rollup store; the store is
+    then surfaced as the minute rollup and must hash-match the same
+    DuckDB oracle as the BATCH-built wheel_rollup_minute — streaming
+    and batch build the same index (A4/A5 equivalence, end-to-end
+    through a real streaming query, not a unit test)."""
+    import shutil
+    import tempfile
+
+    from uwheel_datafusion_spark.functions.time import ts_range_pred
+    from uwheel_datafusion_spark.streaming.wheel_stream import StreamingWheel
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="wheel_stream_gate_")
+    try:
+        import os
+
+        src = os.path.join(work, "in")
+        ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("ts", "value")
+        )
+        stream = stream.filter(
+            ts_range_pred(stream, "ts", EVENTS_WM_MS, EVENTS_ADV_MS)
+        )
+        sw = StreamingWheel(stream, "ts", "value", watermark_delay="31 days")
+        sw.start(os.path.join(work, "ckpt"))
+        sw.process_available()
+        sw.stop()
+        rows = [
+            (b, s, c, mn, mx)
+            for b, (s, c, mn, mx) in sorted(sw.store.slots.items())
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    out = spark.createDataFrame(
+        rows,
+        "bucket_ms bigint, sum_micros bigint, cnt bigint, "
+        "min_value double, max_value double",
+    )
+    return out.select(
+        "bucket_ms",
+        micros_to_value(F.col("sum_micros")).alias("sum_value"),
+        "cnt",
+        "min_value",
+        "max_value",
+        (
+            F.col("sum_micros").cast("double") / F.col("cnt").cast("double") / 1e6
+        ).alias("avg_value"),
+    )
+
+
 #: keyed wheel — hypertable-style continuous aggregate: the reference's
 #: single-series index sharded by a dimension key (one distributed
 #: rollup on (key, minute), per-key O(1) driver serving)
@@ -522,6 +583,41 @@ def keyed_wheel_by_type_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key string, sum_value double, cnt bigint, "
         "min_value double, max_value double, avg_value double",
     )
+
+
+@gate(
+    "keyed_rollup_served_by_type",
+    f"""
+    SELECT event_type AS key,
+           {_s('value')} AS sum_value,
+           COUNT(*) AS cnt,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           {_avg('value')} AS avg_value
+    FROM events
+    WHERE ts >= {_ts_lit(RANGE_MINUTE[0])} AND ts < {_ts_lit(RANGE_MINUTE[1])}
+    GROUP BY event_type
+    """,
+)
+def keyed_rollup_served_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HIGH-cardinality keyed serving path, driver-gated: the same
+    per-series range aggregate as keyed_wheel_by_type_range, but served
+    entirely distributed — build_rollup (one shuffle, never collects) +
+    query_rollup_grouped_df (bucket-range filter + one groupBy over
+    rollup rows). This is the path the MAX_HOT_KEYS guard routes users
+    to when collecting per-key driver indexes would OOM."""
+    from uwheel_datafusion_spark.operators.keyed_wheel import KeyedWheelIndex
+
+    _tune_session(spark)
+    rollup = KeyedWheelIndex.build_rollup(
+        load_table(spark, sf_dir, "events"),
+        "event_type",
+        "ts",
+        "value",
+        EVENTS_WM_MS,
+        EVENTS_ADV_MS,
+    )
+    return KeyedWheelIndex.query_rollup_grouped_df(rollup, *RANGE_MINUTE)
 
 
 @gate(

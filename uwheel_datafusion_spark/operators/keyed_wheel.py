@@ -231,6 +231,44 @@ class KeyedWheelIndex:
             )
         )
 
+    @staticmethod
+    def query_rollup_grouped_df(
+        rollup: DataFrame, start_ms: int, end_ms: int
+    ) -> DataFrame:
+        """Distributed range aggregate for EVERY series at once — the
+        collect-free serving path the ``MAX_HOT_KEYS`` guard points
+        high-cardinality callers to: one bucket-range filter (partition
+        prunable on a persisted rollup) + one groupBy over rollup rows
+        (bounded by |keys| × slots-in-range, never fact rows). Output:
+        ``(key, sum_value, cnt, min_value, max_value, avg_value)``, one
+        row per series with data in [start, end)."""
+        from uwheel_datafusion_spark.functions.quant import micros_to_value
+
+        return (
+            rollup.filter(
+                (F.col("bucket_ms") >= start_ms) & (F.col("bucket_ms") < end_ms)
+            )
+            .groupBy("key")
+            .agg(
+                F.sum("sum_micros").alias("_sum_micros"),
+                F.sum("cnt").alias("cnt"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+            .select(
+                "key",
+                micros_to_value(F.col("_sum_micros")).alias("sum_value"),
+                "cnt",
+                "min_value",
+                "max_value",
+                (
+                    F.col("_sum_micros").cast("double")
+                    / F.col("cnt").cast("double")
+                    / 1_000_000
+                ).alias("avg_value"),
+            )
+        )
+
     def keys(self) -> list:
         return sorted(self._indexes)
 
