@@ -184,25 +184,68 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         extras["wheel_hour_ranges_refbug"] = {"qps": r.qps, **r.latency}
 
     # -------------------- distributed serving path (SURVEY §4.3, sampled)
+    # serving-tier session config, applied around both probe workloads:
+    # AQE re-optimization costs ~80 ms/probe and buys nothing on cached
+    # rollups; per-query literal changes defeat the codegen cache, so a
+    # fresh Janino compile (~30-60 ms) lands on every probe unless
+    # expression codegen is off. A dedicated serving tier runs with
+    # both off; batch/build sessions keep them on for the big shuffles.
+    from contextlib import contextmanager
+
+    @contextmanager
+    def serving_confs():
+        prev = {
+            "spark.sql.adaptive.enabled": spark.conf.get(
+                "spark.sql.adaptive.enabled"
+            ),
+            "spark.sql.codegen.factoryMode": spark.conf.get(
+                "spark.sql.codegen.factoryMode", "CODEGEN_ONLY"
+            ),
+        }
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        try:
+            yield
+        finally:
+            for k, v in prev.items():
+                spark.conf.set(k, v)
+
     @step("wheel_distributed_ranges")
     def _():
+        # plan-reuse probe: one parameterized SQL over a registered
+        # rollup view per query (idx.probe), not a fresh DataFrame
         def dist_sum(s_ms: int, e_ms: int):
-            return idx.range_agg_df(s_ms, e_ms).collect()[0][0]
+            return idx.probe(s_ms, e_ms)["sum_value"]
 
-        # serving-session config: AQE re-optimization costs ~80 ms per
-        # probe and buys nothing on 1-partition cached rollups — a
-        # dedicated serving tier would run with it off (batch/build
-        # sessions keep it on for the big shuffles)
-        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
+        with serving_confs():
+            # warmup registers the serving view + compiles the probe
             r = run_latency_bench(
-                "wheel_distributed_ranges", dist_sum, minute_ranges[:sql_sample]
+                "wheel_distributed_ranges",
+                dist_sum,
+                minute_ranges[:sql_sample],
+                warmup=3,
             )
-        finally:
-            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         timings["wheel_distributed_ranges"] = r.wall_sec
         extras["wheel_distributed_ranges"] = {"qps": r.qps, **r.latency}
+
+    # ---------------- micro-batched serving (throughput shape, ONE job)
+    @step("wheel_batch_serving")
+    def _():
+        # batched jobs keep codegen ON: one compile amortizes over the
+        # whole batch (NO_CODEGEN only helps per-query probes, where a
+        # fresh literal forces a fresh compile every time)
+        batch = minute_ranges[: min(256, len(minute_ranges))]
+        idx.range_agg_batch_df(batch[:8]).collect()  # warm
+        t0 = time.perf_counter()
+        rows = idx.range_agg_batch_df(batch).collect()
+        wall = time.perf_counter() - t0
+        assert len(rows) == len(batch)
+        timings["wheel_batch_serving"] = wall
+        extras["wheel_batch_serving"] = {
+            "n_queries": len(batch),
+            "qps": round(len(batch) / wall, 1),
+            "amortized_ms_per_query": round(wall / len(batch) * 1000, 3),
+        }
 
     # --------------------------- SQL-router rewrite path (§7.6 rewrite + E2)
     @step("router_rewrite_ranges")
@@ -262,6 +305,85 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         extras["dual_check"] = {
             "n": len(minute_ranges[:sql_sample]),
             "mismatches": mismatches,
+        }
+
+    # ---------------- scan-vs-probe crossover (PLANS.md claim, measured)
+    # The reference demonstrates its crossover empirically by running
+    # both engines on the same data (/root/reference/src/main.rs:205-288).
+    # At sf0.1 the full scan and the probe are within noise of each
+    # other (both dominated by flat per-job cost on ~100k rows); this
+    # workload scales the fact table ~20x on a bench-only synthetic
+    # table (NOT /root/testdata — derived data lives in bench_data/)
+    # and runs both paths on identical ranges: scan cost grows with the
+    # rows in range, the rollup probe stays flat.
+    @step("crossover")
+    def _():
+        factor = int(os.environ.get("BENCH_CROSSOVER_FACTOR", "20"))
+        n_rows = max(int(extras["index"]["rows_indexed"]), 1) * factor
+        big_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "bench_data",
+            f"events_x{factor}_{n_rows}",
+        )
+        if not os.path.exists(os.path.join(big_path, "_SUCCESS")):
+            (
+                spark.range(n_rows)
+                .select(
+                    F.timestamp_millis(
+                        F.lit(EVENTS_WM_MS)
+                        + (F.rand(42) * F.lit(float(horizon))).cast("long")
+                    )
+                    .cast("timestamp_ntz")
+                    .alias("ts"),
+                    (F.rand(7) * 100.0).alias("value"),
+                )
+                # time-ordered files so parquet row-group pruning works
+                # for the scan side — the FAIR comparison
+                .repartitionByRange(32, "ts")
+                .sortWithinPartitions("ts")
+                .write.mode("overwrite")
+                .parquet(big_path)
+            )
+        big = spark.read.parquet(big_path)
+        big.createOrReplaceTempView("events_big")
+        t0 = time.perf_counter()
+        idx_big = WheelIndex.build(
+            big, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS, stats_mode="pruned"
+        )
+        idx_big.rollups["minute"].count()  # materialize cache
+        build_sec = time.perf_counter() - t0
+        sample = minute_ranges[:sql_sample]
+
+        def scan_sum(s_ms: int, e_ms: int):
+            return spark.sql(
+                f"SELECT SUM(value) FROM events_big "
+                f"WHERE ts >= TIMESTAMP '{ms_to_ts_literal(s_ms)}' "
+                f"AND ts < TIMESTAMP '{ms_to_ts_literal(e_ms)}'"
+            ).collect()[0][0]
+
+        r_scan = run_latency_bench("crossover_scan", scan_sum, sample)
+        with serving_confs():
+            r_probe = run_latency_bench(
+                "crossover_probe",
+                lambda s, e: idx_big.probe(s, e)["sum_value"],
+                sample,
+                warmup=3,
+            )
+        idx_big.range_agg_batch_df(sample[:4]).collect()  # warm codegen
+        t0 = time.perf_counter()
+        idx_big.range_agg_batch_df(sample).collect()
+        batch_wall = time.perf_counter() - t0
+        timings["crossover"] = r_scan.wall_sec + r_probe.wall_sec + batch_wall
+        extras["crossover"] = {
+            "factor": factor,
+            "n_rows": n_rows,
+            "index_build_sec": round(build_sec, 3),
+            "scan": {"qps": r_scan.qps, **r_scan.latency},
+            "probe": {"qps": r_probe.qps, **r_probe.latency},
+            "batch_amortized_ms_per_query": round(
+                batch_wall / len(sample) * 1000, 3
+            ),
+            "probe_beats_scan": r_probe.qps > r_scan.qps,
         }
 
     # ------------------------------------------------ headline gate queries

@@ -466,3 +466,45 @@ def test_gapfill_rollup_dense_and_locf(spark, wheel):
     }
     for r in rows:
         assert r["sum_value"] == sparse.get(r["bucket_ms"])
+
+
+def test_probe_matches_range_agg_df(spark, wheel):
+    """The parameterized-SQL serving probe returns the same row as the
+    per-query DataFrame path, including repeat probes (view reuse)."""
+    s = WM + 3 * DAY_MS + 5 * HOUR_MS + 7 * MINUTE_MS
+    e = WM + 17 * DAY_MS + 11 * HOUR_MS + 23 * MINUTE_MS
+    slow = wheel.range_agg_df(s, e).first()
+    for _ in range(2):  # second probe reuses the registered view + SQL
+        fast = wheel.probe(s, e)
+        assert fast["cnt"] == slow["cnt"]
+        assert fast["sum_value"] == slow["sum_value"]
+        assert fast["min_value"] == slow["min_value"]
+        assert fast["max_value"] == slow["max_value"]
+        assert fast["avg_value"] == slow["avg_value"]
+
+
+def test_probe_rejects_unaligned(wheel):
+    with pytest.raises(ValueError):
+        wheel.probe(WM + 500, WM + DAY_MS)
+
+
+def test_batch_serving_matches_per_query_and_handles_empty(spark, wheel):
+    """range_agg_batch_df: N ranges in one job == N per-query answers;
+    an empty range yields nulls (A5 Option semantics) at its query_id;
+    output preserves input order."""
+    ranges = [
+        (WM, WM + DAY_MS),
+        (WM + 5 * DAY_MS + 3 * HOUR_MS, WM + 20 * DAY_MS + 19 * HOUR_MS),
+        (ADV - MINUTE_MS, ADV - MINUTE_MS),  # empty
+        (WM + 13 * MINUTE_MS, WM + 2 * DAY_MS + 13 * MINUTE_MS),
+    ]
+    rows = wheel.range_agg_batch_df(ranges).orderBy("query_id").collect()
+    assert [r["query_id"] for r in rows] == [0, 1, 2, 3]
+    for qid, (s, e) in enumerate(ranges):
+        one = wheel.range_agg_df(s, e).first()
+        got = rows[qid]
+        assert got["cnt"] == one["cnt"]
+        assert got["sum_value"] == one["sum_value"]
+        assert got["min_value"] == one["min_value"]
+        assert got["max_value"] == one["max_value"]
+    assert rows[2]["cnt"] is None and rows[2]["sum_value"] is None

@@ -155,6 +155,38 @@ gate("wheel_range_hour_aligned", _range_oracle(*RANGE_HOUR))(
 gate("wheel_range_day_aligned", _range_oracle(*RANGE_DAY))(_mk_range_query(*RANGE_DAY))
 
 
+def _batch_member_oracle(qid: int, s_ms: int, e_ms: int) -> str:
+    return f"""
+        SELECT {qid} AS query_id,
+               {_s('value')} AS sum_value,
+               COUNT(*) AS cnt,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value,
+               {_avg('value')} AS avg_value
+        FROM events
+        WHERE ts >= {_ts_lit(s_ms)} AND ts < {_ts_lit(e_ms)}
+    """
+
+
+@gate(
+    "wheel_range_batch_serving",
+    " UNION ALL ".join(
+        _batch_member_oracle(i, *r)
+        for i, r in enumerate((RANGE_MINUTE, RANGE_HOUR, RANGE_DAY))
+    ),
+)
+def wheel_range_batch_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batched distributed serving (range_agg_batch_df): all
+    three benchmark ranges answered in ONE Spark job — per-range
+    decomposition into granularity runs, broadcast runs-join against
+    the rollups, one fold per query_id. This is the throughput path a
+    serving tier uses so per-query job overhead amortizes across the
+    batch (cf. bench workload wheel_batch_serving)."""
+    return events_wheel(spark, sf_dir).range_agg_batch_df(
+        [RANGE_MINUTE, RANGE_HOUR, RANGE_DAY]
+    )
+
+
 @gate(
     "wheel_landmark",
     _range_oracle(EVENTS_WM_MS, EVENTS_ADV_MS),

