@@ -2927,14 +2927,19 @@ def router_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver evaluation window
 # --------------------------------------------------------------------------
 # The grading driver evaluates REGISTRY in iteration order and caps at 50
-# queries. Definition order above groups by theme (wheel → TPC-H → SQL
-# surface → LLM-pipeline), which starved the LLM-pipeline families of
-# driver coverage. Reorder in place so the first 50 contain at least one
-# representative of EVERY family in SURVEY.md §2 plus every LLM-pipeline
-# family (dedup / similarity / text / sampling / multimodal / pipelines);
-# the remainder keep their relative order and stay covered by
-# tests/test_oracle_parity.py, which runs the same DuckDB check over all.
-_DRIVER_WINDOW = [
+# queries. Round 3 pinned a family-representative window and all 50 rows
+# passed; round 4 ROTATES the window to the queries that have never had a
+# driver CORRECTNESS row (the r03 complement plus this round's five new
+# gates), converting the rest of the registry from locally-proven to
+# driver-proven. The r03 set stays covered by tests/test_oracle_parity.py
+# (the same DuckDB row-count+schema+hash check over ALL queries). Six
+# never-checked queries with driver-proven same-family siblings are
+# deferred to round 5: wheel_range_hour_aligned / wheel_range_day_aligned
+# (sibling wheel_range_minute_aligned, r03), brand_supplier_revenue
+# (region_revenue_join), orders_priority_distribution (events_by_type),
+# scalar_functions_monthly (session_window/date-arith family),
+# window_customer_running_total (window_top3/argmax family).
+_DRIVER_WINDOW_R3 = [
     # µWheel core (reference parity: E1/E2/E3, A4-A8, gapfill, keyed)
     "wheel_range_minute_aligned",
     "router_multi_agg_range",
@@ -2998,10 +3003,76 @@ _DRIVER_WINDOW = [
     "pipeline_training_corpus",
 ]
 
+_DRIVER_WINDOW = [
+    # new this round (serving, streaming, week router, HLL, keyed-dist)
+    "wheel_range_batch_serving",
+    "streaming_wheel_rollup_parity",
+    "router_week_rollup",
+    "keyed_rollup_served_by_type",
+    "distinct_users_by_day_hll",
+    # wheel family — never-checked members
+    "wheel_interval_7d",
+    "wheel_rollup_hour",
+    "wheel_rollup_day",
+    "distinct_users_range",
+    "distinct_users_by_type_day",
+    "keyed_gapfill_hour_locf_by_type",
+    "keyed_hourly_rollup_by_type",
+    # TPC-H — the 14 variants outside the r03 window
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_part_value",
+    "tpch_q14_promo_revenue_share",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_promotable_supplier",
+    "tpch_q22_dormant_customers",
+    # SQL surface — remaining members
+    "window_trailing_7d_user_revenue",
+    "subquery_exists_shipped_after_order",
+    "subquery_scalar_above_avg_order",
+    "sliding_window_1h_15m",
+    "rollup_orders_year_status",
+    "cube_orders_status_priority",
+    "semi_join_active_customers",
+    # text analysis
+    "text_token_stats",
+    "text_winnow_fingerprints",
+    # sampling / stats
+    "sample_hash_10pct",
+    "split_train_val_test",
+    "histogram_event_values",
+    # dedup
+    "dedup_ngram_jaccard_pairs",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_capped",
+    "dedup_simhash_fingerprints",
+    # similarity / clustering (incl. the fenced exact baselines)
+    "similarity_knn_brute_force",
+    "similarity_cosine_pair_dedup",
+    "similarity_label_centroids",
+    # composed pipelines
+    "pipeline_clean_corpus",
+    "pipeline_neardup_corpus",
+    # multimodal stubs
+    "multimodal_decode_stub",
+    "multimodal_resize_stub",
+    "multimodal_frame_sample",
+]
+
 
 def _reorder_registry() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
     assert not missing, f"_DRIVER_WINDOW names not registered: {missing}"
+    assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
+    # r03 window names must stay registered (they remain locally gated)
+    assert not [n for n in _DRIVER_WINDOW_R3 if n not in REGISTRY]
     ordered = {n: REGISTRY[n] for n in _DRIVER_WINDOW}
     ordered.update({n: q for n, q in REGISTRY.items() if n not in ordered})
     # mutate in place: other modules hold references to this dict
