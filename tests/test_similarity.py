@@ -163,3 +163,50 @@ def test_connected_components_plan_depth_bounded(spark):
     # bounded: the deep run's plan is the same shape as the shallow one
     # (checkpoint truncation), not 2^rounds bigger
     assert long_len <= short_len * 2
+
+
+def test_connected_components_star_matches_propagation(spark):
+    """Large-star/small-star must produce EXACTLY the min-label
+    propagation's answer on chains, disjoint pairs, self-loops, and a
+    random graph — and converge in far fewer rounds on a deep chain."""
+    from uwheel_datafusion_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    cases = [
+        [(1, 2), (2, 3), (5, 6), (7, 7), (9, 3)],
+    ]
+    import random
+
+    rng = random.Random(11)
+    cases.append(
+        [(rng.randrange(50), rng.randrange(50)) for _ in range(60)]
+    )
+    for edges in cases:
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        want = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        got = {
+            r["doc_id"]: r["component"]
+            for r in connected_components_star(pairs).collect()
+        }
+        assert got == want
+
+    # deep chain: diameter 64 exceeds the propagation round budget —
+    # it must REFUSE (a silent cutoff returned wrong labels before),
+    # while the star contraction converges in ~7 rounds and is exact
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 65)], "doc_a long, doc_b long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=20).collect()
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_star(chain).collect()
+    }
+    assert got == {i: 1 for i in range(1, 66)}

@@ -2591,6 +2591,21 @@ def connected_components_q(spark, sf_dir):
 
 
 @gate(
+    "dedup_connected_components_star",
+    _dd.connected_components_oracle(
+        "SELECT doc_a, doc_b FROM (" + _dd.simhash_near_pairs_oracle() + ")"
+    ),
+)
+def connected_components_star_q(spark, sf_dir):
+    """Same components via large-star/small-star contraction — the
+    O(log²n)-round algorithm for graphs whose diameter would exhaust
+    min-label propagation (the deep-chain case where the propagation
+    loop now refuses instead of silently truncating)."""
+    pairs = _dd.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+    return _dd.connected_components_star(pairs)
+
+
+@gate(
     "similarity_knn_brute_force",
     _sim.knn_brute_force_oracle(query_ids=KNN_QUERY_IDS, k=5),
 )

@@ -464,6 +464,7 @@ def connected_components(
         .withColumn("label", F.col("doc"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iter):
         prop = sym.join(labels, sym.src == labels.doc).select(
             F.col("dst").alias("doc"), "label"
@@ -483,8 +484,111 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a silent cutoff would return WRONG labels (caught by a
+        # 65-node chain: diameter 64 > 50 rounds). Deep graphs belong
+        # on the O(log²n)-round star algorithm.
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); use "
+            "connected_components_star for deep graphs"
+        )
     return labels.select(
         F.col("doc").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Large-star / small-star connected components — the upgrade the
+    min-label loop's docstring names for DEEP graphs (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14; public
+    algorithm, re-expressed as DataFrame ops).
+
+    Min-label propagation needs diameter-many rounds (a 10 000-node
+    chain = 10 000 shuffles); the star operations contract the graph
+    toward a star per component in O(log² n) rounds — at 100 TB where
+    a transitive near-dup chain CAN get long, this is the shape that
+    still terminates. Each round:
+
+    - **large-star**: every node points its LARGER neighbors at its
+      smallest neighbor-or-self (per-node groupBy min + join);
+    - **small-star**: on larger→smaller canonical edges, every node
+      repoints its smaller neighbors (and itself) at the minimum.
+
+    Both are one groupBy + one join on node id; per-round
+    ``localCheckpoint`` truncates lineage exactly like the min-label
+    loop (same observed driver-OOM failure mode). Fixpoint: the
+    canonical edge set stops changing; then every non-root node holds
+    exactly the edge (node, component-min). Deterministic (min is
+    order-free), so the same WITH RECURSIVE oracle applies.
+
+    Returns (doc_id, component) with component = min doc id, matching
+    ``connected_components`` exactly (pinned in tests)."""
+    raw = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    # nodes from the RAW pairs so self-loop-only nodes still surface as
+    # singletons (matching connected_components)
+    nodes = (
+        raw.select(F.col("x").alias("doc"))
+        .unionByName(raw.select(F.col("y").alias("doc")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    canon = (
+        raw.filter(F.col("x") != F.col("y"))
+        .select(
+            F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = canon
+    for _ in range(max_iter):
+        # large-star over the symmetric view
+        sym = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        # small-star over larger→smaller edges (large's output is
+        # already canonical: u > v by construction)
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(
+                mins2.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+            .filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        same = (
+            small.count() == e.count()
+            and small.exceptAll(e).limit(1).count() == 0
+        )
+        e = small
+        if same:
+            break
+    # at the fixpoint e is a star per component (each non-root node has
+    # exactly the edge (node, min)); the groupBy-min is belt-and-braces
+    # against a max_iter cutoff mid-contraction
+    return (
+        nodes.join(e, nodes.doc == e.u, "left")
+        .groupBy("doc")
+        .agg(F.min(F.coalesce(F.col("v"), F.col("doc"))).alias("component"))
+        .select(F.col("doc").alias("doc_id"), "component")
     )
 
 
