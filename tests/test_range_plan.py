@@ -139,3 +139,34 @@ def test_week_level_decomposition():
     # without weeks the same range costs more slots
     p_noweek = decompose_range(s, e, ("minute", "hour", "day"))
     assert p.cost < p_noweek.cost
+
+
+def test_hybrid_decomposition_and_describe():
+    """decompose_hybrid: ragged edges become ≤2 sub-minute scans, the
+    interior is the aligned decomposition; cover is exact and
+    disjoint; sub-two-minute ranges are pure edge scan."""
+    from uwheel_datafusion_spark.plans.range_plan import decompose_hybrid
+
+    m = 60_000
+    s, e = 10 * m + 37_000, 500 * m + 11_000
+    p = decompose_hybrid(s, e)
+    assert p.edge_scans == [(s, 11 * m), (500 * m, e)]
+    assert p.interior is not None and not p.interior.fallback
+    spans = sorted(
+        p.edge_scans + [(r.start_ms, r.end_ms) for r in p.interior.runs]
+    )
+    # exact disjoint cover of [s, e)
+    assert spans[0][0] == s and spans[-1][1] == e
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+    assert "hybrid" in p.describe() and "scan[" in p.describe()
+
+    tiny = decompose_hybrid(10 * m + 5_000, 10 * m + 25_000)
+    assert tiny.edge_scans == [(10 * m + 5_000, 10 * m + 25_000)]
+    assert tiny.interior is None and tiny.cost == 0
+
+    # aligned-at-one-end: only one edge scan
+    one_edge = decompose_hybrid(10 * m, 500 * m + 11_000)
+    assert one_edge.edge_scans == [(500 * m, 500 * m + 11_000)]
+
+    empty = decompose_hybrid(5 * m, 5 * m)
+    assert empty.edge_scans == [] and empty.interior is None

@@ -508,3 +508,14 @@ def test_batch_serving_matches_per_query_and_handles_empty(spark, wheel):
         assert got["min_value"] == one["min_value"]
         assert got["max_value"] == one["max_value"]
     assert rows[2]["cnt"] is None and rows[2]["sum_value"] is None
+
+
+def test_wheel_explain_aligned_and_hybrid(wheel):
+    """WheelIndex.explain covers BOTH serving paths: aligned ranges
+    describe the multi-granularity decomposition, ragged ranges the
+    hybrid edge-scan + interior plan (A6 for any range)."""
+    aligned = wheel.explain(WM + DAY_MS, WM + 2 * DAY_MS)
+    assert "day[" in aligned and "FALLBACK" not in aligned
+    ragged = wheel.explain(WM + DAY_MS + 37_000, WM + 2 * DAY_MS + 11_000)
+    assert ragged.startswith("hybrid[") and "scan[" in ragged
+    assert "interior:" in ragged and "hour[" in ragged

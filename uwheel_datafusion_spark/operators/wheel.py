@@ -541,21 +541,14 @@ class WheelIndex:
         table no matter how big it is; the interior (the bulk of the
         range) never touches the fact table.
         """
-        from uwheel_datafusion_spark.functions.time import ceil_ms, floor_ms
+        from uwheel_datafusion_spark.plans.range_plan import decompose_hybrid
 
         start_ms = max(start_ms, self.watermark_ms)
         end_ms = min(end_ms, self.advanced_ms)
-        core_s, core_e = ceil_ms(start_ms, MINUTE_MS), floor_ms(end_ms, MINUTE_MS)
-        if core_e <= core_s:  # whole range inside (under) two minute slots
-            core_s = core_e = end_ms
-            edges = [(start_ms, end_ms)]
-        else:
-            edges = [(start_ms, core_s), (core_e, end_ms)]
+        hplan = decompose_hybrid(start_ms, end_ms, tuple(self.rollups))
 
         parts: list[DataFrame] = []
-        for s, e in edges:
-            if e <= s:
-                continue
+        for s, e in hplan.edge_scans:
             pred = ts_range_pred(fact_df, ts_col, s, e)
             parts.append(
                 fact_df.filter(pred)
@@ -567,9 +560,8 @@ class WheelIndex:
                     F.max("value").alias("max_value"),
                 )
             )
-        if core_e > core_s:
-            plan = decompose_range(core_s, core_e, tuple(self.rollups))
-            for run in plan.runs:
+        if hplan.interior is not None:
+            for run in hplan.interior.runs:
                 parts.append(
                     self.rollups[run.granularity]
                     .filter(
@@ -582,6 +574,19 @@ class WheelIndex:
                     .select("sum_micros", "cnt", "min_value", "max_value")
                 )
         return self._combine_parts(parts)
+
+    def explain(self, start_ms: int, end_ms: int) -> str:
+        """A6 for ANY range: aligned endpoints explain as the
+        multi-granularity decomposition; ragged endpoints explain as
+        the hybrid plan (edge scans + aligned interior) that
+        ``range_agg_hybrid_df`` executes."""
+        from uwheel_datafusion_spark.plans.range_plan import decompose_hybrid
+
+        s = max(start_ms, self.watermark_ms)
+        e = min(end_ms, self.advanced_ms)
+        if s % MINUTE_MS == 0 and e % MINUTE_MS == 0:
+            return self.plan(start_ms, end_ms).describe()
+        return decompose_hybrid(s, e, tuple(self.rollups)).describe()
 
     def topn_slots_df(
         self,

@@ -133,3 +133,57 @@ def decompose_range(
 def explain_range(start_ms: int, end_ms: int, **kw) -> str:
     """Human-readable plan, cf. ``explain_combine_range`` output."""
     return decompose_range(start_ms, end_ms, **kw).describe()
+
+
+@dataclass
+class HybridPlan:
+    """Explainable plan for an UNALIGNED ``[start, end)`` (µWheel
+    answers sub-minute edges from its seconds wheel; we keep no seconds
+    rollup, so ragged edges become pushdown fact-table scans while the
+    aligned interior stays on the index — operators.wheel.
+    range_agg_hybrid_df executes exactly this plan)."""
+
+    start_ms: int
+    end_ms: int
+    #: ragged edge spans served by a (row-group-pruned) fact scan;
+    #: each covers < 2 minutes of data by construction
+    edge_scans: list[tuple[int, int]] = field(default_factory=list)
+    #: aligned interior served from the rollups (empty runs ⇒ the whole
+    #: range fits inside two minute slots and is pure edge scan)
+    interior: RangePlan | None = None
+
+    @property
+    def cost(self) -> int:
+        return self.interior.cost if self.interior else 0
+
+    def describe(self) -> str:
+        edges = ", ".join(f"scan[{s},{e})" for s, e in self.edge_scans)
+        inner = self.interior.describe() if self.interior else "EMPTY"
+        return (
+            f"hybrid[{self.start_ms},{self.end_ms}) -> "
+            f"edges: {edges or 'NONE'}; interior: {inner}"
+        )
+
+
+def decompose_hybrid(
+    start_ms: int,
+    end_ms: int,
+    granularities: tuple[str, ...] = ("day", "hour", "minute"),
+) -> HybridPlan:
+    """Split an arbitrary range into ≤2 sub-minute edge scans plus an
+    aligned interior decomposition — the planning half of
+    ``range_agg_hybrid_df``, factored out so the hybrid path is
+    explainable like the aligned one (A6 for ragged ranges)."""
+    plan = HybridPlan(start_ms=start_ms, end_ms=end_ms)
+    if end_ms <= start_ms:
+        return plan
+    core_s = -((-start_ms) // MINUTE_MS) * MINUTE_MS  # ceil to minute
+    core_e = (end_ms // MINUTE_MS) * MINUTE_MS  # floor to minute
+    if core_e <= core_s:  # whole range inside (under) two minute slots
+        plan.edge_scans = [(start_ms, end_ms)]
+        return plan
+    plan.edge_scans = [
+        (s, e) for s, e in ((start_ms, core_s), (core_e, end_ms)) if e > s
+    ]
+    plan.interior = decompose_range(core_s, core_e, granularities)
+    return plan
