@@ -506,6 +506,90 @@ def wheel_gapfill_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_wheel(spark, sf_dir).gapfill_rollup_df("hour")
 
 
+@gate("wheel_extend_incremental", _range_oracle(*RANGE_MINUTE))
+def wheel_extend_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental insert+advance, driver-gated (the reference wheel's
+    maintenance cycle, /root/reference/src/main.rs:128-140): build the
+    index over the first half of the horizon only, absorb the second
+    half via WheelIndex.extend (scans ONLY the new chunk — the
+    watermark range pushes to parquet stats — and merges monoid slot
+    partials), then serve the benchmark range from the EXTENDED index.
+    The oracle is the plain full-range scan, so a merge bug anywhere in
+    the nightly-ingest path hash-mismatches here."""
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    mid = to_epoch_ms(datetime(2024, 1, 16))
+    base = WheelIndex.build(
+        ev, "ts", "value", EVENTS_WM_MS, mid, cache=False, stats_mode="pruned"
+    )
+    full = base.extend(ev, "ts", "value", EVENTS_ADV_MS, stats_mode="pruned")
+    return full.range_agg_df(*RANGE_MINUTE)
+
+
+@gate(
+    "streaming_keyed_rollup_parity",
+    f"""
+    SELECT event_type,
+           (epoch_ms(ts) // {MINUTE_MS}) * {MINUTE_MS} AS bucket_ms,
+           {_s('value')} AS sum_value,
+           COUNT(*) AS cnt
+    FROM events
+    WHERE ts >= {_ts_lit(EVENTS_WM_MS)} AND ts < {_ts_lit(EVENTS_ADV_MS)}
+    GROUP BY 1, 2
+    """,
+)
+def streaming_keyed_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed streaming ingest, driver-gated: the per-series twin of
+    streaming_wheel_rollup_parity — state keyed by (series, window),
+    the sink upserts (key, bucket) partials; the store must match the
+    per-(event_type, minute) GROUP BY oracle exactly."""
+    import shutil
+    import tempfile
+
+    from uwheel_datafusion_spark.functions.time import ts_range_pred
+    from uwheel_datafusion_spark.streaming.wheel_stream import StreamingWheel
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="wheel_stream_keyed_gate_")
+    try:
+        import os
+
+        src = os.path.join(work, "in")
+        ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("ts", "value", "event_type")
+        )
+        stream = stream.filter(
+            ts_range_pred(stream, "ts", EVENTS_WM_MS, EVENTS_ADV_MS)
+        )
+        sw = StreamingWheel(
+            stream, "ts", "value", watermark_delay="31 days",
+            key_col="event_type",
+        )
+        sw.start(os.path.join(work, "ckpt"))
+        sw.process_available()
+        sw.stop()
+        rows = [
+            (k, b, s, c)
+            for (k, b), (s, c, _mn, _mx) in sorted(sw.store.slots.items())
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    out = spark.createDataFrame(
+        rows, "event_type string, bucket_ms bigint, sum_micros bigint, cnt bigint"
+    )
+    return out.select(
+        "event_type",
+        "bucket_ms",
+        micros_to_value(F.col("sum_micros")).alias("sum_value"),
+        "cnt",
+    )
+
+
 @gate("streaming_wheel_rollup_parity", _rollup_oracle(MINUTE_MS))
 def streaming_wheel_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Insert/advance stream parity, driver-gated (the reference's
