@@ -519,3 +519,42 @@ def test_wheel_explain_aligned_and_hybrid(wheel):
     ragged = wheel.explain(WM + DAY_MS + 37_000, WM + 2 * DAY_MS + 11_000)
     assert ragged.startswith("hybrid[") and "scan[" in ragged
     assert "interior:" in ragged and "hour[" in ragged
+
+
+def test_probe_landmark_and_empty(wheel):
+    """Fixed-SQL probe across plan shapes: the full-horizon landmark
+    (single day-run chain) and an empty range (all windows bind to
+    [0,0) ⇒ nulls, cnt NULL — A5 Option semantics)."""
+    lm = wheel.probe(WM, ADV)
+    truth = wheel.range_agg_df(WM, ADV).first()
+    assert (lm["sum_value"], lm["cnt"]) == (truth["sum_value"], truth["cnt"])
+    empty = wheel.probe(ADV, ADV)
+    assert empty["cnt"] is None and empty["sum_value"] is None
+
+
+def test_probe_multi_granularity_wide_horizon(spark):
+    """Ranges above the single-level threshold take the decomposed
+    UNION statement (two bind windows per granularity) — pin its
+    parity with range_agg_df on a multi-year horizon."""
+    rows = [
+        (datetime(1995, 3, 7, 12, 30, tzinfo=timezone.utc), 1.5),
+        (datetime(1995, 11, 21, 8, 1, tzinfo=timezone.utc), 2.25),
+        (datetime(1996, 2, 2, 0, 0, tzinfo=timezone.utc), -3.0),
+        (datetime(1996, 7, 15, 23, 59, tzinfo=timezone.utc), 10.0),
+        (datetime(1997, 9, 30, 6, 45, tzinfo=timezone.utc), 4.125),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    wm = to_epoch_ms(datetime(1995, 1, 1))
+    adv = to_epoch_ms(datetime(1998, 1, 1))
+    idx = WheelIndex.build(df, "ts", "value", wm, adv)
+    cases = [
+        (to_epoch_ms(datetime(1995, 2, 3, 4, 5)), to_epoch_ms(datetime(1997, 11, 20, 21, 22))),
+        (wm, adv),  # landmark, > 200k minute slots
+    ]
+    for s, e in cases:
+        assert (e - s) // MINUTE_MS > idx.SINGLE_LEVEL_SLOT_THRESHOLD
+        fast = idx.probe(s, e)
+        slow = idx.range_agg_df(s, e).first()
+        assert (fast["sum_value"], fast["cnt"], fast["min_value"],
+                fast["max_value"]) == (
+            slow["sum_value"], slow["cnt"], slow["min_value"], slow["max_value"])

@@ -419,34 +419,86 @@ class WheelIndex:
 
     def probe(self, start_ms: int, end_ms: int):
         """Single-query low-latency distributed probe: ONE parameterized
-        SQL statement over a pre-registered temp view of the minute
-        rollup, ``.first()``-ed. Versus building a fresh DataFrame per
-        query (range_agg_df), this cuts the per-probe Python/Catalyst
-        work to one py4j call and lets Spark reuse the analyzed view
-        subtree (measured ~150 ms → ~85 ms p50 at sf0.1; the residual
-        is the irreducible per-JOB cost — scheduler + task launch +
-        result fetch — which is why a serving tier should batch, see
-        range_agg_batch_df). Endpoints are clamped to the horizon and
-        must be minute-aligned (the index contract, SURVEY §4.2).
+        SQL statement over pre-registered temp views of the rollups,
+        ``.first()``-ed. Versus building a fresh DataFrame per query
+        (range_agg_df), this cuts the per-probe Python/Catalyst work to
+        one py4j call and lets Spark reuse the analyzed view subtrees
+        (measured ~150 ms → ~85 ms p50 at sf0.1; the residual is the
+        irreducible per-JOB cost — scheduler + task launch + result
+        fetch — which is why a serving tier should batch, see
+        range_agg_batch_df).
 
-        Returns a Row (sum_value, cnt, min_value, max_value, avg_value)
-        with nulls for an empty range."""
+        Both statements are FIXED across queries (plan shape reuse),
+        chosen cost-based like range_agg_df's shortcut:
+
+        - short ranges (≤ SINGLE_LEVEL_SLOT_THRESHOLD minute slots):
+          one filter+agg over the minute-rollup view — the fastest
+          single-job plan (one scan, one task on a cached rollup);
+        - wide ranges: a static UNION ALL with TWO bind-parameter
+          windows per granularity. The greedy decomposition yields at
+          most two runs per level (one from the prefix chain, one from
+          the suffix), so this one statement expresses EVERY aligned
+          range — unused windows bind to the empty [0, 0). A
+          multi-year horizon thus probes hundreds of coarse slots, not
+          hundreds of thousands of minute slots.
+
+        Endpoints are clamped to the horizon and must be minute-aligned
+        (the index contract, SURVEY §4.2). Returns a Row (sum_value,
+        cnt, min_value, max_value, avg_value) with nulls for an empty
+        range."""
         s = max(start_ms, self.watermark_ms)
         e = min(end_ms, self.advanced_ms)
         if s % MINUTE_MS or e % MINUTE_MS:
             raise ValueError("probe() serves minute-aligned ranges only")
+        outer = (
+            "SELECT CAST(SUM(sum_micros) AS DOUBLE)/1e6 AS sum_value, "
+            "SUM(cnt) AS cnt, MIN(min_value) AS min_value, "
+            "MAX(max_value) AS max_value, "
+            "CAST(SUM(sum_micros) AS DOUBLE)/CAST(SUM(cnt) AS DOUBLE)/1e6 "
+            "AS avg_value FROM "
+        )
         if self._probe_sql is None:
-            view = f"wheel_minute_serving_{abs(id(self))}"
-            self.rollups["minute"].createOrReplaceTempView(view)
-            self._probe_sql = (
-                "SELECT CAST(SUM(sum_micros) AS DOUBLE)/1e6 AS sum_value, "
-                "SUM(cnt) AS cnt, MIN(min_value) AS min_value, "
-                "MAX(max_value) AS max_value, "
-                "CAST(SUM(sum_micros) AS DOUBLE)/CAST(SUM(cnt) AS DOUBLE)/1e6 "
-                f"AS avg_value FROM {view} "
-                "WHERE bucket_ms >= :s AND bucket_ms < :e"
-            )
-        return self.spark.sql(self._probe_sql, args={"s": s, "e": e}).first()
+            tag = abs(id(self))
+            selects = []
+            for g in self.rollups:
+                view = f"wheel_{g}_serving_{tag}"
+                self.rollups[g].createOrReplaceTempView(view)
+                selects.append(
+                    "SELECT sum_micros, cnt, min_value, max_value "
+                    f"FROM {view} WHERE "
+                    f"(bucket_ms >= :{g}_s1 AND bucket_ms < :{g}_e1) "
+                    f"OR (bucket_ms >= :{g}_s2 AND bucket_ms < :{g}_e2)"
+                )
+            self._probe_sql = {
+                "single": (
+                    outer
+                    + f"wheel_minute_serving_{tag} "
+                    "WHERE bucket_ms >= :s AND bucket_ms < :e"
+                ),
+                "multi": outer + "(" + " UNION ALL ".join(selects) + ")",
+            }
+        if (
+            e <= s
+            or (e - s) // MINUTE_MS <= self.SINGLE_LEVEL_SLOT_THRESHOLD
+        ):
+            return self.spark.sql(
+                self._probe_sql["single"], args={"s": s, "e": max(e, s)}
+            ).first()
+        args = {}
+        for g in self.rollups:
+            for i in (1, 2):
+                args[f"{g}_s{i}"] = 0
+                args[f"{g}_e{i}"] = 0
+        by_g: dict[str, list] = {}
+        for run in self.plan(s, e).runs:
+            by_g.setdefault(run.granularity, []).append(run)
+        for g, runs in by_g.items():
+            # invariant of the greedy planner (prefix + suffix)
+            assert len(runs) <= 2, (g, runs)
+            for i, run in enumerate(runs, 1):
+                args[f"{g}_s{i}"] = run.start_ms
+                args[f"{g}_e{i}"] = run.end_ms
+        return self.spark.sql(self._probe_sql["multi"], args=args).first()
 
     def range_agg_batch_df(
         self, ranges: "list[tuple[int, int]]"
