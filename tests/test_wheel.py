@@ -558,3 +558,41 @@ def test_probe_multi_granularity_wide_horizon(spark):
         assert (fast["sum_value"], fast["cnt"], fast["min_value"],
                 fast["max_value"]) == (
             slow["sum_value"], slow["cnt"], slow["min_value"], slow["max_value"])
+
+
+def test_keyed_rollup_save_load_prunes_key_and_day_partitions(
+    spark, sf_smoke, tmp_path
+):
+    """Persisted keyed rollup: (key-hash bucket, UTC date) layout; a
+    reopened probe must (a) match the in-memory answer exactly and
+    (b) carry STATIC kb + dt partition filters in its scan — the
+    O(days-touched) listing contract at any key cardinality."""
+    from uwheel_datafusion_spark.operators.keyed_wheel import KeyedWheelIndex
+
+    ev = load_table(spark, sf_smoke, "events")
+    rollup = KeyedWheelIndex.build_rollup(ev, "event_type", "ts", "value", WM, ADV)
+    path = str(tmp_path / "keyed_rollup")
+    KeyedWheelIndex.save_rollup_parquet(rollup, path)
+    reopened = KeyedWheelIndex.load_rollup_parquet(spark, path)
+
+    s, e = WM + 3 * DAY_MS, WM + 11 * DAY_MS
+    key = ev.select("event_type").first()[0]
+    mem = KeyedWheelIndex.query_rollup_df(rollup, key, s, e).first()
+    disk_df = KeyedWheelIndex.query_rollup_df(reopened, key, s, e)
+    disk = disk_df.first()
+    assert (disk["sum_value"], disk["cnt"], disk["min_value"], disk["max_value"]) == (
+        mem["sum_value"], mem["cnt"], mem["min_value"], mem["max_value"]
+    )
+    # python-side bucket == spark-side crc32 bucket (same polynomial)
+    kb_spark = spark.range(1).select(
+        (
+            F.crc32(F.lit(key).cast("string").cast("binary"))
+            % KeyedWheelIndex.N_KEY_BUCKETS
+        ).alias("kb")
+    ).first()["kb"]
+    assert kb_spark == KeyedWheelIndex._key_bucket(key)
+    import re
+
+    plan = disk_df._jdf.queryExecution().executedPlan().toString()
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pfs and all("kb" in p and "dt" in p for p in pfs), pfs

@@ -193,21 +193,70 @@ class KeyedWheelIndex:
             F.last("sum_value", ignorenulls=True).over(w).alias("sum_locf"),
         )
 
+    #: key-hash partition fanout of the persisted rollup. CRC32 because
+    #: Spark's crc32() and Python's zlib.crc32 implement the same
+    #: standard polynomial, so the probe can compute its partition
+    #: driver-side without a Spark job.
+    N_KEY_BUCKETS = 64
+
+    @staticmethod
+    def _key_bucket(key) -> int:
+        import zlib
+
+        return zlib.crc32(str(key).encode("utf-8")) % KeyedWheelIndex.N_KEY_BUCKETS
+
+    @staticmethod
+    def save_rollup_parquet(rollup: DataFrame, path: str) -> None:
+        """Persist a ``build_rollup`` frame partitioned by (key-hash
+        bucket, UTC date) — the on-disk layout the module docstring
+        promises: a (key, bucket range) probe statically prunes to ONE
+        key partition × the touched days, so file listing is
+        O(days-touched), not O(|keys| × days), at any cardinality."""
+        (
+            rollup.withColumn(
+                "kb",
+                F.crc32(F.col("key").cast("string").cast("binary"))
+                % F.lit(KeyedWheelIndex.N_KEY_BUCKETS),
+            )
+            .withColumn(
+                "dt",
+                F.date_format(
+                    F.timestamp_millis(F.col("bucket_ms")), "yyyy-MM-dd"
+                ),
+            )
+            .repartition("kb", "dt")
+            .write.mode("overwrite")
+            .partitionBy("kb", "dt")
+            .parquet(path)
+        )
+
+    @staticmethod
+    def load_rollup_parquet(spark, path: str) -> DataFrame:
+        """Reopen a persisted keyed rollup; the kb/dt partition columns
+        are KEPT so query_rollup_df's static predicates prune at
+        planning time."""
+        return spark.read.parquet(path)
+
     @staticmethod
     def query_rollup_df(
         rollup: DataFrame, key, start_ms: int, end_ms: int
     ) -> DataFrame:
         """Distributed per-key range aggregate over a ``build_rollup``
         frame — the high-cardinality serving path: a (key, bucket range)
-        probe that prunes to one key's slots, no driver state."""
+        probe that prunes to one key's slots, no driver state. On a
+        reopened (kb/dt-partitioned) rollup the probe conjoins the
+        STATIC key-bucket and day-range predicates, so Catalyst prunes
+        partitions at planning time."""
         from uwheel_datafusion_spark.functions.quant import micros_to_value
+        from uwheel_datafusion_spark.operators.wheel import _bucket_range_pred
 
+        pred = (F.col("key") == key) & _bucket_range_pred(
+            rollup, start_ms, end_ms
+        )
+        if "kb" in rollup.columns:
+            pred = pred & (F.col("kb") == KeyedWheelIndex._key_bucket(key))
         return (
-            rollup.filter(
-                (F.col("key") == key)
-                & (F.col("bucket_ms") >= start_ms)
-                & (F.col("bucket_ms") < end_ms)
-            )
+            rollup.filter(pred)
             .agg(
                 F.sum("sum_micros").alias("_sum_micros"),
                 # empty range ⇒ cnt 0 (not NULL), matching the
