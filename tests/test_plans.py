@@ -330,11 +330,9 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_correctness):
         "tpch_q11_important_part_value",   # 1-row broadcast threshold
                                            # (crossJoin of a scalar agg —
                                            # benign at any scale)
-        "wheel_range_batch_serving",       # deliberate: broadcast runs-
-                                           # containment join over ROLLUP
-                                           # rows (slots × runs, bounded
-                                           # by horizon — never fact
-                                           # rows; see range_agg_batch_df)
+        # NOTE: wheel_range_batch_serving was briefly allowlisted here;
+        # its runs-containment join is now a block-id broadcast HASH
+        # join (range_agg_batch_df), so the audit covers it again.
     }
     flagged = {}
     for name, gq in sorted(g.REGISTRY.items()):

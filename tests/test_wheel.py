@@ -199,7 +199,8 @@ def test_save_load_roundtrip(spark, wheel, tmp_path):
     )
     import re
 
-    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    # truncation-tolerant: scan metadata strings cap at ~100 chars
+    pfs = re.findall(r"PartitionFilters: \[(.*?)(?:\]|, Pushed)", plan)
     assert pfs, "no file scans in reopened-index plan"
     assert all("dt" in p and ">=" in p and "<=" in p for p in pfs), pfs
 
@@ -594,5 +595,7 @@ def test_keyed_rollup_save_load_prunes_key_and_day_partitions(
     import re
 
     plan = disk_df._jdf.queryExecution().executedPlan().toString()
-    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert pfs and all("kb" in p and "dt" in p for p in pfs), pfs
+    # scan metadata is truncated at ~100 chars (long attribute ids can
+    # push out the closing bracket), so don't require a ']'
+    pfs = re.findall(r"PartitionFilters: \[(.*?)(?:\]|, Pushed)", plan)
+    assert pfs and all("kb" in p and "dt" in p for p in pfs), plan

@@ -513,16 +513,21 @@ class WheelIndex:
         one process (/root/reference/src/main.rs:205-288).
 
         Plan: each range is decomposed (A6) into per-granularity runs
-        driver-side (pure arithmetic), the runs become a tiny broadcast
-        frame per granularity, each rollup joins its runs on bucket
-        containment, partials union and fold per query_id. One job,
-        any number of queries; rollup-side work is bounded by slots ×
-        runs, never fact rows.
+        driver-side (pure arithmetic); each run is expanded into the
+        coarse TIME BLOCKS it touches (64-slot blocks, still
+        driver-side and bounded), so the rollup joins its runs with a
+        broadcast HASH join on block id plus a containment residual —
+        never a nested-loop over rows × runs (a 256-query batch over a
+        38 k-slot rollup would otherwise do ~20 M comparisons in one
+        task). Partials union and fold per query_id. One job, any
+        number of queries; rollup-side work is bounded by slots ×
+        runs-per-block, never fact rows.
 
         Returns one row per input range, in input order:
         ``(query_id int, sum_value, cnt, min_value, max_value,
         avg_value)`` with nulls for empty ranges (A5 Option
         semantics)."""
+        BLOCK_SLOTS = 64
         runs_by_gran: dict[str, list[tuple[int, int, int]]] = {}
         for qid, (s, e) in enumerate(ranges):
             for run in self.plan(s, e).runs:
@@ -534,15 +539,24 @@ class WheelIndex:
         )
         parts: list[DataFrame] = []
         for g, g_runs in runs_by_gran.items():
+            block_ms = GRANULARITIES[g] * BLOCK_SLOTS
+            blocked = [
+                (qid, rs, re, b)
+                for qid, rs, re in g_runs
+                for b in range(rs // block_ms, (re - 1) // block_ms + 1)
+            ]
             rdf = self.spark.createDataFrame(
-                g_runs, "query_id int, run_s long, run_e long"
+                blocked, "query_id int, run_s long, run_e long, block long"
             )
-            r = self.rollups[g]
+            r2 = self.rollups[g].withColumn(
+                "block", F.floor(F.col("bucket_ms") / F.lit(block_ms)).cast("long")
+            )
             parts.append(
-                r.join(
+                r2.join(
                     F.broadcast(rdf),
-                    (F.col("bucket_ms") >= F.col("run_s"))
-                    & (F.col("bucket_ms") < F.col("run_e")),
+                    (r2["block"] == rdf["block"])
+                    & (r2["bucket_ms"] >= rdf["run_s"])
+                    & (r2["bucket_ms"] < rdf["run_e"]),
                 ).select("query_id", "sum_micros", "cnt", "min_value", "max_value")
             )
         if not parts:
