@@ -137,3 +137,14 @@ def test_stratified_sample_exact_counts_and_stability(spark, sf_smoke):
         .collect()
     )
     assert ids1 == ids2
+
+
+def test_heavy_hitters_plan_uses_window_group_limit(spark, sf_smoke):
+    """Per-day top-3 users must plan as WindowGroupLimit (map-side
+    per-group limit before the window exchange) — exchanged rows are
+    bounded by days x k, not users x days."""
+    import uwheel_datafusion_spark.gate as g
+
+    df = g.REGISTRY["heavy_hitters_top3_users_per_day"].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

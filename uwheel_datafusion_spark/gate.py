@@ -2615,6 +2615,64 @@ def deciles_q(spark, sf_dir):
     return _sp.exact_deciles(load_table(spark, sf_dir, "orders"))
 
 
+@gate(
+    "heavy_hitters_top3_users_per_day",
+    f"""
+    WITH c AS (
+        SELECT (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS bucket_ms,
+               user_id,
+               COUNT(*) AS cnt
+        FROM events
+        WHERE ts >= {_ts_lit(EVENTS_WM_MS)} AND ts < {_ts_lit(EVENTS_ADV_MS)}
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT bucket_ms, user_id, cnt,
+               row_number() OVER (
+                   PARTITION BY bucket_ms ORDER BY cnt DESC, user_id
+               ) AS rk
+        FROM c
+    )
+    SELECT bucket_ms, user_id, cnt, rk FROM r WHERE rk <= 3
+    """,
+)
+def heavy_hitters_top3_users_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day heavy hitters: the top-3 users by event count each day —
+    the training-pipeline diagnostic for dominant sources (bot/spam
+    detection before dedup). One (day, user) count aggregation, then a
+    per-day top-k with a deterministic tie-break (count desc, user_id
+    asc). Spark plans the top-k as WindowGroupLimit: map-side per-group
+    limit BEFORE the window shuffle, so the exchanged rows are bounded
+    by groups × k, not users × days — the shape that survives 100 TB.
+    At extreme group cardinality the sketch alternative is count-min +
+    candidate verify; exact is right here because (day, user) pairs
+    are already one aggregation away."""
+    from uwheel_datafusion_spark.functions.time import (
+        bucket_ms,
+        ts_range_pred,
+        ts_to_ms,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.filter(ts_range_pred(ev, "ts", EVENTS_WM_MS, EVENTS_ADV_MS))
+    counts = (
+        ev.select(
+            bucket_ms(ts_to_ms(F.col("ts")), DAY_MS).alias("bucket_ms"),
+            "user_id",
+        )
+        .groupBy("bucket_ms", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("bucket_ms").orderBy(
+        F.col("cnt").desc(), F.col("user_id")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("bucket_ms", "user_id", "cnt", "rk")
+    )
+
+
 @gate("dedup_exact_groups", _dd.exact_dup_groups_oracle())
 def dedup_exact_q(spark, sf_dir):
     return _dd.exact_dup_groups(load_table(spark, sf_dir, "documents"))
