@@ -234,3 +234,48 @@ def test_week_unaligned_falls_back(router):
     )
     assert router.last_decision.path == "sql"
     assert "aligned" in router.last_decision.reason
+
+
+def test_keyed_rollup_route_and_fallbacks(spark, sf_smoke, router):
+    """GROUP BY key + date_trunc routes to the keyed rollup and
+    matches the scan; wrong key or unaligned range falls back."""
+    from uwheel_datafusion_spark.operators.keyed_wheel import KeyedWheelIndex
+
+    ev = load_table(spark, sf_smoke, "events")
+    rollup = KeyedWheelIndex.build_rollup(
+        ev, "event_type", "ts", "value", WM, ADV
+    )
+    router.register_keyed_rollup(
+        "events", "event_type", "ts", "value", rollup, WM, ADV
+    )
+    s, e = WM, WM + 5 * 86_400_000
+    q = (
+        f"SELECT event_type, date_trunc('day', ts) AS b, "
+        f"SUM(value) AS sv, COUNT(*) AS c FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}' "
+        f"GROUP BY 1, 2"
+    )
+    df = router.sql(q)
+    assert router.last_decision.path == "keyed_rollup", router.last_decision
+    got = {(r["event_type"], r["b"]): (r["sv"], r["c"]) for r in df.collect()}
+    truth = {
+        (r["k"], r["b"]): (r["sm"] / QUANT_SCALE, r["c"])
+        for r in spark.sql(
+            f"""SELECT event_type AS k, date_trunc('day', ts) AS b,
+                   SUM(CAST(round(value*1000000) AS BIGINT)) AS sm, COUNT(*) AS c
+                FROM events WHERE ts >= '{ms_to_ts_literal(s)}'
+                  AND ts < '{ms_to_ts_literal(e)}' GROUP BY 1, 2"""
+        ).collect()
+    }
+    assert got == truth
+
+    # wrong key column → sql fallback
+    router.sql(q.replace("event_type", "user_id"))
+    assert router.last_decision.path == "sql"
+    # unaligned range → sql fallback
+    router.sql(
+        f"SELECT event_type, date_trunc('day', ts) AS b, SUM(value) AS sv "
+        f"FROM events WHERE ts >= '{ms_to_ts_literal(s + 60_000)}' "
+        f"AND ts < '{ms_to_ts_literal(e)}' GROUP BY 1, 2"
+    )
+    assert router.last_decision.path == "sql"

@@ -3039,6 +3039,54 @@ def router_grouped_hour_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@gate(
+    "router_keyed_hour_rollup",
+    f"""
+    SELECT event_type,
+           (epoch_ms(ts) // {3_600_000}) * {3_600_000} AS bucket_ms,
+           {_s('value')} AS sum_value,
+           COUNT(*) AS cnt
+    FROM events
+    WHERE ts >= {_ts_lit(RANGE_DAY[0])} AND ts < {_ts_lit(RANGE_DAY[1])}
+    GROUP BY 1, 2
+    """,
+)
+def router_keyed_hour_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series continuous-aggregate rewrite (TimescaleDB caggs):
+    GROUP BY event_type + date_trunc('hour', ts) within an aligned
+    range is recognized by the router and served from the registered
+    (key, minute) rollup with ONE re-aggregation — collect-free at any
+    key cardinality, fact table never scanned."""
+    from uwheel_datafusion_spark.functions.time import ms_to_ts_literal, ts_to_ms
+    from uwheel_datafusion_spark.operators.keyed_wheel import KeyedWheelIndex
+
+    r = _events_router(spark, sf_dir)
+    rollup = KeyedWheelIndex.build_rollup(
+        load_table(spark, sf_dir, "events"),
+        "event_type",
+        "ts",
+        "value",
+        EVENTS_WM_MS,
+        EVENTS_ADV_MS,
+    )
+    r.register_keyed_rollup(
+        "events", "event_type", "ts", "value", rollup,
+        EVENTS_WM_MS, EVENTS_ADV_MS,
+    )
+    s, e = RANGE_DAY
+    df = r.sql(
+        f"SELECT event_type, date_trunc('hour', ts) AS b, "
+        f"SUM(value) AS sum_value, COUNT(*) AS cnt FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}' "
+        f"GROUP BY 1, 2"
+    )
+    assert r.last_decision.path == "keyed_rollup", r.last_decision
+    return df.select(
+        "event_type", ts_to_ms(F.col("b")).alias("bucket_ms"),
+        "sum_value", "cnt",
+    )
+
+
 #: Monday-aligned 4-week span: 2024-01-01 (a Monday) .. 2024-01-29
 WEEK_RANGE = (
     to_epoch_ms(datetime(2024, 1, 1)),

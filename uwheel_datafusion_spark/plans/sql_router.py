@@ -80,6 +80,25 @@ _GROUP_PATTERN = re.compile(
 )
 
 
+#: SELECT <key> [AS k], date_trunc('<g>', <ts>) [AS b], <agg list>
+#: FROM <table> WHERE <range> GROUP BY (1, 2 | <key>, <b|date_trunc>)
+#: — the KEYED continuous-aggregate shape (TimescaleDB per-series
+#: caggs): served from the registered (key, minute) rollup by one
+#: re-aggregation, never the fact scan.
+_KEYED_GROUP_PATTERN = re.compile(
+    r"^\s*SELECT\s+(?P<key>\w+)(?:\s+AS\s+(?P<kalias>\w+))?\s*,\s*"
+    r"DATE_TRUNC\s*\(\s*'(?P<gran>minute|hour|day)'\s*,\s*"
+    r"(?P<ts0>\w+)\s*\)\s*(?:AS\s+(?P<balias>\w+)\s*)?,\s*"
+    r"(?P<items>" + _AGG_ITEM + r"(?:\s*,\s*" + _AGG_ITEM + r")*)\s+"
+    r"FROM\s+(?P<table>\w+)\s+"
+    r"WHERE\s+(?P<ts1>\w+)\s*>=\s*(?:TIMESTAMP\s+)?'(?P<start>[^']+)'\s+"
+    r"AND\s+(?P<ts2>\w+)\s*<\s*(?:TIMESTAMP\s+)?'(?P<end>[^']+)'\s*"
+    r"GROUP\s+BY\s+(?:1\s*,\s*2|(?P<gb_key>\w+)\s*,\s*(?P<gb_bucket>\w+))"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
 def _parse_ts_literal(lit: str) -> int | None:
     """Naive-UTC timestamp literal → epoch ms (the string form the
     reference interpolates, /root/reference/src/main.rs:242-258)."""
@@ -94,7 +113,7 @@ def _parse_ts_literal(lit: str) -> int | None:
 
 @dataclass
 class RouteDecision:
-    path: str  # "index" | "rollup" | "sql"
+    path: str  # "index" | "rollup" | "keyed_rollup" | "sql"
     reason: str
     table: str | None = None
     agg: str | None = None  # first aggregate (scalar entry point)
@@ -106,6 +125,8 @@ class RouteDecision:
     #: the output alias of the time-bucket column
     granularity: str | None = None
     bucket_alias: str | None = None
+    #: keyed_rollup path: output alias of the series-key column
+    key_alias: str | None = None
 
 
 class WheelSqlRouter:
@@ -114,6 +135,8 @@ class WheelSqlRouter:
     def __init__(self, spark: SparkSession) -> None:
         self.spark = spark
         self._indexes: dict[str, tuple[str, str, WheelIndex]] = {}
+        #: table → (key_col, ts_col, value_col, rollup_df, wm, adv)
+        self._keyed: dict[str, tuple] = {}
         self.last_decision: RouteDecision | None = None
 
     def register_index(
@@ -121,9 +144,35 @@ class WheelSqlRouter:
     ) -> None:
         self._indexes[table.lower()] = (ts_col.lower(), value_col.lower(), index)
 
+    def register_keyed_rollup(
+        self,
+        table: str,
+        key_col: str,
+        ts_col: str,
+        value_col: str,
+        rollup,
+        watermark_ms: int,
+        advanced_ms: int,
+    ) -> None:
+        """Register a KeyedWheelIndex.build_rollup frame so
+        ``GROUP BY <key>, date_trunc(...)`` queries rewrite onto it —
+        the per-series continuous-aggregate rewrite (TimescaleDB
+        caggs), collect-free at any key cardinality."""
+        self._keyed[table.lower()] = (
+            key_col.lower(),
+            ts_col.lower(),
+            value_col.lower(),
+            rollup,
+            watermark_ms,
+            advanced_ms,
+        )
+
     # ------------------------------------------------------------------ route
 
     def _decide(self, query: str) -> RouteDecision:
+        km = _KEYED_GROUP_PATTERN.match(query)
+        if km is not None:
+            return self._decide_keyed_grouped(km)
         gm = _GROUP_PATTERN.match(query)
         if gm is not None:
             return self._decide_grouped(gm)
@@ -237,6 +286,71 @@ class WheelSqlRouter:
             bucket_alias=balias,
         )
 
+    def _decide_keyed_grouped(self, m: re.Match) -> RouteDecision:
+        """Per-series continuous-aggregate shape: GROUP BY key +
+        date_trunc over the registered keyed rollup's ts within an
+        aligned range → one re-aggregation of (key, minute) partials,
+        never the fact scan."""
+        from uwheel_datafusion_spark.functions.time import GRANULARITY_MS
+
+        table = m["table"].lower()
+        reg = self._keyed.get(table)
+        if reg is None:
+            return RouteDecision(
+                "sql", f"no keyed rollup registered for table {table}"
+            )
+        key_col, ts_col, value_col, _rollup, wm, adv = reg
+        if m["key"].lower() != key_col:
+            return RouteDecision("sql", "group key is not the registered series key")
+        ts_refs = {m["ts0"].lower(), m["ts1"].lower(), m["ts2"].lower()}
+        if ts_refs != {ts_col}:
+            return RouteDecision("sql", "bucket/filter column is not the indexed ts")
+        gran = m["gran"].lower()
+        kalias = m["kalias"] or m["key"]
+        balias = m["balias"] or "bucket"
+        if m["gb_key"] and m["gb_key"].lower() not in (
+            key_col,
+            kalias.lower(),
+        ):
+            return RouteDecision("sql", "GROUP BY key is not the series key")
+        if m["gb_bucket"] and m["gb_bucket"].lower() not in (
+            balias.lower(),
+            ts_col,
+        ):
+            return RouteDecision("sql", "GROUP BY bucket is not the bucket expr")
+        items: list[tuple[str, str]] = []
+        for im in _ITEM_PATTERN.finditer(m["items"]):
+            agg = im["agg"].upper()
+            col = im["col"].lower()
+            if col != value_col and not (agg == "COUNT" and col in ("*", "1")):
+                return RouteDecision(
+                    "sql", "aggregated column is not the indexed value"
+                )
+            items.append((agg, im["alias"] or f"{agg.lower()}_value"))
+        s = _parse_ts_literal(m["start"])
+        e = _parse_ts_literal(m["end"])
+        if s is None or e is None:
+            return RouteDecision("sql", "unparseable timestamp literal")
+        g_ms = GRANULARITY_MS[gran]
+        if s % g_ms or e % g_ms:
+            return RouteDecision(
+                "sql",
+                f"endpoints not {gran}-aligned (edge buckets would be partial)",
+            )
+        if s < wm or e > adv:
+            return RouteDecision("sql", "range outside the indexed horizon")
+        return RouteDecision(
+            "keyed_rollup",
+            f"rewritten onto keyed (per-{key_col}) {gran} rollup",
+            table,
+            items[0][0],
+            (s, e),
+            tuple(items),
+            granularity=gran,
+            bucket_alias=balias,
+            key_alias=kalias,
+        )
+
     def explain(self, query: str) -> str:
         d = self._decide(query)
         rng = f" range={d.range_ms}" if d.range_ms else ""
@@ -249,7 +363,9 @@ class WheelSqlRouter:
         arithmetic, no Spark job — the benchmarkable entry point)."""
         d = self._decide(query)
         self.last_decision = d
-        if d.path == "rollup" or (d.path == "index" and len(d.items) > 1):
+        if d.path in ("rollup", "keyed_rollup") or (
+            d.path == "index" and len(d.items) > 1
+        ):
             raise ValueError(
                 "non-scalar result shape: use .sql() (DataFrame form)"
             )
@@ -279,6 +395,8 @@ class WheelSqlRouter:
             return self.spark.sql(query)
         if d.path == "rollup":
             return self._serve_rollup(d)
+        if d.path == "keyed_rollup":
+            return self._serve_keyed_rollup(d)
         _, _, index = self._indexes[d.table]
         di = index.to_driver_index()
         s, e = d.range_ms
@@ -297,6 +415,54 @@ class WheelSqlRouter:
         return self.spark.createDataFrame(
             [tuple(lowered[agg] for agg, _ in d.items)], schema=schema
         )
+
+    def _serve_keyed_rollup(self, d: RouteDecision) -> DataFrame:
+        """GROUP BY key + date_trunc served from the (key, minute)
+        rollup: bucket-range filter (kb/dt partition-prunable on a
+        reopened rollup) + ONE re-aggregation onto (key, coarse
+        bucket), lowering each requested aggregate from the stored
+        partials — collect-free at any key cardinality."""
+        from pyspark.sql import functions as F
+
+        from uwheel_datafusion_spark.functions.quant import micros_to_value
+        from uwheel_datafusion_spark.functions.time import GRANULARITY_MS
+        from uwheel_datafusion_spark.operators.wheel import _bucket_range_pred
+
+        _key_col, _ts, _val, rollup, _wm, _adv = self._keyed[d.table]
+        s, e = d.range_ms
+        g_ms = GRANULARITY_MS[d.granularity]
+        coarse = (
+            F.col("bucket_ms") - F.col("bucket_ms") % F.lit(g_ms)
+        ).alias("_b")
+        agg = (
+            rollup.filter(_bucket_range_pred(rollup, s, e))
+            .groupBy(F.col("key"), coarse)
+            .agg(
+                F.sum("sum_micros").alias("sum_micros"),
+                F.sum("cnt").alias("cnt"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+        )
+        lowered = {
+            "SUM": lambda: micros_to_value(F.col("sum_micros")),
+            "COUNT": lambda: F.col("cnt"),
+            "MIN": lambda: F.col("min_value"),
+            "MAX": lambda: F.col("max_value"),
+            "AVG": lambda: (
+                F.col("sum_micros").cast("double")
+                / F.col("cnt").cast("double")
+                / 1_000_000
+            ),
+        }
+        cols = [
+            F.col("key").alias(d.key_alias),
+            F.timestamp_millis(F.col("_b"))
+            .cast("timestamp_ntz")
+            .alias(d.bucket_alias),
+        ]
+        cols += [lowered[agg_name]().alias(alias) for agg_name, alias in d.items]
+        return agg.select(*cols)
 
     def _serve_rollup(self, d: RouteDecision) -> DataFrame:
         """GROUP BY date_trunc served from the rollup: filter the slot
