@@ -370,6 +370,88 @@ def distinct_users_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@gate(
+    "quantile_median_by_day_hist",
+    f"""
+    WITH ev AS (
+        SELECT (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS bucket_ms, value
+        FROM events
+        WHERE ts >= {_ts_lit(EVENTS_WM_MS)} AND ts < {_ts_lit(EVENTS_ADV_MS)}
+    ),
+    c AS (
+        SELECT bucket_ms, CAST(floor(value / 1.0) AS BIGINT) AS bin,
+               COUNT(*) AS cnt
+        FROM ev GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT bucket_ms, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY bucket_ms ORDER BY bin) AS cum,
+               SUM(cnt) OVER (PARTITION BY bucket_ms) AS total
+        FROM c
+    )
+    SELECT bucket_ms,
+           CAST(
+               (MIN(CASE WHEN cum >= 0.5 * total THEN bin END) + 0.5) * 1.0
+               AS DOUBLE
+           ) AS approx_median,
+           TRUE AS within_bin
+    FROM t GROUP BY bucket_ms
+    """,
+)
+def quantile_median_by_day_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE aggregator, driver-gated (the third sketch
+    family after exact-pair and HLL distinct): per-day approximate
+    median served from the minute-grain equi-width histogram rollup
+    (merge = add bin counts; serve = CDF walk). The histogram is
+    deterministic, so the oracle replays the identical binning
+    arithmetic bit-for-bit; within_bin additionally asserts the HARD
+    error bound in-query — |approx − exact rank-median| ≤ bin_width,
+    with the exact median computed from the raw rows (the rank-q
+    element provably falls in the chosen bin)."""
+    from uwheel_datafusion_spark.functions.time import (
+        bucket_ms as bucket_ms_fn,
+        ts_range_pred,
+        ts_to_ms,
+    )
+    from uwheel_datafusion_spark.operators.quantile_rollup import (
+        build_histogram_rollup,
+        grouped_quantile_df,
+    )
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    rollup = build_histogram_rollup(
+        ev, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS, cache=False
+    )
+    approx = grouped_quantile_df(rollup, DAY_MS, 0.5).withColumnRenamed(
+        "approx_quantile", "approx_median"
+    )
+    # exact discrete median per day (rank ceil(n/2)) from raw rows
+    raw = ev.filter(ts_range_pred(ev, "ts", EVENTS_WM_MS, EVENTS_ADV_MS)).select(
+        bucket_ms_fn(ts_to_ms(F.col("ts")), DAY_MS).alias("bucket_ms"),
+        F.col("value").cast("double").alias("value"),
+    )
+    wd = W.partitionBy("bucket_ms").orderBy("value")
+    ranked = raw.select(
+        "bucket_ms",
+        "value",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("bucket_ms")).alias("n"),
+    )
+    exact = ranked.groupBy("bucket_ms").agg(
+        F.min(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("value"))
+        ).alias("exact_median")
+    )
+    return approx.join(exact, "bucket_ms").select(
+        "bucket_ms",
+        "approx_median",
+        (
+            F.abs(F.col("approx_median") - F.col("exact_median")) <= F.lit(1.0)
+        ).alias("within_bin"),
+    )
+
+
 #: a second wheel over a *native-timestamp* fact table spanning years,
 #: with the opt-in week granularity in the cascade (µWheel's week wheel)
 ORDERS_WM_MS = to_epoch_ms(datetime(1995, 1, 1))

@@ -1,0 +1,160 @@
+"""Quantile aggregator via equi-width histogram partials — the third
+mergeable-sketch family (after the exact-pair and HLL distinct rollups,
+operators/distinct.py).
+
+Like COUNT(DISTINCT), a quantile's per-bucket result does not combine
+across buckets, so it cannot ride the sum/cnt/min/max rollup (SURVEY
+§1.3: the partial must be a mergeable summary, the reference's
+aggregator-framework contract). The mergeable partial here is an
+equi-width histogram: per time slot, counts per value bin
+``(bucket_ms, bin, cnt)`` with ``bin = floor(value / bin_width)``.
+
+- **Merge** = add counts per bin (associative + commutative), so any
+  bucket-aligned range — and any coarser grain (A4 cascade) — combines
+  exactly like the wheel's monoid partials.
+- **Serve** = walk the merged CDF: the q-quantile's bin is the first
+  whose cumulative count reaches ``ceil(q·n)``; answer the bin
+  midpoint. The rank-q element provably lies inside that bin, so the
+  error is bounded by ``bin_width`` — a hard bound, not probabilistic
+  (the gate asserts it in-query, the same pattern as the HLL 5 % band).
+- **Scale shape**: rollup size = slots × occupied bins, flat in row
+  count; serving touches only the covered slots' bins (the probe
+  predicate also prunes day partitions on a reopened rollup via
+  wheel._bucket_range_pred). The non-mergeable alternatives — exact
+  sort (operators/sampling.exact_deciles) and percentile_approx — both
+  re-scan fact rows per query.
+
+The fixed-grid histogram is the right first sketch because it is
+deterministic and therefore ORACLE-EXACT: DuckDB replays the identical
+integer binning + window arithmetic bit-for-bit (no RNG, no merge-order
+sensitivity). KLL/t-digest give adaptive error for heavy-tailed data
+but are merge-order-sensitive, so they would demote the gate to a
+tolerance check; named here as the upgrade path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from uwheel_datafusion_spark.functions.time import (
+    MINUTE_MS,
+    bucket_ms,
+    ts_range_pred,
+    ts_to_ms,
+)
+
+DEFAULT_BIN_WIDTH = 1.0
+
+
+def build_histogram_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    watermark_ms: int,
+    advance_to_ms: int,
+    slot_ms: int = MINUTE_MS,
+    bin_width: float = DEFAULT_BIN_WIDTH,
+    cache: bool = True,
+) -> DataFrame:
+    """One scan (watermark range pushed to parquet stats) + one shuffle
+    on (bucket, bin) with map-side partial counts."""
+    rollup = (
+        df.filter(ts_range_pred(df, ts_col, watermark_ms, advance_to_ms))
+        .select(
+            bucket_ms(ts_to_ms(F.col(ts_col)), slot_ms).alias("bucket_ms"),
+            F.floor(F.col(value_col) / F.lit(bin_width)).cast("long").alias("bin"),
+        )
+        .groupBy("bucket_ms", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return rollup.cache() if cache else rollup
+
+
+def cascade_histogram(rollup: DataFrame, slot_ms: int) -> DataFrame:
+    """A4 tick/rotate for histograms: coarse slots merge fine ones by
+    adding per-bin counts — exactly equal to a direct coarse build."""
+    coarse = (F.col("bucket_ms") - F.col("bucket_ms") % F.lit(slot_ms)).alias(
+        "bucket_ms"
+    )
+    return rollup.groupBy(coarse, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def range_quantile_df(
+    rollup: DataFrame,
+    start_ms: int,
+    end_ms: int,
+    q: float,
+    bin_width: float = DEFAULT_BIN_WIDTH,
+) -> DataFrame:
+    """Approximate q-quantile over the bucket-aligned ``[start, end)``:
+    merge covered slots' bins, pick the first bin whose cumulative
+    count reaches ``q·n``, answer its midpoint. 1-row
+    ``(approx_quantile double)``; null for an empty range. Work is
+    bounded by occupied bins, never fact rows."""
+    from uwheel_datafusion_spark.operators.wheel import _bucket_range_pred
+
+    bins = (
+        rollup.filter(_bucket_range_pred(rollup, start_ms, end_ms))
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cdf = bins.select(
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    return cdf.agg(
+        (
+            (
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.lit(q) * F.col("total"), F.col("bin")
+                    )
+                )
+                + F.lit(0.5)
+            )
+            * F.lit(bin_width)
+        ).alias("approx_quantile")
+    )
+
+
+def grouped_quantile_df(
+    rollup: DataFrame,
+    slot_ms: int,
+    q: float,
+    bin_width: float = DEFAULT_BIN_WIDTH,
+) -> DataFrame:
+    """Per-coarse-bucket approximate q-quantile
+    ``(bucket_ms, approx_quantile)`` — the day/hour serving shape, one
+    CDF walk per bucket over its occupied bins."""
+    coarse = cascade_histogram(rollup, slot_ms)
+    w_cum = (
+        Window.partitionBy("bucket_ms")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("bucket_ms")
+    cdf = coarse.select(
+        "bucket_ms",
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    return cdf.groupBy("bucket_ms").agg(
+        (
+            (
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.lit(q) * F.col("total"), F.col("bin")
+                    )
+                )
+                + F.lit(0.5)
+            )
+            * F.lit(bin_width)
+        ).alias("approx_quantile")
+    )
