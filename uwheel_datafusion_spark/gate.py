@@ -452,6 +452,57 @@ def quantile_median_by_day_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@gate(
+    "ohlc_by_day_events",
+    f"""
+    WITH ev AS (
+        SELECT (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS bucket_ms,
+               epoch_ms(ts) AS ts_ms, value
+        FROM events
+        WHERE ts >= {_ts_lit(EVENTS_WM_MS)} AND ts < {_ts_lit(EVENTS_ADV_MS)}
+    ),
+    r AS (
+        SELECT bucket_ms, value,
+               row_number() OVER (
+                   PARTITION BY bucket_ms ORDER BY ts_ms, value
+               ) AS rn_o,
+               row_number() OVER (
+                   PARTITION BY bucket_ms ORDER BY ts_ms DESC, value DESC
+               ) AS rn_c
+        FROM ev
+    )
+    SELECT bucket_ms,
+           MIN(CASE WHEN rn_o = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MIN(CASE WHEN rn_c = 1 THEN value END) AS close,
+           COUNT(*) AS cnt
+    FROM r GROUP BY bucket_ms
+    """,
+)
+def ohlc_by_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/OHLC aggregator (TimescaleDB candlesticks): per-day
+    candles served by CASCADING the minute-grain OHLC rollup — open =
+    value at the earliest (ts, value), close at the latest, combined
+    associatively across granularities (operators/ohlc). The oracle
+    derives the same candles from raw rows via rank windows, so a
+    combine bug at any cascade level hash-mismatches. Raw doubles are
+    picked, never summed ⇒ bit-exact across engines."""
+    from uwheel_datafusion_spark.operators.ohlc import (
+        build_ohlc_rollup,
+        cascade_ohlc,
+    )
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    minute = build_ohlc_rollup(
+        ev, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS, cache=False
+    )
+    return cascade_ohlc(minute, DAY_MS).select(
+        "bucket_ms", "open", "high", "low", "close", "cnt"
+    )
+
+
 #: a second wheel over a *native-timestamp* fact table spanning years,
 #: with the opt-in week granularity in the cascade (µWheel's week wheel)
 ORDERS_WM_MS = to_epoch_ms(datetime(1995, 1, 1))
