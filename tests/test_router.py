@@ -279,3 +279,27 @@ def test_keyed_rollup_route_and_fallbacks(spark, sf_smoke, router):
         f"AND ts < '{ms_to_ts_literal(e)}' GROUP BY 1, 2"
     )
     assert router.last_decision.path == "sql"
+
+
+def test_distinct_rollup_route_and_fallbacks(spark, sf_smoke, router):
+    """COUNT(DISTINCT) GROUP BY date_trunc routes to the pairs rollup
+    and matches the scan; unregistered column falls back to sql."""
+    from uwheel_datafusion_spark.operators.distinct import build_distinct_pairs
+
+    ev = load_table(spark, sf_smoke, "events")
+    pairs = build_distinct_pairs(ev, "ts", "user_id", WM, ADV, cache=False)
+    router.register_distinct_rollup("events", "user_id", "ts", pairs, WM, ADV)
+    s, e = WM, WM + 7 * 86_400_000
+    q = (
+        f"SELECT date_trunc('day', ts) AS b, COUNT(DISTINCT user_id) AS n "
+        f"FROM events WHERE ts >= '{ms_to_ts_literal(s)}' "
+        f"AND ts < '{ms_to_ts_literal(e)}' GROUP BY 1"
+    )
+    df = router.sql(q)
+    assert router.last_decision.path == "distinct_rollup", router.last_decision
+    got = {r["b"]: r["n"] for r in df.collect()}
+    truth = {r["b"]: r["n"] for r in spark.sql(q).collect()}
+    assert got == truth and len(got) == 7
+
+    router.sql(q.replace("user_id", "event_type"))  # unregistered col
+    assert router.last_decision.path == "sql"

@@ -3220,6 +3220,42 @@ def router_keyed_hour_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@gate(
+    "router_distinct_day_rollup",
+    f"""
+    SELECT (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS bucket_ms,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE ts >= {_ts_lit(RANGE_DAY[0])} AND ts < {_ts_lit(RANGE_DAY[1])}
+    GROUP BY 1
+    """,
+)
+def router_distinct_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) continuous-aggregate rewrite: the router
+    recognizes GROUP BY date_trunc + COUNT(DISTINCT user_id) within an
+    aligned range and serves it from the registered distinct-pairs
+    rollup (one exact re-distinct over pair rows — COUNT DISTINCT is
+    non-additive, so this is the shape the plain sum/cnt rollup can
+    NEVER answer; the fact table is not scanned)."""
+    from uwheel_datafusion_spark.functions.time import ms_to_ts_literal, ts_to_ms
+
+    r = _events_router(spark, sf_dir)
+    r.register_distinct_rollup(
+        "events", "user_id", "ts",
+        events_distinct_pairs(spark, sf_dir),
+        EVENTS_WM_MS, EVENTS_ADV_MS,
+    )
+    s, e = RANGE_DAY
+    df = r.sql(
+        f"SELECT date_trunc('day', ts) AS b, "
+        f"COUNT(DISTINCT user_id) AS n_users FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}' "
+        f"GROUP BY 1"
+    )
+    assert r.last_decision.path == "distinct_rollup", r.last_decision
+    return df.select(ts_to_ms(F.col("b")).alias("bucket_ms"), "n_users")
+
+
 #: Monday-aligned 4-week span: 2024-01-01 (a Monday) .. 2024-01-29
 WEEK_RANGE = (
     to_epoch_ms(datetime(2024, 1, 1)),

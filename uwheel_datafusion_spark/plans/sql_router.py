@@ -80,6 +80,24 @@ _GROUP_PATTERN = re.compile(
 )
 
 
+#: SELECT date_trunc('<g>', <ts>) [AS b], COUNT(DISTINCT <col>) [AS a]
+#: FROM <table> WHERE <range> GROUP BY 1|<b>|date_trunc — the
+#: distinct-count continuous-aggregate shape: COUNT(DISTINCT) cannot
+#: ride the sum/cnt rollup (non-additive partial), so it rewrites onto
+#: the registered distinct-pairs rollup (operators/distinct), which
+#: re-distincts bucket-aligned sets exactly.
+_DISTINCT_GROUP_PATTERN = re.compile(
+    r"^\s*SELECT\s+DATE_TRUNC\s*\(\s*'(?P<gran>minute|hour|day)'\s*,\s*"
+    r"(?P<ts0>\w+)\s*\)\s*(?:AS\s+(?P<balias>\w+)\s*)?,\s*"
+    r"COUNT\s*\(\s*DISTINCT\s+(?P<dcol>\w+)\s*\)(?:\s+AS\s+(?P<alias>\w+))?\s+"
+    r"FROM\s+(?P<table>\w+)\s+"
+    r"WHERE\s+(?P<ts1>\w+)\s*>=\s*(?:TIMESTAMP\s+)?'(?P<start>[^']+)'\s+"
+    r"AND\s+(?P<ts2>\w+)\s*<\s*(?:TIMESTAMP\s+)?'(?P<end>[^']+)'\s*"
+    r"GROUP\s+BY\s+(?:1|(?P<gb_alias>\w+)|DATE_TRUNC\s*\(\s*'(?P<gran2>\w+)'\s*,"
+    r"\s*(?P<ts3>\w+)\s*\))\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 #: SELECT <key> [AS k], date_trunc('<g>', <ts>) [AS b], <agg list>
 #: FROM <table> WHERE <range> GROUP BY (1, 2 | <key>, <b|date_trunc>)
 #: — the KEYED continuous-aggregate shape (TimescaleDB per-series
@@ -113,7 +131,7 @@ def _parse_ts_literal(lit: str) -> int | None:
 
 @dataclass
 class RouteDecision:
-    path: str  # "index" | "rollup" | "keyed_rollup" | "sql"
+    path: str  # "index" | "rollup" | "keyed_rollup" | "distinct_rollup" | "sql"
     reason: str
     table: str | None = None
     agg: str | None = None  # first aggregate (scalar entry point)
@@ -137,12 +155,34 @@ class WheelSqlRouter:
         self._indexes: dict[str, tuple[str, str, WheelIndex]] = {}
         #: table → (key_col, ts_col, value_col, rollup_df, wm, adv)
         self._keyed: dict[str, tuple] = {}
+        #: (table, distinct_col) → (ts_col, pairs_df, wm, adv)
+        self._distinct: dict[tuple, tuple] = {}
         self.last_decision: RouteDecision | None = None
 
     def register_index(
         self, table: str, ts_col: str, value_col: str, index: WheelIndex
     ) -> None:
         self._indexes[table.lower()] = (ts_col.lower(), value_col.lower(), index)
+
+    def register_distinct_rollup(
+        self,
+        table: str,
+        distinct_col: str,
+        ts_col: str,
+        pairs,
+        watermark_ms: int,
+        advanced_ms: int,
+    ) -> None:
+        """Register a build_distinct_pairs frame (operators/distinct)
+        so ``GROUP BY date_trunc + COUNT(DISTINCT <col>)`` queries
+        rewrite onto it — exact at any grain because the rollup keeps
+        the per-minute distinct SET as rows."""
+        self._distinct[(table.lower(), distinct_col.lower())] = (
+            ts_col.lower(),
+            pairs,
+            watermark_ms,
+            advanced_ms,
+        )
 
     def register_keyed_rollup(
         self,
@@ -170,6 +210,9 @@ class WheelSqlRouter:
     # ------------------------------------------------------------------ route
 
     def _decide(self, query: str) -> RouteDecision:
+        dm = _DISTINCT_GROUP_PATTERN.match(query)
+        if dm is not None:
+            return self._decide_distinct_grouped(dm)
         km = _KEYED_GROUP_PATTERN.match(query)
         if km is not None:
             return self._decide_keyed_grouped(km)
@@ -286,6 +329,57 @@ class WheelSqlRouter:
             bucket_alias=balias,
         )
 
+    def _decide_distinct_grouped(self, m: re.Match) -> RouteDecision:
+        """GROUP BY date_trunc + COUNT(DISTINCT col) → the registered
+        distinct-pairs rollup, re-distincted at the requested grain
+        (exact: buckets nest, sets re-distinct)."""
+        from uwheel_datafusion_spark.functions.time import GRANULARITY_MS
+
+        table = m["table"].lower()
+        reg = self._distinct.get((table, m["dcol"].lower()))
+        if reg is None:
+            return RouteDecision(
+                "sql",
+                f"no distinct rollup for ({table}, {m['dcol'].lower()})",
+            )
+        ts_col, _pairs, wm, adv = reg
+        ts_refs = {m["ts0"].lower(), m["ts1"].lower(), m["ts2"].lower()}
+        if m["ts3"]:
+            ts_refs.add(m["ts3"].lower())
+        if ts_refs != {ts_col}:
+            return RouteDecision("sql", "bucket/filter column is not the indexed ts")
+        gran = m["gran"].lower()
+        if m["gran2"] and m["gran2"].lower() != gran:
+            return RouteDecision("sql", "GROUP BY granularity differs from SELECT")
+        balias = m["balias"] or "bucket"
+        if m["gb_alias"] and m["gb_alias"].lower() not in (
+            balias.lower(),
+            ts_col,
+        ):
+            return RouteDecision("sql", "GROUP BY key is not the bucket expression")
+        s = _parse_ts_literal(m["start"])
+        e = _parse_ts_literal(m["end"])
+        if s is None or e is None:
+            return RouteDecision("sql", "unparseable timestamp literal")
+        g_ms = GRANULARITY_MS[gran]
+        if s % g_ms or e % g_ms:
+            return RouteDecision(
+                "sql",
+                f"endpoints not {gran}-aligned (edge buckets would be partial)",
+            )
+        if s < wm or e > adv:
+            return RouteDecision("sql", "range outside the indexed horizon")
+        return RouteDecision(
+            "distinct_rollup",
+            f"rewritten onto distinct-pairs rollup at {gran} grain",
+            table,
+            "COUNT_DISTINCT",
+            (s, e),
+            ((m["dcol"].lower(), m["alias"] or "n_distinct"),),
+            granularity=gran,
+            bucket_alias=balias,
+        )
+
     def _decide_keyed_grouped(self, m: re.Match) -> RouteDecision:
         """Per-series continuous-aggregate shape: GROUP BY key +
         date_trunc over the registered keyed rollup's ts within an
@@ -363,7 +457,7 @@ class WheelSqlRouter:
         arithmetic, no Spark job — the benchmarkable entry point)."""
         d = self._decide(query)
         self.last_decision = d
-        if d.path in ("rollup", "keyed_rollup") or (
+        if d.path in ("rollup", "keyed_rollup", "distinct_rollup") or (
             d.path == "index" and len(d.items) > 1
         ):
             raise ValueError(
@@ -397,6 +491,8 @@ class WheelSqlRouter:
             return self._serve_rollup(d)
         if d.path == "keyed_rollup":
             return self._serve_keyed_rollup(d)
+        if d.path == "distinct_rollup":
+            return self._serve_distinct_rollup(d)
         _, _, index = self._indexes[d.table]
         di = index.to_driver_index()
         s, e = d.range_ms
@@ -414,6 +510,32 @@ class WheelSqlRouter:
         )
         return self.spark.createDataFrame(
             [tuple(lowered[agg] for agg, _ in d.items)], schema=schema
+        )
+
+    def _serve_distinct_rollup(self, d: RouteDecision) -> DataFrame:
+        """COUNT(DISTINCT) served from the pairs rollup: bucket-range
+        filter (day-prunable on a reopened rollup) + one exact
+        re-distinct at the requested grain — never the fact scan."""
+        from pyspark.sql import functions as F
+
+        from uwheel_datafusion_spark.functions.time import GRANULARITY_MS
+        from uwheel_datafusion_spark.operators.distinct import (
+            grouped_distinct_exact,
+        )
+        from uwheel_datafusion_spark.operators.wheel import _bucket_range_pred
+
+        dcol, alias = d.items[0]
+        _ts, pairs, _wm, _adv = self._distinct[(d.table, dcol)]
+        s, e = d.range_ms
+        counts = grouped_distinct_exact(
+            pairs.filter(_bucket_range_pred(pairs, s, e)),
+            GRANULARITY_MS[d.granularity],
+        )
+        return counts.select(
+            F.timestamp_millis(F.col("bucket_ms"))
+            .cast("timestamp_ntz")
+            .alias(d.bucket_alias),
+            F.col("n_distinct").alias(alias),
         )
 
     def _serve_keyed_rollup(self, d: RouteDecision) -> DataFrame:
