@@ -409,6 +409,16 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         "kmeans_lloyd_2iter_embeddings",
         "argmax_latest_order_per_customer",
         "distinct_users_by_day",
+        "distinct_users_by_day_hll",
+        "quantile_median_by_day_hist",
+        "ohlc_by_day_events",
+        "heavy_hitters_top3_users_per_day",
+        "keyed_rollup_served_by_type",
+        "wheel_range_batch_serving",
+        "router_week_rollup",
+        "router_keyed_hour_rollup",
+        "router_distinct_day_rollup",
+        "dedup_connected_components_star",
     )
     for name in headline:
         if name not in REGISTRY:
