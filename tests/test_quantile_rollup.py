@@ -91,3 +91,28 @@ def test_empty_range_is_null_and_grouped_shape(spark, synth):
     grouped = grouped_quantile_df(rollup, DAY_MS, 0.5).collect()
     assert len(grouped) == 2  # two days in the horizon
     assert all(r["approx_quantile"] is not None for r in grouped)
+
+
+def test_persisted_quantile_rollup_prunes_days(spark, synth, tmp_path):
+    """Shared rollup_io persistence: a reopened histogram rollup serves
+    the same quantile and its probe carries static dt partition
+    filters (the O(days-touched) listing contract, same as the wheel
+    and distinct rollups)."""
+    import re
+
+    from uwheel_datafusion_spark.operators.rollup_io import (
+        load_rollup,
+        save_rollup,
+    )
+
+    rollup = build_histogram_rollup(synth, "ts", "value", WM, ADV, cache=False)
+    path = str(tmp_path / "hist_rollup")
+    save_rollup(rollup, path)
+    reopened = load_rollup(spark, path)
+    s, e = WM, WM + DAY_MS
+    mem = range_quantile_df(rollup, s, e, 0.5).first()["approx_quantile"]
+    disk_df = range_quantile_df(reopened, s, e, 0.5)
+    assert disk_df.first()["approx_quantile"] == mem
+    plan = disk_df._jdf.queryExecution().executedPlan().toString()
+    pfs = re.findall(r"PartitionFilters: \[(.*?)(?:\]|, Pushed)", plan)
+    assert pfs and all("dt" in p for p in pfs), plan

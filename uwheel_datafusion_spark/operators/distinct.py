@@ -196,28 +196,14 @@ def keyed_grouped_distinct_exact(pairs: DataFrame, slot_ms: int) -> DataFrame:
     )
 
 
-def save_rollup(rollup: DataFrame, path: str) -> None:
-    """Persist a distinct rollup (pair or sketch) as parquet partitioned
-    by UTC date — same layout as WheelIndex.save, so serving probes
-    prune to the touched day partitions at any scale."""
-    (
-        rollup.withColumn(
-            "dt",
-            F.date_format(F.timestamp_millis(F.col("bucket_ms")), "yyyy-MM-dd"),
-        )
-        .repartition("dt")
-        .write.mode("overwrite")
-        .partitionBy("dt")
-        .parquet(path)
-    )
-
-
-def load_rollup(spark, path: str) -> DataFrame:
-    """Reopen a persisted distinct rollup. The ``dt`` partition column
-    is KEPT: the range-serving predicates conjoin static day bounds on
-    it (wheel._bucket_range_pred), so Catalyst prunes partitions at
-    planning time — O(days-touched) file listings, not O(all-days)."""
-    return spark.read.parquet(path)
+# Persistence: the shared dt-partitioned contract (same layout as
+# WheelIndex.save — serving probes prune to touched day partitions at
+# any scale). Re-exported here for backward compatibility; the
+# histogram-quantile and OHLC rollups use the same pair of functions.
+from uwheel_datafusion_spark.operators.rollup_io import (  # noqa: E402,F401
+    load_rollup,
+    save_rollup,
+)
 
 
 def extend_hll_rollup(
