@@ -307,6 +307,64 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
             "mismatches": mismatches,
         }
 
+    # -------- decomposed probe on a MULTI-YEAR horizon (orders index)
+    # The cost-based probe switches to the static multi-granularity
+    # UNION statement above the single-level slot threshold; the events
+    # horizon (31 days) never crosses it, so this workload builds the
+    # 7-year orders index (minute..week) and probes year-class ranges —
+    # hundreds of coarse slots per query instead of ~10^6 minute slots.
+    @step("wheel_orders_probe_wide")
+    def _():
+        import random
+
+        from uwheel_datafusion_spark.gate import (
+            ORDERS_ADV_MS,
+            ORDERS_WM_MS,
+        )
+        from uwheel_datafusion_spark.functions.time import DAY_MS
+
+        orders = load_table(spark, sf_dir, "orders")
+        idx_o = WheelIndex.build(
+            orders,
+            "o_orderdate",
+            "o_totalprice",
+            ORDERS_WM_MS,
+            ORDERS_ADV_MS,
+            granularities=("minute", "hour", "day", "week"),
+            stats_mode="pruned",
+        )
+        rng = random.Random(17)
+        n_days = (ORDERS_ADV_MS - ORDERS_WM_MS) // DAY_MS
+        wide = []
+        for _ in range(sql_sample):
+            span = rng.randrange(180, n_days)  # 6 months .. ~7 years
+            a = rng.randrange(0, n_days - span)
+            wide.append(
+                (
+                    ORDERS_WM_MS + a * DAY_MS,
+                    ORDERS_WM_MS + (a + span) * DAY_MS,
+                )
+            )
+        with serving_confs():
+            r = run_latency_bench(
+                "wheel_orders_probe_wide",
+                lambda s, e: idx_o.probe(s, e)["sum_value"],
+                wide,
+                warmup=3,
+            )
+        timings["wheel_orders_probe_wide"] = r.wall_sec
+        n_multi = sum(
+            1
+            for s, e in wide
+            if (e - s) // 60_000 > idx_o.SINGLE_LEVEL_SLOT_THRESHOLD
+        )
+        extras["wheel_orders_probe_wide"] = {
+            "qps": r.qps,
+            **r.latency,
+            "n_multi_granularity": n_multi,
+            "n_queries": len(wide),
+        }
+
     # ---------------- scan-vs-probe crossover (PLANS.md claim, measured)
     # The reference demonstrates its crossover empirically by running
     # both engines on the same data (/root/reference/src/main.rs:205-288).
