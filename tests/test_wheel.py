@@ -599,3 +599,36 @@ def test_keyed_rollup_save_load_prunes_key_and_day_partitions(
     # push out the closing bracket), so don't require a ']'
     pfs = re.findall(r"PartitionFilters: \[(.*?)(?:\]|, Pushed)", plan)
     assert pfs and all("kb" in p and "dt" in p for p in pfs), plan
+
+
+def test_keyed_batch_serving_matches_per_key_and_handles_missing(spark, sf_smoke):
+    """query_rollup_batch_df: N (key, range) probes in one job match
+    the per-key path; an unknown key yields cnt=0/null aggregates at
+    its query_id; input order preserved."""
+    from uwheel_datafusion_spark.operators.keyed_wheel import KeyedWheelIndex
+
+    ev = load_table(spark, sf_smoke, "events")
+    rollup = KeyedWheelIndex.build_rollup(
+        ev, "event_type", "ts", "value", WM, ADV
+    )
+    types = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    probes = [
+        (types[0], WM, WM + 10 * DAY_MS),
+        (types[1], WM + 5 * DAY_MS, WM + 6 * DAY_MS),
+        ("no_such_type", WM, ADV),
+        (types[0], ADV - DAY_MS, ADV),
+    ]
+    rows = (
+        KeyedWheelIndex.query_rollup_batch_df(rollup, probes)
+        .orderBy("query_id")
+        .collect()
+    )
+    assert [r["query_id"] for r in rows] == [0, 1, 2, 3]
+    for qid, (k, s, e) in enumerate(probes):
+        one = KeyedWheelIndex.query_rollup_df(rollup, k, s, e).first()
+        got = rows[qid]
+        assert got["cnt"] == one["cnt"]
+        assert got["sum_value"] == one["sum_value"]
+        assert got["min_value"] == one["min_value"]
+        assert got["max_value"] == one["max_value"]
+    assert rows[2]["cnt"] == 0 and rows[2]["sum_value"] is None

@@ -869,6 +869,52 @@ def keyed_rollup_served_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KeyedWheelIndex.query_rollup_grouped_df(rollup, *RANGE_MINUTE)
 
 
+def _keyed_batch_member_oracle(i: int, s_ms: int, e_ms: int) -> str:
+    return f"""
+        SELECT {i} AS query_id,
+               {_s('value')} AS sum_value,
+               COUNT(*) AS cnt,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value,
+               {_avg('value')} AS avg_value
+        FROM events
+        WHERE event_type = (
+            SELECT event_type FROM (
+                SELECT DISTINCT event_type FROM events ORDER BY event_type
+            ) t LIMIT 1 OFFSET {i}
+        )
+          AND ts >= {_ts_lit(s_ms)} AND ts < {_ts_lit(e_ms)}
+    """
+
+
+@gate(
+    "keyed_rollup_batch_served",
+    " UNION ALL ".join(
+        _keyed_batch_member_oracle(i, *r)
+        for i, r in enumerate((RANGE_MINUTE, RANGE_HOUR, RANGE_DAY))
+    ),
+)
+def keyed_rollup_batch_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batched KEYED serving: three (series, range) probes — the
+    first three event types (sorted), each with a different benchmark
+    range — answered in ONE job over the distributed (key, minute)
+    rollup (query_rollup_batch_df: broadcast probe frame, key-equality
+    hash join + bucket containment, one fold per query_id)."""
+    from uwheel_datafusion_spark.operators.keyed_wheel import KeyedWheelIndex
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    rollup = KeyedWheelIndex.build_rollup(
+        ev, "event_type", "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS
+    )
+    types = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    probes = [
+        (types[i], *rng)
+        for i, rng in enumerate((RANGE_MINUTE, RANGE_HOUR, RANGE_DAY))
+    ]
+    return KeyedWheelIndex.query_rollup_batch_df(rollup, probes)
+
+
 @gate(
     "keyed_gapfill_hour_locf_by_type",
     f"""

@@ -318,6 +318,53 @@ class KeyedWheelIndex:
             )
         )
 
+    @staticmethod
+    def query_rollup_batch_df(
+        rollup: DataFrame, probes: "list[tuple]"
+    ) -> DataFrame:
+        """Micro-batched keyed serving: N ``(key, start_ms, end_ms)``
+        probes answered in ONE Spark job — the keyed twin of
+        WheelIndex.range_agg_batch_df (per-query jobs pay a flat
+        ~50-100 ms scheduler cost; a serving tier batches the
+        concurrent stream instead). The probe frame broadcasts and
+        joins on key EQUALITY (hash join — the key is selective, no
+        block trick needed) plus bucket containment; one fold per
+        query_id. Returns one row per probe in input order:
+        ``(query_id, sum_value, cnt, min_value, max_value, avg_value)``
+        with nulls/0 for keys or ranges with no data."""
+        from uwheel_datafusion_spark.functions.quant import micros_to_value
+
+        spark = rollup.sparkSession
+        pdf = spark.createDataFrame(
+            [(i, k, s, e) for i, (k, s, e) in enumerate(probes)],
+            "query_id int, pkey string, run_s long, run_e long",
+        )
+        qids = pdf.select("query_id")
+        joined = rollup.join(
+            F.broadcast(pdf),
+            (rollup["key"] == pdf["pkey"])
+            & (rollup["bucket_ms"] >= pdf["run_s"])
+            & (rollup["bucket_ms"] < pdf["run_e"]),
+        )
+        agg = joined.groupBy("query_id").agg(
+            F.sum("sum_micros").alias("_sum_micros"),
+            F.sum("cnt").alias("cnt"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        return qids.join(agg, "query_id", "left").select(
+            "query_id",
+            micros_to_value(F.col("_sum_micros")).alias("sum_value"),
+            F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
+            "min_value",
+            "max_value",
+            (
+                F.col("_sum_micros").cast("double")
+                / F.col("cnt").cast("double")
+                / 1_000_000
+            ).alias("avg_value"),
+        )
+
     def keys(self) -> list:
         return sorted(self._indexes)
 
