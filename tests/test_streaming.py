@@ -427,3 +427,59 @@ def test_stream_static_join_enrichment(spark, sf_smoke, stream_dir, tmp_path):
         for r in spark.sql("SELECT * FROM stream_static_enriched").collect()
     }
     assert got == expected
+
+
+def test_streaming_hll_distinct_equals_batch(spark, sf_smoke, stream_dir, tmp_path):
+    """StreamingDistinctWheel: the micro-batch-maintained HLL rollup is
+    estimate-IDENTICAL per minute bucket to the batch build over the
+    same rows (register-max associativity), and range serving over the
+    snapshot lands inside the 5% band vs the exact distinct count."""
+    from uwheel_datafusion_spark.operators.distinct import (
+        build_hll_rollup,
+        range_distinct_hll,
+    )
+    from uwheel_datafusion_spark.streaming.wheel_stream import (
+        StreamingDistinctWheel,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .select("ts", "user_id")
+    )
+    sdw = StreamingDistinctWheel(stream, "ts", "user_id", watermark_delay="31 days")
+    sdw.start(str(tmp_path / "ckpt_hll"))
+    sdw.process_available()
+    sdw.stop()
+
+    snap = sdw.snapshot_rollup(spark)
+    batch = build_hll_rollup(ev, "ts", "user_id", WM, ADV, cache=False)
+    est_s = {
+        r["bucket_ms"]: r["e"]
+        for r in snap.select(
+            "bucket_ms", F.hll_sketch_estimate("hll").alias("e")
+        ).collect()
+    }
+    est_b = {
+        r["bucket_ms"]: r["e"]
+        for r in batch.select(
+            "bucket_ms", F.hll_sketch_estimate("hll").alias("e")
+        ).collect()
+    }
+    assert est_s == est_b and len(est_b) > 0
+
+    s, e = WM, WM + 14 * 86_400_000
+    approx = range_distinct_hll(snap, s, e).first()["n_distinct_approx"]
+    exact = (
+        ev.filter(
+            (F.col("ts") >= F.timestamp_millis(F.lit(s)).cast("timestamp_ntz"))
+            & (F.col("ts") < F.timestamp_millis(F.lit(e)).cast("timestamp_ntz"))
+        )
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert abs(approx - exact) <= 0.05 * exact

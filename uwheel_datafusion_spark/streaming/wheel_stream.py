@@ -133,6 +133,71 @@ class RollupStore:
         }
 
 
+class StreamingDistinctWheel:
+    """Streaming maintenance of the HLL distinct rollup — the
+    distinct-count twin of StreamingWheel (operators/distinct is the
+    batch side). The streaming aggregation keeps one HLL++ sketch per
+    minute window in the state store (hll_sketch_agg is a declarative
+    aggregate, so update-mode emits the window's CURRENT sketch each
+    trigger — the upsert is idempotent); register-max associativity
+    makes the maintained sketches estimate-identical to a batch
+    build over the same rows (pinned in tests/test_streaming.py).
+
+    At scale the sink MERGEs sketch binaries into a Delta/Iceberg
+    rollup keyed on bucket_ms; serving (range_distinct_hll /
+    cascade_hll) is identical either way."""
+
+    def __init__(
+        self,
+        stream_df: DataFrame,
+        ts_col: str,
+        key_col: str,
+        watermark_delay: str = "1 hour",
+        lg_k: int = 12,
+    ) -> None:
+        self.slots: dict[int, bytes] = {}  # bucket_ms → sketch binary
+        self._agg = (
+            ensure_event_time(stream_df, ts_col)
+            .withWatermark(ts_col, watermark_delay)
+            .groupBy(F.window(ts_col, "1 minute").alias("w"))
+            .agg(F.hll_sketch_agg(key_col, lg_k).alias("hll"))
+            .select(ts_to_ms(F.col("w.start")).alias("bucket_ms"), "hll")
+        )
+        self._query = None
+
+    def start(self, checkpoint_dir: str):
+        slots = self.slots
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            for r in batch_df.collect():
+                slots[r["bucket_ms"]] = bytes(r["hll"])
+
+        self._query = (
+            self._agg.writeStream.outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(sink)
+            .start()
+        )
+        return self._query
+
+    def process_available(self) -> None:
+        assert self._query is not None, "call start() first"
+        self._query.processAllAvailable()
+
+    def stop(self) -> None:
+        if self._query is not None:
+            self._query.stop()
+            self._query = None
+
+    def snapshot_rollup(self, spark) -> DataFrame:
+        """Freeze the maintained sketches into the same
+        ``(bucket_ms, hll)`` frame build_hll_rollup produces — ready
+        for cascade_hll / range_distinct_hll / rollup_io.save_rollup."""
+        return spark.createDataFrame(
+            list(self.slots.items()), "bucket_ms long, hll binary"
+        )
+
+
 class StreamingWheel:
     """Maintain the minute rollup from a streaming source — unkeyed, or
     per-series when ``key_col`` is given (the streaming twin of
