@@ -2852,6 +2852,37 @@ def heavy_hitters_top3_users_per_day(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@gate(
+    "heavy_hitters_range_topk_users",
+    f"""
+    SELECT user_id AS key, COUNT(*) AS cnt
+    FROM events
+    WHERE ts >= {_ts_lit(RANGE_DAY[0])} AND ts < {_ts_lit(RANGE_DAY[1])}
+    GROUP BY user_id
+    ORDER BY cnt DESC, key
+    LIMIT 10
+    """,
+)
+def heavy_hitters_range_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-servable heavy hitters: top-10 users over the day-aligned
+    benchmark range answered from the (bucket, user, cnt) COUNT-PAIR
+    rollup (counts add across buckets — operators/distinct
+    build_count_pairs), not from a fact scan. Serving = bucket-range
+    filter + one groupBy over pair rows + TakeOrdered; deterministic
+    (cnt desc, user asc)."""
+    from uwheel_datafusion_spark.operators.distinct import (
+        build_count_pairs,
+        range_topk_keys_df,
+    )
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    pairs = build_count_pairs(
+        ev, "ts", "user_id", EVENTS_WM_MS, EVENTS_ADV_MS, cache=False
+    )
+    return range_topk_keys_df(pairs, *RANGE_DAY, k=10)
+
+
 @gate("dedup_exact_groups", _dd.exact_dup_groups_oracle())
 def dedup_exact_q(spark, sf_dir):
     return _dd.exact_dup_groups(load_table(spark, sf_dir, "documents"))

@@ -159,6 +159,52 @@ def range_distinct_hll(
     )
 
 
+def build_count_pairs(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    watermark_ms: int,
+    advance_to_ms: int,
+    slot_ms: int = MINUTE_MS,
+    cache: bool = True,
+) -> DataFrame:
+    """Counted variant of the pair partial: ``(bucket_ms, key, cnt)``
+    — the mergeable partial for range-servable HEAVY HITTERS (counts
+    add across buckets, so any aligned range re-aggregates exactly).
+    Bounded by per-bucket key cardinality like the distinct pairs; the
+    sketch upgrade for extreme cardinality is Misra-Gries/count-min
+    with candidate re-verification."""
+    pairs = (
+        df.filter(ts_range_pred(df, ts_col, watermark_ms, advance_to_ms))
+        .select(
+            bucket_ms(ts_to_ms(F.col(ts_col)), slot_ms).alias("bucket_ms"),
+            F.col(key_col).alias("key"),
+        )
+        .groupBy("bucket_ms", "key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return pairs.cache() if cache else pairs
+
+
+def range_topk_keys_df(
+    pairs: DataFrame, start_ms: int, end_ms: int, k: int
+) -> DataFrame:
+    """Top-k keys by total count within the bucket-aligned
+    ``[start, end)``, served from the count-pair rollup: one bucket
+    -range filter (day-prunable on a reopened rollup) + one groupBy
+    over pair rows + a driver-merged TakeOrdered — never the fact
+    table. Deterministic: (cnt desc, key asc) ordering."""
+    from uwheel_datafusion_spark.operators.wheel import _bucket_range_pred
+
+    return (
+        pairs.filter(_bucket_range_pred(pairs, start_ms, end_ms))
+        .groupBy("key")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("key"))
+        .limit(k)
+    )
+
+
 def build_keyed_distinct_pairs(
     df: DataFrame,
     ts_col: str,
