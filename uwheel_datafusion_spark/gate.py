@@ -503,6 +503,56 @@ def ohlc_by_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@gate(
+    "twa_by_day_events",
+    f"""
+    WITH ev AS (
+        SELECT (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS b,
+               epoch_ms(ts) AS t, value AS v
+        FROM events
+        WHERE ts >= {_ts_lit(EVENTS_WM_MS)} AND ts < {_ts_lit(EVENTS_ADV_MS)}
+    ),
+    o AS (
+        SELECT b, t, v,
+               lag(t) OVER w AS pt,
+               lag(CAST(round(v * 1000000) AS BIGINT)) OVER w AS pvm,
+               row_number() OVER w AS rn
+        FROM ev WINDOW w AS (PARTITION BY b ORDER BY t, v)
+    )
+    SELECT b AS bucket_ms,
+           CASE WHEN MAX(t) = MIN(t)
+                THEN MIN(CASE WHEN rn = 1 THEN v END)
+                ELSE CAST(
+                         SUM(CAST(pvm AS HUGEINT) * CAST(t - pt AS HUGEINT))
+                         AS DOUBLE
+                     ) / 1000000.0 / CAST(MAX(t) - MIN(t) AS DOUBLE)
+           END AS twa,
+           COUNT(*) AS cnt
+    FROM o GROUP BY b
+    """,
+)
+def twa_by_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TimescaleDB time_weight/LOCF), driver
+    -gated: per-day TWA served by CASCADING the minute-grain TWA
+    rollup — the boundary-stitching aggregator whose combine adds the
+    LOCF segment BETWEEN partials (operators/twa). The oracle
+    integrates the same step function directly from raw rows with lag
+    windows; exact-integer micros×ms areas summed as DECIMAL make the
+    two derivations bit-equal, so any stitch bug at any cascade level
+    hash-mismatches."""
+    from uwheel_datafusion_spark.operators.twa import (
+        build_twa_rollup,
+        grouped_twa_df,
+    )
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    minute = build_twa_rollup(
+        ev, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS, cache=False
+    )
+    return grouped_twa_df(minute, DAY_MS)
+
+
 #: a second wheel over a *native-timestamp* fact table spanning years,
 #: with the opt-in week granularity in the cascade (µWheel's week wheel)
 ORDERS_WM_MS = to_epoch_ms(datetime(1995, 1, 1))
