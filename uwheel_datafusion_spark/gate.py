@@ -553,6 +553,58 @@ def twa_by_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_twa_df(minute, DAY_MS)
 
 
+@gate(
+    "counter_increase_by_day_events",
+    f"""
+    WITH ev AS (
+        SELECT (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS b,
+               epoch_ms(ts) AS t, value AS v
+        FROM events
+        WHERE ts >= {_ts_lit(EVENTS_WM_MS)} AND ts < {_ts_lit(EVENTS_ADV_MS)}
+    ),
+    o AS (
+        SELECT b, t,
+               CAST(round(v * 1000000) AS BIGINT) AS vm,
+               lag(CAST(round(v * 1000000) AS BIGINT)) OVER w AS pvm
+        FROM ev WINDOW w AS (PARTITION BY b ORDER BY t, v)
+    )
+    SELECT b AS bucket_ms,
+           CAST(SUM(CASE WHEN pvm IS NULL THEN 0
+                         WHEN vm >= pvm THEN vm - pvm
+                         ELSE vm END) AS DOUBLE) / 1000000.0 AS increase,
+           CASE WHEN MAX(t) = MIN(t) THEN NULL
+                ELSE (CAST(SUM(CASE WHEN pvm IS NULL THEN 0
+                                    WHEN vm >= pvm THEN vm - pvm
+                                    ELSE vm END) AS DOUBLE) / 1000000.0)
+                     / (CAST(MAX(t) - MIN(t) AS DOUBLE) / 1000.0)
+           END AS rate_per_sec,
+           COUNT(*) AS cnt
+    FROM o GROUP BY b
+    """,
+)
+def counter_increase_by_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter increase/rate (PromQL semantics), driver-gated: per-day
+    reset-aware increase served by cascading the minute-grain counter
+    rollup (operators/counter) — the second boundary-stitching family
+    after TWA: the combine adds the seam step between partials, reset
+    rule included, so the cascade equals the direct day computation.
+    The oracle replays the lag-window formula on raw rows; per-step
+    increments are exact micros integers summed as DECIMAL, so
+    equality is bit-for-bit. (events.value is not monotonic — every
+    drop exercises the reset rule, which is the point.)"""
+    from uwheel_datafusion_spark.operators.counter import (
+        build_counter_rollup,
+        grouped_increase_df,
+    )
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    minute = build_counter_rollup(
+        ev, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS, cache=False
+    )
+    return grouped_increase_df(minute, DAY_MS)
+
+
 #: a second wheel over a *native-timestamp* fact table spanning years,
 #: with the opt-in week granularity in the cascade (µWheel's week wheel)
 ORDERS_WM_MS = to_epoch_ms(datetime(1995, 1, 1))
