@@ -477,6 +477,10 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         "router_keyed_hour_rollup",
         "router_distinct_day_rollup",
         "dedup_connected_components_star",
+        "twa_by_day_events",
+        "counter_increase_by_day_events",
+        "heavy_hitters_range_topk_users",
+        "keyed_rollup_batch_served",
     )
     for name in headline:
         if name not in REGISTRY:
