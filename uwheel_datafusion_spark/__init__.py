@@ -27,16 +27,23 @@ Architecture (Spark-first, not a port):
 """
 
 from uwheel_datafusion_spark.session import get_spark
+from uwheel_datafusion_spark.operators.keyed_wheel import KeyedWheelIndex
 from uwheel_datafusion_spark.operators.wheel import WheelIndex
-from uwheel_datafusion_spark.plans.range_plan import RangePlan, decompose_range
+from uwheel_datafusion_spark.plans.range_plan import (
+    RangePlan,
+    decompose_hybrid,
+    decompose_range,
+)
 from uwheel_datafusion_spark.plans.sql_router import WheelSqlRouter
 
 __all__ = [
     "get_spark",
     "WheelIndex",
+    "KeyedWheelIndex",
     "WheelSqlRouter",
     "RangePlan",
     "decompose_range",
+    "decompose_hybrid",
 ]
 
 __version__ = "0.1.0"
