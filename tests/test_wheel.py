@@ -632,3 +632,23 @@ def test_keyed_batch_serving_matches_per_key_and_handles_missing(spark, sf_smoke
         assert got["min_value"] == one["min_value"]
         assert got["max_value"] == one["max_value"]
     assert rows[2]["cnt"] == 0 and rows[2]["sum_value"] is None
+
+
+def test_keyed_batch_serving_integer_keys(spark, sf_smoke):
+    """Probe keys are typed from the rollup's key column — an integer
+    series key (user_id) must batch-serve, not crash on a string-typed
+    probe frame (code-review regression)."""
+    from uwheel_datafusion_spark.operators.keyed_wheel import KeyedWheelIndex
+
+    ev = load_table(spark, sf_smoke, "events")
+    rollup = KeyedWheelIndex.build_rollup(ev, "user_id", "ts", "value", WM, ADV)
+    uid = ev.select("user_id").first()[0]
+    rows = (
+        KeyedWheelIndex.query_rollup_batch_df(
+            rollup, [(uid, WM, ADV), (uid, WM, WM + DAY_MS)]
+        )
+        .orderBy("query_id")
+        .collect()
+    )
+    one = KeyedWheelIndex.query_rollup_df(rollup, uid, WM, ADV).first()
+    assert rows[0]["cnt"] == one["cnt"] and rows[0]["cnt"] > 0

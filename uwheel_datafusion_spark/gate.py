@@ -981,9 +981,8 @@ def _keyed_batch_member_oracle(i: int, s_ms: int, e_ms: int) -> str:
                {_avg('value')} AS avg_value
         FROM events
         WHERE event_type = (
-            SELECT event_type FROM (
-                SELECT DISTINCT event_type FROM events ORDER BY event_type
-            ) t LIMIT 1 OFFSET {i}
+            SELECT DISTINCT event_type FROM events
+            ORDER BY event_type LIMIT 1 OFFSET {i}
         )
           AND ts >= {_ts_lit(s_ms)} AND ts < {_ts_lit(e_ms)}
     """

@@ -87,27 +87,14 @@ def build_counter_rollup(
 
 
 def _combine(parts: DataFrame, group_cols: list) -> DataFrame:
-    w = Window.partitionBy(*group_cols).orderBy("bucket_ms")
-    seam = _step(F.lag("last_vm").over(w), F.col("first_vm")).cast(_DEC)
-    okey = F.struct(
-        F.col("first_ts_ms").alias("t"), F.col("first_vm").alias("v")
-    )
-    ckey = F.struct(
-        F.col("last_ts_ms").alias("t"), F.col("last_vm").alias("v")
-    )
-    stitched = parts.withColumn("seam", seam)
-    gb = stitched.groupBy(*group_cols) if group_cols else stitched.groupBy()
-    return gb.agg(
-        F.min_by(F.col("first_ts_ms"), okey).alias("first_ts_ms"),
-        F.min_by(F.col("first_vm"), okey).alias("first_vm"),
-        F.max_by(F.col("last_ts_ms"), ckey).alias("last_ts_ms"),
-        F.max_by(F.col("last_vm"), ckey).alias("last_vm"),
-        (
-            F.coalesce(F.sum("inc"), F.lit(0).cast(_DEC))
-            + F.coalesce(F.sum("seam"), F.lit(0).cast(_DEC))
-        ).alias("inc"),
-        F.sum("cnt").alias("cnt"),
-    )
+    """Ordered combine via the shared boundary-fold (operators/stitch);
+    the counter seam is the reset-aware step across the boundary."""
+    from uwheel_datafusion_spark.operators.stitch import ordered_edge_combine
+
+    def seam(prev_last_vm, _prev_last_ts, cur_first_vm, _cur_first_ts):
+        return _step(prev_last_vm, cur_first_vm)
+
+    return ordered_edge_combine(parts, group_cols, "vm", seam, "inc")
 
 
 def cascade_counter(rollup: DataFrame, slot_ms: int) -> DataFrame:

@@ -581,6 +581,13 @@ def connected_components_star(
         e = small
         if same:
             break
+    else:
+        # same policy as the min-label loop: never return possibly
+        # partial contractions silently
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds; "
+            "raise max_iter (rounds needed are O(log² n))"
+        )
     # at the fixpoint e is a star per component (each non-root node has
     # exactly the edge (node, min)); the groupBy-min is belt-and-braces
     # against a max_iter cutoff mid-contraction

@@ -292,11 +292,10 @@ class KeyedWheelIndex:
         ``(key, sum_value, cnt, min_value, max_value, avg_value)``, one
         row per series with data in [start, end)."""
         from uwheel_datafusion_spark.functions.quant import micros_to_value
+        from uwheel_datafusion_spark.operators.wheel import _bucket_range_pred
 
         return (
-            rollup.filter(
-                (F.col("bucket_ms") >= start_ms) & (F.col("bucket_ms") < end_ms)
-            )
+            rollup.filter(_bucket_range_pred(rollup, start_ms, end_ms))
             .groupBy("key")
             .agg(
                 F.sum("sum_micros").alias("_sum_micros"),
@@ -332,12 +331,29 @@ class KeyedWheelIndex:
         query_id. Returns one row per probe in input order:
         ``(query_id, sum_value, cnt, min_value, max_value, avg_value)``
         with nulls/0 for keys or ranges with no data."""
+        from pyspark.sql.types import (
+            LongType,
+            StructField,
+            StructType,
+            IntegerType,
+        )
+
         from uwheel_datafusion_spark.functions.quant import micros_to_value
 
         spark = rollup.sparkSession
+        # probe key column typed from the ROLLUP's key (string-only
+        # probes would crash for integer series keys)
+        key_type = rollup.schema["key"].dataType
+        schema = StructType(
+            [
+                StructField("query_id", IntegerType()),
+                StructField("pkey", key_type),
+                StructField("run_s", LongType()),
+                StructField("run_e", LongType()),
+            ]
+        )
         pdf = spark.createDataFrame(
-            [(i, k, s, e) for i, (k, s, e) in enumerate(probes)],
-            "query_id int, pkey string, run_s long, run_e long",
+            [(i, k, s, e) for i, (k, s, e) in enumerate(probes)], schema
         )
         qids = pdf.select("query_id")
         joined = rollup.join(

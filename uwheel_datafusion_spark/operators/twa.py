@@ -85,33 +85,16 @@ def build_twa_rollup(
 
 
 def _combine(parts: DataFrame, group_cols: list) -> DataFrame:
-    """Ordered combine of bucket partials within each group: window in
-    bucket order adds the inter-bucket LOCF stitch segments, then one
-    aggregation folds edges and areas."""
-    w = Window.partitionBy(*group_cols).orderBy("bucket_ms")
-    stitch = (
-        value_to_micros(F.lag("last_v").over(w)).cast(_DEC)
-        * (F.col("first_ts_ms") - F.lag("last_ts_ms").over(w)).cast(_DEC)
-    )
-    okey = F.struct(
-        F.col("first_ts_ms").alias("t"), F.col("first_v").alias("v")
-    )
-    ckey = F.struct(
-        F.col("last_ts_ms").alias("t"), F.col("last_v").alias("v")
-    )
-    stitched = parts.withColumn("stitch", stitch)
-    gb = stitched.groupBy(*group_cols) if group_cols else stitched.groupBy()
-    return gb.agg(
-        F.min_by(F.col("first_ts_ms"), okey).alias("first_ts_ms"),
-        F.min_by(F.col("first_v"), okey).alias("first_v"),
-        F.max_by(F.col("last_ts_ms"), ckey).alias("last_ts_ms"),
-        F.max_by(F.col("last_v"), ckey).alias("last_v"),
-        (
-            F.coalesce(F.sum("area"), F.lit(0).cast(_DEC))
-            + F.coalesce(F.sum("stitch"), F.lit(0).cast(_DEC))
-        ).alias("area"),
-        F.sum("cnt").alias("cnt"),
-    )
+    """Ordered combine via the shared boundary-fold (operators/stitch);
+    the TWA seam is the LOCF segment between partials."""
+    from uwheel_datafusion_spark.operators.stitch import ordered_edge_combine
+
+    def seam(prev_last_v, prev_last_ts, _cur_first_v, cur_first_ts):
+        return value_to_micros(prev_last_v).cast(_DEC) * (
+            cur_first_ts - prev_last_ts
+        ).cast(_DEC)
+
+    return ordered_edge_combine(parts, group_cols, "v", seam, "area")
 
 
 def _lower_twa() -> F.Column:

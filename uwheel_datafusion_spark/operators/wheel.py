@@ -119,6 +119,7 @@ class WheelIndex:
         self.stats = stats
         self._driver_index = None
         self._probe_sql = None  # lazily set by probe()
+        self._serving_views: list[str] = []
 
     # ------------------------------------------------------------------ build
 
@@ -458,11 +459,20 @@ class WheelIndex:
             "AS avg_value FROM "
         )
         if self._probe_sql is None:
-            tag = abs(id(self))
+            # uuid, not id(self): Python reuses object ids after GC, and
+            # a collision would silently rebind a cached SQL text to
+            # another index's views. Views persist for the session; a
+            # rebuild-heavy serving process should drop_serving_views()
+            # on retired indexes.
+            import uuid
+
+            tag = uuid.uuid4().hex[:12]
+            self._serving_views = []
             selects = []
             for g in self.rollups:
                 view = f"wheel_{g}_serving_{tag}"
                 self.rollups[g].createOrReplaceTempView(view)
+                self._serving_views.append(view)
                 selects.append(
                     "SELECT sum_micros, cnt, min_value, max_value "
                     f"FROM {view} WHERE "
@@ -499,6 +509,15 @@ class WheelIndex:
                 args[f"{g}_s{i}"] = run.start_ms
                 args[f"{g}_e{i}"] = run.end_ms
         return self.spark.sql(self._probe_sql["multi"], args=args).first()
+
+    def drop_serving_views(self) -> None:
+        """Unregister this index's probe temp views (call when retiring
+        an index in a rebuild-heavy serving process — views otherwise
+        live until the session ends)."""
+        for v in self._serving_views:
+            self.spark.catalog.dropTempView(v)
+        self._serving_views = []
+        self._probe_sql = None
 
     def range_agg_batch_df(
         self, ranges: "list[tuple[int, int]]"
