@@ -652,3 +652,32 @@ def test_keyed_batch_serving_integer_keys(spark, sf_smoke):
     )
     one = KeyedWheelIndex.query_rollup_df(rollup, uid, WM, ADV).first()
     assert rows[0]["cnt"] == one["cnt"] and rows[0]["cnt"] > 0
+
+
+def test_detect_gaps_with_synthetic_silence(spark):
+    """Gap detection: forced silent spans (including leading/trailing
+    silence via the sentinel edges) surface with exact boundaries."""
+    pts = (
+        [WM + 2 * HOUR_MS + i * MINUTE_MS for i in range(10)]
+        + [WM + 5 * HOUR_MS]
+        + [WM + 5 * HOUR_MS + 30 * MINUTE_MS + i * MINUTE_MS for i in range(5)]
+    )
+    df = spark.createDataFrame(
+        [(t, 1.0) for t in pts], "ts_ms long, value double"
+    ).select(
+        F.timestamp_millis(F.col("ts_ms")).cast("timestamp_ntz").alias("ts"),
+        "value",
+    )
+    idx = WheelIndex.build(df, "ts", "value", WM, WM + 6 * HOUR_MS)
+    gaps = {
+        (r["gap_start_ms"], r["gap_end_ms"])
+        for r in idx.detect_gaps_df(15 * MINUTE_MS).collect()
+    }
+    assert (WM, WM + 2 * HOUR_MS) in gaps  # leading silence
+    assert (WM + 2 * HOUR_MS + 10 * MINUTE_MS, WM + 5 * HOUR_MS) in gaps
+    assert (
+        WM + 5 * HOUR_MS + MINUTE_MS,
+        WM + 5 * HOUR_MS + 30 * MINUTE_MS,
+    ) in gaps
+    assert (WM + 5 * HOUR_MS + 35 * MINUTE_MS, WM + 6 * HOUR_MS) in gaps
+    assert len(gaps) == 4

@@ -605,6 +605,36 @@ def counter_increase_by_day_events(spark: SparkSession, sf_dir: str) -> DataFram
     return grouped_increase_df(minute, DAY_MS)
 
 
+@gate(
+    "wheel_detect_gaps_15m",
+    f"""
+    WITH s AS (
+        SELECT DISTINCT (epoch_ms(ts) // {MINUTE_MS}) * {MINUTE_MS} AS b
+        FROM events
+        WHERE ts >= {_ts_lit(EVENTS_WM_MS)} AND ts < {_ts_lit(EVENTS_ADV_MS)}
+        UNION SELECT CAST({EVENTS_WM_MS - MINUTE_MS} AS BIGINT)
+        UNION SELECT CAST({EVENTS_ADV_MS} AS BIGINT)
+    ),
+    o AS (
+        SELECT b + {MINUTE_MS} AS covered_end,
+               lead(b) OVER (ORDER BY b) AS next_start
+        FROM s
+    )
+    SELECT covered_end AS gap_start_ms,
+           next_start AS gap_end_ms,
+           next_start - covered_end AS gap_ms
+    FROM o WHERE next_start - covered_end >= {15 * MINUTE_MS}
+    """,
+)
+def wheel_detect_gaps_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absence detection: every silent span ≥ 15 minutes in the events
+    horizon, read off the wheel's occupied minute slots (gap = distance
+    between consecutive non-empty slots + sentinel horizon edges) —
+    heartbeat/outage monitoring at rollup cost, never a fact scan. The
+    oracle derives the same gaps from raw timestamps."""
+    return events_wheel(spark, sf_dir).detect_gaps_df(15 * MINUTE_MS)
+
+
 #: a second wheel over a *native-timestamp* fact table spanning years,
 #: with the opt-in week granularity in the cascade (µWheel's week wheel)
 ORDERS_WM_MS = to_epoch_ms(datetime(1995, 1, 1))

@@ -754,6 +754,43 @@ class WheelIndex:
             F.last("sum_value", ignorenulls=True).over(w).alias("sum_locf"),
         )
 
+    def detect_gaps_df(self, min_gap_ms: int, granularity: str = "minute") -> DataFrame:
+        """Absence detection (heartbeat/outage monitoring): maximal
+        spans of the indexed horizon with NO events, at least
+        ``min_gap_ms`` long — read straight off the rollup's occupied
+        slots (a gap is the distance between consecutive non-empty
+        slots, plus the horizon edges), so detection cost is slot
+        rows, never fact rows. Returns
+        ``(gap_start_ms, gap_end_ms, gap_ms)`` ordered by start."""
+        from pyspark.sql import Window
+
+        g_ms = GRANULARITIES[granularity]
+        r = self.rollups[granularity].select("bucket_ms")
+        # sentinel edges: a virtual slot just before the watermark and
+        # just after the horizon so leading/trailing silence surfaces
+        edges = self.spark.createDataFrame(
+            [(self.watermark_ms - g_ms,), (self.advanced_ms,)],
+            "bucket_ms long",
+        )
+        w = Window.orderBy("bucket_ms")
+        slots = r.unionByName(edges).select(
+            (F.col("bucket_ms") + g_ms).alias("covered_end"),
+            F.lead("bucket_ms").over(Window.orderBy("bucket_ms")).alias(
+                "next_start"
+            ),
+        )
+        return (
+            slots.filter(
+                F.col("next_start") - F.col("covered_end") >= min_gap_ms
+            )
+            .select(
+                F.col("covered_end").alias("gap_start_ms"),
+                F.col("next_start").alias("gap_end_ms"),
+                (F.col("next_start") - F.col("covered_end")).alias("gap_ms"),
+            )
+            .orderBy("gap_start_ms")
+        )
+
     # ------------------------------------------------------- driver fast path
 
     def to_driver_index(self):
