@@ -3521,6 +3521,17 @@ def router_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (region_revenue_join), orders_priority_distribution (events_by_type),
 # scalar_functions_monthly (session_window/date-arith family),
 # window_customer_running_total (window_top3/argmax family).
+#
+# ROUND-5 ROTATION QUEUE (never driver-checked after r04; all green in
+# the local parity suite): the six deferrals above, plus the gates added
+# after this round's window froze — dedup_connected_components_star,
+# wheel_extend_incremental, streaming_keyed_rollup_parity,
+# heavy_hitters_top3_users_per_day, heavy_hitters_range_topk_users,
+# router_keyed_hour_rollup, router_distinct_day_rollup,
+# quantile_median_by_day_hist, ohlc_by_day_events, twa_by_day_events,
+# counter_increase_by_day_events, keyed_rollup_batch_served,
+# wheel_detect_gaps_15m. That is ~19 queries; fill the rest of the
+# round-5 window with canaries from the r03/r04-proven sets.
 _DRIVER_WINDOW_R3 = [
     # µWheel core (reference parity: E1/E2/E3, A4-A8, gapfill, keyed)
     "wheel_range_minute_aligned",
