@@ -627,11 +627,14 @@ def counter_increase_by_day_events(spark: SparkSession, sf_dir: str) -> DataFram
     """,
 )
 def wheel_detect_gaps_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Absence detection: every silent span ≥ 15 minutes in the events
-    horizon, read off the wheel's occupied minute slots (gap = distance
-    between consecutive non-empty slots + sentinel horizon edges) —
-    heartbeat/outage monitoring at rollup cost, never a fact scan. The
-    oracle derives the same gaps from raw timestamps."""
+    """Absence detection: every run of empty minute slots spanning
+    ≥ 15 minutes in the events horizon, read off the wheel's occupied
+    minute slots (gap = distance between consecutive non-empty slots +
+    sentinel horizon edges) — heartbeat/outage monitoring at rollup
+    cost, never a fact scan. Slot-quantized: silence straddling
+    occupied slots is under-measured by up to 2 minutes (see
+    WheelIndex.detect_gaps_df). The oracle applies the same minute
+    quantization to raw timestamps."""
     return events_wheel(spark, sf_dir).detect_gaps_df(15 * MINUTE_MS)
 
 

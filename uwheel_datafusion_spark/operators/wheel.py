@@ -756,11 +756,17 @@ class WheelIndex:
 
     def detect_gaps_df(self, min_gap_ms: int, granularity: str = "minute") -> DataFrame:
         """Absence detection (heartbeat/outage monitoring): maximal
-        spans of the indexed horizon with NO events, at least
-        ``min_gap_ms`` long — read straight off the rollup's occupied
-        slots (a gap is the distance between consecutive non-empty
-        slots, plus the horizon edges), so detection cost is slot
-        rows, never fact rows. Returns
+        runs of EMPTY slots spanning at least ``min_gap_ms`` — read
+        straight off the rollup's occupied slots (a gap is the distance
+        between consecutive non-empty slots, plus the horizon edges),
+        so detection cost is slot rows, never fact rows.
+
+        Detection is slot-quantized: a slot containing any event counts
+        as fully covered, so true silence straddling occupied slots can
+        be under-measured by up to ``2 * granularity`` (e.g. events at
+        10:00:00 and 10:15:59 leave a 14-minute slot gap even though
+        the real silence is 15m59s). For a guaranteed-detection
+        threshold of T, pass ``min_gap_ms = T - 2 * g_ms``. Returns
         ``(gap_start_ms, gap_end_ms, gap_ms)`` ordered by start."""
         from pyspark.sql import Window
 
@@ -775,9 +781,7 @@ class WheelIndex:
         w = Window.orderBy("bucket_ms")
         slots = r.unionByName(edges).select(
             (F.col("bucket_ms") + g_ms).alias("covered_end"),
-            F.lead("bucket_ms").over(Window.orderBy("bucket_ms")).alias(
-                "next_start"
-            ),
+            F.lead("bucket_ms").over(w).alias("next_start"),
         )
         return (
             slots.filter(
