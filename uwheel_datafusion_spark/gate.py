@@ -2928,6 +2928,42 @@ def deciles_q(spark, sf_dir):
     return _sp.exact_deciles(load_table(spark, sf_dir, "orders"))
 
 
+def _bottomk_oracle() -> str:
+    from uwheel_datafusion_spark.operators.bottomk import (
+        DEFAULT_K,
+        bottomk_sample_oracle,
+    )
+
+    return bottomk_sample_oracle(
+        "events", _ts_lit(RANGE_DAY[0]), _ts_lit(RANGE_DAY[1]), "user_id", DEFAULT_K
+    )
+
+
+@gate("sample_bottomk_range_users", _bottomk_oracle())
+def sample_bottomk_range_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) distinct sample served from the wheel: the 20
+    smallest-portable-hash distinct users in the day-aligned benchmark
+    range, answered from the ≤ k-rows-per-minute-slot sample rollup —
+    never the fact table. Merging per-slot bottom-k partials is EXACT
+    (a globally-bottom-k key survives every covering slot's partial,
+    operators/bottomk docstring), so the oracle — the direct
+    distinct+order+limit over raw rows — must match bit-for-bit. The
+    deterministic, engine-portable version of 'sample N users from
+    this window' (reproducible at 100 TB; rollup flat in cardinality)."""
+    from uwheel_datafusion_spark.operators.bottomk import (
+        DEFAULT_K,
+        build_bottomk_rollup,
+        range_sample_df,
+    )
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    rollup = build_bottomk_rollup(
+        ev, "ts", "user_id", EVENTS_WM_MS, EVENTS_ADV_MS, cache=False
+    )
+    return range_sample_df(rollup, *RANGE_DAY, DEFAULT_K)
+
+
 @gate(
     "heavy_hitters_top3_users_per_day",
     f"""
@@ -3533,8 +3569,9 @@ def router_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # router_keyed_hour_rollup, router_distinct_day_rollup,
 # quantile_median_by_day_hist, ohlc_by_day_events, twa_by_day_events,
 # counter_increase_by_day_events, keyed_rollup_batch_served,
-# wheel_detect_gaps_15m. That is ~19 queries; fill the rest of the
-# round-5 window with canaries from the r03/r04-proven sets.
+# wheel_detect_gaps_15m, sample_bottomk_range_users. That is ~20
+# queries; fill the rest of the round-5 window with canaries from the
+# r03/r04-proven sets.
 _DRIVER_WINDOW_R3 = [
     # µWheel core (reference parity: E1/E2/E3, A4-A8, gapfill, keyed)
     "wheel_range_minute_aligned",
