@@ -483,3 +483,75 @@ def test_streaming_hll_distinct_equals_batch(spark, sf_smoke, stream_dir, tmp_pa
         .count()
     )
     assert abs(approx - exact) <= 0.05 * exact
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_smoke, stream_dir, tmp_path):
+    """Stream-stream interval join (streaming/join_stream): clicks
+    within 5 min after a purchase by the same user, as an unbounded
+    inner join with watermark-bounded state — must emit EXACTLY the
+    batch binned_interval_join pairs once both sides are drained
+    (the streaming-equals-batch evidence style of the other §2.9
+    paths)."""
+    from uwheel_datafusion_spark.operators.rangejoin import binned_interval_join
+    from uwheel_datafusion_spark.streaming.join_stream import interval_join_stream
+
+    W_MS = 300_000
+    ev = load_table(spark, sf_smoke, "events")
+    expected = sorted(
+        (r["user_id"], r["purchase_event_id"], r["click_event_id"], r["gap_ms"])
+        for r in binned_interval_join(
+            ev.filter(F.col("event_type") == "purchase").withColumnRenamed(
+                "event_id", "purchase_event_id"
+            ),
+            ev.filter(F.col("event_type") == "click").withColumnRenamed(
+                "event_id", "click_event_id"
+            ),
+            on="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            window_ms=W_MS,
+            left_id="purchase_event_id",
+            right_id="click_event_id",
+        ).collect()
+    )
+    assert len(expected) > 0
+
+    schema = ev.schema
+
+    def side(event_type: str, id_alias: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+            .filter(F.col("event_type") == event_type)
+            .withColumnRenamed("event_id", id_alias)
+            .select(id_alias, "user_id", "ts")
+        )
+
+    joined = interval_join_stream(
+        side("purchase", "purchase_event_id"),
+        side("click", "click_event_id"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        window_ms=W_MS,
+        left_id="purchase_event_id",
+        right_id="click_event_id",
+        watermark_delay="31 days",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["user_id"], r["purchase_event_id"], r["click_event_id"], r["gap_ms"])
+        for r in spark.sql("SELECT * FROM ssj_pairs").collect()
+    )
+    assert got == expected
