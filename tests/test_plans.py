@@ -330,6 +330,10 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_correctness):
         "tpch_q11_important_part_value",   # 1-row broadcast threshold
                                            # (crossJoin of a scalar agg —
                                            # benign at any scale)
+        "heavy_hitters_mg_verified_range", # 1-row broadcasts of the MG
+                                           # total-bound / n_range
+                                           # scalars — same benign shape
+                                           # as q11's threshold
         # NOTE: wheel_range_batch_serving was briefly allowlisted here;
         # its runs-containment join is now a block-id broadcast HASH
         # join (range_agg_batch_df), so the audit covers it again.

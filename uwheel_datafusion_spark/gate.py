@@ -2928,6 +2928,56 @@ def deciles_q(spark, sf_dir):
     return _sp.exact_deciles(load_table(spark, sf_dir, "orders"))
 
 
+#: hot-key derivation for the MG-sketch gate: half the rows collapse
+#: onto key 0 (the fixtures are uniform — no natural heavy hitter
+#: exists at any scale — so the gate manufactures one determinis-
+#: tically, the same honest-synthetic-skew approach as
+#: skew_salted_events_by_type). Renders identically in both dialects.
+_MG_KEY_SQL = "CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id END"
+
+
+@gate(
+    "heavy_hitters_mg_verified_range",
+    f"""
+    WITH d AS (
+        SELECT {_MG_KEY_SQL} AS key
+        FROM events
+        WHERE ts >= {_ts_lit(RANGE_DAY[0])} AND ts < {_ts_lit(RANGE_DAY[1])}
+    ),
+    n AS (SELECT COUNT(*) AS n FROM d)
+    SELECT key, COUNT(*) AS cnt
+    FROM d, n
+    GROUP BY key, n.n
+    HAVING COUNT(*) * 5 >= n.n
+    """,
+)
+def heavy_hitters_mg_verified_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries sketch → candidates → exact re-verification: keys
+    holding ≥ 1/5 of the day-aligned range's rows, found from an
+    hour-grain MG rollup of ≤ m=9 rows/slot (flat in cardinality — the
+    scale upgrade the count-pair heavy hitters can't offer) and made
+    EXACT by one verify scan with a broadcast candidate set. The MG
+    bound Σ spill ≤ n/(m+1) = n/10 < n/5 guarantees the candidate set
+    is complete at EVERY scale, so the result equals the oracle's
+    direct GROUP BY/HAVING bit-for-bit (operators/mgsketch docstring
+    has the inequality chain)."""
+    from uwheel_datafusion_spark.operators.mgsketch import (
+        build_mg_rollup,
+        range_heavy_hitters_verified,
+    )
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    key = F.expr(_MG_KEY_SQL)
+    rollup = build_mg_rollup(
+        ev, "ts", key, EVENTS_WM_MS, EVENTS_ADV_MS, m=9, slot_ms=HOUR_MS,
+        cache=False,
+    )
+    return range_heavy_hitters_verified(
+        ev, "ts", key, rollup, *RANGE_DAY, m=9, count_frac_den=5
+    )
+
+
 def _bottomk_oracle() -> str:
     from uwheel_datafusion_spark.operators.bottomk import (
         DEFAULT_K,
@@ -3569,9 +3619,9 @@ def router_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # router_keyed_hour_rollup, router_distinct_day_rollup,
 # quantile_median_by_day_hist, ohlc_by_day_events, twa_by_day_events,
 # counter_increase_by_day_events, keyed_rollup_batch_served,
-# wheel_detect_gaps_15m, sample_bottomk_range_users. That is ~20
-# queries; fill the rest of the round-5 window with canaries from the
-# r03/r04-proven sets.
+# wheel_detect_gaps_15m, sample_bottomk_range_users,
+# heavy_hitters_mg_verified_range. That is ~21 queries; fill the rest
+# of the round-5 window with canaries from the r03/r04-proven sets.
 _DRIVER_WINDOW_R3 = [
     # µWheel core (reference parity: E1/E2/E3, A4-A8, gapfill, keyed)
     "wheel_range_minute_aligned",
