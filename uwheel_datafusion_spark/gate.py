@@ -2978,6 +2978,70 @@ def heavy_hitters_mg_verified_range(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _retention_oracle() -> str:
+    from uwheel_datafusion_spark.operators.retention import (
+        cohort_retention_oracle,
+    )
+
+    return cohort_retention_oracle(
+        [1, 7, 14], _ts_lit(EVENTS_WM_MS), _ts_lit(EVENTS_ADV_MS)
+    )
+
+
+@gate("retention_cohort_matrix", _retention_oracle())
+def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-user cohort retention (D+1/D+7/D+14), served from the
+    distinct-pair rollup with NO fact scan: day pairs are coarsened
+    from the shared minute-grain partial (A4 on the set partial), then
+    cohorts/retention are self-joins over rollup rows bounded by
+    Σ per-day active users — the third aggregator riding the same pair
+    partial (distinct counts, bottom-k feeds, now retention)."""
+    from uwheel_datafusion_spark.operators.retention import cohort_retention_df
+
+    pairs = events_distinct_pairs(spark, sf_dir)
+    day_pairs = pairs.select(
+        (F.col("bucket_ms") - F.col("bucket_ms") % F.lit(DAY_MS)).alias(
+            "bucket_ms"
+        ),
+        "key",
+    ).distinct()
+    return cohort_retention_df(day_pairs, [1, 7, 14])
+
+
+def _funnel_oracle() -> str:
+    from uwheel_datafusion_spark.operators.funnel import funnel_counts_oracle
+
+    return funnel_counts_oracle(
+        ["view", "click", "purchase"],
+        30 * MINUTE_MS,
+        _ts_lit(EVENTS_WM_MS),
+        _ts_lit(EVENTS_ADV_MS),
+    )
+
+
+@gate("funnel_view_click_purchase_30m", _funnel_oracle())
+def funnel_view_click_purchase_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (windowFunnel-class): users reaching
+    view → click → purchase with each greedy step within 30 min of the
+    previous — k−1 per-user min-agg equi-joins over per-user 1-row
+    frames, no event-stream window, no state, no UDF
+    (operators/funnel has the greedy-chain contract)."""
+    from uwheel_datafusion_spark.operators.funnel import funnel_counts_df
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts_df(
+        ev,
+        "ts",
+        "user_id",
+        "event_type",
+        ["view", "click", "purchase"],
+        30 * MINUTE_MS,
+        EVENTS_WM_MS,
+        EVENTS_ADV_MS,
+    )
+
+
 def _bottomk_oracle() -> str:
     from uwheel_datafusion_spark.operators.bottomk import (
         DEFAULT_K,
@@ -3620,7 +3684,8 @@ def router_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quantile_median_by_day_hist, ohlc_by_day_events, twa_by_day_events,
 # counter_increase_by_day_events, keyed_rollup_batch_served,
 # wheel_detect_gaps_15m, sample_bottomk_range_users,
-# heavy_hitters_mg_verified_range. That is ~21 queries; fill the rest
+# heavy_hitters_mg_verified_range, retention_cohort_matrix,
+# funnel_view_click_purchase_30m. That is ~23 queries; fill the rest
 # of the round-5 window with canaries from the r03/r04-proven sets.
 _DRIVER_WINDOW_R3 = [
     # µWheel core (reference parity: E1/E2/E3, A4-A8, gapfill, keyed)
