@@ -481,6 +481,10 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         "counter_increase_by_day_events",
         "heavy_hitters_range_topk_users",
         "keyed_rollup_batch_served",
+        "sample_bottomk_range_users",
+        "heavy_hitters_mg_verified_range",
+        "retention_cohort_matrix",
+        "funnel_view_click_purchase_30m",
     )
     for name in headline:
         if name not in REGISTRY:
