@@ -555,3 +555,53 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_smoke, stream_dir, t
         for r in spark.sql("SELECT * FROM ssj_pairs").collect()
     )
     assert got == expected
+
+
+def test_streaming_bottomk_equals_batch(spark, sf_smoke, stream_dir, tmp_path):
+    """Streaming bottom-k maintenance: the foreachBatch set-union +
+    re-truncate merge must yield a rollup BIT-IDENTICAL to the batch
+    build over the same rows (merge exactness), and serve the same
+    sample."""
+    from uwheel_datafusion_spark.operators.bottomk import (
+        build_bottomk_rollup,
+        range_sample_df,
+    )
+    from uwheel_datafusion_spark.streaming.wheel_stream import (
+        StreamingBottomKWheel,
+    )
+
+    K = 10
+    ev = load_table(spark, sf_smoke, "events")
+    batch = build_bottomk_rollup(
+        ev, "ts", "user_id", WM, ADV, k=K, cache=False
+    )
+
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .select("ts", "user_id")
+    )
+    sbk = StreamingBottomKWheel(stream, "ts", "user_id", k=K)
+    sbk.start(str(tmp_path / "ckpt_bk"))
+    sbk.process_available()
+    sbk.stop()
+    snap = sbk.snapshot_rollup(spark)
+
+    got = {
+        (r["bucket_ms"], r["h"], r["key"]) for r in snap.collect()
+    }
+    want = {
+        (r["bucket_ms"], r["h"], r["key"]) for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
+
+    s, e = WM, WM + 14 * 86_400_000
+    got_sample = [
+        (r["h"], r["key"]) for r in range_sample_df(snap, s, e, K).collect()
+    ]
+    want_sample = [
+        (r["h"], r["key"]) for r in range_sample_df(batch, s, e, K).collect()
+    ]
+    assert got_sample == want_sample

@@ -198,6 +198,95 @@ class StreamingDistinctWheel:
         )
 
 
+class StreamingBottomKWheel:
+    """Streaming maintenance of the bottom-k sample rollup
+    (operators/bottomk is the batch side). Each micro-batch computes
+    its OWN bottom-k partial per touched minute slot (≤ k rows/slot,
+    the WindowGroupLimit shape), and the sink merges it into the
+    maintained store by set-union + re-truncate — the mergeable-
+    summary property that makes batch and streaming builds
+    bit-identical regardless of how rows split across triggers (the
+    same exactness argument as the batch cascade, operators/bottomk
+    docstring). The merge is idempotent and commutative: a re-
+    delivered or out-of-order micro-batch unions the same (h, key)
+    pairs, so no watermark is needed for correctness — late rows
+    simply merge in (the batch horizon filter is applied at snapshot/
+    serve time, as in the batch build).
+
+    At scale the sink MERGEs into a Delta/Iceberg rollup keyed on
+    (bucket_ms, h, key) with a per-slot rank re-truncation; serving
+    (range_sample_df / cascade_bottomk) is identical either way."""
+
+    def __init__(
+        self,
+        stream_df: DataFrame,
+        ts_col: str,
+        key_col: str,
+        k: int = 20,
+        slot_ms: int = MINUTE_MS,
+    ) -> None:
+        from uwheel_datafusion_spark.functions.time import bucket_ms
+        from uwheel_datafusion_spark.operators.sampling import _mix_sql
+
+        self.k = k
+        #: bucket_ms → ascending-sorted list of (h, key), ≤ k entries
+        self.slots: dict[int, list[tuple[int, int]]] = {}
+        self._pairs = stream_df.select(
+            bucket_ms(ts_to_ms(F.col(ts_col)), slot_ms).alias("bucket_ms"),
+            F.col(key_col).cast("long").alias("key"),
+        ).withColumn("h", F.expr(_mix_sql("key")))
+        self._query = None
+
+    def _merge(self, bucket: int, pairs) -> None:
+        cur = set(self.slots.get(bucket, ()))
+        cur.update(pairs)
+        self.slots[bucket] = sorted(cur)[: self.k]
+
+    def start(self, checkpoint_dir: str):
+        from uwheel_datafusion_spark.operators.bottomk import _ranked_bottomk
+
+        k = self.k
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            part = _ranked_bottomk(batch_df.distinct(), k)
+            merged: dict[int, list] = {}
+            for r in part.collect():  # ≤ k rows per touched slot
+                merged.setdefault(r["bucket_ms"], []).append(
+                    (r["h"], r["key"])
+                )
+            for bucket, pairs in merged.items():
+                self._merge(bucket, pairs)
+
+        self._query = (
+            self._pairs.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(sink)
+            .start()
+        )
+        return self._query
+
+    def process_available(self) -> None:
+        assert self._query is not None, "call start() first"
+        self._query.processAllAvailable()
+
+    def stop(self) -> None:
+        if self._query is not None:
+            self._query.stop()
+            self._query = None
+
+    def snapshot_rollup(self, spark) -> DataFrame:
+        """Freeze the maintained samples into the same
+        ``(bucket_ms, key, h)`` frame build_bottomk_rollup produces —
+        ready for range_sample_df / cascade_bottomk /
+        rollup_io.save_rollup."""
+        rows = [
+            (bucket, key, h)
+            for bucket, pairs in self.slots.items()
+            for (h, key) in pairs
+        ]
+        return spark.createDataFrame(rows, "bucket_ms long, key long, h long")
+
+
 class StreamingWheel:
     """Maintain the minute rollup from a streaming source — unkeyed, or
     per-series when ``key_col`` is given (the streaming twin of
