@@ -2978,6 +2978,67 @@ def heavy_hitters_mg_verified_range(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@gate(
+    "overlap_join_userday_error_windows",
+    f"""
+    WITH spans AS (
+        SELECT user_id,
+               (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS day_ms,
+               MIN(epoch_ms(ts)) AS s,
+               MAX(epoch_ms(ts)) + 1 AS e
+        FROM events
+        WHERE ts >= {_ts_lit(EVENTS_WM_MS)} AND ts < {_ts_lit(EVENTS_ADV_MS)}
+        GROUP BY 1, 2
+    ),
+    wins AS (
+        SELECT event_id AS error_event_id,
+               epoch_ms(ts) AS ws,
+               epoch_ms(ts) + 600000 AS we
+        FROM events
+        WHERE ts >= {_ts_lit(EVENTS_WM_MS)} AND ts < {_ts_lit(EVENTS_ADV_MS)}
+          AND event_type = 'error'
+    )
+    SELECT user_id, day_ms, error_event_id,
+           LEAST(e, we) - GREATEST(s, ws) AS overlap_ms
+    FROM spans JOIN wins ON s < we AND ws < e
+    """,
+)
+def overlap_join_userday_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join, binned (operators/overlap):
+    per-user daily activity spans against 10-minute error windows —
+    ONE hash equi-join on hour bins + residual, each pair claimed by
+    exactly one bin (no distinct pass). DuckDB states the non-equi
+    join directly; its optimizer builds the range-join plan
+    internally (same oracle style as the point-in-window range join)."""
+    from uwheel_datafusion_spark.functions.time import ts_range_pred, ts_to_ms
+    from uwheel_datafusion_spark.operators.overlap import interval_overlap_join
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    inr = ev.filter(ts_range_pred(ev, "ts", EVENTS_WM_MS, EVENTS_ADV_MS))
+    ms = ts_to_ms(F.col("ts"))
+    spans = (
+        inr.select(
+            "user_id",
+            (ms - ms % F.lit(DAY_MS)).alias("day_ms"),
+            ms.alias("_ms"),
+        )
+        .groupBy("user_id", "day_ms")
+        .agg(
+            F.min("_ms").alias("s"),
+            (F.max("_ms") + F.lit(1)).alias("e"),
+        )
+    )
+    wins = inr.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_event_id"),
+        ms.alias("ws"),
+        (ms + F.lit(600_000)).alias("we"),
+    )
+    return interval_overlap_join(
+        spans, wins, "s", "e", "ws", "we", bin_ms=HOUR_MS
+    ).select("user_id", "day_ms", "error_event_id", "overlap_ms")
+
+
 def _retention_oracle() -> str:
     from uwheel_datafusion_spark.operators.retention import (
         cohort_retention_oracle,
@@ -3685,8 +3746,9 @@ def router_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # counter_increase_by_day_events, keyed_rollup_batch_served,
 # wheel_detect_gaps_15m, sample_bottomk_range_users,
 # heavy_hitters_mg_verified_range, retention_cohort_matrix,
-# funnel_view_click_purchase_30m. That is ~23 queries; fill the rest
-# of the round-5 window with canaries from the r03/r04-proven sets.
+# funnel_view_click_purchase_30m, overlap_join_userday_error_windows.
+# That is ~24 queries; fill the rest of the round-5 window with
+# canaries from the r03/r04-proven sets.
 _DRIVER_WINDOW_R3 = [
     # µWheel core (reference parity: E1/E2/E3, A4-A8, gapfill, keyed)
     "wheel_range_minute_aligned",
