@@ -303,3 +303,58 @@ def test_distinct_rollup_route_and_fallbacks(spark, sf_smoke, router):
 
     router.sql(q.replace("user_id", "event_type"))  # unregistered col
     assert router.last_decision.path == "sql"
+
+
+def test_count_rollup_topk_route_and_fallbacks(spark, sf_smoke, router):
+    """GROUP BY key ORDER BY COUNT(*) DESC LIMIT n routes to the
+    count-pairs rollup and matches the scan (same deterministic tie
+    order); wrong ORDER BY / unaligned range / unregistered key fall
+    back to sql."""
+    from uwheel_datafusion_spark.operators.distinct import build_count_pairs
+
+    ev = load_table(spark, sf_smoke, "events")
+    pairs = build_count_pairs(ev, "ts", "user_id", WM, ADV, cache=False)
+    router.register_count_rollup("events", "user_id", "ts", pairs, WM, ADV)
+    s, e = WM, WM + 7 * 86_400_000
+    q = (
+        f"SELECT user_id, COUNT(*) AS cnt FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}' "
+        f"GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 5"
+    )
+    df = router.sql(q)
+    assert router.last_decision.path == "count_rollup", router.last_decision
+    got = [(r["user_id"], r["cnt"]) for r in df.collect()]
+    truth = [(r["user_id"], r["cnt"]) for r in spark.sql(q).collect()]
+    assert got == truth and len(got) == 5
+
+    # ORDER BY a non-count column → sql
+    router.sql(
+        f"SELECT user_id, COUNT(*) AS cnt FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}' "
+        f"GROUP BY user_id ORDER BY user_id DESC LIMIT 5"
+    )
+    assert router.last_decision.path == "sql"
+
+    # unaligned endpoint → sql
+    router.sql(
+        f"SELECT user_id, COUNT(*) AS cnt FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s + 1)}' AND ts < '{ms_to_ts_literal(e)}' "
+        f"GROUP BY user_id ORDER BY cnt DESC LIMIT 5"
+    )
+    assert router.last_decision.path == "sql"
+
+    # unregistered key column → sql
+    router.sql(
+        f"SELECT event_type, COUNT(*) AS cnt FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}' "
+        f"GROUP BY event_type ORDER BY cnt DESC LIMIT 5"
+    )
+    assert router.last_decision.path == "sql"
+
+    # count-only ORDER BY (no tie-break) still rewrites
+    router.sql(
+        f"SELECT user_id, COUNT(*) AS cnt FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}' "
+        f"GROUP BY 1 ORDER BY COUNT(*) DESC LIMIT 5"
+    )
+    assert router.last_decision.path == "count_rollup"

@@ -3678,6 +3678,46 @@ def router_distinct_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(ts_to_ms(F.col("b")).alias("bucket_ms"), "n_users")
 
 
+@gate(
+    "router_topk_users_day",
+    f"""
+    SELECT user_id, COUNT(*) AS cnt
+    FROM events
+    WHERE ts >= {_ts_lit(RANGE_DAY[0])} AND ts < {_ts_lit(RANGE_DAY[1])}
+    GROUP BY user_id
+    ORDER BY cnt DESC, user_id
+    LIMIT 10
+    """,
+)
+def router_topk_users_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k heavy-hitter rewrite: the router recognizes GROUP BY key
+    ORDER BY COUNT(*) DESC LIMIT n over an aligned range and serves it
+    from the registered count-pairs rollup (additive per-bucket
+    counts re-aggregate exactly; deterministic (cnt DESC, key) tie
+    -break on both engines) — the fact table is not scanned."""
+    from uwheel_datafusion_spark.functions.time import ms_to_ts_literal
+    from uwheel_datafusion_spark.operators.distinct import build_count_pairs
+
+    r = _events_router(spark, sf_dir)
+    if ("events", "user_id") not in r._counts:
+        r.register_count_rollup(
+            "events", "user_id", "ts",
+            build_count_pairs(
+                load_table(spark, sf_dir, "events"),
+                "ts", "user_id", EVENTS_WM_MS, EVENTS_ADV_MS, cache=False,
+            ),
+            EVENTS_WM_MS, EVENTS_ADV_MS,
+        )
+    s, e = RANGE_DAY
+    df = r.sql(
+        f"SELECT user_id, COUNT(*) AS cnt FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}' "
+        f"GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 10"
+    )
+    assert r.last_decision.path == "count_rollup", r.last_decision
+    return df
+
+
 #: Monday-aligned 4-week span: 2024-01-01 (a Monday) .. 2024-01-29
 WEEK_RANGE = (
     to_epoch_ms(datetime(2024, 1, 1)),
@@ -3746,9 +3786,9 @@ def router_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # counter_increase_by_day_events, keyed_rollup_batch_served,
 # wheel_detect_gaps_15m, sample_bottomk_range_users,
 # heavy_hitters_mg_verified_range, retention_cohort_matrix,
-# funnel_view_click_purchase_30m, overlap_join_userday_error_windows.
-# That is ~24 queries; fill the rest of the round-5 window with
-# canaries from the r03/r04-proven sets.
+# funnel_view_click_purchase_30m, overlap_join_userday_error_windows,
+# router_topk_users_day. That is ~25 queries; fill the rest of the
+# round-5 window with canaries from the r03/r04-proven sets.
 _DRIVER_WINDOW_R3 = [
     # µWheel core (reference parity: E1/E2/E3, A4-A8, gapfill, keyed)
     "wheel_range_minute_aligned",

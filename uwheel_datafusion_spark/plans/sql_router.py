@@ -117,6 +117,30 @@ _KEYED_GROUP_PATTERN = re.compile(
 )
 
 
+#: SELECT <key> [AS k], COUNT(*) [AS c] FROM <table> WHERE <range>
+#: GROUP BY <key>|1 ORDER BY <c|COUNT(*)|2> DESC [, <key|k> [ASC]]
+#: LIMIT <n> — the heavy-hitter shape: served from the registered
+#: count-pairs rollup (operators/distinct.build_count_pairs), whose
+#: per-bucket counts ADD across buckets, so any bucket-aligned range
+#: re-aggregates exactly — never the fact scan. Tie policy: the
+#: serving path orders (cnt DESC, key ASC); a query whose ORDER BY
+#: names only the count still rewrites (any tie-break is a valid
+#: instance of that query), one with a secondary key must match the
+#: grouped key.
+_TOPK_PATTERN = re.compile(
+    r"^\s*SELECT\s+(?P<key>\w+)(?:\s+AS\s+(?P<kalias>\w+))?\s*,\s*"
+    r"COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(?P<calias>\w+))?\s+"
+    r"FROM\s+(?P<table>\w+)\s+"
+    r"WHERE\s+(?P<ts1>\w+)\s*>=\s*(?:TIMESTAMP\s+)?'(?P<start>[^']+)'\s+"
+    r"AND\s+(?P<ts2>\w+)\s*<\s*(?:TIMESTAMP\s+)?'(?P<end>[^']+)'\s*"
+    r"GROUP\s+BY\s+(?:1|(?P<gb>\w+))\s*"
+    r"ORDER\s+BY\s+(?P<ob>COUNT\s*\(\s*\*\s*\)|\w+|2)\s+DESC\s*"
+    r"(?:,\s*(?P<ob2>\w+)(?:\s+ASC)?\s*)?"
+    r"LIMIT\s+(?P<limit>\d+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
 def _parse_ts_literal(lit: str) -> int | None:
     """Naive-UTC timestamp literal → epoch ms (the string form the
     reference interpolates, /root/reference/src/main.rs:242-258)."""
@@ -145,6 +169,9 @@ class RouteDecision:
     bucket_alias: str | None = None
     #: keyed_rollup path: output alias of the series-key column
     key_alias: str | None = None
+    #: count_rollup (top-k) path: LIMIT n and the registered key column
+    limit: int | None = None
+    count_key: str | None = None
 
 
 class WheelSqlRouter:
@@ -157,6 +184,8 @@ class WheelSqlRouter:
         self._keyed: dict[str, tuple] = {}
         #: (table, distinct_col) → (ts_col, pairs_df, wm, adv)
         self._distinct: dict[tuple, tuple] = {}
+        #: (table, key_col) → (ts_col, count_pairs_df, wm, adv)
+        self._counts: dict[tuple, tuple] = {}
         self.last_decision: RouteDecision | None = None
 
     def register_index(
@@ -207,9 +236,32 @@ class WheelSqlRouter:
             advanced_ms,
         )
 
+    def register_count_rollup(
+        self,
+        table: str,
+        key_col: str,
+        ts_col: str,
+        pairs,
+        watermark_ms: int,
+        advanced_ms: int,
+    ) -> None:
+        """Register a build_count_pairs frame (operators/distinct) so
+        top-k heavy-hitter queries (GROUP BY key ORDER BY COUNT(*)
+        DESC LIMIT n over a bucket-aligned range) rewrite onto it —
+        exact because per-bucket counts are additive."""
+        self._counts[(table.lower(), key_col.lower())] = (
+            ts_col.lower(),
+            pairs,
+            watermark_ms,
+            advanced_ms,
+        )
+
     # ------------------------------------------------------------------ route
 
     def _decide(self, query: str) -> RouteDecision:
+        tm = _TOPK_PATTERN.match(query)
+        if tm is not None:
+            return self._decide_topk(tm)
         dm = _DISTINCT_GROUP_PATTERN.match(query)
         if dm is not None:
             return self._decide_distinct_grouped(dm)
@@ -445,6 +497,50 @@ class WheelSqlRouter:
             key_alias=kalias,
         )
 
+    def _decide_topk(self, m: re.Match) -> RouteDecision:
+        """GROUP BY key ORDER BY COUNT(*) DESC LIMIT n → the
+        registered count-pairs rollup."""
+        table = m["table"].lower()
+        key = m["key"].lower()
+        reg = self._counts.get((table, key))
+        if reg is None:
+            return RouteDecision(
+                "sql", f"no count rollup registered for ({table}, {key})"
+            )
+        ts_col, _pairs, wm, adv = reg
+        if m["ts1"].lower() != ts_col or m["ts2"].lower() != ts_col:
+            return RouteDecision("sql", "filter column is not the rollup ts")
+        kalias = (m["kalias"] or m["key"]).lower()
+        if m["gb"] and m["gb"].lower() not in (key, kalias):
+            return RouteDecision("sql", "group key is not the count-rollup key")
+        calias = (m["calias"] or "cnt").lower()
+        ob = m["ob"].lower().replace(" ", "")
+        if ob not in (calias, "count(*)", "2"):
+            return RouteDecision("sql", "ORDER BY is not the count")
+        if m["ob2"] and m["ob2"].lower() not in (key, kalias):
+            return RouteDecision(
+                "sql", "secondary ORDER BY is not the grouped key"
+            )
+        s = _parse_ts_literal(m["start"])
+        e = _parse_ts_literal(m["end"])
+        if s is None or e is None:
+            return RouteDecision("sql", "unparseable timestamp literal")
+        if s % MINUTE_MS or e % MINUTE_MS:
+            return RouteDecision("sql", "endpoints not minute-aligned")
+        if s < wm or e > adv:
+            return RouteDecision("sql", "range outside the rollup horizon")
+        return RouteDecision(
+            "count_rollup",
+            "rewritten onto count-pairs rollup (top-k heavy hitters)",
+            table,
+            "COUNT",
+            (s, e),
+            (("COUNT", calias),),
+            key_alias=kalias,
+            limit=int(m["limit"]),
+            count_key=key,
+        )
+
     def explain(self, query: str) -> str:
         d = self._decide(query)
         rng = f" range={d.range_ms}" if d.range_ms else ""
@@ -457,7 +553,9 @@ class WheelSqlRouter:
         arithmetic, no Spark job — the benchmarkable entry point)."""
         d = self._decide(query)
         self.last_decision = d
-        if d.path in ("rollup", "keyed_rollup", "distinct_rollup") or (
+        if d.path in (
+            "rollup", "keyed_rollup", "distinct_rollup", "count_rollup"
+        ) or (
             d.path == "index" and len(d.items) > 1
         ):
             raise ValueError(
@@ -493,6 +591,8 @@ class WheelSqlRouter:
             return self._serve_keyed_rollup(d)
         if d.path == "distinct_rollup":
             return self._serve_distinct_rollup(d)
+        if d.path == "count_rollup":
+            return self._serve_count_rollup(d)
         _, _, index = self._indexes[d.table]
         di = index.to_driver_index()
         s, e = d.range_ms
@@ -510,6 +610,24 @@ class WheelSqlRouter:
         )
         return self.spark.createDataFrame(
             [tuple(lowered[agg] for agg, _ in d.items)], schema=schema
+        )
+
+    def _serve_count_rollup(self, d: RouteDecision) -> DataFrame:
+        """Top-k heavy hitters served from the count-pairs rollup:
+        bucket-range filter (day-prunable on a reopened rollup) + one
+        groupBy over pair rows + TakeOrdered(k) — never the fact scan.
+        Deterministic (cnt DESC, key ASC) tie-break."""
+        from pyspark.sql import functions as F
+
+        from uwheel_datafusion_spark.operators.distinct import (
+            range_topk_keys_df,
+        )
+
+        _ts, pairs, _wm, _adv = self._counts[(d.table, d.count_key)]
+        s, e = d.range_ms
+        _agg, calias = d.items[0]
+        return range_topk_keys_df(pairs, s, e, d.limit).select(
+            F.col("key").alias(d.key_alias), F.col("cnt").alias(calias)
         )
 
     def _serve_distinct_rollup(self, d: RouteDecision) -> DataFrame:
