@@ -485,6 +485,8 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         "heavy_hitters_mg_verified_range",
         "retention_cohort_matrix",
         "funnel_view_click_purchase_30m",
+        "overlap_join_userday_error_windows",
+        "router_topk_users_day",
     )
     for name in headline:
         if name not in REGISTRY:
