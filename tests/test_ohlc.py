@@ -91,3 +91,32 @@ def test_empty_range_and_tie_break(spark, ticks):
     # the smaller (open) / larger (close) value at that ms
     same_ms = sorted(v for t, v in raw if t == WM + 1234_000)
     assert same_ms == [-7.5, 7.5]
+
+
+def test_m4_downsample_equals_direct_pixel_build(spark, sf_correctness):
+    """M4 from the minute rollup == a direct OHLC build at the pixel
+    grain (alignment contract met: the pixel width divides into whole
+    minutes), and the pixel count is bounded by n_pixels."""
+    from uwheel_datafusion_spark.operators.ohlc import (
+        build_ohlc_rollup,
+        m4_downsample_df,
+    )
+    from uwheel_datafusion_spark.sources.registry import load_table
+
+    s = WM
+    e = WM + 2 * 86_400_000  # 2 days at 96 px → 30-minute pixels
+    ev = load_table(spark, sf_correctness, "events")
+    minute = build_ohlc_rollup(ev, "ts", "value", WM, ADV, cache=False)
+    got = {
+        r["px_ms"]: (r["open"], r["high"], r["low"], r["close"], r["cnt"])
+        for r in m4_downsample_df(minute, s, e, n_pixels=96).collect()
+    }
+    px_ms = (e - s) // 96
+    direct = build_ohlc_rollup(
+        ev, "ts", "value", s, e, slot_ms=px_ms, cache=False
+    )
+    want = {
+        r["bucket_ms"]: (r["open"], r["high"], r["low"], r["close"], r["cnt"])
+        for r in direct.collect()
+    }
+    assert got == want and 0 < len(got) <= 96

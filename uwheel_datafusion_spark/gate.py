@@ -503,6 +503,61 @@ def ohlc_by_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: 20-day benchmark range at 200 px → 8 640 000 ms (144 min) pixels,
+#: an exact multiple of the minute grain: the M4 quantization contract
+#: is met with zero rounding at every scale.
+_M4_PX_MS = (RANGE_DAY[1] - RANGE_DAY[0]) // 200
+
+
+@gate(
+    "m4_downsample_200px",
+    f"""
+    WITH ev AS (
+        SELECT {RANGE_DAY[0]} + ((epoch_ms(ts) - {RANGE_DAY[0]})
+                   // {_M4_PX_MS}) * {_M4_PX_MS} AS px_ms,
+               epoch_ms(ts) AS ts_ms, value
+        FROM events
+        WHERE ts >= {_ts_lit(RANGE_DAY[0])} AND ts < {_ts_lit(RANGE_DAY[1])}
+    ),
+    r AS (
+        SELECT px_ms, value,
+               row_number() OVER (
+                   PARTITION BY px_ms ORDER BY ts_ms, value
+               ) AS rn_o,
+               row_number() OVER (
+                   PARTITION BY px_ms ORDER BY ts_ms DESC, value DESC
+               ) AS rn_c
+        FROM ev
+    )
+    SELECT px_ms,
+           MIN(CASE WHEN rn_o = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MIN(CASE WHEN rn_c = 1 THEN value END) AS close,
+           COUNT(*) AS cnt
+    FROM r GROUP BY px_ms
+    """,
+)
+def m4_downsample_200px(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 dashboard downsampling (error-free line-chart reduction,
+    VLDB'14) served from the minute-grain OHLC rollup: the 20-day
+    benchmark range at 200 pixel columns — per pixel the first/last/
+    min/max values, i.e. an OHLC re-combine over 144 covered slots per
+    pixel. The chart query never scans the fact table; the oracle
+    derives the same pixels from raw rows via rank windows."""
+    from uwheel_datafusion_spark.operators.ohlc import (
+        build_ohlc_rollup,
+        m4_downsample_df,
+    )
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    minute = build_ohlc_rollup(
+        ev, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS, cache=False
+    )
+    return m4_downsample_df(minute, *RANGE_DAY, n_pixels=200)
+
+
 @gate(
     "twa_by_day_events",
     f"""
@@ -3787,8 +3842,9 @@ def router_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # wheel_detect_gaps_15m, sample_bottomk_range_users,
 # heavy_hitters_mg_verified_range, retention_cohort_matrix,
 # funnel_view_click_purchase_30m, overlap_join_userday_error_windows,
-# router_topk_users_day. That is ~25 queries; fill the rest of the
-# round-5 window with canaries from the r03/r04-proven sets.
+# router_topk_users_day, m4_downsample_200px. That is ~26 queries;
+# fill the rest of the round-5 window with canaries from the
+# r03/r04-proven sets.
 _DRIVER_WINDOW_R3 = [
     # µWheel core (reference parity: E1/E2/E3, A4-A8, gapfill, keyed)
     "wheel_range_minute_aligned",

@@ -126,6 +126,45 @@ def cascade_ohlc(rollup: DataFrame, slot_ms: int) -> DataFrame:
     return _combine(rollup.groupBy(coarse))
 
 
+def m4_downsample_df(
+    rollup: DataFrame,
+    start_ms: int,
+    end_ms: int,
+    n_pixels: int,
+    slot_ms: int = MINUTE_MS,
+) -> DataFrame:
+    """M4 visualization downsampling (Jugel et al., VLDB'14 — the
+    standard error-free line-chart downsampler: per pixel column keep
+    first/last/min/max, which is exactly an OHLC candle) served from
+    the rollup: re-combine slot partials into pixel buckets — the
+    dashboard never touches the fact table.
+
+    Pixel width is ``(end−start)/n_pixels`` rounded UP to a multiple
+    of the rollup grain (slot-quantized, like detect_gaps_df: a
+    non-multiple width would split slots across pixels, which a
+    partial can't express). The trailing pixel may therefore cover
+    less time; the produced buckets are exact M4 for the quantized
+    width. Output: one row per non-empty pixel,
+    ``(px_ms, open, high, low, close, cnt)``."""
+    from uwheel_datafusion_spark.operators.wheel import _bucket_range_pred
+
+    assert n_pixels >= 1
+    span = end_ms - start_ms
+    px_ms = max(1, -(-span // n_pixels))  # ceil division
+    px_ms = -(-px_ms // slot_ms) * slot_ms  # round up to slot multiple
+    part = rollup.filter(_bucket_range_pred(rollup, start_ms, end_ms))
+    px = (
+        F.lit(start_ms)
+        + F.floor((F.col("bucket_ms") - F.lit(start_ms)) / F.lit(px_ms)).cast(
+            "long"
+        )
+        * F.lit(px_ms)
+    ).alias("px_ms")
+    return _combine(part.groupBy(px)).select(
+        "px_ms", "open", "high", "low", "close", "cnt"
+    )
+
+
 def range_ohlc_df(rollup: DataFrame, start_ms: int, end_ms: int) -> DataFrame:
     """Candlestick of the bucket-aligned ``[start, end)``: combine the
     covered slots' partials (A5 combine+lower). 1-row; nulls/0 for an
