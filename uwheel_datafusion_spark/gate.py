@@ -503,6 +503,35 @@ def ohlc_by_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _anomaly_oracle() -> str:
+    from uwheel_datafusion_spark.operators.anomaly import zscore_oracle
+
+    return zscore_oracle(
+        EVENTS_WM_MS, EVENTS_ADV_MS, HOUR_MS, 24, 3,
+        _ts_lit(EVENTS_WM_MS), _ts_lit(EVENTS_ADV_MS),
+    )
+
+
+@gate("anomaly_hourly_count_3sigma", _anomaly_oracle())
+def anomaly_hourly_count_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alerting from the wheel: flag hours whose event count deviates
+    > 3σ from the trailing 24 h, computed ONLY from the hour rollup's
+    cnt lowering (densified: empty slot = count 0). The k-sigma test
+    is cross-multiplied into exact DECIMAL integer arithmetic
+    (operators/anomaly), so Spark and the DuckDB replay agree
+    bit-for-bit — no float stddev in sight. First 24 hours emit NULL
+    (insufficient history), not false."""
+    from uwheel_datafusion_spark.operators.anomaly import (
+        densify_counts,
+        trailing_zscore_flags,
+    )
+
+    idx = events_wheel(spark, sf_dir)
+    counts = idx.rollups["hour"].select("bucket_ms", "cnt")
+    dense = densify_counts(counts, EVENTS_WM_MS, EVENTS_ADV_MS, HOUR_MS)
+    return trailing_zscore_flags(dense, window_slots=24, k_sigma=3)
+
+
 #: 20-day benchmark range at 200 px → 8 640 000 ms (144 min) pixels,
 #: an exact multiple of the minute grain: the M4 quantization contract
 #: is met with zero rounding at every scale.
@@ -3842,9 +3871,9 @@ def router_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # wheel_detect_gaps_15m, sample_bottomk_range_users,
 # heavy_hitters_mg_verified_range, retention_cohort_matrix,
 # funnel_view_click_purchase_30m, overlap_join_userday_error_windows,
-# router_topk_users_day, m4_downsample_200px. That is ~26 queries;
-# fill the rest of the round-5 window with canaries from the
-# r03/r04-proven sets.
+# router_topk_users_day, m4_downsample_200px,
+# anomaly_hourly_count_3sigma. That is ~27 queries; fill the rest of
+# the round-5 window with canaries from the r03/r04-proven sets.
 _DRIVER_WINDOW_R3 = [
     # µWheel core (reference parity: E1/E2/E3, A4-A8, gapfill, keyed)
     "wheel_range_minute_aligned",
