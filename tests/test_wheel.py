@@ -681,3 +681,60 @@ def test_detect_gaps_with_synthetic_silence(spark):
     ) in gaps
     assert (WM + 5 * HOUR_MS + 35 * MINUTE_MS, WM + 6 * HOUR_MS) in gaps
     assert len(gaps) == 4
+
+
+def test_backfill_equals_full_rebuild(spark, sf_smoke):
+    """Corrupt one day, repair it via backfill: every granularity's
+    rollup must equal a clean full rebuild bit-for-bit, and serving
+    agrees over ranges crossing the patched window."""
+    from uwheel_datafusion_spark.functions.time import ts_range_pred
+
+    ev = load_table(spark, sf_smoke, "events")
+    day_s = to_epoch_ms(datetime(2024, 1, 10))
+    day_e = day_s + 86_400_000
+    in_day = ts_range_pred(ev, "ts", day_s, day_e)
+    corrupted = ev.withColumn(
+        "value", F.when(in_day, F.lit(0.0)).otherwise(F.col("value"))
+    )
+    idx = WheelIndex.build(corrupted, "ts", "value", WM, ADV, cache=False)
+    repaired = idx.backfill(ev.filter(in_day), "ts", "value", day_s, day_e)
+    clean = WheelIndex.build(ev, "ts", "value", WM, ADV, cache=False)
+    for g in clean.rollups:
+        a = sorted(tuple(r) for r in repaired.rollups[g].collect())
+        b = sorted(tuple(r) for r in clean.rollups[g].collect())
+        assert a == b, g
+    assert repaired.stats.n_indexed_rows == clean.stats.n_indexed_rows
+    s, e = day_s - 86_400_000, day_e + 86_400_000
+    assert (
+        repaired.to_driver_index().query_sum(s, e)
+        == clean.to_driver_index().query_sum(s, e)
+    )
+
+
+def test_backfill_with_empty_patch_zeroes_window(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    day_s = to_epoch_ms(datetime(2024, 1, 10))
+    day_e = day_s + 86_400_000
+    idx = WheelIndex.build(ev, "ts", "value", WM, ADV, cache=False)
+    erased = idx.backfill(
+        ev.filter(F.lit(False)), "ts", "value", day_s, day_e
+    )
+    assert erased.to_driver_index().query_count(day_s, day_e) == 0
+    # neighbors untouched
+    assert erased.to_driver_index().query_count(
+        day_s - 86_400_000, day_s
+    ) == idx.to_driver_index().query_count(day_s - 86_400_000, day_s)
+
+
+def test_backfill_contract_errors(spark, sf_smoke):
+    import pytest as _pt
+
+    ev = load_table(spark, sf_smoke, "events")
+    idx = WheelIndex.build(ev, "ts", "value", WM, ADV, cache=False)
+    day_s = to_epoch_ms(datetime(2024, 1, 10))
+    with _pt.raises(ValueError, match="align"):
+        idx.backfill(ev, "ts", "value", day_s + 1, day_s + 86_400_000)
+    with _pt.raises(ValueError, match="horizon"):
+        idx.backfill(ev, "ts", "value", WM - 86_400_000, day_s)
+    with _pt.raises(ValueError, match="empty"):
+        idx.backfill(ev, "ts", "value", day_s, day_s)

@@ -503,6 +503,32 @@ def ohlc_by_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@gate("wheel_backfill_day", _rollup_oracle(DAY_MS))
+def wheel_backfill_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill lifecycle, driver-gated end-to-end: build the index
+    from a CORRUPTED feed (day 2024-01-10's values deterministically
+    zeroed), then repair that day with WheelIndex.backfill from the
+    true rows — per-granularity slot surgery, no history re-scan. The
+    day rollup must then match the all-true-data oracle bit-for-bit;
+    if the splice leaked old slots or dropped neighbors, the day (or
+    its neighbors) hash-mismatch."""
+    from uwheel_datafusion_spark.functions.time import ts_range_pred
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    day_s = to_epoch_ms(datetime(2024, 1, 10))
+    day_e = day_s + DAY_MS
+    in_day = ts_range_pred(ev, "ts", day_s, day_e)
+    corrupted = ev.withColumn(
+        "value", F.when(in_day, F.lit(0.0)).otherwise(F.col("value"))
+    )
+    idx = WheelIndex.build(
+        corrupted, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS, cache=False
+    )
+    repaired = idx.backfill(ev.filter(in_day), "ts", "value", day_s, day_e)
+    return repaired.rollup_df("day")
+
+
 def _anomaly_oracle() -> str:
     from uwheel_datafusion_spark.operators.anomaly import zscore_oracle
 
@@ -3872,8 +3898,9 @@ def router_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # heavy_hitters_mg_verified_range, retention_cohort_matrix,
 # funnel_view_click_purchase_30m, overlap_join_userday_error_windows,
 # router_topk_users_day, m4_downsample_200px,
-# anomaly_hourly_count_3sigma. That is ~27 queries; fill the rest of
-# the round-5 window with canaries from the r03/r04-proven sets.
+# anomaly_hourly_count_3sigma, wheel_backfill_day. That is ~28
+# queries; fill the rest of the round-5 window with canaries from the
+# r03/r04-proven sets.
 _DRIVER_WINDOW_R3 = [
     # µWheel core (reference parity: E1/E2/E3, A4-A8, gapfill, keyed)
     "wheel_range_minute_aligned",

@@ -336,6 +336,80 @@ class WheelIndex:
             self.spark, merged, self.watermark_ms, advance_to_ms, stats
         )
 
+    def backfill(
+        self,
+        df: DataFrame,
+        ts_col: str,
+        value_col: str,
+        start_ms: int,
+        end_ms: int,
+        stats_mode: str = "pruned",
+    ) -> "WheelIndex":
+        """Reprocess HISTORY: replace the indexed content of
+        ``[start, end)`` with a fresh build over ``df`` — the
+        "yesterday's data was corrected, re-run day X" lifecycle op
+        that extend (forward-only) cannot express. Because every slot
+        is a monoid partial keyed by ``bucket_ms``, the splice is
+        per-granularity row surgery: keep old rows outside the window,
+        take patch rows inside — no history re-scan, cost ∝ slot
+        counts + one scan of the PATCH rows (pushdown-pruned to the
+        window).
+
+        ``[start, end)`` must lie inside the indexed horizon and align
+        to the COARSEST granularity's slots (minute|hour|day|week each
+        divide the next, so coarsest alignment implies all): a
+        straddled coarse slot would mix old and new facts that a
+        partial cannot split. Backfilling with an empty/filtered ``df``
+        zeroes the window (slots become absent — the wheel's empty
+        representation)."""
+        from uwheel_datafusion_spark.functions.time import GRANULARITY_MS
+
+        coarsest = max(GRANULARITY_MS[g] for g in self.rollups)
+        if start_ms % coarsest or end_ms % coarsest:
+            raise ValueError(
+                f"backfill window must align to the coarsest slot "
+                f"({coarsest} ms)"
+            )
+        if start_ms < self.watermark_ms or end_ms > self.advanced_ms:
+            raise ValueError("backfill window outside the indexed horizon")
+        if start_ms >= end_ms:
+            raise ValueError("empty backfill window")
+        patch = WheelIndex.build(
+            df,
+            ts_col,
+            value_col,
+            watermark_ms=start_ms,
+            advance_to_ms=end_ms,
+            granularities=tuple(self.rollups),
+            cache=False,
+            stats_mode=stats_mode,
+        )
+        merged: dict[str, DataFrame] = {}
+        for g in self.rollups:
+            keep = self.rollups[g].select(*ROLLUP_COLS).filter(
+                (F.col("bucket_ms") < start_ms)
+                | (F.col("bucket_ms") >= end_ms)
+            )
+            merged[g] = (
+                keep.unionByName(patch.rollups[g].select(*ROLLUP_COLS))
+                .coalesce(1)
+                .cache()
+            )
+        slot_counts = {g: r.count() for g, r in merged.items()}
+        n_indexed = (
+            merged["minute"].agg(F.sum("cnt")).first()[0] or 0
+        )
+        stats = BuildStats(
+            n_input_rows=-1,  # unknown: history inputs not re-observed
+            n_late_rows=-1,
+            n_ahead_rows=patch.stats.n_ahead_rows,
+            n_indexed_rows=int(n_indexed),
+            slot_counts=slot_counts,
+        )
+        return WheelIndex(
+            self.spark, merged, self.watermark_ms, self.advanced_ms, stats
+        )
+
     # ------------------------------------------------------------ query paths
 
     def plan(self, start_ms: int, end_ms: int) -> RangePlan:
