@@ -52,3 +52,29 @@ def test_missing_slots_count_as_zero(spark):
     flags = _flags(spark, counts, 20)
     assert set(flags) == set(range(20))  # densified: every slot judged
     assert flags[W] is not None
+
+
+def test_keyed_spike_isolated_to_its_series(spark):
+    """A spike in series A must flag A's slot and leave series B's
+    identical-time slot unflagged (the partitioned window never mixes
+    series)."""
+    from uwheel_datafusion_spark.operators.anomaly import (
+        densify_keyed_counts,
+        keyed_trailing_zscore_flags,
+    )
+
+    rows = []
+    for i in range(20):
+        rows.append(("a", i * SLOT, 10 + (i % 3) - 1))
+        rows.append(("b", i * SLOT, 10 + ((i + 1) % 3) - 1))
+    rows[2 * 15] = ("a", 15 * SLOT, 100)  # series a, slot 15
+    df = spark.createDataFrame(rows, "key string, bucket_ms long, cnt long")
+    dense = densify_keyed_counts(df, 0, 20 * SLOT, SLOT)
+    flags = {
+        (r["key"], r["bucket_ms"] // SLOT): r["is_anomaly"]
+        for r in keyed_trailing_zscore_flags(
+            dense, window_slots=W, k_sigma=3
+        ).collect()
+    }
+    assert flags[("a", 15)] is True
+    assert flags[("b", 15)] is False

@@ -558,6 +558,46 @@ def anomaly_hourly_count_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trailing_zscore_flags(dense, window_slots=24, k_sigma=3)
 
 
+def _keyed_anomaly_oracle() -> str:
+    from uwheel_datafusion_spark.operators.anomaly import keyed_zscore_oracle
+
+    return keyed_zscore_oracle(
+        EVENTS_WM_MS, EVENTS_ADV_MS, HOUR_MS, 24, 3,
+        _ts_lit(EVENTS_WM_MS), _ts_lit(EVENTS_ADV_MS), "event_type",
+    )
+
+
+@gate("anomaly_keyed_hourly_3sigma", _keyed_anomaly_oracle())
+def anomaly_keyed_hourly_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series alerting (hypertable shape): the 3σ hourly-count
+    test per event_type, served from the keyed (key, minute) rollup
+    cascaded to hours — trailing window PARTITIONED BY the series key,
+    one hash shuffle, each series judged in its own partition. Same
+    exact-integer arithmetic as the global gate."""
+    from uwheel_datafusion_spark.operators.anomaly import (
+        densify_keyed_counts,
+        keyed_trailing_zscore_flags,
+    )
+    from uwheel_datafusion_spark.operators.keyed_wheel import KeyedWheelIndex
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    minute = KeyedWheelIndex.build_rollup(
+        ev, "event_type", "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS
+    )
+    hourly = (
+        minute.groupBy(
+            "key",
+            (F.col("bucket_ms") - F.col("bucket_ms") % F.lit(HOUR_MS)).alias(
+                "bucket_ms"
+            ),
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    dense = densify_keyed_counts(hourly, EVENTS_WM_MS, EVENTS_ADV_MS, HOUR_MS)
+    return keyed_trailing_zscore_flags(dense, window_slots=24, k_sigma=3)
+
+
 #: 20-day benchmark range at 200 px → 8 640 000 ms (144 min) pixels,
 #: an exact multiple of the minute grain: the M4 quantization contract
 #: is met with zero rounding at every scale.
@@ -3898,9 +3938,9 @@ def router_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # heavy_hitters_mg_verified_range, retention_cohort_matrix,
 # funnel_view_click_purchase_30m, overlap_join_userday_error_windows,
 # router_topk_users_day, m4_downsample_200px,
-# anomaly_hourly_count_3sigma, wheel_backfill_day. That is ~28
-# queries; fill the rest of the round-5 window with canaries from the
-# r03/r04-proven sets.
+# anomaly_hourly_count_3sigma, anomaly_keyed_hourly_3sigma,
+# wheel_backfill_day. That is ~29 queries; fill the rest of the
+# round-5 window with canaries from the r03/r04-proven sets.
 _DRIVER_WINDOW_R3 = [
     # µWheel core (reference parity: E1/E2/E3, A4-A8, gapfill, keyed)
     "wheel_range_minute_aligned",

@@ -89,6 +89,111 @@ def trailing_zscore_flags(
     )
 
 
+def densify_keyed_counts(
+    counts: DataFrame,
+    start_ms: int,
+    end_ms: int,
+    slot_ms: int,
+) -> DataFrame:
+    """``(key, bucket_ms, cnt)`` with every slot present for every
+    DISTINCT key observed anywhere in the series (a key absent from a
+    slot had 0 events). The grid is keys × sequence — map-only over
+    the small distinct-keys frame."""
+    keys = counts.select("key").distinct()
+    grid = keys.select(
+        "key",
+        F.explode(
+            F.sequence(
+                F.lit(start_ms), F.lit(end_ms - slot_ms), F.lit(slot_ms)
+            )
+        ).alias("bucket_ms"),
+    )
+    return grid.join(counts, ["key", "bucket_ms"], "left").select(
+        "key",
+        "bucket_ms",
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+    )
+
+
+def keyed_trailing_zscore_flags(
+    dense: DataFrame, window_slots: int, k_sigma: int
+) -> DataFrame:
+    """Per-series anomaly flags: the same exact integer k-sigma test
+    with the trailing window PARTITIONED BY the series key — the
+    distributed shape (one hash shuffle on key; each series' window
+    runs within its partition)."""
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket_ms")
+        .rowsBetween(-window_slots, -1)
+    )
+    x = F.col("cnt").cast(_DEC)
+    s = F.sum(F.col("cnt").cast(_DEC)).over(w)
+    ss = F.sum((F.col("cnt") * F.col("cnt")).cast(_DEC)).over(w)
+    n = F.count(F.lit(1)).over(w)
+    wl = F.lit(window_slots).cast(_DEC)
+    lhs = (wl * x - s) * (wl * x - s)
+    rhs = F.lit(k_sigma * k_sigma).cast(_DEC) * (wl * ss - s * s)
+    flag = F.when(n < window_slots, F.lit(None).cast("boolean")).otherwise(
+        lhs > rhs
+    )
+    return dense.select("key", "bucket_ms", "cnt", flag.alias("is_anomaly"))
+
+
+def keyed_zscore_oracle(
+    start_ms: int,
+    end_ms: int,
+    slot_ms: int,
+    window_slots: int,
+    k_sigma: int,
+    ts_lit_lo: str,
+    ts_lit_hi: str,
+    key: str,
+    table: str = "events",
+) -> str:
+    """DuckDB replay of the keyed variant (keys × grid, partitioned
+    window, integer test)."""
+    return f"""
+        WITH grid AS (
+            SELECT CAST(x AS BIGINT) AS bucket_ms
+            FROM generate_series({start_ms}, {end_ms - slot_ms}, {slot_ms})
+                 AS t(x)
+        ),
+        c AS (
+            SELECT {key} AS key,
+                   (epoch_ms(ts) // {slot_ms}) * {slot_ms} AS bucket_ms,
+                   COUNT(*) AS cnt
+            FROM {table}
+            WHERE ts >= {ts_lit_lo} AND ts < {ts_lit_hi}
+            GROUP BY 1, 2
+        ),
+        dense AS (
+            SELECT k.key, g.bucket_ms, COALESCE(c.cnt, 0) AS cnt
+            FROM (SELECT DISTINCT key FROM c) k
+            CROSS JOIN grid g
+            LEFT JOIN c ON c.key = k.key AND c.bucket_ms = g.bucket_ms
+        ),
+        win AS (
+            SELECT key, bucket_ms, cnt,
+                   SUM(CAST(cnt AS DECIMAL(38,0))) OVER tw AS s,
+                   SUM(CAST(cnt * cnt AS DECIMAL(38,0))) OVER tw AS ss,
+                   COUNT(*) OVER tw AS n
+            FROM dense
+            WINDOW tw AS (
+                PARTITION BY key ORDER BY bucket_ms
+                ROWS BETWEEN {window_slots} PRECEDING AND 1 PRECEDING
+            )
+        )
+        SELECT key, bucket_ms, cnt,
+               CASE WHEN n < {window_slots} THEN NULL ELSE
+                   ({window_slots} * CAST(cnt AS DECIMAL(38,0)) - s)
+                   * ({window_slots} * CAST(cnt AS DECIMAL(38,0)) - s)
+                   > {k_sigma * k_sigma} * ({window_slots} * ss - s * s)
+               END AS is_anomaly
+        FROM win
+    """
+
+
 def zscore_oracle(
     start_ms: int,
     end_ms: int,
