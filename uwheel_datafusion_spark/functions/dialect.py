@@ -68,6 +68,10 @@ class Dialect:
         fn = "array_min" if self.is_spark else "list_min"
         return f"{fn}({arr})"
 
+    def array_max(self, arr: str) -> str:
+        fn = "array_max" if self.is_spark else "list_max"
+        return f"{fn}({arr})"
+
     def seq1(self, n: str) -> str:
         """[1..n] as a list; empty when n < 1 (Spark's sequence() would
         count DOWN for n<1, so it is sliced defensively)."""

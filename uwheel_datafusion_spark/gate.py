@@ -3078,6 +3078,45 @@ def deciles_q(spark, sf_dir):
     return _sp.exact_deciles(load_table(spark, sf_dir, "orders"))
 
 
+# --------------------------------------------------------------------------
+# corpus curation (decontamination / packing / repetition / mixture)
+# --------------------------------------------------------------------------
+
+from uwheel_datafusion_spark.operators import corpus as _cx
+
+
+@gate("corpus_decontaminate_eval", _cx.decontaminate_oracle())
+def corpus_decontaminate_q(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 App. C / PaLM §6): flag train
+    docs sharing any word 4-gram with the held-out 5% eval split. Eval
+    shingle set broadcast; only shuffle is groupBy(doc_id)."""
+    return _cx.decontaminate(load_table(spark, sf_dir, "documents"))
+
+
+@gate("corpus_pack_256_summary", _cx.pack_chunks_summary_oracle())
+def corpus_pack_q(spark, sf_dir):
+    """Concat-and-chunk sequence packing into 256-token training
+    sequences across 16 independent hash-bucket streams; per-bucket
+    windowed cumsum — no global sort ever."""
+    return _cx.pack_chunks_summary(load_table(spark, sf_dir, "documents"))
+
+
+@gate("corpus_repetition_profile", _cx.repetition_profile_oracle())
+def corpus_repetition_q(spark, sf_dir):
+    """Gopher-style repetition quality signals per doc (duplicate-
+    bigram fraction, top-token frequency) with integer-exact threshold
+    flags. Map-only."""
+    return _cx.repetition_profile(load_table(spark, sf_dir, "documents"))
+
+
+@gate("corpus_mixture_reweight", _cx.mixture_reweight_summary_oracle())
+def corpus_mixture_q(spark, sf_dir):
+    """Pile/DoReMi-style mixture resampling to per-source target
+    weights: tiny counts aggregate broadcast back, deterministic
+    hash-rank prefix per source (WindowGroupLimit truncates map-side)."""
+    return _cx.mixture_reweight_summary(load_table(spark, sf_dir, "documents"))
+
+
 #: hot-key derivation for the MG-sketch gate: half the rows collapse
 #: onto key 0 (the fixtures are uniform — no natural heavy hitter
 #: exists at any scale — so the gate manufactures one determinis-
@@ -3939,7 +3978,9 @@ def router_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # funnel_view_click_purchase_30m, overlap_join_userday_error_windows,
 # router_topk_users_day, m4_downsample_200px,
 # anomaly_hourly_count_3sigma, anomaly_keyed_hourly_3sigma,
-# wheel_backfill_day. That is ~29 queries; fill the rest of the
+# wheel_backfill_day, corpus_decontaminate_eval,
+# corpus_pack_256_summary, corpus_repetition_profile,
+# corpus_mixture_reweight. That is ~33 queries; fill the rest of the
 # round-5 window with canaries from the r03/r04-proven sets.
 _DRIVER_WINDOW_R3 = [
     # µWheel core (reference parity: E1/E2/E3, A4-A8, gapfill, keyed)

@@ -1,0 +1,437 @@
+"""Corpus-curation operators for LLM training-data pipelines
+(beyond-parity north star, alongside textops/dedup/sampling):
+eval-set decontamination, sequence packing, repetition profiling, and
+domain-mixture reweighting.
+
+These are the four curation steps every published pretraining pipeline
+runs between "raw documents" and "training tokens" (GPT-3 App. C and
+PaLM §6 describe 13-gram eval decontamination; Gopher/C4 use
+repetition signals as quality filters; The Pile / DoReMi resample
+sources to target mixture weights; every GPT-style trainer packs
+documents into fixed-length sequences). None exists in the reference
+(a time-series engine — /root/reference/src/main.rs has no text
+surface at all), so everything here is new surface, built on the same
+dual-dialect expression builders as textops so each operator carries
+an exact DuckDB oracle.
+
+Scale notes are per-operator; the shared principles:
+- hash-based determinism (no RNG) so re-runs and engines agree;
+- the eval/benchmark side of decontamination is tiny by nature →
+  broadcast, never shuffle the corpus by shingle;
+- packing uses per-bucket windows, so parallelism = bucket count and
+  no global sort ever happens;
+- mixture reweighting shuffles once (the per-source rank), with the
+  per-source targets computed from a tiny aggregate joined back via
+  broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from uwheel_datafusion_spark.functions.dialect import DUCK, SPARK, Dialect
+from uwheel_datafusion_spark.operators.sampling import hash_bucket_sql
+
+__all__ = [
+    "decontaminate",
+    "decontaminate_oracle",
+    "pack_chunks_summary",
+    "pack_chunks_summary_oracle",
+    "repetition_profile",
+    "repetition_profile_oracle",
+    "mixture_reweight_summary",
+    "mixture_reweight_summary_oracle",
+]
+
+
+# --------------------------------------------------------------------------
+# eval-set decontamination
+# --------------------------------------------------------------------------
+
+#: n-gram width for contamination. Published pipelines use 13 (GPT-3
+#: App. C); the synthetic fixture's ~30-word vocabulary makes 13-grams
+#: never collide and 3-grams always collide, so the gate pins n=4,
+#: where the held-out 5% flags a meaningful minority of train docs.
+DECON_NGRAM = 4
+#: doc_id hash buckets ≥ this are the held-out "benchmark" split
+DECON_EVAL_LO = 95
+DECON_BUCKETS = 100
+
+
+def _shingle_expr(d: Dialect, text: str, n: int) -> str:
+    return d.array_distinct(d.shingles(d.split(text), n))
+
+
+def decontaminate(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = DECON_NGRAM,
+    eval_lo: int = DECON_EVAL_LO,
+    buckets: int = DECON_BUCKETS,
+) -> DataFrame:
+    """Flag training documents sharing any word ``n``-gram with a
+    held-out eval split (the last ``buckets - eval_lo``% of doc_id hash
+    buckets) — benchmark decontamination, the step that keeps test-set
+    text out of the training corpus.
+
+    Returns one row per TRAIN document: (doc_id, lang,
+    n_shared_ngrams, contaminated).
+
+    Scale shape: the eval/benchmark side is tiny by construction (real
+    pipelines decontaminate against benchmark suites of a few MB, not
+    against the corpus), so its distinct shingle set is **broadcast**;
+    the train side explodes shingles map-side and the only shuffle is
+    the groupBy(doc_id) count — keyed on doc_id, which is uniform, so
+    no skew. The corpus is never shuffled by shingle (contrast
+    dedup_ngram_jaccard's posting self-join, which must).
+    """
+    d = SPARK
+    bucket = F.expr(hash_bucket_sql("doc_id", buckets))
+    sh = docs.select(
+        "doc_id", "lang", F.expr(_shingle_expr(d, text_col, n)).alias("sh")
+    )
+    ev = (
+        sh.filter(bucket >= eval_lo)
+        .select(F.explode("sh").alias("ngram"))
+        .distinct()
+    )
+    train = docs.filter(bucket < eval_lo).select("doc_id", "lang")
+    hits = (
+        sh.filter(bucket < eval_lo)
+        .select("doc_id", F.explode("sh").alias("ngram"))
+        .join(F.broadcast(ev), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+    return (
+        train.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_shared_ngrams", F.lit(0)).cast("long").alias(
+                "n_shared_ngrams"
+            ),
+            (F.coalesce("n_shared_ngrams", F.lit(0)) > 0)
+            .cast("long")
+            .alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_oracle(
+    table: str = "documents",
+    text_col: str = "text",
+    n: int = DECON_NGRAM,
+    eval_lo: int = DECON_EVAL_LO,
+    buckets: int = DECON_BUCKETS,
+) -> str:
+    d = DUCK
+    bucket = hash_bucket_sql("doc_id", buckets)
+    return f"""
+        WITH sh AS (
+            SELECT doc_id, lang, unnest({_shingle_expr(d, text_col, n)}) AS ngram
+            FROM {table}
+        ),
+        ev AS (
+            SELECT DISTINCT ngram FROM sh WHERE {bucket} >= {eval_lo}
+        ),
+        hits AS (
+            SELECT sh.doc_id, COUNT(*) AS n_shared_ngrams
+            FROM sh JOIN ev USING (ngram)
+            WHERE {bucket} < {eval_lo}
+            GROUP BY sh.doc_id
+        )
+        SELECT t.doc_id, t.lang,
+               CAST(COALESCE(h.n_shared_ngrams, 0) AS BIGINT) AS n_shared_ngrams,
+               CAST(CASE WHEN COALESCE(h.n_shared_ngrams, 0) > 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS contaminated
+        FROM {table} t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        WHERE {hash_bucket_sql('t.doc_id', buckets)} < {eval_lo}
+    """
+
+
+# --------------------------------------------------------------------------
+# sequence packing (concat-and-chunk)
+# --------------------------------------------------------------------------
+
+PACK_BUDGET = 256  # tokens per training sequence
+PACK_BUCKETS = 16  # independent packing streams
+
+
+def _ntokens_expr(d: Dialect, text: str) -> str:
+    return f"CAST({d.size(d.split(text))} AS BIGINT)"
+
+
+def pack_chunks_summary(
+    docs: DataFrame,
+    text_col: str = "text",
+    budget: int = PACK_BUDGET,
+    buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing, the GPT-style pretraining
+    layout: documents are concatenated in a deterministic order and cut
+    into fixed ``budget``-token training sequences; a document whose
+    tokens cross a cut is a *straddler* (it contributes to two
+    sequences). Packing is per hash-bucket so the corpus packs as
+    ``buckets`` independent streams.
+
+    Returns one row per bucket: (bucket, n_docs, total_tokens, n_packs,
+    n_straddlers).
+
+    Scale shape: the running token cumsum is a window PARTITIONED BY
+    bucket — never a global sort; parallelism = bucket count (set
+    buckets ≈ 2-4× executor cores at scale; each stream becomes one
+    shard of training data). One shuffle (the window partition), then a
+    map-side-combinable groupBy over the same key — Catalyst reuses the
+    partitioning, so the second exchange disappears.
+    """
+    bucket = F.expr(hash_bucket_sql("doc_id", buckets))
+    toks = F.expr(_ntokens_expr(SPARK, text_col))
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    per_doc = (
+        docs.select(
+            bucket.cast("long").alias("bucket"),
+            F.col("doc_id"),
+            toks.alias("n_tokens"),
+        )
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("first_pack", F.expr(f"(cum - n_tokens) div {budget}"))
+        .withColumn("last_pack", F.expr(f"(cum - 1) div {budget}"))
+    )
+    return (
+        per_doc.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.expr(f"(sum(n_tokens) + {budget} - 1) div {budget}").alias("n_packs"),
+            F.sum((F.col("last_pack") > F.col("first_pack")).cast("long")).alias(
+                "n_straddlers"
+            ),
+        )
+    )
+
+
+def pack_chunks_summary_oracle(
+    table: str = "documents",
+    text_col: str = "text",
+    budget: int = PACK_BUDGET,
+    buckets: int = PACK_BUCKETS,
+) -> str:
+    d = DUCK
+    bucket = hash_bucket_sql("doc_id", buckets)
+    return f"""
+        WITH per_doc AS (
+            SELECT CAST({bucket} AS BIGINT) AS bucket, doc_id,
+                   {_ntokens_expr(d, text_col)} AS n_tokens
+            FROM {table}
+        ),
+        cum AS (
+            SELECT bucket, doc_id, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM per_doc
+        )
+        SELECT bucket,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST((SUM(n_tokens) + {budget} - 1) // {budget} AS BIGINT) AS n_packs,
+               CAST(SUM(CASE WHEN (cum - 1) // {budget} > (cum - n_tokens) // {budget}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+        FROM cum
+        GROUP BY bucket
+    """
+
+
+# --------------------------------------------------------------------------
+# repetition profiling (Gopher/C4-style quality signals)
+# --------------------------------------------------------------------------
+
+#: flag thresholds, as exact integer cross-multiplications
+DUP_BIGRAM_PCT = 20  # duplicate-bigram fraction > 20%
+TOP_TOKEN_PCT = 10  # single most frequent token > 10% of tokens
+
+
+def _repetition_exprs(d: Dialect, text: str) -> dict[str, str]:
+    toks = d.split(text)
+    bigrams = d.shingles(toks, 2)
+    counts = d.transform(
+        d.array_distinct(toks), "t", d.size(d.filter(toks, "x", "x = t"))
+    )
+    return {
+        "n_tokens": f"CAST({d.size(toks)} AS BIGINT)",
+        "n_bigrams": f"CAST({d.size(bigrams)} AS BIGINT)",
+        "n_distinct_bigrams": f"CAST({d.size(d.array_distinct(bigrams))} AS BIGINT)",
+        "max_token_freq": f"CAST({d.array_max(counts)} AS BIGINT)",
+    }
+
+
+_REPETITION_FLAGS = {
+    # dup fraction (n_bigrams - n_distinct)/n_bigrams > PCT/100, cross-
+    # multiplied so the comparison is exact int64 (no float ratio)
+    "dup_bigram_flag": (
+        f"CAST(CASE WHEN (n_bigrams - n_distinct_bigrams) * 100 > "
+        f"n_bigrams * {DUP_BIGRAM_PCT} THEN 1 ELSE 0 END AS BIGINT)"
+    ),
+    "top_token_flag": (
+        f"CAST(CASE WHEN max_token_freq * 100 > n_tokens * {TOP_TOKEN_PCT} "
+        f"THEN 1 ELSE 0 END AS BIGINT)"
+    ),
+}
+
+
+def repetition_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals (the Gopher quality-filter
+    family): duplicate-bigram fraction and max-single-token frequency,
+    each with an integer-exact threshold flag.
+
+    Map-only projection — no shuffle, whole-stage codegen, linear in
+    input splits. The per-token frequency count is O(distinct·tokens)
+    per document inside one expression; for web-scale documents
+    (10^3-10^4 tokens) that stays sub-millisecond per row.
+    """
+    base = docs.select(
+        "doc_id",
+        *[
+            F.expr(e).alias(k)
+            for k, e in _repetition_exprs(SPARK, text_col).items()
+        ],
+    )
+    return base.select(
+        "*", *[F.expr(e).alias(k) for k, e in _REPETITION_FLAGS.items()]
+    ).withColumn(
+        "repetitive",
+        (F.col("dup_bigram_flag") + F.col("top_token_flag") > 0).cast("long"),
+    )
+
+
+def repetition_profile_oracle(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    inner = ",\n  ".join(
+        f"{e} AS {k}" for k, e in _repetition_exprs(DUCK, text_col).items()
+    )
+    flags = ",\n  ".join(f"{e} AS {k}" for k, e in _REPETITION_FLAGS.items())
+    return f"""
+        WITH base AS (SELECT doc_id, {inner} FROM {table}),
+        flagged AS (SELECT base.*, {flags} FROM base)
+        SELECT flagged.*,
+               CAST(CASE WHEN dup_bigram_flag + top_token_flag > 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+        FROM flagged
+    """
+
+
+# --------------------------------------------------------------------------
+# domain-mixture reweighting
+# --------------------------------------------------------------------------
+
+MIX_WEIGHT_CLASSES = 4  # per-source weight ∈ [1, MIX_WEIGHT_CLASSES]
+
+
+def _source_weight_expr(d: Dialect, source: str = "source") -> str:
+    """Deterministic target weight per source, 1..4 — stands in for the
+    externally-supplied mixture table (DoReMi weights, hand-tuned
+    up/down-sampling); with a real table, broadcast-join it instead."""
+    return f"(1 + ({d.hash32(source)} % {MIX_WEIGHT_CLASSES}))"
+
+
+def mixture_reweight_summary(
+    docs: DataFrame, source_col: str = "source"
+) -> DataFrame:
+    """Resample the corpus to target per-source mixture weights
+    (Pile/DoReMi-style): source ``s`` with weight ``w_s`` should
+    contribute proportionally ``w_s`` docs. The achievable scale is set
+    by the most-constrained source: C = min_s(n_s div w_s), target_s =
+    w_s · C — downsampling only, never duplication. Selection is the
+    deterministic per-source hash-rank prefix, so re-runs and engines
+    pick identical documents.
+
+    Returns one row per source: (source, n_docs, weight, target_n,
+    kept_n).
+
+    Scale shape: per-source counts are a tiny aggregate (|sources| rows)
+    → computed once, min-folded, and broadcast back; document selection
+    is a rank-prefix per source, which Spark plans as WindowGroupLimit —
+    the top-``target`` rows are truncated map-side BEFORE the single
+    shuffle, so the exchange carries ≈ Σ target_s rows per partition,
+    not the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    d = SPARK
+    weight = F.expr(_source_weight_expr(d, source_col)).cast("long")
+    counts = (
+        docs.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("weight", weight)
+    )
+    # min-fold over the |sources|-row frame as an unpartitioned window:
+    # the frame is tiny by construction (mixture tables have tens of
+    # entries), so the single-partition exchange carries |sources| rows
+    # — and it keeps the plan free of scalar crossJoins (fleet audit).
+    targets = counts.withColumn(
+        "c", F.min(F.expr("n_docs div weight")).over(W.partitionBy())
+    ).select(
+        source_col,
+        "n_docs",
+        "weight",
+        (F.col("weight") * F.col("c")).alias("target_n"),
+    )
+    rank_key = F.expr(hash_bucket_sql("doc_id", 1_000_000_007))
+    wspec = W.partitionBy(source_col).orderBy(rank_key.asc(), F.col("doc_id").asc())
+    kept = (
+        docs.select(source_col, "doc_id")
+        .join(F.broadcast(targets.select(source_col, "target_n")), source_col)
+        .withColumn("rn", F.row_number().over(wspec))
+        .filter(F.col("rn") <= F.col("target_n"))
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("kept_n"))
+    )
+    return targets.join(kept, source_col, "left").select(
+        source_col,
+        "n_docs",
+        "weight",
+        "target_n",
+        F.coalesce("kept_n", F.lit(0)).cast("long").alias("kept_n"),
+    )
+
+
+def mixture_reweight_summary_oracle(
+    table: str = "documents", source_col: str = "source"
+) -> str:
+    d = DUCK
+    rank_key = hash_bucket_sql("doc_id", 1_000_000_007)
+    return f"""
+        WITH counts AS (
+            SELECT {source_col}, COUNT(*) AS n_docs,
+                   CAST({_source_weight_expr(d, source_col)} AS BIGINT) AS weight
+            FROM {table}
+            GROUP BY {source_col}
+        ),
+        c AS (SELECT MIN(n_docs // weight) AS c FROM counts),
+        targets AS (
+            SELECT {source_col}, n_docs, weight, weight * c.c AS target_n
+            FROM counts, c
+        ),
+        ranked AS (
+            SELECT t.{source_col}, t.target_n,
+                   ROW_NUMBER() OVER (PARTITION BY t.{source_col}
+                       ORDER BY {rank_key} ASC, doc_id ASC) AS rn
+            FROM {table} t2 JOIN targets t USING ({source_col})
+        ),
+        kept AS (
+            SELECT {source_col}, COUNT(*) AS kept_n
+            FROM ranked WHERE rn <= target_n
+            GROUP BY {source_col}
+        )
+        SELECT t.{source_col}, t.n_docs, t.weight, t.target_n,
+               CAST(COALESCE(k.kept_n, 0) AS BIGINT) AS kept_n
+        FROM targets t LEFT JOIN kept k USING ({source_col})
+    """
