@@ -3117,6 +3117,20 @@ def corpus_mixture_q(spark, sf_dir):
     return _cx.mixture_reweight_summary(load_table(spark, sf_dir, "documents"))
 
 
+from uwheel_datafusion_spark.operators import linalg as _la
+
+
+@gate("embedding_gram_upper", _la.gram_matrix_oracle())
+def embedding_gram_q(spark, sf_dir):
+    """Exact distributed gram matrix (Xᵀ X, upper triangle) over
+    quantized embeddings — the sufficient statistic for PCA/whitening.
+    Map-side expand + partial agg: the one shuffle carries
+    O(partitions · d²) pre-combined rows, independent of corpus size;
+    the numpy mapInPandas twin for large d is pinned bit-identical in
+    tests/test_linalg.py."""
+    return _la.gram_matrix(load_table(spark, sf_dir, "embeddings"))
+
+
 #: hot-key derivation for the MG-sketch gate: half the rows collapse
 #: onto key 0 (the fixtures are uniform — no natural heavy hitter
 #: exists at any scale — so the gate manufactures one determinis-
@@ -3980,8 +3994,9 @@ def router_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # anomaly_hourly_count_3sigma, anomaly_keyed_hourly_3sigma,
 # wheel_backfill_day, corpus_decontaminate_eval,
 # corpus_pack_256_summary, corpus_repetition_profile,
-# corpus_mixture_reweight. That is ~33 queries; fill the rest of the
-# round-5 window with canaries from the r03/r04-proven sets.
+# corpus_mixture_reweight, embedding_gram_upper. That is ~34 queries;
+# fill the rest of the round-5 window with canaries from the
+# r03/r04-proven sets.
 _DRIVER_WINDOW_R3 = [
     # µWheel core (reference parity: E1/E2/E3, A4-A8, gapfill, keyed)
     "wheel_range_minute_aligned",
