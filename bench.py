@@ -487,6 +487,11 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         "funnel_view_click_purchase_30m",
         "overlap_join_userday_error_windows",
         "router_topk_users_day",
+        "corpus_decontaminate_eval",
+        "corpus_pack_256_summary",
+        "corpus_repetition_profile",
+        "corpus_mixture_reweight",
+        "embedding_gram_upper",
     )
     for name in headline:
         if name not in REGISTRY:
