@@ -195,3 +195,41 @@ def test_mixture_selects_stable_hash_prefix(spark):
         return sorted(r["doc_id"] for r in picked.collect())
 
     assert kept_ids(df1) == kept_ids(df8)
+
+
+# --------------------------------------------------------------------------
+# canonicalization (quality-aware keep)
+# --------------------------------------------------------------------------
+
+
+def test_canonicalize_keeps_longest_not_min_id(spark):
+    from uwheel_datafusion_spark.operators import dedup as dd
+
+    # component {1, 2, 3} where doc 2 is LONGEST; doc 9 outside the graph
+    rows = [
+        (1, "a b", "en", "s", 30),
+        (2, "a b c", "en", "s", 90),
+        (3, "a b d", "en", "s", 30),
+        (9, "zzz", "en", "s", 5),
+    ]
+    docs = _docs(spark, rows)
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    out = {r["doc_id"]: r for r in dd.canonicalize(docs, pairs).collect()}
+    assert set(out) == {1, 2, 3, 9}
+    assert all(out[i]["component"] == 1 for i in (1, 2, 3))
+    # quality-aware: longest (doc 2) is canonical, NOT min-id (doc 1)
+    assert all(out[i]["canonical_id"] == 2 for i in (1, 2, 3))
+    assert [out[i]["keep"] for i in (1, 2, 3)] == [0, 1, 0]
+    # outside the graph: own component, kept
+    assert (out[9]["component"], out[9]["canonical_id"], out[9]["keep"]) == (9, 9, 1)
+
+
+def test_canonicalize_tie_breaks_on_min_doc_id(spark):
+    from uwheel_datafusion_spark.operators import dedup as dd
+
+    rows = [(5, "x y", "en", "s", 40), (7, "x z", "en", "s", 40)]
+    docs = _docs(spark, rows)
+    pairs = spark.createDataFrame([(5, 7)], "doc_a long, doc_b long")
+    out = {r["doc_id"]: r for r in dd.canonicalize(docs, pairs).collect()}
+    assert out[5]["canonical_id"] == 5 and out[5]["keep"] == 1
+    assert out[7]["canonical_id"] == 5 and out[7]["keep"] == 0

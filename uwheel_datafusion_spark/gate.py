@@ -2994,6 +2994,7 @@ def dedup_winnow_shared_pairs_q(spark, sf_dir):
 
 from uwheel_datafusion_spark.operators import rangejoin as _rj
 from uwheel_datafusion_spark.operators import sampling as _sp
+from uwheel_datafusion_spark.operators.sampling import hash_bucket_sql
 from uwheel_datafusion_spark.operators import skew as _sk
 
 
@@ -3673,6 +3674,71 @@ def pipeline_neardup_corpus(spark, sf_dir):
     )
 
 
+@gate(
+    "dedup_canonical_keep_list",
+    _dd.canonicalize_oracle(_NEARDUP_PAIRS_SQL),
+)
+def dedup_canonicalize_q(spark, sf_dir):
+    """The dedup END decision table: (doc_id, component, canonical_id,
+    keep) with a QUALITY-aware canonical (longest member wins, min-id
+    tie-break) — unlike the min-id convention, the cluster's best
+    content survives. Component labels broadcast onto the corpus; the
+    argmax groupBy runs over labeled rows only."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dd.simhash_near_pairs(docs)
+    return _dd.canonicalize(docs, pairs)
+
+
+_PRETRAIN_EVAL_LO = _cx.DECON_EVAL_LO
+
+
+@gate(
+    "pipeline_pretraining_pack",
+    f"""
+    WITH profile AS ({_tx.text_profile_oracle()}),
+    canonical AS (
+        SELECT MIN(doc_id) AS keep_doc_id
+        FROM documents GROUP BY md5(text)
+    ),
+    contaminated AS (
+        SELECT doc_id FROM ({_cx.decontaminate_oracle()}) WHERE contaminated = 1
+    ),
+    clean AS (
+        SELECT d.doc_id, d.text
+        FROM documents d
+        JOIN canonical c ON d.doc_id = c.keep_doc_id
+        JOIN profile p ON p.doc_id = d.doc_id AND p.quality_ok = 1
+        WHERE {hash_bucket_sql('d.doc_id', _cx.DECON_BUCKETS)} < {_PRETRAIN_EVAL_LO}
+          AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    {_cx.pack_chunks_summary_oracle(table="clean")}
+    """,
+)
+def pipeline_pretraining_pack(spark, sf_dir):
+    """The FULL pretraining prep chain ending in packed sequences:
+    quality-filter (map-only) ∘ drop the eval holdout (map-only hash
+    filter) ∘ exact-dedup keep-canonical (digest shuffle + broadcast
+    semi join) ∘ drop contaminated docs (broadcast ANTI join — the
+    contaminated list is small by nature) ∘ concat-and-chunk packing
+    (per-bucket window). Two corpus shuffles total (digest, pack
+    window); everything else broadcasts or stays map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = _dd.exact_dup_groups(docs).select("keep_doc_id")
+    bucket = F.expr(hash_bucket_sql("doc_id", _cx.DECON_BUCKETS))
+    dirty = (
+        _cx.decontaminate(docs)
+        .filter(F.col("contaminated") == 1)
+        .select("doc_id")
+    )
+    clean = (
+        _tx.quality_filter(docs)
+        .filter(bucket < _PRETRAIN_EVAL_LO)
+        .join(F.broadcast(keep), F.col("doc_id") == F.col("keep_doc_id"), "left_semi")
+        .join(F.broadcast(dirty), "doc_id", "left_anti")
+    )
+    return _cx.pack_chunks_summary(clean)
+
+
 @gate("multimodal_decode_stub", _mm.decode_stub_oracle())
 def multimodal_q(spark, sf_dir):
     return _mm.decode_stub_pipeline(load_table(spark, sf_dir, "documents"))
@@ -3994,8 +4060,9 @@ def router_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # anomaly_hourly_count_3sigma, anomaly_keyed_hourly_3sigma,
 # wheel_backfill_day, corpus_decontaminate_eval,
 # corpus_pack_256_summary, corpus_repetition_profile,
-# corpus_mixture_reweight, embedding_gram_upper. That is ~34 queries;
-# fill the rest of the round-5 window with canaries from the
+# corpus_mixture_reweight, embedding_gram_upper,
+# dedup_canonical_keep_list, pipeline_pretraining_pack. That is ~36
+# queries; fill the rest of the round-5 window with canaries from the
 # r03/r04-proven sets.
 _DRIVER_WINDOW_R3 = [
     # µWheel core (reference parity: E1/E2/E3, A4-A8, gapfill, keyed)

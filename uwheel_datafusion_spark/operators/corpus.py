@@ -224,27 +224,27 @@ def pack_chunks_summary_oracle(
     budget: int = PACK_BUDGET,
     buckets: int = PACK_BUCKETS,
 ) -> str:
+    # nested subqueries, not CTEs, so the oracle composes inside a
+    # caller's WITH chain (pipeline_pretraining_pack wraps it)
     d = DUCK
     bucket = hash_bucket_sql("doc_id", buckets)
     return f"""
-        WITH per_doc AS (
-            SELECT CAST({bucket} AS BIGINT) AS bucket, doc_id,
-                   {_ntokens_expr(d, text_col)} AS n_tokens
-            FROM {table}
-        ),
-        cum AS (
-            SELECT bucket, doc_id, n_tokens,
-                   SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-            FROM per_doc
-        )
         SELECT bucket,
                COUNT(*) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                CAST((SUM(n_tokens) + {budget} - 1) // {budget} AS BIGINT) AS n_packs,
                CAST(SUM(CASE WHEN (cum - 1) // {budget} > (cum - n_tokens) // {budget}
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
-        FROM cum
+        FROM (
+            SELECT bucket, doc_id, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM (
+                SELECT CAST({bucket} AS BIGINT) AS bucket, doc_id,
+                       {_ntokens_expr(d, text_col)} AS n_tokens
+                FROM {table}
+            )
+        )
         GROUP BY bucket
     """
 

@@ -618,3 +618,69 @@ def connected_components_oracle(pairs_sql: str) -> str:
         SELECT doc AS doc_id, MIN(label) AS component
         FROM reach GROUP BY doc
     """
+
+
+# --------------------------------------------------------------------------
+# cluster canonicalization (quality-aware keep/drop decision)
+# --------------------------------------------------------------------------
+
+#: deterministic canonical ordering: longer doc wins, ties broken by
+#: smaller doc_id — encoded as ONE bigint so DuckDB's arg_max can order
+#: by it (same encode-to-bigint trick as gate._ARGMAX_ORD_SQL; assumes
+#: doc_id < 2^22, true through sf0.1 — the pure-Spark scale path is
+#: max_by(doc_id, struct(n_chars, -doc_id)) with no encoding limit).
+_CANON_ORD_SQL = "(n_chars * 4194304 - doc_id)"
+
+
+def canonicalize(
+    docs: DataFrame, pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """The dedup END decision: every document gets (component,
+    canonical_id, keep). Near-dup pairs → connected components →
+    quality-aware canonical per component (longest doc, not min-id —
+    production pipelines keep the best member, the min-id convention
+    throws away content); docs outside the pair graph are their own
+    canonical and always kept.
+
+    Scale shape: component labels are one row per clustered doc (tiny
+    vs corpus) → broadcast onto the corpus; the canonical argmax is a
+    groupBy over the labeled subset only; final join back is keyed on
+    component. No corpus-wide shuffle beyond what CC itself does."""
+    comp = connected_components(pairs, a_col, b_col)
+    labeled = (
+        docs.select("doc_id", "n_chars")
+        .join(F.broadcast(comp), "doc_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+        .withColumn("ord", F.expr(_CANON_ORD_SQL))
+    )
+    canon = labeled.groupBy("component").agg(
+        F.expr("max_by(doc_id, ord)").alias("canonical_id")
+    )
+    return (
+        labeled.join(canon, "component")
+        .select(
+            "doc_id",
+            "component",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).cast("long").alias("keep"),
+        )
+    )
+
+
+def canonicalize_oracle(pairs_sql: str, table: str = "documents") -> str:
+    return f"""
+        WITH comp_t AS ({connected_components_oracle(pairs_sql)}),
+        labeled AS (
+            SELECT d.doc_id, d.n_chars,
+                   COALESCE(c.component, d.doc_id) AS component
+            FROM {table} d LEFT JOIN comp_t c ON c.doc_id = d.doc_id
+        ),
+        canon AS (
+            SELECT component, arg_max(doc_id, {_CANON_ORD_SQL}) AS canonical_id
+            FROM labeled GROUP BY component
+        )
+        SELECT l.doc_id, l.component, cn.canonical_id,
+               CAST(CASE WHEN l.doc_id = cn.canonical_id THEN 1 ELSE 0 END
+                    AS BIGINT) AS keep
+        FROM labeled l JOIN canon cn USING (component)
+    """
