@@ -236,6 +236,53 @@ def test_week_unaligned_falls_back(router):
     assert "aligned" in router.last_decision.reason
 
 
+def test_month_rollup_route_and_values(router):
+    """Calendar-month GROUP BY folds the day rollup onto month starts
+    and matches the full scan (the events fixture spans one month, so
+    exactly one bucket)."""
+    s = to_epoch_ms(datetime(2024, 1, 1))
+    e = to_epoch_ms(datetime(2024, 2, 1))
+    df = router.sql(
+        f"SELECT date_trunc('month', ts) AS b, SUM(value) AS sv, COUNT(*) AS c "
+        f"FROM events WHERE ts >= '{ms_to_ts_literal(s)}' "
+        f"AND ts < '{ms_to_ts_literal(e)}' GROUP BY 1"
+    )
+    d = router.last_decision
+    assert d.path == "rollup" and d.granularity == "month", d
+    rows = df.collect()
+    assert len(rows) == 1
+    truth = _scan_truth(router.spark, s, e)
+    assert rows[0]["sv"] == truth["sm"] / QUANT_SCALE
+    assert rows[0]["c"] == truth["c"]
+    assert rows[0]["b"].month == 1 and rows[0]["b"].day == 1
+
+
+def test_month_midmonth_endpoint_falls_back(router):
+    """A mid-month endpoint is not month-aligned: route to sql."""
+    s = to_epoch_ms(datetime(2024, 1, 1))
+    e = to_epoch_ms(datetime(2024, 1, 15))
+    router.sql(
+        f"SELECT date_trunc('month', ts) AS b, SUM(value) AS sv "
+        f"FROM events WHERE ts >= '{ms_to_ts_literal(s)}' "
+        f"AND ts < '{ms_to_ts_literal(e)}' GROUP BY 1"
+    )
+    assert router.last_decision.path == "sql"
+    assert "aligned" in router.last_decision.reason
+
+
+def test_year_needs_jan1_not_just_day1(router):
+    """Feb 1 is month-aligned but NOT year-aligned: year falls back."""
+    s = to_epoch_ms(datetime(2024, 1, 1))
+    e = to_epoch_ms(datetime(2024, 2, 1))
+    router.sql(
+        f"SELECT date_trunc('year', ts) AS b, SUM(value) AS sv "
+        f"FROM events WHERE ts >= '{ms_to_ts_literal(s)}' "
+        f"AND ts < '{ms_to_ts_literal(e)}' GROUP BY 1"
+    )
+    assert router.last_decision.path == "sql"
+    assert "aligned" in router.last_decision.reason
+
+
 def test_keyed_rollup_route_and_fallbacks(spark, sf_smoke, router):
     """GROUP BY key + date_trunc routes to the keyed rollup and
     matches the scan; wrong key or unaligned range falls back."""

@@ -4028,6 +4028,96 @@ def router_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_router(spark: SparkSession, sf_dir: str):
+    from uwheel_datafusion_spark.plans.sql_router import WheelSqlRouter
+
+    idx = orders_wheel(spark, sf_dir)
+    register_tables(spark, sf_dir, ("orders",))
+    r = WheelSqlRouter(spark)
+    r.register_index("orders", "o_orderdate", "o_totalprice", idx)
+    return r
+
+
+#: calendar-aligned spans on the 7-year orders index
+MONTH_RANGE = (
+    to_epoch_ms(datetime(1996, 1, 1)),
+    to_epoch_ms(datetime(1997, 1, 1)),
+)
+YEAR_RANGE = (
+    to_epoch_ms(datetime(1996, 1, 1)),
+    to_epoch_ms(datetime(2000, 1, 1)),
+)
+
+
+@gate(
+    "router_month_rollup",
+    f"""
+    SELECT epoch_ms(date_trunc('month', o_orderdate)) AS bucket_ms,
+           {_s('o_totalprice')} AS sum_value,
+           COUNT(*) AS cnt
+    FROM orders
+    WHERE o_orderdate >= {_ts_lit(MONTH_RANGE[0])}
+      AND o_orderdate < {_ts_lit(MONTH_RANGE[1])}
+    GROUP BY 1
+    """,
+)
+def router_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY date_trunc('month', ts) — calendar-varying bucket
+    widths, which fixed-width wheel slots cannot hold directly — is
+    rewritten onto the DAY rollup with a calendar re-aggregation
+    (≤ 31 day-partials fold into each month row; the 1996 fact rows
+    are never scanned). Same fold pattern as the Monday-week path."""
+    from uwheel_datafusion_spark.functions.time import ms_to_ts_literal, ts_to_ms
+
+    r = _orders_router(spark, sf_dir)
+    s, e = MONTH_RANGE
+    df = r.sql(
+        f"SELECT date_trunc('month', o_orderdate) AS b, "
+        f"SUM(o_totalprice) AS sum_value, COUNT(*) AS cnt FROM orders "
+        f"WHERE o_orderdate >= '{ms_to_ts_literal(s)}' "
+        f"AND o_orderdate < '{ms_to_ts_literal(e)}' GROUP BY 1"
+    )
+    d = r.last_decision
+    assert d.path == "rollup" and d.granularity == "month", d
+    return df.select(
+        ts_to_ms(F.col("b")).alias("bucket_ms"), "sum_value", "cnt"
+    )
+
+
+@gate(
+    "router_year_rollup",
+    f"""
+    SELECT epoch_ms(date_trunc('year', o_orderdate)) AS bucket_ms,
+           {_s('o_totalprice')} AS sum_value,
+           COUNT(*) AS cnt
+    FROM orders
+    WHERE o_orderdate >= {_ts_lit(YEAR_RANGE[0])}
+      AND o_orderdate < {_ts_lit(YEAR_RANGE[1])}
+    GROUP BY 1
+    """,
+)
+def router_year_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY date_trunc('year', ts) over four years of orders,
+    served by folding ≤ 366 day-partials per year row from the day
+    rollup — the coarsest calendar re-aggregation; the fact table is
+    never scanned."""
+    from uwheel_datafusion_spark.functions.time import ms_to_ts_literal, ts_to_ms
+
+    r = _orders_router(spark, sf_dir)
+    s, e = YEAR_RANGE
+    df = r.sql(
+        f"SELECT date_trunc('year', o_orderdate) AS b, "
+        f"SUM(o_totalprice) AS sum_value, COUNT(*) AS cnt FROM orders "
+        f"WHERE o_orderdate >= '{ms_to_ts_literal(s)}' "
+        f"AND o_orderdate < '{ms_to_ts_literal(e)}' GROUP BY 1"
+    )
+    d = r.last_decision
+    assert d.path == "rollup" and d.granularity == "year", d
+    return df.select(
+        ts_to_ms(F.col("b")).alias("bucket_ms"), "sum_value", "cnt"
+    )
+
+
 # --------------------------------------------------------------------------
 # driver evaluation window
 # --------------------------------------------------------------------------
@@ -4061,8 +4151,9 @@ def router_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # wheel_backfill_day, corpus_decontaminate_eval,
 # corpus_pack_256_summary, corpus_repetition_profile,
 # corpus_mixture_reweight, embedding_gram_upper,
-# dedup_canonical_keep_list, pipeline_pretraining_pack. That is ~36
-# queries; fill the rest of the round-5 window with canaries from the
+# dedup_canonical_keep_list, pipeline_pretraining_pack,
+# router_month_rollup, router_year_rollup. That is ~38 queries; fill
+# the rest of the round-5 window with canaries from the
 # r03/r04-proven sets.
 _DRIVER_WINDOW_R3 = [
     # µWheel core (reference parity: E1/E2/E3, A4-A8, gapfill, keyed)

@@ -66,9 +66,12 @@ _ITEM_PATTERN = re.compile(
 #: slots are 7-day epoch-aligned (Thursday-anchored), so week queries
 #: are served by re-aggregating the DAY rollup onto Monday-aligned
 #: 7-day buckets — still never the fact scan (≤ 7 day-rows fold into
-#: each week row).
+#: each week row). Month/year buckets are calendar-varying widths, so
+#: they likewise fold from the DAY rollup (day slots nest exactly in
+#: calendar months under the UTC session tz; ≤ 31/366 day-rows fold
+#: into each month/year row).
 _GROUP_PATTERN = re.compile(
-    r"^\s*SELECT\s+DATE_TRUNC\s*\(\s*'(?P<gran>minute|hour|day|week)'\s*,\s*"
+    r"^\s*SELECT\s+DATE_TRUNC\s*\(\s*'(?P<gran>minute|hour|day|week|month|year)'\s*,\s*"
     r"(?P<ts0>\w+)\s*\)\s*(?:AS\s+(?P<balias>\w+)\s*)?,\s*"
     r"(?P<items>" + _AGG_ITEM + r"(?:\s*,\s*" + _AGG_ITEM + r")*)\s+"
     r"FROM\s+(?P<table>\w+)\s+"
@@ -338,8 +341,9 @@ class WheelSqlRouter:
             ts_col,
         ):
             return RouteDecision("sql", "GROUP BY key is not the bucket expression")
-        # Monday-based weeks fold from the day rollup (see _serve_rollup)
-        base_rollup = "day" if gran == "week" else gran
+        # Monday weeks / calendar months / years fold from the day
+        # rollup (see _serve_rollup)
+        base_rollup = "day" if gran in ("week", "month", "year") else gran
         if base_rollup not in index.rollups:
             return RouteDecision("sql", f"no {base_rollup} rollup in the index")
         items: list[tuple[str, str]] = []
@@ -355,15 +359,37 @@ class WheelSqlRouter:
         e = _parse_ts_literal(m["end"])
         if s is None or e is None:
             return RouteDecision("sql", "unparseable timestamp literal")
-        g_ms = GRANULARITY_MS[gran]
-        # week buckets are Monday-anchored (date_trunc semantics), so
-        # the alignment check shifts by the epoch→Monday offset
-        off = MONDAY_EPOCH_OFFSET_MS if gran == "week" else 0
-        if (s - off) % g_ms or (e - off) % g_ms:
-            return RouteDecision(
-                "sql",
-                f"endpoints not {gran}-aligned (edge buckets would be partial)",
-            )
+        if gran in ("month", "year"):
+            # calendar-varying widths: check alignment on the calendar,
+            # not a fixed modulus (UTC — the engine's session tz)
+            from datetime import datetime, timezone
+
+            for t in (s, e):
+                dt = datetime.fromtimestamp(t / 1000, tz=timezone.utc)
+                aligned = (
+                    t % 1000 == 0
+                    and dt.day == 1
+                    and dt.hour == 0
+                    and dt.minute == 0
+                    and dt.second == 0
+                    and (gran == "month" or dt.month == 1)
+                )
+                if not aligned:
+                    return RouteDecision(
+                        "sql",
+                        f"endpoints not {gran}-aligned "
+                        "(edge buckets would be partial)",
+                    )
+        else:
+            g_ms = GRANULARITY_MS[gran]
+            # week buckets are Monday-anchored (date_trunc semantics), so
+            # the alignment check shifts by the epoch→Monday offset
+            off = MONDAY_EPOCH_OFFSET_MS if gran == "week" else 0
+            if (s - off) % g_ms or (e - off) % g_ms:
+                return RouteDecision(
+                    "sql",
+                    f"endpoints not {gran}-aligned (edge buckets would be partial)",
+                )
         if s < index.watermark_ms or e > index.advanced_ms:
             return RouteDecision("sql", "range outside the indexed horizon")
         return RouteDecision(
@@ -371,7 +397,11 @@ class WheelSqlRouter:
             (
                 "rewritten onto day rollup (Monday-week re-aggregation)"
                 if gran == "week"
-                else f"rewritten onto {gran} rollup table"
+                else (
+                    f"rewritten onto day rollup (calendar {gran} re-aggregation)"
+                    if gran in ("month", "year")
+                    else f"rewritten onto {gran} rollup table"
+                )
             ),
             table,
             items[0][0],
@@ -737,6 +767,26 @@ class WheelSqlRouter:
             r = (
                 day.filter(_bucket_range_pred(day, s, e))
                 .groupBy(week_start.alias("bucket_ms"))
+                .agg(
+                    F.sum("sum_micros").alias("sum_micros"),
+                    F.sum("cnt").alias("cnt"),
+                    F.min("min_value").alias("min_value"),
+                    F.max("max_value").alias("max_value"),
+                )
+            )
+        elif d.granularity in ("month", "year"):
+            # calendar buckets: day slots nest exactly in UTC calendar
+            # months/years, so ≤ 31/366 day-partials fold per bucket —
+            # a partial merge, never a fact-table scan
+            day = index.rollups["day"]
+            bucket_start = F.unix_millis(
+                F.date_trunc(
+                    d.granularity, F.timestamp_millis(F.col("bucket_ms"))
+                )
+            ).cast("long")
+            r = (
+                day.filter(_bucket_range_pred(day, s, e))
+                .groupBy(bucket_start.alias("bucket_ms"))
                 .agg(
                     F.sum("sum_micros").alias("sum_micros"),
                     F.sum("cnt").alias("cnt"),
