@@ -605,3 +605,44 @@ def test_streaming_bottomk_equals_batch(spark, sf_smoke, stream_dir, tmp_path):
         (r["h"], r["key"]) for r in range_sample_df(batch, s, e, K).collect()
     ]
     assert got_sample == want_sample
+
+
+def test_streaming_ohlc_equals_batch(spark, sf_smoke, stream_dir, tmp_path):
+    """StreamingOHLCWheel: the ts-carrying candle partial maintained in
+    the streaming state store is BIT-IDENTICAL per minute bucket to the
+    batch build over the same rows (min_by/max_by associativity + the
+    fixed (ts, value) tie-break), and the cascade serves day candles
+    from the snapshot exactly as from the batch rollup."""
+    from uwheel_datafusion_spark.functions.time import DAY_MS
+    from uwheel_datafusion_spark.operators.ohlc import (
+        build_ohlc_rollup,
+        cascade_ohlc,
+    )
+    from uwheel_datafusion_spark.streaming.wheel_stream import StreamingOHLCWheel
+
+    ev = load_table(spark, sf_smoke, "events")
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .select("ts", "value")
+    )
+    sow = StreamingOHLCWheel(stream, "ts", "value", watermark_delay="31 days")
+    sow.start(str(tmp_path / "ckpt_ohlc"))
+    sow.process_available()
+    sow.stop()
+
+    snap = sow.snapshot_rollup(spark)
+    batch = build_ohlc_rollup(ev, "ts", "value", WM, ADV, cache=False)
+    cols = [
+        "bucket_ms", "open_ts_ms", "open", "high", "low",
+        "close_ts_ms", "close", "cnt",
+    ]
+    got = {tuple(r) for r in snap.select(*cols).collect()}
+    want = {tuple(r) for r in batch.select(*cols).collect()}
+    assert got == want and len(want) > 0
+
+    day_s = {tuple(r) for r in cascade_ohlc(snap, DAY_MS).select(*cols).collect()}
+    day_b = {tuple(r) for r in cascade_ohlc(batch, DAY_MS).select(*cols).collect()}
+    assert day_s == day_b and len(day_b) > 0

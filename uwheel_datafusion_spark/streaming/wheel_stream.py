@@ -287,6 +287,103 @@ class StreamingBottomKWheel:
         return spark.createDataFrame(rows, "bucket_ms long, key long, h long")
 
 
+class StreamingOHLCWheel:
+    """Streaming maintenance of the OHLC candle rollup
+    (operators/ohlc is the batch side) — the aggregator whose partial
+    CARRIES ITS OWN TIMESTAMP: open/close don't combine by sum, the
+    state must remember when each value occurred. ``min_by``/``max_by``
+    over the (ts, value) key are declarative aggregates, so the
+    streaming windowed aggregation maintains the running candle
+    per minute window in the state store directly; update mode emits
+    each touched window's CURRENT candle, so the sink upsert (replace
+    by bucket) is idempotent. Combine associativity + the fixed
+    (ts, value) tie-break make the maintained candles bit-identical to
+    a batch build over the same rows (pinned in tests/test_streaming).
+
+    At scale the sink MERGEs into a Delta/Iceberg rollup keyed on
+    bucket_ms; serving (range_ohlc_df / cascade_ohlc /
+    m4_downsample_df) is identical either way."""
+
+    def __init__(
+        self,
+        stream_df: DataFrame,
+        ts_col: str,
+        value_col: str,
+        watermark_delay: str = "1 hour",
+    ) -> None:
+        #: bucket_ms → (open_ts_ms, open, high, low, close_ts_ms, close, cnt)
+        self.slots: dict[int, tuple] = {}
+        ms = ts_to_ms(F.col(ts_col))
+        v = F.col(value_col).cast("double")
+        key = F.struct(ms.alias("t"), v.alias("v"))
+        self._agg = (
+            ensure_event_time(stream_df, ts_col)
+            .withWatermark(ts_col, watermark_delay)
+            .select(
+                F.col(ts_col),
+                ms.alias("ts_ms"),
+                v.alias("value"),
+                key.alias("k"),
+            )
+            .groupBy(F.window(ts_col, "1 minute").alias("w"))
+            .agg(
+                F.min_by(F.col("ts_ms"), F.col("k")).alias("open_ts_ms"),
+                F.min_by(F.col("value"), F.col("k")).alias("open"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                F.max_by(F.col("ts_ms"), F.col("k")).alias("close_ts_ms"),
+                F.max_by(F.col("value"), F.col("k")).alias("close"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .select(ts_to_ms(F.col("w.start")).alias("bucket_ms"), "*")
+            .drop("w")
+        )
+        self._query = None
+
+    def start(self, checkpoint_dir: str):
+        slots = self.slots
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            for r in batch_df.collect():
+                slots[r["bucket_ms"]] = (
+                    r["open_ts_ms"],
+                    r["open"],
+                    r["high"],
+                    r["low"],
+                    r["close_ts_ms"],
+                    r["close"],
+                    r["cnt"],
+                )
+
+        self._query = (
+            self._agg.writeStream.outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(sink)
+            .start()
+        )
+        return self._query
+
+    def process_available(self) -> None:
+        assert self._query is not None, "call start() first"
+        self._query.processAllAvailable()
+
+    def stop(self) -> None:
+        if self._query is not None:
+            self._query.stop()
+            self._query = None
+
+    def snapshot_rollup(self, spark) -> DataFrame:
+        """Freeze the maintained candles into the same partial frame
+        build_ohlc_rollup produces — ready for range_ohlc_df /
+        cascade_ohlc / m4_downsample_df / rollup_io.save_rollup."""
+        rows = [(b, *p) for b, p in self.slots.items()]
+        return spark.createDataFrame(
+            rows,
+            "bucket_ms long, open_ts_ms long, open double, high double, "
+            "low double, close_ts_ms long, close double, cnt long",
+        )
+
+
 class StreamingWheel:
     """Maintain the minute rollup from a streaming source — unkeyed, or
     per-series when ``key_col`` is given (the streaming twin of
