@@ -646,3 +646,40 @@ def test_streaming_ohlc_equals_batch(spark, sf_smoke, stream_dir, tmp_path):
     day_s = {tuple(r) for r in cascade_ohlc(snap, DAY_MS).select(*cols).collect()}
     day_b = {tuple(r) for r in cascade_ohlc(batch, DAY_MS).select(*cols).collect()}
     assert day_s == day_b and len(day_b) > 0
+
+
+def test_streaming_histogram_equals_batch(spark, sf_smoke, stream_dir, tmp_path):
+    """StreamingHistogramWheel: the maintained (bucket, bin) counts are
+    bit-identical to the batch histogram build, and median serving from
+    the snapshot equals serving from the batch rollup."""
+    from uwheel_datafusion_spark.operators.quantile_rollup import (
+        build_histogram_rollup,
+        range_quantile_df,
+    )
+    from uwheel_datafusion_spark.streaming.wheel_stream import (
+        StreamingHistogramWheel,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .select("ts", "value")
+    )
+    shw = StreamingHistogramWheel(stream, "ts", "value", watermark_delay="31 days")
+    shw.start(str(tmp_path / "ckpt_hist"))
+    shw.process_available()
+    shw.stop()
+
+    snap = shw.snapshot_rollup(spark)
+    batch = build_histogram_rollup(ev, "ts", "value", WM, ADV, cache=False)
+    got = {(r["bucket_ms"], r["bin"]): r["cnt"] for r in snap.collect()}
+    want = {(r["bucket_ms"], r["bin"]): r["cnt"] for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+    s, e = WM, WM + 14 * 86_400_000
+    med_s = range_quantile_df(snap, s, e, 0.5).first()
+    med_b = range_quantile_df(batch, s, e, 0.5).first()
+    assert tuple(med_s) == tuple(med_b)

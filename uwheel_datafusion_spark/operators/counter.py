@@ -23,6 +23,16 @@ increase / elapsed-seconds over the observed extent.
 
 Scale shape: identical to TWA — one bucket-partitioned window + one
 groupBy to build; cascade/serving touch slot rows only.
+
+Streaming note (why there is NO StreamingCounterWheel, deliberately):
+the combine above is associative over TIME-ORDERED partials only —
+two partials of the SAME slot built from different micro-batches
+interleave in event time, and stitching them at one seam undercounts
+any reset that happened between interleaved samples. The families with
+order-free merges (sum/count/min/max, HLL, bottom-k, histogram, OHLC)
+stream via declarative state; counter/TWA instead extend by appending
+closed slots (`WheelIndex.extend`-style batch ingest), which is how
+PromQL-class TSDBs ingest counters too (append-only per-series order).
 """
 
 from __future__ import annotations

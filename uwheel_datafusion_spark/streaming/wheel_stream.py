@@ -287,6 +287,80 @@ class StreamingBottomKWheel:
         return spark.createDataFrame(rows, "bucket_ms long, key long, h long")
 
 
+class StreamingHistogramWheel:
+    """Streaming maintenance of the equi-width histogram rollup
+    (operators/quantile_rollup is the batch side) — the quantile
+    family's mergeable partial is a plain additive (bucket, bin) count,
+    so the streaming windowed aggregation is a COUNT keyed by
+    (window, bin); update mode emits each touched pair's current count
+    and the sink upsert (replace by (bucket, bin)) is idempotent.
+    Bit-identical to the batch build over the same rows (counts are
+    associative+commutative; binning is deterministic floor division) —
+    pinned in tests/test_streaming.
+
+    At scale the sink MERGEs into a Delta/Iceberg rollup keyed on
+    (bucket_ms, bin); serving (range_quantile_df / cascade_histogram)
+    is identical either way."""
+
+    def __init__(
+        self,
+        stream_df: DataFrame,
+        ts_col: str,
+        value_col: str,
+        watermark_delay: str = "1 hour",
+        bin_width: float = 1.0,
+    ) -> None:
+        self.slots: dict[tuple[int, int], int] = {}  # (bucket_ms, bin) → cnt
+        self._agg = (
+            ensure_event_time(stream_df, ts_col)
+            .withWatermark(ts_col, watermark_delay)
+            .select(
+                F.col(ts_col),
+                F.floor(F.col(value_col) / F.lit(bin_width))
+                .cast("long")
+                .alias("bin"),
+            )
+            .groupBy(F.window(ts_col, "1 minute").alias("w"), F.col("bin"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                ts_to_ms(F.col("w.start")).alias("bucket_ms"), "bin", "cnt"
+            )
+        )
+        self._query = None
+
+    def start(self, checkpoint_dir: str):
+        slots = self.slots
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            for r in batch_df.collect():
+                slots[(r["bucket_ms"], r["bin"])] = r["cnt"]
+
+        self._query = (
+            self._agg.writeStream.outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(sink)
+            .start()
+        )
+        return self._query
+
+    def process_available(self) -> None:
+        assert self._query is not None, "call start() first"
+        self._query.processAllAvailable()
+
+    def stop(self) -> None:
+        if self._query is not None:
+            self._query.stop()
+            self._query = None
+
+    def snapshot_rollup(self, spark) -> DataFrame:
+        """Freeze the maintained counts into the same
+        ``(bucket_ms, bin, cnt)`` frame build_histogram_rollup
+        produces — ready for range_quantile_df / cascade_histogram /
+        rollup_io.save_rollup."""
+        rows = [(b, bn, c) for (b, bn), c in self.slots.items()]
+        return spark.createDataFrame(rows, "bucket_ms long, bin long, cnt long")
+
+
 class StreamingOHLCWheel:
     """Streaming maintenance of the OHLC candle rollup
     (operators/ohlc is the batch side) — the aggregator whose partial
