@@ -683,3 +683,79 @@ def test_streaming_histogram_equals_batch(spark, sf_smoke, stream_dir, tmp_path)
     med_s = range_quantile_df(snap, s, e, 0.5).first()
     med_b = range_quantile_df(batch, s, e, 0.5).first()
     assert tuple(med_s) == tuple(med_b)
+
+
+def test_streaming_mg_verified_equals_truth(spark, sf_smoke, stream_dir, tmp_path):
+    """StreamingMGWheel: the streamed-and-merged MG sketch differs from
+    a single-pass build (error adds per merge) but (1) per-slot
+    lower/upper bounds still sandwich the true counts and (2) the
+    candidates→exact-verify serving contract returns EXACTLY the direct
+    GROUP BY/HAVING heavy hitters, with the merge budget covered by
+    cascade_levels=1 (time-ordered files touch each slot ≤ 2×)."""
+    from pyspark.sql import functions as F
+
+    from uwheel_datafusion_spark.functions.time import MINUTE_MS
+    from uwheel_datafusion_spark.operators.mgsketch import (
+        range_heavy_hitters_verified,
+    )
+    from uwheel_datafusion_spark.streaming.wheel_stream import StreamingMGWheel
+
+    key_sql = "CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id END"
+    m = 39
+    ev = load_table(spark, sf_smoke, "events")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .select("ts", "user_id")
+    )
+    smg = StreamingMGWheel(stream, "ts", key_sql, m=m)
+    smg.start(str(tmp_path / "ckpt_mg"))
+    smg.process_available()
+    smg.stop()
+    snap = smg.snapshot_rollup(spark)
+
+    # (1) sandwich invariant per (slot, kept key): served ≤ true ≤ served+bound
+    truth_slot = {
+        (r["bucket_ms"], r["key"]): r["cnt"]
+        for r in ev.select(
+            (
+                F.floor(
+                    F.unix_millis(F.col("ts").cast("timestamp")) / MINUTE_MS
+                ).cast("long") * MINUTE_MS
+            ).alias("bucket_ms"),
+            F.expr(key_sql).cast("long").alias("key"),
+        )
+        .groupBy("bucket_ms", "key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    rows = snap.collect()
+    assert rows
+    for r in rows:
+        t = truth_slot[(r["bucket_ms"], r["key"])]
+        assert r["cnt"] <= t <= r["cnt"] + r["bound"], (tuple(r), t)
+
+    # (2) exact verified heavy hitters over a 2-week range == direct truth
+    s, e = WM, WM + 14 * 86_400_000
+    got = {
+        (r["key"], r["cnt"])
+        for r in range_heavy_hitters_verified(
+            ev, "ts", F.expr(key_sql), snap, s, e,
+            m=m, count_frac_den=5, cascade_levels=1,
+        ).collect()
+    }
+    pred = (
+        (F.col("ts") >= F.timestamp_millis(F.lit(s)).cast("timestamp_ntz"))
+        & (F.col("ts") < F.timestamp_millis(F.lit(e)).cast("timestamp_ntz"))
+    )
+    d = ev.filter(pred).select(F.expr(key_sql).cast("long").alias("key"))
+    n = d.count()
+    want = {
+        (r["key"], r["cnt"])
+        for r in d.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * 5 >= F.lit(n))
+        .collect()
+    }
+    assert got == want and len(want) > 0

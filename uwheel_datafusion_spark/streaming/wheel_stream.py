@@ -287,6 +287,116 @@ class StreamingBottomKWheel:
         return spark.createDataFrame(rows, "bucket_ms long, key long, h long")
 
 
+class StreamingMGWheel:
+    """Streaming maintenance of the Misra-Gries heavy-hitter rollup
+    (operators/mgsketch is the batch side), by the mergeable-summaries
+    composition (Agarwal et al., PODS'12): each micro-batch truncates
+    its OWN per-slot counts to an MG summary (≤ m rows + bound) on the
+    cluster, and the sink merges same-slot summaries driver-side — sum
+    per-key counts, add bounds, re-truncate to top-m (which adds the
+    (m+1)-th merged count to the bound). Error ADDS per merge, so the
+    maintained sketch is not bit-identical to a single-pass batch build
+    — but the lower/upper-bound invariant survives every merge, and the
+    candidates→exact-verify serving contract
+    (range_heavy_hitters_verified) stays provably complete as long as
+    the threshold exceeds the accumulated budget: with time-ordered
+    sources a slot is touched by ≤ 2 micro-batches (boundary slots),
+    so the budget multiplier is small and checkable (pinned in
+    tests/test_streaming).
+
+    At scale the sink MERGEs into a Delta/Iceberg rollup keyed on
+    (bucket_ms, key) with the same re-truncation; serving is identical
+    either way."""
+
+    def __init__(
+        self,
+        stream_df: DataFrame,
+        ts_col: str,
+        key_sql: str,
+        m: int,
+        slot_ms: int = MINUTE_MS,
+    ) -> None:
+        from uwheel_datafusion_spark.functions.time import bucket_ms
+
+        self.m = m
+        #: bucket_ms → ({key: cnt}, bound)
+        self.slots: dict[int, tuple[dict[int, int], int]] = {}
+        # NO streaming aggregation here: an update-mode streaming
+        # groupBy would emit CUMULATIVE counts per trigger and the MG
+        # merge needs per-batch DELTAS — the sink aggregates each
+        # micro-batch itself (the StreamingBottomKWheel pattern)
+        self._pairs = ensure_event_time(stream_df, ts_col).select(
+            bucket_ms(ts_to_ms(F.col(ts_col)), slot_ms).alias("bucket_ms"),
+            F.expr(key_sql).cast("long").alias("key"),
+        )
+        self._query = None
+
+    def _merge(self, bucket: int, new_counts: dict, new_bound: int) -> None:
+        cur_counts, cur_bound = self.slots.get(bucket, ({}, 0))
+        merged = dict(cur_counts)
+        for k, c in new_counts.items():
+            merged[k] = merged.get(k, 0) + c
+        bound = cur_bound + new_bound
+        # re-truncate to top-m (cnt desc, key asc — the batch tie-break)
+        ranked = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
+        if len(ranked) > self.m:
+            bound += ranked[self.m][1]  # the (m+1)-th merged count
+            ranked = ranked[: self.m]
+        self.slots[bucket] = (dict(ranked), bound)
+
+    def start(self, checkpoint_dir: str):
+        from uwheel_datafusion_spark.operators.mgsketch import _truncate_to_mg
+
+        m = self.m
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            # aggregate THIS batch's pairs, then cluster-side MG
+            # truncation: the collect is ≤ m rows per touched slot,
+            # never the batch's raw key set
+            counts_df = batch_df.groupBy("bucket_ms", "key").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            part = _truncate_to_mg(counts_df, m, F.lit(0))
+            per_slot: dict[int, tuple[dict, int]] = {}
+            for r in part.collect():
+                counts, _ = per_slot.setdefault(r["bucket_ms"], ({}, 0))
+                counts[r["key"]] = r["cnt"]
+                per_slot[r["bucket_ms"]] = (counts, r["bound"])
+            for bucket, (counts, bound) in per_slot.items():
+                self._merge(bucket, counts, bound)
+
+        self._query = (
+            self._pairs.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(sink)
+            .start()
+        )
+        return self._query
+
+    def process_available(self) -> None:
+        assert self._query is not None, "call start() first"
+        self._query.processAllAvailable()
+
+    def stop(self) -> None:
+        if self._query is not None:
+            self._query.stop()
+            self._query = None
+
+    def snapshot_rollup(self, spark) -> DataFrame:
+        """Freeze into the same ``(bucket_ms, key, cnt, bound)`` frame
+        build_mg_rollup produces (bound repeated per row) — ready for
+        range_hh_candidates / range_heavy_hitters_verified /
+        cascade_mg / rollup_io.save_rollup."""
+        rows = [
+            (b, k, c, bound)
+            for b, (counts, bound) in self.slots.items()
+            for k, c in counts.items()
+        ]
+        return spark.createDataFrame(
+            rows, "bucket_ms long, key long, cnt long, bound long"
+        )
+
+
 class StreamingHistogramWheel:
     """Streaming maintenance of the equi-width histogram rollup
     (operators/quantile_rollup is the batch side) — the quantile
