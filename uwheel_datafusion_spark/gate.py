@@ -2992,6 +2992,54 @@ def dedup_winnow_shared_pairs_q(spark, sf_dir):
     return _tx.winnow_shared_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@gate(
+    "filtered_aggregates_orders",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS cnt,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent_cnt,
+           (CAST(SUM(CAST(round(o_totalprice * 1000000) AS BIGINT))
+                 FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+            / 1000000) AS urgent_revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def filtered_aggregates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2003 aggregate FILTER clause (SURVEY §2.4 family): multiple
+    differently-filtered aggregates in ONE pass / one shuffle — the
+    idiomatic replacement for self-joining per-condition subqueries.
+    Same scaled-long policy as every SUM gate."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.expr(
+            "COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')"
+        ).alias("urgent_cnt"),
+        F.expr(
+            "CAST(SUM(CAST(round(o_totalprice * 1000000) AS BIGINT)) "
+            "FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) / 1000000"
+        ).alias("urgent_revenue"),
+    )
+
+
+@gate("text_bpe_pair_counts", _tx.bpe_pair_counts_oracle())
+def text_bpe_pair_counts_q(spark, sf_dir):
+    """BPE tokenizer-training statistic: corpus-wide adjacent-pair
+    counts, top-20 — the per-round cluster work of vocab induction.
+    Shingle explode + one partial-agg count shuffle + TakeOrdered."""
+    return _tx.bpe_pair_counts(load_table(spark, sf_dir, "documents"))
+
+
+@gate("text_pii_redact_profile", _tx.pii_redact_profile_oracle())
+def text_pii_redact_q(spark, sf_dir):
+    """PII scrub mechanics: per-doc match counts (email/IPv4 classes)
+    + redacted length, vectorized regex in codegen (map-only). The
+    fixture gets deterministic synthetic PII appended to every 7th doc
+    (see _pii_aug_expr) so the gate hashes are non-trivial."""
+    return _tx.pii_redact_profile(load_table(spark, sf_dir, "documents"))
+
+
 from uwheel_datafusion_spark.operators import rangejoin as _rj
 from uwheel_datafusion_spark.operators import sampling as _sp
 from uwheel_datafusion_spark.operators.sampling import hash_bucket_sql
@@ -4152,8 +4200,9 @@ def router_year_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus_pack_256_summary, corpus_repetition_profile,
 # corpus_mixture_reweight, embedding_gram_upper,
 # dedup_canonical_keep_list, pipeline_pretraining_pack,
-# router_month_rollup, router_year_rollup. That is ~38 queries; fill
-# the rest of the round-5 window with canaries from the
+# router_month_rollup, router_year_rollup, text_bpe_pair_counts,
+# text_pii_redact_profile, filtered_aggregates_orders. That is ~41
+# queries; fill the rest of the round-5 window with canaries from the
 # r03/r04-proven sets.
 _DRIVER_WINDOW_R3 = [
     # µWheel core (reference parity: E1/E2/E3, A4-A8, gapfill, keyed)

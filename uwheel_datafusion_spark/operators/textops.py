@@ -352,3 +352,117 @@ def winnow_shared_pairs_oracle(
         GROUP BY a.doc_id, b.doc_id
         HAVING COUNT(*) >= {min_shared}
     """
+
+
+# --------------------------------------------------------------------------
+# BPE vocabulary induction: adjacent-pair counting (the merge statistic)
+# --------------------------------------------------------------------------
+
+
+def bpe_pair_counts(
+    docs: DataFrame, text_col: str = "text", top_n: int = 20
+) -> DataFrame:
+    """The core statistic of BPE tokenizer TRAINING: corpus-wide counts
+    of adjacent symbol pairs — each merge round of BPE greedily fuses
+    the most frequent pair, so this aggregation (re-run per round over
+    re-segmented text) IS the training loop's cluster work. Here one
+    round over the whitespace segmentation: top-``top_n`` adjacent
+    token pairs by count, ties broken on the pair text.
+
+    Scale shape: map-only shingle explode + one count shuffle with
+    map-side partial agg, then TakeOrdered(top_n) — no global sort.
+    """
+    d = SPARK
+    pairs = d.shingles(d.split(text_col), 2)
+    return (
+        docs.select(F.explode(F.expr(pairs)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(top_n)
+    )
+
+
+def bpe_pair_counts_oracle(
+    table: str = "documents", text_col: str = "text", top_n: int = 20
+) -> str:
+    d = DUCK
+    pairs = d.shingles(d.split(text_col), 2)
+    return f"""
+        SELECT pair, COUNT(*) AS cnt
+        FROM (SELECT unnest({pairs}) AS pair FROM {table})
+        GROUP BY pair
+        ORDER BY cnt DESC, pair
+        LIMIT {top_n}
+    """
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction (emails, phone-ish numbers, IPv4)
+# --------------------------------------------------------------------------
+
+#: start-disjoint alternatives so Java regex (leftmost-first) and RE2
+#: (DuckDB) agree; kept deliberately simple — production filters use
+#: curated rulesets, the ENGINE mechanics (vectorized regex count +
+#: replace over a corpus scan) are what this operator pins.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9]+@[A-Za-z0-9]+\.[A-Za-z]+",
+    "ipv4": r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+",
+}
+
+
+def _pii_aug_expr(d: Dialect, text: str) -> str:
+    """The fixture corpus is synthetic word soup with no PII, which
+    would make a redaction gate trivially all-zero; docs with
+    doc_id % 7 == 0 get a deterministic synthetic email + IP appended
+    so the regex machinery is exercised with non-trivial hashes on
+    both engines."""
+    email = f"concat(' u', CAST(doc_id AS VARCHAR), '@ex.com 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7')"
+    if d.is_spark:
+        email = email.replace("VARCHAR", "STRING")
+    return f"CASE WHEN doc_id % 7 = 0 THEN concat({text}, {email}) ELSE {text} END"
+
+
+def pii_redact_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc PII profile over the (augmented) text: match counts per
+    pattern class and the redacted length after replacing every match
+    with a fixed tag. Map-only — vectorized regex inside codegen, the
+    shape a 100 TB PII scrub actually runs."""
+    d = SPARK
+    aug = _pii_aug_expr(d, text_col)
+    out = docs.select("doc_id", F.expr(aug).alias("_t"))
+    red = "_t"
+    cols = []
+    for name, pat in PII_PATTERNS.items():
+        spat = pat.replace("\\", "\\\\")
+        cols.append(
+            F.expr(f"size(regexp_extract_all(_t, '{spat}', 0))")
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        red = f"regexp_replace({red}, '{spat}', '<{name}>')"
+    return out.select(
+        "doc_id",
+        *cols,
+        F.length(F.expr(red)).cast("long").alias("redacted_len"),
+    )
+
+
+def pii_redact_profile_oracle(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    d = DUCK
+    aug = _pii_aug_expr(d, text_col)
+    red = "_t"
+    cols = []
+    for name, pat in PII_PATTERNS.items():
+        cols.append(
+            f"CAST(len(regexp_extract_all(_t, '{pat}')) AS BIGINT) AS n_{name}"
+        )
+        red = f"regexp_replace({red}, '{pat}', '<{name}>', 'g')"
+    cols_sql = ", ".join(cols)
+    return f"""
+        SELECT doc_id, {cols_sql},
+               CAST(length({red}) AS BIGINT) AS redacted_len
+        FROM (SELECT doc_id, {aug} AS _t FROM {table})
+    """
