@@ -3514,6 +3514,25 @@ def minhash_lsh_capped_q(spark, sf_dir):
     )
 
 
+_LSH_CORPUS_PRED = f"{hash_bucket_sql('doc_id', 100)} < 80"
+_LSH_NEW_PRED = f"{hash_bucket_sql('doc_id', 100)} >= 80"
+
+
+@gate(
+    "dedup_lsh_incremental",
+    _dd.lsh_incremental_candidates_oracle(_LSH_CORPUS_PRED, _LSH_NEW_PRED),
+)
+def dedup_lsh_incremental_q(spark, sf_dir):
+    """Incremental ingest dedup: the ~20% 'new batch' is checked
+    against the ~80% 'corpus' through the band table ALONE — corpus
+    text is never re-read (the 100 TB ingestion shape; the band index
+    is ≈ tens of bytes/doc and extends by append)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.expr(_LSH_CORPUS_PRED))
+    new = docs.filter(F.expr(_LSH_NEW_PRED))
+    return _dd.lsh_incremental_candidates(new, _dd.lsh_band_table(corpus))
+
+
 @gate("dedup_simhash_fingerprints", _dd.simhash_fingerprints_oracle())
 def simhash_fp_q(spark, sf_dir):
     return _dd.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
@@ -4201,9 +4220,9 @@ def router_year_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus_mixture_reweight, embedding_gram_upper,
 # dedup_canonical_keep_list, pipeline_pretraining_pack,
 # router_month_rollup, router_year_rollup, text_bpe_pair_counts,
-# text_pii_redact_profile, filtered_aggregates_orders. That is ~41
-# queries; fill the rest of the round-5 window with canaries from the
-# r03/r04-proven sets.
+# text_pii_redact_profile, filtered_aggregates_orders,
+# dedup_lsh_incremental. That is ~42 queries; fill the rest of the
+# round-5 window with canaries from the r03/r04-proven sets.
 _DRIVER_WINDOW_R3 = [
     # µWheel core (reference parity: E1/E2/E3, A4-A8, gapfill, keyed)
     "wheel_range_minute_aligned",

@@ -227,6 +227,96 @@ def _band_hash_expr(j: int) -> str:
     return expr
 
 
+def lsh_band_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The LSH *index* relation: one row per (doc_id, band_idx,
+    band_hash) — N_BANDS rows per document, flat in corpus size. This
+    is what gets PERSISTED for incremental dedup: the historical corpus
+    is represented by this table alone (≈ tens of bytes per doc), so a
+    new ingest batch never re-reads corpus text."""
+    sig = minhash_signatures(docs, text_col)
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.expr(_band_hash_expr(j)).alias("band_hash"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
+def save_lsh_index(bands: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist the band table partitioned by band_idx; EXTEND the index
+    with a new ingest batch by writing its bands with mode='append' —
+    the incremental join below needs no compaction. At cluster scale,
+    bucket by band_hash inside each band partition
+    (sources/bucketing.write_bucketed_table) so the probe join is
+    co-located and shuffle-free."""
+    bands.write.mode(mode).partitionBy("band_idx").parquet(path)
+
+
+def load_lsh_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def lsh_incremental_candidates(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental ingest dedup — THE production shape: each new crawl
+    batch is checked against the FULL historical corpus through the
+    persisted band table, without re-scanning or re-hashing the corpus.
+    Returns (new_doc_id, corpus_doc_id) candidate pairs.
+
+    Scale shape: the new batch's bands are small (N_BANDS rows/doc) and
+    hash-join against the index on (band_idx, band_hash) — with the
+    index bucketed on band_hash this is a broadcast (small batch) or
+    co-located join; corpus text is never touched. Candidates then
+    verify exactly (Jaccard on the pair's shingles) like every LSH
+    path here — verification reads only the candidate docs."""
+    new_bands = lsh_band_table(new_docs, text_col).select(
+        F.col("doc_id").alias("new_doc_id"), "band_idx", "band_hash"
+    )
+    return (
+        new_bands.join(
+            index_bands.select(
+                F.col("doc_id").alias("corpus_doc_id"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("new_doc_id", "corpus_doc_id")
+        .distinct()
+    )
+
+
+def lsh_incremental_candidates_oracle(
+    corpus_pred: str, new_pred: str, table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin over one table split by predicates (the gate splits
+    the fixture into 'corpus' and 'new batch' by doc_id hash)."""
+    sig_sql = minhash_signatures_oracle(table, text_col)
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_idx, {_band_hash_expr(j)} AS band_hash FROM sig"
+        for j in range(N_BANDS)
+    )
+    return f"""
+        WITH sig AS ({sig_sql}),
+        bands AS ({band_selects})
+        SELECT DISTINCT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
+        FROM bands n JOIN bands c
+          ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
+        WHERE ({new_pred.replace('doc_id', 'n.doc_id')})
+          AND ({corpus_pred.replace('doc_id', 'c.doc_id')})
+    """
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     text_col: str = "text",
@@ -243,21 +333,7 @@ def minhash_lsh_candidates(
     near-useless for dedup — their members pair up through their other,
     discriminative bands. The cap is applied identically in the oracle.
     """
-    sig = minhash_signatures(docs, text_col)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band_idx"),
-                        F.expr(_band_hash_expr(j)).alias("band_hash"),
-                    )
-                    for j in range(N_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_hash")
+    bands = lsh_band_table(docs, text_col)
     # materialize once: the self-join would otherwise recompute the
     # md5-chain minhash expressions on BOTH sides
     bands = bands.cache()
