@@ -70,3 +70,45 @@ def test_index_partitioned_by_band(spark, sf_correctness, tmp_path):
     dd.save_lsh_index(dd.lsh_band_table(_split(docs, 0, 80)), path)
     parts = [d for d in os.listdir(path) if d.startswith("band_idx=")]
     assert len(parts) >= 2  # dt-style partition pruning on band_idx
+
+
+def test_streaming_ingest_dedup_vs_static_index(spark, sf_correctness, tmp_path):
+    """The streaming form of incremental ingest dedup: new documents
+    arrive as a STREAM and join the static persisted band index
+    (stream-static join in each micro-batch); accumulated candidates
+    equal the batch computation. This is the shape of a continuous
+    crawler pipeline: corpus index on disk, new pages deduped on
+    arrival."""
+    docs = load_table(spark, sf_correctness, "documents")
+    corpus, new = _split(docs, 0, 80), _split(docs, 80, 100)
+    path = str(tmp_path / "lsh_index")
+    dd.save_lsh_index(dd.lsh_band_table(corpus), path)
+    idx = dd.load_lsh_index(spark, path)
+
+    src = str(tmp_path / "new_in")
+    new.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = set()
+
+    def sink(batch_df, epoch_id):
+        for r in dd.lsh_incremental_candidates(batch_df, idx).collect():
+            got.add((r["new_doc_id"], r["corpus_doc_id"]))
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    want = {
+        tuple(r)
+        for r in dd.lsh_incremental_candidates(new, idx).collect()
+    }
+    assert got == want and want

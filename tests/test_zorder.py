@@ -104,3 +104,31 @@ def test_scan_plan_pushes_predicate(layouts):
     df = spark.read.parquet(zed).filter(F.col("user_id") == 105)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "user_id" in plan
+
+
+def test_zvalue_deinterleave_property(spark):
+    """Property (hypothesis): the Morton key round-trips — de-
+    interleaving bit position b·n+c recovers bit b of column c, for
+    every column, across random values and widths."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(min_value=2, max_value=3),
+        st.lists(st.integers(min_value=0, max_value=255), min_size=3, max_size=3),
+    )
+    def check(n_cols, vals):
+        bits = 8
+        vals = vals[:n_cols]
+        expr = zvalue_expr([f"c{i}" for i in range(n_cols)], bits)
+        cols = ", ".join(
+            f"CAST({v} AS BIGINT) AS c{i}" for i, v in enumerate(vals)
+        )
+        z = spark.sql(f"SELECT {expr} AS z FROM (SELECT {cols})").first()["z"]
+        for c in range(n_cols):
+            recovered = 0
+            for b in range(bits):
+                recovered |= ((z >> (b * n_cols + c)) & 1) << b
+            assert recovered == vals[c], (vals, n_cols, z)
+
+    check()
