@@ -283,6 +283,52 @@ def test_year_needs_jan1_not_just_day1(router):
     assert "aligned" in router.last_decision.reason
 
 
+def test_keyed_distinct_route_and_values(spark, sf_smoke, router):
+    """GROUP BY key + date_trunc + COUNT(DISTINCT) routes to the keyed
+    distinct-pairs rollup and matches the full scan; an unregistered
+    (table, key, col) triple falls back to sql."""
+    from uwheel_datafusion_spark.operators.distinct import (
+        build_keyed_distinct_pairs,
+    )
+    from uwheel_datafusion_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_smoke, "events")
+    router.register_keyed_distinct_rollup(
+        "events", "event_type", "user_id", "ts",
+        build_keyed_distinct_pairs(ev, "ts", "user_id", "event_type", WM, ADV,
+                                   cache=False),
+        WM, ADV,
+    )
+    s = to_epoch_ms(datetime(2024, 1, 5))
+    e = to_epoch_ms(datetime(2024, 1, 9))
+    df = router.sql(
+        f"SELECT event_type, date_trunc('day', ts) AS b, "
+        f"COUNT(DISTINCT user_id) AS nu FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}' "
+        f"GROUP BY 1, 2"
+    )
+    assert router.last_decision.path == "keyed_distinct_rollup"
+    got = {(r["event_type"], r["b"]): r["nu"] for r in df.collect()}
+    truth = {
+        (r["event_type"], r["b"]): r["nu"]
+        for r in router.spark.sql(
+            f"""SELECT event_type, date_trunc('day', ts) AS b,
+                       COUNT(DISTINCT user_id) AS nu
+                FROM events WHERE ts >= '{ms_to_ts_literal(s)}'
+                  AND ts < '{ms_to_ts_literal(e)}' GROUP BY 1, 2"""
+        ).collect()
+    }
+    assert got == truth and got
+    # unregistered distinct column → verbatim sql
+    router.sql(
+        f"SELECT event_type, date_trunc('day', ts) AS b, "
+        f"COUNT(DISTINCT value) AS nv FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}' "
+        f"GROUP BY 1, 2"
+    )
+    assert router.last_decision.path == "sql"
+
+
 def test_keyed_rollup_route_and_fallbacks(spark, sf_smoke, router):
     """GROUP BY key + date_trunc routes to the keyed rollup and
     matches the scan; wrong key or unaligned range falls back."""

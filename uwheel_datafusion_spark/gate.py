@@ -4054,6 +4054,52 @@ def router_topk_users_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+@gate(
+    "router_keyed_distinct_day",
+    f"""
+    SELECT event_type,
+           (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS bucket_ms,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE ts >= {_ts_lit(RANGE_DAY[0])} AND ts < {_ts_lit(RANGE_DAY[1])}
+    GROUP BY 1, 2
+    """,
+)
+def router_keyed_distinct_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series COUNT(DISTINCT) continuous-aggregate rewrite — the
+    last cell of the router matrix (keyed × distinct): GROUP BY
+    event_type + date_trunc('day') + COUNT(DISTINCT user_id) is
+    recognized and served from the keyed distinct-pairs rollup (exact
+    re-distinct per (series, day); the fact table is never scanned,
+    collect-free at any key cardinality)."""
+    from uwheel_datafusion_spark.functions.time import ms_to_ts_literal, ts_to_ms
+    from uwheel_datafusion_spark.operators.distinct import (
+        build_keyed_distinct_pairs,
+    )
+
+    r = _events_router(spark, sf_dir)
+    r.register_keyed_distinct_rollup(
+        "events", "event_type", "user_id", "ts",
+        build_keyed_distinct_pairs(
+            load_table(spark, sf_dir, "events"),
+            "ts", "user_id", "event_type",
+            EVENTS_WM_MS, EVENTS_ADV_MS, cache=False,
+        ),
+        EVENTS_WM_MS, EVENTS_ADV_MS,
+    )
+    s, e = RANGE_DAY
+    df = r.sql(
+        f"SELECT event_type, date_trunc('day', ts) AS b, "
+        f"COUNT(DISTINCT user_id) AS n_users FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}' "
+        f"GROUP BY 1, 2"
+    )
+    assert r.last_decision.path == "keyed_distinct_rollup", r.last_decision
+    return df.select(
+        "event_type", ts_to_ms(F.col("b")).alias("bucket_ms"), "n_users"
+    )
+
+
 #: Monday-aligned 4-week span: 2024-01-01 (a Monday) .. 2024-01-29
 WEEK_RANGE = (
     to_epoch_ms(datetime(2024, 1, 1)),
@@ -4221,8 +4267,9 @@ def router_year_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_canonical_keep_list, pipeline_pretraining_pack,
 # router_month_rollup, router_year_rollup, text_bpe_pair_counts,
 # text_pii_redact_profile, filtered_aggregates_orders,
-# dedup_lsh_incremental. That is ~42 queries; fill the rest of the
-# round-5 window with canaries from the r03/r04-proven sets.
+# dedup_lsh_incremental, router_keyed_distinct_day. That is ~43
+# queries; fill the rest of the round-5 window with canaries from the
+# r03/r04-proven sets.
 _DRIVER_WINDOW_R3 = [
     # µWheel core (reference parity: E1/E2/E3, A4-A8, gapfill, keyed)
     "wheel_range_minute_aligned",

@@ -120,6 +120,25 @@ _KEYED_GROUP_PATTERN = re.compile(
 )
 
 
+#: SELECT <key>, date_trunc('<g>', <ts>) [AS b], COUNT(DISTINCT <col>)
+#: — the KEYED distinct-count continuous aggregate (per-series unique
+#: users etc.): served from the registered keyed distinct-pairs rollup
+#: (operators/distinct.build_keyed_distinct_pairs) by one exact
+#: re-distinct per (key, coarse bucket); never the fact scan.
+_KEYED_DISTINCT_PATTERN = re.compile(
+    r"^\s*SELECT\s+(?P<key>\w+)(?:\s+AS\s+(?P<kalias>\w+))?\s*,\s*"
+    r"DATE_TRUNC\s*\(\s*'(?P<gran>minute|hour|day)'\s*,\s*"
+    r"(?P<ts0>\w+)\s*\)\s*(?:AS\s+(?P<balias>\w+)\s*)?,\s*"
+    r"COUNT\s*\(\s*DISTINCT\s+(?P<dcol>\w+)\s*\)(?:\s+AS\s+(?P<alias>\w+))?\s+"
+    r"FROM\s+(?P<table>\w+)\s+"
+    r"WHERE\s+(?P<ts1>\w+)\s*>=\s*(?:TIMESTAMP\s+)?'(?P<start>[^']+)'\s+"
+    r"AND\s+(?P<ts2>\w+)\s*<\s*(?:TIMESTAMP\s+)?'(?P<end>[^']+)'\s*"
+    r"GROUP\s+BY\s+(?:1\s*,\s*2|(?P<gb_key>\w+)\s*,\s*(?P<gb_bucket>\w+))"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
 #: SELECT <key> [AS k], COUNT(*) [AS c] FROM <table> WHERE <range>
 #: GROUP BY <key>|1 ORDER BY <c|COUNT(*)|2> DESC [, <key|k> [ASC]]
 #: LIMIT <n> — the heavy-hitter shape: served from the registered
@@ -175,6 +194,8 @@ class RouteDecision:
     #: count_rollup (top-k) path: LIMIT n and the registered key column
     limit: int | None = None
     count_key: str | None = None
+    #: keyed_distinct_rollup path: the registered series-key column
+    key_col: str | None = None
 
 
 class WheelSqlRouter:
@@ -189,6 +210,8 @@ class WheelSqlRouter:
         self._distinct: dict[tuple, tuple] = {}
         #: (table, key_col) → (ts_col, count_pairs_df, wm, adv)
         self._counts: dict[tuple, tuple] = {}
+        #: (table, key_col, distinct_col) → (ts_col, pairs_df, wm, adv)
+        self._kdistinct: dict[tuple, tuple] = {}
         self.last_decision: RouteDecision | None = None
 
     def register_index(
@@ -239,6 +262,25 @@ class WheelSqlRouter:
             advanced_ms,
         )
 
+    def register_keyed_distinct_rollup(
+        self,
+        table: str,
+        key_col: str,
+        distinct_col: str,
+        ts_col: str,
+        pairs,
+        watermark_ms: int,
+        advanced_ms: int,
+    ) -> None:
+        """Register a build_keyed_distinct_pairs frame
+        (operators/distinct) so ``GROUP BY <key>, date_trunc +
+        COUNT(DISTINCT <col>)`` queries rewrite onto it — per-series
+        exact distinct counts at any grain (buckets nest, sets
+        re-distinct), collect-free at any key cardinality."""
+        self._kdistinct[
+            (table.lower(), key_col.lower(), distinct_col.lower())
+        ] = (ts_col.lower(), pairs, watermark_ms, advanced_ms)
+
     def register_count_rollup(
         self,
         table: str,
@@ -265,6 +307,9 @@ class WheelSqlRouter:
         tm = _TOPK_PATTERN.match(query)
         if tm is not None:
             return self._decide_topk(tm)
+        kdm = _KEYED_DISTINCT_PATTERN.match(query)
+        if kdm is not None:
+            return self._decide_keyed_distinct(kdm)
         dm = _DISTINCT_GROUP_PATTERN.match(query)
         if dm is not None:
             return self._decide_distinct_grouped(dm)
@@ -462,6 +507,65 @@ class WheelSqlRouter:
             bucket_alias=balias,
         )
 
+    def _decide_keyed_distinct(self, m: re.Match) -> RouteDecision:
+        """Per-series COUNT(DISTINCT) continuous-aggregate shape:
+        GROUP BY key + date_trunc + COUNT(DISTINCT col) → the
+        registered keyed distinct-pairs rollup (exact re-distinct per
+        (key, coarse bucket); never the fact scan)."""
+        from uwheel_datafusion_spark.functions.time import GRANULARITY_MS
+
+        table = m["table"].lower()
+        key_col = m["key"].lower()
+        reg = self._kdistinct.get((table, key_col, m["dcol"].lower()))
+        if reg is None:
+            return RouteDecision(
+                "sql",
+                f"no keyed distinct rollup for ({table}, {key_col}, "
+                f"{m['dcol'].lower()})",
+            )
+        ts_col, _pairs, wm, adv = reg
+        ts_refs = {m["ts0"].lower(), m["ts1"].lower(), m["ts2"].lower()}
+        if ts_refs != {ts_col}:
+            return RouteDecision(
+                "sql", "bucket/filter column is not the indexed ts"
+            )
+        kalias = m["kalias"] or key_col
+        balias = m["balias"] or "bucket"
+        if m["gb_key"] and m["gb_key"].lower() not in (key_col, kalias.lower()):
+            return RouteDecision("sql", "GROUP BY key is not the series key")
+        if m["gb_bucket"] and m["gb_bucket"].lower() not in (
+            balias.lower(),
+            ts_col,
+        ):
+            return RouteDecision(
+                "sql", "GROUP BY bucket is not the bucket expression"
+            )
+        gran = m["gran"].lower()
+        s = _parse_ts_literal(m["start"])
+        e = _parse_ts_literal(m["end"])
+        if s is None or e is None:
+            return RouteDecision("sql", "unparseable timestamp literal")
+        g_ms = GRANULARITY_MS[gran]
+        if s % g_ms or e % g_ms:
+            return RouteDecision(
+                "sql",
+                f"endpoints not {gran}-aligned (edge buckets would be partial)",
+            )
+        if s < wm or e > adv:
+            return RouteDecision("sql", "range outside the indexed horizon")
+        return RouteDecision(
+            "keyed_distinct_rollup",
+            f"rewritten onto keyed distinct-pairs rollup at {gran} grain",
+            table,
+            "COUNT_DISTINCT",
+            (s, e),
+            ((m["dcol"].lower(), m["alias"] or "n_distinct"),),
+            granularity=gran,
+            bucket_alias=balias,
+            key_alias=kalias,
+            key_col=key_col,
+        )
+
     def _decide_keyed_grouped(self, m: re.Match) -> RouteDecision:
         """Per-series continuous-aggregate shape: GROUP BY key +
         date_trunc over the registered keyed rollup's ts within an
@@ -621,6 +725,8 @@ class WheelSqlRouter:
             return self._serve_keyed_rollup(d)
         if d.path == "distinct_rollup":
             return self._serve_distinct_rollup(d)
+        if d.path == "keyed_distinct_rollup":
+            return self._serve_keyed_distinct_rollup(d)
         if d.path == "count_rollup":
             return self._serve_count_rollup(d)
         _, _, index = self._indexes[d.table]
@@ -680,6 +786,34 @@ class WheelSqlRouter:
             GRANULARITY_MS[d.granularity],
         )
         return counts.select(
+            F.timestamp_millis(F.col("bucket_ms"))
+            .cast("timestamp_ntz")
+            .alias(d.bucket_alias),
+            F.col("n_distinct").alias(alias),
+        )
+
+    def _serve_keyed_distinct_rollup(self, d: RouteDecision) -> DataFrame:
+        """Per-series COUNT(DISTINCT) served from the keyed pairs
+        rollup: bucket-range filter + one exact re-distinct per
+        (series, coarse bucket) — never the fact scan, collect-free at
+        any key cardinality."""
+        from pyspark.sql import functions as F
+
+        from uwheel_datafusion_spark.functions.time import GRANULARITY_MS
+        from uwheel_datafusion_spark.operators.distinct import (
+            keyed_grouped_distinct_exact,
+        )
+        from uwheel_datafusion_spark.operators.wheel import _bucket_range_pred
+
+        dcol, alias = d.items[0]
+        _ts, pairs, _wm, _adv = self._kdistinct[(d.table, d.key_col, dcol)]
+        s, e = d.range_ms
+        counts = keyed_grouped_distinct_exact(
+            pairs.filter(_bucket_range_pred(pairs, s, e)),
+            GRANULARITY_MS[d.granularity],
+        )
+        return counts.select(
+            F.col("grp").alias(d.key_alias),
             F.timestamp_millis(F.col("bucket_ms"))
             .cast("timestamp_ntz")
             .alias(d.bucket_alias),
