@@ -112,3 +112,28 @@ def test_streaming_ingest_dedup_vs_static_index(spark, sf_correctness, tmp_path)
         for r in dd.lsh_incremental_candidates(new, idx).collect()
     }
     assert got == want and want
+
+
+def test_compaction_shrinks_file_count_preserves_rows(spark, sf_correctness, tmp_path):
+    """compact_parquet: repeated appends fragment the band index into
+    many small files; compaction rewrites to few files with identical
+    content (the OPTIMIZE maintenance job, plain-parquet edition)."""
+    from uwheel_datafusion_spark.operators.rollup_io import compact_parquet
+
+    docs = load_table(spark, sf_correctness, "documents")
+    path = str(tmp_path / "idx")
+    # 5 fragmented appends
+    for lo in range(0, 100, 20):
+        dd.save_lsh_index(
+            dd.lsh_band_table(_split(docs, lo, lo + 20)).repartition(8),
+            path,
+            mode="append" if lo else "overwrite",
+        )
+    before = {
+        tuple(r) for r in spark.read.parquet(path).collect()
+    }
+    stats = compact_parquet(spark, path, target_mb=128, partition_col="band_idx")
+    after = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert after == before
+    assert stats["files_before"] >= 30
+    assert stats["files_after"] < stats["files_before"] / 3

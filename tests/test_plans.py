@@ -353,3 +353,60 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_correctness):
             flagged[name] = marks
     assert set(flagged) <= allowed_bnlj, flagged
     assert all(v == ["bnlj"] for v in flagged.values()), flagged
+
+
+def test_aqe_splits_skewed_join_partition(spark, sf_correctness):
+    """AQE skew-join handling (the runtime complement to the salted
+    two-phase agg): a sort-merge join with one hot key gets its skewed
+    partition SPLIT at runtime — visible as smj skew=true in the final
+    plan. Thresholds are lowered so the fixture-scale skew triggers;
+    at production scale the defaults (256 MB) do the same."""
+    import pyspark.sql.functions as F
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        ev = g.load_table(spark, sf_correctness, "events")
+        big = ev
+        for _ in range(3):  # 80k rows: the hot block must dominate the
+            big = big.unionByName(big)  # map-side stats to be split
+        # hot key: ~80% of rows collapse onto join key 0
+        left = big.select(
+            F.when(F.col("user_id") % 5 != 0, 0)
+            .otherwise(F.col("user_id"))
+            .alias("k"),
+            "value",
+            "props",  # widen rows so the hot partition crosses the bar
+        )
+        right = ev.select(
+            (F.col("user_id")).alias("k"), F.col("event_type")
+        ).distinct()
+        joined = left.join(right, "k")
+        # execute joined's OWN QueryExecution (a bare .count() would
+        # plan a separate query and leave this plan un-finalized — the
+        # pitfall plans/metrics.profile documents)
+        qe = joined._jdf.queryExecution()
+        qe.toRdd().count()
+        plan = qe.executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

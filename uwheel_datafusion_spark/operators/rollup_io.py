@@ -34,3 +34,61 @@ def load_rollup(spark, path: str) -> DataFrame:
     """Reopen a persisted rollup; the ``dt`` partition column is KEPT
     so ``_bucket_range_pred`` prunes day partitions at planning time."""
     return spark.read.parquet(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_mb: int = 128,
+    partition_col: str | None = None,
+) -> dict:
+    """Small-file compaction — the maintenance job every append-heavy
+    layout eventually needs (streaming sinks, incremental LSH index
+    appends, per-trigger rollup upserts all produce file counts that
+    grow without bound; at 100 TB the NameNode/listing cost and
+    per-file task overhead dominate long before data size does).
+
+    Rewrites ``path`` to ≈ ``target_mb``-sized files: bin count =
+    ceil(bytes / target), `repartition(n)` (or per-partition-column
+    repartition when the layout is partitioned), write to a sibling
+    temp dir, atomic swap. Plain parquet has no transaction log, so
+    the swap is directory-level (the Delta/Iceberg OPTIMIZE command is
+    the production drop-in); readers opened BEFORE the swap must be
+    re-opened after.
+
+    Returns {"files_before", "files_after", "bytes"}.
+    """
+    import glob
+    import math
+    import os
+    import shutil
+
+    def _files(p):
+        return [
+            f
+            for f in glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+        ]
+
+    before = _files(path)
+    total = sum(os.path.getsize(f) for f in before)
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    w = (
+        df.repartition(n, partition_col)
+        if partition_col is not None
+        else df.repartition(n)
+    )
+    writer = w.write.mode("overwrite")
+    if partition_col is not None:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(tmp)
+    old = path.rstrip("/") + "__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {
+        "files_before": len(before),
+        "files_after": len(_files(path)),
+        "bytes": total,
+    }
