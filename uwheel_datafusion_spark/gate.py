@@ -3514,6 +3514,20 @@ def minhash_lsh_capped_q(spark, sf_dir):
     )
 
 
+@gate("dedup_prefix_filter_jaccard", _dd.ngram_jaccard_pairs_oracle(threshold=0.5))
+def dedup_prefix_filter_q(spark, sf_dir):
+    """Prefix-filtered exact Jaccard join (AllPairs/PPJoin): joins only
+    each document's rarest p = s − ceil(t·s) + 1 shingles — frequent
+    boilerplate shingles (the quadratic cost of the plain posting
+    self-join) sort last and fall OUT of the prefixes. The oracle is
+    the full posting join, so equality is the losslessness theorem
+    checked per run."""
+    return _dd.prefix_filter_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold_num=1, threshold_den=2,
+    )
+
+
 _LSH_CORPUS_PRED = f"{hash_bucket_sql('doc_id', 100)} < 80"
 _LSH_NEW_PRED = f"{hash_bucket_sql('doc_id', 100)} >= 80"
 
@@ -4267,9 +4281,9 @@ def router_year_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_canonical_keep_list, pipeline_pretraining_pack,
 # router_month_rollup, router_year_rollup, text_bpe_pair_counts,
 # text_pii_redact_profile, filtered_aggregates_orders,
-# dedup_lsh_incremental, router_keyed_distinct_day. That is ~43
-# queries; fill the rest of the round-5 window with canaries from the
-# r03/r04-proven sets.
+# dedup_lsh_incremental, router_keyed_distinct_day,
+# dedup_prefix_filter_jaccard. That is ~44 queries; fill the rest of
+# the round-5 window with canaries from the r03/r04-proven sets.
 _DRIVER_WINDOW_R3 = [
     # µWheel core (reference parity: E1/E2/E3, A4-A8, gapfill, keyed)
     "wheel_range_minute_aligned",

@@ -173,6 +173,103 @@ def ngram_jaccard_pairs_oracle(
     """
 
 
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard join (AllPairs/PPJoin family,
+    Bayardo et al. WWW'07 / Xiao et al. ICDE'08 — public literature):
+    the LOSSLESS candidate reduction for threshold similarity joins.
+
+    Order every shingle by global document frequency (rarest first,
+    tie on the shingle string); for a set of size s and threshold
+    t = num/den, any pair with J ≥ t shares ≥ ceil(t·s) shingles, so
+    its globally-FIRST common shingle must lie within each side's
+    first ``p = s − ceil(t·s) + 1`` shingles — joining only prefixes
+    finds every qualifying pair. Candidates then verify exactly, so the
+    output EQUALS the full posting join (which is the gate's oracle:
+    equality is the losslessness theorem, checked per run).
+
+    Scale shape vs the plain posting join: the posting self-join
+    explodes every shingle on both sides — frequent (boilerplate)
+    shingles dominate the join quadratically. Here frequent shingles
+    sort LAST and fall outside most prefixes, so the join touches the
+    rare end of the distribution; the frequency table is one extra
+    count shuffle. Threshold is a fraction (num/den) so prefix lengths
+    are exact integer arithmetic on both engines.
+    """
+    from pyspark.sql import Window
+
+    sets = _shingle_sets(docs, text_col, n)
+    posting = sets.select(
+        "doc_id", "n_shingles", F.explode("shingles").alias("shingle")
+    )
+    freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt"))
+    ranked = posting.join(freq, "shingle")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("df_cnt").asc(), F.col("shingle").asc()
+    )
+    # p = s − ceil(s·num/den) + 1, all-integer
+    p = (
+        F.col("n_shingles")
+        - F.expr(
+            f"(n_shingles * {threshold_num} + {threshold_den} - 1)"
+            f" div {threshold_den}"
+        )
+        + 1
+    )
+    prefix = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= p)
+        .select("doc_id", "shingle")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact verification on candidates only (array intersect; at
+    # cluster scale, a candidate-semi-filtered posting recount avoids
+    # shipping the arrays — same result either way)
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_shingles").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_shingles").alias("nb"),
+    )
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+        )
+        .filter(
+            F.col("n_common") * threshold_den
+            >= (F.col("na") + F.col("nb") - F.col("n_common")) * threshold_num
+        )
+    )
+    return verified.select("doc_a", "doc_b", "n_common", "jaccard")
+
+
 # --------------------------------------------------------------------------
 # MinHash signatures + LSH candidate pairs
 # --------------------------------------------------------------------------
