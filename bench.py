@@ -492,6 +492,12 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         "corpus_repetition_profile",
         "corpus_mixture_reweight",
         "embedding_gram_upper",
+        "dedup_prefix_filter_jaccard",
+        "dedup_lsh_incremental",
+        "dedup_canonical_keep_list",
+        "pipeline_pretraining_pack",
+        "router_month_rollup",
+        "router_keyed_distinct_day",
     )
     for name in headline:
         if name not in REGISTRY:

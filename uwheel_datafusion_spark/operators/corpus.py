@@ -356,6 +356,13 @@ def mixture_reweight_summary(
     Returns one row per source: (source, n_docs, weight, target_n,
     kept_n).
 
+    Edge semantics: C is a MIN-fold, so a source with n_docs < weight
+    drives C (and every target) to 0 — "exact proportions or nothing".
+    Production pipelines usually prefer dropping/flooring the starved
+    source instead; pass a weights table with that source removed (or
+    weight 1) to get that behavior — the operator deliberately refuses
+    to silently distort the requested mixture.
+
     Scale shape: per-source counts are a tiny aggregate (|sources| rows)
     → computed once, min-folded, and broadcast back; document selection
     is a rank-prefix per source, which Spark plans as WindowGroupLimit —
