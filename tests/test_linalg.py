@@ -68,7 +68,7 @@ def test_pca_recovers_dominant_axis(spark):
         x = (t - 19.5) / 20.0  # spread ±1 on axis (1, 0)
         y = 0.05 * (1 if t % 2 else -1)  # tiny orthogonal jitter
         rows.append((x, y))
-    evals, comps, ratio = la.pca_from_gram(_vecs(spark, rows, 2), dim=2, k=2)
+    evals, comps, ratio, mu = la.pca_from_gram(_vecs(spark, rows, 2), dim=2, k=2)
     assert evals[0] > evals[1] >= 0
     # first component ≈ ±(1, 0)
     c0 = comps[0]
@@ -86,6 +86,29 @@ def test_pca_trace_equals_eigenvalue_sum(spark):
     rng = random.Random(3)
     rows = [tuple(rng.uniform(-1, 1) for _ in range(3)) for _ in range(30)]
     df = _vecs(spark, rows, 3)
-    evals, _, ratio = la.pca_from_gram(df, dim=3, k=3)
+    evals, _, ratio, _mu = la.pca_from_gram(df, dim=3, k=3)
     # full-k ratios sum to 1 (trace preservation)
     assert abs(float(ratio.sum()) - 1.0) < 1e-9
+
+
+def test_pca_transform_matches_driver_projection(spark):
+    """pca_transform (distributed Arrow-batch matmul) equals the
+    driver-side numpy projection, and the projected first coordinate
+    carries the dominant variance."""
+    import numpy as np
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (rng.uniform(-1, 1) * 1.0, rng.uniform(-1, 1) * 0.1, rng.uniform(-1, 1) * 0.01)
+        for _ in range(60)
+    ]
+    df = _vecs(spark, rows, 3)
+    evals, comps, ratio, mu = la.pca_from_gram(df, dim=3, k=2)
+    out = la.pca_transform(df, comps, mu, out_col="pca").orderBy("vec_id").collect()
+    got = np.array([r["pca"] for r in out])
+    x = np.array([[round(v * 10_000) for v in row] for row in rows], dtype="float64")
+    want = (x - mu) @ np.asarray(comps).T
+    assert np.allclose(got, want, atol=1e-6)
+    # variance along component 0 ≈ top eigenvalue
+    assert abs(got[:, 0].var() - evals[0]) / evals[0] < 1e-6

@@ -35,6 +35,7 @@ __all__ = [
     "gram_matrix_oracle",
     "gram_matrix_np",
     "pca_from_gram",
+    "pca_transform",
 ]
 
 EMB_DIM = 64  # fixture embedding dimensionality (embeddings.parquet)
@@ -126,8 +127,9 @@ def pca_from_gram(
     """Driver-side PCA from the distributed exact sufficient statistics
     (gram matrix + per-dim sums + count — the ONLY cluster work; the
     d×d eigendecomposition is trivially local). Returns
-    (eigenvalues_desc[:k], components[k][dim], explained_ratio[:k]) in
-    the quantized units' covariance scale.
+    (eigenvalues_desc[:k], components[k][dim], explained_ratio[:k],
+    mean[dim]) in the quantized units' covariance scale; feed
+    components+mean to `pca_transform` to project the corpus.
     """
     import numpy as np
 
@@ -157,4 +159,48 @@ def pca_from_gram(
     evals, evecs = evals[order], evecs[:, order]
     total = float(evals.sum())
     ratio = evals[:k] / total if total > 0 else evals[:k] * 0.0
-    return evals[:k], evecs[:, :k].T, ratio
+    return evals[:k], evecs[:, :k].T, ratio, mu
+
+
+def pca_transform(
+    vecs: DataFrame,
+    components,
+    mean,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Distributed application of a driver-computed PCA basis: project
+    every embedding onto the k components (mean-centered) — the
+    dimensionality-reduction step that follows `pca_from_gram` in a
+    whitening/compression pipeline. The k×dim basis broadcasts inside
+    the Arrow-batched closure; one numpy matmul per batch, map-only
+    (no shuffle), so it scales with input splits like every other
+    Pandas-UDF stage here.
+
+    ``components``: array-like (k, dim) in quantized units (what
+    pca_from_gram returns); ``mean``: per-dim quantized means.
+    Output keeps all input columns plus ``out_col: array<double>``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    comp = np.asarray(components, dtype="float64")
+    mu = np.asarray(mean, dtype="float64")
+
+    def batches(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            x = np.asarray(pdf[vec_col].tolist(), dtype="float64")
+            # same quantization the basis was computed in (round(x·1e4)
+            # — pca_from_gram's units), so center+project line up
+            xq = np.round(x * Q_SCALE)
+            proj = (xq - mu) @ comp.T
+            out = pdf.copy()
+            out[out_col] = list(proj)
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in vecs.schema.fields
+    )
+    return vecs.mapInPandas(batches, f"{schema}, {out_col} array<double>")
