@@ -371,6 +371,58 @@ def distinct_users_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "quantile_median_by_type_day",
+    f"""
+    WITH ev AS (
+        SELECT event_type AS grp,
+               (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS bucket_ms, value
+        FROM events
+        WHERE ts >= {_ts_lit(EVENTS_WM_MS)} AND ts < {_ts_lit(EVENTS_ADV_MS)}
+    ),
+    c AS (
+        SELECT grp, bucket_ms, CAST(floor(value / 1.0) AS BIGINT) AS bin,
+               COUNT(*) AS cnt
+        FROM ev GROUP BY 1, 2, 3
+    ),
+    t AS (
+        SELECT grp, bucket_ms, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY grp, bucket_ms ORDER BY bin) AS cum,
+               SUM(cnt) OVER (PARTITION BY grp, bucket_ms) AS total
+        FROM c
+    )
+    SELECT grp, bucket_ms,
+           CAST(
+               (MIN(CASE WHEN cum >= 0.5 * total THEN bin END) + 0.5) * 1.0
+               AS DOUBLE
+           ) AS approx_median
+    FROM t GROUP BY grp, bucket_ms
+    """,
+)
+def quantile_median_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed (per-series) quantile aggregator — the keyed × quantile
+    cell of the aggregator matrix: per-(event_type, day) approximate
+    median from ONE shared (grp, bucket, bin) histogram shuffle; CDF
+    walks are per-partition window work, collect-free at any key
+    cardinality. Same deterministic binning ⇒ the oracle replays it
+    bit-for-bit (the ±bin_width hard-bound proof is pinned on the
+    unkeyed family and carries over unchanged)."""
+    from uwheel_datafusion_spark.operators.quantile_rollup import (
+        build_keyed_histogram_rollup,
+        keyed_grouped_quantile_df,
+    )
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    rollup = build_keyed_histogram_rollup(
+        ev, "ts", "value", "event_type", EVENTS_WM_MS, EVENTS_ADV_MS,
+        cache=False,
+    )
+    return keyed_grouped_quantile_df(rollup, DAY_MS, 0.5).withColumnRenamed(
+        "approx_quantile", "approx_median"
+    )
+
+
+@gate(
     "quantile_median_by_day_hist",
     f"""
     WITH ev AS (
@@ -4282,8 +4334,9 @@ def router_year_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # router_month_rollup, router_year_rollup, text_bpe_pair_counts,
 # text_pii_redact_profile, filtered_aggregates_orders,
 # dedup_lsh_incremental, router_keyed_distinct_day,
-# dedup_prefix_filter_jaccard. That is ~44 queries; fill the rest of
-# the round-5 window with canaries from the r03/r04-proven sets.
+# dedup_prefix_filter_jaccard, quantile_median_by_type_day. That is
+# ~45 queries; fill the rest of the round-5 window with canaries from
+# the r03/r04-proven sets.
 _DRIVER_WINDOW_R3 = [
     # µWheel core (reference parity: E1/E2/E3, A4-A8, gapfill, keyed)
     "wheel_range_minute_aligned",

@@ -158,3 +158,73 @@ def grouped_quantile_df(
             * F.lit(bin_width)
         ).alias("approx_quantile")
     )
+
+
+def build_keyed_histogram_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_col: str,
+    watermark_ms: int,
+    advance_to_ms: int,
+    slot_ms: int = MINUTE_MS,
+    bin_width: float = DEFAULT_BIN_WIDTH,
+    cache: bool = True,
+) -> DataFrame:
+    """Keyed (per-series) histogram partial ``(grp, bucket_ms, bin,
+    cnt)`` — one logical histogram wheel per key sharing a single
+    build shuffle (the keyed_wheel/keyed-distinct pattern applied to
+    the quantile family)."""
+    rollup = (
+        df.filter(ts_range_pred(df, ts_col, watermark_ms, advance_to_ms))
+        .select(
+            F.col(key_col).alias("grp"),
+            bucket_ms(ts_to_ms(F.col(ts_col)), slot_ms).alias("bucket_ms"),
+            F.floor(F.col(value_col) / F.lit(bin_width)).cast("long").alias("bin"),
+        )
+        .groupBy("grp", "bucket_ms", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return rollup.cache() if cache else rollup
+
+
+def keyed_grouped_quantile_df(
+    rollup: DataFrame,
+    slot_ms: int,
+    q: float,
+    bin_width: float = DEFAULT_BIN_WIDTH,
+) -> DataFrame:
+    """Per-(series, coarse-bucket) approximate q-quantile
+    ``(grp, bucket_ms, approx_quantile)`` — one CDF walk per (series,
+    bucket) over its occupied bins; collect-free at any key
+    cardinality, same ±bin_width hard bound as the unkeyed family."""
+    coarse = (F.col("bucket_ms") - F.col("bucket_ms") % F.lit(slot_ms)).alias(
+        "bucket_ms"
+    )
+    merged = rollup.groupBy("grp", coarse, "bin").agg(F.sum("cnt").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("grp", "bucket_ms")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("grp", "bucket_ms")
+    cdf = merged.select(
+        "grp",
+        "bucket_ms",
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    return cdf.groupBy("grp", "bucket_ms").agg(
+        (
+            (
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.lit(q) * F.col("total"), F.col("bin")
+                    )
+                )
+                + F.lit(0.5)
+            )
+            * F.lit(bin_width)
+        ).alias("approx_quantile")
+    )
