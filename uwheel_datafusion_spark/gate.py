@@ -555,6 +555,57 @@ def ohlc_by_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@gate(
+    "ohlc_by_type_day",
+    f"""
+    WITH ev AS (
+        SELECT event_type AS grp,
+               (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS bucket_ms,
+               epoch_ms(ts) AS ts_ms, value
+        FROM events
+        WHERE ts >= {_ts_lit(EVENTS_WM_MS)} AND ts < {_ts_lit(EVENTS_ADV_MS)}
+    ),
+    r AS (
+        SELECT grp, bucket_ms, value,
+               row_number() OVER (
+                   PARTITION BY grp, bucket_ms ORDER BY ts_ms, value
+               ) AS rn_o,
+               row_number() OVER (
+                   PARTITION BY grp, bucket_ms ORDER BY ts_ms DESC, value DESC
+               ) AS rn_c
+        FROM ev
+    )
+    SELECT grp, bucket_ms,
+           MIN(CASE WHEN rn_o = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MIN(CASE WHEN rn_c = 1 THEN value END) AS close,
+           COUNT(*) AS cnt
+    FROM r GROUP BY grp, bucket_ms
+    """,
+)
+def ohlc_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed (per-series) OHLC — the keyed × candle matrix cell
+    (per-symbol candlesticks): per-(event_type, day) candles cascaded
+    from ONE shared (grp, minute) rollup shuffle; the same associative
+    (ts, value)-tie-break combine per series. Oracle re-derives from
+    raw rows via grp-partitioned rank windows."""
+    from uwheel_datafusion_spark.operators.ohlc import (
+        build_keyed_ohlc_rollup,
+        cascade_keyed_ohlc,
+    )
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    minute = build_keyed_ohlc_rollup(
+        ev, "ts", "value", "event_type", EVENTS_WM_MS, EVENTS_ADV_MS,
+        cache=False,
+    )
+    return cascade_keyed_ohlc(minute, DAY_MS).select(
+        "grp", "bucket_ms", "open", "high", "low", "close", "cnt"
+    )
+
+
 @gate("wheel_backfill_day", _rollup_oracle(DAY_MS))
 def wheel_backfill_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backfill lifecycle, driver-gated end-to-end: build the index
@@ -4334,9 +4385,9 @@ def router_year_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # router_month_rollup, router_year_rollup, text_bpe_pair_counts,
 # text_pii_redact_profile, filtered_aggregates_orders,
 # dedup_lsh_incremental, router_keyed_distinct_day,
-# dedup_prefix_filter_jaccard, quantile_median_by_type_day. That is
-# ~45 queries; fill the rest of the round-5 window with canaries from
-# the r03/r04-proven sets.
+# dedup_prefix_filter_jaccard, quantile_median_by_type_day,
+# ohlc_by_type_day. That is ~46 queries; fill the rest of the round-5
+# window with canaries from the r03/r04-proven sets.
 _DRIVER_WINDOW_R3 = [
     # µWheel core (reference parity: E1/E2/E3, A4-A8, gapfill, keyed)
     "wheel_range_minute_aligned",

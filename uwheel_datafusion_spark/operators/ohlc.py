@@ -176,3 +176,53 @@ def range_ohlc_df(rollup: DataFrame, start_ms: int, end_ms: int) -> DataFrame:
         "open", "high", "low", "close",
         F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
     )
+
+
+def build_keyed_ohlc_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_col: str,
+    watermark_ms: int,
+    advance_to_ms: int,
+    slot_ms: int = MINUTE_MS,
+    cache: bool = True,
+) -> DataFrame:
+    """Keyed (per-series) candle partial ``(grp, bucket_ms, open_ts_ms,
+    open, high, low, close_ts_ms, close, cnt)`` — one candle wheel per
+    series sharing a single build shuffle (the keyed_wheel pattern
+    applied to the OHLC family; per-symbol candlesticks are the
+    canonical multi-series workload)."""
+    ms = ts_to_ms(F.col(ts_col))
+    v = F.col(value_col).cast("double")
+    key = F.struct(ms.alias("t"), v.alias("v"))
+    rollup = (
+        df.filter(ts_range_pred(df, ts_col, watermark_ms, advance_to_ms))
+        .select(
+            F.col(key_col).alias("grp"),
+            bucket_ms(ms, slot_ms).alias("bucket_ms"),
+            ms.alias("ts_ms"),
+            v.alias("value"),
+            key.alias("k"),
+        )
+        .groupBy("grp", "bucket_ms")
+        .agg(
+            F.min_by(F.col("ts_ms"), F.col("k")).alias("open_ts_ms"),
+            F.min_by(F.col("value"), F.col("k")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by(F.col("ts_ms"), F.col("k")).alias("close_ts_ms"),
+            F.max_by(F.col("value"), F.col("k")).alias("close"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return rollup.cache() if cache else rollup
+
+
+def cascade_keyed_ohlc(rollup: DataFrame, slot_ms: int) -> DataFrame:
+    """A4 tick/rotate per series: same associative combine as
+    cascade_ohlc, grouped by (grp, coarse bucket)."""
+    coarse = (F.col("bucket_ms") - F.col("bucket_ms") % F.lit(slot_ms)).alias(
+        "bucket_ms"
+    )
+    return _combine(rollup.groupBy("grp", coarse))
