@@ -22,8 +22,14 @@ Architecture (Spark-first, not a port):
 - A **SQL fallback path**: Spark SQL plays DataFusion's role
   (reference: /root/reference/src/main.rs:237-288).
 - Beyond-parity operators for large-scale training-data pipelines:
-  dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding),
-  similarity search, text analysis, multimodal binary-column plumbing.
+  dedup (exact / n-gram Jaccard incl. prefix-filtered / MinHash-LSH
+  incl. incremental ingest / SimHash / embedding / quality-aware
+  canonicalization), similarity search, text analysis (profile /
+  langid / chunking / BPE pair counts / PII redaction), corpus
+  curation (decontamination / packing / repetition / mixture),
+  embedding linear algebra (exact gram matrix / PCA), multimodal
+  binary-column plumbing, and data layout (bucketing / z-order /
+  compaction) with executed-plan metrics observability.
 """
 
 from uwheel_datafusion_spark.session import get_spark
