@@ -42,6 +42,73 @@ def _normalize(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(out)
 
 
+def _canon_arrow_type(t) -> str:
+    """Collapse an Arrow type to the equivalence class the driver's
+    value-hash effectively compares under. Anything outside the gate's
+    sanctioned scalar surface (e.g. DuckDB widening SUM(BIGINT) to
+    HUGEINT = decimal128(38,0)) keeps its full name so it MISMATCHES
+    int64 — that exact drift escaped the str()-based compare in r04
+    (`split_train_val_test`, VERDICT r04 §What's wrong #2)."""
+    import pyarrow.types as pt
+
+    if pt.is_integer(t):
+        return "int64"
+    if pt.is_floating(t):
+        return "float64"
+    if pt.is_string(t) or pt.is_large_string(t):
+        return "string"
+    if pt.is_boolean(t):
+        return "bool"
+    if pt.is_timestamp(t):
+        return "timestamp"
+    if pt.is_date(t):
+        return "date"
+    if pt.is_list(t) or pt.is_large_list(t):
+        return f"list<{_canon_arrow_type(t.value_type)}>"
+    if pt.is_binary(t) or pt.is_large_binary(t):
+        return "binary"
+    return str(t)  # decimal128(38,0) etc. — deliberately not collapsed
+
+
+def _canon_spark_type(t) -> str:
+    """Same canonical classes as _canon_arrow_type, from a Spark
+    DataType (no extra collect — the schema is already known)."""
+    import pyspark.sql.types as st
+
+    if isinstance(t, (st.ByteType, st.ShortType, st.IntegerType, st.LongType)):
+        return "int64"
+    if isinstance(t, (st.FloatType, st.DoubleType)):
+        return "float64"
+    if isinstance(t, st.StringType):
+        return "string"
+    if isinstance(t, st.BooleanType):
+        return "bool"
+    if isinstance(t, st.TimestampType):
+        return "timestamp"
+    if isinstance(t, st.DateType):
+        return "date"
+    if isinstance(t, st.ArrayType):
+        return f"list<{_canon_spark_type(t.elementType)}>"
+    if isinstance(t, st.BinaryType):
+        return "binary"
+    return t.simpleString()
+
+
+def _type_drift(spark_df, rel) -> str | None:
+    """Return a description of any oracle-vs-Spark type drift, or None
+    when every shared column lands in the same canonical class. The
+    DuckDB side goes through Arrow — the same fidelity the driver
+    hashes through."""
+    s_types = {f.name.lower(): _canon_spark_type(f.dataType) for f in spark_df.schema.fields}
+    d_types = {f.name.lower(): _canon_arrow_type(f.type) for f in rel.arrow().schema}
+    drifts = [
+        f"{c}: spark={s_types[c]} duck={d_types[c]}"
+        for c in sorted(set(s_types) & set(d_types))
+        if s_types[c] != d_types[c]
+    ]
+    return "; ".join(drifts) if drifts else None
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
@@ -51,6 +118,9 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, s
 
     if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in d_cols):
         return False, f"column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    drift = _type_drift(spark_df, con.sql(sql).limit(0))
+    if drift:
+        return False, f"type drift: {drift}"
     if len(s_rows) != len(d_rows):
         return False, f"row count: spark={len(s_rows)} duck={len(d_rows)}"
     sn = _normalize([c.lower() for c in s_cols], s_rows)

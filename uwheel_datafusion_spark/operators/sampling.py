@@ -99,7 +99,7 @@ def train_val_test_summary_oracle(table: str = "documents") -> str:
     return f"""
         SELECT {split_column_sql('doc_id')} AS split,
                COUNT(*) AS n_docs,
-               SUM(n_chars) AS sum_chars
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM {table}
         GROUP BY 1
     """
