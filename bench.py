@@ -444,6 +444,163 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
             "probe_beats_scan": r_probe.qps > r_scan.qps,
         }
 
+    # ---------------- sketch-family serving vs fact scan (r04 additions)
+    # The quantile/OHLC/M4/heavy-hitter families follow the same wheel
+    # thesis (build once, serve ranges from slot partials); this step
+    # measures each family's rollup-served range query against the
+    # equivalent direct fact scan on the SAME seeded hour-class ranges,
+    # and dual-checks the answers (exact equality — the partials'
+    # tie-breaks are deterministic by construction).
+    @step("sketch_serving")
+    def _():
+        from uwheel_datafusion_spark.operators.mgsketch import (
+            build_mg_rollup,
+            range_heavy_hitters_verified,
+        )
+        from uwheel_datafusion_spark.operators.ohlc import (
+            build_ohlc_rollup,
+            m4_downsample_df,
+            range_ohlc_df,
+        )
+        from uwheel_datafusion_spark.operators.quantile_rollup import (
+            build_histogram_rollup,
+            range_quantile_df,
+        )
+
+        register_tables(spark, sf_dir, ("events",))
+        n_sample = min(sql_sample, 20)
+        sample = gen_hour_ranges(EVENTS_WM_MS, horizon, n_sample, seed=99)
+        detail: dict = {}
+
+        # ---- builds (one scan + one shuffle each; timed like index_build)
+        t0 = time.perf_counter()
+        hist = build_histogram_rollup(
+            ev, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS
+        )
+        hist.count()
+        detail["hist_build_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        ohlc = build_ohlc_rollup(ev, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS)
+        ohlc.count()
+        detail["ohlc_build_sec"] = round(time.perf_counter() - t0, 3)
+        mg_key = F.expr("CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id END")
+        t0 = time.perf_counter()
+        mg = build_mg_rollup(
+            ev, "ts", mg_key, EVENTS_WM_MS, EVENTS_ADV_MS, m=9,
+            slot_ms=3_600_000,
+        )
+        mg.count()
+        detail["mg_build_sec"] = round(time.perf_counter() - t0, 3)
+
+        bw = 1.0  # histogram bin width (DEFAULT_BIN_WIDTH)
+
+        def q_served(s_ms, e_ms):
+            return range_quantile_df(hist, s_ms, e_ms, 0.5).collect()[0][0]
+
+        def q_scan(s_ms, e_ms):
+            # the SAME histogram-median semantics, from the fact table
+            return spark.sql(
+                f"""
+                WITH b AS (
+                    SELECT CAST(floor(value / {bw}) AS LONG) AS bin,
+                           COUNT(*) AS cnt
+                    FROM events
+                    WHERE ts >= TIMESTAMP '{ms_to_ts_literal(s_ms)}'
+                      AND ts < TIMESTAMP '{ms_to_ts_literal(e_ms)}'
+                    GROUP BY 1
+                ),
+                c AS (
+                    SELECT bin,
+                           SUM(cnt) OVER (ORDER BY bin) AS cum,
+                           SUM(cnt) OVER () AS total
+                    FROM b
+                )
+                SELECT (MIN(CASE WHEN cum >= 0.5 * total THEN bin END)
+                        + 0.5) * {bw} AS approx_quantile
+                FROM c
+                """
+            ).collect()[0][0]
+
+        def ohlc_served(s_ms, e_ms):
+            return tuple(range_ohlc_df(ohlc, s_ms, e_ms).collect()[0])
+
+        def ohlc_scan(s_ms, e_ms):
+            return tuple(
+                spark.sql(
+                    f"""
+                    SELECT min_by(value, struct(ts, value)) AS open,
+                           max(value) AS high,
+                           min(value) AS low,
+                           max_by(value, struct(ts, value)) AS close,
+                           count(*) AS cnt
+                    FROM events
+                    WHERE ts >= TIMESTAMP '{ms_to_ts_literal(s_ms)}'
+                      AND ts < TIMESTAMP '{ms_to_ts_literal(e_ms)}'
+                    """
+                ).collect()[0]
+            )
+
+        def m4_served(s_ms, e_ms):
+            return m4_downsample_df(ohlc, s_ms, e_ms, 200).count()
+
+        def hh_served(s_ms, e_ms):
+            return sorted(
+                map(tuple, range_heavy_hitters_verified(
+                    ev, "ts", mg_key, mg, s_ms, e_ms, m=9, count_frac_den=5
+                ).collect())
+            )
+
+        def hh_scan(s_ms, e_ms):
+            return sorted(
+                map(tuple, spark.sql(
+                    f"""
+                    WITH d AS (
+                        SELECT CASE WHEN user_id % 10 < 5 THEN 0
+                                    ELSE user_id END AS key
+                        FROM events
+                        WHERE ts >= TIMESTAMP '{ms_to_ts_literal(s_ms)}'
+                          AND ts < TIMESTAMP '{ms_to_ts_literal(e_ms)}'
+                    ),
+                    n AS (SELECT COUNT(*) AS n FROM d)
+                    SELECT key, COUNT(*) AS cnt
+                    FROM d, n GROUP BY key, n.n
+                    HAVING COUNT(*) * 5 >= n.n
+                    """
+                ).collect())
+            )
+
+        for fam, served, scan in (
+            ("quantile", q_served, q_scan),
+            ("ohlc", ohlc_served, ohlc_scan),
+            ("m4", m4_served, None),
+            ("heavy_hitters", hh_served, hh_scan),
+        ):
+            # serving-tier confs for the rollup path only; the scan twin
+            # keeps default confs (codegen ON favors the scan — fair)
+            with serving_confs():
+                r_served = run_latency_bench(
+                    f"{fam}_served", served, sample, warmup=2
+                )
+            fam_d = {"served": {"qps": r_served.qps, **r_served.latency}}
+            if scan is not None:
+                r_scan = run_latency_bench(f"{fam}_scan", scan, sample)
+                fam_d["scan"] = {"qps": r_scan.qps, **r_scan.latency}
+                fam_d["served_vs_scan"] = round(r_scan.latency["p50_us"]
+                                                / r_served.latency["p50_us"], 2)
+                # dual check: same seeded ranges, exact equality
+                mism = 0
+                for s_ms, e_ms in sample:
+                    a, b = served(s_ms, e_ms), scan(s_ms, e_ms)
+                    if fam == "ohlc":
+                        # served returns (open, high, low, close, cnt)
+                        a = tuple(a)
+                    if a != b:
+                        mism += 1
+                fam_d["dual_check"] = {"n": len(sample), "mismatches": mism}
+            detail[fam] = fam_d
+            timings[f"sketch_{fam}_served"] = r_served.wall_sec
+        extras["sketch_serving"] = detail
+
     # ------------------------------------------------ headline gate queries
     headline = (
         "tpch_q1_pricing_summary",

@@ -37,8 +37,12 @@ for name in sorted(Q):
         continue
     rel = con.sql(O[name]); d_cols, d_rows = list(rel.columns), rel.fetchall()
     ok = True; msg = ""
+    from tests.driver_sim import _type_drift
+    drift = _type_drift(d, con.sql(O[name]).limit(0))
     if sorted(map(str.lower, s_cols)) != sorted(map(str.lower, d_cols)):
         ok, msg = False, f"cols {s_cols} vs {d_cols}"
+    elif drift:
+        ok, msg = False, f"type drift: {drift}"
     elif len(s_rows) != len(d_rows):
         ok, msg = False, f"rowcount {len(s_rows)} vs {len(d_rows)}"
     else:

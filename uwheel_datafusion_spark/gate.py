@@ -4452,7 +4452,7 @@ _DRIVER_WINDOW_R3 = [
     "pipeline_training_corpus",
 ]
 
-_DRIVER_WINDOW = [
+_DRIVER_WINDOW_R4 = [
     # new this round (serving, streaming, week router, HLL, keyed-dist)
     "wheel_range_batch_serving",
     "streaming_wheel_rollup_parity",
@@ -4515,13 +4515,84 @@ _DRIVER_WINDOW = [
     "multimodal_frame_sample",
 ]
 
+# Round-5 window: the 41 round-4 additions that have never been in a
+# driver window (locally oracle-proven only — VERDICT r04 "What's
+# missing" #2) plus 9 canaries from the r03/r04-proven sets, including
+# the re-fixed split_train_val_test. 50/50 green here makes all 146
+# registered queries driver-proven across rounds.
+_DRIVER_WINDOW = [
+    # sketch/aggregator families (quantile, OHLC, M4, TWA, counter)
+    "quantile_median_by_day_hist",
+    "quantile_median_by_type_day",
+    "ohlc_by_day_events",
+    "ohlc_by_type_day",
+    "m4_downsample_200px",
+    "twa_by_day_events",
+    "counter_increase_by_day_events",
+    # wheel maintenance / diagnostics
+    "wheel_backfill_day",
+    "wheel_detect_gaps_15m",
+    "wheel_extend_incremental",
+    "anomaly_hourly_count_3sigma",
+    "anomaly_keyed_hourly_3sigma",
+    # keyed streaming + serving
+    "streaming_keyed_rollup_parity",
+    "keyed_rollup_batch_served",
+    # SQL surface additions
+    "scalar_functions_monthly",
+    "filtered_aggregates_orders",
+    # text analysis additions
+    "text_bpe_pair_counts",
+    "text_pii_redact_profile",
+    # corpus curation
+    "corpus_decontaminate_eval",
+    "corpus_pack_256_summary",
+    "corpus_repetition_profile",
+    "corpus_mixture_reweight",
+    # distributed linalg
+    "embedding_gram_upper",
+    # heavy hitters / top-k serving
+    "heavy_hitters_mg_verified_range",
+    "heavy_hitters_top3_users_per_day",
+    "heavy_hitters_range_topk_users",
+    # behavioral analytics
+    "overlap_join_userday_error_windows",
+    "retention_cohort_matrix",
+    "funnel_view_click_purchase_30m",
+    "sample_bottomk_range_users",
+    # dedup scale paths
+    "dedup_prefix_filter_jaccard",
+    "dedup_lsh_incremental",
+    "dedup_connected_components_star",
+    "dedup_canonical_keep_list",
+    "pipeline_pretraining_pack",
+    # router rewrite families added in r04
+    "router_keyed_hour_rollup",
+    "router_distinct_day_rollup",
+    "router_topk_users_day",
+    "router_keyed_distinct_day",
+    "router_month_rollup",
+    "router_year_rollup",
+    # canaries (driver-proven r03/r04; split_* carries the oracle fix)
+    "wheel_range_batch_serving",
+    "streaming_wheel_rollup_parity",
+    "router_week_rollup",
+    "tpch_q9_product_profit",
+    "dedup_minhash_lsh_capped",
+    "split_train_val_test",
+    "wheel_interval_7d",
+    "distinct_users_by_day_hll",
+    "similarity_knn_brute_force",
+]
+
 
 def _reorder_registry() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
     assert not missing, f"_DRIVER_WINDOW names not registered: {missing}"
     assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
-    # r03 window names must stay registered (they remain locally gated)
+    # prior window names must stay registered (they remain locally gated)
     assert not [n for n in _DRIVER_WINDOW_R3 if n not in REGISTRY]
+    assert not [n for n in _DRIVER_WINDOW_R4 if n not in REGISTRY]
     ordered = {n: REGISTRY[n] for n in _DRIVER_WINDOW}
     ordered.update({n: q for n, q in REGISTRY.items() if n not in ordered})
     # mutate in place: other modules hold references to this dict

@@ -108,16 +108,39 @@ def _shingle_sets(docs: DataFrame, text_col: str, n: int) -> DataFrame:
     )
 
 
+#: Hard fence for the full posting self-join: a frequent shingle with f
+#: postings contributes f² join rows, so corpora beyond this many docs
+#: must go through prefix_filter_jaccard_pairs() (PPJoin-class prefix
+#: filtering — provably lossless, bounded candidate set).
+MAX_EXACT_POSTING_DOCS = 100_000
+
+
 def ngram_jaccard_pairs(
-    docs: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.5
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_docs: int = MAX_EXACT_POSTING_DOCS,
 ) -> DataFrame:
     """Exact Jaccard-similarity join: explode distinct shingles to a
     posting list, self-join on the shingle, count commons per pair, compute
     jaccard = |∩| / (|A|+|B|−|∩|). Output (doc_a, doc_b, n_common,
     jaccard) for pairs ≥ threshold.
 
-    Scale shape: |postings| = Σ shingles ≈ tokens; the join is
-    hash-partitioned on the shingle string; no cross join anywhere."""
+    This is the CORRECTNESS BASELINE: the posting self-join is
+    hash-partitioned on the shingle (no cross join), but a frequent
+    shingle with f postings still yields f² join rows — quadratic in
+    the worst case. Mirroring keyed_wheel's hot-serving cap, it
+    refuses above ``max_docs`` documents; the scale path with the same
+    exact-pair contract is prefix_filter_jaccard_pairs()."""
+    n_docs = docs.count()
+    if n_docs > max_docs:
+        raise ValueError(
+            f"ngram_jaccard_pairs is the exact posting-join baseline and "
+            f"refuses {n_docs} docs (cap {max_docs}); use "
+            f"prefix_filter_jaccard_pairs() — the PPJoin-class prefix-"
+            f"filtered scale path (lossless, bounded candidates)"
+        )
     sets = _shingle_sets(docs, text_col, n)
     posting = sets.select(
         "doc_id", "n_shingles", F.explode("shingles").alias("shingle")

@@ -130,10 +130,33 @@ def knn_brute_force_oracle(
     """
 
 
+#: Hard fence for the exact all-pairs baseline: above this many vectors
+#: the O(n²) self-join is refused outright (1e5 rows is already 5e9
+#: candidate pairs). The scale path is hyperplane_lsh_pairs() below —
+#: same output contract, banded LSH buckets instead of all-pairs.
+MAX_EXACT_PAIR_ROWS = 100_000
+
+
 def cosine_pair_dedup(
-    vecs: DataFrame, threshold: float = 0.45, vec_col: str = "embedding"
+    vecs: DataFrame,
+    threshold: float = 0.45,
+    vec_col: str = "embedding",
+    max_rows: int = MAX_EXACT_PAIR_ROWS,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs ≥ threshold (exact)."""
+    """Embedding-cosine near-duplicate pairs ≥ threshold (exact).
+
+    This is the CORRECTNESS BASELINE for the LSH path, not a scale
+    path: the self-join is O(n²) by construction. Mirroring
+    keyed_wheel's hot-serving cap, it refuses above ``max_rows`` rows
+    instead of silently launching a quadratic job — use
+    hyperplane_lsh_pairs() for large corpora."""
+    n = vecs.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_pair_dedup is the exact O(n^2) baseline and refuses "
+            f"{n} rows (cap {max_rows}); use hyperplane_lsh_pairs() — the "
+            f"LSH-bucketed scale path with the same pair contract"
+        )
     qv = _quantized(vecs, vec_col, drop_zero=True).select("vec_id", "qvec", "qnorm")
     a = qv.alias("a")
     b = qv.alias("b")

@@ -304,21 +304,31 @@ class WheelSqlRouter:
     # ------------------------------------------------------------------ route
 
     def _decide(self, query: str) -> RouteDecision:
-        tm = _TOPK_PATTERN.match(query)
-        if tm is not None:
-            return self._decide_topk(tm)
-        kdm = _KEYED_DISTINCT_PATTERN.match(query)
-        if kdm is not None:
-            return self._decide_keyed_distinct(kdm)
-        dm = _DISTINCT_GROUP_PATTERN.match(query)
-        if dm is not None:
-            return self._decide_distinct_grouped(dm)
-        km = _KEYED_GROUP_PATTERN.match(query)
-        if km is not None:
-            return self._decide_keyed_grouped(km)
-        gm = _GROUP_PATTERN.match(query)
-        if gm is not None:
-            return self._decide_grouped(gm)
+        # Cheap substring pre-dispatch: the reference-shaped scalar
+        # query (src/main.rs:252-257 — SELECT agg FROM t WHERE range)
+        # has no GROUP BY, so it must not pay 5 full-string regex
+        # attempts before reaching _PATTERN (r04 regression: router
+        # rewrite p50 40 µs -> 110 µs). One upper() beats one failed
+        # re.match; only grouped queries walk the grouped chain.
+        qu = query.upper()
+        if "GROUP" in qu:  # whitespace-tolerant: patterns allow GROUP\s+BY
+            if "LIMIT" in qu:
+                tm = _TOPK_PATTERN.match(query)
+                if tm is not None:
+                    return self._decide_topk(tm)
+            if "DISTINCT" in qu:
+                kdm = _KEYED_DISTINCT_PATTERN.match(query)
+                if kdm is not None:
+                    return self._decide_keyed_distinct(kdm)
+                dm = _DISTINCT_GROUP_PATTERN.match(query)
+                if dm is not None:
+                    return self._decide_distinct_grouped(dm)
+            km = _KEYED_GROUP_PATTERN.match(query)
+            if km is not None:
+                return self._decide_keyed_grouped(km)
+            gm = _GROUP_PATTERN.match(query)
+            if gm is not None:
+                return self._decide_grouped(gm)
         m = _PATTERN.match(query)
         if not m:
             return RouteDecision("sql", "shape not Aggregate(Filter(range))")
