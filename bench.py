@@ -431,6 +431,83 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         t0 = time.perf_counter()
         idx_big.range_agg_batch_df(sample).collect()
         batch_wall = time.perf_counter() - t0
+
+        # sketch families at 20×: same flat-probe/growing-scan claim.
+        # The rollup-served quantile/OHLC touch only covered slots;
+        # the scan twins re-aggregate the 20× fact rows per query.
+        from uwheel_datafusion_spark.operators.ohlc import (
+            build_ohlc_rollup,
+            range_ohlc_df,
+        )
+        from uwheel_datafusion_spark.operators.quantile_rollup import (
+            build_histogram_rollup,
+            range_quantile_df,
+        )
+
+        hist_big = build_histogram_rollup(
+            big, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS
+        )
+        hist_big.count()
+        ohlc_big = build_ohlc_rollup(
+            big, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS
+        )
+        ohlc_big.count()
+
+        def q_served_big(s_ms, e_ms):
+            return range_quantile_df(hist_big, s_ms, e_ms, 0.5).collect()[0][0]
+
+        def q_scan_big(s_ms, e_ms):
+            return spark.sql(
+                f"""
+                WITH b AS (
+                    SELECT CAST(floor(value / 1.0) AS LONG) AS bin,
+                           COUNT(*) AS cnt
+                    FROM events_big
+                    WHERE ts >= TIMESTAMP '{ms_to_ts_literal(s_ms)}'
+                      AND ts < TIMESTAMP '{ms_to_ts_literal(e_ms)}'
+                    GROUP BY 1
+                ),
+                c AS (
+                    SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum,
+                           SUM(cnt) OVER () AS total
+                    FROM b
+                )
+                SELECT (MIN(CASE WHEN cum >= 0.5 * total THEN bin END)
+                        + 0.5) * 1.0 AS q
+                FROM c
+                """
+            ).collect()[0][0]
+
+        def ohlc_served_big(s_ms, e_ms):
+            return range_ohlc_df(ohlc_big, s_ms, e_ms).collect()[0]
+
+        def ohlc_scan_big(s_ms, e_ms):
+            return spark.sql(
+                f"""
+                SELECT min_by(value, struct(ts, value)) AS open,
+                       max(value) AS high, min(value) AS low,
+                       max_by(value, struct(ts, value)) AS close,
+                       count(*) AS cnt
+                FROM events_big
+                WHERE ts >= TIMESTAMP '{ms_to_ts_literal(s_ms)}'
+                  AND ts < TIMESTAMP '{ms_to_ts_literal(e_ms)}'
+                """
+            ).collect()[0]
+
+        sketch_x = {}
+        for fam, served, scan in (
+            ("quantile", q_served_big, q_scan_big),
+            ("ohlc", ohlc_served_big, ohlc_scan_big),
+        ):
+            with serving_confs():
+                rs = run_latency_bench(f"x_{fam}_served", served, sample, warmup=2)
+            rc = run_latency_bench(f"x_{fam}_scan", scan, sample)
+            sketch_x[fam] = {
+                "served_p50_us": rs.latency["p50_us"],
+                "scan_p50_us": rc.latency["p50_us"],
+                "served_beats_scan": rs.qps > rc.qps,
+            }
+
         timings["crossover"] = r_scan.wall_sec + r_probe.wall_sec + batch_wall
         extras["crossover"] = {
             "factor": factor,
@@ -442,6 +519,7 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
                 batch_wall / len(sample) * 1000, 3
             ),
             "probe_beats_scan": r_probe.qps > r_scan.qps,
+            "sketch_families": sketch_x,
         }
 
     # ---------------- sketch-family serving vs fact scan (r04 additions)

@@ -207,6 +207,35 @@ def wheel_interval_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SECONDS_WHEEL_CACHE: dict = {}
+
+
+def _events_seconds_wheel(spark: SparkSession, sf_dir: str) -> WheelIndex:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SECONDS_WHEEL_CACHE:
+        _tune_session(spark)
+        df = load_table(spark, sf_dir, "events")
+        _SECONDS_WHEEL_CACHE[key] = WheelIndex.build(
+            df, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS,
+            granularities=("second", "minute", "hour", "day"),
+        )
+    return _SECONDS_WHEEL_CACHE[key]
+
+
+_RANGE_SECONDS = (EVENTS_WM_MS + 90_000 + 30_000, EVENTS_ADV_MS - DAY_MS - 45_000)
+
+
+@gate("wheel_second_aligned_range", _range_oracle(*_RANGE_SECONDS))
+def wheel_second_aligned_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-in seconds wheel ([uwheel-pub] seconds level; beyond the
+    reference workload, whose generators are minute-aligned —
+    src/main.rs:168-169): a second-aligned but minute-UNALIGNED range
+    served entirely from the index (the decomposition covers the
+    ragged sub-minute edges with second slots — no fact-table scan,
+    where the minute-base index would need hybrid edge scans)."""
+    return _events_seconds_wheel(spark, sf_dir).range_agg_df(*_RANGE_SECONDS)
+
+
 def _rollup_oracle(slot_ms: int) -> str:
     return f"""
         SELECT (epoch_ms(ts) // {slot_ms}) * {slot_ms} AS bucket_ms,

@@ -821,10 +821,12 @@ def connected_components_oracle(pairs_sql: str) -> str:
 # --------------------------------------------------------------------------
 
 #: deterministic canonical ordering: longer doc wins, ties broken by
-#: smaller doc_id — encoded as ONE bigint so DuckDB's arg_max can order
-#: by it (same encode-to-bigint trick as gate._ARGMAX_ORD_SQL; assumes
-#: doc_id < 2^22, true through sf0.1 — the pure-Spark scale path is
-#: max_by(doc_id, struct(n_chars, -doc_id)) with no encoding limit).
+#: smaller doc_id. The Spark path orders by a (n_chars, -doc_id)
+#: struct — no encoding, no doc_id magnitude limit. The DuckDB ORACLE
+#: encodes the same order as ONE bigint so arg_max can use it (same
+#: trick as gate._ARGMAX_ORD_SQL); that encoding assumes
+#: doc_id < 2^22, which holds for the oracle fixtures (≤ sf0.1) and
+#: is never on the scale path.
 _CANON_ORD_SQL = "(n_chars * 4194304 - doc_id)"
 
 
@@ -847,7 +849,13 @@ def canonicalize(
         docs.select("doc_id", "n_chars")
         .join(F.broadcast(comp), "doc_id", "left")
         .withColumn("component", F.coalesce("component", F.col("doc_id")))
-        .withColumn("ord", F.expr(_CANON_ORD_SQL))
+        .withColumn(
+            "ord",
+            F.struct(
+                F.col("n_chars").alias("len"),
+                (-F.col("doc_id")).alias("neg_id"),
+            ),
+        )
     )
     canon = labeled.groupBy("component").agg(
         F.expr("max_by(doc_id, ord)").alias("canonical_id")

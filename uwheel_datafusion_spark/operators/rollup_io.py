@@ -69,11 +69,22 @@ def compact_parquet(
             for f in glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
         ]
 
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
+    # recover from an interrupted prior run: a leftover __compact_old
+    # with no live `path` means the crash hit between the two renames —
+    # restore it; leftover tmp/old next to a live `path` are stale
+    # partial state — drop them so the renames below can't collide
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+
     before = _files(path)
     total = sum(os.path.getsize(f) for f in before)
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compact_tmp"
     w = (
         df.repartition(n, partition_col)
         if partition_col is not None
@@ -83,9 +94,15 @@ def compact_parquet(
     if partition_col is not None:
         writer = writer.partitionBy(partition_col)
     writer.parquet(tmp)
-    old = path.rstrip("/") + "__compact_old"
+    # tmp is written next to `path` (same directory ⇒ same filesystem),
+    # so the two renames are atomic moves; a crash between them is
+    # recovered by the entry check above
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # roll back: the original data wins
+        raise
     shutil.rmtree(old)
     return {
         "files_before": len(before),

@@ -45,6 +45,7 @@ from uwheel_datafusion_spark.functions.time import (
     DAY_MS,
     HOUR_MS,
     MINUTE_MS,
+    SECOND_MS,
     WEEK_MS,
     bucket_ms,
     ts_range_pred,
@@ -53,6 +54,8 @@ from uwheel_datafusion_spark.functions.time import (
 from uwheel_datafusion_spark.plans.range_plan import RangePlan, decompose_range
 
 GRANULARITIES: dict[str, int] = {
+    "second": SECOND_MS,  # opt-in (µWheel's seconds wheel): makes the
+    # index self-sufficient for second-aligned sub-minute endpoints
     "minute": MINUTE_MS,
     "hour": HOUR_MS,
     "day": DAY_MS,
@@ -165,6 +168,11 @@ class WheelIndex:
             raise ValueError("the minute granularity is the cascade base")
         if stats_mode not in ("tagged", "pruned"):
             raise ValueError("stats_mode must be 'tagged' or 'pruned'")
+        # opt-in seconds wheel: the scan buckets at the finest grain and
+        # every coarser level cascades from it (minute from second) —
+        # still ONE scan + ONE shuffle; the extra level only adds cheap
+        # re-aggregations of an already-tiny rollup
+        base_ms = SECOND_MS if "second" in granularities else MINUTE_MS
 
         ms = ts_to_ms(F.col(ts_col))
 
@@ -172,13 +180,13 @@ class WheelIndex:
             scan = df.filter(
                 ts_range_pred(df, ts_col, watermark_ms, advance_to_ms)
             )
-            bucket = bucket_ms(ms, MINUTE_MS)
+            bucket = bucket_ms(ms, base_ms)
         else:
             scan = df
             bucket = (
                 F.when(ms < watermark_ms, F.lit(-1))
                 .when(ms >= advance_to_ms, F.lit(-2))
-                .otherwise(bucket_ms(ms, MINUTE_MS))
+                .otherwise(bucket_ms(ms, base_ms))
                 .cast("long")
             )
 
@@ -203,18 +211,20 @@ class WheelIndex:
             r["bucket_ms"]: r["cnt"]
             for r in tagged.filter(F.col("bucket_ms") < 0).collect()
         }
-        minute = tagged.filter(F.col("bucket_ms") >= 0)
+        base = tagged.filter(F.col("bucket_ms") >= 0)
         if stats_mode == "tagged":
             n_late = int(sentinels.get(-1, 0))
             n_ahead = int(sentinels.get(-2, 0))
         else:
             n_late = n_ahead = -1  # unknown: late/ahead never scanned
 
-        rollups: dict[str, DataFrame] = {"minute": minute}
-        # cascade: hour from minute, day from hour (tick/rotate, A4)
-        prev = "minute"
-        for g in ("hour", "day", "week"):
-            if g not in granularities:
+        base_name = "second" if base_ms == SECOND_MS else "minute"
+        rollups: dict[str, DataFrame] = {base_name: base}
+        # cascade: minute from second, hour from minute, day from hour
+        # (tick/rotate, A4)
+        prev = base_name
+        for g in ("minute", "hour", "day", "week"):
+            if g not in granularities or g == base_name:
                 continue
             rollups[g] = cls._reaggregate(rollups[prev], GRANULARITIES[g])
             prev = g
@@ -690,15 +700,17 @@ class WheelIndex:
         end_ms: int,
     ) -> DataFrame:
         """Serving path for **unaligned** endpoints (SURVEY §4.2: µWheel
-        answers sub-minute edges from its seconds wheel; our v1 keeps no
-        seconds rollup, so the ragged edges come from a pushdown scan of
-        the fact table while the aligned interior still comes from the
-        index).
+        answers sub-minute edges from its seconds wheel).
 
-        The edge scans cover < 2 minutes of data each — with parquet
+        Without a seconds rollup, ragged edges come from a pushdown
+        scan of the fact table covering < 2 minutes each — with parquet
         row-group pruning on the timestamp they read a sliver of the
-        table no matter how big it is; the interior (the bulk of the
-        range) never touches the fact table.
+        table no matter how big it is; the aligned interior (the bulk
+        of the range) never touches the fact table. With the opt-in
+        ``"second"`` granularity the sub-minute edges are served from
+        the seconds rollup instead, and only sub-SECOND residue (< 2
+        seconds) falls back to the fact scan — second-aligned endpoints
+        make the index fully self-sufficient, µWheel's behavior.
         """
         from uwheel_datafusion_spark.plans.range_plan import decompose_hybrid
 
@@ -743,7 +755,8 @@ class WheelIndex:
 
         s = max(start_ms, self.watermark_ms)
         e = min(end_ms, self.advanced_ms)
-        if s % MINUTE_MS == 0 and e % MINUTE_MS == 0:
+        fine_ms = min(GRANULARITIES[g] for g in self.rollups)
+        if s % fine_ms == 0 and e % fine_ms == 0:
             return self.plan(start_ms, end_ms).describe()
         return decompose_hybrid(s, e, tuple(self.rollups)).describe()
 

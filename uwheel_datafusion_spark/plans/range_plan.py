@@ -26,15 +26,25 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from uwheel_datafusion_spark.functions.time import DAY_MS, HOUR_MS, MINUTE_MS, WEEK_MS
+from uwheel_datafusion_spark.functions.time import (
+    DAY_MS,
+    HOUR_MS,
+    MINUTE_MS,
+    SECOND_MS,
+    WEEK_MS,
+)
 
 #: coarse → fine; each divides the previous (weeks are 7-day epoch
-#: multiples — µWheel's week wheel is likewise just 7 day slots)
+#: multiples — µWheel's week wheel is likewise just 7 day slots;
+#: seconds are opt-in — µWheel's seconds wheel, the level that lets
+#: the index answer sub-minute endpoints without touching the fact
+#: table, [uwheel-pub] §wheel hierarchy)
 _LEVELS: tuple[tuple[str, int], ...] = (
     ("week", WEEK_MS),
     ("day", DAY_MS),
     ("hour", HOUR_MS),
     ("minute", MINUTE_MS),
+    ("second", SECOND_MS),
 )
 
 
@@ -170,16 +180,25 @@ def decompose_hybrid(
     end_ms: int,
     granularities: tuple[str, ...] = ("day", "hour", "minute"),
 ) -> HybridPlan:
-    """Split an arbitrary range into ≤2 sub-minute edge scans plus an
+    """Split an arbitrary range into ≤2 sub-slot edge scans plus an
     aligned interior decomposition — the planning half of
     ``range_agg_hybrid_df``, factored out so the hybrid path is
-    explainable like the aligned one (A6 for ragged ranges)."""
+    explainable like the aligned one (A6 for ragged ranges).
+
+    Edges align to the FINEST granularity present: with the opt-in
+    seconds wheel each edge scan covers < 2 seconds of data (and a
+    second-aligned endpoint needs no scan at all — the index is
+    self-sufficient, µWheel's seconds-wheel behavior); without it the
+    edges cover < 2 minutes, as before."""
     plan = HybridPlan(start_ms=start_ms, end_ms=end_ms)
     if end_ms <= start_ms:
         return plan
-    core_s = -((-start_ms) // MINUTE_MS) * MINUTE_MS  # ceil to minute
-    core_e = (end_ms // MINUTE_MS) * MINUTE_MS  # floor to minute
-    if core_e <= core_s:  # whole range inside (under) two minute slots
+    fine_ms = min(
+        (w for g, w in _LEVELS if g in granularities), default=MINUTE_MS
+    )
+    core_s = -((-start_ms) // fine_ms) * fine_ms  # ceil to finest slot
+    core_e = (end_ms // fine_ms) * fine_ms  # floor to finest slot
+    if core_e <= core_s:  # whole range inside (under) two finest slots
         plan.edge_scans = [(start_ms, end_ms)]
         return plan
     plan.edge_scans = [

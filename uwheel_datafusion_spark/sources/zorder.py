@@ -83,6 +83,15 @@ def zorder_write(
         *[F.min(F.col(c).cast("long")).alias(f"mn_{c}") for c in cols],
         *[F.max(F.col(c).cast("long")).alias(f"mx_{c}") for c in cols],
     ).first()
+    # an empty frame or an all-NULL z column yields None bounds, which
+    # would interpolate into the normalize SQL as the literal `None`
+    # and die with an opaque parse error — refuse clearly instead
+    bad = [c for c in cols if bounds[f"mn_{c}"] is None or bounds[f"mx_{c}"] is None]
+    if bad:
+        raise ValueError(
+            f"zorder_write: no non-NULL values to bound for column(s) "
+            f"{bad} (empty input or all-NULL z column)"
+        )
     staged = df
     norm_names = []
     for c in cols:

@@ -24,6 +24,18 @@ way, which is the point: batch and streaming build the SAME index.
 Update output mode is used so each trigger emits the current total for
 every touched window — the upsert is therefore idempotent (exactly-once
 results under at-least-once delivery of micro-batches).
+
+LIFETIME CONTRACT (every wheel in this module): rollup state lives in
+a driver-side dict while the checkpoint marks micro-batches committed.
+After a driver RESTART the dict is empty but committed batches are NOT
+replayed — snapshots would silently undercount. These wheels are
+therefore single-process: either treat the state as scoped to one
+driver lifetime (tests, notebooks, always-on serving processes), or
+point ``start()`` at a FRESH checkpoint dir to rebuild from the source.
+A restart-safe deployment replaces the dict upsert in ``foreachBatch``
+with a MERGE into a Delta/Iceberg rollup table keyed on the window —
+the serving side is unchanged (it already reads (bucket → partial)
+rows); the sink body is the only swap.
 """
 
 from __future__ import annotations
