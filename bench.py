@@ -201,9 +201,17 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
             "spark.sql.codegen.factoryMode": spark.conf.get(
                 "spark.sql.codegen.factoryMode", "CODEGEN_ONLY"
             ),
+            # serving-tier shuffle width: rollup-side shuffles move a
+            # few hundred rows (merged bins, slot partials) — one task,
+            # not 32 near-empty launches; batch/build sessions keep the
+            # wide default for fact-table shuffles
+            "spark.sql.shuffle.partitions": spark.conf.get(
+                "spark.sql.shuffle.partitions"
+            ),
         }
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
         try:
             yield
         finally:

@@ -93,7 +93,9 @@ def build_bottomk_rollup(
         .withColumn("h", F.expr(_mix_sql("key")))
     )
     rollup = _ranked_bottomk(pairs, k)
-    return rollup.cache() if cache else rollup
+    # one cached partition: the rollup is tiny regardless of fact size;
+    # a range probe should be a single task (cf. WheelIndex build)
+    return rollup.coalesce(1).cache() if cache else rollup
 
 
 def cascade_bottomk(rollup: DataFrame, slot_ms: int, k: int) -> DataFrame:

@@ -127,7 +127,9 @@ def build_hll_rollup(
     # serialize every union/probe onto one task, the opposite of the
     # scale path this rollup exists for. At 100 TB, persist via
     # save_rollup (dt-partitioned) instead of caching.
-    return rollup.cache() if cache else rollup
+    # one cached partition: the rollup is tiny regardless of fact size;
+    # a range probe should be a single task (cf. WheelIndex build)
+    return rollup.coalesce(1).cache() if cache else rollup
 
 
 def cascade_hll(rollup: DataFrame, slot_ms: int) -> DataFrame:

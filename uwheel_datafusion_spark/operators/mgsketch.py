@@ -53,12 +53,18 @@ from uwheel_datafusion_spark.functions.time import (
 )
 
 
-def _truncate_to_mg(counts: DataFrame, m: int, carry_bound) -> DataFrame:
+def _truncate_to_mg(counts: DataFrame, m: int, carry_bound, total_col=None) -> DataFrame:
     """Keep top-m (cnt desc, key asc) per bucket; ``bound`` = carried
     error + the (m+1)-th count (0 if absent). ``counts`` has columns
     (bucket_ms, key, cnt) plus optionally a prior ``bound`` to carry
     (cascade); ``carry_bound`` is a Column of per-row carried error
-    (lit(0) for a fresh build)."""
+    (lit(0) for a fresh build).
+
+    ``total_col``: per-row Column holding the slot's EXACT total row
+    count, carried through truncation as ``slot_total`` (None on a
+    fresh build ⇒ the window sum over the un-truncated counts, which
+    is exact). slot_total is additive across slots, so a range's exact
+    n comes from the rollup — sparing the verify path a fact scan."""
     w = Window.partitionBy("bucket_ms").orderBy(
         F.col("cnt").desc(), F.col("key")
     )
@@ -66,6 +72,8 @@ def _truncate_to_mg(counts: DataFrame, m: int, carry_bound) -> DataFrame:
     ranked = counts.withColumn("_rn", F.row_number().over(w)).withColumn(
         "_carry", carry_bound
     )
+    total = F.sum("cnt").over(wb) if total_col is None else total_col
+    ranked = ranked.withColumn("slot_total", total.cast("long"))
     spill = F.max(F.when(F.col("_rn") == m + 1, F.col("cnt"))).over(wb)
     carried = F.max("_carry").over(wb)
     return (
@@ -74,7 +82,7 @@ def _truncate_to_mg(counts: DataFrame, m: int, carry_bound) -> DataFrame:
             (F.coalesce(spill, F.lit(0)) + carried).cast("long"),
         )
         .filter(F.col("_rn") <= m)
-        .select("bucket_ms", "key", "cnt", "bound")
+        .select("bucket_ms", "key", "cnt", "bound", "slot_total")
     )
 
 
@@ -102,7 +110,9 @@ def build_mg_rollup(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     rollup = _truncate_to_mg(counts, m, F.lit(0))
-    return rollup.cache() if cache else rollup
+    # one cached partition: the rollup is tiny regardless of fact size;
+    # a range probe should be a single task (cf. WheelIndex build)
+    return rollup.coalesce(1).cache() if cache else rollup
 
 
 def cascade_mg(rollup: DataFrame, slot_ms: int, m: int) -> DataFrame:
@@ -113,18 +123,29 @@ def cascade_mg(rollup: DataFrame, slot_ms: int, m: int) -> DataFrame:
     coarse = (F.col("bucket_ms") - F.col("bucket_ms") % F.lit(slot_ms)).alias(
         "bucket_ms"
     )
+    has_totals = "slot_total" in rollup.columns
+    per_slot = ["bucket_ms", "bound"] + (["slot_total"] if has_totals else [])
     fine_bounds = (
-        rollup.select("bucket_ms", "bound")
+        rollup.select(*per_slot)
         .distinct()
         .groupBy(coarse)
-        .agg(F.sum("bound").alias("_fb"))
+        .agg(
+            F.sum("bound").alias("_fb"),
+            *([F.sum("slot_total").alias("_ft")] if has_totals else []),
+        )
     )
     merged = (
         rollup.groupBy(coarse, F.col("key"))
         .agg(F.sum("cnt").alias("cnt"))
         .join(fine_bounds, "bucket_ms")
     )
-    return _truncate_to_mg(merged, m, F.col("_fb"))
+    out = _truncate_to_mg(
+        merged, m, F.col("_fb"),
+        total_col=F.col("_ft") if has_totals else F.lit(None),
+    )
+    # a totals-less input (e.g. a streaming snapshot) cascades without
+    # the column rather than with a wrong window-sum of truncated counts
+    return out if has_totals else out.drop("slot_total")
 
 
 def range_hh_candidates(
@@ -185,17 +206,34 @@ def range_heavy_hitters_verified(
     ``(cascade_levels+1) · n/(m+1)`` (each cascade level adds up to
     n/(m+1): its re-truncation spill) — asserted structurally, so the
     sketch can never silently under-report. Output ``(key, cnt)``,
-    exact — the oracle is the direct GROUP BY/HAVING."""
+    exact — the oracle is the direct GROUP BY/HAVING.
+
+    When the rollup carries ``slot_total`` (build_mg_rollup emits it:
+    exact per-slot row counts, additive), the range's exact n comes
+    from the rollup — the query runs ONE fact scan (the verify), not
+    two; a totals-less rollup (older save, streaming snapshot) falls
+    back to counting the fact range."""
     assert count_frac_den * (cascade_levels + 1) < m + 1, (
         f"threshold n/{count_frac_den} must exceed the MG error budget "
         f"{cascade_levels + 1}·n/{m + 1}: need "
         f"count_frac_den·(cascade_levels+1) < m+1"
     )
-    n_range = (
-        fact.filter(ts_range_pred(fact, ts_col, start_ms, end_ms))
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .withColumn("_j", F.lit(1))
-    )
+    from uwheel_datafusion_spark.operators.wheel import _bucket_range_pred
+
+    if "slot_total" in rollup.columns:
+        n_range = (
+            rollup.filter(_bucket_range_pred(rollup, start_ms, end_ms))
+            .select("bucket_ms", "slot_total")
+            .distinct()
+            .agg(F.coalesce(F.sum("slot_total"), F.lit(0)).alias("_n"))
+            .withColumn("_j", F.lit(1))
+        )
+    else:
+        n_range = (
+            fact.filter(ts_range_pred(fact, ts_col, start_ms, end_ms))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .withColumn("_j", F.lit(1))
+        )
     cands = (
         range_hh_candidates(rollup, start_ms, end_ms)
         .withColumn("_j", F.lit(1))

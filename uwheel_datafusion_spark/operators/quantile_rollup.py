@@ -68,7 +68,11 @@ def build_histogram_rollup(
         .groupBy("bucket_ms", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    return rollup.cache() if cache else rollup
+    # serve from ONE partition, like WheelIndex's rollup cache: the
+    # rollup is tiny regardless of fact size (occupied (slot, bin)
+    # cells), and a range probe should be a single task, not 32
+    # near-empty launches
+    return rollup.coalesce(1).cache() if cache else rollup
 
 
 def cascade_histogram(rollup: DataFrame, slot_ms: int) -> DataFrame:
@@ -99,27 +103,28 @@ def range_quantile_df(
         .groupBy("bin")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    w_cum = Window.orderBy("bin").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # single-pass CDF walk: pack the (tiny) merged-bin set into one
+    # sorted array and find the threshold bin with one higher-order
+    # aggregate — two stages total (bin merge + global agg) instead of
+    # the window formulation's extra single-partition sort stages; at
+    # serving time the per-job stage count IS the latency
+    packed = bins.agg(
+        F.sort_array(F.collect_list(F.struct("bin", "cnt"))).alias("bc"),
+        F.sum("cnt").alias("total"),
     )
-    w_all = Window.partitionBy()
-    cdf = bins.select(
-        "bin",
-        F.sum("cnt").over(w_cum).alias("cum"),
-        F.sum("cnt").over(w_all).alias("total"),
-    )
-    return cdf.agg(
-        (
-            (
-                F.min(
-                    F.when(
-                        F.col("cum") >= F.lit(q) * F.col("total"), F.col("bin")
-                    )
-                )
-                + F.lit(0.5)
-            )
-            * F.lit(bin_width)
-        ).alias("approx_quantile")
+    walk = f"""
+        aggregate(
+            bc,
+            struct(CAST(0 AS BIGINT) AS cum, CAST(NULL AS BIGINT) AS b),
+            (acc, x) -> struct(
+                acc.cum + x.cnt,
+                CASE WHEN acc.b IS NULL
+                          AND (acc.cum + x.cnt) >= {q} * total
+                     THEN x.bin ELSE acc.b END),
+            acc -> acc.b)
+    """
+    return packed.select(
+        ((F.expr(walk) + F.lit(0.5)) * F.lit(bin_width)).alias("approx_quantile")
     )
 
 

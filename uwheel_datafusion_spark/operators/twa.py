@@ -81,7 +81,9 @@ def build_twa_rollup(
         F.coalesce(F.sum("seg"), F.lit(0).cast(_DEC)).alias("area"),
         F.count(F.lit(1)).alias("cnt"),
     )
-    return rollup.cache() if cache else rollup
+    # one cached partition: the rollup is tiny regardless of fact size;
+    # a range probe should be a single task (cf. WheelIndex build)
+    return rollup.coalesce(1).cache() if cache else rollup
 
 
 def _combine(parts: DataFrame, group_cols: list) -> DataFrame:
