@@ -685,6 +685,41 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
                 fam_d["dual_check"] = {"n": len(sample), "mismatches": mism}
             detail[fam] = fam_d
             timings[f"sketch_{fam}_served"] = r_served.wall_sec
+
+        # ---- batched serving: the whole sample in ONE job per family
+        # (the throughput shape — amortizes the per-job scheduler floor
+        # exactly like the wheel's range_agg_batch_df)
+        from uwheel_datafusion_spark.operators.sketch_batch import (
+            range_ohlc_batch_df,
+            range_quantile_batch_df,
+        )
+
+        with serving_confs():
+            t0 = time.perf_counter()
+            qb = range_quantile_batch_df(hist, sample, 0.5).collect()
+            q_batch_sec = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            ob = range_ohlc_batch_df(ohlc, sample).collect()
+            o_batch_sec = time.perf_counter() - t0
+        q_mism = sum(
+            1
+            for r, (s_ms, e_ms) in zip(qb, sample)
+            if r["approx_quantile"] != q_served(s_ms, e_ms)
+        )
+        o_mism = sum(
+            1
+            for r, (s_ms, e_ms) in zip(ob, sample)
+            if tuple(r)[1:] != ohlc_served(s_ms, e_ms)
+        )
+        detail["batched"] = {
+            "n_queries": len(sample),
+            "quantile_ms_per_query": round(q_batch_sec / len(sample) * 1e3, 2),
+            "ohlc_ms_per_query": round(o_batch_sec / len(sample) * 1e3, 2),
+            "dual_check": {
+                "quantile_mismatches": q_mism,
+                "ohlc_mismatches": o_mism,
+            },
+        }
         extras["sketch_serving"] = detail
 
     # ------------------------------------------------ headline gate queries

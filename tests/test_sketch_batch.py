@@ -1,0 +1,85 @@
+"""Batched sketch-family serving == the per-range twins, one job.
+
+Mirrors tests/test_wheel.py's batch-vs-probe parity: every batched
+query must return exactly what its single-range serving function
+returns, including null rows for empty ranges and in-input-order
+query ids.
+"""
+
+import pytest
+
+from uwheel_datafusion_spark.functions.time import DAY_MS, HOUR_MS
+from uwheel_datafusion_spark.gate import EVENTS_ADV_MS, EVENTS_WM_MS
+from uwheel_datafusion_spark.operators.ohlc import (
+    build_ohlc_rollup,
+    range_ohlc_df,
+)
+from uwheel_datafusion_spark.operators.quantile_rollup import (
+    build_histogram_rollup,
+    range_quantile_df,
+)
+from uwheel_datafusion_spark.operators.sketch_batch import (
+    range_ohlc_batch_df,
+    range_quantile_batch_df,
+)
+from uwheel_datafusion_spark.sources.registry import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# mixed shapes: day, 6h, unoccupied (before watermark data starts is
+# clamped out by build, so use a far-future aligned slot), week
+_RANGES = [
+    (EVENTS_WM_MS, EVENTS_WM_MS + DAY_MS),
+    (EVENTS_WM_MS + 3 * DAY_MS, EVENTS_WM_MS + 3 * DAY_MS + 6 * HOUR_MS),
+    (EVENTS_ADV_MS + 30 * DAY_MS, EVENTS_ADV_MS + 31 * DAY_MS),  # empty
+    (EVENTS_WM_MS, EVENTS_WM_MS + 7 * DAY_MS),
+]
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF_DIR, "events")
+
+
+def test_quantile_batch_matches_per_range(spark, events):
+    rollup = build_histogram_rollup(
+        events, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS
+    )
+    batch = range_quantile_batch_df(rollup, _RANGES, 0.5).collect()
+    assert [r["query_id"] for r in batch] == list(range(len(_RANGES)))
+    for qid, (s, e) in enumerate(_RANGES):
+        single = range_quantile_df(rollup, s, e, 0.5).collect()[0]
+        assert batch[qid]["approx_quantile"] == single["approx_quantile"], (
+            qid,
+            _RANGES[qid],
+        )
+    # the empty range really is null
+    assert batch[2]["approx_quantile"] is None
+    rollup.unpersist()
+
+
+def test_ohlc_batch_matches_per_range(spark, events):
+    rollup = build_ohlc_rollup(
+        events, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS
+    )
+    batch = range_ohlc_batch_df(rollup, _RANGES).collect()
+    assert [r["query_id"] for r in batch] == list(range(len(_RANGES)))
+    for qid, (s, e) in enumerate(_RANGES):
+        single = range_ohlc_df(rollup, s, e).collect()[0]
+        for col in ("open", "high", "low", "close", "cnt"):
+            assert batch[qid][col] == single[col], (qid, col)
+    assert batch[2]["open"] is None and batch[2]["cnt"] == 0
+    rollup.unpersist()
+
+
+def test_batch_single_job_plan(spark, events):
+    """The batched plan must hash-join the broadcast run frame — no
+    BroadcastNestedLoopJoin (rollup rows × ranges) anywhere."""
+    rollup = build_histogram_rollup(
+        events, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS, cache=False
+    )
+    plan = range_quantile_batch_df(
+        rollup, _RANGES, 0.5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

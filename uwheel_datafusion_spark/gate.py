@@ -635,6 +635,114 @@ def ohlc_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# batched sketch serving: 4 ranges (day / 6h / empty / week), ONE job
+# per family — the throughput shape that amortizes the per-job floor
+_SKB_RANGES = [
+    (EVENTS_WM_MS, EVENTS_WM_MS + DAY_MS),
+    (EVENTS_WM_MS + 3 * DAY_MS, EVENTS_WM_MS + 3 * DAY_MS + 6 * 3_600_000),
+    (EVENTS_ADV_MS + 30 * DAY_MS, EVENTS_ADV_MS + 31 * DAY_MS),  # empty
+    (EVENTS_WM_MS + 7 * DAY_MS, EVENTS_WM_MS + 14 * DAY_MS),
+]
+_SKB_VALUES = ", ".join(
+    f"({i}, CAST({s} AS BIGINT), CAST({e} AS BIGINT))"
+    for i, (s, e) in enumerate(_SKB_RANGES)
+)
+
+
+@gate(
+    "sketch_batch_quantile_ohlc",
+    f"""
+    WITH ranges(query_id, s_ms, e_ms) AS (VALUES {_SKB_VALUES}),
+    ev AS (
+        SELECT r.query_id, epoch_ms(e.ts) AS ts_ms, e.value
+        FROM events e
+        JOIN ranges r
+          ON epoch_ms(e.ts) >= r.s_ms AND epoch_ms(e.ts) < r.e_ms
+        WHERE e.ts >= {_ts_lit(EVENTS_WM_MS)}
+          AND e.ts < {_ts_lit(EVENTS_ADV_MS)}
+    ),
+    rk AS (
+        SELECT query_id, value,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY ts_ms, value
+               ) AS rn_o,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY ts_ms DESC, value DESC
+               ) AS rn_c
+        FROM ev
+    ),
+    o AS (
+        SELECT query_id,
+               MIN(CASE WHEN rn_o = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MIN(CASE WHEN rn_c = 1 THEN value END) AS close,
+               COUNT(*) AS cnt
+        FROM rk GROUP BY query_id
+    ),
+    b AS (
+        SELECT query_id, CAST(floor(value / 1.0) AS BIGINT) AS bin,
+               COUNT(*) AS cnt
+        FROM ev GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT query_id, bin,
+               SUM(cnt) OVER (PARTITION BY query_id ORDER BY bin) AS cum,
+               SUM(cnt) OVER (PARTITION BY query_id) AS total
+        FROM b
+    ),
+    qn AS (
+        SELECT query_id,
+               CAST(
+                   (MIN(CASE WHEN cum >= 0.5 * total THEN bin END) + 0.5)
+                   * 1.0 AS DOUBLE
+               ) AS approx_median
+        FROM c GROUP BY query_id
+    )
+    SELECT CAST(r.query_id AS INTEGER) AS query_id,
+           qn.approx_median, o.open, o.high, o.low, o.close,
+           CAST(COALESCE(o.cnt, 0) AS BIGINT) AS cnt
+    FROM ranges r
+    LEFT JOIN qn ON qn.query_id = r.query_id
+    LEFT JOIN o ON o.query_id = r.query_id
+    """,
+)
+def sketch_batch_quantile_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batched sketch serving, driver-gated: 4 range queries
+    (day / 6 h / empty / week) answered in ONE job per family from the
+    histogram-quantile and OHLC rollups (operators/sketch_batch — the
+    wheel range_agg_batch_df plan shape applied to the sketch
+    families: broadcast block-hash join of ranges onto rollup cells,
+    per-query_id fold; cf. /root/reference/src/main.rs:205-288's
+    in-process amortization). The oracle re-derives every (query_id,
+    median, candle) from raw rows; the empty range must surface as a
+    null row with cnt 0 (A5 Option semantics)."""
+    from uwheel_datafusion_spark.operators.ohlc import build_ohlc_rollup
+    from uwheel_datafusion_spark.operators.quantile_rollup import (
+        build_histogram_rollup,
+    )
+    from uwheel_datafusion_spark.operators.sketch_batch import (
+        range_ohlc_batch_df,
+        range_quantile_batch_df,
+    )
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    hist = build_histogram_rollup(
+        ev, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS, cache=False
+    )
+    ohlc = build_ohlc_rollup(
+        ev, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS, cache=False
+    )
+    qdf = range_quantile_batch_df(hist, _SKB_RANGES, 0.5).withColumnRenamed(
+        "approx_quantile", "approx_median"
+    )
+    odf = range_ohlc_batch_df(ohlc, _SKB_RANGES)
+    return qdf.join(odf, "query_id").select(
+        "query_id", "approx_median", "open", "high", "low", "close", "cnt"
+    )
+
+
 @gate("wheel_backfill_day", _rollup_oracle(DAY_MS))
 def wheel_backfill_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backfill lifecycle, driver-gated end-to-end: build the index

@@ -1,0 +1,151 @@
+"""Micro-batched serving for the sketch-family rollups.
+
+The wheel's ``range_agg_batch_df`` (operators/wheel.py:606) answers N
+range queries in ONE Spark job because per-query jobs pay a flat
+~50-100 ms scheduler floor regardless of how little they scan — the
+same amortization the reference gets by staying in one process
+(/root/reference/src/main.rs:205-288). This module applies the
+identical plan shape to the mergeable-sketch rollups (histogram
+quantile, OHLC candle): ranges expand driver-side into coarse slot
+BLOCKS, the rollup joins the (broadcast, bounded) run frame with a
+hash join on block id plus a containment residual — never a
+nested-loop of rollup rows × ranges — and per-query combine/lower
+folds inside the same job.
+
+Work is bounded by occupied rollup cells × runs-per-block; fact rows
+are never touched. At 1000 executors this is the serving tier's
+throughput shape: one job per *batch* of dashboard/API queries, each
+query folding only the slots it covers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from uwheel_datafusion_spark.functions.time import MINUTE_MS
+from uwheel_datafusion_spark.operators.quantile_rollup import (
+    DEFAULT_BIN_WIDTH,
+)
+
+_BLOCK_SLOTS = 64
+
+
+def _tag_rollup_with_queries(
+    rollup: DataFrame,
+    ranges: "list[tuple[int, int]]",
+    slot_ms: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Tag rollup rows with the query ids whose half-open range covers
+    them. Returns ``(tagged, qids)`` where ``tagged`` is the rollup
+    joined to a broadcast run frame on coarse block id (+ containment
+    residual) and carries ``query_id``; ``qids`` is the 1-column frame
+    of all input query ids (for left-join back so empty ranges still
+    emit a row).
+
+    The block expansion is driver-side pure arithmetic, bounded by
+    ``sum(range_span / (slot_ms * 64))`` rows — e.g. 256 month-long
+    minute-grain queries ≈ 175 k run rows, broadcast-sized."""
+    spark = rollup.sparkSession
+    block_ms = slot_ms * _BLOCK_SLOTS
+    blocked = [
+        (qid, s, e, b)
+        for qid, (s, e) in enumerate(ranges)
+        for b in range(s // block_ms, (e - 1) // block_ms + 1)
+    ]
+    qids = spark.createDataFrame(
+        [(i,) for i in range(len(ranges))], "query_id int"
+    )
+    if not blocked:
+        empty = spark.createDataFrame(
+            [], "query_id int, run_s long, run_e long, block long"
+        )
+        r2 = rollup.withColumn("block", F.lit(0).cast("long"))
+        return r2.join(F.broadcast(empty), ["block"]).drop(
+            "block", "run_s", "run_e"
+        ), qids
+    rdf = spark.createDataFrame(
+        blocked, "query_id int, run_s long, run_e long, block long"
+    )
+    r2 = rollup.withColumn(
+        "block", F.floor(F.col("bucket_ms") / F.lit(block_ms)).cast("long")
+    )
+    tagged = r2.join(
+        F.broadcast(rdf),
+        (r2["block"] == rdf["block"])
+        & (r2["bucket_ms"] >= rdf["run_s"])
+        & (r2["bucket_ms"] < rdf["run_e"]),
+    ).drop("block", "run_s", "run_e")
+    return tagged, qids
+
+
+def range_quantile_batch_df(
+    rollup: DataFrame,
+    ranges: "list[tuple[int, int]]",
+    q: float,
+    bin_width: float = DEFAULT_BIN_WIDTH,
+    slot_ms: int = MINUTE_MS,
+) -> DataFrame:
+    """N approximate q-quantile range queries in ONE job. Input ranges
+    are slot-aligned half-open ``[start, end)`` pairs; output is one
+    row per input range in input order: ``(query_id int,
+    approx_quantile double)`` with null for an empty range — the same
+    values ``range_quantile_df`` returns per query.
+
+    Plan: tag covered rollup cells with query ids (broadcast block
+    join), merge bins per (query_id, bin), then one sorted-array CDF
+    walk per query id — the batch twin of the single-range walk."""
+    tagged, qids = _tag_rollup_with_queries(rollup, ranges, slot_ms)
+    bins = tagged.groupBy("query_id", "bin").agg(F.sum("cnt").alias("cnt"))
+    packed = bins.groupBy("query_id").agg(
+        F.sort_array(F.collect_list(F.struct("bin", "cnt"))).alias("bc"),
+        F.sum("cnt").alias("total"),
+    )
+    walk = f"""
+        aggregate(
+            bc,
+            struct(CAST(0 AS BIGINT) AS cum, CAST(NULL AS BIGINT) AS b),
+            (acc, x) -> struct(
+                acc.cum + x.cnt,
+                CASE WHEN acc.b IS NULL
+                          AND (acc.cum + x.cnt) >= {q} * total
+                     THEN x.bin ELSE acc.b END),
+            acc -> acc.b)
+    """
+    per_q = packed.select(
+        "query_id",
+        ((F.expr(walk) + F.lit(0.5)) * F.lit(bin_width)).alias(
+            "approx_quantile"
+        ),
+    )
+    return qids.join(per_q, "query_id", "left").orderBy("query_id")
+
+
+def range_ohlc_batch_df(
+    rollup: DataFrame,
+    ranges: "list[tuple[int, int]]",
+    slot_ms: int = MINUTE_MS,
+) -> DataFrame:
+    """N candlestick range queries in ONE job: ``(query_id int, open,
+    high, low, close, cnt)`` per input range in input order, nulls/0
+    for empty ranges — the same values ``range_ohlc_df`` returns per
+    query. Combine is the family's associative (ts, value)-keyed fold,
+    grouped by query id."""
+    from uwheel_datafusion_spark.operators.ohlc import _combine
+
+    tagged, qids = _tag_rollup_with_queries(rollup, ranges, slot_ms)
+    per_q = _combine(tagged.groupBy("query_id")).select(
+        "query_id", "open", "high", "low", "close", "cnt"
+    )
+    return (
+        qids.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            "open",
+            "high",
+            "low",
+            "close",
+            F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
+        )
+        .orderBy("query_id")
+    )
