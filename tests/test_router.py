@@ -451,3 +451,72 @@ def test_count_rollup_topk_route_and_fallbacks(spark, sf_smoke, router):
         f"GROUP BY 1 ORDER BY COUNT(*) DESC LIMIT 5"
     )
     assert router.last_decision.path == "count_rollup"
+
+
+def test_quantile_rollup_median_route_and_fallbacks(spark, sf_smoke, router):
+    """APPROX_MEDIAN routes to the histogram rollup — scalar and
+    GROUP BY date_trunc forms — and matches the deterministic
+    histogram-median arithmetic; unaligned range / unregistered column
+    fall back to sql."""
+    from uwheel_datafusion_spark.operators.quantile_rollup import (
+        build_histogram_rollup,
+        grouped_quantile_df,
+        range_quantile_df,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    hist = build_histogram_rollup(ev, "ts", "value", WM, ADV, cache=False)
+    router.register_histogram_rollup(
+        "events", "value", "ts", hist, WM, ADV
+    )
+    s, e = WM, WM + 7 * 86_400_000
+
+    # scalar form, via both .sql and .sql_scalar
+    q = (
+        f"SELECT APPROX_MEDIAN(value) AS m FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}'"
+    )
+    got = router.sql(q).collect()[0]["m"]
+    assert router.last_decision.path == "quantile_rollup"
+    want = range_quantile_df(hist, s, e, 0.5).collect()[0][0]
+    assert got == want
+    assert router.sql_scalar(q) == want
+
+    # grouped form
+    qd = (
+        f"SELECT date_trunc('day', ts) AS b, APPROX_MEDIAN(value) AS m "
+        f"FROM events WHERE ts >= '{ms_to_ts_literal(s)}' "
+        f"AND ts < '{ms_to_ts_literal(e)}' GROUP BY 1"
+    )
+    df = router.sql(qd)
+    assert router.last_decision.path == "quantile_rollup"
+    got_days = {
+        (r["b"], r["m"]) for r in df.collect()
+    }
+    want_days = {
+        (r["bucket_ms"], r["approx_quantile"])
+        for r in grouped_quantile_df(hist, 86_400_000, 0.5).filter(
+            (F.col("bucket_ms") >= s) & (F.col("bucket_ms") < e)
+        ).collect()
+    }
+    from uwheel_datafusion_spark.functions.time import to_epoch_ms as _to_ms
+
+    got_days_ms = {(int(b.timestamp() * 1000), m) for b, m in got_days}
+    assert got_days_ms == want_days
+    # grouped form is non-scalar
+    with pytest.raises(ValueError):
+        router.sql_scalar(qd)
+
+    # unaligned endpoint → sql
+    router.sql(
+        f"SELECT APPROX_MEDIAN(value) FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s + 1)}' AND ts < '{ms_to_ts_literal(e)}'"
+    )
+    assert router.last_decision.path == "sql"
+
+    # unregistered value column → sql
+    router.sql(
+        f"SELECT APPROX_MEDIAN(user_id) FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}'"
+    )
+    assert router.last_decision.path == "sql"

@@ -4354,6 +4354,67 @@ def router_keyed_distinct_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@gate(
+    "router_median_day_rollup",
+    f"""
+    WITH ev AS (
+        SELECT (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS bucket_ms, value
+        FROM events
+        WHERE ts >= {_ts_lit(RANGE_DAY[0])} AND ts < {_ts_lit(RANGE_DAY[1])}
+    ),
+    c AS (
+        SELECT bucket_ms, CAST(floor(value / 1.0) AS BIGINT) AS bin,
+               COUNT(*) AS cnt
+        FROM ev GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT bucket_ms, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY bucket_ms ORDER BY bin) AS cum,
+               SUM(cnt) OVER (PARTITION BY bucket_ms) AS total
+        FROM c
+    )
+    SELECT bucket_ms,
+           CAST(
+               (MIN(CASE WHEN cum >= 0.5 * total THEN bin END) + 0.5) * 1.0
+               AS DOUBLE
+           ) AS approx_median
+    FROM t GROUP BY bucket_ms
+    """,
+)
+def router_median_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROX_MEDIAN continuous-aggregate rewrite — the quantile cell
+    of the router matrix: GROUP BY date_trunc('day') +
+    APPROX_MEDIAN(value) (DataFusion's approx_median SQL surface,
+    which the reference's SQL path answers with a t-digest over the
+    scan) is recognized and served from the registered histogram
+    rollup: per-day bin merges + CDF walks, hard ±bin_width bound,
+    never the fact scan. The oracle replays the identical deterministic
+    binning, so the rewrite is hash-gated bit-for-bit."""
+    from uwheel_datafusion_spark.functions.time import ms_to_ts_literal, ts_to_ms
+    from uwheel_datafusion_spark.operators.quantile_rollup import (
+        build_histogram_rollup,
+    )
+
+    r = _events_router(spark, sf_dir)
+    r.register_histogram_rollup(
+        "events", "value", "ts",
+        build_histogram_rollup(
+            load_table(spark, sf_dir, "events"),
+            "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS, cache=False,
+        ),
+        EVENTS_WM_MS, EVENTS_ADV_MS,
+    )
+    s, e = RANGE_DAY
+    df = r.sql(
+        f"SELECT date_trunc('day', ts) AS b, "
+        f"APPROX_MEDIAN(value) AS approx_median FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}' "
+        f"GROUP BY 1"
+    )
+    assert r.last_decision.path == "quantile_rollup", r.last_decision
+    return df.select(ts_to_ms(F.col("b")).alias("bucket_ms"), "approx_median")
+
+
 #: Monday-aligned 4-week span: 2024-01-01 (a Monday) .. 2024-01-29
 WEEK_RANGE = (
     to_epoch_ms(datetime(2024, 1, 1)),

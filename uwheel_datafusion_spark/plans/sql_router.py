@@ -162,6 +162,37 @@ _TOPK_PATTERN = re.compile(
     re.IGNORECASE,
 )
 
+#: SELECT APPROX_MEDIAN(<col>) [AS a] FROM <table> WHERE <range> —
+#: DataFusion's approx_median SQL surface, served from the registered
+#: equi-width histogram rollup (operators/quantile_rollup) with a hard
+#: ±bin_width error bound — never the fact scan. (DataFusion answers
+#: this with a t-digest over the scan; the rollup rewrite is the wheel
+#: treatment of the same query.)
+_MEDIAN_PATTERN = re.compile(
+    r"^\s*SELECT\s+APPROX_MEDIAN\s*\(\s*(?P<col>\w+)\s*\)"
+    r"(?:\s+AS\s+(?P<alias>\w+))?\s+"
+    r"FROM\s+(?P<table>\w+)\s+"
+    r"WHERE\s+(?P<ts1>\w+)\s*>=\s*(?:TIMESTAMP\s+)?'(?P<start>[^']+)'\s+"
+    r"AND\s+(?P<ts2>\w+)\s*<\s*(?:TIMESTAMP\s+)?'(?P<end>[^']+)'\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+#: grouped form: SELECT date_trunc('<g>', ts) [AS b],
+#: APPROX_MEDIAN(col) [AS a] ... GROUP BY 1|b|date_trunc — the
+#: quantile continuous-aggregate shape: per-coarse-bucket medians by
+#: merging histogram bins (A4 cascade) + one CDF walk per bucket.
+_MEDIAN_GROUP_PATTERN = re.compile(
+    r"^\s*SELECT\s+DATE_TRUNC\s*\(\s*'(?P<gran>minute|hour|day)'\s*,\s*"
+    r"(?P<ts0>\w+)\s*\)\s*(?:AS\s+(?P<balias>\w+)\s*)?,\s*"
+    r"APPROX_MEDIAN\s*\(\s*(?P<col>\w+)\s*\)(?:\s+AS\s+(?P<alias>\w+))?\s+"
+    r"FROM\s+(?P<table>\w+)\s+"
+    r"WHERE\s+(?P<ts1>\w+)\s*>=\s*(?:TIMESTAMP\s+)?'(?P<start>[^']+)'\s+"
+    r"AND\s+(?P<ts2>\w+)\s*<\s*(?:TIMESTAMP\s+)?'(?P<end>[^']+)'\s*"
+    r"GROUP\s+BY\s+(?:1|(?P<gb_alias>\w+)|DATE_TRUNC\s*\(\s*'(?P<gran2>\w+)'\s*,"
+    r"\s*(?P<ts3>\w+)\s*\))\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 
 def _parse_ts_literal(lit: str) -> int | None:
     """Naive-UTC timestamp literal → epoch ms (the string form the
@@ -196,6 +227,22 @@ class RouteDecision:
     count_key: str | None = None
     #: keyed_distinct_rollup path: the registered series-key column
     key_col: str | None = None
+    #: quantile_rollup path: the histogram-registered value column
+    value_col: str | None = None
+
+
+#: DataFusion's APPROX_MEDIAN(x) has no Spark builtin; the fallback
+#: path rewrites it textually to percentile_approx(x, 0.5) so any
+#: reference-dialect query still RUNS when it can't be index-served
+#: (values are then Spark's t-digest approximation, not the
+#: histogram's — both are valid APPROX answers).
+_MEDIAN_COMPAT = re.compile(
+    r"APPROX_MEDIAN\s*\(\s*(\w+)\s*\)", re.IGNORECASE
+)
+
+
+def _spark_compat(query: str) -> str:
+    return _MEDIAN_COMPAT.sub(r"percentile_approx(\1, 0.5)", query)
 
 
 class WheelSqlRouter:
@@ -212,6 +259,8 @@ class WheelSqlRouter:
         self._counts: dict[tuple, tuple] = {}
         #: (table, key_col, distinct_col) → (ts_col, pairs_df, wm, adv)
         self._kdistinct: dict[tuple, tuple] = {}
+        #: (table, value_col) → (ts_col, hist_df, bin_width, slot_ms, wm, adv)
+        self._hist: dict[tuple, tuple] = {}
         self.last_decision: RouteDecision | None = None
 
     def register_index(
@@ -281,6 +330,31 @@ class WheelSqlRouter:
             (table.lower(), key_col.lower(), distinct_col.lower())
         ] = (ts_col.lower(), pairs, watermark_ms, advanced_ms)
 
+    def register_histogram_rollup(
+        self,
+        table: str,
+        value_col: str,
+        ts_col: str,
+        hist,
+        watermark_ms: int,
+        advanced_ms: int,
+        bin_width: float = 1.0,
+        slot_ms: int = MINUTE_MS,
+    ) -> None:
+        """Register a build_histogram_rollup frame
+        (operators/quantile_rollup) so ``APPROX_MEDIAN(<col>)`` range
+        queries — scalar or GROUP BY date_trunc — rewrite onto it:
+        merge covered slots' bins, one CDF walk, hard ±bin_width
+        bound; never the fact scan."""
+        self._hist[(table.lower(), value_col.lower())] = (
+            ts_col.lower(),
+            hist,
+            bin_width,
+            slot_ms,
+            watermark_ms,
+            advanced_ms,
+        )
+
     def register_count_rollup(
         self,
         table: str,
@@ -311,6 +385,14 @@ class WheelSqlRouter:
         # rewrite p50 40 µs -> 110 µs). One upper() beats one failed
         # re.match; only grouped queries walk the grouped chain.
         qu = query.upper()
+        if "APPROX_MEDIAN" in qu:
+            if "GROUP" in qu:
+                mg = _MEDIAN_GROUP_PATTERN.match(query)
+                if mg is not None:
+                    return self._decide_median(mg, grouped=True)
+            mm = _MEDIAN_PATTERN.match(query)
+            if mm is not None:
+                return self._decide_median(mm, grouped=False)
         if "GROUP" in qu:  # whitespace-tolerant: patterns allow GROUP\s+BY
             if "LIMIT" in qu:
                 tm = _TOPK_PATTERN.match(query)
@@ -365,6 +447,63 @@ class WheelSqlRouter:
             items[0][0],
             (s, e),
             tuple(items),
+        )
+
+    def _decide_median(self, m: re.Match, grouped: bool) -> RouteDecision:
+        """APPROX_MEDIAN range query → histogram-rollup rewrite (scalar
+        or per-date_trunc-bucket)."""
+        table = m["table"].lower()
+        col = m["col"].lower()
+        reg = self._hist.get((table, col))
+        if reg is None:
+            return RouteDecision(
+                "sql", f"no histogram rollup for {table}.{col}"
+            )
+        ts_col, _hist, _bw, slot_ms, wm, adv = reg
+        ts_refs = {m["ts1"].lower(), m["ts2"].lower()}
+        if grouped:
+            ts_refs.add(m["ts0"].lower())
+            if m["ts3"]:
+                ts_refs.add(m["ts3"].lower())
+        if ts_refs != {ts_col}:
+            return RouteDecision(
+                "sql", "bucket/filter column is not the histogram ts"
+            )
+        gran = None
+        if grouped:
+            gran = m["gran"].lower()
+            if m["gran2"] and m["gran2"].lower() != gran:
+                return RouteDecision(
+                    "sql", "GROUP BY granularity differs from SELECT"
+                )
+            balias = m["balias"] or "bucket"
+            if m["gb_alias"] and m["gb_alias"].lower() not in (
+                balias.lower(),
+                ts_col,
+            ):
+                return RouteDecision(
+                    "sql", "GROUP BY key is not the bucket expression"
+                )
+        s = _parse_ts_literal(m["start"])
+        e = _parse_ts_literal(m["end"])
+        if s is None or e is None:
+            return RouteDecision("sql", "unparseable timestamp literal")
+        if s % slot_ms or e % slot_ms:
+            return RouteDecision(
+                "sql", "endpoints not aligned to the histogram slot grain"
+            )
+        if s < wm or e > adv:
+            return RouteDecision("sql", "range outside the rollup horizon")
+        return RouteDecision(
+            "quantile_rollup",
+            "rewritten onto histogram rollup (±bin_width bound)",
+            table,
+            "APPROX_MEDIAN",
+            (s, e),
+            (("APPROX_MEDIAN", m["alias"] or "approx_median"),),
+            granularity=gran,
+            bucket_alias=(m["balias"] or "bucket") if grouped else None,
+            value_col=col,
         )
 
     def _decide_grouped(self, m: re.Match) -> RouteDecision:
@@ -701,10 +840,17 @@ class WheelSqlRouter:
             "rollup", "keyed_rollup", "distinct_rollup", "count_rollup"
         ) or (
             d.path == "index" and len(d.items) > 1
+        ) or (
+            d.path == "quantile_rollup" and d.granularity is not None
         ):
             raise ValueError(
                 "non-scalar result shape: use .sql() (DataFrame form)"
             )
+        if d.path == "quantile_rollup":
+            # rollup-served, but a Spark job (bin merge + CDF walk),
+            # not driver arithmetic like the wheel's scalar path
+            row = self._serve_quantile_rollup(d).first()
+            return row[0] if row is not None else None
         if d.path == "index":
             _, _, index = self._indexes[d.table]
             di = index.to_driver_index()
@@ -717,7 +863,7 @@ class WheelSqlRouter:
                 "AVG": di.query_avg,
             }[d.agg]
             return fn(s, e)
-        row = self.spark.sql(query).first()
+        row = self.spark.sql(_spark_compat(query)).first()
         return row[0] if row is not None else None
 
     def sql(self, query: str) -> DataFrame:
@@ -728,7 +874,7 @@ class WheelSqlRouter:
         d = self._decide(query)
         self.last_decision = d
         if d.path == "sql":
-            return self.spark.sql(query)
+            return self.spark.sql(_spark_compat(query))
         if d.path == "rollup":
             return self._serve_rollup(d)
         if d.path == "keyed_rollup":
@@ -739,6 +885,8 @@ class WheelSqlRouter:
             return self._serve_keyed_distinct_rollup(d)
         if d.path == "count_rollup":
             return self._serve_count_rollup(d)
+        if d.path == "quantile_rollup":
+            return self._serve_quantile_rollup(d)
         _, _, index = self._indexes[d.table]
         di = index.to_driver_index()
         s, e = d.range_ms
@@ -774,6 +922,38 @@ class WheelSqlRouter:
         _agg, calias = d.items[0]
         return range_topk_keys_df(pairs, s, e, d.limit).select(
             F.col("key").alias(d.key_alias), F.col("cnt").alias(calias)
+        )
+
+    def _serve_quantile_rollup(self, d: RouteDecision) -> DataFrame:
+        """APPROX_MEDIAN served from the histogram rollup: bucket-range
+        filter (day-prunable on a reopened rollup) + bin merge + CDF
+        walk — work bounded by occupied (slot, bin) cells, never fact
+        rows. Hard ±bin_width bound (quantile_rollup module docs)."""
+        from pyspark.sql import functions as F
+
+        from uwheel_datafusion_spark.functions.time import GRANULARITY_MS
+        from uwheel_datafusion_spark.operators.quantile_rollup import (
+            grouped_quantile_df,
+            range_quantile_df,
+        )
+        from uwheel_datafusion_spark.operators.wheel import _bucket_range_pred
+
+        ts_col, hist, bw, _slot, _wm, _adv = self._hist[
+            (d.table, d.value_col)
+        ]
+        s, e = d.range_ms
+        _agg, alias = d.items[0]
+        if d.granularity is None:
+            return range_quantile_df(hist, s, e, 0.5, bw).select(
+                F.col("approx_quantile").alias(alias)
+            )
+        part = hist.filter(_bucket_range_pred(hist, s, e))
+        out = grouped_quantile_df(part, GRANULARITY_MS[d.granularity], 0.5, bw)
+        return out.select(
+            F.timestamp_millis(F.col("bucket_ms"))
+            .cast("timestamp_ntz")
+            .alias(d.bucket_alias),
+            F.col("approx_quantile").alias(alias),
         )
 
     def _serve_distinct_rollup(self, d: RouteDecision) -> DataFrame:
