@@ -83,3 +83,86 @@ def test_batch_single_job_plan(spark, events):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_twa_batch_matches_per_range(spark, events):
+    from uwheel_datafusion_spark.operators.sketch_batch import (
+        range_twa_batch_df,
+    )
+    from uwheel_datafusion_spark.operators.twa import (
+        build_twa_rollup,
+        range_twa_df,
+    )
+
+    rollup = build_twa_rollup(
+        events, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS
+    )
+    batch = range_twa_batch_df(rollup, _RANGES).collect()
+    for qid, (s, e) in enumerate(_RANGES):
+        single = range_twa_df(rollup, s, e).collect()[0]
+        assert batch[qid]["twa"] == single["twa"], (qid,)
+        assert batch[qid]["cnt"] == single["cnt"]
+    assert batch[2]["twa"] is None and batch[2]["cnt"] == 0
+    rollup.unpersist()
+
+
+def test_counter_batch_matches_per_range(spark, events):
+    from uwheel_datafusion_spark.operators.counter import (
+        build_counter_rollup,
+        range_increase_df,
+    )
+    from uwheel_datafusion_spark.operators.sketch_batch import (
+        range_increase_batch_df,
+    )
+
+    rollup = build_counter_rollup(
+        events, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS
+    )
+    batch = range_increase_batch_df(rollup, _RANGES).collect()
+    for qid, (s, e) in enumerate(_RANGES):
+        single = range_increase_df(rollup, s, e).collect()[0]
+        for col in ("increase", "rate_per_sec", "cnt"):
+            assert batch[qid][col] == single[col], (qid, col)
+    assert batch[2]["increase"] is None and batch[2]["cnt"] == 0
+    rollup.unpersist()
+
+
+def test_distinct_batch_matches_per_range(spark, events):
+    from uwheel_datafusion_spark.operators.distinct import (
+        build_distinct_pairs,
+        range_distinct_exact,
+    )
+    from uwheel_datafusion_spark.operators.sketch_batch import (
+        range_distinct_batch_df,
+    )
+
+    pairs = build_distinct_pairs(
+        events, "ts", "user_id", EVENTS_WM_MS, EVENTS_ADV_MS
+    )
+    batch = range_distinct_batch_df(pairs, _RANGES).collect()
+    for qid, (s, e) in enumerate(_RANGES):
+        single = range_distinct_exact(pairs, s, e).collect()[0]
+        assert batch[qid]["n_distinct"] == single["n_distinct"], (qid,)
+    assert batch[2]["n_distinct"] == 0
+    pairs.unpersist()
+
+
+def test_kmv_batch_matches_per_range(spark, events):
+    from uwheel_datafusion_spark.operators.bottomk import (
+        build_bottomk_rollup,
+        range_kmv_estimate_df,
+    )
+    from uwheel_datafusion_spark.operators.sketch_batch import (
+        range_kmv_batch_df,
+    )
+
+    k = 64
+    rollup = build_bottomk_rollup(
+        events, "ts", "user_id", EVENTS_WM_MS, EVENTS_ADV_MS, k=k
+    )
+    batch = range_kmv_batch_df(rollup, _RANGES, k).collect()
+    for qid, (s, e) in enumerate(_RANGES):
+        single = range_kmv_estimate_df(rollup, s, e, k).collect()[0]
+        assert batch[qid]["n_distinct_kmv"] == single["n_distinct_kmv"], (qid,)
+    assert batch[2]["n_distinct_kmv"] == 0
+    rollup.unpersist()

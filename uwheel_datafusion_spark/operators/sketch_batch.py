@@ -5,8 +5,9 @@ range queries in ONE Spark job because per-query jobs pay a flat
 ~50-100 ms scheduler floor regardless of how little they scan — the
 same amortization the reference gets by staying in one process
 (/root/reference/src/main.rs:205-288). This module applies the
-identical plan shape to the mergeable-sketch rollups (histogram
-quantile, OHLC candle): ranges expand driver-side into coarse slot
+identical plan shape to every un-keyed sketch rollup family —
+histogram quantile, OHLC candle, TWA, counter increase/rate, exact
+distinct pairs, bottom-k/KMV: ranges expand driver-side into coarse slot
 BLOCKS, the rollup joins the (broadcast, bounded) run frame with a
 hash join on block id plus a containment residual — never a
 nested-loop of rollup rows × ranges — and per-query combine/lower
@@ -119,6 +120,138 @@ def range_quantile_batch_df(
         ),
     )
     return qids.join(per_q, "query_id", "left").orderBy("query_id")
+
+
+def range_twa_batch_df(
+    rollup: DataFrame,
+    ranges: "list[tuple[int, int]]",
+    slot_ms: int = MINUTE_MS,
+) -> DataFrame:
+    """N time-weighted-average range queries in ONE job: ``(query_id,
+    twa double, cnt)`` per input range, null/0 for empty ranges — the
+    same values ``range_twa_df`` returns per query. The ordered
+    boundary-fold (operators/stitch) runs per query id."""
+    from uwheel_datafusion_spark.operators.twa import _combine, _lower_twa
+
+    tagged, qids = _tag_rollup_with_queries(rollup, ranges, slot_ms)
+    per_q = _combine(tagged, ["query_id"]).select(
+        "query_id", _lower_twa().alias("twa"), "cnt"
+    )
+    return (
+        qids.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            "twa",
+            F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def range_increase_batch_df(
+    rollup: DataFrame,
+    ranges: "list[tuple[int, int]]",
+    slot_ms: int = MINUTE_MS,
+) -> DataFrame:
+    """N counter increase/rate range queries in ONE job: ``(query_id,
+    increase, rate_per_sec, cnt)`` per input range — the same values
+    ``range_increase_df`` returns per query (reset-aware seam folded
+    per query id)."""
+    from uwheel_datafusion_spark.operators.counter import (
+        _combine,
+        _lowered_cols,
+    )
+
+    tagged, qids = _tag_rollup_with_queries(rollup, ranges, slot_ms)
+    inc, rate = _lowered_cols()
+    per_q = _combine(tagged, ["query_id"]).select(
+        "query_id",
+        F.when(F.col("cnt").isNull(), F.lit(None).cast("double"))
+        .otherwise(F.col("inc").cast("double") / F.lit(1e6))
+        .alias("increase"),
+        rate,
+        "cnt",
+    )
+    return (
+        qids.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            "increase",
+            "rate_per_sec",
+            F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def range_distinct_batch_df(
+    pairs: DataFrame,
+    ranges: "list[tuple[int, int]]",
+    slot_ms: int = MINUTE_MS,
+) -> DataFrame:
+    """N exact distinct-count range queries in ONE job from the
+    distinct-pairs rollup: ``(query_id, n_distinct)``, 0 for empty
+    ranges (a distinct count of nothing IS 0, unlike the wheel's
+    Option nulls) — the same values ``range_distinct_exact`` returns
+    per query."""
+    tagged, qids = _tag_rollup_with_queries(pairs, ranges, slot_ms)
+    per_q = tagged.groupBy("query_id").agg(
+        F.count_distinct("key").alias("n_distinct")
+    )
+    return (
+        qids.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_distinct"), F.lit(0).cast("long")).alias(
+                "n_distinct"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def range_kmv_batch_df(
+    rollup: DataFrame,
+    ranges: "list[tuple[int, int]]",
+    k: int,
+    slot_ms: int = MINUTE_MS,
+) -> DataFrame:
+    """N KMV distinct-estimate range queries in ONE job from the
+    bottom-k rollup: ``(query_id, n_distinct_kmv)`` — the same values
+    ``range_kmv_estimate_df`` returns per query. The per-query
+    bottom-k re-rank is a window row_number (WindowGroupLimit pushes
+    it down); exchanged rows ≤ ranges × k."""
+    from pyspark.sql import Window
+
+    from uwheel_datafusion_spark.operators.bottomk import _P2
+
+    tagged, qids = _tag_rollup_with_queries(rollup, ranges, slot_ms)
+    w = Window.partitionBy("query_id").orderBy("h", "key")
+    sample = (
+        tagged.select("query_id", "h", "key")
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+    )
+    agg = sample.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("h").alias("hk")
+    )
+    est = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.col("hk").cast("double") / F.lit(float(_P2)))
+    )
+    per_q = agg.select(
+        "query_id", F.round(est).cast("long").alias("n_distinct_kmv")
+    )
+    return (
+        qids.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_distinct_kmv"), F.lit(0).cast("long")).alias(
+                "n_distinct_kmv"
+            ),
+        )
+        .orderBy("query_id")
+    )
 
 
 def range_ohlc_batch_df(
