@@ -166,3 +166,60 @@ def test_kmv_batch_matches_per_range(spark, events):
         assert batch[qid]["n_distinct_kmv"] == single["n_distinct_kmv"], (qid,)
     assert batch[2]["n_distinct_kmv"] == 0
     rollup.unpersist()
+
+
+def test_heavy_hitters_batch_matches_per_range(spark, events):
+    from pyspark.sql import functions as F
+
+    from uwheel_datafusion_spark.operators.mgsketch import (
+        build_mg_rollup,
+        range_heavy_hitters_verified,
+    )
+    from uwheel_datafusion_spark.operators.sketch_batch import (
+        range_heavy_hitters_batch_verified,
+    )
+
+    HOUR = 3_600_000
+    key = F.expr("CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id END")
+    rollup = build_mg_rollup(
+        events, "ts", key, EVENTS_WM_MS, EVENTS_ADV_MS, m=9, slot_ms=HOUR
+    )
+    batch = range_heavy_hitters_batch_verified(
+        events, "ts", key, rollup, _RANGES, m=9, count_frac_den=5,
+        slot_ms=HOUR,
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], set()).add((r["key"], r["cnt"]))
+    for qid, (s, e) in enumerate(_RANGES):
+        single = {
+            (r["key"], r["cnt"])
+            for r in range_heavy_hitters_verified(
+                events, "ts", key, rollup, s, e, m=9, count_frac_den=5
+            ).collect()
+        }
+        assert got.get(qid, set()) == single, (qid, _RANGES[qid])
+    # empty range emits no rows
+    assert 2 not in got
+    rollup.unpersist()
+
+
+def test_heavy_hitters_batch_plan_no_nested_loop(spark, events):
+    from pyspark.sql import functions as F
+
+    from uwheel_datafusion_spark.operators.mgsketch import build_mg_rollup
+    from uwheel_datafusion_spark.operators.sketch_batch import (
+        range_heavy_hitters_batch_verified,
+    )
+
+    HOUR = 3_600_000
+    key = F.expr("CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id END")
+    rollup = build_mg_rollup(
+        events, "ts", key, EVENTS_WM_MS, EVENTS_ADV_MS, m=9, slot_ms=HOUR,
+        cache=False,
+    )
+    plan = range_heavy_hitters_batch_verified(
+        events, "ts", key, rollup, _RANGES, m=9, count_frac_den=5,
+        slot_ms=HOUR,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -32,6 +32,46 @@ from uwheel_datafusion_spark.operators.quantile_rollup import (
 _BLOCK_SLOTS = 64
 
 
+def _blocked_runs_df(
+    spark,
+    ranges: "list[tuple[int, int]]",
+    block_ms: int,
+) -> DataFrame:
+    """Driver-side block expansion of the input ranges: one row per
+    (query_id, covering coarse block), broadcast-sized — the hash key
+    that keeps range-tagging joins off the nested-loop path."""
+    blocked = [
+        (qid, s, e, b)
+        for qid, (s, e) in enumerate(ranges)
+        for b in range(s // block_ms, (e - 1) // block_ms + 1)
+    ]
+    if not blocked:
+        return spark.createDataFrame(
+            [], "query_id int, run_s long, run_e long, block long"
+        )
+    return spark.createDataFrame(
+        blocked, "query_id int, run_s long, run_e long, block long"
+    )
+
+
+def _tag_by_block(
+    df: DataFrame, rdf: DataFrame, ms_col, block_ms: int
+) -> DataFrame:
+    """Tag ``df`` rows with the query ids whose range contains
+    ``ms_col``: hash join on coarse block id + containment residual.
+    Rows covered by several ranges duplicate per query id (each fold
+    is independent)."""
+    d2 = df.withColumn(
+        "block", F.floor(ms_col / F.lit(block_ms)).cast("long")
+    )
+    return d2.join(
+        F.broadcast(rdf),
+        (d2["block"] == rdf["block"])
+        & (ms_col >= rdf["run_s"])
+        & (ms_col < rdf["run_e"]),
+    ).drop("block", "run_s", "run_e")
+
+
 def _tag_rollup_with_queries(
     rollup: DataFrame,
     ranges: "list[tuple[int, int]]",
@@ -49,34 +89,11 @@ def _tag_rollup_with_queries(
     minute-grain queries ≈ 175 k run rows, broadcast-sized."""
     spark = rollup.sparkSession
     block_ms = slot_ms * _BLOCK_SLOTS
-    blocked = [
-        (qid, s, e, b)
-        for qid, (s, e) in enumerate(ranges)
-        for b in range(s // block_ms, (e - 1) // block_ms + 1)
-    ]
     qids = spark.createDataFrame(
         [(i,) for i in range(len(ranges))], "query_id int"
     )
-    if not blocked:
-        empty = spark.createDataFrame(
-            [], "query_id int, run_s long, run_e long, block long"
-        )
-        r2 = rollup.withColumn("block", F.lit(0).cast("long"))
-        return r2.join(F.broadcast(empty), ["block"]).drop(
-            "block", "run_s", "run_e"
-        ), qids
-    rdf = spark.createDataFrame(
-        blocked, "query_id int, run_s long, run_e long, block long"
-    )
-    r2 = rollup.withColumn(
-        "block", F.floor(F.col("bucket_ms") / F.lit(block_ms)).cast("long")
-    )
-    tagged = r2.join(
-        F.broadcast(rdf),
-        (r2["block"] == rdf["block"])
-        & (r2["bucket_ms"] >= rdf["run_s"])
-        & (r2["bucket_ms"] < rdf["run_e"]),
-    ).drop("block", "run_s", "run_e")
+    rdf = _blocked_runs_df(spark, ranges, block_ms)
+    tagged = _tag_by_block(rollup, rdf, F.col("bucket_ms"), block_ms)
     return tagged, qids
 
 
@@ -282,3 +299,94 @@ def range_ohlc_batch_df(
         )
         .orderBy("query_id")
     )
+
+
+def range_heavy_hitters_batch_verified(
+    fact: DataFrame,
+    ts_col: str,
+    key: F.Column,
+    rollup: DataFrame,
+    ranges: "list[tuple[int, int]]",
+    m: int,
+    count_frac_den: int,
+    cascade_levels: int = 0,
+    slot_ms: int = MINUTE_MS,
+) -> DataFrame:
+    """N EXACT heavy-hitter range queries with ONE candidates job and
+    ONE union verify scan: ``(query_id, key, cnt)`` — exactly the rows
+    ``range_heavy_hitters_verified`` emits per range (empty ranges emit
+    nothing: the heavy hitters of an empty set are no rows).
+
+    The per-range twin already costs one fact scan per query (the
+    verify); at N dashboard queries that is N scans of overlapping
+    windows. Here the verify scans the fact table ONCE over
+    ``[min(start), max(end))`` (pushed to parquet stats), tags each row
+    with its covering query ids via the same block-hash join the rollup
+    tagging uses (never row × ranges), semi-joins the broadcast
+    per-(query_id, key) candidate set, and thresholds per query id —
+    fact work is bounded by the union span regardless of N.
+
+    Requires a rollup with ``slot_total`` (build_mg_rollup emits it)
+    so each range's exact n comes from the rollup, not a second scan.
+    Completeness: same structural assertion as the single-range path —
+    threshold n/den must exceed the (cascade_levels+1)·n/(m+1) error
+    budget, per range."""
+    from uwheel_datafusion_spark.functions.time import ts_range_pred, ts_to_ms
+
+    assert count_frac_den * (cascade_levels + 1) < m + 1, (
+        f"threshold n/{count_frac_den} must exceed the MG error budget "
+        f"{cascade_levels + 1}·n/{m + 1}"
+    )
+    assert "slot_total" in rollup.columns, (
+        "batched verified heavy hitters need a slot_total-bearing rollup "
+        "(build_mg_rollup emits it); use range_heavy_hitters_verified "
+        "per range for totals-less rollups"
+    )
+    if not ranges:
+        return rollup.sparkSession.createDataFrame(
+            [], "query_id int, key long, cnt long"
+        )
+    tagged, _qids = _tag_rollup_with_queries(rollup, ranges, slot_ms)
+    # per-query exact n and total error bound, both from the rollup:
+    # slot_total/bound are per-slot scalars replicated per key row, so
+    # de-dup on (query_id, bucket_ms) before summing
+    per_q = (
+        tagged.select("query_id", "bucket_ms", "bound", "slot_total")
+        .distinct()
+        .groupBy("query_id")
+        .agg(
+            F.sum("slot_total").alias("_n"),
+            F.sum("bound").alias("_total_bound"),
+        )
+    )
+    # candidates: served + Σ bounds ≥ n/den (provably complete above
+    # the error budget — same upper bound as range_hh_candidates)
+    served = tagged.groupBy("query_id", "key").agg(
+        F.sum("cnt").alias("served")
+    )
+    cands = (
+        served.join(per_q, "query_id")
+        .filter(
+            (F.col("served") + F.col("_total_bound")) * count_frac_den
+            >= F.col("_n")
+        )
+        .select("query_id", "key")
+    )
+    # ONE verify scan over the union span, block-tagged per query id
+    lo = min(s for s, _ in ranges)
+    hi = max(e for _, e in ranges)
+    block_ms = slot_ms * _BLOCK_SLOTS
+    rdf = _blocked_runs_df(fact.sparkSession, ranges, block_ms)
+    rows = fact.filter(ts_range_pred(fact, ts_col, lo, hi)).select(
+        ts_to_ms(F.col(ts_col)).alias("_ms"), key.alias("key")
+    )
+    tagged_rows = _tag_by_block(rows, rdf, F.col("_ms"), block_ms)
+    exact = (
+        tagged_rows.join(F.broadcast(cands), ["query_id", "key"], "inner")
+        .groupBy("query_id", "key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(per_q.select("query_id", "_n"), "query_id")
+        .filter(F.col("cnt") * count_frac_den >= F.col("_n"))
+        .select("query_id", "key", "cnt")
+    )
+    return exact
