@@ -759,3 +759,97 @@ def test_streaming_mg_verified_equals_truth(spark, sf_smoke, stream_dir, tmp_pat
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_mg_restart_with_state_dir(spark, sf_smoke, tmp_path):
+    """Restart-safe state (ADVICE r4): an MG wheel killed after its
+    state was persisted and restarted with the SAME (checkpoint,
+    state_dir) pair must converge to exactly the sketch a never-killed
+    wheel builds over the full stream — the delta-merging MG fold is
+    the non-idempotent wheel the epoch guard exists for."""
+    from uwheel_datafusion_spark.streaming.wheel_stream import StreamingMGWheel
+
+    key_sql = "CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id END"
+    m = 39
+    ev = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "mg_restart_in")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "mg_restart_ckpt")
+    state = str(tmp_path / "mg_restart_state")
+    split = "2024-01-16 00:00:00"
+
+    def mk_stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("ts", "user_id")
+        )
+
+    # run 1: first half, clean shutdown (state auto-persisted per epoch)
+    ev.filter(F.col("ts") < F.lit(split).cast("timestamp")).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    w1 = StreamingMGWheel(mk_stream(), "ts", key_sql, m=m)
+    w1.start(ckpt, state_dir=state)
+    w1.process_available()
+    w1.stop()
+    assert w1.slots
+
+    # run 2: fresh object, same checkpoint + state_dir, second half
+    ev.filter(F.col("ts") >= F.lit(split).cast("timestamp")).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    w2 = StreamingMGWheel(mk_stream(), "ts", key_sql, m=m)
+    w2.start(ckpt, state_dir=state)
+    w2.process_available()
+    w2.stop()
+
+    # reference: never-killed wheel over both chunks, fresh checkpoint
+    w3 = StreamingMGWheel(mk_stream(), "ts", key_sql, m=m)
+    w3.start(str(tmp_path / "mg_ref_ckpt"))
+    w3.process_available()
+    w3.stop()
+    assert w2.slots == w3.slots
+
+
+def test_streaming_wheel_state_dir_restart(spark, sf_smoke, tmp_path):
+    """StreamingWheel with state_dir: restart converges to the batch
+    index without any manual save/load call."""
+    ev = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "sw_restart_in")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "sw_restart_ckpt")
+    state = str(tmp_path / "sw_restart_state")
+    split = "2024-01-16 00:00:00"
+
+    def mk_stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("ts", "value")
+        )
+
+    ev.filter(F.col("ts") < F.lit(split).cast("timestamp")).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    w1 = StreamingWheel(mk_stream(), "ts", "value", watermark_delay="31 days")
+    w1.start(ckpt, state_dir=state)
+    w1.process_available()
+    w1.stop()
+
+    ev.filter(F.col("ts") >= F.lit(split).cast("timestamp")).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    w2 = StreamingWheel(mk_stream(), "ts", "value", watermark_delay="31 days")
+    w2.start(ckpt, state_dir=state)
+    w2.process_available()
+    w2.stop()
+
+    batch_idx = WheelIndex.build(ev, "ts", "value", WM, ADV).to_driver_index()
+    stream_idx = w2.snapshot_index(WM, ADV)
+    assert stream_idx.landmark() == batch_idx.landmark()
+    for s, e in [(WM, WM + 10 * 86_400_000), (WM + 14 * 86_400_000, ADV)]:
+        assert stream_idx.query_sum(s, e) == batch_idx.query_sum(s, e)
+        assert stream_idx.query_count(s, e) == batch_idx.query_count(s, e)

@@ -28,18 +28,25 @@ results under at-least-once delivery of micro-batches).
 LIFETIME CONTRACT (every wheel in this module): rollup state lives in
 a driver-side dict while the checkpoint marks micro-batches committed.
 After a driver RESTART the dict is empty but committed batches are NOT
-replayed — snapshots would silently undercount. These wheels are
-therefore single-process: either treat the state as scoped to one
-driver lifetime (tests, notebooks, always-on serving processes), or
-point ``start()`` at a FRESH checkpoint dir to rebuild from the source.
-A restart-safe deployment replaces the dict upsert in ``foreachBatch``
-with a MERGE into a Delta/Iceberg rollup table keyed on the window —
-the serving side is unchanged (it already reads (bucket → partial)
-rows); the sink body is the only swap.
+replayed — snapshots would silently undercount. Pass ``state_dir`` to
+``start()`` to make any wheel RESTART-SAFE: the sink persists the
+state atomically after every applied epoch (write-temp + rename,
+tagged with the epoch id), and a restarted wheel given the same
+(checkpoint_dir, state_dir) pair auto-restores and skips replayed
+epochs it already folded in — the transactional-foreachBatch pattern,
+required because the delta-merging wheels (MG) are not idempotent
+under epoch replay. Persist-then-commit ordering makes the state
+exactly-once: a crash after persist but before the checkpoint commit
+replays the epoch, and the epoch guard drops it. Without ``state_dir``
+the wheels remain single-process (tests, notebooks, always-on serving)
+— or swap the sink body for a Delta/Iceberg MERGE keyed on the window;
+the serving side is unchanged either way.
 """
 
 from __future__ import annotations
 
+import os
+import pickle
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -51,6 +58,33 @@ from uwheel_datafusion_spark.functions.time import (
     ensure_event_time,
     ts_to_ms,
 )
+
+
+def _state_file(state_dir: str) -> str:
+    return os.path.join(state_dir, "wheel_state.pkl")
+
+
+def _persist_state(state_dir: str, slots, epoch_id: int, extra=None) -> None:
+    """Atomic (temp + rename) driver-state snapshot, tagged with the
+    last applied epoch id. Runs INSIDE foreachBatch, i.e. before the
+    checkpoint commits the epoch — so crash-replayed epochs find their
+    effects already persisted and the epoch guard skips them."""
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = _state_file(state_dir) + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(
+            {"slots": slots, "epoch": epoch_id, **(extra or {})}, f
+        )
+    os.replace(tmp, _state_file(state_dir))
+
+
+def _load_state(state_dir: str):
+    """Restore a persisted state snapshot; None when the dir is fresh."""
+    p = _state_file(state_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p, "rb") as f:
+        return pickle.load(f)
 
 
 @dataclass
@@ -168,6 +202,7 @@ class StreamingDistinctWheel:
         lg_k: int = 12,
     ) -> None:
         self.slots: dict[int, bytes] = {}  # bucket_ms → sketch binary
+        self._last_epoch = -1
         self._agg = (
             ensure_event_time(stream_df, ts_col)
             .withWatermark(ts_col, watermark_delay)
@@ -177,12 +212,22 @@ class StreamingDistinctWheel:
         )
         self._query = None
 
-    def start(self, checkpoint_dir: str):
+    def start(self, checkpoint_dir: str, state_dir: str | None = None):
         slots = self.slots
+        if state_dir is not None:
+            st = _load_state(state_dir)
+            if st is not None:
+                slots.update(st["slots"])
+                self._last_epoch = st["epoch"]
 
         def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            if state_dir is not None and epoch_id <= self._last_epoch:
+                return  # replayed epoch already folded into the state
             for r in batch_df.collect():
                 slots[r["bucket_ms"]] = bytes(r["hll"])
+            if state_dir is not None:
+                self._last_epoch = epoch_id
+                _persist_state(state_dir, slots, epoch_id)
 
         self._query = (
             self._agg.writeStream.outputMode("update")
@@ -243,6 +288,7 @@ class StreamingBottomKWheel:
         self.k = k
         #: bucket_ms → ascending-sorted list of (h, key), ≤ k entries
         self.slots: dict[int, list[tuple[int, int]]] = {}
+        self._last_epoch = -1
         self._pairs = stream_df.select(
             bucket_ms(ts_to_ms(F.col(ts_col)), slot_ms).alias("bucket_ms"),
             F.col(key_col).cast("long").alias("key"),
@@ -254,12 +300,19 @@ class StreamingBottomKWheel:
         cur.update(pairs)
         self.slots[bucket] = sorted(cur)[: self.k]
 
-    def start(self, checkpoint_dir: str):
+    def start(self, checkpoint_dir: str, state_dir: str | None = None):
         from uwheel_datafusion_spark.operators.bottomk import _ranked_bottomk
 
         k = self.k
+        if state_dir is not None:
+            st = _load_state(state_dir)
+            if st is not None:
+                self.slots.update(st["slots"])
+                self._last_epoch = st["epoch"]
 
         def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            if state_dir is not None and epoch_id <= self._last_epoch:
+                return  # replayed epoch already folded into the state
             part = _ranked_bottomk(batch_df.distinct(), k)
             merged: dict[int, list] = {}
             for r in part.collect():  # ≤ k rows per touched slot
@@ -268,6 +321,9 @@ class StreamingBottomKWheel:
                 )
             for bucket, pairs in merged.items():
                 self._merge(bucket, pairs)
+            if state_dir is not None:
+                self._last_epoch = epoch_id
+                _persist_state(state_dir, self.slots, epoch_id)
 
         self._query = (
             self._pairs.writeStream.outputMode("append")
@@ -333,6 +389,7 @@ class StreamingMGWheel:
         self.m = m
         #: bucket_ms → ({key: cnt}, bound)
         self.slots: dict[int, tuple[dict[int, int], int]] = {}
+        self._last_epoch = -1
         # NO streaming aggregation here: an update-mode streaming
         # groupBy would emit CUMULATIVE counts per trigger and the MG
         # merge needs per-batch DELTAS — the sink aggregates each
@@ -356,12 +413,23 @@ class StreamingMGWheel:
             ranked = ranked[: self.m]
         self.slots[bucket] = (dict(ranked), bound)
 
-    def start(self, checkpoint_dir: str):
+    def start(self, checkpoint_dir: str, state_dir: str | None = None):
         from uwheel_datafusion_spark.operators.mgsketch import _truncate_to_mg
 
         m = self.m
+        if state_dir is not None:
+            st = _load_state(state_dir)
+            if st is not None:
+                self.slots.update(st["slots"])
+                self._last_epoch = st["epoch"]
 
         def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            # the epoch guard is CORRECTNESS here, not hygiene: the MG
+            # merge folds per-batch DELTAS (counts add), so an epoch
+            # replayed after a crash-between-persist-and-commit would
+            # double-count without it
+            if state_dir is not None and epoch_id <= self._last_epoch:
+                return
             # aggregate THIS batch's pairs, then cluster-side MG
             # truncation: the collect is ≤ m rows per touched slot,
             # never the batch's raw key set
@@ -376,6 +444,9 @@ class StreamingMGWheel:
                 per_slot[r["bucket_ms"]] = (counts, r["bound"])
             for bucket, (counts, bound) in per_slot.items():
                 self._merge(bucket, counts, bound)
+            if state_dir is not None:
+                self._last_epoch = epoch_id
+                _persist_state(state_dir, self.slots, epoch_id)
 
         self._query = (
             self._pairs.writeStream.outputMode("append")
@@ -433,6 +504,7 @@ class StreamingHistogramWheel:
         bin_width: float = 1.0,
     ) -> None:
         self.slots: dict[tuple[int, int], int] = {}  # (bucket_ms, bin) → cnt
+        self._last_epoch = -1
         self._agg = (
             ensure_event_time(stream_df, ts_col)
             .withWatermark(ts_col, watermark_delay)
@@ -450,12 +522,22 @@ class StreamingHistogramWheel:
         )
         self._query = None
 
-    def start(self, checkpoint_dir: str):
+    def start(self, checkpoint_dir: str, state_dir: str | None = None):
         slots = self.slots
+        if state_dir is not None:
+            st = _load_state(state_dir)
+            if st is not None:
+                slots.update(st["slots"])
+                self._last_epoch = st["epoch"]
 
         def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            if state_dir is not None and epoch_id <= self._last_epoch:
+                return  # replayed epoch already folded into the state
             for r in batch_df.collect():
                 slots[(r["bucket_ms"], r["bin"])] = r["cnt"]
+            if state_dir is not None:
+                self._last_epoch = epoch_id
+                _persist_state(state_dir, slots, epoch_id)
 
         self._query = (
             self._agg.writeStream.outputMode("update")
@@ -509,6 +591,7 @@ class StreamingOHLCWheel:
     ) -> None:
         #: bucket_ms → (open_ts_ms, open, high, low, close_ts_ms, close, cnt)
         self.slots: dict[int, tuple] = {}
+        self._last_epoch = -1
         ms = ts_to_ms(F.col(ts_col))
         v = F.col(value_col).cast("double")
         key = F.struct(ms.alias("t"), v.alias("v"))
@@ -536,10 +619,17 @@ class StreamingOHLCWheel:
         )
         self._query = None
 
-    def start(self, checkpoint_dir: str):
+    def start(self, checkpoint_dir: str, state_dir: str | None = None):
         slots = self.slots
+        if state_dir is not None:
+            st = _load_state(state_dir)
+            if st is not None:
+                slots.update(st["slots"])
+                self._last_epoch = st["epoch"]
 
         def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            if state_dir is not None and epoch_id <= self._last_epoch:
+                return  # replayed epoch already folded into the state
             for r in batch_df.collect():
                 slots[r["bucket_ms"]] = (
                     r["open_ts_ms"],
@@ -550,6 +640,9 @@ class StreamingOHLCWheel:
                     r["close"],
                     r["cnt"],
                 )
+            if state_dir is not None:
+                self._last_epoch = epoch_id
+                _persist_state(state_dir, slots, epoch_id)
 
         self._query = (
             self._agg.writeStream.outputMode("update")
@@ -596,6 +689,7 @@ class StreamingWheel:
         key_col: str | None = None,
     ) -> None:
         self.store = store if store is not None else RollupStore()
+        self._last_epoch = -1
         self._delay = watermark_delay
         self.key_col = key_col
         group_cols = [F.window(ts_col, "1 minute").alias("w")]
@@ -623,11 +717,30 @@ class StreamingWheel:
         )
         self._query = None
 
-    def start(self, checkpoint_dir: str):
+    def start(self, checkpoint_dir: str, state_dir: str | None = None):
+        """``state_dir``: auto-persisted restart-safe state — the
+        hands-off alternative to the manual RollupStore.save/load
+        lifecycle (which remains supported for explicit control)."""
         store = self.store
+        if state_dir is not None:
+            st = _load_state(state_dir)
+            if st is not None:
+                store.slots.update(st["slots"])
+                store.n_late_rows += st.get("late", 0)
+                self._last_epoch = st["epoch"]
 
         def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            if state_dir is not None and epoch_id <= self._last_epoch:
+                return  # replayed epoch already folded into the state
             store.upsert(batch_df.collect())
+            if state_dir is not None:
+                self._last_epoch = epoch_id
+                _persist_state(
+                    state_dir,
+                    store.slots,
+                    epoch_id,
+                    {"late": store.n_late_rows},
+                )
 
         self._query = (
             self._agg.writeStream.outputMode("update")
