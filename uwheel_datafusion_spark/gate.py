@@ -3471,6 +3471,53 @@ def heavy_hitters_mg_verified_range(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @gate(
+    "sketch_batch_heavy_hitters",
+    f"""
+    WITH ranges(query_id, s_ms, e_ms) AS (VALUES {_SKB_VALUES}),
+    d AS (
+        SELECT r.query_id, {_MG_KEY_SQL} AS key
+        FROM events e
+        JOIN ranges r
+          ON epoch_ms(e.ts) >= r.s_ms AND epoch_ms(e.ts) < r.e_ms
+        WHERE e.ts >= {_ts_lit(EVENTS_WM_MS)}
+          AND e.ts < {_ts_lit(EVENTS_ADV_MS)}
+    ),
+    n AS (SELECT query_id, COUNT(*) AS n FROM d GROUP BY query_id)
+    SELECT CAST(d.query_id AS INTEGER) AS query_id, d.key,
+           COUNT(*) AS cnt
+    FROM d JOIN n ON n.query_id = d.query_id
+    GROUP BY d.query_id, d.key, n.n
+    HAVING COUNT(*) * 5 >= n.n
+    """,
+)
+def sketch_batch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched EXACT heavy hitters, driver-gated: the same 4 ranges as
+    sketch_batch_quantile_ohlc (day / 6 h / empty / week) answered with
+    ONE MG-candidates job and ONE union-span verify scan
+    (operators/sketch_batch.range_heavy_hitters_batch_verified) — N
+    dashboard HH queries stop costing N overlapping fact scans. Each
+    range's exact n comes from the rollup's additive slot_total, so
+    the fact table is touched exactly once. The oracle is the direct
+    per-range GROUP BY/HAVING; the empty range contributes no rows."""
+    from uwheel_datafusion_spark.operators.mgsketch import build_mg_rollup
+    from uwheel_datafusion_spark.operators.sketch_batch import (
+        range_heavy_hitters_batch_verified,
+    )
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    key = F.expr(_MG_KEY_SQL)
+    rollup = build_mg_rollup(
+        ev, "ts", key, EVENTS_WM_MS, EVENTS_ADV_MS, m=9, slot_ms=HOUR_MS,
+        cache=False,
+    )
+    return range_heavy_hitters_batch_verified(
+        ev, "ts", key, rollup, _SKB_RANGES, m=9, count_frac_den=5,
+        slot_ms=HOUR_MS,
+    )
+
+
+@gate(
     "overlap_join_userday_error_windows",
     f"""
     WITH spans AS (
