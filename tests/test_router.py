@@ -520,3 +520,34 @@ def test_quantile_rollup_median_route_and_fallbacks(spark, sf_smoke, router):
         f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}'"
     )
     assert router.last_decision.path == "sql"
+
+
+def test_quantile_rollup_percentile_cont(spark, sf_smoke, router):
+    """APPROX_PERCENTILE_CONT(col, q) routes like APPROX_MEDIAN with
+    the literal q driving the CDF walk; the fallback shim lets the
+    DataFusion spelling run on plain Spark too."""
+    from uwheel_datafusion_spark.operators.quantile_rollup import (
+        build_histogram_rollup,
+        range_quantile_df,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    hist = build_histogram_rollup(ev, "ts", "value", WM, ADV, cache=False)
+    router.register_histogram_rollup("events", "value", "ts", hist, WM, ADV)
+    s, e = WM, WM + 7 * 86_400_000
+    for q in (0.1, 0.9):
+        got = router.sql_scalar(
+            f"SELECT APPROX_PERCENTILE_CONT(value, {q}) FROM events "
+            f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}'"
+        )
+        assert router.last_decision.path == "quantile_rollup"
+        want = range_quantile_df(hist, s, e, q).collect()[0][0]
+        assert got == want, q
+
+    # unregistered column falls back AND still executes via the shim
+    row = router.sql(
+        f"SELECT APPROX_PERCENTILE_CONT(user_id, 0.5) AS p FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}'"
+    ).collect()[0]
+    assert router.last_decision.path == "sql"
+    assert row["p"] is not None

@@ -168,9 +168,16 @@ _TOPK_PATTERN = re.compile(
 #: ±bin_width error bound — never the fact scan. (DataFusion answers
 #: this with a t-digest over the scan; the rollup rewrite is the wheel
 #: treatment of the same query.)
+#: APPROX_MEDIAN(x) or APPROX_PERCENTILE_CONT(x, q) — DataFusion's
+#: two approximate-quantile SQL spellings; q is a literal in [0, 1].
+_QUANTILE_FN = (
+    r"(?:APPROX_MEDIAN\s*\(\s*(?P<col>\w+)\s*\)"
+    r"|APPROX_PERCENTILE_CONT\s*\(\s*(?P<colq>\w+)\s*,\s*"
+    r"(?P<q>(?:0?\.\d+|0|1)(?:\.0+)?)\s*\))"
+)
+
 _MEDIAN_PATTERN = re.compile(
-    r"^\s*SELECT\s+APPROX_MEDIAN\s*\(\s*(?P<col>\w+)\s*\)"
-    r"(?:\s+AS\s+(?P<alias>\w+))?\s+"
+    r"^\s*SELECT\s+" + _QUANTILE_FN + r"(?:\s+AS\s+(?P<alias>\w+))?\s+"
     r"FROM\s+(?P<table>\w+)\s+"
     r"WHERE\s+(?P<ts1>\w+)\s*>=\s*(?:TIMESTAMP\s+)?'(?P<start>[^']+)'\s+"
     r"AND\s+(?P<ts2>\w+)\s*<\s*(?:TIMESTAMP\s+)?'(?P<end>[^']+)'\s*;?\s*$",
@@ -184,7 +191,7 @@ _MEDIAN_PATTERN = re.compile(
 _MEDIAN_GROUP_PATTERN = re.compile(
     r"^\s*SELECT\s+DATE_TRUNC\s*\(\s*'(?P<gran>minute|hour|day)'\s*,\s*"
     r"(?P<ts0>\w+)\s*\)\s*(?:AS\s+(?P<balias>\w+)\s*)?,\s*"
-    r"APPROX_MEDIAN\s*\(\s*(?P<col>\w+)\s*\)(?:\s+AS\s+(?P<alias>\w+))?\s+"
+    r"" + _QUANTILE_FN + r"(?:\s+AS\s+(?P<alias>\w+))?\s+"
     r"FROM\s+(?P<table>\w+)\s+"
     r"WHERE\s+(?P<ts1>\w+)\s*>=\s*(?:TIMESTAMP\s+)?'(?P<start>[^']+)'\s+"
     r"AND\s+(?P<ts2>\w+)\s*<\s*(?:TIMESTAMP\s+)?'(?P<end>[^']+)'\s*"
@@ -229,6 +236,8 @@ class RouteDecision:
     key_col: str | None = None
     #: quantile_rollup path: the histogram-registered value column
     value_col: str | None = None
+    #: quantile_rollup path: the requested quantile q in [0, 1]
+    quantile: float | None = None
 
 
 #: DataFusion's APPROX_MEDIAN(x) has no Spark builtin; the fallback
@@ -239,10 +248,15 @@ class RouteDecision:
 _MEDIAN_COMPAT = re.compile(
     r"APPROX_MEDIAN\s*\(\s*(\w+)\s*\)", re.IGNORECASE
 )
+_PCTL_COMPAT = re.compile(
+    r"APPROX_PERCENTILE_CONT\s*\(\s*(\w+)\s*,\s*([\d.]+)\s*\)",
+    re.IGNORECASE,
+)
 
 
 def _spark_compat(query: str) -> str:
-    return _MEDIAN_COMPAT.sub(r"percentile_approx(\1, 0.5)", query)
+    query = _MEDIAN_COMPAT.sub(r"percentile_approx(\1, 0.5)", query)
+    return _PCTL_COMPAT.sub(r"percentile_approx(\1, \2)", query)
 
 
 class WheelSqlRouter:
@@ -385,7 +399,7 @@ class WheelSqlRouter:
         # rewrite p50 40 µs -> 110 µs). One upper() beats one failed
         # re.match; only grouped queries walk the grouped chain.
         qu = query.upper()
-        if "APPROX_MEDIAN" in qu:
+        if "APPROX_MEDIAN" in qu or "APPROX_PERCENTILE_CONT" in qu:
             if "GROUP" in qu:
                 mg = _MEDIAN_GROUP_PATTERN.match(query)
                 if mg is not None:
@@ -453,7 +467,8 @@ class WheelSqlRouter:
         """APPROX_MEDIAN range query → histogram-rollup rewrite (scalar
         or per-date_trunc-bucket)."""
         table = m["table"].lower()
-        col = m["col"].lower()
+        col = (m["col"] or m["colq"]).lower()
+        q = float(m["q"]) if m["q"] else 0.5
         reg = self._hist.get((table, col))
         if reg is None:
             return RouteDecision(
@@ -494,16 +509,20 @@ class WheelSqlRouter:
             )
         if s < wm or e > adv:
             return RouteDecision("sql", "range outside the rollup horizon")
+        default_alias = (
+            "approx_median" if m["col"] else "approx_percentile"
+        )
         return RouteDecision(
             "quantile_rollup",
-            "rewritten onto histogram rollup (±bin_width bound)",
+            f"rewritten onto histogram rollup (q={q}, ±bin_width bound)",
             table,
-            "APPROX_MEDIAN",
+            "APPROX_MEDIAN" if m["col"] else "APPROX_PERCENTILE_CONT",
             (s, e),
-            (("APPROX_MEDIAN", m["alias"] or "approx_median"),),
+            (("QUANTILE", m["alias"] or default_alias),),
             granularity=gran,
             bucket_alias=(m["balias"] or "bucket") if grouped else None,
             value_col=col,
+            quantile=q,
         )
 
     def _decide_grouped(self, m: re.Match) -> RouteDecision:
@@ -944,11 +963,13 @@ class WheelSqlRouter:
         s, e = d.range_ms
         _agg, alias = d.items[0]
         if d.granularity is None:
-            return range_quantile_df(hist, s, e, 0.5, bw).select(
+            return range_quantile_df(hist, s, e, d.quantile, bw).select(
                 F.col("approx_quantile").alias(alias)
             )
         part = hist.filter(_bucket_range_pred(hist, s, e))
-        out = grouped_quantile_df(part, GRANULARITY_MS[d.granularity], 0.5, bw)
+        out = grouped_quantile_df(
+            part, GRANULARITY_MS[d.granularity], d.quantile, bw
+        )
         return out.select(
             F.timestamp_millis(F.col("bucket_ms"))
             .cast("timestamp_ntz")
