@@ -690,6 +690,7 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         # (the throughput shape — amortizes the per-job scheduler floor
         # exactly like the wheel's range_agg_batch_df)
         from uwheel_datafusion_spark.operators.sketch_batch import (
+            range_heavy_hitters_batch_verified,
             range_ohlc_batch_df,
             range_quantile_batch_df,
         )
@@ -701,6 +702,14 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
             t0 = time.perf_counter()
             ob = range_ohlc_batch_df(ohlc, sample).collect()
             o_batch_sec = time.perf_counter() - t0
+        # HH batch: ONE candidates job + ONE union verify scan for the
+        # whole sample (vs one fact scan PER query on the served path)
+        t0 = time.perf_counter()
+        hb = range_heavy_hitters_batch_verified(
+            ev, "ts", mg_key, mg, sample, m=9, count_frac_den=5,
+            slot_ms=3_600_000,
+        ).collect()
+        h_batch_sec = time.perf_counter() - t0
         q_mism = sum(
             1
             for r, (s_ms, e_ms) in zip(qb, sample)
@@ -711,13 +720,25 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
             for r, (s_ms, e_ms) in zip(ob, sample)
             if tuple(r)[1:] != ohlc_served(s_ms, e_ms)
         )
+        hh_by_qid: dict = {}
+        for r in hb:
+            hh_by_qid.setdefault(r["query_id"], []).append((r["key"], r["cnt"]))
+        h_mism = sum(
+            1
+            for qid, (s_ms, e_ms) in enumerate(sample)
+            if sorted(hh_by_qid.get(qid, [])) != hh_served(s_ms, e_ms)
+        )
         detail["batched"] = {
             "n_queries": len(sample),
             "quantile_ms_per_query": round(q_batch_sec / len(sample) * 1e3, 2),
             "ohlc_ms_per_query": round(o_batch_sec / len(sample) * 1e3, 2),
+            "heavy_hitters_ms_per_query": round(
+                h_batch_sec / len(sample) * 1e3, 2
+            ),
             "dual_check": {
                 "quantile_mismatches": q_mism,
                 "ohlc_mismatches": o_mism,
+                "heavy_hitters_mismatches": h_mism,
             },
         }
         extras["sketch_serving"] = detail
