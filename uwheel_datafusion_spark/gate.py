@@ -4762,9 +4762,11 @@ _DRIVER_WINDOW_R4 = [
 
 # Round-5 window: the 41 round-4 additions that have never been in a
 # driver window (locally oracle-proven only — VERDICT r04 "What's
-# missing" #2) plus 9 canaries from the r03/r04-proven sets, including
-# the re-fixed split_train_val_test. 50/50 green here makes all 146
-# registered queries driver-proven across rounds.
+# missing" #2), the 4 round-5 additions (seconds wheel, batched sketch
+# serving ×2, quantile router cell), and 5 canaries from the
+# r03/r04-proven sets including the re-fixed split_train_val_test.
+# 50/50 green here makes ALL 150 registered queries driver-proven
+# across rounds.
 _DRIVER_WINDOW = [
     # sketch/aggregator families (quantile, OHLC, M4, TWA, counter)
     "quantile_median_by_day_hist",
@@ -4818,16 +4820,19 @@ _DRIVER_WINDOW = [
     "router_keyed_distinct_day",
     "router_month_rollup",
     "router_year_rollup",
+    # round-5 additions (never driver-checked): seconds wheel, batched
+    # sketch serving (quantile/OHLC + verified heavy hitters), quantile
+    # router cell
+    "wheel_second_aligned_range",
+    "sketch_batch_quantile_ohlc",
+    "sketch_batch_heavy_hitters",
+    "router_median_day_rollup",
     # canaries (driver-proven r03/r04; split_* carries the oracle fix)
     "wheel_range_batch_serving",
     "streaming_wheel_rollup_parity",
     "router_week_rollup",
     "tpch_q9_product_profit",
-    "dedup_minhash_lsh_capped",
     "split_train_val_test",
-    "wheel_interval_7d",
-    "distinct_users_by_day_hll",
-    "similarity_knn_brute_force",
 ]
 
 
