@@ -116,3 +116,22 @@ def test_persisted_quantile_rollup_prunes_days(spark, synth, tmp_path):
     plan = disk_df._jdf.queryExecution().executedPlan().toString()
     pfs = re.findall(r"PartitionFilters: \[(.*?)(?:\]|, Pushed)", plan)
     assert pfs and all("dt" in p for p in pfs), plan
+
+
+def test_multi_quantile_one_pass_matches_per_q(spark, synth):
+    """range_quantiles_df: the whole percentile table from one
+    bin-merge — each column equals the single-q walk, including the
+    all-null row for an empty range."""
+    from uwheel_datafusion_spark.operators.quantile_rollup import (
+        range_quantiles_df,
+    )
+
+    rollup = build_histogram_rollup(synth, "ts", "value", WM, ADV, cache=False)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    s, e = WM, WM + DAY_MS
+    row = range_quantiles_df(rollup, s, e, qs).first()
+    for q in qs:
+        want = range_quantile_df(rollup, s, e, q).first()["approx_quantile"]
+        assert row[f"approx_q{round(q * 100)}"] == want, q
+    empty = range_quantiles_df(rollup, ADV + DAY_MS, ADV + 2 * DAY_MS, qs).first()
+    assert all(v is None for v in empty)

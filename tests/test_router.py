@@ -551,3 +551,17 @@ def test_quantile_rollup_percentile_cont(spark, sf_smoke, router):
     ).collect()[0]
     assert router.last_decision.path == "sql"
     assert row["p"] is not None
+
+
+def test_quarter_rollup_alignment(spark, sf_smoke, router):
+    """Quarter buckets fold from the day rollup; a month-aligned but
+    not quarter-aligned endpoint falls back to sql."""
+    s = to_epoch_ms(datetime(2024, 1, 1))
+    e_bad = to_epoch_ms(datetime(2024, 2, 1))  # month-aligned only
+    router.sql(
+        f"SELECT date_trunc('quarter', ts) AS b, SUM(value) AS s FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' "
+        f"AND ts < '{ms_to_ts_literal(e_bad)}' GROUP BY 1"
+    )
+    assert router.last_decision.path == "sql"
+    assert "quarter-aligned" in router.last_decision.reason

@@ -4522,6 +4522,47 @@ YEAR_RANGE = (
     to_epoch_ms(datetime(1996, 1, 1)),
     to_epoch_ms(datetime(2000, 1, 1)),
 )
+#: quarter-aligned but NOT year-aligned (Apr 1 → Oct 1), so the gate
+#: exercises the quarter-specific calendar alignment check
+QUARTER_RANGE = (
+    to_epoch_ms(datetime(1996, 4, 1)),
+    to_epoch_ms(datetime(1997, 10, 1)),
+)
+
+
+@gate(
+    "router_quarter_rollup",
+    f"""
+    SELECT epoch_ms(date_trunc('quarter', o_orderdate)) AS bucket_ms,
+           {_s('o_totalprice')} AS sum_value,
+           COUNT(*) AS cnt
+    FROM orders
+    WHERE o_orderdate >= {_ts_lit(QUARTER_RANGE[0])}
+      AND o_orderdate < {_ts_lit(QUARTER_RANGE[1])}
+    GROUP BY 1
+    """,
+)
+def router_quarter_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY date_trunc('quarter', ts) over six quarters of orders
+    (endpoints quarter- but not year-aligned), served by folding ≤ 92
+    day-partials per quarter row from the day rollup — the same
+    calendar re-aggregation as month/year; the fact table is never
+    scanned."""
+    from uwheel_datafusion_spark.functions.time import ms_to_ts_literal, ts_to_ms
+
+    r = _orders_router(spark, sf_dir)
+    s, e = QUARTER_RANGE
+    df = r.sql(
+        f"SELECT date_trunc('quarter', o_orderdate) AS b, "
+        f"SUM(o_totalprice) AS sum_value, COUNT(*) AS cnt FROM orders "
+        f"WHERE o_orderdate >= '{ms_to_ts_literal(s)}' "
+        f"AND o_orderdate < '{ms_to_ts_literal(e)}' GROUP BY 1"
+    )
+    d = r.last_decision
+    assert d.path == "rollup" and d.granularity == "quarter", d
+    return df.select(
+        ts_to_ms(F.col("b")).alias("bucket_ms"), "sum_value", "cnt"
+    )
 
 
 @gate(

@@ -128,6 +128,51 @@ def range_quantile_df(
     )
 
 
+def range_quantiles_df(
+    rollup: DataFrame,
+    start_ms: int,
+    end_ms: int,
+    qs: "list[float]",
+    bin_width: float = DEFAULT_BIN_WIDTH,
+) -> DataFrame:
+    """All requested quantiles of the bucket-aligned ``[start, end)``
+    in ONE job: the bins merge once, the sorted array packs once, and
+    each q walks the same (tiny) in-memory array — a full percentile
+    table (p10/p50/p90/p99…) costs exactly one bin-merge shuffle, not
+    len(qs) serving queries. 1-row output, one
+    ``approx_q<percent>`` double column per q (e.g. q=0.25 →
+    ``approx_q25``); nulls for an empty range."""
+    from uwheel_datafusion_spark.operators.wheel import _bucket_range_pred
+
+    bins = (
+        rollup.filter(_bucket_range_pred(rollup, start_ms, end_ms))
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    packed = bins.agg(
+        F.sort_array(F.collect_list(F.struct("bin", "cnt"))).alias("bc"),
+        F.sum("cnt").alias("total"),
+    )
+    cols = []
+    for q in qs:
+        walk = f"""
+            aggregate(
+                bc,
+                struct(CAST(0 AS BIGINT) AS cum, CAST(NULL AS BIGINT) AS b),
+                (acc, x) -> struct(
+                    acc.cum + x.cnt,
+                    CASE WHEN acc.b IS NULL
+                              AND (acc.cum + x.cnt) >= {q} * total
+                         THEN x.bin ELSE acc.b END),
+                acc -> acc.b)
+        """
+        name = f"approx_q{round(q * 100):d}"
+        cols.append(
+            ((F.expr(walk) + F.lit(0.5)) * F.lit(bin_width)).alias(name)
+        )
+    return packed.select(*cols)
+
+
 def grouped_quantile_df(
     rollup: DataFrame,
     slot_ms: int,

@@ -71,7 +71,7 @@ _ITEM_PATTERN = re.compile(
 #: calendar months under the UTC session tz; ≤ 31/366 day-rows fold
 #: into each month/year row).
 _GROUP_PATTERN = re.compile(
-    r"^\s*SELECT\s+DATE_TRUNC\s*\(\s*'(?P<gran>minute|hour|day|week|month|year)'\s*,\s*"
+    r"^\s*SELECT\s+DATE_TRUNC\s*\(\s*'(?P<gran>minute|hour|day|week|month|quarter|year)'\s*,\s*"
     r"(?P<ts0>\w+)\s*\)\s*(?:AS\s+(?P<balias>\w+)\s*)?,\s*"
     r"(?P<items>" + _AGG_ITEM + r"(?:\s*,\s*" + _AGG_ITEM + r")*)\s+"
     r"FROM\s+(?P<table>\w+)\s+"
@@ -556,7 +556,9 @@ class WheelSqlRouter:
             return RouteDecision("sql", "GROUP BY key is not the bucket expression")
         # Monday weeks / calendar months / years fold from the day
         # rollup (see _serve_rollup)
-        base_rollup = "day" if gran in ("week", "month", "year") else gran
+        base_rollup = (
+            "day" if gran in ("week", "month", "quarter", "year") else gran
+        )
         if base_rollup not in index.rollups:
             return RouteDecision("sql", f"no {base_rollup} rollup in the index")
         items: list[tuple[str, str]] = []
@@ -572,11 +574,12 @@ class WheelSqlRouter:
         e = _parse_ts_literal(m["end"])
         if s is None or e is None:
             return RouteDecision("sql", "unparseable timestamp literal")
-        if gran in ("month", "year"):
+        if gran in ("month", "quarter", "year"):
             # calendar-varying widths: check alignment on the calendar,
             # not a fixed modulus (UTC — the engine's session tz)
             from datetime import datetime, timezone
 
+            _first_months = {"month": range(1, 13), "quarter": (1, 4, 7, 10), "year": (1,)}
             for t in (s, e):
                 dt = datetime.fromtimestamp(t / 1000, tz=timezone.utc)
                 aligned = (
@@ -585,7 +588,7 @@ class WheelSqlRouter:
                     and dt.hour == 0
                     and dt.minute == 0
                     and dt.second == 0
-                    and (gran == "month" or dt.month == 1)
+                    and dt.month in _first_months[gran]
                 )
                 if not aligned:
                     return RouteDecision(
@@ -612,7 +615,7 @@ class WheelSqlRouter:
                 if gran == "week"
                 else (
                     f"rewritten onto day rollup (calendar {gran} re-aggregation)"
-                    if gran in ("month", "year")
+                    if gran in ("month", "quarter", "year")
                     else f"rewritten onto {gran} rollup table"
                 )
             ),
@@ -1119,9 +1122,9 @@ class WheelSqlRouter:
                     F.max("max_value").alias("max_value"),
                 )
             )
-        elif d.granularity in ("month", "year"):
+        elif d.granularity in ("month", "quarter", "year"):
             # calendar buckets: day slots nest exactly in UTC calendar
-            # months/years, so ≤ 31/366 day-partials fold per bucket —
+            # months/quarters/years, so ≤ 31/92/366 day-partials fold per bucket —
             # a partial merge, never a fact-table scan
             day = index.rollups["day"]
             bucket_start = F.unix_millis(
