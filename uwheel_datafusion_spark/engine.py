@@ -1,0 +1,180 @@
+"""WheelEngine — the one-call serving facade.
+
+The reference is used in two calls: register a parquet table, then
+query it (src/main.rs:45-46 registration, :205-288 wheel/SQL paths).
+This module gives the Spark engine the same surface: one
+``register_table`` call builds every serving layer the caller asks
+for — the wheel index (driver O(1) + distributed rollups), the
+histogram quantile rollup, exact distinct pairs, count pairs for
+top-k, and the keyed per-series rollups — and wires them all into a
+single :class:`WheelSqlRouter`, so ``engine.sql("...")`` answers any
+recognized shape from an index/rollup and falls back to full Catalyst
+for the rest. A user of the reference switches by replacing its two
+calls with these two.
+
+Everything here is composition — each layer keeps its own module as
+the source of truth (operators/wheel, quantile_rollup, distinct,
+keyed_wheel; plans/sql_router); the facade only decides WHICH layers
+to build and holds the handles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from uwheel_datafusion_spark.operators.wheel import WheelIndex
+from uwheel_datafusion_spark.plans.sql_router import WheelSqlRouter
+
+
+class WheelEngine:
+    """Facade over the full serving stack.
+
+    >>> eng = WheelEngine(spark)
+    >>> eng.register_table(
+    ...     "events", events_df, ts_col="ts", value_col="value",
+    ...     watermark_ms=WM, advance_to_ms=ADV,
+    ...     distinct_col="user_id", count_key_col="user_id",
+    ...     key_col="event_type", quantiles=True,
+    ... )
+    >>> eng.sql("SELECT SUM(value) FROM events WHERE ts >= '…' AND ts < '…'")
+    """
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        self.router = WheelSqlRouter(spark)
+        self._indexes: dict[str, WheelIndex] = {}
+
+    def register_table(
+        self,
+        table: str,
+        df: DataFrame,
+        *,
+        ts_col: str,
+        watermark_ms: int,
+        advance_to_ms: int,
+        value_col: str | None = None,
+        key_col: str | None = None,
+        distinct_col: str | None = None,
+        count_key_col: str | None = None,
+        quantiles: bool = False,
+        granularities: "tuple[str, ...] | None" = None,
+        cache: bool = True,
+    ) -> "WheelEngine":
+        """Build and wire every requested serving layer for ``table``.
+
+        - ``value_col`` → wheel index (scalar + GROUP BY date_trunc
+          rewrites, minute through calendar quarter/year);
+          ``quantiles=True`` additionally builds the histogram rollup
+          (APPROX_MEDIAN / APPROX_PERCENTILE_CONT rewrites).
+        - ``key_col`` (with ``value_col``) → keyed per-series rollup
+          (``GROUP BY key, date_trunc`` rewrites).
+        - ``distinct_col`` → exact distinct pairs
+          (``COUNT(DISTINCT col)`` rewrites; with ``key_col`` also the
+          per-series variant).
+        - ``count_key_col`` → count pairs (top-k heavy-hitter
+          rewrites).
+
+        The DataFrame is also registered as a temp view so unmatched
+        SQL falls back to full Catalyst over the same name. Each build
+        is one scan + one shuffle; builds share nothing, so register
+        only the layers the workload serves. Returns self (chainable).
+        """
+        df.createOrReplaceTempView(table)
+        r = self.router
+        if value_col is not None:
+            kw = (
+                {"granularities": granularities}
+                if granularities is not None
+                else {}
+            )
+            idx = WheelIndex.build(
+                df, ts_col, value_col, watermark_ms, advance_to_ms,
+                cache=cache, **kw,
+            )
+            self._indexes[table.lower()] = idx
+            r.register_index(table, ts_col, value_col, idx)
+            if quantiles:
+                from uwheel_datafusion_spark.operators.quantile_rollup import (
+                    build_histogram_rollup,
+                )
+
+                r.register_histogram_rollup(
+                    table, value_col, ts_col,
+                    build_histogram_rollup(
+                        df, ts_col, value_col, watermark_ms, advance_to_ms,
+                        cache=cache,
+                    ),
+                    watermark_ms, advance_to_ms,
+                )
+            if key_col is not None:
+                from uwheel_datafusion_spark.operators.keyed_wheel import (
+                    KeyedWheelIndex,
+                )
+
+                rollup = KeyedWheelIndex.build_rollup(
+                    df, key_col, ts_col, value_col,
+                    watermark_ms, advance_to_ms,
+                )
+                r.register_keyed_rollup(
+                    table, key_col, ts_col, value_col,
+                    rollup.cache() if cache else rollup,
+                    watermark_ms, advance_to_ms,
+                )
+        if distinct_col is not None:
+            from uwheel_datafusion_spark.operators.distinct import (
+                build_distinct_pairs,
+                build_keyed_distinct_pairs,
+            )
+
+            r.register_distinct_rollup(
+                table, distinct_col, ts_col,
+                build_distinct_pairs(
+                    df, ts_col, distinct_col, watermark_ms, advance_to_ms,
+                    cache=cache,
+                ),
+                watermark_ms, advance_to_ms,
+            )
+            if key_col is not None:
+                r.register_keyed_distinct_rollup(
+                    table, key_col, distinct_col, ts_col,
+                    build_keyed_distinct_pairs(
+                        df, ts_col, distinct_col, key_col,
+                        watermark_ms, advance_to_ms, cache=cache,
+                    ),
+                    watermark_ms, advance_to_ms,
+                )
+        if count_key_col is not None:
+            from uwheel_datafusion_spark.operators.distinct import (
+                build_count_pairs,
+            )
+
+            r.register_count_rollup(
+                table, count_key_col, ts_col,
+                build_count_pairs(
+                    df, ts_col, count_key_col, watermark_ms, advance_to_ms,
+                    cache=cache,
+                ),
+                watermark_ms, advance_to_ms,
+            )
+        return self
+
+    # ------------------------------------------------------------- querying
+
+    def sql(self, query: str) -> DataFrame:
+        """Route ``query``: index/rollup rewrite when recognized, full
+        Catalyst otherwise (uniform with ``spark.sql``)."""
+        return self.router.sql(query)
+
+    def sql_scalar(self, query: str):
+        """Scalar form — the driver-arithmetic path for reference-shaped
+        range aggregates (no Spark job on the index path)."""
+        return self.router.sql_scalar(query)
+
+    def explain(self, query: str) -> str:
+        """Which path would serve ``query``, and why."""
+        return self.router.explain(query)
+
+    def index(self, table: str) -> WheelIndex:
+        """The wheel index registered for ``table`` (probe /
+        range_agg_batch_df / extend / backfill live here)."""
+        return self._indexes[table.lower()]
