@@ -104,3 +104,15 @@ def test_scalar_and_explain_and_index_handle(engine):
     ).lower()
     # the index handle exposes the probe/batch surface
     assert engine.index("events").probe(S, E)["sum_value"] is not None
+
+
+def test_register_table_accepts_parquet_path(spark, sf_smoke):
+    eng = WheelEngine(spark).register_table(
+        "events_by_path", f"{sf_smoke}/events.parquet",
+        ts_col="ts", value_col="value",
+        watermark_ms=WM, advance_to_ms=ADV,
+    )
+    q = _rng("SELECT SUM(value) FROM events_by_path")
+    v = eng.sql_scalar(q)
+    assert eng.router.last_decision.path == "index"
+    assert v == pytest.approx(spark.sql(q).first()[0], rel=1e-9)

@@ -47,7 +47,7 @@ class WheelEngine:
     def register_table(
         self,
         table: str,
-        df: DataFrame,
+        df: "DataFrame | str",
         *,
         ts_col: str,
         watermark_ms: int,
@@ -78,7 +78,16 @@ class WheelEngine:
         SQL falls back to full Catalyst over the same name. Each build
         is one scan + one shuffle; builds share nothing, so register
         only the layers the workload serves. Returns self (chainable).
+
+        ``df`` may also be a parquet path (the reference's
+        registration form, src/main.rs:45-46) — read with the repo's
+        UTC-pinned session settings.
         """
+        if isinstance(df, str):
+            from uwheel_datafusion_spark.sources.registry import _ensure_utc
+
+            _ensure_utc(self.spark)
+            df = self.spark.read.parquet(df)
         df.createOrReplaceTempView(table)
         r = self.router
         if value_col is not None:
