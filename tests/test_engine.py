@@ -69,13 +69,18 @@ def test_every_shape_routes_and_matches(spark, engine):
         ),
         (_rng("SELECT APPROX_MEDIAN(value) AS m FROM events"),
          "quantile_rollup"),
+        (
+            _rng("SELECT event_type, date_trunc('day', ts) AS b, "
+                 "APPROX_MEDIAN(value) AS m FROM events") + " GROUP BY 1, 2",
+            "keyed_quantile_rollup",
+        ),
     ]
     for q, want_path in cases:
         df = engine.sql(q)
         assert engine.router.last_decision.path == want_path, (
             q, engine.router.last_decision,
         )
-        if want_path == "quantile_rollup":
+        if want_path in ("quantile_rollup", "keyed_quantile_rollup"):
             # approx function: value checked against the rollup twin in
             # test_router; here just shape + non-null
             assert df.collect()[0][0] is not None

@@ -565,3 +565,48 @@ def test_quarter_rollup_alignment(spark, sf_smoke, router):
     )
     assert router.last_decision.path == "sql"
     assert "quarter-aligned" in router.last_decision.reason
+
+
+def test_keyed_quantile_rollup_route(spark, sf_smoke, router):
+    """Per-series APPROX_MEDIAN routes to the keyed histogram rollup
+    and matches the keyed serving function; an unregistered key falls
+    back."""
+    from uwheel_datafusion_spark.operators.quantile_rollup import (
+        build_keyed_histogram_rollup,
+        keyed_grouped_quantile_df,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    khist = build_keyed_histogram_rollup(
+        ev, "ts", "value", "event_type", WM, ADV, cache=False
+    )
+    router.register_keyed_histogram_rollup(
+        "events", "event_type", "value", "ts", khist, WM, ADV
+    )
+    s, e = WM, WM + 7 * 86_400_000
+    df = router.sql(
+        f"SELECT event_type, date_trunc('day', ts) AS b, "
+        f"APPROX_MEDIAN(value) AS m FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}' "
+        f"GROUP BY 1, 2"
+    )
+    assert router.last_decision.path == "keyed_quantile_rollup"
+    got = {
+        (r["event_type"], int(r["b"].timestamp() * 1000), r["m"])
+        for r in df.collect()
+    }
+    want = {
+        (r["grp"], r["bucket_ms"], r["approx_quantile"])
+        for r in keyed_grouped_quantile_df(khist, 86_400_000, 0.5)
+        .filter((F.col("bucket_ms") >= s) & (F.col("bucket_ms") < e))
+        .collect()
+    }
+    assert got == want
+
+    router.sql(
+        f"SELECT user_id, date_trunc('day', ts) AS b, "
+        f"APPROX_MEDIAN(value) AS m FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}' "
+        f"GROUP BY 1, 2"
+    )
+    assert router.last_decision.path == "sql"

@@ -105,6 +105,7 @@ class WheelEngine:
             if quantiles:
                 from uwheel_datafusion_spark.operators.quantile_rollup import (
                     build_histogram_rollup,
+                    build_keyed_histogram_rollup,
                 )
 
                 r.register_histogram_rollup(
@@ -115,6 +116,15 @@ class WheelEngine:
                     ),
                     watermark_ms, advance_to_ms,
                 )
+                if key_col is not None:
+                    r.register_keyed_histogram_rollup(
+                        table, key_col, value_col, ts_col,
+                        build_keyed_histogram_rollup(
+                            df, ts_col, value_col, key_col,
+                            watermark_ms, advance_to_ms, cache=cache,
+                        ),
+                        watermark_ms, advance_to_ms,
+                    )
             if key_col is not None:
                 from uwheel_datafusion_spark.operators.keyed_wheel import (
                     KeyedWheelIndex,

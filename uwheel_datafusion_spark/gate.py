@@ -4402,6 +4402,70 @@ def router_keyed_distinct_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "router_keyed_median_day",
+    f"""
+    WITH ev AS (
+        SELECT event_type AS grp,
+               (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS bucket_ms, value
+        FROM events
+        WHERE ts >= {_ts_lit(RANGE_DAY[0])} AND ts < {_ts_lit(RANGE_DAY[1])}
+    ),
+    c AS (
+        SELECT grp, bucket_ms, CAST(floor(value / 1.0) AS BIGINT) AS bin,
+               COUNT(*) AS cnt
+        FROM ev GROUP BY 1, 2, 3
+    ),
+    t AS (
+        SELECT grp, bucket_ms, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY grp, bucket_ms ORDER BY bin) AS cum,
+               SUM(cnt) OVER (PARTITION BY grp, bucket_ms) AS total
+        FROM c
+    )
+    SELECT grp AS event_type, bucket_ms,
+           CAST(
+               (MIN(CASE WHEN cum >= 0.5 * total THEN bin END) + 0.5) * 1.0
+               AS DOUBLE
+           ) AS approx_median
+    FROM t GROUP BY grp, bucket_ms
+    """,
+)
+def router_keyed_median_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series APPROX_MEDIAN rewrite — the keyed × quantile cell of
+    the router matrix: GROUP BY event_type, date_trunc('day') +
+    APPROX_MEDIAN(value) is recognized and served from the registered
+    keyed histogram rollup (one shared (grp, bucket, bin) shuffle, CDF
+    walks per (series, day), collect-free at any key cardinality;
+    never the fact scan). Deterministic binning ⇒ the oracle replays
+    it bit-for-bit."""
+    from uwheel_datafusion_spark.functions.time import ms_to_ts_literal, ts_to_ms
+    from uwheel_datafusion_spark.operators.quantile_rollup import (
+        build_keyed_histogram_rollup,
+    )
+
+    r = _events_router(spark, sf_dir)
+    r.register_keyed_histogram_rollup(
+        "events", "event_type", "value", "ts",
+        build_keyed_histogram_rollup(
+            load_table(spark, sf_dir, "events"),
+            "ts", "value", "event_type", EVENTS_WM_MS, EVENTS_ADV_MS,
+            cache=False,
+        ),
+        EVENTS_WM_MS, EVENTS_ADV_MS,
+    )
+    s, e = RANGE_DAY
+    df = r.sql(
+        f"SELECT event_type, date_trunc('day', ts) AS b, "
+        f"APPROX_MEDIAN(value) AS approx_median FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}' "
+        f"GROUP BY 1, 2"
+    )
+    assert r.last_decision.path == "keyed_quantile_rollup", r.last_decision
+    return df.select(
+        "event_type", ts_to_ms(F.col("b")).alias("bucket_ms"), "approx_median"
+    )
+
+
+@gate(
     "router_median_day_rollup",
     f"""
     WITH ev AS (

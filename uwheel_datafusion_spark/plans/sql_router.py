@@ -200,6 +200,25 @@ _MEDIAN_GROUP_PATTERN = re.compile(
     re.IGNORECASE,
 )
 
+#: keyed form: SELECT <key> [AS k], date_trunc('<g>', ts) [AS b],
+#: APPROX_MEDIAN(col) | APPROX_PERCENTILE_CONT(col, q) ... GROUP BY
+#: (1, 2 | key, bucket) — the per-series quantile continuous
+#: aggregate, served from the registered keyed histogram rollup (one
+#: shared (grp, bucket, bin) shuffle; CDF walks per (series, bucket);
+#: collect-free at any key cardinality).
+_KEYED_MEDIAN_PATTERN = re.compile(
+    r"^\s*SELECT\s+(?P<key>\w+)(?:\s+AS\s+(?P<kalias>\w+))?\s*,\s*"
+    r"DATE_TRUNC\s*\(\s*'(?P<gran>minute|hour|day)'\s*,\s*"
+    r"(?P<ts0>\w+)\s*\)\s*(?:AS\s+(?P<balias>\w+)\s*)?,\s*"
+    r"" + _QUANTILE_FN + r"(?:\s+AS\s+(?P<alias>\w+))?\s+"
+    r"FROM\s+(?P<table>\w+)\s+"
+    r"WHERE\s+(?P<ts1>\w+)\s*>=\s*(?:TIMESTAMP\s+)?'(?P<start>[^']+)'\s+"
+    r"AND\s+(?P<ts2>\w+)\s*<\s*(?:TIMESTAMP\s+)?'(?P<end>[^']+)'\s*"
+    r"GROUP\s+BY\s+(?:1\s*,\s*2|(?P<gb_key>\w+)\s*,\s*(?P<gb_bucket>\w+))"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 
 def _parse_ts_literal(lit: str) -> int | None:
     """Naive-UTC timestamp literal → epoch ms (the string form the
@@ -275,6 +294,8 @@ class WheelSqlRouter:
         self._kdistinct: dict[tuple, tuple] = {}
         #: (table, value_col) → (ts_col, hist_df, bin_width, slot_ms, wm, adv)
         self._hist: dict[tuple, tuple] = {}
+        #: (table, key_col, value_col) → (ts_col, hist_df, bin_width, slot_ms, wm, adv)
+        self._khist: dict[tuple, tuple] = {}
         self.last_decision: RouteDecision | None = None
 
     def register_index(
@@ -369,6 +390,31 @@ class WheelSqlRouter:
             advanced_ms,
         )
 
+    def register_keyed_histogram_rollup(
+        self,
+        table: str,
+        key_col: str,
+        value_col: str,
+        ts_col: str,
+        hist,
+        watermark_ms: int,
+        advanced_ms: int,
+        bin_width: float = 1.0,
+        slot_ms: int = MINUTE_MS,
+    ) -> None:
+        """Register a build_keyed_histogram_rollup frame so per-series
+        ``GROUP BY key, date_trunc + APPROX_MEDIAN/-PERCENTILE_CONT``
+        queries rewrite onto it — per-(series, bucket) CDF walks,
+        collect-free at any key cardinality."""
+        self._khist[(table.lower(), key_col.lower(), value_col.lower())] = (
+            ts_col.lower(),
+            hist,
+            bin_width,
+            slot_ms,
+            watermark_ms,
+            advanced_ms,
+        )
+
     def register_count_rollup(
         self,
         table: str,
@@ -401,6 +447,9 @@ class WheelSqlRouter:
         qu = query.upper()
         if "APPROX_MEDIAN" in qu or "APPROX_PERCENTILE_CONT" in qu:
             if "GROUP" in qu:
+                km = _KEYED_MEDIAN_PATTERN.match(query)
+                if km is not None:
+                    return self._decide_keyed_median(km)
                 mg = _MEDIAN_GROUP_PATTERN.match(query)
                 if mg is not None:
                     return self._decide_median(mg, grouped=True)
@@ -523,6 +572,91 @@ class WheelSqlRouter:
             bucket_alias=(m["balias"] or "bucket") if grouped else None,
             value_col=col,
             quantile=q,
+        )
+
+    def _decide_keyed_median(self, m: re.Match) -> RouteDecision:
+        """Per-series APPROX_MEDIAN / APPROX_PERCENTILE_CONT → keyed
+        histogram rollup rewrite."""
+        table = m["table"].lower()
+        col = (m["col"] or m["colq"]).lower()
+        q = float(m["q"]) if m["q"] else 0.5
+        key = m["key"].lower()
+        reg = self._khist.get((table, key, col))
+        if reg is None:
+            return RouteDecision(
+                "sql", f"no keyed histogram rollup for ({table}, {key}, {col})"
+            )
+        ts_col, _hist, _bw, slot_ms, wm, adv = reg
+        ts_refs = {m["ts0"].lower(), m["ts1"].lower(), m["ts2"].lower()}
+        if ts_refs != {ts_col}:
+            return RouteDecision(
+                "sql", "bucket/filter column is not the histogram ts"
+            )
+        kalias = m["kalias"] or m["key"]
+        balias = m["balias"] or "bucket"
+        if m["gb_key"] and m["gb_key"].lower() not in (key, kalias.lower()):
+            return RouteDecision("sql", "GROUP BY key is not the series key")
+        if m["gb_bucket"] and m["gb_bucket"].lower() not in (
+            balias.lower(),
+            ts_col,
+        ):
+            return RouteDecision("sql", "GROUP BY bucket is not the bucket expr")
+        s = _parse_ts_literal(m["start"])
+        e = _parse_ts_literal(m["end"])
+        if s is None or e is None:
+            return RouteDecision("sql", "unparseable timestamp literal")
+        if s % slot_ms or e % slot_ms:
+            return RouteDecision(
+                "sql", "endpoints not aligned to the histogram slot grain"
+            )
+        if s < wm or e > adv:
+            return RouteDecision("sql", "range outside the rollup horizon")
+        default_alias = (
+            "approx_median" if m["col"] else "approx_percentile"
+        )
+        return RouteDecision(
+            "keyed_quantile_rollup",
+            f"rewritten onto keyed histogram rollup (q={q}, ±bin_width bound)",
+            table,
+            "APPROX_MEDIAN" if m["col"] else "APPROX_PERCENTILE_CONT",
+            (s, e),
+            (("QUANTILE", m["alias"] or default_alias),),
+            granularity=m["gran"].lower(),
+            bucket_alias=balias,
+            key_alias=kalias,
+            key_col=key,
+            value_col=col,
+            quantile=q,
+        )
+
+    def _serve_keyed_quantile_rollup(self, d: RouteDecision) -> DataFrame:
+        """Per-series quantiles from the keyed histogram rollup: one
+        (grp, coarse bucket, bin) merge + CDF walks per (series,
+        bucket) — work bounded by occupied cells, never fact rows;
+        collect-free at any key cardinality."""
+        from pyspark.sql import functions as F
+
+        from uwheel_datafusion_spark.functions.time import GRANULARITY_MS
+        from uwheel_datafusion_spark.operators.quantile_rollup import (
+            keyed_grouped_quantile_df,
+        )
+        from uwheel_datafusion_spark.operators.wheel import _bucket_range_pred
+
+        ts_col, hist, bw, _slot, _wm, _adv = self._khist[
+            (d.table, d.key_col, d.value_col)
+        ]
+        s, e = d.range_ms
+        _agg, alias = d.items[0]
+        part = hist.filter(_bucket_range_pred(hist, s, e))
+        out = keyed_grouped_quantile_df(
+            part, GRANULARITY_MS[d.granularity], d.quantile, bw
+        )
+        return out.select(
+            F.col("grp").alias(d.key_alias),
+            F.timestamp_millis(F.col("bucket_ms"))
+            .cast("timestamp_ntz")
+            .alias(d.bucket_alias),
+            F.col("approx_quantile").alias(alias),
         )
 
     def _decide_grouped(self, m: re.Match) -> RouteDecision:
@@ -859,7 +993,8 @@ class WheelSqlRouter:
         d = self._decide(query)
         self.last_decision = d
         if d.path in (
-            "rollup", "keyed_rollup", "distinct_rollup", "count_rollup"
+            "rollup", "keyed_rollup", "distinct_rollup", "count_rollup",
+            "keyed_quantile_rollup",
         ) or (
             d.path == "index" and len(d.items) > 1
         ) or (
@@ -909,6 +1044,8 @@ class WheelSqlRouter:
             return self._serve_count_rollup(d)
         if d.path == "quantile_rollup":
             return self._serve_quantile_rollup(d)
+        if d.path == "keyed_quantile_rollup":
+            return self._serve_keyed_quantile_rollup(d)
         _, _, index = self._indexes[d.table]
         di = index.to_driver_index()
         s, e = d.range_ms
