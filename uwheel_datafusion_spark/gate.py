@@ -4927,16 +4927,16 @@ _DRIVER_WINDOW = [
     "router_year_rollup",
     # round-5 additions (never driver-checked): seconds wheel, batched
     # sketch serving (quantile/OHLC + verified heavy hitters), quantile
-    # router cell
+    # router cells (unkeyed + per-series), quarter calendar fold
     "wheel_second_aligned_range",
     "sketch_batch_quantile_ohlc",
     "sketch_batch_heavy_hitters",
     "router_median_day_rollup",
+    "router_keyed_median_day",
+    "router_quarter_rollup",
     # canaries (driver-proven r03/r04; split_* carries the oracle fix)
     "wheel_range_batch_serving",
     "streaming_wheel_rollup_parity",
-    "router_week_rollup",
-    "tpch_q9_product_profit",
     "split_train_val_test",
 ]
 
