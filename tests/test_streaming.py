@@ -853,3 +853,26 @@ def test_streaming_wheel_state_dir_restart(spark, sf_smoke, tmp_path):
     for s, e in [(WM, WM + 10 * 86_400_000), (WM + 14 * 86_400_000, ADV)]:
         assert stream_idx.query_sum(s, e) == batch_idx.query_sum(s, e)
         assert stream_idx.query_count(s, e) == batch_idx.query_count(s, e)
+
+
+def test_state_dir_checkpoint_mismatch_raises(tmp_path):
+    """Regression (ADVICE r5): a populated state_dir restored under a
+    DIFFERENT checkpoint dir must raise — epoch ids restart at 0 under
+    a fresh checkpoint, so the epoch guard would otherwise silently
+    skip all early batches as replays (undercounted state)."""
+    import pytest as _pt
+
+    from uwheel_datafusion_spark.streaming.wheel_stream import (
+        _load_state,
+        _persist_state,
+    )
+
+    state = str(tmp_path / "state")
+    _persist_state(state, {1: 2}, 7, checkpoint="/ckpt/a")
+    # same pairing restores fine
+    st = _load_state(state, "/ckpt/a")
+    assert st["slots"] == {1: 2} and st["epoch"] == 7
+    # legacy snapshot without identity still restores (no false alarm)
+    assert _load_state(state) is not None
+    with _pt.raises(ValueError, match="checkpoint"):
+        _load_state(state, "/ckpt/B")

@@ -738,3 +738,41 @@ def test_backfill_contract_errors(spark, sf_smoke):
         idx.backfill(ev, "ts", "value", WM - 86_400_000, day_s)
     with _pt.raises(ValueError, match="empty"):
         idx.backfill(ev, "ts", "value", day_s, day_s)
+
+
+def test_backfill_on_seconds_wheel(spark, sf_smoke):
+    """Regression: GRANULARITY_MS lacked 'second', so backfill() on an
+    opt-in seconds wheel raised KeyError before computing its coarsest
+    alignment. A seconds wheel must backfill like any other."""
+    from uwheel_datafusion_spark.functions.time import ts_range_pred
+
+    ev = load_table(spark, sf_smoke, "events")
+    day_s = to_epoch_ms(datetime(2024, 1, 10))
+    day_e = day_s + 86_400_000
+    in_day = ts_range_pred(ev, "ts", day_s, day_e)
+    corrupted = ev.withColumn(
+        "value", F.when(in_day, F.lit(0.0)).otherwise(F.col("value"))
+    )
+    idx = WheelIndex.build(
+        corrupted,
+        "ts",
+        "value",
+        WM,
+        ADV,
+        granularities=("second", "minute", "hour", "day"),
+        cache=False,
+    )
+    repaired = idx.backfill(ev.filter(in_day), "ts", "value", day_s, day_e)
+    clean = WheelIndex.build(
+        ev,
+        "ts",
+        "value",
+        WM,
+        ADV,
+        granularities=("second", "minute", "hour", "day"),
+        cache=False,
+    )
+    assert (
+        repaired.to_driver_index().query_sum(day_s, day_e)
+        == clean.to_driver_index().query_sum(day_s, day_e)
+    )

@@ -32,6 +32,7 @@ GRANULARITY_MS = {
     "day": DAY_MS,
     "hour": HOUR_MS,
     "minute": MINUTE_MS,
+    "second": SECOND_MS,
 }
 
 

@@ -133,11 +133,13 @@ def ngram_jaccard_pairs(
     the worst case. Mirroring keyed_wheel's hot-serving cap, it
     refuses above ``max_docs`` documents; the scale path with the same
     exact-pair contract is prefix_filter_jaccard_pairs()."""
-    n_docs = docs.count()
-    if n_docs > max_docs:
+    # bounded fence probe: LIMIT max_docs+1 short-circuits the scan at
+    # the cap instead of fully evaluating (possibly uncached) upstream
+    # frames just to decide admission
+    if docs.limit(max_docs + 1).count() > max_docs:
         raise ValueError(
             f"ngram_jaccard_pairs is the exact posting-join baseline and "
-            f"refuses {n_docs} docs (cap {max_docs}); use "
+            f"refuses > {max_docs} docs; use "
             f"prefix_filter_jaccard_pairs() — the PPJoin-class prefix-"
             f"filtered scale path (lossless, bounded candidates)"
         )

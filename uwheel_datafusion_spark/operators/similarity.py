@@ -150,11 +150,12 @@ def cosine_pair_dedup(
     keyed_wheel's hot-serving cap, it refuses above ``max_rows`` rows
     instead of silently launching a quadratic job — use
     hyperplane_lsh_pairs() for large corpora."""
-    n = vecs.count()
-    if n > max_rows:
+    # bounded fence probe: LIMIT max_rows+1 short-circuits at the cap
+    # instead of fully evaluating uncached upstream frames
+    if vecs.limit(max_rows + 1).count() > max_rows:
         raise ValueError(
             f"cosine_pair_dedup is the exact O(n^2) baseline and refuses "
-            f"{n} rows (cap {max_rows}); use hyperplane_lsh_pairs() — the "
+            f"> {max_rows} rows; use hyperplane_lsh_pairs() — the "
             f"LSH-bucketed scale path with the same pair contract"
         )
     qv = _quantized(vecs, vec_col, drop_zero=True).select("vec_id", "qvec", "qnorm")

@@ -346,6 +346,16 @@ def range_heavy_hitters_batch_verified(
         return rollup.sparkSession.createDataFrame(
             [], "query_id int, key long, cnt long"
         )
+    for s, e in ranges:
+        # exact-n contract: each range's n comes from rollup slot_total
+        # over [s, e) while the verify counts raw rows over the same raw
+        # [s, e) — the two agree only on slot-aligned ranges (same
+        # alignment contract as the batch-quantile docstring).
+        assert s % slot_ms == 0 and e % slot_ms == 0, (
+            f"range [{s}, {e}) must be aligned to slot_ms={slot_ms}: "
+            "rollup-derived n and the raw verify count disagree on "
+            "partial slots, breaking candidate completeness"
+        )
     tagged, _qids = _tag_rollup_with_queries(rollup, ranges, slot_ms)
     # per-query exact n and total error bound, both from the rollup:
     # slot_total/bound are per-slot scalars replicated per key row, so

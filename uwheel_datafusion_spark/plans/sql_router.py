@@ -173,7 +173,7 @@ _TOPK_PATTERN = re.compile(
 _QUANTILE_FN = (
     r"(?:APPROX_MEDIAN\s*\(\s*(?P<col>\w+)\s*\)"
     r"|APPROX_PERCENTILE_CONT\s*\(\s*(?P<colq>\w+)\s*,\s*"
-    r"(?P<q>(?:0?\.\d+|0|1)(?:\.0+)?)\s*\))"
+    r"(?P<q>(?:0(?:\.\d+)?|1(?:\.0+)?))\s*\))"
 )
 
 _MEDIAN_PATTERN = re.compile(
@@ -216,6 +216,118 @@ _KEYED_MEDIAN_PATTERN = re.compile(
     r"AND\s+(?P<ts2>\w+)\s*<\s*(?:TIMESTAMP\s+)?'(?P<end>[^']+)'\s*"
     r"GROUP\s+BY\s+(?:1\s*,\s*2|(?P<gb_key>\w+)\s*,\s*(?P<gb_bucket>\w+))"
     r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+#: shared half-open range filter for the new-family patterns (the
+#: existing patterns inline the same snippet)
+_WHERE_RANGE = (
+    r"WHERE\s+(?P<ts1>\w+)\s*>=\s*(?:TIMESTAMP\s+)?'(?P<start>[^']+)'\s+"
+    r"AND\s+(?P<ts2>\w+)\s*<\s*(?:TIMESTAMP\s+)?'(?P<end>[^']+)'"
+)
+
+_GROUP_BY_BUCKET = (
+    r"GROUP\s+BY\s+(?:1|(?P<gb_alias>\w+)|DATE_TRUNC\s*\(\s*'(?P<gran2>\w+)'"
+    r"\s*,\s*(?P<ts3>\w+)\s*\))"
+)
+
+_DT_BUCKET = (
+    r"DATE_TRUNC\s*\(\s*'(?P<gran>minute|hour|day)'\s*,\s*"
+    r"(?P<ts0>\w+)\s*\)\s*(?:AS\s+(?P<balias>\w+)\s*)?"
+)
+
+
+def _ord_key(prefix: str) -> str:
+    """min_by/max_by order key: the ts column alone, or the
+    (ts, value) tie-broken struct — both name the rollup's combine
+    order (the bare-ts spelling leaves ties unspecified, so the
+    rollup's deterministic tie-break is a valid instance)."""
+    return (
+        rf"(?:(?P<{prefix}k>\w+)|STRUCT\s*\(\s*(?P<{prefix}k1>\w+)\s*,\s*"
+        rf"(?P<{prefix}k2>\w+)\s*\))"
+    )
+
+
+#: SELECT min_by(v, ts) AS open, max(v) AS high, min(v) AS low,
+#: max_by(v, ts) AS close [, count(*) AS cnt] FROM t WHERE <range>
+#: [GROUP BY date_trunc] — the candlestick shape (TimescaleDB
+#: candlestick_agg / the reference's first/last aggregators): served
+#: from the registered OHLC rollup (operators/ohlc) by one
+#: associative re-combine, never the fact scan. Spark runs the same
+#: spelling natively, so the fallback is verbatim.
+_OHLC_ITEMS = (
+    r"MIN_BY\s*\(\s*(?P<ov>\w+)\s*,\s*" + _ord_key("o") + r"\s*\)"
+    r"(?:\s+AS\s+(?P<oalias>\w+))?\s*,\s*"
+    r"MAX\s*\(\s*(?P<hv>\w+)\s*\)(?:\s+AS\s+(?P<halias>\w+))?\s*,\s*"
+    r"MIN\s*\(\s*(?P<lv>\w+)\s*\)(?:\s+AS\s+(?P<lalias>\w+))?\s*,\s*"
+    r"MAX_BY\s*\(\s*(?P<cv>\w+)\s*,\s*" + _ord_key("c") + r"\s*\)"
+    r"(?:\s+AS\s+(?P<calias>\w+))?"
+    r"(?:\s*,\s*COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(?P<cntalias>\w+))?)?"
+)
+
+_OHLC_PATTERN = re.compile(
+    r"^\s*SELECT\s+" + _OHLC_ITEMS + r"\s+FROM\s+(?P<table>\w+)\s+"
+    + _WHERE_RANGE + r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_OHLC_GROUP_PATTERN = re.compile(
+    r"^\s*SELECT\s+" + _DT_BUCKET + r",\s*" + _OHLC_ITEMS
+    + r"\s+FROM\s+(?P<table>\w+)\s+" + _WHERE_RANGE + r"\s*"
+    + _GROUP_BY_BUCKET + r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+#: SELECT TWA(v, ts) | TIME_WEIGHTED_AVG(v, ts) [AS a] [, COUNT(*)]
+#: FROM t WHERE <range> [GROUP BY date_trunc] — the time-weighted
+#: average (TimescaleDB time_weight/LOCF): served from the registered
+#: TWA rollup (operators/twa — the boundary-stitching aggregator).
+#: Not a Spark builtin: unservable matches fall back to a generated
+#: lag-window statement over the fact table (same step-function
+#: integral, full Catalyst).
+_TWA_ITEMS = (
+    r"(?:TWA|TIME_WEIGHTED_AVG)\s*\(\s*(?P<tv>\w+)\s*,\s*(?P<tts>\w+)\s*\)"
+    r"(?:\s+AS\s+(?P<talias>\w+))?"
+    r"(?:\s*,\s*COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(?P<cntalias>\w+))?)?"
+)
+
+_TWA_PATTERN = re.compile(
+    r"^\s*SELECT\s+" + _TWA_ITEMS + r"\s+FROM\s+(?P<table>\w+)\s+"
+    + _WHERE_RANGE + r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_TWA_GROUP_PATTERN = re.compile(
+    r"^\s*SELECT\s+" + _DT_BUCKET + r",\s*" + _TWA_ITEMS
+    + r"\s+FROM\s+(?P<table>\w+)\s+" + _WHERE_RANGE + r"\s*"
+    + _GROUP_BY_BUCKET + r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+#: SELECT COUNTER_INCREASE(v, ts) [AS a] [, COUNTER_RATE(v, ts) [AS r]]
+#: [, COUNT(*)] FROM t WHERE <range> [GROUP BY date_trunc] — PromQL
+#: increase()/rate() semantics (reset-aware monotonic delta): served
+#: from the registered counter rollup (operators/counter). Unservable
+#: matches fall back to a generated lag-window statement.
+_CTR_ITEMS = (
+    r"COUNTER_INCREASE\s*\(\s*(?P<iv>\w+)\s*,\s*(?P<its>\w+)\s*\)"
+    r"(?:\s+AS\s+(?P<ialias>\w+))?"
+    r"(?:\s*,\s*COUNTER_RATE\s*\(\s*(?P<rv>\w+)\s*,\s*(?P<rts>\w+)\s*\)"
+    r"(?:\s+AS\s+(?P<ralias>\w+))?)?"
+    r"(?:\s*,\s*COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(?P<cntalias>\w+))?)?"
+)
+
+_CTR_PATTERN = re.compile(
+    r"^\s*SELECT\s+" + _CTR_ITEMS + r"\s+FROM\s+(?P<table>\w+)\s+"
+    + _WHERE_RANGE + r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_CTR_GROUP_PATTERN = re.compile(
+    r"^\s*SELECT\s+" + _DT_BUCKET + r",\s*" + _CTR_ITEMS
+    + r"\s+FROM\s+(?P<table>\w+)\s+" + _WHERE_RANGE + r"\s*"
+    + _GROUP_BY_BUCKET + r"\s*;?\s*$",
     re.IGNORECASE,
 )
 

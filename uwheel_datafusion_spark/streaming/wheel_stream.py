@@ -64,27 +64,52 @@ def _state_file(state_dir: str) -> str:
     return os.path.join(state_dir, "wheel_state.pkl")
 
 
-def _persist_state(state_dir: str, slots, epoch_id: int, extra=None) -> None:
+def _persist_state(
+    state_dir: str, slots, epoch_id: int, extra=None, checkpoint: str | None = None
+) -> None:
     """Atomic (temp + rename) driver-state snapshot, tagged with the
-    last applied epoch id. Runs INSIDE foreachBatch, i.e. before the
-    checkpoint commits the epoch — so crash-replayed epochs find their
-    effects already persisted and the epoch guard skips them."""
+    last applied epoch id AND the checkpoint identity it was built
+    against. Runs INSIDE foreachBatch, i.e. before the checkpoint
+    commits the epoch — so crash-replayed epochs find their effects
+    already persisted and the epoch guard skips them."""
     os.makedirs(state_dir, exist_ok=True)
     tmp = _state_file(state_dir) + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(
-            {"slots": slots, "epoch": epoch_id, **(extra or {})}, f
+            {
+                "slots": slots,
+                "epoch": epoch_id,
+                "checkpoint": checkpoint,
+                **(extra or {}),
+            },
+            f,
         )
     os.replace(tmp, _state_file(state_dir))
 
 
-def _load_state(state_dir: str):
-    """Restore a persisted state snapshot; None when the dir is fresh."""
+def _load_state(state_dir: str, checkpoint: str | None = None):
+    """Restore a persisted state snapshot; None when the dir is fresh.
+
+    The epoch guard compares micro-batch epoch ids, which restart at 0
+    under a DIFFERENT checkpoint dir — pairing a populated state_dir
+    with a fresh checkpoint would then silently skip all early batches
+    as "replays" (undercounted state). Enforce the pairing here: the
+    snapshot records the checkpoint it was built against, and a
+    mismatch raises instead of corrupting."""
     p = _state_file(state_dir)
     if not os.path.exists(p):
         return None
     with open(p, "rb") as f:
-        return pickle.load(f)
+        st = pickle.load(f)
+    saved = st.get("checkpoint")
+    if checkpoint is not None and saved is not None and saved != checkpoint:
+        raise ValueError(
+            f"state_dir {state_dir!r} was built against checkpoint "
+            f"{saved!r} but is being restored under {checkpoint!r}; "
+            "epoch ids are only comparable within one checkpoint — use "
+            "a fresh state_dir with a fresh checkpoint"
+        )
+    return st
 
 
 @dataclass
@@ -215,7 +240,7 @@ class StreamingDistinctWheel:
     def start(self, checkpoint_dir: str, state_dir: str | None = None):
         slots = self.slots
         if state_dir is not None:
-            st = _load_state(state_dir)
+            st = _load_state(state_dir, checkpoint_dir)
             if st is not None:
                 slots.update(st["slots"])
                 self._last_epoch = st["epoch"]
@@ -227,7 +252,7 @@ class StreamingDistinctWheel:
                 slots[r["bucket_ms"]] = bytes(r["hll"])
             if state_dir is not None:
                 self._last_epoch = epoch_id
-                _persist_state(state_dir, slots, epoch_id)
+                _persist_state(state_dir, slots, epoch_id, checkpoint=checkpoint_dir)
 
         self._query = (
             self._agg.writeStream.outputMode("update")
@@ -305,7 +330,7 @@ class StreamingBottomKWheel:
 
         k = self.k
         if state_dir is not None:
-            st = _load_state(state_dir)
+            st = _load_state(state_dir, checkpoint_dir)
             if st is not None:
                 self.slots.update(st["slots"])
                 self._last_epoch = st["epoch"]
@@ -323,7 +348,7 @@ class StreamingBottomKWheel:
                 self._merge(bucket, pairs)
             if state_dir is not None:
                 self._last_epoch = epoch_id
-                _persist_state(state_dir, self.slots, epoch_id)
+                _persist_state(state_dir, self.slots, epoch_id, checkpoint=checkpoint_dir)
 
         self._query = (
             self._pairs.writeStream.outputMode("append")
@@ -418,7 +443,7 @@ class StreamingMGWheel:
 
         m = self.m
         if state_dir is not None:
-            st = _load_state(state_dir)
+            st = _load_state(state_dir, checkpoint_dir)
             if st is not None:
                 self.slots.update(st["slots"])
                 self._last_epoch = st["epoch"]
@@ -446,7 +471,7 @@ class StreamingMGWheel:
                 self._merge(bucket, counts, bound)
             if state_dir is not None:
                 self._last_epoch = epoch_id
-                _persist_state(state_dir, self.slots, epoch_id)
+                _persist_state(state_dir, self.slots, epoch_id, checkpoint=checkpoint_dir)
 
         self._query = (
             self._pairs.writeStream.outputMode("append")
@@ -525,7 +550,7 @@ class StreamingHistogramWheel:
     def start(self, checkpoint_dir: str, state_dir: str | None = None):
         slots = self.slots
         if state_dir is not None:
-            st = _load_state(state_dir)
+            st = _load_state(state_dir, checkpoint_dir)
             if st is not None:
                 slots.update(st["slots"])
                 self._last_epoch = st["epoch"]
@@ -537,7 +562,7 @@ class StreamingHistogramWheel:
                 slots[(r["bucket_ms"], r["bin"])] = r["cnt"]
             if state_dir is not None:
                 self._last_epoch = epoch_id
-                _persist_state(state_dir, slots, epoch_id)
+                _persist_state(state_dir, slots, epoch_id, checkpoint=checkpoint_dir)
 
         self._query = (
             self._agg.writeStream.outputMode("update")
@@ -622,7 +647,7 @@ class StreamingOHLCWheel:
     def start(self, checkpoint_dir: str, state_dir: str | None = None):
         slots = self.slots
         if state_dir is not None:
-            st = _load_state(state_dir)
+            st = _load_state(state_dir, checkpoint_dir)
             if st is not None:
                 slots.update(st["slots"])
                 self._last_epoch = st["epoch"]
@@ -642,7 +667,7 @@ class StreamingOHLCWheel:
                 )
             if state_dir is not None:
                 self._last_epoch = epoch_id
-                _persist_state(state_dir, slots, epoch_id)
+                _persist_state(state_dir, slots, epoch_id, checkpoint=checkpoint_dir)
 
         self._query = (
             self._agg.writeStream.outputMode("update")
@@ -723,7 +748,7 @@ class StreamingWheel:
         lifecycle (which remains supported for explicit control)."""
         store = self.store
         if state_dir is not None:
-            st = _load_state(state_dir)
+            st = _load_state(state_dir, checkpoint_dir)
             if st is not None:
                 store.slots.update(st["slots"])
                 store.n_late_rows += st.get("late", 0)
@@ -740,6 +765,7 @@ class StreamingWheel:
                     store.slots,
                     epoch_id,
                     {"late": store.n_late_rows},
+                    checkpoint=checkpoint_dir,
                 )
 
         self._query = (
