@@ -610,3 +610,184 @@ def test_keyed_quantile_rollup_route(spark, sf_smoke, router):
         f"GROUP BY 1, 2"
     )
     assert router.last_decision.path == "sql"
+
+
+def _ms(b):
+    return int(b.timestamp() * 1000)
+
+
+def test_ohlc_rollup_route_and_fallbacks(spark, sf_smoke, router):
+    """The candlestick shape (min_by/max/min/max_by) routes to the
+    OHLC rollup — scalar and GROUP BY date_trunc forms — and matches
+    the operators/ohlc serving frames; unservable forms fall back
+    verbatim (min_by/max_by are Spark builtins, so they still run)."""
+    from uwheel_datafusion_spark.operators.ohlc import (
+        build_ohlc_rollup,
+        cascade_ohlc,
+        range_ohlc_df,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    rollup = build_ohlc_rollup(ev, "ts", "value", WM, ADV, cache=False)
+    router.register_ohlc_rollup("events", "value", "ts", rollup, WM, ADV)
+    s, e = WM, WM + 7 * 86_400_000
+
+    q = (
+        f"SELECT min_by(value, ts) AS open, max(value) AS high, "
+        f"min(value) AS low, max_by(value, struct(ts, value)) AS close, "
+        f"count(*) AS cnt FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}'"
+    )
+    got = router.sql(q).collect()[0]
+    assert router.last_decision.path == "ohlc_rollup"
+    want = range_ohlc_df(rollup, s, e).collect()[0]
+    assert tuple(got) == tuple(want)
+
+    # grouped day form matches the cascade
+    qd = (
+        f"SELECT date_trunc('day', ts) AS b, min_by(value, ts) AS open, "
+        f"max(value) AS high, min(value) AS low, max_by(value, ts) AS close "
+        f"FROM events WHERE ts >= '{ms_to_ts_literal(s)}' "
+        f"AND ts < '{ms_to_ts_literal(e)}' GROUP BY 1"
+    )
+    df = router.sql(qd)
+    assert router.last_decision.path == "ohlc_rollup"
+    got_days = {
+        (_ms(r["b"]), r["open"], r["high"], r["low"], r["close"])
+        for r in df.collect()
+    }
+    want_days = {
+        (r["bucket_ms"], r["open"], r["high"], r["low"], r["close"])
+        for r in cascade_ohlc(rollup, 86_400_000)
+        .filter((F.col("bucket_ms") >= s) & (F.col("bucket_ms") < e))
+        .collect()
+    }
+    assert got_days == want_days
+
+    # unaligned endpoint → verbatim fallback, still runs and agrees
+    # with the full-scan truth
+    q_un = (
+        f"SELECT min_by(value, ts) AS open, max(value) AS high, "
+        f"min(value) AS low, max_by(value, ts) AS close, count(*) AS cnt "
+        f"FROM events WHERE ts >= '{ms_to_ts_literal(s + 1)}' "
+        f"AND ts < '{ms_to_ts_literal(e)}'"
+    )
+    got_fb = router.sql(q_un).collect()[0]
+    assert router.last_decision.path == "sql"
+    want_fb = spark.sql(q_un).collect()[0]
+    assert tuple(got_fb) == tuple(want_fb)
+
+    # wrong order key → sql
+    router.sql(
+        f"SELECT min_by(value, user_id) AS open, max(value) AS high, "
+        f"min(value) AS low, max_by(value, user_id) AS close FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}'"
+    )
+    assert router.last_decision.path == "sql"
+
+
+def test_twa_rollup_route_and_fallback(spark, sf_smoke, router):
+    """TWA(value, ts) routes to the TWA rollup (scalar + grouped); a
+    router WITHOUT the registration lowers the same query to the
+    generated lag-window scan, which must agree exactly with the
+    rollup path (the lowering implements the same LOCF integral)."""
+    from uwheel_datafusion_spark.operators.twa import (
+        build_twa_rollup,
+        grouped_twa_df,
+        range_twa_df,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    rollup = build_twa_rollup(ev, "ts", "value", WM, ADV, cache=False)
+    router.register_twa_rollup("events", "value", "ts", rollup, WM, ADV)
+    s, e = WM, WM + 7 * 86_400_000
+
+    q = (
+        f"SELECT TWA(value, ts) AS twa, COUNT(*) AS cnt FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}'"
+    )
+    got = router.sql(q).collect()[0]
+    assert router.last_decision.path == "twa_rollup"
+    want = range_twa_df(rollup, s, e).collect()[0]
+    assert (got["twa"], got["cnt"]) == (want["twa"], want["cnt"])
+
+    # TIME_WEIGHTED_AVG spelling routes too
+    q2 = q.replace("TWA(", "TIME_WEIGHTED_AVG(")
+    assert router.sql(q2).collect()[0]["twa"] == want["twa"]
+    assert router.last_decision.path == "twa_rollup"
+
+    qd = (
+        f"SELECT date_trunc('day', ts) AS b, TWA(value, ts) AS twa "
+        f"FROM events WHERE ts >= '{ms_to_ts_literal(s)}' "
+        f"AND ts < '{ms_to_ts_literal(e)}' GROUP BY 1"
+    )
+    df = router.sql(qd)
+    assert router.last_decision.path == "twa_rollup"
+    got_days = {(_ms(r["b"]), r["twa"]) for r in df.collect()}
+    want_days = {
+        (r["bucket_ms"], r["twa"])
+        for r in grouped_twa_df(rollup, 86_400_000)
+        .filter((F.col("bucket_ms") >= s) & (F.col("bucket_ms") < e))
+        .collect()
+    }
+    assert got_days == want_days
+
+    # unregistered router → lag-window fallback, exact same numbers
+    bare = WheelSqlRouter(spark)
+    got_fb = bare.sql(q).collect()[0]
+    assert bare.last_decision.path == "sql"
+    assert bare.last_decision.fallback_sql is not None
+    assert (got_fb["twa"], got_fb["cnt"]) == (want["twa"], want["cnt"])
+    fb_days = {(_ms(r["b"]), r["twa"]) for r in bare.sql(qd).collect()}
+    assert fb_days == want_days
+
+
+def test_counter_rollup_route_and_fallback(spark, sf_smoke, router):
+    """COUNTER_INCREASE/COUNTER_RATE route to the counter rollup; the
+    unregistered lowering (lag-window scan) agrees exactly."""
+    from uwheel_datafusion_spark.operators.counter import (
+        build_counter_rollup,
+        grouped_increase_df,
+        range_increase_df,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    rollup = build_counter_rollup(ev, "ts", "value", WM, ADV, cache=False)
+    router.register_counter_rollup("events", "value", "ts", rollup, WM, ADV)
+    s, e = WM, WM + 7 * 86_400_000
+
+    q = (
+        f"SELECT COUNTER_INCREASE(value, ts) AS increase, "
+        f"COUNTER_RATE(value, ts) AS rate_per_sec, COUNT(*) AS cnt "
+        f"FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}'"
+    )
+    got = router.sql(q).collect()[0]
+    assert router.last_decision.path == "counter_rollup"
+    want = range_increase_df(rollup, s, e).collect()[0]
+    assert tuple(got) == tuple(want)
+
+    qd = (
+        f"SELECT date_trunc('day', ts) AS b, "
+        f"COUNTER_INCREASE(value, ts) AS increase FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' "
+        f"AND ts < '{ms_to_ts_literal(e)}' GROUP BY 1"
+    )
+    df = router.sql(qd)
+    assert router.last_decision.path == "counter_rollup"
+    got_days = {(_ms(r["b"]), r["increase"]) for r in df.collect()}
+    want_days = {
+        (r["bucket_ms"], r["increase"])
+        for r in grouped_increase_df(rollup, 86_400_000)
+        .filter((F.col("bucket_ms") >= s) & (F.col("bucket_ms") < e))
+        .collect()
+    }
+    assert got_days == want_days
+
+    # unregistered router → lag-window fallback, exact same numbers
+    bare = WheelSqlRouter(spark)
+    got_fb = bare.sql(q).collect()[0]
+    assert bare.last_decision.path == "sql"
+    assert tuple(got_fb) == tuple(want)
+    fb_days = {(_ms(r["b"]), r["increase"]) for r in bare.sql(qd).collect()}
+    assert fb_days == want_days

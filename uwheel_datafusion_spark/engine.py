@@ -57,6 +57,9 @@ class WheelEngine:
         distinct_col: str | None = None,
         count_key_col: str | None = None,
         quantiles: bool = False,
+        ohlc: bool = False,
+        twa: bool = False,
+        counter: bool = False,
         granularities: "tuple[str, ...] | None" = None,
         cache: bool = True,
     ) -> "WheelEngine":
@@ -125,6 +128,45 @@ class WheelEngine:
                         ),
                         watermark_ms, advance_to_ms,
                     )
+            if ohlc:
+                from uwheel_datafusion_spark.operators.ohlc import (
+                    build_ohlc_rollup,
+                )
+
+                r.register_ohlc_rollup(
+                    table, value_col, ts_col,
+                    build_ohlc_rollup(
+                        df, ts_col, value_col, watermark_ms, advance_to_ms,
+                        cache=cache,
+                    ),
+                    watermark_ms, advance_to_ms,
+                )
+            if twa:
+                from uwheel_datafusion_spark.operators.twa import (
+                    build_twa_rollup,
+                )
+
+                r.register_twa_rollup(
+                    table, value_col, ts_col,
+                    build_twa_rollup(
+                        df, ts_col, value_col, watermark_ms, advance_to_ms,
+                        cache=cache,
+                    ),
+                    watermark_ms, advance_to_ms,
+                )
+            if counter:
+                from uwheel_datafusion_spark.operators.counter import (
+                    build_counter_rollup,
+                )
+
+                r.register_counter_rollup(
+                    table, value_col, ts_col,
+                    build_counter_rollup(
+                        df, ts_col, value_col, watermark_ms, advance_to_ms,
+                        cache=cache,
+                    ),
+                    watermark_ms, advance_to_ms,
+                )
             if key_col is not None:
                 from uwheel_datafusion_spark.operators.keyed_wheel import (
                     KeyedWheelIndex,

@@ -4698,6 +4698,185 @@ def router_year_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@gate(
+    "router_ohlc_day",
+    f"""
+    WITH ev AS (
+        SELECT (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS bucket_ms,
+               epoch_ms(ts) AS ts_ms, value
+        FROM events
+        WHERE ts >= {_ts_lit(RANGE_DAY[0])} AND ts < {_ts_lit(RANGE_DAY[1])}
+    ),
+    r AS (
+        SELECT bucket_ms, value,
+               row_number() OVER (
+                   PARTITION BY bucket_ms ORDER BY ts_ms, value
+               ) AS rn_o,
+               row_number() OVER (
+                   PARTITION BY bucket_ms ORDER BY ts_ms DESC, value DESC
+               ) AS rn_c
+        FROM ev
+    )
+    SELECT bucket_ms,
+           MIN(CASE WHEN rn_o = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MIN(CASE WHEN rn_c = 1 THEN value END) AS close,
+           COUNT(*) AS cnt
+    FROM r GROUP BY bucket_ms
+    """,
+)
+def router_ohlc_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC cell of the router matrix: the candlestick SQL spelling
+    (min_by/max/min/max_by + count over an aligned range, GROUP BY
+    date_trunc('day')) is recognized by WheelSqlRouter and served from
+    the registered OHLC rollup — one associative candle re-combine per
+    day, never the fact scan. The oracle re-derives the same candles
+    from raw rows via rank windows; raw doubles are picked, never
+    summed, so the rewrite is hash-gated bit-for-bit."""
+    from uwheel_datafusion_spark.functions.time import ms_to_ts_literal, ts_to_ms
+    from uwheel_datafusion_spark.operators.ohlc import build_ohlc_rollup
+
+    r = _events_router(spark, sf_dir)
+    r.register_ohlc_rollup(
+        "events", "value", "ts",
+        build_ohlc_rollup(
+            load_table(spark, sf_dir, "events"),
+            "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS, cache=False,
+        ),
+        EVENTS_WM_MS, EVENTS_ADV_MS,
+    )
+    s, e = RANGE_DAY
+    df = r.sql(
+        f"SELECT date_trunc('day', ts) AS b, min_by(value, ts) AS open, "
+        f"max(value) AS high, min(value) AS low, "
+        f"max_by(value, struct(ts, value)) AS close, count(*) AS cnt "
+        f"FROM events WHERE ts >= '{ms_to_ts_literal(s)}' "
+        f"AND ts < '{ms_to_ts_literal(e)}' GROUP BY 1"
+    )
+    assert r.last_decision.path == "ohlc_rollup", r.last_decision
+    return df.select(
+        ts_to_ms(F.col("b")).alias("bucket_ms"),
+        "open", "high", "low", "close", "cnt",
+    )
+
+
+@gate(
+    "router_twa_range",
+    f"""
+    WITH ev AS (
+        SELECT epoch_ms(ts) AS t, value AS v
+        FROM events
+        WHERE ts >= {_ts_lit(RANGE_DAY[0])} AND ts < {_ts_lit(RANGE_DAY[1])}
+    ),
+    o AS (
+        SELECT t, v,
+               lag(t) OVER w AS pt,
+               lag(CAST(round(v * 1000000) AS BIGINT)) OVER w AS pvm,
+               row_number() OVER w AS rn
+        FROM ev WINDOW w AS (ORDER BY t, v)
+    )
+    SELECT CASE WHEN MAX(t) = MIN(t)
+                THEN MIN(CASE WHEN rn = 1 THEN v END)
+                ELSE CAST(
+                         SUM(CAST(pvm AS HUGEINT) * CAST(t - pt AS HUGEINT))
+                         AS DOUBLE
+                     ) / 1000000.0 / CAST(MAX(t) - MIN(t) AS DOUBLE)
+           END AS twa,
+           COUNT(*) AS cnt
+    FROM o
+    """,
+)
+def router_twa_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWA cell of the router matrix: the reference-dialect
+    TWA(value, ts) scalar range query (TimescaleDB time_weight — no
+    Spark builtin) is recognized and served from the registered TWA
+    rollup by one boundary-stitching combine over covered slots. The
+    oracle integrates the same LOCF step function from raw rows with
+    lag windows (exact micros×ms areas as HUGEINT), so the rewrite is
+    hash-gated bit-for-bit."""
+    from uwheel_datafusion_spark.functions.time import ms_to_ts_literal
+    from uwheel_datafusion_spark.operators.twa import build_twa_rollup
+
+    r = _events_router(spark, sf_dir)
+    r.register_twa_rollup(
+        "events", "value", "ts",
+        build_twa_rollup(
+            load_table(spark, sf_dir, "events"),
+            "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS, cache=False,
+        ),
+        EVENTS_WM_MS, EVENTS_ADV_MS,
+    )
+    s, e = RANGE_DAY
+    df = r.sql(
+        f"SELECT TWA(value, ts) AS twa, COUNT(*) AS cnt FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}'"
+    )
+    assert r.last_decision.path == "twa_rollup", r.last_decision
+    return df
+
+
+@gate(
+    "router_counter_day",
+    f"""
+    WITH ev AS (
+        SELECT (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS b,
+               epoch_ms(ts) AS t,
+               CAST(round(value * 1000000) AS BIGINT) AS vm
+        FROM events
+        WHERE ts >= {_ts_lit(RANGE_DAY[0])} AND ts < {_ts_lit(RANGE_DAY[1])}
+    ),
+    o AS (
+        SELECT b, t, vm, lag(vm) OVER w AS pvm
+        FROM ev WINDOW w AS (PARTITION BY b ORDER BY t, vm)
+    )
+    SELECT b AS bucket_ms,
+           CAST(SUM(CASE WHEN pvm IS NULL THEN 0
+                         WHEN vm >= pvm THEN vm - pvm
+                         ELSE vm END) AS DOUBLE) / 1000000.0 AS increase,
+           CASE WHEN MAX(t) = MIN(t) THEN NULL
+                ELSE (CAST(SUM(CASE WHEN pvm IS NULL THEN 0
+                                    WHEN vm >= pvm THEN vm - pvm
+                                    ELSE vm END) AS DOUBLE) / 1000000.0)
+                     / (CAST(MAX(t) - MIN(t) AS DOUBLE) / 1000.0)
+           END AS rate_per_sec,
+           COUNT(*) AS cnt
+    FROM o GROUP BY b
+    """,
+)
+def router_counter_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter cell of the router matrix: the PromQL-shaped
+    COUNTER_INCREASE/COUNTER_RATE(value, ts) grouped query (no Spark
+    builtin) is recognized and served from the registered counter
+    rollup — per-day reset-aware stitch, never the fact scan. Oracle:
+    the lag-window replay with exact micros integers."""
+    from uwheel_datafusion_spark.functions.time import ms_to_ts_literal, ts_to_ms
+    from uwheel_datafusion_spark.operators.counter import build_counter_rollup
+
+    r = _events_router(spark, sf_dir)
+    r.register_counter_rollup(
+        "events", "value", "ts",
+        build_counter_rollup(
+            load_table(spark, sf_dir, "events"),
+            "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS, cache=False,
+        ),
+        EVENTS_WM_MS, EVENTS_ADV_MS,
+    )
+    s, e = RANGE_DAY
+    df = r.sql(
+        f"SELECT date_trunc('day', ts) AS b, "
+        f"COUNTER_INCREASE(value, ts) AS increase, "
+        f"COUNTER_RATE(value, ts) AS rate_per_sec, COUNT(*) AS cnt "
+        f"FROM events WHERE ts >= '{ms_to_ts_literal(s)}' "
+        f"AND ts < '{ms_to_ts_literal(e)}' GROUP BY 1"
+    )
+    assert r.last_decision.path == "counter_rollup", r.last_decision
+    return df.select(
+        ts_to_ms(F.col("b")).alias("bucket_ms"),
+        "increase", "rate_per_sec", "cnt",
+    )
+
+
 # --------------------------------------------------------------------------
 # driver evaluation window
 # --------------------------------------------------------------------------

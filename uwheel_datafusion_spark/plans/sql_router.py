@@ -263,7 +263,7 @@ _OHLC_ITEMS = (
     r"MIN\s*\(\s*(?P<lv>\w+)\s*\)(?:\s+AS\s+(?P<lalias>\w+))?\s*,\s*"
     r"MAX_BY\s*\(\s*(?P<cv>\w+)\s*,\s*" + _ord_key("c") + r"\s*\)"
     r"(?:\s+AS\s+(?P<calias>\w+))?"
-    r"(?:\s*,\s*COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(?P<cntalias>\w+))?)?"
+    r"(?:\s*,\s*(?P<cnt>COUNT)\s*\(\s*\*\s*\)(?:\s+AS\s+(?P<cntalias>\w+))?)?"
 )
 
 _OHLC_PATTERN = re.compile(
@@ -289,7 +289,7 @@ _OHLC_GROUP_PATTERN = re.compile(
 _TWA_ITEMS = (
     r"(?:TWA|TIME_WEIGHTED_AVG)\s*\(\s*(?P<tv>\w+)\s*,\s*(?P<tts>\w+)\s*\)"
     r"(?:\s+AS\s+(?P<talias>\w+))?"
-    r"(?:\s*,\s*COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(?P<cntalias>\w+))?)?"
+    r"(?:\s*,\s*(?P<cnt>COUNT)\s*\(\s*\*\s*\)(?:\s+AS\s+(?P<cntalias>\w+))?)?"
 )
 
 _TWA_PATTERN = re.compile(
@@ -315,7 +315,7 @@ _CTR_ITEMS = (
     r"(?:\s+AS\s+(?P<ialias>\w+))?"
     r"(?:\s*,\s*COUNTER_RATE\s*\(\s*(?P<rv>\w+)\s*,\s*(?P<rts>\w+)\s*\)"
     r"(?:\s+AS\s+(?P<ralias>\w+))?)?"
-    r"(?:\s*,\s*COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(?P<cntalias>\w+))?)?"
+    r"(?:\s*,\s*(?P<cnt>COUNT)\s*\(\s*\*\s*\)(?:\s+AS\s+(?P<cntalias>\w+))?)?"
 )
 
 _CTR_PATTERN = re.compile(
@@ -369,6 +369,10 @@ class RouteDecision:
     value_col: str | None = None
     #: quantile_rollup path: the requested quantile q in [0, 1]
     quantile: float | None = None
+    #: sql path: a pre-lowered Spark statement to run instead of the
+    #: original query (dialect functions with no Spark builtin — TWA /
+    #: COUNTER_* — matched but unservable from a rollup)
+    fallback_sql: str | None = None
 
 
 #: DataFusion's APPROX_MEDIAN(x) has no Spark builtin; the fallback
@@ -390,6 +394,96 @@ def _spark_compat(query: str) -> str:
     return _PCTL_COMPAT.sub(r"percentile_approx(\1, \2)", query)
 
 
+def _range_where(m: re.Match) -> str:
+    ts = m["ts1"]
+    return (
+        f"WHERE {ts} >= TIMESTAMP '{m['start']}' "
+        f"AND {ts} < TIMESTAMP '{m['end']}'"
+    )
+
+
+def _twa_fallback_sql(m: re.Match, grouped: bool) -> str:
+    """Lower a matched-but-unservable TWA query to a Spark lag-window
+    statement over the fact table — the same LOCF step-function
+    integral the rollup combine computes (exact-integer micros×ms
+    areas summed as DECIMAL, so it agrees bit-for-bit with the rollup
+    path on servable ranges). TWA is not a Spark builtin, so without
+    this lowering the reference-dialect query could not RUN at all
+    when it misses the rollup."""
+    ts, v = m["tts"], m["tv"]
+    alias = m["talias"] or "twa"
+    twa_expr = (
+        "CASE WHEN MAX(t) = MIN(t) THEN MIN(CASE WHEN rn = 1 THEN v END) "
+        "ELSE CAST(SUM(CAST(pvm AS DECIMAL(38,0)) "
+        "* CAST(t - pt AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 "
+        "/ CAST(MAX(t) - MIN(t) AS DOUBLE) END"
+    )
+    cnt = ""
+    if m["cnt"] is not None:
+        cnt = f", COUNT(*) AS {m['cntalias'] or 'cnt'}"
+    b_sel = f"DATE_TRUNC('{m['gran']}', {ts}) AS b, " if grouped else ""
+    b_out = f"b AS {m['balias'] or 'bucket'}, " if grouped else ""
+    over = "(PARTITION BY b ORDER BY t, v)" if grouped else "(ORDER BY t, v)"
+    tail = " GROUP BY b" if grouped else ""
+    return f"""
+        WITH ev AS (
+            SELECT {b_sel}CAST(floor(unix_micros(
+                       CAST({ts} AS TIMESTAMP)) / 1000) AS BIGINT) AS t,
+                   {v} AS v
+            FROM {m['table']} {_range_where(m)}
+        ),
+        o AS (
+            SELECT {'b, ' if grouped else ''}t, v,
+                   lag(t) OVER w AS pt,
+                   lag(CAST(round(v * 1000000) AS BIGINT)) OVER w AS pvm,
+                   row_number() OVER w AS rn
+            FROM ev WINDOW w AS {over}
+        )
+        SELECT {b_out}{twa_expr} AS {alias}{cnt}
+        FROM o{tail}
+    """
+
+
+def _counter_fallback_sql(m: re.Match, grouped: bool) -> str:
+    """Lower a matched-but-unservable COUNTER_INCREASE/RATE query to a
+    Spark lag-window statement — PromQL reset semantics (a drop counts
+    the new value), exact micros integers summed as DECIMAL."""
+    ts, v = m["its"], m["iv"]
+    ialias = m["ialias"] or "increase"
+    inc_sum = (
+        "SUM(CASE WHEN pvm IS NULL THEN 0 "
+        "WHEN vm >= pvm THEN vm - pvm ELSE vm END)"
+    )
+    items = [f"CAST({inc_sum} AS DOUBLE) / 1000000.0 AS {ialias}"]
+    if m["rv"] is not None:
+        items.append(
+            "CASE WHEN MAX(t) = MIN(t) THEN NULL "
+            f"ELSE (CAST({inc_sum} AS DOUBLE) / 1000000.0) "
+            "/ (CAST(MAX(t) - MIN(t) AS DOUBLE) / 1000.0) END "
+            f"AS {m['ralias'] or 'rate_per_sec'}"
+        )
+    if m["cnt"] is not None:
+        items.append(f"COUNT(*) AS {m['cntalias'] or 'cnt'}")
+    b_sel = f"DATE_TRUNC('{m['gran']}', {ts}) AS b, " if grouped else ""
+    b_out = f"b AS {m['balias'] or 'bucket'}, " if grouped else ""
+    over = "(PARTITION BY b ORDER BY t, vm)" if grouped else "(ORDER BY t, vm)"
+    tail = " GROUP BY b" if grouped else ""
+    return f"""
+        WITH ev AS (
+            SELECT {b_sel}CAST(floor(unix_micros(
+                       CAST({ts} AS TIMESTAMP)) / 1000) AS BIGINT) AS t,
+                   CAST(round({v} * 1000000) AS BIGINT) AS vm
+            FROM {m['table']} {_range_where(m)}
+        ),
+        o AS (
+            SELECT {'b, ' if grouped else ''}t, vm, lag(vm) OVER w AS pvm
+            FROM ev WINDOW w AS {over}
+        )
+        SELECT {b_out}{', '.join(items)}
+        FROM o{tail}
+    """
+
+
 class WheelSqlRouter:
     """Register wheel indexes per (table, ts_col, value_col); run SQL."""
 
@@ -408,6 +502,11 @@ class WheelSqlRouter:
         self._hist: dict[tuple, tuple] = {}
         #: (table, key_col, value_col) → (ts_col, hist_df, bin_width, slot_ms, wm, adv)
         self._khist: dict[tuple, tuple] = {}
+        #: table → (ts_col, value_col, rollup_df, slot_ms, wm, adv)
+        #: one per family; all three share the registration shape
+        self._ohlc: dict[str, tuple] = {}
+        self._twa: dict[str, tuple] = {}
+        self._counter: dict[str, tuple] = {}
         self.last_decision: RouteDecision | None = None
 
     def register_index(
@@ -527,6 +626,65 @@ class WheelSqlRouter:
             advanced_ms,
         )
 
+    def register_ohlc_rollup(
+        self,
+        table: str,
+        value_col: str,
+        ts_col: str,
+        rollup,
+        watermark_ms: int,
+        advanced_ms: int,
+        slot_ms: int = MINUTE_MS,
+    ) -> None:
+        """Register a build_ohlc_rollup frame (operators/ohlc) so
+        candlestick queries — ``min_by/max(value)/min(value)/max_by``
+        over an aligned range, scalar or GROUP BY date_trunc — rewrite
+        onto it: one associative re-combine of covered slots, never
+        the fact scan."""
+        self._ohlc[table.lower()] = (
+            ts_col.lower(), value_col.lower(), rollup, slot_ms,
+            watermark_ms, advanced_ms,
+        )
+
+    def register_twa_rollup(
+        self,
+        table: str,
+        value_col: str,
+        ts_col: str,
+        rollup,
+        watermark_ms: int,
+        advanced_ms: int,
+        slot_ms: int = MINUTE_MS,
+    ) -> None:
+        """Register a build_twa_rollup frame (operators/twa) so
+        ``TWA(value, ts)`` / ``TIME_WEIGHTED_AVG(value, ts)`` range
+        queries rewrite onto it — the boundary-stitching combine over
+        covered slots; unservable matches lower to a generated
+        lag-window scan (the dialect function has no Spark builtin)."""
+        self._twa[table.lower()] = (
+            ts_col.lower(), value_col.lower(), rollup, slot_ms,
+            watermark_ms, advanced_ms,
+        )
+
+    def register_counter_rollup(
+        self,
+        table: str,
+        value_col: str,
+        ts_col: str,
+        rollup,
+        watermark_ms: int,
+        advanced_ms: int,
+        slot_ms: int = MINUTE_MS,
+    ) -> None:
+        """Register a build_counter_rollup frame (operators/counter)
+        so ``COUNTER_INCREASE/COUNTER_RATE(value, ts)`` range queries
+        (PromQL increase/rate) rewrite onto it; unservable matches
+        lower to a generated lag-window scan."""
+        self._counter[table.lower()] = (
+            ts_col.lower(), value_col.lower(), rollup, slot_ms,
+            watermark_ms, advanced_ms,
+        )
+
     def register_count_rollup(
         self,
         table: str,
@@ -568,6 +726,30 @@ class WheelSqlRouter:
             mm = _MEDIAN_PATTERN.match(query)
             if mm is not None:
                 return self._decide_median(mm, grouped=False)
+        if "MIN_BY" in qu and "MAX_BY" in qu:
+            if "GROUP" in qu:
+                om = _OHLC_GROUP_PATTERN.match(query)
+                if om is not None:
+                    return self._decide_ohlc(om, grouped=True)
+            om = _OHLC_PATTERN.match(query)
+            if om is not None:
+                return self._decide_ohlc(om, grouped=False)
+        if "TWA" in qu or "TIME_WEIGHTED_AVG" in qu:
+            if "GROUP" in qu:
+                tw = _TWA_GROUP_PATTERN.match(query)
+                if tw is not None:
+                    return self._decide_twa(tw, grouped=True)
+            tw = _TWA_PATTERN.match(query)
+            if tw is not None:
+                return self._decide_twa(tw, grouped=False)
+        if "COUNTER_INCREASE" in qu:
+            if "GROUP" in qu:
+                cm = _CTR_GROUP_PATTERN.match(query)
+                if cm is not None:
+                    return self._decide_counter(cm, grouped=True)
+            cm = _CTR_PATTERN.match(query)
+            if cm is not None:
+                return self._decide_counter(cm, grouped=False)
         if "GROUP" in qu:  # whitespace-tolerant: patterns allow GROUP\s+BY
             if "LIMIT" in qu:
                 tm = _TOPK_PATTERN.match(query)
@@ -770,6 +952,260 @@ class WheelSqlRouter:
             .alias(d.bucket_alias),
             F.col("approx_quantile").alias(alias),
         )
+
+    # ------------------------------------------ stitch families (OHLC/TWA/ctr)
+
+    def _stitch_range(self, m: re.Match, grouped: bool, ts_col: str,
+                      slot_ms: int, wm: int, adv: int):
+        """Shared ts-column / alignment / horizon validation for the
+        stitch families. Returns ``(s, e, gran, balias)`` on success or
+        a fallback-reason string."""
+        ts_refs = {m["ts1"].lower(), m["ts2"].lower()}
+        if grouped:
+            ts_refs.add(m["ts0"].lower())
+            if m["ts3"]:
+                ts_refs.add(m["ts3"].lower())
+        if ts_refs != {ts_col}:
+            return "bucket/filter column is not the rollup ts"
+        gran = balias = None
+        if grouped:
+            gran = m["gran"].lower()
+            if m["gran2"] and m["gran2"].lower() != gran:
+                return "GROUP BY granularity differs from SELECT"
+            balias = m["balias"] or "bucket"
+            if m["gb_alias"] and m["gb_alias"].lower() not in (
+                balias.lower(), ts_col,
+            ):
+                return "GROUP BY key is not the bucket expression"
+        s = _parse_ts_literal(m["start"])
+        e = _parse_ts_literal(m["end"])
+        if s is None or e is None:
+            return "unparseable timestamp literal"
+        if s % slot_ms or e % slot_ms:
+            return "endpoints not aligned to the rollup slot grain"
+        if s < wm or e > adv:
+            return "range outside the rollup horizon"
+        return (s, e, gran, balias)
+
+    def _decide_ohlc(self, m: re.Match, grouped: bool) -> RouteDecision:
+        """Candlestick shape → OHLC-rollup rewrite. Unservable matches
+        fall back verbatim: min_by/max_by are Spark builtins."""
+        table = m["table"].lower()
+        reg = self._ohlc.get(table)
+        if reg is None:
+            return RouteDecision("sql", f"no OHLC rollup for {table}")
+        ts_col, value_col, _rollup, slot_ms, wm, adv = reg
+        if {m["ov"].lower(), m["hv"].lower(), m["lv"].lower(),
+                m["cv"].lower()} != {value_col}:
+            return RouteDecision(
+                "sql", "aggregated column is not the rollup value"
+            )
+        for k, k1, k2 in (("ok", "ok1", "ok2"), ("ck", "ck1", "ck2")):
+            if m[k] is not None:
+                ok = m[k].lower() == ts_col
+            else:
+                ok = (m[k1].lower(), m[k2].lower()) == (ts_col, value_col)
+            if not ok:
+                return RouteDecision(
+                    "sql",
+                    "min_by/max_by order key is not the rollup ts "
+                    "(or its (ts, value) tie-break)",
+                )
+        rng = self._stitch_range(m, grouped, ts_col, slot_ms, wm, adv)
+        if isinstance(rng, str):
+            return RouteDecision("sql", rng)
+        s, e, gran, balias = rng
+        items = [
+            ("OPEN", m["oalias"] or "open"),
+            ("HIGH", m["halias"] or "high"),
+            ("LOW", m["lalias"] or "low"),
+            ("CLOSE", m["calias"] or "close"),
+        ]
+        if m["cnt"] is not None:
+            items.append(("CNT", m["cntalias"] or "cnt"))
+        return RouteDecision(
+            "ohlc_rollup",
+            "rewritten onto OHLC rollup (associative candle re-combine)",
+            table,
+            "OHLC",
+            (s, e),
+            tuple(items),
+            granularity=gran,
+            bucket_alias=balias,
+            value_col=value_col,
+        )
+
+    def _decide_twa(self, m: re.Match, grouped: bool) -> RouteDecision:
+        """TWA(value, ts) → TWA-rollup rewrite; unservable matches
+        lower to a generated lag-window scan (no Spark builtin)."""
+        table = m["table"].lower()
+        fb = _twa_fallback_sql(m, grouped)
+        reg = self._twa.get(table)
+        if reg is None:
+            return RouteDecision(
+                "sql", f"no TWA rollup for {table}", fallback_sql=fb
+            )
+        ts_col, value_col, _rollup, slot_ms, wm, adv = reg
+        if m["tv"].lower() != value_col or m["tts"].lower() != ts_col:
+            return RouteDecision(
+                "sql", "TWA columns are not the rollup (value, ts)",
+                fallback_sql=fb,
+            )
+        rng = self._stitch_range(m, grouped, ts_col, slot_ms, wm, adv)
+        if isinstance(rng, str):
+            return RouteDecision("sql", rng, fallback_sql=fb)
+        s, e, gran, balias = rng
+        items = [("TWA", m["talias"] or "twa")]
+        if m["cnt"] is not None:
+            items.append(("CNT", m["cntalias"] or "cnt"))
+        return RouteDecision(
+            "twa_rollup",
+            "rewritten onto TWA rollup (boundary-stitching combine)",
+            table,
+            "TWA",
+            (s, e),
+            tuple(items),
+            granularity=gran,
+            bucket_alias=balias,
+            value_col=value_col,
+        )
+
+    def _decide_counter(self, m: re.Match, grouped: bool) -> RouteDecision:
+        """COUNTER_INCREASE/RATE(value, ts) → counter-rollup rewrite;
+        unservable matches lower to a generated lag-window scan."""
+        table = m["table"].lower()
+        fb = _counter_fallback_sql(m, grouped)
+        reg = self._counter.get(table)
+        if reg is None:
+            return RouteDecision(
+                "sql", f"no counter rollup for {table}", fallback_sql=fb
+            )
+        ts_col, value_col, _rollup, slot_ms, wm, adv = reg
+        cols_ok = m["iv"].lower() == value_col and m["its"].lower() == ts_col
+        if m["rv"] is not None:
+            cols_ok = cols_ok and (
+                m["rv"].lower() == value_col and m["rts"].lower() == ts_col
+            )
+        if not cols_ok:
+            return RouteDecision(
+                "sql", "counter columns are not the rollup (value, ts)",
+                fallback_sql=fb,
+            )
+        rng = self._stitch_range(m, grouped, ts_col, slot_ms, wm, adv)
+        if isinstance(rng, str):
+            return RouteDecision("sql", rng, fallback_sql=fb)
+        s, e, gran, balias = rng
+        items = [("INCREASE", m["ialias"] or "increase")]
+        if m["rv"] is not None:
+            items.append(("RATE", m["ralias"] or "rate_per_sec"))
+        if m["cnt"] is not None:
+            items.append(("CNT", m["cntalias"] or "cnt"))
+        return RouteDecision(
+            "counter_rollup",
+            "rewritten onto counter rollup (reset-aware stitch)",
+            table,
+            "COUNTER",
+            (s, e),
+            tuple(items),
+            granularity=gran,
+            bucket_alias=balias,
+            value_col=value_col,
+        )
+
+    def _serve_ohlc_rollup(self, d: RouteDecision) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from uwheel_datafusion_spark.functions.time import GRANULARITY_MS
+        from uwheel_datafusion_spark.operators.ohlc import (
+            cascade_ohlc,
+            range_ohlc_df,
+        )
+        from uwheel_datafusion_spark.operators.wheel import _bucket_range_pred
+
+        _ts, _v, rollup, _slot, _wm, _adv = self._ohlc[d.table]
+        s, e = d.range_ms
+        aliases = dict(d.items)
+        if d.granularity is None:
+            out = range_ohlc_df(rollup, s, e)
+            cols = []
+        else:
+            part = rollup.filter(_bucket_range_pred(rollup, s, e))
+            out = cascade_ohlc(part, GRANULARITY_MS[d.granularity])
+            cols = [
+                F.timestamp_millis(F.col("bucket_ms"))
+                .cast("timestamp_ntz")
+                .alias(d.bucket_alias)
+            ]
+        for role, src in (
+            ("OPEN", "open"), ("HIGH", "high"), ("LOW", "low"),
+            ("CLOSE", "close"), ("CNT", "cnt"),
+        ):
+            if role in aliases:
+                col = F.col(src)
+                if role == "CNT":
+                    col = F.coalesce(col, F.lit(0).cast("long"))
+                cols.append(col.alias(aliases[role]))
+        return out.select(*cols)
+
+    def _serve_twa_rollup(self, d: RouteDecision) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from uwheel_datafusion_spark.functions.time import GRANULARITY_MS
+        from uwheel_datafusion_spark.operators.twa import (
+            grouped_twa_df,
+            range_twa_df,
+        )
+        from uwheel_datafusion_spark.operators.wheel import _bucket_range_pred
+
+        _ts, _v, rollup, _slot, _wm, _adv = self._twa[d.table]
+        s, e = d.range_ms
+        aliases = dict(d.items)
+        if d.granularity is None:
+            out = range_twa_df(rollup, s, e)
+            cols = []
+        else:
+            part = rollup.filter(_bucket_range_pred(rollup, s, e))
+            out = grouped_twa_df(part, GRANULARITY_MS[d.granularity])
+            cols = [
+                F.timestamp_millis(F.col("bucket_ms"))
+                .cast("timestamp_ntz")
+                .alias(d.bucket_alias)
+            ]
+        cols.append(F.col("twa").alias(aliases["TWA"]))
+        if "CNT" in aliases:
+            cols.append(F.col("cnt").alias(aliases["CNT"]))
+        return out.select(*cols)
+
+    def _serve_counter_rollup(self, d: RouteDecision) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from uwheel_datafusion_spark.functions.time import GRANULARITY_MS
+        from uwheel_datafusion_spark.operators.counter import (
+            grouped_increase_df,
+            range_increase_df,
+        )
+        from uwheel_datafusion_spark.operators.wheel import _bucket_range_pred
+
+        _ts, _v, rollup, _slot, _wm, _adv = self._counter[d.table]
+        s, e = d.range_ms
+        aliases = dict(d.items)
+        if d.granularity is None:
+            out = range_increase_df(rollup, s, e)
+            cols = []
+        else:
+            part = rollup.filter(_bucket_range_pred(rollup, s, e))
+            out = grouped_increase_df(part, GRANULARITY_MS[d.granularity])
+            cols = [
+                F.timestamp_millis(F.col("bucket_ms"))
+                .cast("timestamp_ntz")
+                .alias(d.bucket_alias)
+            ]
+        cols.append(F.col("increase").alias(aliases["INCREASE"]))
+        if "RATE" in aliases:
+            cols.append(F.col("rate_per_sec").alias(aliases["RATE"]))
+        if "CNT" in aliases:
+            cols.append(F.col("cnt").alias(aliases["CNT"]))
+        return out.select(*cols)
 
     def _decide_grouped(self, m: re.Match) -> RouteDecision:
         """Continuous-aggregate shape: GROUP BY date_trunc over the
@@ -1106,7 +1542,8 @@ class WheelSqlRouter:
         self.last_decision = d
         if d.path in (
             "rollup", "keyed_rollup", "distinct_rollup", "count_rollup",
-            "keyed_quantile_rollup",
+            "keyed_quantile_rollup", "ohlc_rollup", "twa_rollup",
+            "counter_rollup",
         ) or (
             d.path == "index" and len(d.items) > 1
         ) or (
@@ -1132,7 +1569,9 @@ class WheelSqlRouter:
                 "AVG": di.query_avg,
             }[d.agg]
             return fn(s, e)
-        row = self.spark.sql(_spark_compat(query)).first()
+        row = self.spark.sql(
+            d.fallback_sql or _spark_compat(query)
+        ).first()
         return row[0] if row is not None else None
 
     def sql(self, query: str) -> DataFrame:
@@ -1143,7 +1582,7 @@ class WheelSqlRouter:
         d = self._decide(query)
         self.last_decision = d
         if d.path == "sql":
-            return self.spark.sql(_spark_compat(query))
+            return self.spark.sql(d.fallback_sql or _spark_compat(query))
         if d.path == "rollup":
             return self._serve_rollup(d)
         if d.path == "keyed_rollup":
@@ -1158,6 +1597,12 @@ class WheelSqlRouter:
             return self._serve_quantile_rollup(d)
         if d.path == "keyed_quantile_rollup":
             return self._serve_keyed_quantile_rollup(d)
+        if d.path == "ohlc_rollup":
+            return self._serve_ohlc_rollup(d)
+        if d.path == "twa_rollup":
+            return self._serve_twa_rollup(d)
+        if d.path == "counter_rollup":
+            return self._serve_counter_rollup(d)
         _, _, index = self._indexes[d.table]
         di = index.to_driver_index()
         s, e = d.range_ms
