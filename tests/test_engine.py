@@ -28,6 +28,7 @@ def engine(spark, sf_smoke):
         watermark_ms=WM, advance_to_ms=ADV,
         key_col="event_type", distinct_col="user_id",
         count_key_col="user_id", quantiles=True,
+        ohlc=True, twa=True, counter=True,
     )
 
 
@@ -70,6 +71,18 @@ def test_every_shape_routes_and_matches(spark, engine):
         (_rng("SELECT APPROX_MEDIAN(value) AS m FROM events"),
          "quantile_rollup"),
         (
+            _rng("SELECT min_by(value, ts) AS open, max(value) AS high, "
+                 "min(value) AS low, max_by(value, struct(ts, value)) "
+                 "AS close, count(*) AS cnt FROM events"),
+            "ohlc_rollup",
+        ),
+        (_rng("SELECT TWA(value, ts) AS twa FROM events"), "twa_rollup"),
+        (
+            _rng("SELECT COUNTER_INCREASE(value, ts) AS increase "
+                 "FROM events"),
+            "counter_rollup",
+        ),
+        (
             _rng("SELECT event_type, date_trunc('day', ts) AS b, "
                  "APPROX_MEDIAN(value) AS m FROM events") + " GROUP BY 1, 2",
             "keyed_quantile_rollup",
@@ -80,9 +93,14 @@ def test_every_shape_routes_and_matches(spark, engine):
         assert engine.router.last_decision.path == want_path, (
             q, engine.router.last_decision,
         )
-        if want_path in ("quantile_rollup", "keyed_quantile_rollup"):
-            # approx function: value checked against the rollup twin in
-            # test_router; here just shape + non-null
+        if want_path in (
+            "quantile_rollup", "keyed_quantile_rollup", "ohlc_rollup",
+            "twa_rollup", "counter_rollup",
+        ):
+            # values checked against the rollup twins in test_router
+            # (TWA/COUNTER_* are dialect functions plain spark.sql
+            # can't run; min_by ties are nondeterministic in the raw
+            # scan); here just routing + non-null
             assert df.collect()[0][0] is not None
             continue
         got = sorted(map(tuple, df.collect()))
@@ -121,3 +139,61 @@ def test_register_table_accepts_parquet_path(spark, sf_smoke):
     v = eng.sql_scalar(q)
     assert eng.router.last_decision.path == "index"
     assert v == pytest.approx(spark.sql(q).first()[0], rel=1e-9)
+
+
+def test_batch_serves_all_six_families(spark, engine):
+    """eng.batch(table, family, ranges): N ranges, ONE job per family,
+    values equal to the per-range serving twins."""
+    from uwheel_datafusion_spark.operators import sketch_batch as sb
+    from uwheel_datafusion_spark.operators.counter import range_increase_df
+    from uwheel_datafusion_spark.operators.distinct import (
+        range_distinct_exact,
+    )
+    from uwheel_datafusion_spark.operators.ohlc import range_ohlc_df
+    from uwheel_datafusion_spark.operators.quantile_rollup import (
+        range_quantile_df,
+    )
+    from uwheel_datafusion_spark.operators.twa import range_twa_df
+
+    day = 86_400_000
+    ranges = [
+        (WM, WM + day),
+        (WM + 3 * day, WM + 3 * day + 6 * 3_600_000),
+        (ADV + 30 * day, ADV + 31 * day),  # empty (past horizon? no —
+        # sketch batches accept any aligned range; empty → null row)
+        (WM + 7 * day, WM + 14 * day),
+    ]
+    layers = engine._layers["events"]
+
+    # agg: one row per range, equal to the driver index probes
+    agg = {r["query_id"]: r for r in engine.batch("events", "agg", ranges).collect()}
+    di = engine.index("events").to_driver_index()
+    for i, (s, e) in enumerate(ranges):
+        if ADV >= e > s >= WM:
+            assert agg[i]["cnt"] == di.query_count(s, e)
+
+    for fam, twin, key in (
+        ("quantile", lambda s, e: range_quantile_df(layers["quantile"], s, e, 0.5), "approx_quantile"),
+        ("ohlc", lambda s, e: range_ohlc_df(layers["ohlc"], s, e), "close"),
+        ("twa", lambda s, e: range_twa_df(layers["twa"], s, e), "twa"),
+        ("counter", lambda s, e: range_increase_df(layers["counter"], s, e), "increase"),
+    ):
+        got = {r["query_id"]: r[key] for r in engine.batch("events", fam, ranges).collect()}
+        assert len(got) == len(ranges), fam
+        for i, (s, e) in enumerate(ranges):
+            assert got[i] == twin(s, e).collect()[0][key], (fam, i)
+
+    # distinct: exact per-range counts
+    got_d = {
+        r["query_id"]: r["n_distinct"]
+        for r in engine.batch("events", "distinct", ranges).collect()
+    }
+    for i, (s, e) in enumerate(ranges):
+        want_n = range_distinct_exact(layers["distinct"], s, e).first()[0]
+        assert got_d[i] == want_n
+
+    # unregistered family → clear error
+    with pytest.raises(ValueError, match="register_table"):
+        WheelEngine(spark).batch("events", "quantile", ranges)
+    with pytest.raises(ValueError, match="unknown batch family"):
+        engine.batch("events", "m4", ranges)

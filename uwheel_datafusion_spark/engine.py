@@ -43,6 +43,8 @@ class WheelEngine:
         self.spark = spark
         self.router = WheelSqlRouter(spark)
         self._indexes: dict[str, WheelIndex] = {}
+        #: table → {family: rollup frame} — handles for batch()
+        self._layers: dict[str, dict] = {}
 
     def register_table(
         self,
@@ -93,6 +95,7 @@ class WheelEngine:
             df = self.spark.read.parquet(df)
         df.createOrReplaceTempView(table)
         r = self.router
+        layers = self._layers.setdefault(table.lower(), {})
         if value_col is not None:
             kw = (
                 {"granularities": granularities}
@@ -111,12 +114,13 @@ class WheelEngine:
                     build_keyed_histogram_rollup,
                 )
 
+                hist = build_histogram_rollup(
+                    df, ts_col, value_col, watermark_ms, advance_to_ms,
+                    cache=cache,
+                )
+                layers["quantile"] = hist
                 r.register_histogram_rollup(
-                    table, value_col, ts_col,
-                    build_histogram_rollup(
-                        df, ts_col, value_col, watermark_ms, advance_to_ms,
-                        cache=cache,
-                    ),
+                    table, value_col, ts_col, hist,
                     watermark_ms, advance_to_ms,
                 )
                 if key_col is not None:
@@ -133,12 +137,13 @@ class WheelEngine:
                     build_ohlc_rollup,
                 )
 
+                oh = build_ohlc_rollup(
+                    df, ts_col, value_col, watermark_ms, advance_to_ms,
+                    cache=cache,
+                )
+                layers["ohlc"] = oh
                 r.register_ohlc_rollup(
-                    table, value_col, ts_col,
-                    build_ohlc_rollup(
-                        df, ts_col, value_col, watermark_ms, advance_to_ms,
-                        cache=cache,
-                    ),
+                    table, value_col, ts_col, oh,
                     watermark_ms, advance_to_ms,
                 )
             if twa:
@@ -146,12 +151,13 @@ class WheelEngine:
                     build_twa_rollup,
                 )
 
+                tw = build_twa_rollup(
+                    df, ts_col, value_col, watermark_ms, advance_to_ms,
+                    cache=cache,
+                )
+                layers["twa"] = tw
                 r.register_twa_rollup(
-                    table, value_col, ts_col,
-                    build_twa_rollup(
-                        df, ts_col, value_col, watermark_ms, advance_to_ms,
-                        cache=cache,
-                    ),
+                    table, value_col, ts_col, tw,
                     watermark_ms, advance_to_ms,
                 )
             if counter:
@@ -159,12 +165,13 @@ class WheelEngine:
                     build_counter_rollup,
                 )
 
+                ct = build_counter_rollup(
+                    df, ts_col, value_col, watermark_ms, advance_to_ms,
+                    cache=cache,
+                )
+                layers["counter"] = ct
                 r.register_counter_rollup(
-                    table, value_col, ts_col,
-                    build_counter_rollup(
-                        df, ts_col, value_col, watermark_ms, advance_to_ms,
-                        cache=cache,
-                    ),
+                    table, value_col, ts_col, ct,
                     watermark_ms, advance_to_ms,
                 )
             if key_col is not None:
@@ -187,12 +194,13 @@ class WheelEngine:
                 build_keyed_distinct_pairs,
             )
 
+            pairs = build_distinct_pairs(
+                df, ts_col, distinct_col, watermark_ms, advance_to_ms,
+                cache=cache,
+            )
+            layers["distinct"] = pairs
             r.register_distinct_rollup(
-                table, distinct_col, ts_col,
-                build_distinct_pairs(
-                    df, ts_col, distinct_col, watermark_ms, advance_to_ms,
-                    cache=cache,
-                ),
+                table, distinct_col, ts_col, pairs,
                 watermark_ms, advance_to_ms,
             )
             if key_col is not None:
@@ -239,3 +247,64 @@ class WheelEngine:
         """The wheel index registered for ``table`` (probe /
         range_agg_batch_df / extend / backfill live here)."""
         return self._indexes[table.lower()]
+
+    def batch(
+        self,
+        table: str,
+        family: str,
+        ranges: "list[tuple[int, int]]",
+        q: float = 0.5,
+    ) -> DataFrame:
+        """N range queries of one family in ONE Spark job, served from
+        the rollups ``register_table`` built — the cluster-serving
+        throughput shape (amortizes the per-job scheduler floor the
+        same way the reference amortizes per-query cost in-process,
+        src/main.rs:205-288). Families and their registration flags:
+
+        - ``"agg"`` — the wheel's sum/cnt/min/max/avg partials
+          (``value_col``); one row per range.
+        - ``"quantile"`` — approximate q-quantile (``quantiles=True``).
+        - ``"ohlc"`` — candlesticks (``ohlc=True``).
+        - ``"twa"`` — time-weighted averages (``twa=True``).
+        - ``"counter"`` — PromQL increase/rate (``counter=True``).
+        - ``"distinct"`` — exact distinct counts (``distinct_col``).
+
+        Output schemas are the batch twins' (operators/sketch_batch;
+        wheel.range_agg_batch_df for ``"agg"``): one row per input
+        range keyed by ``query_id`` in input order."""
+        t = table.lower()
+        if family == "agg":
+            if t not in self._indexes:
+                raise ValueError(
+                    f"no wheel index for {table!r}: register_table with "
+                    "value_col first"
+                )
+            return self._indexes[t].range_agg_batch_df(ranges)
+        from uwheel_datafusion_spark.operators import sketch_batch as sb
+
+        dispatch = {
+            "quantile": lambda r: sb.range_quantile_batch_df(r, ranges, q),
+            "ohlc": lambda r: sb.range_ohlc_batch_df(r, ranges),
+            "twa": lambda r: sb.range_twa_batch_df(r, ranges),
+            "counter": lambda r: sb.range_increase_batch_df(r, ranges),
+            "distinct": lambda r: sb.range_distinct_batch_df(r, ranges),
+        }
+        if family not in dispatch:
+            raise ValueError(
+                f"unknown batch family {family!r}; one of "
+                f"('agg', {', '.join(map(repr, dispatch))})"
+            )
+        rollup = self._layers.get(t, {}).get(family)
+        if rollup is None:
+            flag = {
+                "quantile": "quantiles=True",
+                "ohlc": "ohlc=True",
+                "twa": "twa=True",
+                "counter": "counter=True",
+                "distinct": "distinct_col=...",
+            }[family]
+            raise ValueError(
+                f"no {family} rollup for {table!r}: register_table with "
+                f"{flag} first"
+            )
+        return dispatch[family](rollup)

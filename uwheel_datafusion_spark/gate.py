@@ -743,6 +743,91 @@ def sketch_batch_quantile_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@gate(
+    "engine_batch_quantile_ohlc",
+    f"""
+    WITH ranges(query_id, s_ms, e_ms) AS (VALUES {_SKB_VALUES}),
+    ev AS (
+        SELECT r.query_id, epoch_ms(e.ts) AS ts_ms, e.value
+        FROM events e
+        JOIN ranges r
+          ON epoch_ms(e.ts) >= r.s_ms AND epoch_ms(e.ts) < r.e_ms
+        WHERE e.ts >= {_ts_lit(EVENTS_WM_MS)}
+          AND e.ts < {_ts_lit(EVENTS_ADV_MS)}
+    ),
+    rk AS (
+        SELECT query_id, value,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY ts_ms, value
+               ) AS rn_o,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY ts_ms DESC, value DESC
+               ) AS rn_c
+        FROM ev
+    ),
+    o AS (
+        SELECT query_id,
+               MIN(CASE WHEN rn_o = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MIN(CASE WHEN rn_c = 1 THEN value END) AS close,
+               COUNT(*) AS cnt
+        FROM rk GROUP BY query_id
+    ),
+    b AS (
+        SELECT query_id, CAST(floor(value / 1.0) AS BIGINT) AS bin,
+               COUNT(*) AS cnt
+        FROM ev GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT query_id, bin,
+               SUM(cnt) OVER (PARTITION BY query_id ORDER BY bin) AS cum,
+               SUM(cnt) OVER (PARTITION BY query_id) AS total
+        FROM b
+    ),
+    qn AS (
+        SELECT query_id,
+               CAST(
+                   (MIN(CASE WHEN cum >= 0.5 * total THEN bin END) + 0.5)
+                   * 1.0 AS DOUBLE
+               ) AS approx_median
+        FROM c GROUP BY query_id
+    )
+    SELECT CAST(r.query_id AS INTEGER) AS query_id,
+           qn.approx_median, o.open, o.high, o.low, o.close,
+           CAST(COALESCE(o.cnt, 0) AS BIGINT) AS cnt
+    FROM ranges r
+    LEFT JOIN qn ON qn.query_id = r.query_id
+    LEFT JOIN o ON o.query_id = r.query_id
+    """,
+)
+def engine_batch_quantile_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WheelEngine facade's batch entry point, driver-gated: ONE
+    register_table call builds the layers, then ``eng.batch(table,
+    family, ranges)`` answers N ranges per family in one job —
+    dispatching to the operators/sketch_batch twins over the rollups
+    the registration built (no manual rollup handling). Same 4-range
+    workload and oracle as sketch_batch_quantile_ohlc, so facade
+    plumbing bugs (wrong rollup handle, lost q, dropped empty ranges)
+    hash-mismatch."""
+    from uwheel_datafusion_spark.engine import WheelEngine
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    eng = WheelEngine(spark).register_table(
+        "events_eng_batch", ev, ts_col="ts", value_col="value",
+        watermark_ms=EVENTS_WM_MS, advance_to_ms=EVENTS_ADV_MS,
+        quantiles=True, ohlc=True, cache=False,
+    )
+    qdf = eng.batch(
+        "events_eng_batch", "quantile", _SKB_RANGES
+    ).withColumnRenamed("approx_quantile", "approx_median")
+    odf = eng.batch("events_eng_batch", "ohlc", _SKB_RANGES)
+    return qdf.join(odf, "query_id").select(
+        "query_id", "approx_median", "open", "high", "low", "close", "cnt"
+    )
+
+
 @gate("wheel_backfill_day", _rollup_oracle(DAY_MS))
 def wheel_backfill_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backfill lifecycle, driver-gated end-to-end: build the index
