@@ -876,3 +876,121 @@ def test_state_dir_checkpoint_mismatch_raises(tmp_path):
     assert _load_state(state) is not None
     with _pt.raises(ValueError, match="checkpoint"):
         _load_state(state, "/ckpt/B")
+
+
+def test_streaming_table_sink_kill_and_resume(spark, sf_smoke, tmp_path):
+    """The dt-partitioned parquet TABLE sink (rollup_io.upsert_rollup
+    via StreamingWheel.start(table_dir=...)): state lives in a table,
+    not driver memory. Kill after chunk 1, resume a FRESH wheel object
+    with the same (checkpoint, table_dir) — the table must converge to
+    the batch minute rollup bit-for-bit, and serving reads the TABLE
+    with day-partition pruning."""
+    from uwheel_datafusion_spark.operators.rollup_io import load_rollup
+
+    ev = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "tbl_in")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "tbl_ckpt")
+    table = str(tmp_path / "tbl_rollup")
+    split = "2024-01-16 00:00:00"
+
+    def mk_stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("ts", "value")
+        )
+
+    ev.filter(F.col("ts") < F.lit(split).cast("timestamp")).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    w1 = StreamingWheel(mk_stream(), "ts", "value", watermark_delay="31 days")
+    w1.start(ckpt, table_dir=table)
+    w1.process_available()
+    w1.stop()
+    assert os.path.exists(os.path.join(table, "_sink_meta.json"))
+
+    # fresh object — NOTHING restored driver-side; the table is the state
+    ev.filter(F.col("ts") >= F.lit(split).cast("timestamp")).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    w2 = StreamingWheel(mk_stream(), "ts", "value", watermark_delay="31 days")
+    w2.start(ckpt, table_dir=table)
+    w2.process_available()
+    w2.stop()
+
+    got = {
+        r["bucket_ms"]: (r["sum_micros"], r["cnt"], r["min_value"], r["max_value"])
+        for r in load_rollup(spark, table).collect()
+    }
+    batch = WheelIndex.build(ev, "ts", "value", WM, ADV, cache=False)
+    want = {
+        r["bucket_ms"]: (r["sum_micros"], r["cnt"], r["min_value"], r["max_value"])
+        for r in batch.rollups["minute"].collect()
+    }
+    assert got == want
+
+    # serving from the table: a day-range probe prunes dt partitions
+    tbl = load_rollup(spark, table)
+    day_s = WM + 9 * 86_400_000
+    day_e = WM + 11 * 86_400_000
+    from uwheel_datafusion_spark.operators.wheel import _bucket_range_pred
+
+    probe = tbl.filter(_bucket_range_pred(tbl, day_s, day_e)).groupBy().agg(
+        F.sum("sum_micros").alias("sm"), F.sum("cnt").alias("c")
+    )
+    row = probe.first()
+    di = batch.to_driver_index()
+    assert row["c"] == di.query_count(day_s, day_e)
+    assert row["sm"] == round(di.query_sum(day_s, day_e) * 1e6)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    pfs = _re.findall(r"PartitionFilters: \[(.*?)(?:\]|, Pushed)", plan)
+    assert pfs and all("dt" in p for p in pfs), plan[:500]
+
+    # mismatched checkpoint refuses (epoch ids incomparable)
+    w3 = StreamingWheel(mk_stream(), "ts", "value", watermark_delay="31 days")
+    with pytest.raises(ValueError, match="checkpoint"):
+        w3.start(str(tmp_path / "other_ckpt"), table_dir=table)
+
+
+def test_upsert_rollup_idempotent_and_torn_swap_recovery(spark, tmp_path):
+    """upsert_rollup: re-applying a batch is a no-op (idempotent
+    MERGE), and a torn partition swap (dt=X__old left behind with no
+    live dt=X) is repaired on the next call."""
+    import shutil
+
+    from uwheel_datafusion_spark.operators.rollup_io import (
+        load_rollup,
+        upsert_rollup,
+    )
+
+    path = str(tmp_path / "up_rollup")
+    day = 86_400_000
+    rows1 = [(WM, 100, 1, 1.0, 1.0), (WM + day, 200, 2, 2.0, 2.0)]
+    schema = "bucket_ms long, sum_micros long, cnt long, min_value double, max_value double"
+    b1 = spark.createDataFrame(rows1, schema)
+    upsert_rollup(spark, path, b1)
+    # update day 1's slot + add day 3
+    rows2 = [(WM, 150, 3, 0.5, 1.5), (WM + 2 * day, 300, 1, 3.0, 3.0)]
+    b2 = spark.createDataFrame(rows2, schema)
+    upsert_rollup(spark, path, b2)
+    upsert_rollup(spark, path, b2)  # replay: must converge, not double
+    got = {
+        r["bucket_ms"]: (r["sum_micros"], r["cnt"])
+        for r in load_rollup(spark, path).collect()
+    }
+    assert got == {WM: (150, 3), WM + day: (200, 2), WM + 2 * day: (300, 1)}
+
+    # simulate a torn swap: move a live partition aside
+    import glob
+
+    part = glob.glob(os.path.join(path, "dt=*"))[0]
+    os.rename(part, part + "__old")
+    upsert_rollup(spark, path, b2)  # recovery restores it first
+    got2 = {
+        r["bucket_ms"]: r["cnt"] for r in load_rollup(spark, path).collect()
+    }
+    assert set(got2) == {WM, WM + day, WM + 2 * day}

@@ -1394,6 +1394,87 @@ def streaming_wheel_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@gate("streaming_table_sink_parity", _rollup_oracle(MINUTE_MS))
+def streaming_table_sink_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rollup maintained as a dt-partitioned parquet TABLE
+    (the 100 TB sink shape), driver-gated end-to-end INCLUDING a
+    kill-and-resume: chunk 1 of the events fixture streams through a
+    StreamingWheel whose foreachBatch MERGE-upserts current minute
+    partials into the table (rollup_io.upsert_rollup, per-partition
+    atomic swap + epoch guard in _sink_meta.json); the wheel is then
+    KILLED and a FRESH object resumes from (same checkpoint, same
+    table) for chunk 2 — nothing is restored driver-side, the table IS
+    the state. The final table must hash-match the same DuckDB oracle
+    as the batch-built minute rollup."""
+    import shutil
+    import tempfile
+
+    from uwheel_datafusion_spark.functions.time import ts_range_pred
+    from uwheel_datafusion_spark.operators.rollup_io import load_rollup
+    from uwheel_datafusion_spark.streaming.wheel_stream import StreamingWheel
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="wheel_table_sink_gate_")
+    try:
+        import os
+
+        src = os.path.join(work, "in")
+        os.makedirs(src)
+        ckpt = os.path.join(work, "ckpt")
+        table = os.path.join(work, "rollup_tbl")
+        split_ms = EVENTS_WM_MS + 15 * DAY_MS
+
+        def mk_stream():
+            s = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .select("ts", "value")
+            )
+            return s.filter(
+                ts_range_pred(s, "ts", EVENTS_WM_MS, EVENTS_ADV_MS)
+            )
+
+        in_chunk1 = ts_range_pred(ev, "ts", EVENTS_WM_MS, split_ms)
+        ev.filter(in_chunk1).coalesce(2).write.mode("append").parquet(src)
+        w1 = StreamingWheel(mk_stream(), "ts", "value",
+                            watermark_delay="31 days")
+        w1.start(ckpt, table_dir=table)
+        w1.process_available()
+        w1.stop()
+
+        ev.filter(~in_chunk1).coalesce(2).write.mode("append").parquet(src)
+        w2 = StreamingWheel(mk_stream(), "ts", "value",
+                            watermark_delay="31 days")
+        w2.start(ckpt, table_dir=table)
+        w2.process_available()
+        w2.stop()
+
+        rows = [
+            (r["bucket_ms"], r["sum_micros"], r["cnt"], r["min_value"],
+             r["max_value"])
+            for r in load_rollup(spark, table).collect()
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    out = spark.createDataFrame(
+        rows,
+        "bucket_ms bigint, sum_micros bigint, cnt bigint, "
+        "min_value double, max_value double",
+    )
+    return out.select(
+        "bucket_ms",
+        micros_to_value(F.col("sum_micros")).alias("sum_value"),
+        "cnt",
+        "min_value",
+        "max_value",
+        (
+            F.col("sum_micros").cast("double") / F.col("cnt").cast("double") / 1e6
+        ).alias("avg_value"),
+    )
+
+
 #: keyed wheel — hypertable-style continuous aggregate: the reference's
 #: single-series index sharded by a dimension key (one distributed
 #: rollup on (key, minute), per-key O(1) driver serving)

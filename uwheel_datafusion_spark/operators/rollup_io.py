@@ -109,3 +109,92 @@ def compact_parquet(
         "files_after": len(_files(path)),
         "bytes": total,
     }
+
+
+def _dt_col() -> F.Column:
+    return F.date_format(
+        F.timestamp_millis(F.col("bucket_ms")), "yyyy-MM-dd"
+    )
+
+
+def _recover_torn_partitions(path: str) -> None:
+    """Repair a crash that hit mid-swap in :func:`upsert_rollup`: a
+    ``dt=X__old`` dir with no live ``dt=X`` means the old partition was
+    moved aside but its replacement never landed — restore it. A stale
+    ``__old`` NEXT TO a live partition lost the race after the new dir
+    landed — drop it. (Same two-rename recovery contract as
+    compact_parquet.)"""
+    import glob
+    import os
+    import shutil
+
+    for old in glob.glob(os.path.join(path, "dt=*__old")):
+        live = old[: -len("__old")]
+        if os.path.exists(live):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, live)
+
+
+def upsert_rollup(
+    spark,
+    path: str,
+    batch: DataFrame,
+    key_cols: "tuple[str, ...]" = ("bucket_ms",),
+) -> None:
+    """MERGE-style upsert into a dt-partitioned parquet rollup: rows
+    of ``batch`` REPLACE table rows with equal ``key_cols`` (slot
+    identity), other rows are kept. This is the plain-parquet stand-in
+    for the Delta/Iceberg ``MERGE`` a production cluster would run
+    from a streaming ``foreachBatch`` — the rollup lives in a TABLE,
+    not driver memory, so it survives restarts and is readable by any
+    session at any scale.
+
+    Cost per call is O(touched dt partitions), never the whole table:
+    only the partitions ``batch`` touches are read (partition-pruned),
+    anti-joined against the batch's slot keys, unioned with the batch,
+    staged to a temp dir, and swapped in with per-partition atomic
+    renames. Crash safety: a torn swap is repaired on the next call
+    (:func:`_recover_torn_partitions`); re-applying the same batch is
+    IDEMPOTENT (batch rows carry CURRENT totals under update output
+    mode), so an epoch replayed after a partial apply converges."""
+    import os
+    import shutil
+
+    _recover_torn_partitions(path)
+    tagged = batch.withColumn("dt", _dt_col())
+    if not os.path.exists(path):
+        (
+            tagged.repartition("dt")
+            .write.mode("overwrite")
+            .partitionBy("dt")
+            .parquet(path)
+        )
+        return
+    # touched days only — bounded by the batch's slot span, not table size
+    dts = [r["dt"] for r in tagged.select("dt").distinct().collect()]
+    if not dts:
+        return
+    old = spark.read.parquet(path).filter(F.col("dt").isin(dts))
+    merged = old.join(
+        tagged.select(*key_cols).distinct(), list(key_cols), "left_anti"
+    ).unionByName(tagged.select(*old.columns))
+    tmp = path.rstrip("/") + "__upsert_tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    (
+        merged.repartition("dt")
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(tmp)
+    )
+    for dt in dts:
+        src = os.path.join(tmp, f"dt={dt}")
+        dst = os.path.join(path, f"dt={dt}")
+        old_dir = dst + "__old"
+        if os.path.exists(dst):
+            os.rename(dst, old_dir)
+        os.rename(src, dst)
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
+    shutil.rmtree(tmp)

@@ -112,6 +112,45 @@ def _load_state(state_dir: str, checkpoint: str | None = None):
     return st
 
 
+def _sink_meta_file(table_dir: str) -> str:
+    # leading underscore: ignored by Spark/DuckDB parquet listings
+    return os.path.join(table_dir, "_sink_meta.json")
+
+
+def _persist_sink_meta(table_dir: str, epoch_id: int, checkpoint: str) -> None:
+    """Atomic epoch marker for the table sink — written AFTER the
+    partition upsert, so a crash in between replays the epoch; the
+    upsert is idempotent (current totals), so replay converges."""
+    import json
+
+    os.makedirs(table_dir, exist_ok=True)
+    tmp = _sink_meta_file(table_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"epoch": epoch_id, "checkpoint": checkpoint}, f)
+    os.replace(tmp, _sink_meta_file(table_dir))
+
+
+def _load_sink_meta(table_dir: str, checkpoint: str):
+    """Restore the table sink's epoch marker; same checkpoint-identity
+    guard as _load_state (epoch ids restart at 0 under a different
+    checkpoint)."""
+    import json
+
+    p = _sink_meta_file(table_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        meta = json.load(f)
+    saved = meta.get("checkpoint")
+    if saved is not None and saved != checkpoint:
+        raise ValueError(
+            f"rollup table {table_dir!r} was maintained under checkpoint "
+            f"{saved!r} but is being resumed under {checkpoint!r}; "
+            "epoch ids are only comparable within one checkpoint"
+        )
+    return meta
+
+
 @dataclass
 class RollupStore:
     """Driver-side upsert store for (bucket_ms → partial) rows.
@@ -742,10 +781,24 @@ class StreamingWheel:
         )
         self._query = None
 
-    def start(self, checkpoint_dir: str, state_dir: str | None = None):
-        """``state_dir``: auto-persisted restart-safe state — the
-        hands-off alternative to the manual RollupStore.save/load
-        lifecycle (which remains supported for explicit control)."""
+    def start(
+        self,
+        checkpoint_dir: str,
+        state_dir: str | None = None,
+        table_dir: str | None = None,
+    ):
+        """``state_dir``: auto-persisted restart-safe driver state —
+        the hands-off alternative to the manual RollupStore.save/load
+        lifecycle (which remains supported for explicit control).
+
+        ``table_dir``: maintain the rollup as a dt-partitioned parquet
+        TABLE instead of (or alongside) the driver dict — the 100 TB
+        shape: each micro-batch's (bucket → current partials) rows are
+        MERGE-upserted via rollup_io.upsert_rollup (O(touched
+        partitions) per trigger, per-partition atomic swap), with the
+        same epoch-replay guard, persisted in ``_sink_meta.json``.
+        Serving reads the table (rollup_io.load_rollup) — any session,
+        any scale; the driver dict is never required."""
         store = self.store
         if state_dir is not None:
             st = _load_state(state_dir, checkpoint_dir)
@@ -753,20 +806,40 @@ class StreamingWheel:
                 store.slots.update(st["slots"])
                 store.n_late_rows += st.get("late", 0)
                 self._last_epoch = st["epoch"]
+        if table_dir is not None:
+            meta = _load_sink_meta(table_dir, checkpoint_dir)
+            if meta is not None:
+                self._last_epoch = max(self._last_epoch, meta["epoch"])
+        guarded = state_dir is not None or table_dir is not None
+        key_cols = (
+            ("key", "bucket_ms") if self.key_col is not None else ("bucket_ms",)
+        )
 
         def sink(batch_df: DataFrame, epoch_id: int) -> None:
-            if state_dir is not None and epoch_id <= self._last_epoch:
+            if guarded and epoch_id <= self._last_epoch:
                 return  # replayed epoch already folded into the state
-            store.upsert(batch_df.collect())
-            if state_dir is not None:
-                self._last_epoch = epoch_id
-                _persist_state(
-                    state_dir,
-                    store.slots,
-                    epoch_id,
-                    {"late": store.n_late_rows},
-                    checkpoint=checkpoint_dir,
+            if table_dir is not None:
+                from uwheel_datafusion_spark.operators.rollup_io import (
+                    upsert_rollup,
                 )
+
+                upsert_rollup(
+                    batch_df.sparkSession, table_dir, batch_df, key_cols
+                )
+            if table_dir is None or state_dir is not None:
+                store.upsert(batch_df.collect())
+            if guarded:
+                self._last_epoch = epoch_id
+                if state_dir is not None:
+                    _persist_state(
+                        state_dir,
+                        store.slots,
+                        epoch_id,
+                        {"late": store.n_late_rows},
+                        checkpoint=checkpoint_dir,
+                    )
+                if table_dir is not None:
+                    _persist_sink_meta(table_dir, epoch_id, checkpoint_dir)
 
         self._query = (
             self._agg.writeStream.outputMode("update")
