@@ -1,0 +1,425 @@
+"""Scale-proof protocol run: the bench.py serving paths at >= sf1.
+
+Everything in BENCH_r{N}.json is measured at sf0.1 (100 k events) plus
+a 20x synthetic crossover table; the 100 TB story otherwise rests on
+plan-shape arguments. This script re-runs the protocol's serving paths
+against a 10 MILLION-row events table (= sf100 for the events stream,
+100x the bench scale; generated once into bench_data/, never touching
+/root/testdata) and records a ``BENCH_r{N}_sf1.json`` artifact:
+
+- wheel index build wall time + driver-index size (does the one-scan
+  build stay linear?),
+- driver probe QPS (must stay flat — the index is O(slots), not
+  O(rows)),
+- full-scan SQL aggregate p50 (the DataFusion-role baseline — must
+  GROW with rows; the served/scan gap at this scale is the product),
+- distributed probe + 256-query batched serving (flat: rollup-only),
+- router rewrite throughput (flat: driver arithmetic),
+- sketch families (quantile / OHLC / verified heavy hitters) served
+  vs scan, with exact dual checks on every measured range,
+- keyed rollup build + keyed batch serving at 100 k key cardinality
+  (the hypertable shape at high fan-out),
+- an AQE skew-join probe (key 0 holds ~50% of rows): records whether
+  OptimizeSkewedJoin actually split the hot partition at this scale.
+
+Usage::
+
+    python bench_scale.py BENCH_r06_sf1.json [n_rows]
+"""
+
+import json
+import os
+import sys
+import time
+from contextlib import contextmanager
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_ROWS_DEFAULT = 10_000_000
+N_SAMPLE = 20  # Spark-job paths: ranges per workload
+HOUR_MS = 3_600_000
+
+
+def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
+    from pyspark.sql import functions as F
+
+    from uwheel_datafusion_spark import WheelIndex, get_spark
+    from uwheel_datafusion_spark.bench.harness import (
+        gen_hour_ranges,
+        gen_minute_ranges,
+        run_latency_bench,
+    )
+    from uwheel_datafusion_spark.functions.time import ms_to_ts_literal
+    from uwheel_datafusion_spark.gate import EVENTS_ADV_MS, EVENTS_WM_MS
+
+    spark = get_spark(app_name="uwheel_bench_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    horizon = EVENTS_ADV_MS - EVENTS_WM_MS
+    out: dict = {"n_rows": n_rows, "detail": {}}
+    detail = out["detail"]
+
+    @contextmanager
+    def serving_confs():
+        prev = {
+            "spark.sql.adaptive.enabled": spark.conf.get(
+                "spark.sql.adaptive.enabled"
+            ),
+            "spark.sql.codegen.factoryMode": spark.conf.get(
+                "spark.sql.codegen.factoryMode", "CODEGEN_ONLY"
+            ),
+            "spark.sql.shuffle.partitions": spark.conf.get(
+                "spark.sql.shuffle.partitions"
+            ),
+        }
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        try:
+            yield
+        finally:
+            for k, v in prev.items():
+                spark.conf.set(k, v)
+
+    # ---------------------------------------------------------------- data
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "bench_data",
+        f"events_scale_{n_rows}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        t0 = time.perf_counter()
+        (
+            spark.range(n_rows)
+            .select(
+                F.timestamp_millis(
+                    F.lit(EVENTS_WM_MS)
+                    + (F.rand(42) * F.lit(float(horizon))).cast("long")
+                )
+                .cast("timestamp_ntz")
+                .alias("ts"),
+                (F.rand(7) * 100.0).alias("value"),
+                # 100 k-cardinality series key; the CASE below folds
+                # half the ids onto key 0 for the skew/HH workloads
+                (F.rand(13) * 100_000).cast("long").alias("user_id"),
+                F.element_at(
+                    F.array(*[F.lit(t) for t in
+                              ("view", "click", "purchase", "signup",
+                               "error")]),
+                    (F.rand(17) * 5).cast("int") + 1,
+                ).alias("event_type"),
+            )
+            .repartitionByRange(64, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        detail["datagen_sec"] = round(time.perf_counter() - t0, 1)
+    big = spark.read.parquet(path)
+    big.createOrReplaceTempView("events_scale")
+
+    # --------------------------------------------------------- wheel build
+    t0 = time.perf_counter()
+    idx = WheelIndex.build(
+        big, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS, stats_mode="pruned"
+    )
+    idx.rollups["minute"].count()
+    build_sec = time.perf_counter() - t0
+    di = idx.to_driver_index()
+    detail["index"] = {
+        "build_sec": round(build_sec, 2),
+        "driver_size_bytes": di.size_bytes(),
+    }
+
+    # ---------------------------------------------- driver probe (flat path)
+    minute_ranges = gen_minute_ranges(EVENTS_WM_MS, horizon, 2000)
+    r = run_latency_bench("wheel", di.query_sum, minute_ranges, warmup=200)
+    detail["wheel_driver"] = {"qps": r.qps, "p50_us": r.latency["p50_us"]}
+
+    # ------------------------------------------------------ scan baseline
+    sample = minute_ranges[:N_SAMPLE]
+
+    def scan_sum(s_ms, e_ms):
+        return spark.sql(
+            f"SELECT SUM(value) FROM events_scale "
+            f"WHERE ts >= TIMESTAMP '{ms_to_ts_literal(s_ms)}' "
+            f"AND ts < TIMESTAMP '{ms_to_ts_literal(e_ms)}'"
+        ).collect()[0][0]
+
+    r_scan = run_latency_bench("scan", scan_sum, sample)
+    detail["scan"] = {"qps": r_scan.qps, "p50_us": r_scan.latency["p50_us"]}
+
+    # --------------------------------------------- distributed probe + batch
+    with serving_confs():
+        r_probe = run_latency_bench(
+            "probe", lambda s, e: idx.probe(s, e)["sum_value"], sample,
+            warmup=3,
+        )
+    detail["probe"] = {
+        "qps": r_probe.qps,
+        "p50_us": r_probe.latency["p50_us"],
+        "beats_scan": r_probe.qps > r_scan.qps,
+    }
+    batch_ranges = gen_minute_ranges(EVENTS_WM_MS, horizon, 256, seed=77)
+    idx.range_agg_batch_df(batch_ranges[:4]).collect()  # warm
+    t0 = time.perf_counter()
+    batch_rows = idx.range_agg_batch_df(batch_ranges).collect()
+    batch_wall = time.perf_counter() - t0
+    # dual check the batch against the driver index (exact)
+    batch_mism = sum(
+        1
+        for row, (s, e) in zip(batch_rows, batch_ranges)
+        if row["cnt"] != di.query_count(s, e)
+    )
+    detail["batch"] = {
+        "n_queries": len(batch_ranges),
+        "ms_per_query": round(batch_wall / len(batch_ranges) * 1e3, 2),
+        "mismatches": batch_mism,
+    }
+
+    # ----------------------------------------------------------- router
+    from uwheel_datafusion_spark.plans.sql_router import WheelSqlRouter
+
+    router = WheelSqlRouter(spark)
+    router.register_index("events_scale", "ts", "value", idx)
+    rq = [
+        (
+            f"SELECT SUM(value) FROM events_scale WHERE ts >= "
+            f"'{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}'",
+            s, e,
+        )
+        for s, e in minute_ranges[:500]
+    ]
+
+    def route_one(i, _e):
+        q, s, e = rq[i % len(rq)]
+        return router.sql_scalar(q)
+
+    r_router = run_latency_bench(
+        "router", route_one, [(i, 0) for i in range(500)], warmup=50
+    )
+    detail["router"] = {
+        "qps": r_router.qps, "p50_us": r_router.latency["p50_us"],
+    }
+
+    # ---------------------------------------------------- sketch families
+    from uwheel_datafusion_spark.operators.mgsketch import (
+        build_mg_rollup,
+        range_heavy_hitters_verified,
+    )
+    from uwheel_datafusion_spark.operators.ohlc import (
+        build_ohlc_rollup,
+        range_ohlc_df,
+    )
+    from uwheel_datafusion_spark.operators.quantile_rollup import (
+        build_histogram_rollup,
+        range_quantile_df,
+    )
+
+    hour_sample = gen_hour_ranges(EVENTS_WM_MS, horizon, N_SAMPLE, seed=99)
+    t0 = time.perf_counter()
+    hist = build_histogram_rollup(
+        big, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS
+    )
+    hist.count()
+    hist_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ohlc = build_ohlc_rollup(big, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS)
+    ohlc.count()
+    ohlc_build = time.perf_counter() - t0
+    mg_key = F.expr("CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id END")
+    t0 = time.perf_counter()
+    mg = build_mg_rollup(
+        big, "ts", mg_key, EVENTS_WM_MS, EVENTS_ADV_MS, m=9,
+        slot_ms=HOUR_MS,
+    )
+    mg.count()
+    mg_build = time.perf_counter() - t0
+    detail["sketch_builds_sec"] = {
+        "hist": round(hist_build, 2),
+        "ohlc": round(ohlc_build, 2),
+        "mg": round(mg_build, 2),
+    }
+
+    def q_served(s_ms, e_ms):
+        return range_quantile_df(hist, s_ms, e_ms, 0.5).collect()[0][0]
+
+    def q_scan(s_ms, e_ms):
+        return spark.sql(
+            f"""
+            WITH b AS (
+                SELECT CAST(floor(value / 1.0) AS LONG) AS bin,
+                       COUNT(*) AS cnt
+                FROM events_scale
+                WHERE ts >= TIMESTAMP '{ms_to_ts_literal(s_ms)}'
+                  AND ts < TIMESTAMP '{ms_to_ts_literal(e_ms)}'
+                GROUP BY 1
+            ),
+            c AS (
+                SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum,
+                       SUM(cnt) OVER () AS total
+                FROM b
+            )
+            SELECT (MIN(CASE WHEN cum >= 0.5 * total THEN bin END)
+                    + 0.5) * 1.0 AS q
+            FROM c
+            """
+        ).collect()[0][0]
+
+    def o_served(s_ms, e_ms):
+        return tuple(range_ohlc_df(ohlc, s_ms, e_ms).collect()[0])
+
+    def o_scan(s_ms, e_ms):
+        return tuple(
+            spark.sql(
+                f"""
+                SELECT min_by(value, struct(ts, value)) AS open,
+                       max(value) AS high, min(value) AS low,
+                       max_by(value, struct(ts, value)) AS close,
+                       count(*) AS cnt
+                FROM events_scale
+                WHERE ts >= TIMESTAMP '{ms_to_ts_literal(s_ms)}'
+                  AND ts < TIMESTAMP '{ms_to_ts_literal(e_ms)}'
+                """
+            ).collect()[0]
+        )
+
+    def hh_served(s_ms, e_ms):
+        return sorted(
+            map(tuple, range_heavy_hitters_verified(
+                big, "ts", mg_key, mg, s_ms, e_ms, m=9, count_frac_den=5
+            ).collect())
+        )
+
+    def hh_scan(s_ms, e_ms):
+        return sorted(
+            map(tuple, spark.sql(
+                f"""
+                WITH d AS (
+                    SELECT CASE WHEN user_id % 10 < 5 THEN 0
+                                ELSE user_id END AS key
+                    FROM events_scale
+                    WHERE ts >= TIMESTAMP '{ms_to_ts_literal(s_ms)}'
+                      AND ts < TIMESTAMP '{ms_to_ts_literal(e_ms)}'
+                ),
+                n AS (SELECT COUNT(*) AS n FROM d)
+                SELECT key, COUNT(*) AS cnt
+                FROM d, n GROUP BY key, n.n
+                HAVING COUNT(*) * 5 >= n.n
+                """
+            ).collect())
+        )
+
+    fams = {}
+    for fam, served, scan in (
+        ("quantile", q_served, q_scan),
+        ("ohlc", o_served, o_scan),
+        ("heavy_hitters", hh_served, hh_scan),
+    ):
+        with serving_confs():
+            rs = run_latency_bench(f"{fam}_served", served, hour_sample,
+                                   warmup=2)
+        rc = run_latency_bench(f"{fam}_scan", scan, hour_sample)
+        mism = sum(
+            1 for s_ms, e_ms in hour_sample
+            if served(s_ms, e_ms) != scan(s_ms, e_ms)
+        )
+        fams[fam] = {
+            "served_p50_us": rs.latency["p50_us"],
+            "scan_p50_us": rc.latency["p50_us"],
+            "served_beats_scan": rs.qps > rc.qps,
+            "dual_check_mismatches": mism,
+        }
+    detail["sketch_families"] = fams
+
+    # ------------------------------------ keyed rollup at 100 k cardinality
+    from uwheel_datafusion_spark.operators.keyed_wheel import KeyedWheelIndex
+
+    t0 = time.perf_counter()
+    krollup = KeyedWheelIndex.build_rollup(
+        big, "user_id", "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS
+    ).cache()
+    n_cells = krollup.count()
+    keyed_build = time.perf_counter() - t0
+    probes = [
+        (k, s, e)
+        for (s, e), k in zip(
+            gen_hour_ranges(EVENTS_WM_MS, horizon, 64, seed=5),
+            [i * 1543 % 100_000 for i in range(64)],
+        )
+    ]
+    KeyedWheelIndex.query_rollup_batch_df(krollup, probes[:4]).collect()
+    t0 = time.perf_counter()
+    kb = KeyedWheelIndex.query_rollup_batch_df(krollup, probes).collect()
+    keyed_batch_wall = time.perf_counter() - t0
+    # dual check a few probes against the scan
+    k_mism = 0
+    for row, (k, s, e) in list(zip(kb, probes))[:5]:
+        truth = spark.sql(
+            f"SELECT COUNT(*) FROM events_scale WHERE user_id = {k} "
+            f"AND ts >= TIMESTAMP '{ms_to_ts_literal(s)}' "
+            f"AND ts < TIMESTAMP '{ms_to_ts_literal(e)}'"
+        ).collect()[0][0]
+        if row["cnt"] != truth:
+            k_mism += 1
+    detail["keyed_100k"] = {
+        "build_sec": round(keyed_build, 2),
+        "rollup_cells": n_cells,
+        "batch_ms_per_query": round(keyed_batch_wall / len(probes) * 1e3, 2),
+        "dual_check_mismatches": k_mism,
+    }
+
+    # --------------------------------------------------- AQE skew probe
+    # key 0 holds ~50% of rows: a sort-merge groupBy-join on user_id is
+    # the canonical skew shape. Record whether AQE's OptimizeSkewedJoin
+    # actually split the hot partition at this scale (test_plans.py
+    # pins the rule; this pins the runtime behavior).
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    skewed = big.select(
+        F.expr("CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id END").alias(
+            "k"
+        ),
+        "value",
+    )
+    dim = (
+        skewed.select("k").distinct()
+        .withColumn("w", F.col("k") % 7 + 1)
+        .hint("merge")
+    )
+    t0 = time.perf_counter()
+    joined = skewed.hint("merge").join(dim, "k")
+    agg = joined.groupBy("k").agg(F.sum(F.col("value") * F.col("w")))
+    agg.count()
+    skew_wall = time.perf_counter() - t0
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    detail["aqe_skew"] = {
+        "wall_sec": round(skew_wall, 2),
+        "skew_split_fired": "isSkew=true" in plan or "skew=true" in plan,
+    }
+    for k in (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    ):
+        spark.conf.unset(k)
+
+    out["metric"] = "scale_proof_sf100_events"
+    out["all_dual_checks_clean"] = (
+        batch_mism == 0
+        and k_mism == 0
+        and all(f["dual_check_mismatches"] == 0 for f in fams.values())
+    )
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v for k, v in out.items() if k != "detail"}))
+    print(f"wrote {out_path}")
+    return out
+
+
+if __name__ == "__main__":
+    dest = sys.argv[1] if len(sys.argv) > 1 else "BENCH_scale.json"
+    rows = int(sys.argv[2]) if len(sys.argv) > 2 else N_ROWS_DEFAULT
+    main(dest, rows)

@@ -223,3 +223,62 @@ def test_heavy_hitters_batch_plan_no_nested_loop(spark, events):
         slot_ms=HOUR,
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+_KEYED_PROBES = [
+    ("view", EVENTS_WM_MS, EVENTS_WM_MS + DAY_MS),
+    ("click", EVENTS_WM_MS + 3 * DAY_MS,
+     EVENTS_WM_MS + 3 * DAY_MS + 6 * HOUR_MS),
+    ("view", EVENTS_ADV_MS + 30 * DAY_MS, EVENTS_ADV_MS + 31 * DAY_MS),  # empty
+    ("no_such_type", EVENTS_WM_MS, EVENTS_WM_MS + 7 * DAY_MS),  # unknown key
+    ("purchase", EVENTS_WM_MS, EVENTS_WM_MS + 7 * DAY_MS),
+]
+
+
+def test_keyed_quantile_batch_matches_per_key_range(spark, events):
+    from uwheel_datafusion_spark.operators.quantile_rollup import (
+        build_keyed_histogram_rollup,
+    )
+    from uwheel_datafusion_spark.operators.sketch_batch import (
+        keyed_range_quantile_batch_df,
+    )
+    from pyspark.sql import functions as F
+
+    rollup = build_keyed_histogram_rollup(
+        events, "ts", "value", "event_type", EVENTS_WM_MS, EVENTS_ADV_MS,
+        cache=False,
+    )
+    batch = keyed_range_quantile_batch_df(rollup, _KEYED_PROBES, 0.5).collect()
+    assert [r["query_id"] for r in batch] == list(range(len(_KEYED_PROBES)))
+    for qid, (k, s, e) in enumerate(_KEYED_PROBES):
+        single = range_quantile_df(
+            rollup.filter(F.col("grp") == k).drop("grp"), s, e, 0.5
+        ).collect()[0]
+        assert batch[qid]["approx_quantile"] == single["approx_quantile"], (
+            qid, _KEYED_PROBES[qid],
+        )
+    assert batch[2]["approx_quantile"] is None  # empty range
+    assert batch[3]["approx_quantile"] is None  # unknown key
+
+
+def test_keyed_ohlc_batch_matches_per_key_range(spark, events):
+    from uwheel_datafusion_spark.operators.ohlc import build_keyed_ohlc_rollup
+    from uwheel_datafusion_spark.operators.sketch_batch import (
+        keyed_range_ohlc_batch_df,
+    )
+    from pyspark.sql import functions as F
+
+    rollup = build_keyed_ohlc_rollup(
+        events, "ts", "value", "event_type", EVENTS_WM_MS, EVENTS_ADV_MS,
+        cache=False,
+    )
+    batch = keyed_range_ohlc_batch_df(rollup, _KEYED_PROBES).collect()
+    assert [r["query_id"] for r in batch] == list(range(len(_KEYED_PROBES)))
+    for qid, (k, s, e) in enumerate(_KEYED_PROBES):
+        single = range_ohlc_df(
+            rollup.filter(F.col("grp") == k).drop("grp"), s, e
+        ).collect()[0]
+        assert tuple(batch[qid])[1:] == tuple(single), (
+            qid, _KEYED_PROBES[qid],
+        )
+    assert batch[3]["close"] is None and batch[3]["cnt"] == 0

@@ -828,6 +828,119 @@ def engine_batch_quantile_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: keyed batch-serving probes: (series key, start, end) — day / 6 h /
+#: empty range / unknown key / week
+_KSKB_PROBES = [
+    ("view", EVENTS_WM_MS, EVENTS_WM_MS + DAY_MS),
+    ("click", EVENTS_WM_MS + 3 * DAY_MS,
+     EVENTS_WM_MS + 3 * DAY_MS + 6 * 3_600_000),
+    ("view", EVENTS_ADV_MS + 30 * DAY_MS, EVENTS_ADV_MS + 31 * DAY_MS),
+    ("no_such_type", EVENTS_WM_MS, EVENTS_WM_MS + 7 * DAY_MS),
+    ("purchase", EVENTS_WM_MS, EVENTS_WM_MS + 7 * DAY_MS),
+]
+_KSKB_VALUES = ", ".join(
+    f"({i}, '{k}', CAST({s} AS BIGINT), CAST({e} AS BIGINT))"
+    for i, (k, s, e) in enumerate(_KSKB_PROBES)
+)
+
+
+@gate(
+    "keyed_sketch_batch_served",
+    f"""
+    WITH probes(query_id, k, s_ms, e_ms) AS (VALUES {_KSKB_VALUES}),
+    ev AS (
+        SELECT p.query_id, epoch_ms(e.ts) AS ts_ms, e.value
+        FROM events e
+        JOIN probes p
+          ON e.event_type = p.k
+         AND epoch_ms(e.ts) >= p.s_ms AND epoch_ms(e.ts) < p.e_ms
+        WHERE e.ts >= {_ts_lit(EVENTS_WM_MS)}
+          AND e.ts < {_ts_lit(EVENTS_ADV_MS)}
+    ),
+    rk AS (
+        SELECT query_id, value,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY ts_ms, value
+               ) AS rn_o,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY ts_ms DESC, value DESC
+               ) AS rn_c
+        FROM ev
+    ),
+    o AS (
+        SELECT query_id,
+               MIN(CASE WHEN rn_o = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MIN(CASE WHEN rn_c = 1 THEN value END) AS close,
+               COUNT(*) AS cnt
+        FROM rk GROUP BY query_id
+    ),
+    b AS (
+        SELECT query_id, CAST(floor(value / 1.0) AS BIGINT) AS bin,
+               COUNT(*) AS cnt
+        FROM ev GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT query_id, bin,
+               SUM(cnt) OVER (PARTITION BY query_id ORDER BY bin) AS cum,
+               SUM(cnt) OVER (PARTITION BY query_id) AS total
+        FROM b
+    ),
+    qn AS (
+        SELECT query_id,
+               CAST(
+                   (MIN(CASE WHEN cum >= 0.5 * total THEN bin END) + 0.5)
+                   * 1.0 AS DOUBLE
+               ) AS approx_median
+        FROM c GROUP BY query_id
+    )
+    SELECT CAST(p.query_id AS INTEGER) AS query_id,
+           qn.approx_median, o.open, o.high, o.low, o.close,
+           CAST(COALESCE(o.cnt, 0) AS BIGINT) AS cnt
+    FROM probes p
+    LEFT JOIN qn ON qn.query_id = p.query_id
+    LEFT JOIN o ON o.query_id = p.query_id
+    """,
+)
+def keyed_sketch_batch_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYED micro-batched sketch serving, driver-gated: 5 (series,
+    range) probes — day / 6 h / empty / unknown key / week — answered
+    in ONE job per family from the keyed histogram and keyed OHLC
+    rollups (operators/sketch_batch.keyed_range_*_batch_df: broadcast
+    probe frame, key-equality hash join + bucket containment, per-
+    query_id fold — the keyed_wheel.query_rollup_batch_df plan applied
+    to the sketch families). The oracle re-derives every (query_id,
+    median, candle) from raw rows; empty and unknown-key probes must
+    surface as null rows with cnt 0."""
+    from uwheel_datafusion_spark.operators.ohlc import build_keyed_ohlc_rollup
+    from uwheel_datafusion_spark.operators.quantile_rollup import (
+        build_keyed_histogram_rollup,
+    )
+    from uwheel_datafusion_spark.operators.sketch_batch import (
+        keyed_range_ohlc_batch_df,
+        keyed_range_quantile_batch_df,
+    )
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    khist = build_keyed_histogram_rollup(
+        ev, "ts", "value", "event_type", EVENTS_WM_MS, EVENTS_ADV_MS,
+        cache=False,
+    )
+    kohlc = build_keyed_ohlc_rollup(
+        ev, "ts", "value", "event_type", EVENTS_WM_MS, EVENTS_ADV_MS,
+        cache=False,
+    )
+    qdf = keyed_range_quantile_batch_df(
+        khist, _KSKB_PROBES, 0.5
+    ).withColumnRenamed("approx_quantile", "approx_median")
+    odf = keyed_range_ohlc_batch_df(kohlc, _KSKB_PROBES)
+    return qdf.join(odf, "query_id").select(
+        "query_id", "approx_median", "open", "high", "low", "close", "cnt"
+    )
+
+
 @gate("wheel_backfill_day", _rollup_oracle(DAY_MS))
 def wheel_backfill_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backfill lifecycle, driver-gated end-to-end: build the index
@@ -5217,7 +5330,7 @@ _DRIVER_WINDOW_R4 = [
 # r03/r04-proven sets including the re-fixed split_train_val_test.
 # 50/50 green here makes ALL 150 registered queries driver-proven
 # across rounds.
-_DRIVER_WINDOW = [
+_DRIVER_WINDOW_R5 = [
     # sketch/aggregator families (quantile, OHLC, M4, TWA, counter)
     "quantile_median_by_day_hist",
     "quantile_median_by_type_day",
@@ -5285,6 +5398,86 @@ _DRIVER_WINDOW = [
     "split_train_val_test",
 ]
 
+# ROTATION POLICY (round 6 onward): every query has been driver-green
+# at least once (union of CORRECTNESS_r01–r05), so the window's job
+# changes from proving new coverage to CATCHING REGRESSIONS: every new
+# round-6 gate goes in, and the remaining slots are canaries chosen so
+# every operator family has at least one representative — wheel core /
+# maintenance / hybrid / seconds, batched + keyed-batched serving,
+# streaming (incl. the new table sink), every router cell family,
+# every sketch family (quantile / OHLC / M4 / TWA / counter / HH /
+# distinct), anomaly, TPC-H joins + subqueries + session windows,
+# dedup (LSH / prefix-filter / incremental / connected components),
+# similarity ANN, corpus, linalg, text, sampling/split. A regression
+# anywhere in the engine should turn a CORRECTNESS_r06 row red rather
+# than hiding outside the window.
+_DRIVER_WINDOW = [
+    # --- round-6 additions (never driver-checked) ---
+    "router_ohlc_day",
+    "router_twa_range",
+    "router_counter_day",
+    "engine_batch_quantile_ohlc",
+    "keyed_sketch_batch_served",
+    "streaming_table_sink_parity",
+    # --- wheel core ---
+    "wheel_rollup_hour",
+    "wheel_range_minute_aligned",
+    "wheel_landmark",
+    "wheel_range_unaligned_hybrid",
+    "wheel_topn_minutes",
+    "wheel_second_aligned_range",
+    # --- wheel maintenance ---
+    "wheel_extend_incremental",
+    "wheel_backfill_day",
+    # --- batched serving tiers ---
+    "wheel_range_batch_serving",
+    "keyed_rollup_batch_served",
+    "sketch_batch_quantile_ohlc",
+    "sketch_batch_heavy_hitters",
+    # --- streaming ---
+    "streaming_wheel_rollup_parity",
+    "streaming_keyed_rollup_parity",
+    # --- router cells ---
+    "router_multi_agg_range",
+    "router_week_rollup",
+    "router_quarter_rollup",
+    "router_topk_users_day",
+    "router_median_day_rollup",
+    "router_keyed_distinct_day",
+    # --- sketch families ---
+    "quantile_median_by_day_hist",
+    "ohlc_by_type_day",
+    "m4_downsample_200px",
+    "twa_by_day_events",
+    "counter_increase_by_day_events",
+    # --- distinct / heavy hitters ---
+    "distinct_users_by_day_hll",
+    "heavy_hitters_mg_verified_range",
+    "heavy_hitters_range_topk_users",
+    # --- anomaly ---
+    "anomaly_keyed_hourly_3sigma",
+    # --- SQL surface (joins, subqueries, windows) ---
+    "tpch_q1_pricing_summary",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_supplier",
+    "asof_join_purchase_to_click",
+    "session_window_30m_by_user",
+    # --- dedup ---
+    "dedup_minhash_lsh_capped",
+    "dedup_prefix_filter_jaccard",
+    "dedup_lsh_incremental",
+    "dedup_connected_components_star",
+    # --- similarity / ANN ---
+    "similarity_hyperplane_lsh_pairs",
+    "similarity_ann_ivf_topk",
+    # --- corpus / linalg / text ---
+    "corpus_mixture_reweight",
+    "embedding_gram_upper",
+    "text_pii_redact_profile",
+    # --- sampling / split ---
+    "split_train_val_test",
+]
+
 
 def _reorder_registry() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
@@ -5293,6 +5486,7 @@ def _reorder_registry() -> None:
     # prior window names must stay registered (they remain locally gated)
     assert not [n for n in _DRIVER_WINDOW_R3 if n not in REGISTRY]
     assert not [n for n in _DRIVER_WINDOW_R4 if n not in REGISTRY]
+    assert not [n for n in _DRIVER_WINDOW_R5 if n not in REGISTRY]
     ordered = {n: REGISTRY[n] for n in _DRIVER_WINDOW}
     ordered.update({n: q for n, q in REGISTRY.items() if n not in ordered})
     # mutate in place: other modules hold references to this dict

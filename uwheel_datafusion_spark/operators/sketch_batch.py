@@ -400,3 +400,109 @@ def range_heavy_hitters_batch_verified(
         .select("query_id", "key", "cnt")
     )
     return exact
+
+
+def _keyed_probe_frames(rollup: DataFrame, probes: "list[tuple]"):
+    """Broadcastable ``(query_id, pkey, run_s, run_e)`` probe frame for
+    keyed batch serving, key-typed from the rollup's ``grp`` column
+    (the keyed_wheel.query_rollup_batch_df pattern: key EQUALITY is
+    selective, so a plain hash join replaces the block trick), plus
+    the bare query_id frame for left-join null semantics."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    spark = rollup.sparkSession
+    key_type = rollup.schema["grp"].dataType
+    schema = StructType(
+        [
+            StructField("query_id", IntegerType()),
+            StructField("pkey", key_type),
+            StructField("run_s", LongType()),
+            StructField("run_e", LongType()),
+        ]
+    )
+    pdf = spark.createDataFrame(
+        [(i, k, s, e) for i, (k, s, e) in enumerate(probes)], schema
+    )
+    return pdf, pdf.select("query_id")
+
+
+def keyed_range_quantile_batch_df(
+    rollup: DataFrame,
+    probes: "list[tuple]",
+    q: float,
+    bin_width: float = DEFAULT_BIN_WIDTH,
+) -> DataFrame:
+    """N keyed quantile probes ``(key, start_ms, end_ms)`` in ONE job
+    from the keyed histogram rollup (build_keyed_histogram_rollup):
+    ``(query_id, approx_quantile)`` per probe in input order, null for
+    probes with no data — the keyed twin of range_quantile_batch_df.
+    Join on key equality + bucket containment (broadcast probes),
+    merge bins per (query_id, bin), one packed CDF walk per query."""
+    pdf, qids = _keyed_probe_frames(rollup, probes)
+    joined = rollup.join(
+        F.broadcast(pdf),
+        (rollup["grp"] == pdf["pkey"])
+        & (rollup["bucket_ms"] >= pdf["run_s"])
+        & (rollup["bucket_ms"] < pdf["run_e"]),
+    )
+    bins = joined.groupBy("query_id", "bin").agg(F.sum("cnt").alias("cnt"))
+    packed = bins.groupBy("query_id").agg(
+        F.sort_array(F.collect_list(F.struct("bin", "cnt"))).alias("bc"),
+        F.sum("cnt").alias("total"),
+    )
+    walk = f"""
+        aggregate(
+            bc,
+            struct(CAST(0 AS BIGINT) AS cum, CAST(NULL AS BIGINT) AS b),
+            (acc, x) -> struct(
+                acc.cum + x.cnt,
+                CASE WHEN acc.b IS NULL
+                          AND (acc.cum + x.cnt) >= {q} * total
+                     THEN x.bin ELSE acc.b END),
+            acc -> acc.b)
+    """
+    per_q = packed.select(
+        "query_id",
+        ((F.expr(walk) + F.lit(0.5)) * F.lit(bin_width)).alias(
+            "approx_quantile"
+        ),
+    )
+    return qids.join(per_q, "query_id", "left").orderBy("query_id")
+
+
+def keyed_range_ohlc_batch_df(
+    rollup: DataFrame, probes: "list[tuple]"
+) -> DataFrame:
+    """N keyed candlestick probes ``(key, start_ms, end_ms)`` in ONE
+    job from the keyed OHLC rollup (build_keyed_ohlc_rollup):
+    ``(query_id, open, high, low, close, cnt)`` per probe in input
+    order, nulls/0 for empty probes — the keyed twin of
+    range_ohlc_batch_df with the same associative (ts, value)-keyed
+    candle fold per query id."""
+    from uwheel_datafusion_spark.operators.ohlc import _combine
+
+    pdf, qids = _keyed_probe_frames(rollup, probes)
+    joined = rollup.join(
+        F.broadcast(pdf),
+        (rollup["grp"] == pdf["pkey"])
+        & (rollup["bucket_ms"] >= pdf["run_s"])
+        & (rollup["bucket_ms"] < pdf["run_e"]),
+    )
+    out = _combine(joined.groupBy("query_id"))
+    return (
+        qids.join(out, "query_id", "left")
+        .select(
+            "query_id",
+            "open",
+            "high",
+            "low",
+            "close",
+            F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
+        )
+        .orderBy("query_id")
+    )
