@@ -392,13 +392,18 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
     )
     t0 = time.perf_counter()
     joined = skewed.hint("merge").join(dim, "k")
-    agg = joined.groupBy("k").agg(F.sum(F.col("value") * F.col("w")))
-    agg.count()
+    # a GLOBAL aggregate (not GROUP BY k): an aggregation that REQUIRES
+    # the join key's partitioning would legally disable the skew split
+    # (splitting the hot partition breaks the required distribution)
+    agg = joined.agg(F.sum(F.col("value") * F.col("w")))
+    agg.collect()
     skew_wall = time.perf_counter() - t0
     plan = agg._jdf.queryExecution().executedPlan().toString()
     detail["aqe_skew"] = {
         "wall_sec": round(skew_wall, 2),
-        "skew_split_fired": "isSkew=true" in plan or "skew=true" in plan,
+        "skew_split_fired": "isSkew=true" in plan
+        or "skew=true" in plan
+        or "OptimizeSkewedJoin" in plan,
     }
     for k in (
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",

@@ -1142,6 +1142,108 @@ def twa_by_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "twa_by_type_day",
+    f"""
+    WITH ev AS (
+        SELECT event_type AS grp,
+               (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS b,
+               epoch_ms(ts) AS t, value AS v
+        FROM events
+        WHERE ts >= {_ts_lit(EVENTS_WM_MS)} AND ts < {_ts_lit(EVENTS_ADV_MS)}
+    ),
+    o AS (
+        SELECT grp, b, t, v,
+               lag(t) OVER w AS pt,
+               lag(CAST(round(v * 1000000) AS BIGINT)) OVER w AS pvm,
+               row_number() OVER w AS rn
+        FROM ev WINDOW w AS (PARTITION BY grp, b ORDER BY t, v)
+    )
+    SELECT grp, b AS bucket_ms,
+           CASE WHEN MAX(t) = MIN(t)
+                THEN MIN(CASE WHEN rn = 1 THEN v END)
+                ELSE CAST(
+                         SUM(CAST(pvm AS HUGEINT) * CAST(t - pt AS HUGEINT))
+                         AS DOUBLE
+                     ) / 1000000.0 / CAST(MAX(t) - MIN(t) AS DOUBLE)
+           END AS twa,
+           COUNT(*) AS cnt
+    FROM o GROUP BY grp, b
+    """,
+)
+def twa_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed (per-series) TWA — the keyed × stitch-family matrix cell
+    (TimescaleDB ``time_weight(...) GROUP BY series``): per-
+    (event_type, day) time-weighted averages cascaded from ONE shared
+    (grp, minute) rollup shuffle; the boundary-stitching combine runs
+    PARTITIONED BY the series (operators/twa.cascade_keyed_twa), so
+    LOCF segments never leak across series. Oracle replays the same
+    integral per series with grp-partitioned lag windows — bit-equal
+    exact-integer areas."""
+    from uwheel_datafusion_spark.operators.twa import (
+        build_keyed_twa_rollup,
+        keyed_grouped_twa_df,
+    )
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    minute = build_keyed_twa_rollup(
+        ev, "ts", "value", "event_type", EVENTS_WM_MS, EVENTS_ADV_MS,
+        cache=False,
+    )
+    return keyed_grouped_twa_df(minute, DAY_MS)
+
+
+@gate(
+    "counter_increase_by_type_day",
+    f"""
+    WITH ev AS (
+        SELECT event_type AS grp,
+               (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS b,
+               epoch_ms(ts) AS t,
+               CAST(round(value * 1000000) AS BIGINT) AS vm
+        FROM events
+        WHERE ts >= {_ts_lit(EVENTS_WM_MS)} AND ts < {_ts_lit(EVENTS_ADV_MS)}
+    ),
+    o AS (
+        SELECT grp, b, t, vm, lag(vm) OVER w AS pvm
+        FROM ev WINDOW w AS (PARTITION BY grp, b ORDER BY t, vm)
+    )
+    SELECT grp, b AS bucket_ms,
+           CAST(SUM(CASE WHEN pvm IS NULL THEN 0
+                         WHEN vm >= pvm THEN vm - pvm
+                         ELSE vm END) AS DOUBLE) / 1000000.0 AS increase,
+           CASE WHEN MAX(t) = MIN(t) THEN NULL
+                ELSE (CAST(SUM(CASE WHEN pvm IS NULL THEN 0
+                                    WHEN vm >= pvm THEN vm - pvm
+                                    ELSE vm END) AS DOUBLE) / 1000000.0)
+                     / (CAST(MAX(t) - MIN(t) AS DOUBLE) / 1000.0)
+           END AS rate_per_sec,
+           COUNT(*) AS cnt
+    FROM o GROUP BY grp, b
+    """,
+)
+def counter_increase_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed (per-series) counter increase/rate — PromQL's labeled-
+    series semantics (every Prometheus counter is a series): per-
+    (event_type, day) reset-aware increase cascaded from ONE shared
+    (grp, minute) rollup; resets detect strictly within a series
+    (operators/counter.cascade_keyed_counter). Oracle replays the
+    grp-partitioned lag-window formula with exact micros integers."""
+    from uwheel_datafusion_spark.operators.counter import (
+        build_keyed_counter_rollup,
+        keyed_grouped_increase_df,
+    )
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    minute = build_keyed_counter_rollup(
+        ev, "ts", "value", "event_type", EVENTS_WM_MS, EVENTS_ADV_MS,
+        cache=False,
+    )
+    return keyed_grouped_increase_df(minute, DAY_MS)
+
+
+@gate(
     "counter_increase_by_day_events",
     f"""
     WITH ev AS (

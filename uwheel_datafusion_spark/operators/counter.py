@@ -155,3 +155,62 @@ def range_increase_df(
         rate,
         F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
     )
+
+
+def build_keyed_counter_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_col: str,
+    watermark_ms: int,
+    advance_to_ms: int,
+    slot_ms: int = MINUTE_MS,
+    cache: bool = True,
+) -> DataFrame:
+    """Keyed (per-series) counter partial ``(grp, bucket_ms, first/last
+    edges in micros, inc, cnt)`` — PromQL's per-series
+    ``increase()``/``rate()`` (every Prometheus counter is a labeled
+    series): one shared build shuffle; resets detect strictly WITHIN a
+    series. NOT coalesced (scales with cardinality × slots)."""
+    ms = ts_to_ms(F.col(ts_col))
+    rows = df.filter(
+        ts_range_pred(df, ts_col, watermark_ms, advance_to_ms)
+    ).select(
+        F.col(key_col).alias("grp"),
+        bucket_ms(ms, slot_ms).alias("bucket_ms"),
+        ms.alias("ts_ms"),
+        F.col(value_col).cast("double").alias("value"),
+        value_to_micros(F.col(value_col).cast("double")).alias("vm"),
+    )
+    w = Window.partitionBy("grp", "bucket_ms").orderBy("ts_ms", "value")
+    step = _step(F.lag("vm").over(w), F.col("vm")).cast(_DEC)
+    okey = F.struct(F.col("ts_ms").alias("t"), F.col("value").alias("v"))
+    rollup = rows.withColumn("step", step).groupBy("grp", "bucket_ms").agg(
+        F.min_by(F.col("ts_ms"), okey).alias("first_ts_ms"),
+        F.min_by(F.col("vm"), okey).alias("first_vm"),
+        F.max_by(F.col("ts_ms"), okey).alias("last_ts_ms"),
+        F.max_by(F.col("vm"), okey).alias("last_vm"),
+        F.coalesce(F.sum("step"), F.lit(0).cast(_DEC)).alias("inc"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return rollup.cache() if cache else rollup
+
+
+def cascade_keyed_counter(rollup: DataFrame, slot_ms: int) -> DataFrame:
+    """A4 per series: reset-aware seams fold PARTITIONED BY the series
+    key (one hash shuffle, collect-free at any cardinality)."""
+    coarse = (F.col("bucket_ms") - F.col("bucket_ms") % F.lit(slot_ms)).alias(
+        "_cb"
+    )
+    return _combine(
+        rollup.withColumn("_cb", coarse), ["grp", "_cb"]
+    ).withColumnRenamed("_cb", "bucket_ms")
+
+
+def keyed_grouped_increase_df(rollup: DataFrame, slot_ms: int) -> DataFrame:
+    """Per-(series, coarse bucket) ``(grp, bucket_ms, increase,
+    rate_per_sec, cnt)``."""
+    inc, rate = _lowered_cols()
+    return cascade_keyed_counter(rollup, slot_ms).select(
+        "grp", "bucket_ms", inc, rate, "cnt"
+    )

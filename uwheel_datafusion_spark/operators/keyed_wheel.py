@@ -368,17 +368,24 @@ class KeyedWheelIndex:
             F.min("min_value").alias("min_value"),
             F.max("max_value").alias("max_value"),
         )
-        return qids.join(agg, "query_id", "left").select(
-            "query_id",
-            micros_to_value(F.col("_sum_micros")).alias("sum_value"),
-            F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
-            "min_value",
-            "max_value",
-            (
-                F.col("_sum_micros").cast("double")
-                / F.col("cnt").cast("double")
-                / 1_000_000
-            ).alias("avg_value"),
+        # orderBy makes the documented input-order contract REAL (the
+        # left join's output order is partitioning-dependent; caught by
+        # the sf100 scale run's dual check)
+        return (
+            qids.join(agg, "query_id", "left")
+            .select(
+                "query_id",
+                micros_to_value(F.col("_sum_micros")).alias("sum_value"),
+                F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
+                "min_value",
+                "max_value",
+                (
+                    F.col("_sum_micros").cast("double")
+                    / F.col("cnt").cast("double")
+                    / 1_000_000
+                ).alias("avg_value"),
+            )
+            .orderBy("query_id")
         )
 
     def keys(self) -> list:

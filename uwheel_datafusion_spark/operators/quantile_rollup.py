@@ -46,6 +46,11 @@ from uwheel_datafusion_spark.functions.time import (
 
 DEFAULT_BIN_WIDTH = 1.0
 
+#: single-partition serving cutoff: below this many (slot, bin) cells
+#: a cached one-partition rollup probes fastest (one task); above it,
+#: parallelism wins (see build_histogram_rollup)
+SMALL_ROLLUP_CELLS = 500_000
+
 
 def build_histogram_rollup(
     df: DataFrame,
@@ -68,11 +73,24 @@ def build_histogram_rollup(
         .groupBy("bucket_ms", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # serve from ONE partition, like WheelIndex's rollup cache: the
-    # rollup is tiny regardless of fact size (occupied (slot, bin)
-    # cells), and a range probe should be a single task, not 32
-    # near-empty launches
-    return rollup.coalesce(1).cache() if cache else rollup
+    # Serving layout is ADAPTIVE (sf100 scale-run lesson): the cell
+    # count is bounded by slots × occupied bins — flat in FACT rows,
+    # but not small in absolute terms (31 d of minutes × 100 bins ≈
+    # 4.4 M cells once the facts densify them). A small rollup serves
+    # fastest from ONE cached partition (single-task probes, no
+    # near-empty launches); a dense one must keep its parallelism or
+    # every probe serializes a multi-million-row merge onto one core
+    # (measured: 970 ms/probe single-partition vs a parallel merge —
+    # the bin merge is map-side combinable to ≤ bins rows/partition).
+    if not cache:
+        return rollup
+    cached = rollup.cache()
+    if cached.count() <= SMALL_ROLLUP_CELLS:
+        small = cached.coalesce(1).cache()
+        small.count()
+        cached.unpersist()
+        return small
+    return cached
 
 
 def cascade_histogram(rollup: DataFrame, slot_ms: int) -> DataFrame:

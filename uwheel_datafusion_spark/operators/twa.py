@@ -138,3 +138,64 @@ def range_twa_df(rollup: DataFrame, start_ms: int, end_ms: int) -> DataFrame:
         _lower_twa().alias("twa"),
         F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
     )
+
+
+def build_keyed_twa_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_col: str,
+    watermark_ms: int,
+    advance_to_ms: int,
+    slot_ms: int = MINUTE_MS,
+    cache: bool = True,
+) -> DataFrame:
+    """Keyed (per-series) TWA partial ``(grp, bucket_ms, first/last
+    edges, area, cnt)`` — TimescaleDB's per-series ``time_weight``
+    (one ``time_weight(...) GROUP BY series`` cagg): every series
+    shares ONE build shuffle (the keyed_wheel pattern); the LOCF
+    segments integrate strictly WITHIN a series — no cross-series
+    seams. NOT coalesced to one partition: keyed rollups scale with
+    key cardinality × slots."""
+    ms = ts_to_ms(F.col(ts_col))
+    rows = df.filter(
+        ts_range_pred(df, ts_col, watermark_ms, advance_to_ms)
+    ).select(
+        F.col(key_col).alias("grp"),
+        bucket_ms(ms, slot_ms).alias("bucket_ms"),
+        ms.alias("ts_ms"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    w = Window.partitionBy("grp", "bucket_ms").orderBy("ts_ms", "value")
+    seg = (
+        value_to_micros(F.lag("value").over(w)).cast(_DEC)
+        * (F.col("ts_ms") - F.lag("ts_ms").over(w)).cast(_DEC)
+    )
+    okey = F.struct(F.col("ts_ms").alias("t"), F.col("value").alias("v"))
+    rollup = rows.withColumn("seg", seg).groupBy("grp", "bucket_ms").agg(
+        F.min_by(F.col("ts_ms"), okey).alias("first_ts_ms"),
+        F.min_by(F.col("value"), okey).alias("first_v"),
+        F.max_by(F.col("ts_ms"), okey).alias("last_ts_ms"),
+        F.max_by(F.col("value"), okey).alias("last_v"),
+        F.coalesce(F.sum("seg"), F.lit(0).cast(_DEC)).alias("area"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return rollup.cache() if cache else rollup
+
+
+def cascade_keyed_twa(rollup: DataFrame, slot_ms: int) -> DataFrame:
+    """A4 per series: the ordered boundary-stitch runs PARTITIONED BY
+    the series key — each series' seams fold independently in its own
+    partition (one hash shuffle, collect-free at any cardinality)."""
+    coarse = (F.col("bucket_ms") - F.col("bucket_ms") % F.lit(slot_ms)).alias(
+        "_cb"
+    )
+    out = _combine(rollup.withColumn("_cb", coarse), ["grp", "_cb"])
+    return out.withColumnRenamed("_cb", "bucket_ms")
+
+
+def keyed_grouped_twa_df(rollup: DataFrame, slot_ms: int) -> DataFrame:
+    """Per-(series, coarse bucket) TWA ``(grp, bucket_ms, twa, cnt)``."""
+    return cascade_keyed_twa(rollup, slot_ms).select(
+        "grp", "bucket_ms", _lower_twa().alias("twa"), "cnt"
+    )

@@ -678,17 +678,25 @@ class WheelIndex:
             F.min("min_value").alias("min_value"),
             F.max("max_value").alias("max_value"),
         )
-        return qids.join(agg, "query_id", "left").select(
-            "query_id",
-            micros_to_value(F.col("sum_micros")).alias("sum_value"),
-            F.col("cnt"),
-            F.col("min_value"),
-            F.col("max_value"),
-            (
-                F.col("sum_micros").cast("double")
-                / F.col("cnt").cast("double")
-                / 1e6
-            ).alias("avg_value"),
+        # orderBy makes the documented input-order contract REAL: the
+        # left join's output order is partitioning-dependent (caught by
+        # the sf100 scale run's dual check — small SFs happened to come
+        # back ordered, 32-partition shuffles at scale do not)
+        return (
+            qids.join(agg, "query_id", "left")
+            .select(
+                "query_id",
+                micros_to_value(F.col("sum_micros")).alias("sum_value"),
+                F.col("cnt"),
+                F.col("min_value"),
+                F.col("max_value"),
+                (
+                    F.col("sum_micros").cast("double")
+                    / F.col("cnt").cast("double")
+                    / 1e6
+                ).alias("avg_value"),
+            )
+            .orderBy("query_id")
         )
 
     def range_agg_hybrid_df(
