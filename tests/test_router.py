@@ -791,3 +791,116 @@ def test_counter_rollup_route_and_fallback(spark, sf_smoke, router):
     assert tuple(got_fb) == tuple(want)
     fb_days = {(_ms(r["b"]), r["increase"]) for r in bare.sql(qd).collect()}
     assert fb_days == want_days
+
+
+def test_keyed_stitch_router_cells(spark, sf_smoke, router):
+    """Per-series candlestick / TWA / counter SQL shapes (SELECT key,
+    date_trunc, items ... GROUP BY 1, 2) route to the keyed rollups and
+    match the operators' keyed serving frames; keyed TWA/counter
+    fallbacks (keyed lag-window lowering) agree exactly."""
+    from uwheel_datafusion_spark.operators.counter import (
+        build_keyed_counter_rollup,
+        keyed_grouped_increase_df,
+    )
+    from uwheel_datafusion_spark.operators.ohlc import (
+        build_keyed_ohlc_rollup,
+        cascade_keyed_ohlc,
+    )
+    from uwheel_datafusion_spark.operators.twa import (
+        build_keyed_twa_rollup,
+        keyed_grouped_twa_df,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    day = 86_400_000
+    s, e = WM, WM + 7 * day
+    rng = (
+        f"FROM events WHERE ts >= '{ms_to_ts_literal(s)}' "
+        f"AND ts < '{ms_to_ts_literal(e)}' GROUP BY 1, 2"
+    )
+    in_rng = (F.col("bucket_ms") >= s) & (F.col("bucket_ms") < e)
+
+    koh = build_keyed_ohlc_rollup(
+        ev, "ts", "value", "event_type", WM, ADV, cache=False
+    )
+    router.register_keyed_ohlc_rollup(
+        "events", "event_type", "value", "ts", koh, WM, ADV
+    )
+    df = router.sql(
+        f"SELECT event_type, date_trunc('day', ts) AS b, "
+        f"min_by(value, ts) AS open, max(value) AS high, "
+        f"min(value) AS low, max_by(value, ts) AS close {rng}"
+    )
+    assert router.last_decision.path == "keyed_ohlc_rollup"
+    got = {
+        (r["event_type"], _ms(r["b"]), r["open"], r["close"])
+        for r in df.collect()
+    }
+    want = {
+        (r["grp"], r["bucket_ms"], r["open"], r["close"])
+        for r in cascade_keyed_ohlc(koh, day).filter(in_rng).collect()
+    }
+    assert got == want and len(want) > 0
+
+    ktw = build_keyed_twa_rollup(
+        ev, "ts", "value", "event_type", WM, ADV, cache=False
+    )
+    router.register_keyed_twa_rollup(
+        "events", "event_type", "value", "ts", ktw, WM, ADV
+    )
+    q_twa = (
+        f"SELECT event_type, date_trunc('day', ts) AS b, "
+        f"TWA(value, ts) AS twa, COUNT(*) AS cnt {rng}"
+    )
+    df = router.sql(q_twa)
+    assert router.last_decision.path == "keyed_twa_rollup"
+    got = {
+        (r["event_type"], _ms(r["b"]), r["twa"], r["cnt"])
+        for r in df.collect()
+    }
+    want = {
+        (r["grp"], r["bucket_ms"], r["twa"], r["cnt"])
+        for r in keyed_grouped_twa_df(ktw, day).filter(in_rng).collect()
+    }
+    assert got == want
+
+    kct = build_keyed_counter_rollup(
+        ev, "ts", "value", "event_type", WM, ADV, cache=False
+    )
+    router.register_keyed_counter_rollup(
+        "events", "event_type", "value", "ts", kct, WM, ADV
+    )
+    q_ctr = (
+        f"SELECT event_type, date_trunc('day', ts) AS b, "
+        f"COUNTER_INCREASE(value, ts) AS increase, "
+        f"COUNTER_RATE(value, ts) AS rate_per_sec {rng}"
+    )
+    df = router.sql(q_ctr)
+    assert router.last_decision.path == "keyed_counter_rollup"
+    got = {
+        (r["event_type"], _ms(r["b"]), r["increase"], r["rate_per_sec"])
+        for r in df.collect()
+    }
+    want = {
+        (r["grp"], r["bucket_ms"], r["increase"], r["rate_per_sec"])
+        for r in keyed_grouped_increase_df(kct, day).filter(in_rng).collect()
+    }
+    assert got == want
+
+    # keyed fallbacks (unregistered router): keyed lag-window lowering
+    # must agree exactly with the rollup-served values
+    bare = WheelSqlRouter(spark)
+    fb = {
+        (r["event_type"], _ms(r["b"]), r["twa"], r["cnt"])
+        for r in bare.sql(q_twa).collect()
+    }
+    assert bare.last_decision.path == "sql"
+    assert fb == {
+        (r["grp"], r["bucket_ms"], r["twa"], r["cnt"])
+        for r in keyed_grouped_twa_df(ktw, day).filter(in_rng).collect()
+    }
+    fb_c = {
+        (r["event_type"], _ms(r["b"]), r["increase"], r["rate_per_sec"])
+        for r in bare.sql(q_ctr).collect()
+    }
+    assert fb_c == want

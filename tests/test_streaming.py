@@ -994,3 +994,45 @@ def test_upsert_rollup_idempotent_and_torn_swap_recovery(spark, tmp_path):
         r["bucket_ms"]: r["cnt"] for r in load_rollup(spark, path).collect()
     }
     assert set(got2) == {WM, WM + day, WM + 2 * day}
+
+
+def test_streaming_keyed_table_sink(spark, sf_smoke, tmp_path):
+    """Keyed StreamingWheel with table_dir: the dt-partitioned table
+    upserts on (key, bucket_ms) and converges to the batch keyed
+    rollup bit-for-bit."""
+    from uwheel_datafusion_spark.operators.keyed_wheel import KeyedWheelIndex
+    from uwheel_datafusion_spark.operators.rollup_io import load_rollup
+
+    ev = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "ktbl_in")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ktbl_ckpt")
+    table = str(tmp_path / "ktbl_rollup")
+
+    ev.repartitionByRange(3, "ts").write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("ts", "value", "event_type")
+    )
+    w = StreamingWheel(
+        stream, "ts", "value", watermark_delay="31 days",
+        key_col="event_type",
+    )
+    w.start(ckpt, table_dir=table)
+    w.process_available()
+    w.stop()
+
+    got = {
+        (r["key"], r["bucket_ms"]): (r["sum_micros"], r["cnt"])
+        for r in load_rollup(spark, table).collect()
+    }
+    batch = KeyedWheelIndex.build_rollup(
+        ev, "event_type", "ts", "value", WM, ADV
+    )
+    want = {
+        (r["key"], r["bucket_ms"]): (r["sum_micros"], r["cnt"])
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 0

@@ -134,6 +134,7 @@ class WheelEngine:
                     )
             if ohlc:
                 from uwheel_datafusion_spark.operators.ohlc import (
+                    build_keyed_ohlc_rollup,
                     build_ohlc_rollup,
                 )
 
@@ -146,8 +147,19 @@ class WheelEngine:
                     table, value_col, ts_col, oh,
                     watermark_ms, advance_to_ms,
                 )
+                if key_col is not None:
+                    koh = build_keyed_ohlc_rollup(
+                        df, ts_col, value_col, key_col,
+                        watermark_ms, advance_to_ms, cache=cache,
+                    )
+                    layers["keyed_ohlc"] = koh
+                    r.register_keyed_ohlc_rollup(
+                        table, key_col, value_col, ts_col, koh,
+                        watermark_ms, advance_to_ms,
+                    )
             if twa:
                 from uwheel_datafusion_spark.operators.twa import (
+                    build_keyed_twa_rollup,
                     build_twa_rollup,
                 )
 
@@ -160,9 +172,20 @@ class WheelEngine:
                     table, value_col, ts_col, tw,
                     watermark_ms, advance_to_ms,
                 )
+                if key_col is not None:
+                    ktw = build_keyed_twa_rollup(
+                        df, ts_col, value_col, key_col,
+                        watermark_ms, advance_to_ms, cache=cache,
+                    )
+                    layers["keyed_twa"] = ktw
+                    r.register_keyed_twa_rollup(
+                        table, key_col, value_col, ts_col, ktw,
+                        watermark_ms, advance_to_ms,
+                    )
             if counter:
                 from uwheel_datafusion_spark.operators.counter import (
                     build_counter_rollup,
+                    build_keyed_counter_rollup,
                 )
 
                 ct = build_counter_rollup(
@@ -174,6 +197,16 @@ class WheelEngine:
                     table, value_col, ts_col, ct,
                     watermark_ms, advance_to_ms,
                 )
+                if key_col is not None:
+                    kct = build_keyed_counter_rollup(
+                        df, ts_col, value_col, key_col,
+                        watermark_ms, advance_to_ms, cache=cache,
+                    )
+                    layers["keyed_counter"] = kct
+                    r.register_keyed_counter_rollup(
+                        table, key_col, value_col, ts_col, kct,
+                        watermark_ms, advance_to_ms,
+                    )
             if key_col is not None:
                 from uwheel_datafusion_spark.operators.keyed_wheel import (
                     KeyedWheelIndex,

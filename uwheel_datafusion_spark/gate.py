@@ -941,6 +941,128 @@ def keyed_sketch_batch_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@gate(
+    "router_keyed_ohlc_day",
+    f"""
+    WITH ev AS (
+        SELECT event_type AS grp,
+               (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS bucket_ms,
+               epoch_ms(ts) AS ts_ms, value
+        FROM events
+        WHERE ts >= {_ts_lit(RANGE_DAY[0])} AND ts < {_ts_lit(RANGE_DAY[1])}
+    ),
+    r AS (
+        SELECT grp, bucket_ms, value,
+               row_number() OVER (
+                   PARTITION BY grp, bucket_ms ORDER BY ts_ms, value
+               ) AS rn_o,
+               row_number() OVER (
+                   PARTITION BY grp, bucket_ms ORDER BY ts_ms DESC, value DESC
+               ) AS rn_c
+        FROM ev
+    )
+    SELECT grp, bucket_ms,
+           MIN(CASE WHEN rn_o = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MIN(CASE WHEN rn_c = 1 THEN value END) AS close,
+           COUNT(*) AS cnt
+    FROM r GROUP BY grp, bucket_ms
+    """,
+)
+def router_keyed_ohlc_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed OHLC cell of the router matrix: per-series candlestick SQL
+    (SELECT key, date_trunc('day'), min_by/max/min/max_by ... GROUP BY
+    1, 2) recognized and served from the registered keyed OHLC rollup —
+    one per-series candle cascade, never the fact scan."""
+    from uwheel_datafusion_spark.functions.time import ms_to_ts_literal, ts_to_ms
+    from uwheel_datafusion_spark.operators.ohlc import build_keyed_ohlc_rollup
+
+    r = _events_router(spark, sf_dir)
+    r.register_keyed_ohlc_rollup(
+        "events", "event_type", "value", "ts",
+        build_keyed_ohlc_rollup(
+            load_table(spark, sf_dir, "events"),
+            "ts", "value", "event_type", EVENTS_WM_MS, EVENTS_ADV_MS,
+            cache=False,
+        ),
+        EVENTS_WM_MS, EVENTS_ADV_MS,
+    )
+    s, e = RANGE_DAY
+    df = r.sql(
+        f"SELECT event_type, date_trunc('day', ts) AS b, "
+        f"min_by(value, ts) AS open, max(value) AS high, "
+        f"min(value) AS low, max_by(value, struct(ts, value)) AS close, "
+        f"count(*) AS cnt FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' "
+        f"AND ts < '{ms_to_ts_literal(e)}' GROUP BY 1, 2"
+    )
+    assert r.last_decision.path == "keyed_ohlc_rollup", r.last_decision
+    return df.select(
+        F.col("event_type").alias("grp"),
+        ts_to_ms(F.col("b")).alias("bucket_ms"),
+        "open", "high", "low", "close", "cnt",
+    )
+
+
+@gate(
+    "router_keyed_counter_day",
+    f"""
+    WITH ev AS (
+        SELECT event_type AS grp,
+               (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS b,
+               epoch_ms(ts) AS t,
+               CAST(round(value * 1000000) AS BIGINT) AS vm
+        FROM events
+        WHERE ts >= {_ts_lit(RANGE_DAY[0])} AND ts < {_ts_lit(RANGE_DAY[1])}
+    ),
+    o AS (
+        SELECT grp, b, t, vm, lag(vm) OVER w AS pvm
+        FROM ev WINDOW w AS (PARTITION BY grp, b ORDER BY t, vm)
+    )
+    SELECT grp, b AS bucket_ms,
+           CAST(SUM(CASE WHEN pvm IS NULL THEN 0
+                         WHEN vm >= pvm THEN vm - pvm
+                         ELSE vm END) AS DOUBLE) / 1000000.0 AS increase,
+           COUNT(*) AS cnt
+    FROM o GROUP BY grp, b
+    """,
+)
+def router_keyed_counter_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed counter cell of the router matrix: per-series
+    COUNTER_INCREASE grouped SQL (PromQL labeled series) recognized
+    and served from the registered keyed counter rollup — reset-aware
+    stitch per series, never the fact scan."""
+    from uwheel_datafusion_spark.functions.time import ms_to_ts_literal, ts_to_ms
+    from uwheel_datafusion_spark.operators.counter import (
+        build_keyed_counter_rollup,
+    )
+
+    r = _events_router(spark, sf_dir)
+    r.register_keyed_counter_rollup(
+        "events", "event_type", "value", "ts",
+        build_keyed_counter_rollup(
+            load_table(spark, sf_dir, "events"),
+            "ts", "value", "event_type", EVENTS_WM_MS, EVENTS_ADV_MS,
+            cache=False,
+        ),
+        EVENTS_WM_MS, EVENTS_ADV_MS,
+    )
+    s, e = RANGE_DAY
+    df = r.sql(
+        f"SELECT event_type, date_trunc('day', ts) AS b, "
+        f"COUNTER_INCREASE(value, ts) AS increase, COUNT(*) AS cnt "
+        f"FROM events WHERE ts >= '{ms_to_ts_literal(s)}' "
+        f"AND ts < '{ms_to_ts_literal(e)}' GROUP BY 1, 2"
+    )
+    assert r.last_decision.path == "keyed_counter_rollup", r.last_decision
+    return df.select(
+        F.col("event_type").alias("grp"),
+        ts_to_ms(F.col("b")).alias("bucket_ms"),
+        "increase", "cnt",
+    )
+
+
 @gate("wheel_backfill_day", _rollup_oracle(DAY_MS))
 def wheel_backfill_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backfill lifecycle, driver-gated end-to-end: build the index
@@ -5521,10 +5643,12 @@ _DRIVER_WINDOW = [
     "engine_batch_quantile_ohlc",
     "keyed_sketch_batch_served",
     "streaming_table_sink_parity",
+    "twa_by_type_day",
+    "counter_increase_by_type_day",
+    "router_keyed_ohlc_day",
     # --- wheel core ---
     "wheel_rollup_hour",
     "wheel_range_minute_aligned",
-    "wheel_landmark",
     "wheel_range_unaligned_hybrid",
     "wheel_topn_minutes",
     "wheel_second_aligned_range",
@@ -5546,9 +5670,8 @@ _DRIVER_WINDOW = [
     "router_topk_users_day",
     "router_median_day_rollup",
     "router_keyed_distinct_day",
-    # --- sketch families ---
+    # --- sketch families (keyed cells covered by the r6 additions) ---
     "quantile_median_by_day_hist",
-    "ohlc_by_type_day",
     "m4_downsample_200px",
     "twa_by_day_events",
     "counter_increase_by_day_events",
@@ -5560,7 +5683,6 @@ _DRIVER_WINDOW = [
     "anomaly_keyed_hourly_3sigma",
     # --- SQL surface (joins, subqueries, windows) ---
     "tpch_q1_pricing_summary",
-    "tpch_q9_product_profit",
     "tpch_q21_waiting_supplier",
     "asof_join_purchase_to_click",
     "session_window_30m_by_user",

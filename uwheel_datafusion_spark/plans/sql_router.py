@@ -332,6 +332,41 @@ _CTR_GROUP_PATTERN = re.compile(
 )
 
 
+#: keyed (per-series) forms of the three stitch families:
+#: SELECT <key> [AS k], date_trunc('<g>', ts) [AS b], <items>
+#: FROM t WHERE <range> GROUP BY (1, 2 | key, bucket) — served from
+#: the registered keyed rollups (one shared (grp, slot) shuffle;
+#: per-series cascade; collect-free at any key cardinality).
+_KEYED_PREFIX = (
+    r"^\s*SELECT\s+(?P<key>\w+)(?:\s+AS\s+(?P<kalias>\w+))?\s*,\s*"
+)
+
+_GROUP_BY_KEY_BUCKET = (
+    r"GROUP\s+BY\s+(?:1\s*,\s*2|(?P<gb_key>\w+)\s*,\s*(?P<gb_bucket>\w+))"
+)
+
+_KEYED_OHLC_PATTERN = re.compile(
+    _KEYED_PREFIX + _DT_BUCKET + r",\s*" + _OHLC_ITEMS
+    + r"\s+FROM\s+(?P<table>\w+)\s+" + _WHERE_RANGE + r"\s*"
+    + _GROUP_BY_KEY_BUCKET + r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_KEYED_TWA_PATTERN = re.compile(
+    _KEYED_PREFIX + _DT_BUCKET + r",\s*" + _TWA_ITEMS
+    + r"\s+FROM\s+(?P<table>\w+)\s+" + _WHERE_RANGE + r"\s*"
+    + _GROUP_BY_KEY_BUCKET + r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_KEYED_CTR_PATTERN = re.compile(
+    _KEYED_PREFIX + _DT_BUCKET + r",\s*" + _CTR_ITEMS
+    + r"\s+FROM\s+(?P<table>\w+)\s+" + _WHERE_RANGE + r"\s*"
+    + _GROUP_BY_KEY_BUCKET + r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
 def _parse_ts_literal(lit: str) -> int | None:
     """Naive-UTC timestamp literal → epoch ms (the string form the
     reference interpolates, /root/reference/src/main.rs:242-258)."""
@@ -402,7 +437,26 @@ def _range_where(m: re.Match) -> str:
     )
 
 
-def _twa_fallback_sql(m: re.Match, grouped: bool) -> str:
+def _fb_clauses(m: re.Match, grouped: bool, keyed: bool):
+    """Shared SELECT/WINDOW/GROUP BY scaffolding for the TWA/counter
+    lag-window lowerings (keyed adds the series key to every clause)."""
+    ts = m["ts1"]
+    k_sel = f"{m['key']} AS k, " if keyed else ""
+    k_out = f"k AS {m['kalias'] or m['key']}, " if keyed else ""
+    b_sel = f"DATE_TRUNC('{m['gran']}', {ts}) AS b, " if grouped else ""
+    b_out = f"b AS {m['balias'] or 'bucket'}, " if grouped else ""
+    part_cols = [c for c, on in (("k", keyed), ("b", grouped)) if on]
+    mid = ("".join(f"{c}, " for c in part_cols))
+    if part_cols:
+        over_prefix = f"(PARTITION BY {', '.join(part_cols)} ORDER BY "
+        tail = f" GROUP BY {', '.join(part_cols)}"
+    else:
+        over_prefix = "(ORDER BY "
+        tail = ""
+    return k_sel + b_sel, k_out + b_out, mid, over_prefix, tail
+
+
+def _twa_fallback_sql(m: re.Match, grouped: bool, keyed: bool = False) -> str:
     """Lower a matched-but-unservable TWA query to a Spark lag-window
     statement over the fact table — the same LOCF step-function
     integral the rollup combine computes (exact-integer micros×ms
@@ -421,30 +475,29 @@ def _twa_fallback_sql(m: re.Match, grouped: bool) -> str:
     cnt = ""
     if m["cnt"] is not None:
         cnt = f", COUNT(*) AS {m['cntalias'] or 'cnt'}"
-    b_sel = f"DATE_TRUNC('{m['gran']}', {ts}) AS b, " if grouped else ""
-    b_out = f"b AS {m['balias'] or 'bucket'}, " if grouped else ""
-    over = "(PARTITION BY b ORDER BY t, v)" if grouped else "(ORDER BY t, v)"
-    tail = " GROUP BY b" if grouped else ""
+    sel, out, mid, over_prefix, tail = _fb_clauses(m, grouped, keyed)
     return f"""
         WITH ev AS (
-            SELECT {b_sel}CAST(floor(unix_micros(
+            SELECT {sel}CAST(floor(unix_micros(
                        CAST({ts} AS TIMESTAMP)) / 1000) AS BIGINT) AS t,
                    {v} AS v
             FROM {m['table']} {_range_where(m)}
         ),
         o AS (
-            SELECT {'b, ' if grouped else ''}t, v,
+            SELECT {mid}t, v,
                    lag(t) OVER w AS pt,
                    lag(CAST(round(v * 1000000) AS BIGINT)) OVER w AS pvm,
                    row_number() OVER w AS rn
-            FROM ev WINDOW w AS {over}
+            FROM ev WINDOW w AS {over_prefix}t, v)
         )
-        SELECT {b_out}{twa_expr} AS {alias}{cnt}
+        SELECT {out}{twa_expr} AS {alias}{cnt}
         FROM o{tail}
     """
 
 
-def _counter_fallback_sql(m: re.Match, grouped: bool) -> str:
+def _counter_fallback_sql(
+    m: re.Match, grouped: bool, keyed: bool = False
+) -> str:
     """Lower a matched-but-unservable COUNTER_INCREASE/RATE query to a
     Spark lag-window statement — PromQL reset semantics (a drop counts
     the new value), exact micros integers summed as DECIMAL."""
@@ -464,22 +517,19 @@ def _counter_fallback_sql(m: re.Match, grouped: bool) -> str:
         )
     if m["cnt"] is not None:
         items.append(f"COUNT(*) AS {m['cntalias'] or 'cnt'}")
-    b_sel = f"DATE_TRUNC('{m['gran']}', {ts}) AS b, " if grouped else ""
-    b_out = f"b AS {m['balias'] or 'bucket'}, " if grouped else ""
-    over = "(PARTITION BY b ORDER BY t, vm)" if grouped else "(ORDER BY t, vm)"
-    tail = " GROUP BY b" if grouped else ""
+    sel, out, mid, over_prefix, tail = _fb_clauses(m, grouped, keyed)
     return f"""
         WITH ev AS (
-            SELECT {b_sel}CAST(floor(unix_micros(
+            SELECT {sel}CAST(floor(unix_micros(
                        CAST({ts} AS TIMESTAMP)) / 1000) AS BIGINT) AS t,
                    CAST(round({v} * 1000000) AS BIGINT) AS vm
             FROM {m['table']} {_range_where(m)}
         ),
         o AS (
-            SELECT {'b, ' if grouped else ''}t, vm, lag(vm) OVER w AS pvm
-            FROM ev WINDOW w AS {over}
+            SELECT {mid}t, vm, lag(vm) OVER w AS pvm
+            FROM ev WINDOW w AS {over_prefix}t, vm)
         )
-        SELECT {b_out}{', '.join(items)}
+        SELECT {out}{', '.join(items)}
         FROM o{tail}
     """
 
@@ -507,6 +557,10 @@ class WheelSqlRouter:
         self._ohlc: dict[str, tuple] = {}
         self._twa: dict[str, tuple] = {}
         self._counter: dict[str, tuple] = {}
+        #: (table, key_col) → (ts_col, value_col, rollup, slot_ms, wm, adv)
+        self._kohlc: dict[tuple, tuple] = {}
+        self._ktwa: dict[tuple, tuple] = {}
+        self._kcounter: dict[tuple, tuple] = {}
         self.last_decision: RouteDecision | None = None
 
     def register_index(
@@ -685,6 +739,42 @@ class WheelSqlRouter:
             watermark_ms, advanced_ms,
         )
 
+    def register_keyed_ohlc_rollup(
+        self, table, key_col, value_col, ts_col, rollup,
+        watermark_ms, advanced_ms, slot_ms: int = MINUTE_MS,
+    ) -> None:
+        """Keyed OHLC (build_keyed_ohlc_rollup): per-series candlestick
+        SQL (`SELECT key, date_trunc, min_by… GROUP BY 1, 2`) rewrites
+        onto it — one per-series cascade, never the fact scan."""
+        self._kohlc[(table.lower(), key_col.lower())] = (
+            ts_col.lower(), value_col.lower(), rollup, slot_ms,
+            watermark_ms, advanced_ms,
+        )
+
+    def register_keyed_twa_rollup(
+        self, table, key_col, value_col, ts_col, rollup,
+        watermark_ms, advanced_ms, slot_ms: int = MINUTE_MS,
+    ) -> None:
+        """Keyed TWA (build_keyed_twa_rollup): per-series
+        TWA(value, ts) grouped SQL rewrites onto it; unservable
+        matches lower to a keyed lag-window scan."""
+        self._ktwa[(table.lower(), key_col.lower())] = (
+            ts_col.lower(), value_col.lower(), rollup, slot_ms,
+            watermark_ms, advanced_ms,
+        )
+
+    def register_keyed_counter_rollup(
+        self, table, key_col, value_col, ts_col, rollup,
+        watermark_ms, advanced_ms, slot_ms: int = MINUTE_MS,
+    ) -> None:
+        """Keyed counter (build_keyed_counter_rollup): per-series
+        COUNTER_INCREASE/RATE grouped SQL rewrites onto it; unservable
+        matches lower to a keyed lag-window scan."""
+        self._kcounter[(table.lower(), key_col.lower())] = (
+            ts_col.lower(), value_col.lower(), rollup, slot_ms,
+            watermark_ms, advanced_ms,
+        )
+
     def register_count_rollup(
         self,
         table: str,
@@ -728,6 +818,9 @@ class WheelSqlRouter:
                 return self._decide_median(mm, grouped=False)
         if "MIN_BY" in qu and "MAX_BY" in qu:
             if "GROUP" in qu:
+                km = _KEYED_OHLC_PATTERN.match(query)
+                if km is not None:
+                    return self._decide_keyed_ohlc(km)
                 om = _OHLC_GROUP_PATTERN.match(query)
                 if om is not None:
                     return self._decide_ohlc(om, grouped=True)
@@ -736,6 +829,9 @@ class WheelSqlRouter:
                 return self._decide_ohlc(om, grouped=False)
         if "TWA" in qu or "TIME_WEIGHTED_AVG" in qu:
             if "GROUP" in qu:
+                km = _KEYED_TWA_PATTERN.match(query)
+                if km is not None:
+                    return self._decide_keyed_twa(km)
                 tw = _TWA_GROUP_PATTERN.match(query)
                 if tw is not None:
                     return self._decide_twa(tw, grouped=True)
@@ -744,6 +840,9 @@ class WheelSqlRouter:
                 return self._decide_twa(tw, grouped=False)
         if "COUNTER_INCREASE" in qu:
             if "GROUP" in qu:
+                km = _KEYED_CTR_PATTERN.match(query)
+                if km is not None:
+                    return self._decide_keyed_counter(km)
                 cm = _CTR_GROUP_PATTERN.match(query)
                 if cm is not None:
                     return self._decide_counter(cm, grouped=True)
@@ -986,6 +1085,200 @@ class WheelSqlRouter:
         if s < wm or e > adv:
             return "range outside the rollup horizon"
         return (s, e, gran, balias)
+
+    def _keyed_stitch_range(self, m: re.Match, ts_col: str, slot_ms: int,
+                            wm: int, adv: int):
+        """Keyed-form twin of _stitch_range. Returns
+        ``(s, e, gran, balias, kalias)`` or a fallback-reason string."""
+        ts_refs = {m["ts0"].lower(), m["ts1"].lower(), m["ts2"].lower()}
+        if ts_refs != {ts_col}:
+            return "bucket/filter column is not the rollup ts"
+        gran = m["gran"].lower()
+        kalias = m["kalias"] or m["key"]
+        balias = m["balias"] or "bucket"
+        if m["gb_key"] and m["gb_key"].lower() not in (
+            m["key"].lower(), kalias.lower(),
+        ):
+            return "GROUP BY key is not the series key"
+        if m["gb_bucket"] and m["gb_bucket"].lower() not in (
+            balias.lower(), ts_col,
+        ):
+            return "GROUP BY bucket is not the bucket expr"
+        s = _parse_ts_literal(m["start"])
+        e = _parse_ts_literal(m["end"])
+        if s is None or e is None:
+            return "unparseable timestamp literal"
+        if s % slot_ms or e % slot_ms:
+            return "endpoints not aligned to the rollup slot grain"
+        if s < wm or e > adv:
+            return "range outside the rollup horizon"
+        return (s, e, gran, balias, kalias)
+
+    def _decide_keyed_ohlc(self, m: re.Match) -> RouteDecision:
+        table, key = m["table"].lower(), m["key"].lower()
+        reg = self._kohlc.get((table, key))
+        if reg is None:
+            return RouteDecision(
+                "sql", f"no keyed OHLC rollup for ({table}, {key})"
+            )
+        ts_col, value_col, _rollup, slot_ms, wm, adv = reg
+        if {m["ov"].lower(), m["hv"].lower(), m["lv"].lower(),
+                m["cv"].lower()} != {value_col}:
+            return RouteDecision(
+                "sql", "aggregated column is not the rollup value"
+            )
+        for k, k1, k2 in (("ok", "ok1", "ok2"), ("ck", "ck1", "ck2")):
+            if m[k] is not None:
+                ok = m[k].lower() == ts_col
+            else:
+                ok = (m[k1].lower(), m[k2].lower()) == (ts_col, value_col)
+            if not ok:
+                return RouteDecision(
+                    "sql", "min_by/max_by order key is not the rollup ts"
+                )
+        rng = self._keyed_stitch_range(m, ts_col, slot_ms, wm, adv)
+        if isinstance(rng, str):
+            return RouteDecision("sql", rng)
+        s, e, gran, balias, kalias = rng
+        items = [
+            ("OPEN", m["oalias"] or "open"),
+            ("HIGH", m["halias"] or "high"),
+            ("LOW", m["lalias"] or "low"),
+            ("CLOSE", m["calias"] or "close"),
+        ]
+        if m["cnt"] is not None:
+            items.append(("CNT", m["cntalias"] or "cnt"))
+        return RouteDecision(
+            "keyed_ohlc_rollup",
+            "rewritten onto keyed OHLC rollup (per-series candle cascade)",
+            table, "OHLC", (s, e), tuple(items),
+            granularity=gran, bucket_alias=balias,
+            key_alias=kalias, key_col=key, value_col=value_col,
+        )
+
+    def _decide_keyed_twa(self, m: re.Match) -> RouteDecision:
+        table, key = m["table"].lower(), m["key"].lower()
+        fb = _twa_fallback_sql(m, grouped=True, keyed=True)
+        reg = self._ktwa.get((table, key))
+        if reg is None:
+            return RouteDecision(
+                "sql", f"no keyed TWA rollup for ({table}, {key})",
+                fallback_sql=fb,
+            )
+        ts_col, value_col, _rollup, slot_ms, wm, adv = reg
+        if m["tv"].lower() != value_col or m["tts"].lower() != ts_col:
+            return RouteDecision(
+                "sql", "TWA columns are not the rollup (value, ts)",
+                fallback_sql=fb,
+            )
+        rng = self._keyed_stitch_range(m, ts_col, slot_ms, wm, adv)
+        if isinstance(rng, str):
+            return RouteDecision("sql", rng, fallback_sql=fb)
+        s, e, gran, balias, kalias = rng
+        items = [("TWA", m["talias"] or "twa")]
+        if m["cnt"] is not None:
+            items.append(("CNT", m["cntalias"] or "cnt"))
+        return RouteDecision(
+            "keyed_twa_rollup",
+            "rewritten onto keyed TWA rollup (per-series stitch)",
+            table, "TWA", (s, e), tuple(items),
+            granularity=gran, bucket_alias=balias,
+            key_alias=kalias, key_col=key, value_col=value_col,
+        )
+
+    def _decide_keyed_counter(self, m: re.Match) -> RouteDecision:
+        table, key = m["table"].lower(), m["key"].lower()
+        fb = _counter_fallback_sql(m, grouped=True, keyed=True)
+        reg = self._kcounter.get((table, key))
+        if reg is None:
+            return RouteDecision(
+                "sql", f"no keyed counter rollup for ({table}, {key})",
+                fallback_sql=fb,
+            )
+        ts_col, value_col, _rollup, slot_ms, wm, adv = reg
+        cols_ok = m["iv"].lower() == value_col and m["its"].lower() == ts_col
+        if m["rv"] is not None:
+            cols_ok = cols_ok and (
+                m["rv"].lower() == value_col and m["rts"].lower() == ts_col
+            )
+        if not cols_ok:
+            return RouteDecision(
+                "sql", "counter columns are not the rollup (value, ts)",
+                fallback_sql=fb,
+            )
+        rng = self._keyed_stitch_range(m, ts_col, slot_ms, wm, adv)
+        if isinstance(rng, str):
+            return RouteDecision("sql", rng, fallback_sql=fb)
+        s, e, gran, balias, kalias = rng
+        items = [("INCREASE", m["ialias"] or "increase")]
+        if m["rv"] is not None:
+            items.append(("RATE", m["ralias"] or "rate_per_sec"))
+        if m["cnt"] is not None:
+            items.append(("CNT", m["cntalias"] or "cnt"))
+        return RouteDecision(
+            "keyed_counter_rollup",
+            "rewritten onto keyed counter rollup (per-series stitch)",
+            table, "COUNTER", (s, e), tuple(items),
+            granularity=gran, bucket_alias=balias,
+            key_alias=kalias, key_col=key, value_col=value_col,
+        )
+
+    def _serve_keyed_stitch(self, d: RouteDecision, reg, grouped_fn,
+                            out_cols) -> DataFrame:
+        """Shared keyed-stitch serving: bucket-range filter, per-series
+        cascade to the requested grain, alias the requested items."""
+        from pyspark.sql import functions as F
+
+        from uwheel_datafusion_spark.functions.time import GRANULARITY_MS
+        from uwheel_datafusion_spark.operators.wheel import _bucket_range_pred
+
+        _ts, _v, rollup, _slot, _wm, _adv = reg
+        s, e = d.range_ms
+        aliases = dict(d.items)
+        part = rollup.filter(_bucket_range_pred(rollup, s, e))
+        out = grouped_fn(part, GRANULARITY_MS[d.granularity])
+        cols = [
+            F.col("grp").alias(d.key_alias),
+            F.timestamp_millis(F.col("bucket_ms"))
+            .cast("timestamp_ntz")
+            .alias(d.bucket_alias),
+        ]
+        for role, src in out_cols:
+            if role in aliases:
+                col = F.col(src)
+                if role == "CNT":
+                    col = F.coalesce(col, F.lit(0).cast("long"))
+                cols.append(col.alias(aliases[role]))
+        return out.select(*cols)
+
+    def _serve_keyed_ohlc_rollup(self, d: RouteDecision) -> DataFrame:
+        from uwheel_datafusion_spark.operators.ohlc import cascade_keyed_ohlc
+
+        return self._serve_keyed_stitch(
+            d, self._kohlc[(d.table, d.key_col)], cascade_keyed_ohlc,
+            (("OPEN", "open"), ("HIGH", "high"), ("LOW", "low"),
+             ("CLOSE", "close"), ("CNT", "cnt")),
+        )
+
+    def _serve_keyed_twa_rollup(self, d: RouteDecision) -> DataFrame:
+        from uwheel_datafusion_spark.operators.twa import keyed_grouped_twa_df
+
+        return self._serve_keyed_stitch(
+            d, self._ktwa[(d.table, d.key_col)], keyed_grouped_twa_df,
+            (("TWA", "twa"), ("CNT", "cnt")),
+        )
+
+    def _serve_keyed_counter_rollup(self, d: RouteDecision) -> DataFrame:
+        from uwheel_datafusion_spark.operators.counter import (
+            keyed_grouped_increase_df,
+        )
+
+        return self._serve_keyed_stitch(
+            d, self._kcounter[(d.table, d.key_col)],
+            keyed_grouped_increase_df,
+            (("INCREASE", "increase"), ("RATE", "rate_per_sec"),
+             ("CNT", "cnt")),
+        )
 
     def _decide_ohlc(self, m: re.Match, grouped: bool) -> RouteDecision:
         """Candlestick shape → OHLC-rollup rewrite. Unservable matches
@@ -1543,7 +1836,8 @@ class WheelSqlRouter:
         if d.path in (
             "rollup", "keyed_rollup", "distinct_rollup", "count_rollup",
             "keyed_quantile_rollup", "ohlc_rollup", "twa_rollup",
-            "counter_rollup",
+            "counter_rollup", "keyed_ohlc_rollup", "keyed_twa_rollup",
+            "keyed_counter_rollup",
         ) or (
             d.path == "index" and len(d.items) > 1
         ) or (
@@ -1603,6 +1897,12 @@ class WheelSqlRouter:
             return self._serve_twa_rollup(d)
         if d.path == "counter_rollup":
             return self._serve_counter_rollup(d)
+        if d.path == "keyed_ohlc_rollup":
+            return self._serve_keyed_ohlc_rollup(d)
+        if d.path == "keyed_twa_rollup":
+            return self._serve_keyed_twa_rollup(d)
+        if d.path == "keyed_counter_rollup":
+            return self._serve_keyed_counter_rollup(d)
         _, _, index = self._indexes[d.table]
         di = index.to_driver_index()
         s, e = d.range_ms
