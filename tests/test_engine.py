@@ -197,3 +197,40 @@ def test_batch_serves_all_six_families(spark, engine):
         WheelEngine(spark).batch("events", "quantile", ranges)
     with pytest.raises(ValueError, match="unknown batch family"):
         engine.batch("events", "m4", ranges)
+
+
+def test_batch_keyed_families(spark, engine):
+    """eng.batch keyed families: (key, range) probes in one job, equal
+    to the keyed per-probe twins."""
+    from uwheel_datafusion_spark.operators.ohlc import range_ohlc_df
+    from uwheel_datafusion_spark.operators.quantile_rollup import (
+        range_quantile_df,
+    )
+
+    day = 86_400_000
+    probes = [
+        ("view", WM, WM + day),
+        ("click", WM + 3 * day, WM + 3 * day + 6 * 3_600_000),
+        ("no_such", WM, WM + 7 * day),
+    ]
+    layers = engine._layers["events"]
+
+    ka = {r["query_id"]: r for r in engine.batch("events", "keyed_agg", probes).collect()}
+    assert len(ka) == len(probes)
+    for i, (k, s, e) in enumerate(probes):
+        truth = spark.sql(
+            f"SELECT COUNT(*) FROM events WHERE event_type = '{k}' "
+            f"AND ts >= timestamp_millis({s}) AND ts < timestamp_millis({e})"
+        ).first()[0]
+        assert ka[i]["cnt"] == truth
+
+    kq = {r["query_id"]: r["approx_quantile"]
+          for r in engine.batch("events", "keyed_quantile", probes).collect()}
+    ko = {r["query_id"]: tuple(r)[1:]
+          for r in engine.batch("events", "keyed_ohlc", probes).collect()}
+    for i, (k, s, e) in enumerate(probes):
+        hq = layers["keyed_quantile"].filter(F.col("grp") == k).drop("grp")
+        assert kq[i] == range_quantile_df(hq, s, e, 0.5).first()[0]
+        ho = layers["keyed_ohlc"].filter(F.col("grp") == k).drop("grp")
+        assert ko[i] == tuple(range_ohlc_df(ho, s, e).first())
+    assert kq[2] is None and ko[2][-1] == 0  # unknown key → null/0

@@ -124,12 +124,13 @@ class WheelEngine:
                     watermark_ms, advance_to_ms,
                 )
                 if key_col is not None:
+                    khist = build_keyed_histogram_rollup(
+                        df, ts_col, value_col, key_col,
+                        watermark_ms, advance_to_ms, cache=cache,
+                    )
+                    layers["keyed_quantile"] = khist
                     r.register_keyed_histogram_rollup(
-                        table, key_col, value_col, ts_col,
-                        build_keyed_histogram_rollup(
-                            df, ts_col, value_col, key_col,
-                            watermark_ms, advance_to_ms, cache=cache,
-                        ),
+                        table, key_col, value_col, ts_col, khist,
                         watermark_ms, advance_to_ms,
                     )
             if ohlc:
@@ -216,9 +217,10 @@ class WheelEngine:
                     df, key_col, ts_col, value_col,
                     watermark_ms, advance_to_ms,
                 )
+                rollup = rollup.cache() if cache else rollup
+                layers["keyed_agg"] = rollup
                 r.register_keyed_rollup(
-                    table, key_col, ts_col, value_col,
-                    rollup.cache() if cache else rollup,
+                    table, key_col, ts_col, value_col, rollup,
                     watermark_ms, advance_to_ms,
                 )
         if distinct_col is not None:
@@ -301,10 +303,15 @@ class WheelEngine:
         - ``"twa"`` — time-weighted averages (``twa=True``).
         - ``"counter"`` — PromQL increase/rate (``counter=True``).
         - ``"distinct"`` — exact distinct counts (``distinct_col``).
+        - ``"keyed_agg"`` / ``"keyed_quantile"`` / ``"keyed_ohlc"`` —
+          the per-series variants; ``ranges`` are then
+          ``(key, start_ms, end_ms)`` probes (need ``key_col`` plus the
+          family flag).
 
         Output schemas are the batch twins' (operators/sketch_batch;
-        wheel.range_agg_batch_df for ``"agg"``): one row per input
-        range keyed by ``query_id`` in input order."""
+        wheel.range_agg_batch_df for ``"agg"``,
+        keyed_wheel.query_rollup_batch_df for ``"keyed_agg"``): one row
+        per input range/probe keyed by ``query_id`` in input order."""
         t = table.lower()
         if family == "agg":
             if t not in self._indexes:
@@ -315,12 +322,24 @@ class WheelEngine:
             return self._indexes[t].range_agg_batch_df(ranges)
         from uwheel_datafusion_spark.operators import sketch_batch as sb
 
+        def _keyed_agg(r):
+            from uwheel_datafusion_spark.operators.keyed_wheel import (
+                KeyedWheelIndex,
+            )
+
+            return KeyedWheelIndex.query_rollup_batch_df(r, ranges)
+
         dispatch = {
             "quantile": lambda r: sb.range_quantile_batch_df(r, ranges, q),
             "ohlc": lambda r: sb.range_ohlc_batch_df(r, ranges),
             "twa": lambda r: sb.range_twa_batch_df(r, ranges),
             "counter": lambda r: sb.range_increase_batch_df(r, ranges),
             "distinct": lambda r: sb.range_distinct_batch_df(r, ranges),
+            "keyed_agg": _keyed_agg,
+            "keyed_quantile": lambda r: sb.keyed_range_quantile_batch_df(
+                r, ranges, q
+            ),
+            "keyed_ohlc": lambda r: sb.keyed_range_ohlc_batch_df(r, ranges),
         }
         if family not in dispatch:
             raise ValueError(
@@ -335,6 +354,9 @@ class WheelEngine:
                 "twa": "twa=True",
                 "counter": "counter=True",
                 "distinct": "distinct_col=...",
+                "keyed_agg": "key_col=... and value_col=...",
+                "keyed_quantile": "key_col=... and quantiles=True",
+                "keyed_ohlc": "key_col=... and ohlc=True",
             }[family]
             raise ValueError(
                 f"no {family} rollup for {table!r}: register_table with "
