@@ -234,3 +234,18 @@ def test_batch_keyed_families(spark, engine):
         ho = layers["keyed_ohlc"].filter(F.col("grp") == k).drop("grp")
         assert ko[i] == tuple(range_ohlc_df(ho, s, e).first())
     assert kq[2] is None and ko[2][-1] == 0  # unknown key → null/0
+
+    # keyed stitch families through the same call
+    from uwheel_datafusion_spark.operators.counter import range_increase_df
+    from uwheel_datafusion_spark.operators.twa import range_twa_df
+
+    kt = {r["query_id"]: (r["twa"], r["cnt"])
+          for r in engine.batch("events", "keyed_twa", probes).collect()}
+    kc = {r["query_id"]: tuple(r)[1:]
+          for r in engine.batch("events", "keyed_counter", probes).collect()}
+    for i, (k, s, e) in enumerate(probes):
+        ht = layers["keyed_twa"].filter(F.col("grp") == k).drop("grp")
+        row = range_twa_df(ht, s, e).first()
+        assert kt[i] == (row["twa"], row["cnt"])
+        hc = layers["keyed_counter"].filter(F.col("grp") == k).drop("grp")
+        assert kc[i] == tuple(range_increase_df(hc, s, e).first())

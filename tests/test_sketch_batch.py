@@ -282,3 +282,48 @@ def test_keyed_ohlc_batch_matches_per_key_range(spark, events):
             qid, _KEYED_PROBES[qid],
         )
     assert batch[3]["close"] is None and batch[3]["cnt"] == 0
+
+
+def test_keyed_twa_counter_batch_match_per_key_range(spark, events):
+    from pyspark.sql import functions as F
+
+    from uwheel_datafusion_spark.operators.counter import (
+        build_keyed_counter_rollup,
+        range_increase_df,
+    )
+    from uwheel_datafusion_spark.operators.sketch_batch import (
+        keyed_range_increase_batch_df,
+        keyed_range_twa_batch_df,
+    )
+    from uwheel_datafusion_spark.operators.twa import (
+        build_keyed_twa_rollup,
+        range_twa_df,
+    )
+
+    ktw = build_keyed_twa_rollup(
+        events, "ts", "value", "event_type", EVENTS_WM_MS, EVENTS_ADV_MS,
+        cache=False,
+    )
+    batch = keyed_range_twa_batch_df(ktw, _KEYED_PROBES).collect()
+    assert [r["query_id"] for r in batch] == list(range(len(_KEYED_PROBES)))
+    for qid, (k, s, e) in enumerate(_KEYED_PROBES):
+        single = range_twa_df(
+            ktw.filter(F.col("grp") == k).drop("grp"), s, e
+        ).collect()[0]
+        assert (batch[qid]["twa"], batch[qid]["cnt"]) == (
+            single["twa"], single["cnt"],
+        ), (qid, _KEYED_PROBES[qid])
+    assert batch[3]["twa"] is None and batch[3]["cnt"] == 0
+
+    kct = build_keyed_counter_rollup(
+        events, "ts", "value", "event_type", EVENTS_WM_MS, EVENTS_ADV_MS,
+        cache=False,
+    )
+    cbatch = keyed_range_increase_batch_df(kct, _KEYED_PROBES).collect()
+    for qid, (k, s, e) in enumerate(_KEYED_PROBES):
+        single = range_increase_df(
+            kct.filter(F.col("grp") == k).drop("grp"), s, e
+        ).collect()[0]
+        assert tuple(cbatch[qid])[1:] == tuple(single), (
+            qid, _KEYED_PROBES[qid],
+        )

@@ -340,6 +340,10 @@ class WheelEngine:
                 r, ranges, q
             ),
             "keyed_ohlc": lambda r: sb.keyed_range_ohlc_batch_df(r, ranges),
+            "keyed_twa": lambda r: sb.keyed_range_twa_batch_df(r, ranges),
+            "keyed_counter": lambda r: sb.keyed_range_increase_batch_df(
+                r, ranges
+            ),
         }
         if family not in dispatch:
             raise ValueError(
@@ -357,6 +361,8 @@ class WheelEngine:
                 "keyed_agg": "key_col=... and value_col=...",
                 "keyed_quantile": "key_col=... and quantiles=True",
                 "keyed_ohlc": "key_col=... and ohlc=True",
+                "keyed_twa": "key_col=... and twa=True",
+                "keyed_counter": "key_col=... and counter=True",
             }[family]
             raise ValueError(
                 f"no {family} rollup for {table!r}: register_table with "

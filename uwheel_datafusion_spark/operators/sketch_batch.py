@@ -506,3 +506,74 @@ def keyed_range_ohlc_batch_df(
         )
         .orderBy("query_id")
     )
+
+
+def keyed_range_twa_batch_df(
+    rollup: DataFrame, probes: "list[tuple]"
+) -> DataFrame:
+    """N keyed TWA probes ``(key, start_ms, end_ms)`` in ONE job from
+    the keyed TWA rollup (build_keyed_twa_rollup): ``(query_id, twa,
+    cnt)`` per probe in input order, null/0 for empty probes. The
+    ordered boundary stitch folds per query_id — a probe only ever
+    covers ONE series, so the per-query fold never crosses series."""
+    from uwheel_datafusion_spark.operators.twa import _combine, _lower_twa
+
+    pdf, qids = _keyed_probe_frames(rollup, probes)
+    joined = rollup.join(
+        F.broadcast(pdf),
+        (rollup["grp"] == pdf["pkey"])
+        & (rollup["bucket_ms"] >= pdf["run_s"])
+        & (rollup["bucket_ms"] < pdf["run_e"]),
+    ).drop("grp", "pkey", "run_s", "run_e")
+    per_q = _combine(joined, ["query_id"]).select(
+        "query_id", _lower_twa().alias("twa"), "cnt"
+    )
+    return (
+        qids.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            "twa",
+            F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def keyed_range_increase_batch_df(
+    rollup: DataFrame, probes: "list[tuple]"
+) -> DataFrame:
+    """N keyed counter increase/rate probes ``(key, start_ms, end_ms)``
+    in ONE job from the keyed counter rollup: ``(query_id, increase,
+    rate_per_sec, cnt)`` per probe in input order (reset-aware seams
+    fold per query_id — one series per probe)."""
+    from uwheel_datafusion_spark.operators.counter import (
+        _combine,
+        _lowered_cols,
+    )
+
+    pdf, qids = _keyed_probe_frames(rollup, probes)
+    joined = rollup.join(
+        F.broadcast(pdf),
+        (rollup["grp"] == pdf["pkey"])
+        & (rollup["bucket_ms"] >= pdf["run_s"])
+        & (rollup["bucket_ms"] < pdf["run_e"]),
+    ).drop("grp", "pkey", "run_s", "run_e")
+    _inc, rate = _lowered_cols()
+    per_q = _combine(joined, ["query_id"]).select(
+        "query_id",
+        F.when(F.col("cnt").isNull(), F.lit(None).cast("double"))
+        .otherwise(F.col("inc").cast("double") / F.lit(1e6))
+        .alias("increase"),
+        rate,
+        "cnt",
+    )
+    return (
+        qids.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            "increase",
+            "rate_per_sec",
+            F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
+        )
+        .orderBy("query_id")
+    )
