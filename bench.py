@@ -389,7 +389,7 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         big_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "bench_data",
-            f"events_x{factor}_{n_rows}",
+            f"events_x{factor}_{n_rows}_v2",  # v2: + user_id for the HH twin
         )
         if not os.path.exists(os.path.join(big_path, "_SUCCESS")):
             (
@@ -402,6 +402,10 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
                     .cast("timestamp_ntz")
                     .alias("ts"),
                     (F.rand(7) * 100.0).alias("value"),
+                    # uniform over 1000 users; the MG key below folds
+                    # half of them into key 0 — one true heavy hitter
+                    # per range, same skew shape as the sf0.1 workload
+                    (F.rand(13) * 1000).cast("long").alias("user_id"),
                 )
                 # time-ordered files so parquet row-group pruning works
                 # for the scan side — the FAIR comparison
@@ -502,14 +506,64 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
                 """
             ).collect()[0]
 
+        # heavy hitters at 20×: the served path pays ONE range-pruned
+        # verify scan over candidate keys; the scan twin re-groups every
+        # row in range. Hour-aligned ranges (the MG rollup's hour slots).
+        from uwheel_datafusion_spark.operators.mgsketch import (
+            build_mg_rollup,
+            range_heavy_hitters_verified,
+        )
+
+        mg_key_big = F.expr(
+            "CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id END"
+        )
+        mg_big = build_mg_rollup(
+            big, "ts", mg_key_big, EVENTS_WM_MS, EVENTS_ADV_MS, m=9,
+            slot_ms=3_600_000,
+        )
+        mg_big.count()
+        hh_sample = gen_hour_ranges(
+            EVENTS_WM_MS, horizon, len(sample), seed=99
+        )
+
+        def hh_served_big(s_ms, e_ms):
+            return sorted(
+                map(tuple, range_heavy_hitters_verified(
+                    big, "ts", mg_key_big, mg_big, s_ms, e_ms,
+                    m=9, count_frac_den=5,
+                ).collect())
+            )
+
+        def hh_scan_big(s_ms, e_ms):
+            return sorted(
+                map(tuple, spark.sql(
+                    f"""
+                    WITH d AS (
+                        SELECT CASE WHEN user_id % 10 < 5 THEN 0
+                                    ELSE user_id END AS key
+                        FROM events_big
+                        WHERE ts >= TIMESTAMP '{ms_to_ts_literal(s_ms)}'
+                          AND ts < TIMESTAMP '{ms_to_ts_literal(e_ms)}'
+                    ),
+                    n AS (SELECT COUNT(*) AS n FROM d)
+                    SELECT key, COUNT(*) AS cnt
+                    FROM d, n GROUP BY key, n.n
+                    HAVING COUNT(*) * 5 >= n.n
+                    """
+                ).collect())
+            )
+
         sketch_x = {}
-        for fam, served, scan in (
-            ("quantile", q_served_big, q_scan_big),
-            ("ohlc", ohlc_served_big, ohlc_scan_big),
+        for fam, served, scan, fam_sample in (
+            ("quantile", q_served_big, q_scan_big, sample),
+            ("ohlc", ohlc_served_big, ohlc_scan_big, sample),
+            ("heavy_hitters", hh_served_big, hh_scan_big, hh_sample),
         ):
             with serving_confs():
-                rs = run_latency_bench(f"x_{fam}_served", served, sample, warmup=2)
-            rc = run_latency_bench(f"x_{fam}_scan", scan, sample)
+                rs = run_latency_bench(
+                    f"x_{fam}_served", served, fam_sample, warmup=2
+                )
+            rc = run_latency_bench(f"x_{fam}_scan", scan, fam_sample)
             sketch_x[fam] = {
                 "served_p50_us": rs.latency["p50_us"],
                 "scan_p50_us": rc.latency["p50_us"],
@@ -627,7 +681,35 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
             )
 
         def m4_served(s_ms, e_ms):
-            return m4_downsample_df(ohlc, s_ms, e_ms, 200).count()
+            return sorted(
+                map(tuple, m4_downsample_df(ohlc, s_ms, e_ms, 200).collect())
+            )
+
+        def m4_scan(s_ms, e_ms):
+            # raw-M4 twin: per-pixel first/last/min/max straight off the
+            # fact rows, same slot-quantized pixel width as the served
+            # path (so the dual check is exact, not approximate)
+            span = e_ms - s_ms
+            px = max(1, -(-span // 200))
+            px = -(-px // 60_000) * 60_000  # round up to minute slots
+            return sorted(
+                map(tuple, spark.sql(
+                    f"""
+                    SELECT {s_ms} + CAST(floor(
+                               (CAST(floor(unix_micros(
+                                    CAST(ts AS TIMESTAMP)) / 1000) AS LONG)
+                                - {s_ms}) / {px}) AS LONG) * {px} AS px_ms,
+                           min_by(value, struct(ts, value)) AS open,
+                           max(value) AS high, min(value) AS low,
+                           max_by(value, struct(ts, value)) AS close,
+                           count(*) AS cnt
+                    FROM events
+                    WHERE ts >= TIMESTAMP '{ms_to_ts_literal(s_ms)}'
+                      AND ts < TIMESTAMP '{ms_to_ts_literal(e_ms)}'
+                    GROUP BY 1
+                    """
+                ).collect())
+            )
 
         def hh_served(s_ms, e_ms):
             return sorted(
@@ -658,7 +740,7 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         for fam, served, scan in (
             ("quantile", q_served, q_scan),
             ("ohlc", ohlc_served, ohlc_scan),
-            ("m4", m4_served, None),
+            ("m4", m4_served, m4_scan),
             ("heavy_hitters", hh_served, hh_scan),
         ):
             # serving-tier confs for the rollup path only; the scan twin

@@ -385,13 +385,17 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
         ),
         "value",
     )
-    dim = (
-        skewed.select("k").distinct()
-        .withColumn("w", F.col("k") % 7 + 1)
-        .hint("merge")
+    # INDEPENDENT dim frame: a dim derived from `skewed` itself (e.g.
+    # .select("k").distinct()) shares the skewed side's exchange
+    # lineage, and AQE will NOT split a skewed partition whose exchange
+    # is reused by the other side — measured here: derived dim → no
+    # split; independent dim → SortMergeJoin(skew=true) + AQEShuffleRead
+    # skewed. At 100 TB: build skew-prone dims from their own source.
+    dim = spark.range(100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("w")
     )
     t0 = time.perf_counter()
-    joined = skewed.hint("merge").join(dim, "k")
+    joined = skewed.hint("merge").join(dim.hint("merge"), "k")
     # a GLOBAL aggregate (not GROUP BY k): an aggregation that REQUIRES
     # the join key's partitioning would legally disable the skew split
     # (splitting the hot partition breaks the required distribution)

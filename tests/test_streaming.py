@@ -1036,3 +1036,122 @@ def test_streaming_keyed_table_sink(spark, sf_smoke, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(want) > 0
+
+
+def _append_sentinel(spark, ev, src):
+    """One event far past horizon + watermark delay: advances the
+    watermark beyond ADV so every in-horizon bucket finalizes, while a
+    31-day delay keeps arbitrary file-arrival order from dropping
+    in-horizon rows as late (its own bucket is filtered out)."""
+    from datetime import datetime as _dt
+
+    spark.createDataFrame(
+        [(0, _dt(2024, 3, 10), 0, "view", 0.0, "{}")], ev.schema
+    ).write.mode("append").parquet(src)
+
+
+def test_streaming_twa_stitch_parity(spark, sf_smoke, tmp_path):
+    """StreamingStitchWheel('twa'): buckets finalized by the custom
+    stateful operator are BIT-IDENTICAL to build_twa_rollup's rows —
+    the order-sensitive integral is exact under micro-batched arrival
+    (applyInPandasWithState buffers each open bucket's samples)."""
+    from uwheel_datafusion_spark.operators.twa import build_twa_rollup
+    from uwheel_datafusion_spark.streaming.stitch_stream import (
+        StreamingStitchWheel,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "twa_in")
+    os.makedirs(src)
+    ev.repartitionByRange(3, "ts").write.mode("append").parquet(src)
+    _append_sentinel(spark, ev, src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("ts", "value")
+    )
+    w = StreamingStitchWheel(
+        stream, "ts", "value", family="twa", watermark_delay="31 days"
+    )
+    w.start(str(tmp_path / "twa_ckpt"))
+    w.process_available()
+    w.stop()
+    snap = w.snapshot_rollup(spark).filter(F.col("bucket_ms") < ADV)
+    got = {
+        r["bucket_ms"]: (
+            r["first_ts_ms"], r["first_v"], r["last_ts_ms"], r["last_v"],
+            int(r["area"]), r["cnt"],
+        )
+        for r in snap.collect()
+    }
+    want = {
+        r["bucket_ms"]: (
+            r["first_ts_ms"], r["first_v"], r["last_ts_ms"], r["last_v"],
+            int(r["area"]), r["cnt"],
+        )
+        for r in build_twa_rollup(ev, "ts", "value", WM, ADV,
+                                  cache=False).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # serving from the streamed rollup == serving from the batch rollup
+    from uwheel_datafusion_spark.operators.twa import range_twa_df
+
+    s, e = WM, WM + 10 * 86_400_000
+    batch_rollup = build_twa_rollup(ev, "ts", "value", WM, ADV, cache=False)
+    assert (
+        range_twa_df(snap, s, e).first()["twa"]
+        == range_twa_df(batch_rollup, s, e).first()["twa"]
+    )
+
+
+def test_streaming_counter_stitch_keyed_parity(spark, sf_smoke, tmp_path):
+    """Keyed StreamingStitchWheel('counter'): per-series reset-aware
+    partials finalize bit-identical to build_keyed_counter_rollup."""
+    from uwheel_datafusion_spark.operators.counter import (
+        build_keyed_counter_rollup,
+    )
+    from uwheel_datafusion_spark.streaming.stitch_stream import (
+        StreamingStitchWheel,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "ctr_in")
+    os.makedirs(src)
+    ev.repartitionByRange(3, "ts").write.mode("append").parquet(src)
+    _append_sentinel(spark, ev, src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("ts", "value", "event_type")
+    )
+    w = StreamingStitchWheel(
+        stream, "ts", "value", family="counter", key_col="event_type",
+        watermark_delay="31 days",
+    )
+    w.start(str(tmp_path / "ctr_ckpt"))
+    w.process_available()
+    w.stop()
+    snap = w.snapshot_rollup(spark).filter(F.col("bucket_ms") < ADV)
+    got = {
+        (r["grp"], r["bucket_ms"]): (
+            r["first_ts_ms"], r["first_vm"], r["last_ts_ms"], r["last_vm"],
+            int(r["inc"]), r["cnt"],
+        )
+        for r in snap.collect()
+    }
+    batch = build_keyed_counter_rollup(
+        ev, "ts", "value", "event_type", WM, ADV, cache=False
+    )
+    # the sentinel's own (view, out-of-horizon) bucket is filtered; its
+    # in-horizon series rows are identical
+    want = {
+        (r["grp"], r["bucket_ms"]): (
+            r["first_ts_ms"], r["first_vm"], r["last_ts_ms"], r["last_vm"],
+            int(r["inc"]), r["cnt"],
+        )
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 0

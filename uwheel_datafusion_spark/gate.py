@@ -1366,6 +1366,96 @@ def counter_increase_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "streaming_twa_stitch_parity",
+    f"""
+    WITH ev AS (
+        SELECT (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS b,
+               epoch_ms(ts) AS t, value AS v
+        FROM events
+        WHERE ts >= {_ts_lit(EVENTS_WM_MS)} AND ts < {_ts_lit(EVENTS_ADV_MS)}
+    ),
+    o AS (
+        SELECT b, t, v,
+               lag(t) OVER w AS pt,
+               lag(CAST(round(v * 1000000) AS BIGINT)) OVER w AS pvm,
+               row_number() OVER w AS rn
+        FROM ev WINDOW w AS (PARTITION BY b ORDER BY t, v)
+    )
+    SELECT b AS bucket_ms,
+           CASE WHEN MAX(t) = MIN(t)
+                THEN MIN(CASE WHEN rn = 1 THEN v END)
+                ELSE CAST(
+                         SUM(CAST(pvm AS HUGEINT) * CAST(t - pt AS HUGEINT))
+                         AS DOUBLE
+                     ) / 1000000.0 / CAST(MAX(t) - MIN(t) AS DOUBLE)
+           END AS twa,
+           COUNT(*) AS cnt
+    FROM o GROUP BY b
+    """,
+)
+def streaming_twa_stitch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The order-sensitive streaming family, driver-gated end-to-end:
+    TWA cannot be maintained by a built-in windowed aggregation (two
+    update-mode partials of one bucket can interleave in event time and
+    no associative merge recovers the segments), so
+    streaming/stitch_stream.StreamingStitchWheel buffers each OPEN
+    bucket's samples in ``applyInPandasWithState`` and finalizes the
+    exact partial once the watermark passes the bucket's end — the
+    custom-stateful extension point (SURVEY §2.9 last row) carrying a
+    full aggregator family. The events fixture is replayed as
+    micro-batches (+ one past-horizon sentinel to flush the watermark);
+    the finalized minute partials then cascade to per-day TWAs that
+    must hash-match the SAME raw-row lag-window oracle as the
+    batch-built twa_by_day_events — streaming and batch build the same
+    index, even for the non-mergeable family."""
+    import shutil
+    import tempfile
+
+    from uwheel_datafusion_spark.operators.twa import grouped_twa_df
+    from uwheel_datafusion_spark.streaming.stitch_stream import (
+        StreamingStitchWheel,
+    )
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="twa_stitch_gate_")
+    try:
+        import os
+
+        from datetime import datetime as _dt
+
+        src = os.path.join(work, "in")
+        os.makedirs(src)
+        ev.repartitionByRange(3, "ts").write.mode("append").parquet(src)
+        # sentinel past horizon + delay: flushes every in-horizon bucket
+        spark.createDataFrame(
+            [(0, _dt(2024, 3, 10), 0, "view", 0.0, "{}")], ev.schema
+        ).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("ts", "value")
+        )
+        w = StreamingStitchWheel(
+            stream, "ts", "value", family="twa", watermark_delay="31 days"
+        )
+        w.start(os.path.join(work, "ckpt"))
+        w.process_available()
+        w.stop()
+        snap = w.snapshot_rollup(spark).filter(
+            (F.col("bucket_ms") >= EVENTS_WM_MS)
+            & (F.col("bucket_ms") < EVENTS_ADV_MS)
+        )
+        out = grouped_twa_df(snap, DAY_MS).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "bucket_ms bigint, twa double, cnt bigint"
+    )
+
+
+@gate(
     "counter_increase_by_day_events",
     f"""
     WITH ev AS (
@@ -5646,11 +5736,11 @@ _DRIVER_WINDOW = [
     "twa_by_type_day",
     "counter_increase_by_type_day",
     "router_keyed_ohlc_day",
+    "streaming_twa_stitch_parity",
     # --- wheel core ---
     "wheel_rollup_hour",
     "wheel_range_minute_aligned",
     "wheel_range_unaligned_hybrid",
-    "wheel_topn_minutes",
     "wheel_second_aligned_range",
     # --- wheel maintenance ---
     "wheel_extend_incremental",
