@@ -778,6 +778,14 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         )
 
         with serving_confs():
+            # untimed warmup on a 2-range sub-sample: the per-query
+            # paths above measure with warmup=2; without this the
+            # batched number absorbs one-off codegen compilation and
+            # whatever GC the preceding 20× crossover queued (measured
+            # 809 vs 70 ms/q warm — an environment artifact, not plan
+            # cost)
+            range_quantile_batch_df(hist, sample[:2], 0.5).collect()
+            range_ohlc_batch_df(ohlc, sample[:2]).collect()
             t0 = time.perf_counter()
             qb = range_quantile_batch_df(hist, sample, 0.5).collect()
             q_batch_sec = time.perf_counter() - t0
@@ -786,6 +794,10 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
             o_batch_sec = time.perf_counter() - t0
         # HH batch: ONE candidates job + ONE union verify scan for the
         # whole sample (vs one fact scan PER query on the served path)
+        range_heavy_hitters_batch_verified(
+            ev, "ts", mg_key, mg, sample[:2], m=9, count_frac_den=5,
+            slot_ms=3_600_000,
+        ).collect()
         t0 = time.perf_counter()
         hb = range_heavy_hitters_batch_verified(
             ev, "ts", mg_key, mg, sample, m=9, count_frac_den=5,
@@ -810,6 +822,24 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
             for qid, (s_ms, e_ms) in enumerate(sample)
             if sorted(hh_by_qid.get(qid, [])) != hh_served(s_ms, e_ms)
         )
+        # M4 batch: every panel's pixels in one job
+        from uwheel_datafusion_spark.operators.sketch_batch import (
+            range_m4_batch_df,
+        )
+
+        with serving_confs():
+            range_m4_batch_df(ohlc, sample[:2], 200).collect()
+            t0 = time.perf_counter()
+            mb = range_m4_batch_df(ohlc, sample, 200).collect()
+            m_batch_sec = time.perf_counter() - t0
+        m4_by_qid: dict = {}
+        for r in mb:
+            m4_by_qid.setdefault(r["query_id"], []).append(tuple(r)[1:])
+        m_mism = sum(
+            1
+            for qid, (s_ms, e_ms) in enumerate(sample)
+            if sorted(m4_by_qid.get(qid, [])) != m4_served(s_ms, e_ms)
+        )
         detail["batched"] = {
             "n_queries": len(sample),
             "quantile_ms_per_query": round(q_batch_sec / len(sample) * 1e3, 2),
@@ -817,10 +847,12 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
             "heavy_hitters_ms_per_query": round(
                 h_batch_sec / len(sample) * 1e3, 2
             ),
+            "m4_ms_per_query": round(m_batch_sec / len(sample) * 1e3, 2),
             "dual_check": {
                 "quantile_mismatches": q_mism,
                 "ohlc_mismatches": o_mism,
                 "heavy_hitters_mismatches": h_mism,
+                "m4_mismatches": m_mism,
             },
         }
         extras["sketch_serving"] = detail

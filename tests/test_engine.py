@@ -196,7 +196,24 @@ def test_batch_serves_all_six_families(spark, engine):
     with pytest.raises(ValueError, match="register_table"):
         WheelEngine(spark).batch("events", "quantile", ranges)
     with pytest.raises(ValueError, match="unknown batch family"):
-        engine.batch("events", "m4", ranges)
+        engine.batch("events", "histogram", ranges)
+
+    # m4: multi-row per range, equal to the single-range downsampler
+    from uwheel_datafusion_spark.operators.ohlc import m4_downsample_df
+
+    got_m4: dict = {}
+    for r in engine.batch("events", "m4", ranges, n_pixels=48).collect():
+        got_m4.setdefault(r["query_id"], []).append(
+            (r["px_ms"], r["open"], r["high"], r["low"], r["close"], r["cnt"])
+        )
+    for i, (s, e) in enumerate(ranges):
+        want = sorted(
+            (r["px_ms"], r["open"], r["high"], r["low"], r["close"], r["cnt"])
+            for r in m4_downsample_df(
+                layers["ohlc"], s, e, n_pixels=48
+            ).collect()
+        )
+        assert got_m4.get(i, []) == want, i
 
 
 def test_batch_keyed_families(spark, engine):

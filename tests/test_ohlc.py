@@ -120,3 +120,39 @@ def test_m4_downsample_equals_direct_pixel_build(spark, sf_correctness):
         for r in direct.collect()
     }
     assert got == want and 0 < len(got) <= 96
+
+
+def test_m4_keyed_downsample_equals_per_key_direct(spark, sf_correctness):
+    """Keyed M4 from the keyed minute rollup == a direct keyed OHLC
+    build at the pixel grain: every series' pixels in one re-combine,
+    fact rows untouched."""
+    from uwheel_datafusion_spark.operators.ohlc import (
+        build_keyed_ohlc_rollup,
+        m4_downsample_keyed_df,
+    )
+    from uwheel_datafusion_spark.sources.registry import load_table
+
+    s = WM
+    e = WM + 2 * 86_400_000  # 2 days at 96 px → 30-minute pixels
+    ev = load_table(spark, sf_correctness, "events")
+    minute = build_keyed_ohlc_rollup(
+        ev, "ts", "value", "event_type", WM, ADV, cache=False
+    )
+    got = {
+        (r["grp"], r["px_ms"]): (
+            r["open"], r["high"], r["low"], r["close"], r["cnt"]
+        )
+        for r in m4_downsample_keyed_df(minute, s, e, n_pixels=96).collect()
+    }
+    px_ms = (e - s) // 96
+    direct = build_keyed_ohlc_rollup(
+        ev, "ts", "value", "event_type", s, e, slot_ms=px_ms, cache=False
+    )
+    want = {
+        (r["grp"], r["bucket_ms"]): (
+            r["open"], r["high"], r["low"], r["close"], r["cnt"]
+        )
+        for r in direct.collect()
+    }
+    n_grp = len({g for g, _ in got})
+    assert got == want and 0 < len(got) <= 96 * n_grp

@@ -327,3 +327,72 @@ def test_keyed_twa_counter_batch_match_per_key_range(spark, events):
         assert tuple(cbatch[qid])[1:] == tuple(single), (
             qid, _KEYED_PROBES[qid],
         )
+
+
+def test_m4_batch_matches_per_range(spark, events):
+    """N dashboard panels in one job: each query's pixel rows equal
+    its m4_downsample_df twin; the empty range contributes no rows;
+    the plan stays on the broadcast hash join."""
+    from uwheel_datafusion_spark.operators.ohlc import m4_downsample_df
+    from uwheel_datafusion_spark.operators.sketch_batch import (
+        range_m4_batch_df,
+    )
+
+    rollup = build_ohlc_rollup(
+        events, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS
+    )
+    batch = range_m4_batch_df(rollup, _RANGES, n_pixels=48)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    got: dict = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["px_ms"], r["open"], r["high"], r["low"], r["close"], r["cnt"])
+        )
+    for qid, (s, e) in enumerate(_RANGES):
+        want = sorted(
+            (r["px_ms"], r["open"], r["high"], r["low"], r["close"], r["cnt"])
+            for r in m4_downsample_df(rollup, s, e, n_pixels=48).collect()
+        )
+        assert got.get(qid, []) == want, qid
+    assert 2 not in got  # empty range: a chart with no pixels
+    rollup.unpersist()
+
+
+def test_keyed_m4_batch_matches_per_key_range(spark, events):
+    """N per-series panels in one job: each probe's pixel rows equal
+    the single-series m4_downsample_df over that key's slots; empty /
+    unknown-key probes emit no pixels."""
+    from pyspark.sql import functions as F
+
+    from uwheel_datafusion_spark.operators.ohlc import (
+        build_keyed_ohlc_rollup,
+        m4_downsample_df,
+    )
+    from uwheel_datafusion_spark.operators.sketch_batch import (
+        keyed_range_m4_batch_df,
+    )
+
+    rollup = build_keyed_ohlc_rollup(
+        events, "ts", "value", "event_type", EVENTS_WM_MS, EVENTS_ADV_MS,
+        cache=False,
+    )
+    batch = keyed_range_m4_batch_df(rollup, _KEYED_PROBES, n_pixels=48)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    got: dict = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["px_ms"], r["open"], r["high"], r["low"], r["close"], r["cnt"])
+        )
+    for qid, (k, s, e) in enumerate(_KEYED_PROBES):
+        want = sorted(
+            (r["px_ms"], r["open"], r["high"], r["low"], r["close"], r["cnt"])
+            for r in m4_downsample_df(
+                rollup.filter(F.col("grp") == k).drop("grp"), s, e,
+                n_pixels=48,
+            ).collect()
+        )
+        assert got.get(qid, []) == want, (qid, _KEYED_PROBES[qid])
+    assert 2 not in got and 3 not in got

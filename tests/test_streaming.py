@@ -1155,3 +1155,69 @@ def test_streaming_counter_stitch_keyed_parity(spark, sf_smoke, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_twa_stitch_table_sink(spark, sf_smoke, tmp_path):
+    """Stitch partials stream into a dt-partitioned parquet TABLE via
+    the built-in file sink (append-only: each bucket finalizes exactly
+    once) — killed mid-stream and resumed, the committed table equals
+    the batch rollup bit-for-bit and serves identically (exactly-once
+    from the sink's _spark_metadata log, no driver memory)."""
+    from uwheel_datafusion_spark.operators.twa import (
+        build_twa_rollup,
+        range_twa_df,
+    )
+    from uwheel_datafusion_spark.streaming.stitch_stream import (
+        StreamingStitchWheel,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    ev.repartitionByRange(4, "ts").write.mode("append").parquet(src)
+    ckpt, table = str(tmp_path / "ckpt"), str(tmp_path / "table")
+
+    def make_wheel():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("ts", "value")
+        )
+        return StreamingStitchWheel(
+            stream, "ts", "value", family="twa", watermark_delay="31 days"
+        )
+
+    # first run over the initial files, then KILL
+    w1 = make_wheel()
+    w1.start(ckpt, table_dir=table)
+    w1.process_available()
+    w1.stop()
+    # late files + the flush sentinel arrive; RESUME from the same
+    # checkpoint into the same table
+    _append_sentinel(spark, ev, src)
+    w2 = make_wheel()
+    w2.start(ckpt, table_dir=table)
+    w2.process_available()
+    w2.stop()
+
+    got_df = w2.table_rollup(spark, table).filter(F.col("bucket_ms") < ADV)
+    cols = ("first_ts_ms", "first_v", "last_ts_ms", "last_v", "cnt")
+    got = {
+        r["bucket_ms"]: tuple(r[c] for c in cols) + (int(r["area"]),)
+        for r in got_df.collect()
+    }
+    batch = build_twa_rollup(ev, "ts", "value", WM, ADV, cache=False)
+    want = {
+        r["bucket_ms"]: tuple(r[c] for c in cols) + (int(r["area"]),)
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
+    # no duplicate buckets slipped past the commit log
+    assert got_df.count() == got_df.select("bucket_ms").distinct().count()
+    # serving reads the TABLE
+    s, e = WM, WM + 10 * 86_400_000
+    assert (
+        range_twa_df(got_df, s, e).first()["twa"]
+        == range_twa_df(batch, s, e).first()["twa"]
+    )

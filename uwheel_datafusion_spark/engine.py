@@ -289,6 +289,7 @@ class WheelEngine:
         family: str,
         ranges: "list[tuple[int, int]]",
         q: float = 0.5,
+        n_pixels: int = 200,
     ) -> DataFrame:
         """N range queries of one family in ONE Spark job, served from
         the rollups ``register_table`` built — the cluster-serving
@@ -300,11 +301,13 @@ class WheelEngine:
           (``value_col``); one row per range.
         - ``"quantile"`` — approximate q-quantile (``quantiles=True``).
         - ``"ohlc"`` — candlesticks (``ohlc=True``).
+        - ``"m4"`` — per-range M4 chart downsampling at ``n_pixels``
+          (``ohlc=True``; multi-row: one row per non-empty pixel).
         - ``"twa"`` — time-weighted averages (``twa=True``).
         - ``"counter"`` — PromQL increase/rate (``counter=True``).
         - ``"distinct"`` — exact distinct counts (``distinct_col``).
-        - ``"keyed_agg"`` / ``"keyed_quantile"`` / ``"keyed_ohlc"`` —
-          the per-series variants; ``ranges`` are then
+        - ``"keyed_agg"`` / ``"keyed_quantile"`` / ``"keyed_ohlc"`` /
+          ``"keyed_m4"`` — the per-series variants; ``ranges`` are then
           ``(key, start_ms, end_ms)`` probes (need ``key_col`` plus the
           family flag).
 
@@ -332,6 +335,7 @@ class WheelEngine:
         dispatch = {
             "quantile": lambda r: sb.range_quantile_batch_df(r, ranges, q),
             "ohlc": lambda r: sb.range_ohlc_batch_df(r, ranges),
+            "m4": lambda r: sb.range_m4_batch_df(r, ranges, n_pixels),
             "twa": lambda r: sb.range_twa_batch_df(r, ranges),
             "counter": lambda r: sb.range_increase_batch_df(r, ranges),
             "distinct": lambda r: sb.range_distinct_batch_df(r, ranges),
@@ -340,6 +344,9 @@ class WheelEngine:
                 r, ranges, q
             ),
             "keyed_ohlc": lambda r: sb.keyed_range_ohlc_batch_df(r, ranges),
+            "keyed_m4": lambda r: sb.keyed_range_m4_batch_df(
+                r, ranges, n_pixels
+            ),
             "keyed_twa": lambda r: sb.keyed_range_twa_batch_df(r, ranges),
             "keyed_counter": lambda r: sb.keyed_range_increase_batch_df(
                 r, ranges
@@ -350,17 +357,20 @@ class WheelEngine:
                 f"unknown batch family {family!r}; one of "
                 f"('agg', {', '.join(map(repr, dispatch))})"
             )
-        rollup = self._layers.get(t, {}).get(family)
+        layer = {"m4": "ohlc", "keyed_m4": "keyed_ohlc"}.get(family, family)
+        rollup = self._layers.get(t, {}).get(layer)
         if rollup is None:
             flag = {
                 "quantile": "quantiles=True",
                 "ohlc": "ohlc=True",
+                "m4": "ohlc=True",
                 "twa": "twa=True",
                 "counter": "counter=True",
                 "distinct": "distinct_col=...",
                 "keyed_agg": "key_col=... and value_col=...",
                 "keyed_quantile": "key_col=... and quantiles=True",
                 "keyed_ohlc": "key_col=... and ohlc=True",
+                "keyed_m4": "key_col=... and ohlc=True",
                 "keyed_twa": "key_col=... and twa=True",
                 "keyed_counter": "key_col=... and counter=True",
             }[family]

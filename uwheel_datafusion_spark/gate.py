@@ -743,6 +743,68 @@ def sketch_batch_quantile_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_M4B_PX = 48
+_M4B_VALUES = ", ".join(
+    f"({i}, CAST({s} AS BIGINT), CAST({e} AS BIGINT), "
+    f"CAST({-(-(-(-(e - s) // _M4B_PX)) // 60_000) * 60_000} AS BIGINT))"
+    for i, (s, e) in enumerate(_SKB_RANGES)
+)
+
+
+@gate(
+    "sketch_batch_m4",
+    f"""
+    WITH ranges(query_id, s_ms, e_ms, px_ms) AS (VALUES {_M4B_VALUES}),
+    ev AS (
+        SELECT r.query_id,
+               r.s_ms + ((epoch_ms(e.ts) - r.s_ms) // r.px_ms) * r.px_ms
+                   AS px_ms,
+               epoch_ms(e.ts) AS ts_ms, e.value
+        FROM events e
+        JOIN ranges r
+          ON epoch_ms(e.ts) >= r.s_ms AND epoch_ms(e.ts) < r.e_ms
+        WHERE e.ts >= {_ts_lit(EVENTS_WM_MS)}
+          AND e.ts < {_ts_lit(EVENTS_ADV_MS)}
+    ),
+    rk AS (
+        SELECT query_id, px_ms, value,
+               row_number() OVER (
+                   PARTITION BY query_id, px_ms ORDER BY ts_ms, value
+               ) AS rn_o,
+               row_number() OVER (
+                   PARTITION BY query_id, px_ms ORDER BY ts_ms DESC, value DESC
+               ) AS rn_c
+        FROM ev
+    )
+    SELECT CAST(query_id AS INTEGER) AS query_id, px_ms,
+           MIN(CASE WHEN rn_o = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MIN(CASE WHEN rn_c = 1 THEN value END) AS close,
+           COUNT(*) AS cnt
+    FROM rk GROUP BY query_id, px_ms
+    """,
+)
+def sketch_batch_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N dashboard panels in ONE job: the 4 benchmark ranges (day /
+    6 h / empty / week) each M4-downsampled to 48 pixel columns from
+    the minute OHLC rollup — the batched twin of m4_downsample_200px
+    (per-query pixel geometry rides a broadcast frame onto the block
+    tag; empty ranges emit no pixels). Oracle re-derives every
+    (query_id, pixel) candle from raw rows."""
+    from uwheel_datafusion_spark.operators.ohlc import build_ohlc_rollup
+    from uwheel_datafusion_spark.operators.sketch_batch import (
+        range_m4_batch_df,
+    )
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ohlc = build_ohlc_rollup(
+        ev, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS, cache=False
+    )
+    return range_m4_batch_df(ohlc, _SKB_RANGES, n_pixels=_M4B_PX)
+
+
 @gate(
     "engine_batch_quantile_ohlc",
     f"""
@@ -1211,6 +1273,57 @@ def m4_downsample_200px(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS, cache=False
     )
     return m4_downsample_df(minute, *RANGE_DAY, n_pixels=200)
+
+
+@gate(
+    "m4_keyed_downsample_200px",
+    f"""
+    WITH ev AS (
+        SELECT event_type AS grp,
+               {RANGE_DAY[0]} + ((epoch_ms(ts) - {RANGE_DAY[0]})
+                   // {_M4_PX_MS}) * {_M4_PX_MS} AS px_ms,
+               epoch_ms(ts) AS ts_ms, value
+        FROM events
+        WHERE ts >= {_ts_lit(RANGE_DAY[0])} AND ts < {_ts_lit(RANGE_DAY[1])}
+    ),
+    r AS (
+        SELECT grp, px_ms, value,
+               row_number() OVER (
+                   PARTITION BY grp, px_ms ORDER BY ts_ms, value
+               ) AS rn_o,
+               row_number() OVER (
+                   PARTITION BY grp, px_ms ORDER BY ts_ms DESC, value DESC
+               ) AS rn_c
+        FROM ev
+    )
+    SELECT grp, px_ms,
+           MIN(CASE WHEN rn_o = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MIN(CASE WHEN rn_c = 1 THEN value END) AS close,
+           COUNT(*) AS cnt
+    FROM r GROUP BY grp, px_ms
+    """,
+)
+def m4_keyed_downsample_200px(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series M4 (the multi-line dashboard: every event_type's
+    error-free 200-px line from ONE rollup re-combine). Same pixel
+    quantization as m4_downsample_200px; the grouped shuffle is over
+    (series × occupied slots) rollup rows — fact rows are never
+    touched. Oracle: the raw-row rank-window M4 partitioned by
+    series."""
+    from uwheel_datafusion_spark.operators.ohlc import (
+        build_keyed_ohlc_rollup,
+        m4_downsample_keyed_df,
+    )
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    minute = build_keyed_ohlc_rollup(
+        ev, "ts", "value", "event_type", EVENTS_WM_MS, EVENTS_ADV_MS,
+        cache=False,
+    )
+    return m4_downsample_keyed_df(minute, *RANGE_DAY, n_pixels=200)
 
 
 @gate(
@@ -5737,6 +5850,8 @@ _DRIVER_WINDOW = [
     "counter_increase_by_type_day",
     "router_keyed_ohlc_day",
     "streaming_twa_stitch_parity",
+    "m4_keyed_downsample_200px",
+    "sketch_batch_m4",
     # --- wheel core ---
     "wheel_rollup_hour",
     "wheel_range_minute_aligned",
@@ -5761,9 +5876,7 @@ _DRIVER_WINDOW = [
     "router_median_day_rollup",
     "router_keyed_distinct_day",
     # --- sketch families (keyed cells covered by the r6 additions) ---
-    "quantile_median_by_day_hist",
     "m4_downsample_200px",
-    "twa_by_day_events",
     "counter_increase_by_day_events",
     # --- distinct / heavy hitters ---
     "distinct_users_by_day_hll",

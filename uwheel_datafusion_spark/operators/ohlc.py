@@ -167,6 +167,38 @@ def m4_downsample_df(
     )
 
 
+def m4_downsample_keyed_df(
+    rollup: DataFrame,
+    start_ms: int,
+    end_ms: int,
+    n_pixels: int,
+    slot_ms: int = MINUTE_MS,
+) -> DataFrame:
+    """Per-series M4: one pixel column per (series, pixel) — the
+    multi-line dashboard shape (every symbol's chart from ONE query).
+    Same quantization contract as :func:`m4_downsample_df`; the
+    re-combine groups by ``(grp, px_ms)`` so the single shuffle is
+    over rollup rows (occupied slots × series), never fact rows.
+    Output: ``(grp, px_ms, open, high, low, close, cnt)``."""
+    from uwheel_datafusion_spark.operators.wheel import _bucket_range_pred
+
+    assert n_pixels >= 1
+    span = end_ms - start_ms
+    px_ms = max(1, -(-span // n_pixels))
+    px_ms = -(-px_ms // slot_ms) * slot_ms
+    part = rollup.filter(_bucket_range_pred(rollup, start_ms, end_ms))
+    px = (
+        F.lit(start_ms)
+        + F.floor((F.col("bucket_ms") - F.lit(start_ms)) / F.lit(px_ms)).cast(
+            "long"
+        )
+        * F.lit(px_ms)
+    ).alias("px_ms")
+    return _combine(part.groupBy("grp", px)).select(
+        "grp", "px_ms", "open", "high", "low", "close", "cnt"
+    )
+
+
 def range_ohlc_df(rollup: DataFrame, start_ms: int, end_ms: int) -> DataFrame:
     """Candlestick of the bucket-aligned ``[start, end)``: combine the
     covered slots' partials (A5 combine+lower). 1-row; nulls/0 for an

@@ -402,6 +402,46 @@ def range_heavy_hitters_batch_verified(
     return exact
 
 
+def range_m4_batch_df(
+    rollup: DataFrame,
+    ranges: "list[tuple[int, int]]",
+    n_pixels: int,
+    slot_ms: int = MINUTE_MS,
+) -> DataFrame:
+    """N M4 downsample queries (dashboard panels) in ONE job from the
+    OHLC rollup: per input range the error-free per-pixel candles,
+    ``(query_id, px_ms, open, high, low, close, cnt)`` ordered by
+    (query_id, px_ms). Pixel geometry is per-query (each range gets
+    its own slot-quantized width, same contract as m4_downsample_df)
+    and joins on via a broadcast ``(query_id, q_s, q_px)`` frame after
+    the block tag — still one job, rollup cells only. An empty range
+    contributes no rows (a chart with no pixels), unlike the scalar
+    batch families' null row."""
+    from uwheel_datafusion_spark.operators.ohlc import _combine
+
+    assert n_pixels >= 1
+    tagged, _qids = _tag_rollup_with_queries(rollup, ranges, slot_ms)
+    geo = []
+    for qid, (s, e) in enumerate(ranges):
+        px = max(1, -(-(e - s) // n_pixels))
+        px = -(-px // slot_ms) * slot_ms
+        geo.append((qid, s, px))
+    gdf = rollup.sparkSession.createDataFrame(
+        geo, "query_id int, q_s long, q_px long"
+    )
+    j = tagged.join(F.broadcast(gdf), "query_id")
+    pxcol = (
+        F.col("q_s")
+        + F.floor((F.col("bucket_ms") - F.col("q_s")) / F.col("q_px")).cast(
+            "long"
+        )
+        * F.col("q_px")
+    ).alias("px_ms")
+    return _combine(j.groupBy("query_id", pxcol)).select(
+        "query_id", "px_ms", "open", "high", "low", "close", "cnt"
+    ).orderBy("query_id", "px_ms")
+
+
 def _keyed_probe_frames(rollup: DataFrame, probes: "list[tuple]"):
     """Broadcastable ``(query_id, pkey, run_s, run_e)`` probe frame for
     keyed batch serving, key-typed from the rollup's ``grp`` column
@@ -577,3 +617,40 @@ def keyed_range_increase_batch_df(
         )
         .orderBy("query_id")
     )
+
+
+def keyed_range_m4_batch_df(
+    rollup: DataFrame,
+    probes: "list[tuple]",
+    n_pixels: int,
+    slot_ms: int = MINUTE_MS,
+) -> DataFrame:
+    """N per-series M4 panels ``(key, start_ms, end_ms)`` in ONE job
+    from the keyed OHLC rollup: ``(query_id, px_ms, open, high, low,
+    close, cnt)`` ordered by (query_id, px_ms) — the keyed twin of
+    range_m4_batch_df. Pixel geometry is computed IN-PLAN from each
+    probe's own (run_s, run_e) span (slot-quantized, same contract as
+    m4_downsample_df); empty probes emit no pixels."""
+    from uwheel_datafusion_spark.operators.ohlc import _combine
+
+    assert n_pixels >= 1
+    pdf, _qids = _keyed_probe_frames(rollup, probes)
+    joined = rollup.join(
+        F.broadcast(pdf),
+        (rollup["grp"] == pdf["pkey"])
+        & (rollup["bucket_ms"] >= pdf["run_s"])
+        & (rollup["bucket_ms"] < pdf["run_e"]),
+    )
+    span = F.col("run_e") - F.col("run_s")
+    px0 = F.floor((span + F.lit(n_pixels - 1)) / F.lit(n_pixels)).cast("long")
+    px_w = (
+        F.floor((px0 + F.lit(slot_ms - 1)) / F.lit(slot_ms)) * F.lit(slot_ms)
+    ).cast("long")
+    pxcol = (
+        F.col("run_s")
+        + F.floor((F.col("bucket_ms") - F.col("run_s")) / px_w).cast("long")
+        * px_w
+    ).alias("px_ms")
+    return _combine(joined.groupBy("query_id", pxcol)).select(
+        "query_id", "px_ms", "open", "high", "low", "close", "cnt"
+    ).orderBy("query_id", "px_ms")

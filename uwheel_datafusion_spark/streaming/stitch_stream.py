@@ -235,7 +235,30 @@ class StreamingStitchWheel:
         )
         self._query = None
 
-    def start(self, checkpoint_dir: str):
+    def start(self, checkpoint_dir: str, table_dir: str | None = None):
+        """Without ``table_dir``: finalized partials land in the
+        driver-side ``slots`` dict (testing/small scale). With
+        ``table_dir``: partials stream into a dt-partitioned parquet
+        TABLE via Spark's built-in file sink — finalized buckets are
+        APPEND-ONLY (each emitted exactly once by the stateful
+        operator), so no MERGE is needed and the sink's
+        ``_spark_metadata`` commit log gives exactly-once across
+        crash/restart for free (batch reads consult the log and skip
+        orphan files from failed epochs). No driver memory at any
+        scale; serve with :meth:`table_rollup` (day-pruned by ``dt``)."""
+        if table_dir is not None:
+            out = self._finalized.withColumn(
+                "dt", F.to_date(F.timestamp_millis(F.col("bucket_ms")))
+            )
+            self._query = (
+                out.writeStream.outputMode("append")
+                .format("parquet")
+                .option("checkpointLocation", checkpoint_dir)
+                .option("path", table_dir)
+                .partitionBy("dt")
+                .start()
+            )
+            return self._query
         slots = self.slots
         keyed = self.key_col is not None
 
@@ -287,6 +310,16 @@ class StreamingStitchWheel:
 
     def _out_schema_keyed_first(self) -> StructType:
         return self._out_schema
+
+    def table_rollup(self, spark, table_dir: str) -> DataFrame:
+        """The table-sink rollup as the same serving-ready frame
+        :meth:`snapshot_rollup` returns (area/inc as DECIMAL(38,0)),
+        read through the file sink's ``_spark_metadata`` log (only
+        committed epochs are visible). ``dt`` stays on the frame for
+        partition pruning; the serving twins ignore extra columns."""
+        acc = "area" if self.family == "twa" else "inc"
+        df = spark.read.parquet(table_dir)
+        return df.withColumn(acc, F.col(acc).cast("decimal(38,0)"))
 
 
 def stream_stitch_rollup_parity_frame(wheel, spark, horizon_end_ms=None):
