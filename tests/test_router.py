@@ -904,3 +904,51 @@ def test_keyed_stitch_router_cells(spark, sf_smoke, router):
         for r in bare.sql(q_ctr).collect()
     }
     assert fb_c == want
+
+
+def test_m4_route_and_fallback(spark, sf_smoke, router):
+    """M4(value, ts, n) routes to the OHLC rollup as a per-pixel
+    candle re-combine; a router WITHOUT the registration lowers the
+    dialect query to a generated min_by/max_by scan with the same
+    pixel geometry — both paths agree bit-for-bit."""
+    from uwheel_datafusion_spark.operators.ohlc import (
+        build_ohlc_rollup,
+        m4_downsample_df,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    rollup = build_ohlc_rollup(ev, "ts", "value", WM, ADV, cache=False)
+    router.register_ohlc_rollup("events", "value", "ts", rollup, WM, ADV)
+    s, e = WM, WM + 2 * 86_400_000  # 2 days at 96 px → 30-min pixels
+
+    q = (
+        f"SELECT M4(value, ts, 96) FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}'"
+    )
+    got = sorted(map(tuple, router.sql(q).collect()))
+    assert router.last_decision.path == "m4_rollup"
+    want = sorted(
+        map(tuple, m4_downsample_df(rollup, s, e, n_pixels=96).collect())
+    )
+    assert got == want and len(got) > 0
+
+    # no registration → generated fallback scan, same pixels
+    bare = WheelSqlRouter(spark)
+    got_fb = sorted(map(tuple, bare.sql(q).collect()))
+    assert bare.last_decision.path == "sql"
+    assert "no OHLC rollup" in bare.last_decision.reason
+    assert got_fb == want
+
+    # unaligned endpoint → fallback, still the same raw-truth pixels
+    q_un = (
+        f"SELECT M4(value, ts, 96) FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s + 1)}' "
+        f"AND ts < '{ms_to_ts_literal(e)}'"
+    )
+    df_un = router.sql(q_un)
+    assert router.last_decision.path == "sql"
+    assert df_un.count() > 0
+
+    # scalar entry refuses the multi-row family
+    with pytest.raises(ValueError):
+        router.sql_scalar(q)

@@ -5468,6 +5468,65 @@ def router_ohlc_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "router_m4_range",
+    f"""
+    WITH ev AS (
+        SELECT {RANGE_DAY[0]} + ((epoch_ms(ts) - {RANGE_DAY[0]})
+                   // {_M4_PX_MS}) * {_M4_PX_MS} AS px_ms,
+               epoch_ms(ts) AS ts_ms, value
+        FROM events
+        WHERE ts >= {_ts_lit(RANGE_DAY[0])} AND ts < {_ts_lit(RANGE_DAY[1])}
+    ),
+    r AS (
+        SELECT px_ms, value,
+               row_number() OVER (
+                   PARTITION BY px_ms ORDER BY ts_ms, value
+               ) AS rn_o,
+               row_number() OVER (
+                   PARTITION BY px_ms ORDER BY ts_ms DESC, value DESC
+               ) AS rn_c
+        FROM ev
+    )
+    SELECT px_ms,
+           MIN(CASE WHEN rn_o = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MIN(CASE WHEN rn_c = 1 THEN value END) AS close,
+           COUNT(*) AS cnt
+    FROM r GROUP BY px_ms
+    """,
+)
+def router_m4_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 cell of the router matrix: the dialect spelling
+    ``SELECT M4(value, ts, 200) FROM events WHERE <range>`` is
+    recognized by WheelSqlRouter and served as a per-pixel candle
+    re-combine over the registered OHLC rollup — the chart query never
+    scans fact rows (and WITHOUT the registration the router lowers
+    the same query to a generated min_by/max_by scan with identical
+    pixel geometry, pinned in test_router.py). Oracle: the raw-row
+    rank-window M4 at the same slot-quantized pixel width."""
+    from uwheel_datafusion_spark.functions.time import ms_to_ts_literal
+    from uwheel_datafusion_spark.operators.ohlc import build_ohlc_rollup
+
+    r = _events_router(spark, sf_dir)
+    r.register_ohlc_rollup(
+        "events", "value", "ts",
+        build_ohlc_rollup(
+            load_table(spark, sf_dir, "events"),
+            "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS, cache=False,
+        ),
+        EVENTS_WM_MS, EVENTS_ADV_MS,
+    )
+    s, e = RANGE_DAY
+    df = r.sql(
+        f"SELECT M4(value, ts, 200) FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}'"
+    )
+    assert r.last_decision.path == "m4_rollup", r.last_decision
+    return df
+
+
+@gate(
     "router_twa_range",
     f"""
     WITH ev AS (
@@ -5852,6 +5911,7 @@ _DRIVER_WINDOW = [
     "streaming_twa_stitch_parity",
     "m4_keyed_downsample_200px",
     "sketch_batch_m4",
+    "router_m4_range",
     # --- wheel core ---
     "wheel_rollup_hour",
     "wheel_range_minute_aligned",
@@ -5873,7 +5933,6 @@ _DRIVER_WINDOW = [
     "router_week_rollup",
     "router_quarter_rollup",
     "router_topk_users_day",
-    "router_median_day_rollup",
     "router_keyed_distinct_day",
     # --- sketch families (keyed cells covered by the r6 additions) ---
     "m4_downsample_200px",

@@ -332,6 +332,21 @@ _CTR_GROUP_PATTERN = re.compile(
 )
 
 
+#: SELECT M4(v, ts, n) FROM t WHERE <range> — error-free line-chart
+#: downsampling (Jugel et al., VLDB'14): n pixel columns, each an
+#: OHLC candle (px_ms, open, high, low, close, cnt). Dialect function
+#: (no Spark builtin); served from the registered OHLC rollup as a
+#: per-pixel candle re-combine, unservable matches lower to a
+#: generated min_by/max_by scan with the same slot-quantized pixel
+#: geometry (minute grain — the default build grain).
+_M4_PATTERN = re.compile(
+    r"^\s*SELECT\s+M4\s*\(\s*(?P<mv>\w+)\s*,\s*(?P<mts>\w+)\s*,\s*"
+    r"(?P<npx>\d+)\s*\)\s+FROM\s+(?P<table>\w+)\s+"
+    + _WHERE_RANGE + r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
 #: keyed (per-series) forms of the three stitch families:
 #: SELECT <key> [AS k], date_trunc('<g>', ts) [AS b], <items>
 #: FROM t WHERE <range> GROUP BY (1, 2 | key, bucket) — served from
@@ -531,6 +546,41 @@ def _counter_fallback_sql(
         )
         SELECT {out}{', '.join(items)}
         FROM o{tail}
+    """
+
+
+def _m4_fallback_sql(m: re.Match) -> str:
+    """Lower a matched-but-unservable M4 query to a min_by/max_by scan
+    with the same slot-quantized pixel geometry as m4_downsample_df
+    (minute grain — the default build grain), so the dialect query
+    runs, and agrees with the rollup path on servable ranges. Pixel
+    width derives in-plan from the query's own literals (integer
+    ceil-division; a 1-row broadcast geometry frame)."""
+    ts, v, n = m["mts"], m["mv"], int(m["npx"])
+    return f"""
+        WITH g AS (
+            SELECT s_ms,
+                   ((((e_ms - s_ms) + {n - 1}) DIV {n} + 59999)
+                       DIV 60000) * 60000 AS px
+            FROM (SELECT unix_millis(TIMESTAMP '{m['start']}') AS s_ms,
+                         unix_millis(TIMESTAMP '{m['end']}') AS e_ms)
+        ),
+        ev AS (
+            SELECT g.s_ms + ((t - g.s_ms) DIV g.px) * g.px AS px_ms, t, v
+            FROM (
+                SELECT CAST(floor(unix_micros(
+                           CAST({ts} AS TIMESTAMP)) / 1000) AS BIGINT) AS t,
+                       {v} AS v
+                FROM {m['table']} {_range_where(m)}
+            ) CROSS JOIN g
+        )
+        SELECT px_ms,
+               min_by(v, struct(t, v)) AS open,
+               max(v) AS high,
+               min(v) AS low,
+               max_by(v, struct(t, v)) AS close,
+               count(*) AS cnt
+        FROM ev GROUP BY px_ms
     """
 
 
@@ -816,6 +866,10 @@ class WheelSqlRouter:
             mm = _MEDIAN_PATTERN.match(query)
             if mm is not None:
                 return self._decide_median(mm, grouped=False)
+        if "M4" in qu:
+            mm = _M4_PATTERN.match(query)
+            if mm is not None:
+                return self._decide_m4(mm)
         if "MIN_BY" in qu and "MAX_BY" in qu:
             if "GROUP" in qu:
                 km = _KEYED_OHLC_PATTERN.match(query)
@@ -1328,6 +1382,38 @@ class WheelSqlRouter:
             value_col=value_col,
         )
 
+    def _decide_m4(self, m: re.Match) -> RouteDecision:
+        """M4(value, ts, n_pixels) → per-pixel candle re-combine over
+        the OHLC rollup; unservable matches lower to a generated
+        min_by/max_by scan with the same pixel geometry (M4 is a
+        dialect function — without the lowering it could not run)."""
+        table = m["table"].lower()
+        fb = _m4_fallback_sql(m)
+        reg = self._ohlc.get(table)
+        if reg is None:
+            return RouteDecision(
+                "sql", f"no OHLC rollup for {table}", fallback_sql=fb
+            )
+        ts_col, value_col, _rollup, slot_ms, wm, adv = reg
+        if m["mv"].lower() != value_col or m["mts"].lower() != ts_col:
+            return RouteDecision(
+                "sql", "M4 columns are not the rollup (value, ts)",
+                fallback_sql=fb,
+            )
+        rng = self._stitch_range(m, False, ts_col, slot_ms, wm, adv)
+        if isinstance(rng, str):
+            return RouteDecision("sql", rng, fallback_sql=fb)
+        s, e, _gran, _balias = rng
+        return RouteDecision(
+            "m4_rollup",
+            "rewritten onto OHLC rollup (per-pixel candle re-combine)",
+            table,
+            "M4",
+            (s, e),
+            limit=int(m["npx"]),
+            value_col=value_col,
+        )
+
     def _decide_twa(self, m: re.Match, grouped: bool) -> RouteDecision:
         """TWA(value, ts) → TWA-rollup rewrite; unservable matches
         lower to a generated lag-window scan (no Spark builtin)."""
@@ -1404,6 +1490,16 @@ class WheelSqlRouter:
             bucket_alias=balias,
             value_col=value_col,
         )
+
+    def _serve_m4_rollup(self, d: RouteDecision) -> DataFrame:
+        """M4 served as the per-pixel candle re-combine over covered
+        rollup slots (operators/ohlc.m4_downsample_df) — the chart
+        never scans fact rows; ``d.limit`` carries n_pixels."""
+        from uwheel_datafusion_spark.operators.ohlc import m4_downsample_df
+
+        _ts, _v, rollup, slot_ms, _wm, _adv = self._ohlc[d.table]
+        s, e = d.range_ms
+        return m4_downsample_df(rollup, s, e, d.limit, slot_ms=slot_ms)
 
     def _serve_ohlc_rollup(self, d: RouteDecision) -> DataFrame:
         from pyspark.sql import functions as F
@@ -1835,9 +1931,9 @@ class WheelSqlRouter:
         self.last_decision = d
         if d.path in (
             "rollup", "keyed_rollup", "distinct_rollup", "count_rollup",
-            "keyed_quantile_rollup", "ohlc_rollup", "twa_rollup",
-            "counter_rollup", "keyed_ohlc_rollup", "keyed_twa_rollup",
-            "keyed_counter_rollup",
+            "keyed_quantile_rollup", "ohlc_rollup", "m4_rollup",
+            "twa_rollup", "counter_rollup", "keyed_ohlc_rollup",
+            "keyed_twa_rollup", "keyed_counter_rollup",
         ) or (
             d.path == "index" and len(d.items) > 1
         ) or (
@@ -1893,6 +1989,8 @@ class WheelSqlRouter:
             return self._serve_keyed_quantile_rollup(d)
         if d.path == "ohlc_rollup":
             return self._serve_ohlc_rollup(d)
+        if d.path == "m4_rollup":
+            return self._serve_m4_rollup(d)
         if d.path == "twa_rollup":
             return self._serve_twa_rollup(d)
         if d.path == "counter_rollup":
