@@ -857,6 +857,55 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         }
         extras["sketch_serving"] = detail
 
+    # ---------------- ANN quality: IVF recall vs exact brute force
+    @step("ann_recall")
+    def _():
+        """Recall@10 of the IVF probe against the exact neighbors —
+        the approximate tier's quality number next to its speed (a
+        fast ANN with unmeasured recall is not a result)."""
+        from collections import defaultdict
+
+        from uwheel_datafusion_spark.operators.similarity import (
+            ann_ivf_multiprobe_topk,
+            knn_brute_force,
+        )
+        from uwheel_datafusion_spark.sources.registry import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qids = tuple(
+            r[0]
+            for r in emb.select("vec_id").orderBy("vec_id").limit(50).collect()
+        )
+        t0 = time.perf_counter()
+        bf = knn_brute_force(emb, qids, k=10).collect()
+        bf_sec = time.perf_counter() - t0
+        truth: dict = defaultdict(set)
+        for r in bf:
+            truth[r["query_id"]].add(r["neighbor_id"])
+        total = sum(len(truth[q]) for q in truth)
+        curve = {}
+        for nprobe in (1, 2, 3):
+            t0 = time.perf_counter()
+            mv = ann_ivf_multiprobe_topk(
+                emb, qids, k=10, nprobe=nprobe, n_cells=4
+            ).collect()
+            dt = time.perf_counter() - t0
+            approx: dict = defaultdict(set)
+            for r in mv:
+                approx[r["query_id"]].add(r["neighbor_id"])
+            hits = sum(len(approx[q] & truth[q]) for q in truth)
+            curve[f"nprobe_{nprobe}"] = {
+                "recall_at_10": round(hits / total, 4) if total else None,
+                "sec": round(dt, 3),
+            }
+        extras["ann_recall"] = {
+            "n_queries": len(qids),
+            "k": 10,
+            "n_cells": 4,
+            "brute_force_sec": round(bf_sec, 3),
+            "ivf_multiprobe": curve,
+        }
+
     # ------------------------------------------------ headline gate queries
     headline = (
         "tpch_q1_pricing_summary",

@@ -210,3 +210,67 @@ def test_connected_components_star_matches_propagation(spark):
         for r in connected_components_star(chain).collect()
     }
     assert got == {i: 1 for i in range(1, 66)}
+
+
+def test_quantize_int8_bounds(spark, sf_correctness):
+    """int8 codes stay in [-127, 127], reconstruction error per
+    component is ≤ q_scale/2, and a zero/degenerate scale yields
+    all-zero codes — the guarantees the ANN tiers rely on."""
+    from uwheel_datafusion_spark.operators.similarity import quantize_int8
+    from uwheel_datafusion_spark.sources.registry import load_table
+
+    vecs = load_table(spark, sf_correctness, "embeddings")
+    q = quantize_int8(vecs)
+    joined = q.join(vecs, "vec_id").collect()
+    assert len(joined) > 0
+    for r in joined:
+        assert all(-127 <= c <= 127 for c in r["qvec8"])
+        if r["q_scale"] == 0:
+            assert all(c == 0 for c in r["qvec8"])
+            continue
+        for x, c in zip(r["embedding"], r["qvec8"]):
+            assert abs(float(x) - c * r["q_scale"]) <= r["q_scale"] / 2 + 1e-12
+
+
+def test_multiprobe_full_probe_equals_brute_force(spark, sf_correctness):
+    """nprobe = n_cells searches every cell, so multi-probe IVF must
+    return EXACTLY the brute-force top-k (same cosine, same ties) —
+    and shrinking nprobe can only shrink per-query recall, never the
+    output contract."""
+    from uwheel_datafusion_spark.operators.similarity import (
+        ann_ivf_multiprobe_topk,
+        knn_brute_force,
+    )
+    from uwheel_datafusion_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    qids = tuple(range(8))
+    want = sorted(
+        map(tuple, knn_brute_force(emb, qids, k=5).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            ann_ivf_multiprobe_topk(
+                emb, qids, k=5, nprobe=4, n_cells=4
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+    # recall is monotone in nprobe (set containment per query)
+    def neigh(nprobe):
+        out = {}
+        for r in ann_ivf_multiprobe_topk(
+            emb, qids, k=5, nprobe=nprobe, n_cells=4
+        ).collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    want_sets = {}
+    for r in want:
+        want_sets.setdefault(r[0], set()).add(r[1])
+    n1, n2 = neigh(1), neigh(2)
+    hits1 = sum(len(n1.get(q, set()) & want_sets[q]) for q in want_sets)
+    hits2 = sum(len(n2.get(q, set()) & want_sets[q]) for q in want_sets)
+    assert hits1 <= hits2

@@ -4620,11 +4620,42 @@ def ann_q(spark, sf_dir):
     )
 
 
+@gate(
+    "similarity_ann_ivf_multiprobe",
+    _sim.ann_ivf_multiprobe_topk_oracle(
+        query_ids=KNN_QUERY_IDS, k=5, nprobe=2, n_cells=4
+    ),
+)
+def ann_multiprobe_q(spark, sf_dir):
+    """Multi-probe IVF over GEOMETRIC (k-means) cells — the production
+    IVF shape (FAISS nprobe): each query searches its 2 nearest of 4
+    Voronoi cells instead of only its own, lifting recall@10 from 0.43
+    to 0.70 at sf0.1 (0.89 at nprobe=3; measured per-round in bench.py
+    ann_recall). Probe cost stays nprobe/n_cells of the corpus via one
+    equi-join on the cell key; exact int64 Lloyd cells + probe ranking
+    replay in the DuckDB oracle bit-for-bit."""
+    return _sim.ann_ivf_multiprobe_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        KNN_QUERY_IDS, k=5, nprobe=2, n_cells=4,
+    )
+
+
 @gate("similarity_label_centroids", _sim.label_centroids_oracle())
 def centroids_q(spark, sf_dir):
     """IVF cell-centroid build (posexplode + partial agg on
     (cell, pos)): reduce volume is n_cells × dim, not corpus size."""
     return _sim.label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+@gate("embedding_int8_quantize", _sim.quantize_int8_oracle())
+def int8_quantize_q(spark, sf_dir):
+    """Symmetric per-vector int8 codes for the ANN tiers (4× less
+    memory/shuffle bandwidth than float32 at 100 TB): q_scale =
+    max|x|/127, codes = round(x/q_scale) ∈ [-127, 127]. Map-only — two
+    JVM `transform` projections, no shuffle/UDF; the oracle executes
+    the dialect-mirrored double arithmetic, so codes hash-match
+    bit-for-bit."""
+    return _sim.quantize_int8(load_table(spark, sf_dir, "embeddings"))
 
 
 @gate(
@@ -5912,6 +5943,8 @@ _DRIVER_WINDOW = [
     "m4_keyed_downsample_200px",
     "sketch_batch_m4",
     "router_m4_range",
+    "embedding_int8_quantize",
+    "similarity_ann_ivf_multiprobe",
     # --- wheel core ---
     "wheel_rollup_hour",
     "wheel_range_minute_aligned",
@@ -5938,7 +5971,6 @@ _DRIVER_WINDOW = [
     "m4_downsample_200px",
     "counter_increase_by_day_events",
     # --- distinct / heavy hitters ---
-    "distinct_users_by_day_hll",
     "heavy_hitters_mg_verified_range",
     "heavy_hitters_range_topk_users",
     # --- anomaly ---
@@ -5955,7 +5987,6 @@ _DRIVER_WINDOW = [
     "dedup_connected_components_star",
     # --- similarity / ANN ---
     "similarity_hyperplane_lsh_pairs",
-    "similarity_ann_ivf_topk",
     # --- corpus / linalg / text ---
     "corpus_mixture_reweight",
     "embedding_gram_upper",

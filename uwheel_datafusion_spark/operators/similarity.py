@@ -499,15 +499,10 @@ def _assign(qv: DataFrame, centroids: list[list[int]]) -> DataFrame:
     return qv.withColumn("mord", F.least(*ords))
 
 
-def kmeans_assignments(
-    vecs: DataFrame, k: int = 4, n_iter: int = 2, vec_col: str = "embedding"
-) -> DataFrame:
-    """Final (vec_id, cluster, sq_dist) after ``n_iter`` Lloyd
-    assignment passes (n_iter − 1 centroid updates in between).
-    Init: the k lowest-vec_id vectors, cluster ids in vec_id order."""
-    if not 2 <= k <= KMEANS_ENC:
-        raise ValueError(f"k must be in [2, {KMEANS_ENC}]")
-    qv = _quantized(vecs, vec_col).select("vec_id", "qvec").cache()
+def _kmeans_centroids(qv: DataFrame, k: int, n_iter: int) -> list[list[int]]:
+    """Lloyd centroid loop over a (vec_id, qvec) frame: init = the k
+    lowest-vec_id vectors, then ``n_iter − 1`` broadcast-centroid
+    updates (one k×dim-row shuffle each, driver fold in between)."""
     init_rows = qv.orderBy("vec_id").limit(k).collect()
     centroids = [list(r["qvec"]) for r in init_rows]
 
@@ -525,6 +520,19 @@ def kmeans_assignments(
         for r in sums:
             nxt[r["cid"]][r["pos"]] = _tdiv(r["s"], r["c"])
         centroids = nxt
+    return centroids
+
+
+def kmeans_assignments(
+    vecs: DataFrame, k: int = 4, n_iter: int = 2, vec_col: str = "embedding"
+) -> DataFrame:
+    """Final (vec_id, cluster, sq_dist) after ``n_iter`` Lloyd
+    assignment passes (n_iter − 1 centroid updates in between).
+    Init: the k lowest-vec_id vectors, cluster ids in vec_id order."""
+    if not 2 <= k <= KMEANS_ENC:
+        raise ValueError(f"k must be in [2, {KMEANS_ENC}]")
+    qv = _quantized(vecs, vec_col).select("vec_id", "qvec").cache()
+    centroids = _kmeans_centroids(qv, k, n_iter)
 
     return _assign(qv, centroids).select(
         "vec_id",
@@ -533,15 +541,12 @@ def kmeans_assignments(
     )
 
 
-def kmeans_assignments_oracle(
-    table: str = "embeddings",
-    k: int = 4,
-    n_iter: int = 2,
-    vec_col: str = "embedding",
-) -> str:
-    """The same iterations as nested CTEs (no driver loop): c0 = init
-    centroids; a_i = assignment under c_{i-1}; c_i = truncated
-    component means with empty clusters keeping c_{i-1}."""
+def _kmeans_cte_parts(
+    table: str, k: int, n_iter: int, vec_col: str
+) -> tuple[list[str], str, str]:
+    """The Lloyd iterations as DuckDB CTE parts (shared by the k-means
+    gate oracle and the multi-probe IVF oracle): returns
+    ``(parts, last_centroid_cte, dist_expr)``."""
     d = DUCK
     q = d.quantize_vec(vec_col, Q_SCALE)
     dist = d.sum_list_bigint(d.zip_sqdiff("qv.qvec", "c.cvec"))
@@ -580,7 +585,19 @@ def kmeans_assignments_oracle(
                 ) n USING (cid)
             )"""
         )
-    last = f"c{n_iter - 1}"
+    return parts, f"c{n_iter - 1}", dist
+
+
+def kmeans_assignments_oracle(
+    table: str = "embeddings",
+    k: int = 4,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+) -> str:
+    """The same iterations as nested CTEs (no driver loop): c0 = init
+    centroids; a_i = assignment under c_{i-1}; c_i = truncated
+    component means with empty clusters keeping c_{i-1}."""
+    parts, last, dist = _kmeans_cte_parts(table, k, n_iter, vec_col)
     return f"""
         WITH {", ".join(parts)},
         afin AS (
@@ -591,4 +608,185 @@ def kmeans_assignments_oracle(
                CAST(mord % {KMEANS_ENC} AS BIGINT) AS cluster,
                CAST(mord // {KMEANS_ENC} AS BIGINT) AS sq_dist
         FROM afin
+    """
+
+
+# --------------------------------------------------------------------------
+# int8 embedding quantization (ANN memory/bandwidth at scale)
+# --------------------------------------------------------------------------
+
+def _int8_body(d) -> str:
+    """Shared per-component expression (dialect-mirrored so Spark and
+    the DuckDB oracle execute the identical double arithmetic):
+    symmetric round(x / q_scale) clamped by construction to
+    [-127, 127] (q_scale = max|x| / 127)."""
+    return (
+        "CASE WHEN q_scale > 0 "
+        "THEN CAST(round(CAST(x AS DOUBLE) / q_scale) AS INTEGER) "
+        "ELSE 0 END"
+    )
+
+
+def quantize_int8(
+    vecs: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``(id, q_scale, qvec8)``
+    with ``q_scale = max|x| / 127`` and ``qvec8[i] =
+    round(x[i] / q_scale)`` ∈ [-127, 127] — 4× less memory/shuffle
+    bandwidth than float32 for the ANN tiers (approximate dot:
+    ``q_scale_a · q_scale_b · Σ qa·qb``; reconstruction error per
+    component ≤ q_scale/2). Map-only (no shuffle, no UDF — two JVM
+    ``transform`` projections), so it composes with any downstream
+    bucketing at 100 TB. A zero vector keeps q_scale 0 and all-zero
+    codes."""
+    d = SPARK
+    m = d.array_max(d.transform(vec_col, "x", "abs(CAST(x AS DOUBLE))"))
+    return (
+        vecs.withColumn("q_scale", F.expr(f"({m}) / 127.0"))
+        .select(
+            F.col(id_col),
+            F.col("q_scale"),
+            F.expr(d.transform(vec_col, "x", _int8_body(d))).alias("qvec8"),
+        )
+    )
+
+
+def quantize_int8_oracle(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    d = DUCK
+    m = d.array_max(d.transform(vec_col, "x", "abs(CAST(x AS DOUBLE))"))
+    return f"""
+        SELECT {id_col}, q_scale,
+               {d.transform(vec_col, "x", _int8_body(d))} AS qvec8
+        FROM (
+            SELECT {id_col}, {vec_col}, ({m}) / 127.0 AS q_scale
+            FROM {table}
+        )
+    """
+
+
+# --------------------------------------------------------------------------
+# Multi-probe IVF (FAISS nprobe): k-means cells + nearest-nprobe search
+# --------------------------------------------------------------------------
+
+def ann_ivf_multiprobe_topk(
+    vecs: DataFrame,
+    query_ids: tuple[int, ...],
+    k: int = 5,
+    nprobe: int = 2,
+    n_cells: int = 4,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with GEOMETRIC cells and multi-probe: the corpus is
+    partitioned by k-means cell (the production IVF build — at 100 TB
+    the table is bucketed/partitioned by this id), and each query
+    searches its ``nprobe`` NEAREST cells instead of only its own —
+    the recall knob every IVF deployment tunes (single-cell probing
+    caps recall at whatever fraction of true neighbors shares the
+    query's Voronoi cell; measured in bench.py's ann_recall block).
+    One equi-join on the cell key: probe cost scales with
+    nprobe/n_cells of the corpus, never all-pairs. Exact int64
+    centroid arithmetic (same Lloyd loop as kmeans_assignments), so
+    the DuckDB oracle replays cells + probe ranking bit-for-bit."""
+    if not 2 <= n_cells <= KMEANS_ENC:
+        raise ValueError(f"n_cells must be in [2, {KMEANS_ENC}]")
+    assert 1 <= nprobe <= n_cells
+    cqv = _quantized(vecs, vec_col).select("vec_id", "qvec").cache()
+    centroids = _kmeans_centroids(cqv, n_cells, n_iter)
+    cells = _assign(cqv, centroids).select(
+        "vec_id", (F.col("mord") % KMEANS_ENC).cast("long").alias("cell")
+    )
+    qv = _quantized(vecs, vec_col, drop_zero=True)
+    corpus = qv.join(cells, "vec_id")
+    ords = ", ".join(_dist_ord_exprs(SPARK, centroids))
+    probes = (
+        f"transform(slice(array_sort(array({ords})), 1, {nprobe}), "
+        f"o -> CAST(o % {KMEANS_ENC} AS BIGINT))"
+    )
+    queries = qv.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm").alias("q_qnorm"),
+        F.explode(F.expr(probes)).alias("q_cell"),
+    )
+    cos = F.expr(
+        SPARK.cosine_q(SPARK.dot_q("q_qvec", "qvec"), "q_qnorm", "qnorm")
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("cell") == F.col("q_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("cosine", cos)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def ann_ivf_multiprobe_topk_oracle(
+    table: str = "embeddings",
+    query_ids: tuple[int, ...] = (),
+    k: int = 5,
+    nprobe: int = 2,
+    n_cells: int = 4,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+) -> str:
+    d = DUCK
+    ids = ", ".join(str(i) for i in query_ids)
+    parts, last, dist = _kmeans_cte_parts(table, n_cells, n_iter, vec_col)
+    cos = d.cosine_q(d.dot_q("q.qvec", "v.qvec"), "q.qnorm", "v.qnorm")
+    return f"""
+        WITH {", ".join(parts)},
+        cells AS (
+            SELECT qv.vec_id,
+                   CAST(min({dist} * {KMEANS_ENC} + c.cid) % {KMEANS_ENC}
+                        AS BIGINT) AS cell
+            FROM qv CROSS JOIN {last} c GROUP BY qv.vec_id
+        ),
+        qn AS (
+            SELECT * FROM (
+                SELECT vec_id, qvec,
+                       {d.dot_q('qvec', 'qvec')} AS qnorm FROM qv
+            ) WHERE qnorm > 0
+        ),
+        probes AS (
+            SELECT vec_id AS query_id,
+                   CAST(ord % {KMEANS_ENC} AS BIGINT) AS q_cell
+            FROM (
+                SELECT qv.vec_id, ({dist} * {KMEANS_ENC} + c.cid) AS ord,
+                       row_number() OVER (
+                           PARTITION BY qv.vec_id
+                           ORDER BY ({dist} * {KMEANS_ENC} + c.cid)
+                       ) AS pr
+                FROM qv CROSS JOIN {last} c
+                WHERE qv.vec_id IN ({ids})
+            ) WHERE pr <= {nprobe}
+        ),
+        scored AS (
+            SELECT p.query_id, v.vec_id AS neighbor_id, {cos} AS cosine
+            FROM probes p
+            JOIN qn q ON q.vec_id = p.query_id
+            JOIN cells cl ON cl.cell = p.q_cell
+            JOIN qn v ON v.vec_id = cl.vec_id AND v.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rnk FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                   ) AS BIGINT) AS rnk
+            FROM scored
+        ) WHERE rnk <= {k}
     """
