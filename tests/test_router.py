@@ -952,3 +952,46 @@ def test_m4_route_and_fallback(spark, sf_smoke, router):
     # scalar entry refuses the multi-row family
     with pytest.raises(ValueError):
         router.sql_scalar(q)
+
+
+def test_keyed_m4_route_and_fallback(spark, sf_smoke, router):
+    """SELECT key, M4(value, ts, n) … GROUP BY key routes to the keyed
+    OHLC rollup (every series' panel in one re-combine); without the
+    registration the keyed rank-window lowering produces identical
+    pixels."""
+    from uwheel_datafusion_spark.operators.ohlc import (
+        build_keyed_ohlc_rollup,
+        m4_downsample_keyed_df,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    rollup = build_keyed_ohlc_rollup(
+        ev, "ts", "value", "event_type", WM, ADV, cache=False
+    )
+    router.register_keyed_ohlc_rollup(
+        "events", "event_type", "value", "ts", rollup, WM, ADV
+    )
+    s, e = WM, WM + 2 * 86_400_000
+
+    q = (
+        f"SELECT event_type AS sym, M4(value, ts, 96) FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}' "
+        f"GROUP BY 1"
+    )
+    got = sorted(map(tuple, router.sql(q).collect()))
+    assert router.last_decision.path == "keyed_m4_rollup"
+    want = sorted(
+        map(
+            tuple,
+            m4_downsample_keyed_df(rollup, s, e, n_pixels=96)
+            .withColumnRenamed("grp", "sym")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+    bare = WheelSqlRouter(spark)
+    got_fb = sorted(map(tuple, bare.sql(q).collect()))
+    assert bare.last_decision.path == "sql"
+    assert "no keyed OHLC rollup" in bare.last_decision.reason
+    assert got_fb == want

@@ -5558,6 +5558,68 @@ def router_m4_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "router_keyed_m4_day",
+    f"""
+    WITH ev AS (
+        SELECT event_type AS grp,
+               {RANGE_DAY[0]} + ((epoch_ms(ts) - {RANGE_DAY[0]})
+                   // {_M4_PX_MS}) * {_M4_PX_MS} AS px_ms,
+               epoch_ms(ts) AS ts_ms, value
+        FROM events
+        WHERE ts >= {_ts_lit(RANGE_DAY[0])} AND ts < {_ts_lit(RANGE_DAY[1])}
+    ),
+    r AS (
+        SELECT grp, px_ms, value,
+               row_number() OVER (
+                   PARTITION BY grp, px_ms ORDER BY ts_ms, value
+               ) AS rn_o,
+               row_number() OVER (
+                   PARTITION BY grp, px_ms ORDER BY ts_ms DESC, value DESC
+               ) AS rn_c
+        FROM ev
+    )
+    SELECT grp, px_ms,
+           MIN(CASE WHEN rn_o = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MIN(CASE WHEN rn_c = 1 THEN value END) AS close,
+           COUNT(*) AS cnt
+    FROM r GROUP BY grp, px_ms
+    """,
+)
+def router_keyed_m4_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed M4 cell of the router matrix: ``SELECT event_type AS grp,
+    M4(value, ts, 200) … GROUP BY 1`` — every series' dashboard panel
+    from ONE keyed-rollup re-combine (and the same query lowers to a
+    keyed rank-window scan with identical pixels when no rollup is
+    registered, pinned in test_router.py). Oracle: per-series raw-row
+    rank-window M4 at the same quantized pixel width."""
+    from uwheel_datafusion_spark.functions.time import ms_to_ts_literal
+    from uwheel_datafusion_spark.operators.ohlc import (
+        build_keyed_ohlc_rollup,
+    )
+
+    r = _events_router(spark, sf_dir)
+    r.register_keyed_ohlc_rollup(
+        "events", "event_type", "value", "ts",
+        build_keyed_ohlc_rollup(
+            load_table(spark, sf_dir, "events"),
+            "ts", "value", "event_type", EVENTS_WM_MS, EVENTS_ADV_MS,
+            cache=False,
+        ),
+        EVENTS_WM_MS, EVENTS_ADV_MS,
+    )
+    s, e = RANGE_DAY
+    df = r.sql(
+        f"SELECT event_type AS grp, M4(value, ts, 200) FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}' "
+        f"GROUP BY 1"
+    )
+    assert r.last_decision.path == "keyed_m4_rollup", r.last_decision
+    return df
+
+
+@gate(
     "router_twa_range",
     f"""
     WITH ev AS (
@@ -5945,6 +6007,7 @@ _DRIVER_WINDOW = [
     "router_m4_range",
     "embedding_int8_quantize",
     "similarity_ann_ivf_multiprobe",
+    "router_keyed_m4_day",
     # --- wheel core ---
     "wheel_rollup_hour",
     "wheel_range_minute_aligned",
@@ -5963,7 +6026,6 @@ _DRIVER_WINDOW = [
     "streaming_keyed_rollup_parity",
     # --- router cells ---
     "router_multi_agg_range",
-    "router_week_rollup",
     "router_quarter_rollup",
     "router_topk_users_day",
     "router_keyed_distinct_day",

@@ -347,6 +347,11 @@ _M4_PATTERN = re.compile(
 )
 
 
+#: SELECT <key>, M4(v, ts, n) FROM t WHERE <range> GROUP BY key — the
+#: per-series panel form (every symbol's chart in one query), served
+#: from the keyed OHLC rollup; fallback is the keyed rank-window scan.
+#: (Defined after _KEYED_PREFIX below.)
+
 #: keyed (per-series) forms of the three stitch families:
 #: SELECT <key> [AS k], date_trunc('<g>', ts) [AS b], <items>
 #: FROM t WHERE <range> GROUP BY (1, 2 | key, bucket) — served from
@@ -378,6 +383,14 @@ _KEYED_CTR_PATTERN = re.compile(
     _KEYED_PREFIX + _DT_BUCKET + r",\s*" + _CTR_ITEMS
     + r"\s+FROM\s+(?P<table>\w+)\s+" + _WHERE_RANGE + r"\s*"
     + _GROUP_BY_KEY_BUCKET + r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_KEYED_M4_PATTERN = re.compile(
+    _KEYED_PREFIX
+    + r"M4\s*\(\s*(?P<mv>\w+)\s*,\s*(?P<mts>\w+)\s*,\s*(?P<npx>\d+)\s*\)"
+    + r"\s+FROM\s+(?P<table>\w+)\s+" + _WHERE_RANGE
+    + r"\s*GROUP\s+BY\s+(?:1|(?P<gb_key>\w+))\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -581,6 +594,39 @@ def _m4_fallback_sql(m: re.Match) -> str:
                max_by(v, struct(t, v)) AS close,
                count(*) AS cnt
         FROM ev GROUP BY px_ms
+    """
+
+
+def _keyed_m4_fallback_sql(m: re.Match) -> str:
+    """Keyed twin of _m4_fallback_sql: per-series pixels from a
+    min_by/max_by scan partitioned by the series key."""
+    ts, v, n = m["mts"], m["mv"], int(m["npx"])
+    key, kalias = m["key"], m["kalias"] or m["key"]
+    return f"""
+        WITH g AS (
+            SELECT s_ms,
+                   ((((e_ms - s_ms) + {n - 1}) DIV {n} + 59999)
+                       DIV 60000) * 60000 AS px
+            FROM (SELECT unix_millis(TIMESTAMP '{m['start']}') AS s_ms,
+                         unix_millis(TIMESTAMP '{m['end']}') AS e_ms)
+        ),
+        ev AS (
+            SELECT k, g.s_ms + ((t - g.s_ms) DIV g.px) * g.px AS px_ms, t, v
+            FROM (
+                SELECT {key} AS k,
+                       CAST(floor(unix_micros(
+                           CAST({ts} AS TIMESTAMP)) / 1000) AS BIGINT) AS t,
+                       {v} AS v
+                FROM {m['table']} {_range_where(m)}
+            ) CROSS JOIN g
+        )
+        SELECT k AS {kalias}, px_ms,
+               min_by(v, struct(t, v)) AS open,
+               max(v) AS high,
+               min(v) AS low,
+               max_by(v, struct(t, v)) AS close,
+               count(*) AS cnt
+        FROM ev GROUP BY k, px_ms
     """
 
 
@@ -867,6 +913,10 @@ class WheelSqlRouter:
             if mm is not None:
                 return self._decide_median(mm, grouped=False)
         if "M4" in qu:
+            if "GROUP" in qu:
+                km = _KEYED_M4_PATTERN.match(query)
+                if km is not None:
+                    return self._decide_keyed_m4(km)
             mm = _M4_PATTERN.match(query)
             if mm is not None:
                 return self._decide_m4(mm)
@@ -1168,6 +1218,59 @@ class WheelSqlRouter:
             return "range outside the rollup horizon"
         return (s, e, gran, balias, kalias)
 
+    def _decide_keyed_m4(self, m: re.Match) -> RouteDecision:
+        """Per-series M4 (GROUP BY key) → keyed OHLC rollup re-combine;
+        unservable matches lower to the keyed rank-window scan."""
+        table, key = m["table"].lower(), m["key"].lower()
+        fb = _keyed_m4_fallback_sql(m)
+        reg = self._kohlc.get((table, key))
+        if reg is None:
+            return RouteDecision(
+                "sql", f"no keyed OHLC rollup for ({table}, {key})",
+                fallback_sql=fb,
+            )
+        ts_col, value_col, _rollup, slot_ms, wm, adv = reg
+        if m["mv"].lower() != value_col or m["mts"].lower() != ts_col:
+            return RouteDecision(
+                "sql", "M4 columns are not the rollup (value, ts)",
+                fallback_sql=fb,
+            )
+        kalias = m["kalias"] or m["key"]
+        if m["gb_key"] and m["gb_key"].lower() not in (key, kalias.lower()):
+            return RouteDecision(
+                "sql", "GROUP BY key is not the series key", fallback_sql=fb
+            )
+        if {m["ts1"].lower(), m["ts2"].lower()} != {ts_col}:
+            return RouteDecision(
+                "sql", "filter column is not the rollup ts", fallback_sql=fb
+            )
+        s = _parse_ts_literal(m["start"])
+        e = _parse_ts_literal(m["end"])
+        if s is None or e is None:
+            return RouteDecision(
+                "sql", "unparseable timestamp literal", fallback_sql=fb
+            )
+        if s % slot_ms or e % slot_ms:
+            return RouteDecision(
+                "sql", "endpoints not aligned to the rollup slot grain",
+                fallback_sql=fb,
+            )
+        if s < wm or e > adv:
+            return RouteDecision(
+                "sql", "range outside the rollup horizon", fallback_sql=fb
+            )
+        return RouteDecision(
+            "keyed_m4_rollup",
+            "rewritten onto keyed OHLC rollup (per-series pixel re-combine)",
+            table,
+            "M4",
+            (s, e),
+            limit=int(m["npx"]),
+            key_alias=kalias,
+            key_col=key,
+            value_col=value_col,
+        )
+
     def _decide_keyed_ohlc(self, m: re.Match) -> RouteDecision:
         table, key = m["table"].lower(), m["key"].lower()
         reg = self._kohlc.get((table, key))
@@ -1304,6 +1407,22 @@ class WheelSqlRouter:
                     col = F.coalesce(col, F.lit(0).cast("long"))
                 cols.append(col.alias(aliases[role]))
         return out.select(*cols)
+
+    def _serve_keyed_m4_rollup(self, d: RouteDecision) -> DataFrame:
+        """Per-series M4 from the keyed OHLC rollup: one (grp, pixel)
+        re-combine over covered slots — every series' panel, no fact
+        scan; ``d.limit`` carries n_pixels."""
+        from uwheel_datafusion_spark.operators.ohlc import (
+            m4_downsample_keyed_df,
+        )
+
+        _ts, _v, rollup, slot_ms, _wm, _adv = self._kohlc[
+            (d.table, d.key_col)
+        ]
+        s, e = d.range_ms
+        return m4_downsample_keyed_df(
+            rollup, s, e, d.limit, slot_ms=slot_ms
+        ).withColumnRenamed("grp", d.key_alias)
 
     def _serve_keyed_ohlc_rollup(self, d: RouteDecision) -> DataFrame:
         from uwheel_datafusion_spark.operators.ohlc import cascade_keyed_ohlc
@@ -1932,8 +2051,9 @@ class WheelSqlRouter:
         if d.path in (
             "rollup", "keyed_rollup", "distinct_rollup", "count_rollup",
             "keyed_quantile_rollup", "ohlc_rollup", "m4_rollup",
-            "twa_rollup", "counter_rollup", "keyed_ohlc_rollup",
-            "keyed_twa_rollup", "keyed_counter_rollup",
+            "keyed_m4_rollup", "twa_rollup", "counter_rollup",
+            "keyed_ohlc_rollup", "keyed_twa_rollup",
+            "keyed_counter_rollup",
         ) or (
             d.path == "index" and len(d.items) > 1
         ) or (
@@ -1991,6 +2111,8 @@ class WheelSqlRouter:
             return self._serve_ohlc_rollup(d)
         if d.path == "m4_rollup":
             return self._serve_m4_rollup(d)
+        if d.path == "keyed_m4_rollup":
+            return self._serve_keyed_m4_rollup(d)
         if d.path == "twa_rollup":
             return self._serve_twa_rollup(d)
         if d.path == "counter_rollup":
