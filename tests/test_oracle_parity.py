@@ -41,8 +41,8 @@ def test_entry_smoke(spark):
 @pytest.mark.skipif(
     not os.environ.get("PARITY_ALL_SCALES"),
     reason="cross-scale sweep doubles suite time; set PARITY_ALL_SCALES=1 "
-    "(verified green at sf0.001 + sf0.01, 147/147 both scales, "
-    "2026-08-14 round 5: 295 passed in 374 s)",
+    "(artifact-recorded per round instead: tests/run_sweep.py -> "
+    "SWEEP_r06.json, 2026-08-15 round 6: 169/169 green at both scales)",
 )
 @pytest.mark.parametrize(
     "name,fn,oracle", _gate_cases(), ids=[c[0] for c in _gate_cases()]
