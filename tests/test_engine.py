@@ -266,3 +266,34 @@ def test_batch_keyed_families(spark, engine):
         assert kt[i] == (row["twa"], row["cnt"])
         hc = layers["keyed_counter"].filter(F.col("grp") == k).drop("grp")
         assert kc[i] == tuple(range_increase_df(hc, s, e).first())
+
+
+def test_batch_keyed_m4(spark, engine):
+    """eng.batch('events', 'keyed_m4', probes): per-series panels equal
+    the keyed batch twin's rows (and ride the keyed_ohlc layer)."""
+    from uwheel_datafusion_spark.operators.sketch_batch import (
+        keyed_range_m4_batch_df,
+    )
+
+    day = 86_400_000
+    probes = [
+        ("view", WM, WM + day),
+        ("purchase", WM, WM + 7 * day),
+        ("no_such", WM, WM + day),
+    ]
+    got = sorted(
+        map(
+            tuple,
+            engine.batch("events", "keyed_m4", probes, n_pixels=48).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            keyed_range_m4_batch_df(
+                engine._layers["events"]["keyed_ohlc"], probes, n_pixels=48
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    assert not any(r[0] == 2 for r in got)  # unknown key: no pixels
