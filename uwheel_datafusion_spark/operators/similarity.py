@@ -790,3 +790,86 @@ def ann_ivf_multiprobe_topk_oracle(
             FROM scored
         ) WHERE rnk <= {k}
     """
+
+
+def knn_brute_force_int8(
+    vecs: DataFrame,
+    query_ids: tuple[int, ...],
+    k: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k under the int8-COMPRESSED metric: neighbors ranked
+    by cosine of the quantize_int8 codes. The per-vector scales cancel
+    in cosine (cos(s_a·a8, s_b·b8) = Σa8b8 / (‖a8‖·‖b8‖)), so the
+    whole ranking is pure int arithmetic on 4×-smaller vectors — the
+    memory/bandwidth story of quantize_int8 made an actual serving
+    path (recall vs the float ranking is measured per round in
+    bench.py ann_recall). Zero-code vectors (all-zero embeddings) are
+    excluded like knn_brute_force's zero-norm rule."""
+    d = SPARK
+    codes = quantize_int8(vecs, vec_col)
+    qv = codes.withColumn(
+        "qnorm", F.expr(d.dot_q("qvec8", "qvec8"))
+    ).filter(F.col("qnorm") > 0)
+    queries = qv.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec8").alias("q_qvec"),
+        F.col("qnorm").alias("q_qnorm"),
+    )
+    cos = F.expr(
+        d.cosine_q(d.dot_q("q_qvec", "qvec8"), "q_qnorm", "qnorm")
+    )
+    scored = (
+        qv.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine8", cos)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine8")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine8").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine8", "rnk")
+    )
+
+
+def knn_brute_force_int8_oracle(
+    table: str = "embeddings",
+    query_ids: tuple[int, ...] = (),
+    k: int = 5,
+    vec_col: str = "embedding",
+) -> str:
+    d = DUCK
+    ids = ", ".join(str(i) for i in query_ids)
+    m = d.array_max(d.transform(vec_col, "x", "abs(CAST(x AS DOUBLE))"))
+    cos = d.cosine_q(d.dot_q("q.qvec8", "v.qvec8"), "q.qnorm", "v.qnorm")
+    return f"""
+        WITH c8 AS (
+            SELECT vec_id,
+                   {d.transform(vec_col, "x", _int8_body(d))} AS qvec8
+            FROM (
+                SELECT vec_id, {vec_col}, ({m}) / 127.0 AS q_scale
+                FROM {table}
+            )
+        ),
+        qn AS (
+            SELECT * FROM (
+                SELECT vec_id, qvec8,
+                       {d.dot_q('qvec8', 'qvec8')} AS qnorm FROM c8
+            ) WHERE qnorm > 0
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                   {cos} AS cosine8
+            FROM qn q JOIN qn v ON v.vec_id <> q.vec_id
+            WHERE q.vec_id IN ({ids})
+        )
+        SELECT query_id, neighbor_id, cosine8, rnk FROM (
+            SELECT query_id, neighbor_id, cosine8,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine8 DESC, neighbor_id
+                   ) AS BIGINT) AS rnk
+            FROM scored
+        ) WHERE rnk <= {k}
+    """
