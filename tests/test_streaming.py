@@ -1221,3 +1221,63 @@ def test_streaming_twa_stitch_table_sink(spark, sf_smoke, tmp_path):
         range_twa_df(got_df, s, e).first()["twa"]
         == range_twa_df(batch, s, e).first()["twa"]
     )
+
+
+def test_streaming_counter_stitch_keyed_table_sink(spark, sf_smoke, tmp_path):
+    """Keyed stitch + table sink: per-series counter partials stream
+    into the dt-partitioned parquet table (grp column rides along),
+    killed and resumed, equal to build_keyed_counter_rollup."""
+    from uwheel_datafusion_spark.operators.counter import (
+        build_keyed_counter_rollup,
+    )
+    from uwheel_datafusion_spark.streaming.stitch_stream import (
+        StreamingStitchWheel,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    ev.repartitionByRange(4, "ts").write.mode("append").parquet(src)
+    ckpt, table = str(tmp_path / "ckpt"), str(tmp_path / "table")
+
+    def make_wheel():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("ts", "value", "event_type")
+        )
+        return StreamingStitchWheel(
+            stream, "ts", "value", family="counter", key_col="event_type",
+            watermark_delay="31 days",
+        )
+
+    w1 = make_wheel()
+    w1.start(ckpt, table_dir=table)
+    w1.process_available()
+    w1.stop()
+    _append_sentinel(spark, ev, src)
+    w2 = make_wheel()
+    w2.start(ckpt, table_dir=table)
+    w2.process_available()
+    w2.stop()
+
+    got_df = w2.table_rollup(spark, table).filter(F.col("bucket_ms") < ADV)
+    got = {
+        (r["grp"], r["bucket_ms"]): (
+            r["first_ts_ms"], r["first_vm"], r["last_ts_ms"], r["last_vm"],
+            int(r["inc"]), r["cnt"],
+        )
+        for r in got_df.collect()
+    }
+    want = {
+        (r["grp"], r["bucket_ms"]): (
+            r["first_ts_ms"], r["first_vm"], r["last_ts_ms"], r["last_vm"],
+            int(r["inc"]), r["cnt"],
+        )
+        for r in build_keyed_counter_rollup(
+            ev, "ts", "value", "event_type", WM, ADV, cache=False
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+    assert got_df.count() == got_df.select("grp", "bucket_ms").distinct().count()
