@@ -327,6 +327,10 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_correctness):
         "quantiles_order_value_deciles",   # broadcast decile thresholds
         "similarity_cosine_pair_dedup",    # exact baseline for LSH
         "similarity_knn_brute_force",      # exact baseline for IVF
+        "similarity_knn_int8",             # same shape on int8 codes:
+                                           # broadcast of |query_ids|
+                                           # rows vs one corpus scan —
+                                           # linear, not quadratic
         "tpch_q11_important_part_value",   # 1-row broadcast threshold
                                            # (crossJoin of a scalar agg —
                                            # benign at any scale)
