@@ -7,7 +7,7 @@ plus the minute→hour cascade invariant on every example."""
 from datetime import datetime
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -42,8 +42,11 @@ def _python_twa(rows, s, e):
     if not pts:
         return None, 0
     if pts[0][0] == pts[-1][0]:
-        # zero extent: TWA degenerates to the last value at the instant
-        return pts[-1][1], len(pts)
+        # zero extent: TWA lowers to the FIRST value at the instant —
+        # the convention _lower_twa pins and every gate oracle encodes
+        # (CASE WHEN rn = 1 ...). The combine algebra is unaffected:
+        # partials keep both edges, and the seam carries last_v.
+        return pts[0][1], len(pts)
     area = sum(
         int(round(v0 * 1e6)) * (t1 - t0)
         for (t0, v0), (t1, _v1) in zip(pts, pts[1:])
@@ -58,6 +61,8 @@ def _python_twa(rows, s, e):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(rows=_rows)
+@example(rows=[(WM, 0.0), (WM, 0.5)])  # all-one-instant bucket with
+# distinct values: pins the degenerate first-value lowering
 def test_range_twa_matches_python_integral(spark, rows):
     df = spark.createDataFrame(
         rows or [(WM - 1, 0.0)], "ts_ms long, value double"
