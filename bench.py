@@ -857,6 +857,73 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         }
         extras["sketch_serving"] = detail
 
+    # ---------------- sql_many: the batched-QPS story as a SQL surface
+    @step("sql_many_panels")
+    def _():
+        """A dashboard's worth of statements through
+        WheelEngine.sql_many (one batch job per (table, family) group)
+        vs the same statements served one-at-a-time — the batch tier's
+        amortization measured from the SQL surface (VERDICT r06 #7).
+        Dual check: every panel's rows must match the one-statement
+        serving path exactly."""
+        from uwheel_datafusion_spark.engine import WheelEngine
+        from uwheel_datafusion_spark.functions.time import ms_to_ts_literal
+
+        eng = WheelEngine(spark).register_table(
+            "events_panels_bench", ev, ts_col="ts", value_col="value",
+            watermark_ms=EVENTS_WM_MS, advance_to_ms=EVENTS_ADV_MS,
+            quantiles=True, ohlc=True, twa=True, counter=True,
+        )
+
+        def w(s_ms, e_ms):
+            return (
+                f"FROM events_panels_bench "
+                f"WHERE ts >= '{ms_to_ts_literal(s_ms)}' "
+                f"AND ts < '{ms_to_ts_literal(e_ms)}'"
+            )
+
+        # 24 ranges × 4 families = 96 statements: the batch tier's
+        # fixed per-group cost (~2-3 s/job) needs a real dashboard's
+        # worth of panels to amortize — at 6/family it LOSES (measured
+        # 0.33×), which is itself recorded design guidance: route
+        # small panel sets through sql(), big ones through sql_many
+        panels = []
+        for s_ms, e_ms in gen_hour_ranges(EVENTS_WM_MS, horizon, 24, seed=123):
+            panels.append(
+                "SELECT min_by(value, ts) AS open, max(value) AS high, "
+                "min(value) AS low, "
+                f"max_by(value, struct(ts, value)) AS close {w(s_ms, e_ms)}"
+            )
+            panels.append(f"SELECT TWA(value, ts) AS twa {w(s_ms, e_ms)}")
+            panels.append(
+                "SELECT COUNTER_INCREASE(value, ts) AS increase, "
+                f"COUNTER_RATE(value, ts) AS rate_per_sec {w(s_ms, e_ms)}"
+            )
+            panels.append(f"SELECT APPROX_MEDIAN(value) AS med {w(s_ms, e_ms)}")
+        with serving_confs():
+            eng.sql_many_rows(panels[:4])  # warm both paths
+            t0 = time.perf_counter()
+            one_rows = [
+                sorted(map(tuple, eng.sql(q).collect())) for q in panels
+            ]
+            one_sec = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            many_rows = [
+                sorted(map(tuple, rows))
+                for rows in eng.sql_many_rows(panels)
+            ]
+            many_sec = time.perf_counter() - t0
+        mism = sum(1 for a, b in zip(one_rows, many_rows) if a != b)
+        extras["sql_many_panels"] = {
+            "n_statements": len(panels),
+            "one_at_a_time_ms_per_stmt": round(
+                one_sec / len(panels) * 1e3, 2
+            ),
+            "sql_many_ms_per_stmt": round(many_sec / len(panels) * 1e3, 2),
+            "amortization_x": round(one_sec / many_sec, 2),
+            "dual_check_mismatches": mism,
+        }
+
     # ---------------- ANN quality: IVF recall vs exact brute force
     @step("ann_recall")
     def _():
@@ -869,6 +936,7 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
             ann_ivf_multiprobe_topk,
             knn_brute_force,
             knn_brute_force_int8,
+            knn_pq_adc,
         )
         from uwheel_datafusion_spark.sources.registry import load_table
 
@@ -918,6 +986,21 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
                 "recall_at_10": round(hits8 / total, 4) if total else None,
                 "sec": round(i8_sec, 3),
             },
+        }
+        # PQ + ADC: the 64×-compression tier's quality cost, measured
+        # (4 subspaces × 8 centroids; codes are 4 ids per vector)
+        t0 = time.perf_counter()
+        pq = knn_pq_adc(emb, qids, topk=10).collect()
+        pq_sec = time.perf_counter() - t0
+        apq: dict = defaultdict(set)
+        for r in pq:
+            apq[r["query_id"]].add(r["neighbor_id"])
+        hits_pq = sum(len(apq[q] & truth[q]) for q in truth)
+        extras["ann_recall"]["pq_adc_vs_float"] = {
+            "recall_at_10": round(hits_pq / total, 4) if total else None,
+            "sec": round(pq_sec, 3),
+            "m": 4,
+            "k_per_subspace": 8,
         }
 
     # ------------------------------------------------ headline gate queries

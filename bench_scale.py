@@ -210,6 +210,7 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
         build_ohlc_rollup,
         range_ohlc_df,
     )
+    from uwheel_datafusion_spark.operators.ohlc import m4_downsample_df
     from uwheel_datafusion_spark.operators.quantile_rollup import (
         build_histogram_rollup,
         range_quantile_df,
@@ -283,6 +284,36 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
             ).collect()[0]
         )
 
+    def m4_served(s_ms, e_ms):
+        return sorted(
+            map(tuple, m4_downsample_df(ohlc, s_ms, e_ms, 200).collect())
+        )
+
+    def m4_scan(s_ms, e_ms):
+        # raw-M4 twin: same slot-quantized pixel geometry as the served
+        # path (bench.py's twin against the 100× table)
+        span = e_ms - s_ms
+        px = max(1, -(-span // 200))
+        px = -(-px // 60_000) * 60_000
+        return sorted(
+            map(tuple, spark.sql(
+                f"""
+                SELECT {s_ms} + CAST(floor(
+                           (CAST(floor(unix_micros(
+                                CAST(ts AS TIMESTAMP)) / 1000) AS LONG)
+                            - {s_ms}) / {px}) AS LONG) * {px} AS px_ms,
+                       min_by(value, struct(ts, value)) AS open,
+                       max(value) AS high, min(value) AS low,
+                       max_by(value, struct(ts, value)) AS close,
+                       count(*) AS cnt
+                FROM events_scale
+                WHERE ts >= TIMESTAMP '{ms_to_ts_literal(s_ms)}'
+                  AND ts < TIMESTAMP '{ms_to_ts_literal(e_ms)}'
+                GROUP BY 1
+                """
+            ).collect())
+        )
+
     def hh_served(s_ms, e_ms):
         return sorted(
             map(tuple, range_heavy_hitters_verified(
@@ -313,6 +344,7 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
     for fam, served, scan in (
         ("quantile", q_served, q_scan),
         ("ohlc", o_served, o_scan),
+        ("m4", m4_served, m4_scan),
         ("heavy_hitters", hh_served, hh_scan),
     ):
         with serving_confs():
@@ -368,6 +400,139 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
         "dual_check_mismatches": k_mism,
     }
 
+    # ------------------------------------ streaming stitch at ~1 M rows
+    # (VERDICT r06 #6) The order-sensitive streaming family driven at
+    # scale THROUGH THE TABLE SINK: 1 M rows replayed as time-ordered
+    # micro-batches into StreamingStitchWheel (applyInPandasWithState,
+    # TWA partials), killed mid-stream, resumed from the checkpoint,
+    # and the dt-partitioned sink table checked bit-for-bit against the
+    # batch build over the same rows. Records rows/s end-to-end and the
+    # peak state-store row count — the honest bound is OPEN buckets
+    # only (slot width + watermark delay), not the stream's history.
+    import shutil
+    import tempfile
+
+    from uwheel_datafusion_spark.operators.twa import build_twa_rollup
+    from uwheel_datafusion_spark.streaming.stitch_stream import (
+        StreamingStitchWheel,
+    )
+
+    n_stream = max(n_rows // 10, 100_000)
+    sdir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "bench_data",
+        f"events_stream_{n_stream}",
+    )
+    if not os.path.exists(os.path.join(sdir, "_SUCCESS")):
+        (
+            spark.range(n_stream)
+            .select(
+                F.timestamp_millis(
+                    F.lit(EVENTS_WM_MS)
+                    + (F.rand(21) * F.lit(float(horizon))).cast("long")
+                )
+                .cast("timestamp_ntz")
+                .alias("ts"),
+                (F.rand(9) * 100.0).alias("value"),
+            )
+            # time-ordered files: the file source replays them in order,
+            # so the event-time watermark ADVANCES and closes buckets
+            .repartitionByRange(16, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(sdir)
+        )
+    # FileStreamSource replays files by MODIFICATION TIME, and a
+    # parallel write finishes part files in arbitrary order — an
+    # early-range file replayed late arrives past the watermark and its
+    # buckets finalize with rows missing (measured: 14/239 buckets
+    # short before this stamp). Range partition k lands in part-000k*,
+    # so stamping monotone mtimes in filename order makes replay order
+    # = event-time order.
+    import glob as _glob
+
+    pfiles = sorted(_glob.glob(os.path.join(sdir, "part-*.parquet")))
+    mt0 = time.time() - len(pfiles) - 60
+    for i, pf in enumerate(pfiles):
+        os.utime(pf, (mt0 + i, mt0 + i))
+    sfrm = spark.read.parquet(sdir)
+    work = tempfile.mkdtemp(prefix="stitch_scale_")
+    try:
+        ckpt = os.path.join(work, "ckpt")
+        tdir = os.path.join(work, "rollup")
+
+        def _open_stream():
+            stream = (
+                spark.readStream.schema(sfrm.schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(sdir)
+            )
+            return StreamingStitchWheel(
+                stream, "ts", "value", family="twa",
+                slot_ms=HOUR_MS, watermark_delay="2 hours",
+            )
+
+        import time as _t
+
+        t0 = time.perf_counter()
+        w1 = _open_stream()
+        q1 = w1.start(ckpt, table_dir=tdir)
+        # let a couple of epochs commit, then KILL mid-stream
+        while len(q1.recentProgress) < 2:
+            _t.sleep(0.5)
+        q1.stop()
+        w2 = _open_stream()
+        q2 = w2.start(ckpt, table_dir=tdir)  # resume from checkpoint
+        q2.processAllAvailable()
+        peak_state = max(
+            (
+                so["numRowsTotal"]
+                for p in q2.recentProgress
+                for so in p.get("stateOperators", [])
+            ),
+            default=0,
+        )
+        w2.stop()
+        stream_wall = time.perf_counter() - t0
+
+        got = (
+            w2.table_rollup(spark, tdir)
+            .filter(
+                (F.col("bucket_ms") >= EVENTS_WM_MS)
+                & (F.col("bucket_ms") < EVENTS_ADV_MS)
+            )
+            .select(
+                "bucket_ms", "first_ts_ms", "first_v", "last_ts_ms",
+                "last_v", "area", "cnt",
+            )
+        )
+        want = build_twa_rollup(
+            sfrm, "ts", "value", EVENTS_WM_MS, EVENTS_ADV_MS,
+            slot_ms=HOUR_MS, cache=False,
+        ).select(
+            "bucket_ms", "first_ts_ms", "first_v", "last_ts_ms",
+            "last_v", "area", "cnt",
+        )
+        # bit-identical partials: streaming ∖ batch and batch ∖ finalized
+        finalized_buckets = [r["bucket_ms"] for r in got.select("bucket_ms").collect()]
+        extra = got.exceptAll(want).count()
+        missing = (
+            want.filter(F.col("bucket_ms").isin(finalized_buckets))
+            .exceptAll(got)
+            .count()
+        )
+        detail["streaming_stitch"] = {
+            "n_rows": n_stream,
+            "wall_sec": round(stream_wall, 2),
+            "rows_per_sec": round(n_stream / stream_wall),
+            "kill_and_resume": True,
+            "peak_state_rows": peak_state,
+            "finalized_buckets": len(finalized_buckets),
+            "parity_mismatches": int(extra + missing),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
     # --------------------------------------------------- AQE skew probe
     # key 0 holds ~50% of rows: a sort-merge groupBy-join on user_id is
     # the canonical skew shape. Record whether AQE's OptimizeSkewedJoin
@@ -420,6 +585,8 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
         batch_mism == 0
         and k_mism == 0
         and all(f["dual_check_mismatches"] == 0 for f in fams.values())
+        and detail["streaming_stitch"]["parity_mismatches"] == 0
+        and detail["streaming_stitch"]["finalized_buckets"] > 0
     )
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)

@@ -109,7 +109,27 @@ def _type_drift(spark_df, rel) -> str | None:
     return "; ".join(drifts) if drifts else None
 
 
+def _driver_unhashable(t) -> bool:
+    """True for column types the REAL driver cannot canonicalize: its
+    value-hash sorts the result with pandas ``sort_values``, which
+    factorizes each column and dies on unhashable cells
+    (``TypeError: unhashable type: 'list'`` — CORRECTNESS_r06's one
+    red row, `embedding_int8_quantize`). The replica's pure-Python
+    str() sort hid that class of failure, so reject it up front."""
+    import pyspark.sql.types as st
+
+    return isinstance(t, (st.ArrayType, st.MapType, st.StructType))
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
+    unhashable = [
+        f.name for f in spark_df.schema.fields if _driver_unhashable(f.dataType)
+    ]
+    if unhashable:
+        return False, (
+            "driver-unhashable final projection (pandas canonicalizer "
+            f"crashes on list/map/struct cells): {unhashable}"
+        )
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.sql(sql)

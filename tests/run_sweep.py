@@ -50,8 +50,10 @@ def run(out_path: str, scales=DEFAULT_SCALES) -> dict:
         t0 = time.time()
         n_pass = n_rows_only = 0
         failures = []
+        per_gate: dict[str, float] = {}
         con = duck_connection(sf)
         for name in sorted(queries):
+            tg = time.time()
             try:
                 df = queries[name](spark, sf)
                 oracle = oracles.get(name)
@@ -67,12 +69,19 @@ def run(out_path: str, scales=DEFAULT_SCALES) -> dict:
                     failures.append({"name": name, "msg": str(msg)[:300]})
             except Exception as ex:  # noqa: BLE001 — recorded, not hidden
                 failures.append({"name": name, "msg": repr(ex)[:300]})
+            finally:
+                per_gate[name] = time.time() - tg
+        slowest = sorted(per_gate.items(), key=lambda kv: -kv[1])[:10]
         result["scales"][sf] = {
             "pass": n_pass,
             "rows_only": n_rows_only,
             "fail": len(failures),
             "failures": failures,
             "wall_s": round(time.time() - t0, 1),
+            # profiling handle (VERDICT r06 #8): where the wall goes
+            "slowest_gates": [
+                {"name": n, "s": round(s, 2)} for n, s in slowest
+            ],
         }
         print(
             f"{sf}: {n_pass}/{len(queries)} pass "

@@ -7,6 +7,7 @@ from datetime import datetime
 import pytest
 from pyspark.sql import functions as F
 
+from uwheel_datafusion_spark.functions.quant import py_value_to_micros
 from uwheel_datafusion_spark.functions.time import (
     DAY_MS,
     HOUR_MS,
@@ -45,7 +46,7 @@ def counter_samples(spark):
 
 def _python_increase(raw, s, e):
     pts = sorted((t, v) for t, v in raw if s <= t < e)
-    vm = [int(round(v * 1e6)) for _, v in pts]
+    vm = [py_value_to_micros(v) for _, v in pts]
     inc = sum(b - a if b >= a else b for a, b in zip(vm, vm[1:]))
     return inc / 1e6, len(pts)
 

@@ -12,6 +12,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+from uwheel_datafusion_spark.functions.quant import py_value_to_micros
 from uwheel_datafusion_spark.functions.time import (
     HOUR_MS,
     MINUTE_MS,
@@ -41,7 +42,7 @@ _rows = st.lists(
 
 def _python_increase(rows, s, e):
     pts = sorted((t, v) for t, v in rows if s <= t < e)
-    vm = [int(round(v * 1e6)) for _, v in pts]
+    vm = [py_value_to_micros(v) for _, v in pts]
     inc = sum(b - a if b >= a else b for a, b in zip(vm, vm[1:]))
     return inc / 1e6, len(pts)
 

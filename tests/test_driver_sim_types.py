@@ -40,3 +40,30 @@ def test_cast_sum_oracle_passes(spark, sf_correctness):
         sp.train_val_test_summary_oracle(),
     )
     assert ok, msg
+
+
+def test_array_final_projection_is_rejected(spark, sf_correctness):
+    """The r06 `embedding_int8_quantize` failure mode: the REAL driver
+    canonicalizes with pandas sort_values, which dies on list cells
+    (`TypeError: unhashable type: 'list'`), while the replica's
+    str()-sort sailed through. An array-typed final projection must
+    now fail compare() locally, BEFORE it fails in CORRECTNESS."""
+    from uwheel_datafusion_spark.operators import similarity as sim
+
+    con = duck_connection(sf_correctness)
+    arr_df = sim.quantize_int8(load_table(spark, sf_correctness, "embeddings"))
+    ok, msg = compare(arr_df, con, sim.quantize_int8_oracle())
+    assert not ok and "driver-unhashable" in msg and "qvec8" in msg, msg
+
+
+def test_packed_int8_projection_passes(spark, sf_correctness):
+    """The fixed gate projection (CSV-packed codes) hash-matches."""
+    from uwheel_datafusion_spark.operators import similarity as sim
+
+    con = duck_connection(sf_correctness)
+    ok, msg = compare(
+        sim.quantize_int8_packed(load_table(spark, sf_correctness, "embeddings")),
+        con,
+        sim.quantize_int8_packed_oracle(),
+    )
+    assert ok, msg

@@ -297,3 +297,78 @@ def test_batch_keyed_m4(spark, engine):
     )
     assert got == want and len(got) > 0
     assert not any(r[0] == 2 for r in got)  # unknown key: no pixels
+
+
+def test_sql_many_batches_panel_groups(spark, engine):
+    """sql_many: a dashboard's statements group by (table, family,
+    params) onto the batch tier; every panel's frame is value- and
+    schema-identical to the one-statement sql() serving path, and
+    batchable panels derive from ONE cached batch frame per group
+    (pinned via the InMemoryTableScan in their plans)."""
+    day = 86_400_000
+    panels = []
+    for k in range(3):  # three OHLC panels, distinct ranges
+        panels.append(_rng_at(
+            "SELECT min_by(value, ts) AS open, MAX(value) AS high, "
+            "MIN(value) AS low, max_by(value, ts) AS close "
+            "FROM events", S + k * day, S + (k + 3) * day,
+        ))
+    for k in range(2):  # two TWA panels
+        panels.append(_rng_at(
+            "SELECT TWA(value, ts) AS twa, COUNT(*) AS cnt FROM events",
+            S + k * day, S + (k + 2) * day,
+        ))
+    panels.append(_rng_at(
+        "SELECT COUNTER_INCREASE(value, ts) AS increase FROM events",
+        S, S + 2 * day,
+    ))
+    panels.append(_rng_at(
+        "SELECT APPROX_MEDIAN(value) AS med FROM events", S, S + 5 * day
+    ))
+    # non-batchable shapes ride along unchanged
+    panels.append(_rng("SELECT SUM(value) AS s FROM events"))  # index path
+    panels.append(
+        _rng("SELECT date_trunc('day', ts) AS b, SUM(value) AS s "
+             "FROM events") + " GROUP BY 1"
+    )
+
+    frames = engine.sql_many(panels)
+    assert len(frames) == len(panels)
+    for q, f in zip(panels, frames):
+        want = engine.sql(q)
+        assert f.columns == want.columns, q
+        got_rows = sorted(map(tuple, f.collect()))
+        want_rows = sorted(map(tuple, want.collect()))
+        assert got_rows == want_rows, q
+    # batchable panels are LOCAL relations sliced from one collect per
+    # group — collecting a panel costs no further Spark job
+    for f in frames[:7]:
+        plan = f._jdf.queryExecution().executedPlan().toString()
+        assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+
+
+def _rng_at(q: str, s_ms: int, e_ms: int) -> str:
+    return (
+        f"{q} WHERE ts >= '{ms_to_ts_literal(s_ms)}' "
+        f"AND ts < '{ms_to_ts_literal(e_ms)}'"
+    )
+
+
+def test_sql_many_rows_matches_sql(spark, engine):
+    """The serving form: sql_many_rows returns each panel's collected
+    Rows (aliases preserved) with no per-panel Spark job; values match
+    the one-statement path exactly."""
+    day = 86_400_000
+    panels = [
+        _rng_at("SELECT TWA(value, ts) AS twa, COUNT(*) AS cnt FROM events",
+                S, S + 2 * day),
+        _rng_at("SELECT min_by(value, ts) AS open, max(value) AS high, "
+                "min(value) AS low, max_by(value, struct(ts, value)) AS close "
+                "FROM events", S, S + 3 * day),
+        _rng("SELECT SUM(value) AS s FROM events"),
+    ]
+    got = engine.sql_many_rows(panels)
+    for q, rows in zip(panels, got):
+        want = engine.sql(q).collect()
+        assert [tuple(r) for r in rows] == [tuple(r) for r in want], q
+        assert rows[0].asDict() == want[0].asDict(), q

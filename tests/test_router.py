@@ -995,3 +995,87 @@ def test_keyed_m4_route_and_fallback(spark, sf_smoke, router):
     assert bare.last_decision.path == "sql"
     assert "no keyed OHLC rollup" in bare.last_decision.reason
     assert got_fb == want
+
+
+def test_ungrouped_fallback_plan_is_not_a_global_sort(spark, sf_smoke):
+    """VERDICT r06 #2: the ungrouped TWA/counter lowering used to emit
+    a no-PARTITION-BY lag window — every fact row of the range through
+    ONE task's sort. The slot-partial rewrite must hash-partition the
+    fact rows (sub-slot window) BEFORE anything single-partition: in
+    the executed plan (printed top-down), the segment between the last
+    SinglePartition exchange and the parquet scan must contain a
+    hashpartitioning exchange."""
+    load_table(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    bare = WheelSqlRouter(spark)
+    s, e = WM, WM + 7 * 86_400_000
+    for fn in ("TWA(value, ts)", "COUNTER_INCREASE(value, ts)"):
+        q = (
+            f"SELECT {fn} AS x FROM events "
+            f"WHERE ts >= '{ms_to_ts_literal(s)}' "
+            f"AND ts < '{ms_to_ts_literal(e)}'"
+        )
+        df = bare.sql(q)
+        assert bare.last_decision.path == "sql"
+        assert bare.last_decision.fallback_sql is not None
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "FileScan parquet" in plan, plan
+        below_single = plan.rsplit("SinglePartition", 1)[-1]
+        assert "Exchange hashpartitioning" in below_single, (
+            f"{fn}: fact rows reach a single-partition operator without "
+            f"a prior hash-partitioned stage\n{plan}"
+        )
+
+
+def test_granularity_finer_than_slot_falls_back(spark, sf_smoke):
+    """ADVICE r06 #2: an hour-slot rollup must NOT serve a per-minute
+    GROUP BY — the cascade would emit hour buckets mislabeled as
+    minutes. Finer-than-slot granularities fall back to SQL (and the
+    fallback agrees with a raw scan)."""
+    from uwheel_datafusion_spark.functions.time import HOUR_MS
+    from uwheel_datafusion_spark.operators.twa import build_twa_rollup
+
+    ev = load_table(spark, sf_smoke, "events")
+    ev.createOrReplaceTempView("events")
+    r = WheelSqlRouter(spark)
+    rollup = build_twa_rollup(
+        ev, "ts", "value", WM, ADV, slot_ms=HOUR_MS, cache=False
+    )
+    r.register_twa_rollup(
+        "events", "value", "ts", rollup, WM, ADV, slot_ms=HOUR_MS
+    )
+    s, e = WM, WM + 86_400_000
+    q_min = (
+        f"SELECT date_trunc('minute', ts) AS b, TWA(value, ts) AS twa "
+        f"FROM events WHERE ts >= '{ms_to_ts_literal(s)}' "
+        f"AND ts < '{ms_to_ts_literal(e)}' GROUP BY 1"
+    )
+    r.sql(q_min)
+    assert r.last_decision.path == "sql"
+    assert "finer than the rollup slot grain" in r.last_decision.reason
+    # hour+ grains still serve from the hour-slot rollup
+    r.sql(q_min.replace("'minute'", "'hour'"))
+    assert r.last_decision.path == "twa_rollup"
+    r.sql(q_min.replace("'minute'", "'day'"))
+    assert r.last_decision.path == "twa_rollup"
+
+
+def test_leading_dot_quantile_literal_routes(spark, sf_smoke, router):
+    """ADVICE r06 #5: APPROX_PERCENTILE_CONT(v, .5) is valid SQL and
+    must take the histogram-rollup rewrite, not silently fall back."""
+    from uwheel_datafusion_spark.operators.quantile_rollup import (
+        build_histogram_rollup,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    hist = build_histogram_rollup(ev, "ts", "value", WM, ADV, cache=False)
+    router.register_histogram_rollup("events", "value", "ts", hist, WM, ADV)
+    s, e = WM, WM + 7 * 86_400_000
+    q = (
+        f"SELECT APPROX_PERCENTILE_CONT(value, .5) AS med FROM events "
+        f"WHERE ts >= '{ms_to_ts_literal(s)}' AND ts < '{ms_to_ts_literal(e)}'"
+    )
+    got = router.sql(q).collect()[0]["med"]
+    assert router.last_decision.path == "quantile_rollup"
+    want = router.sql(q.replace(", .5", ", 0.5")).collect()[0]["med"]
+    assert router.last_decision.path == "quantile_rollup"
+    assert got == want

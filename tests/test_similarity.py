@@ -274,3 +274,46 @@ def test_multiprobe_full_probe_equals_brute_force(spark, sf_correctness):
     hits1 = sum(len(n1.get(q, set()) & want_sets[q]) for q in want_sets)
     hits2 = sum(len(n2.get(q, set()) & want_sets[q]) for q in want_sets)
     assert hits1 <= hits2
+
+
+def test_pq_codes_bounded_and_encode_is_map_only(spark, sf_correctness):
+    """PQ invariants: one row per vector, every code in [0, k); the
+    encode PROJECTION is map-only (codebooks are inlined literals — a
+    join or extra shuffle in the final pass would not survive 100 TB)."""
+    emb = load_table(spark, sf_correctness, "embeddings")
+    codes = sim.pq_encode(emb, m=4, k=8, n_iter=2)
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        for s in range(4):
+            assert 0 <= r[f"code_{s}"] < 8
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+
+
+def test_pq_adc_reproduces_subvector_exact_distance(spark):
+    """When every distinct subvector IS a codebook centroid (corpus of
+    k=4 distinct vectors, enough iterations), the ADC distance equals
+    the exact quantized squared-L2 distance — the approximation error
+    is EXACTLY the codebook residual, nothing else."""
+    import itertools
+
+    base = [
+        [1.0] * 8,
+        [-1.0] * 8,
+        [1.0] * 4 + [-1.0] * 4,
+        [0.5] * 8,
+    ]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in sim.knn_pq_adc(
+            df, (0, 1, 2, 3), topk=3, m=2, k=4, n_iter=4, dim=8
+        ).collect()
+    }
+    # exact quantized distances between the 8-dim int vectors
+    q = [[round(x * sim.Q_SCALE) for x in v] for v in base]
+    for (a, b), d in got.items():
+        want = sum((xa - xb) ** 2 for xa, xb in zip(q[a], q[b]))
+        assert d == want, ((a, b), d, want)

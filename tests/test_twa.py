@@ -7,6 +7,7 @@ from datetime import datetime
 import pytest
 from pyspark.sql import functions as F
 
+from uwheel_datafusion_spark.functions.quant import py_value_to_micros
 from uwheel_datafusion_spark.functions.time import (
     DAY_MS,
     HOUR_MS,
@@ -47,7 +48,7 @@ def _python_twa(raw, s, e):
     if pts[0][0] == pts[-1][0]:
         return pts[0][1], len(pts)
     area = sum(
-        int(round(v0 * 1e6)) * (t1 - t0)
+        py_value_to_micros(v0) * (t1 - t0)
         for (t0, v0), (t1, _v1) in zip(pts, pts[1:])
     )
     return area / 1e6 / (pts[-1][0] - pts[0][0]), len(pts)

@@ -379,3 +379,154 @@ class WheelEngine:
                 f"{flag} first"
             )
         return dispatch[family](rollup)
+
+    #: scalar route paths sql_many can re-dispatch onto the batch tier,
+    #: with the batch family and the (batch column → role) projection
+    _BATCHABLE = {
+        "quantile_rollup": ("quantile", (("QUANTILE", "approx_quantile"),)),
+        "ohlc_rollup": (
+            "ohlc",
+            (
+                ("OPEN", "open"), ("HIGH", "high"), ("LOW", "low"),
+                ("CLOSE", "close"), ("CNT", "cnt"),
+            ),
+        ),
+        "twa_rollup": ("twa", (("TWA", "twa"), ("CNT", "cnt"))),
+        "counter_rollup": (
+            "counter",
+            (
+                ("INCREASE", "increase"), ("RATE", "rate_per_sec"),
+                ("CNT", "cnt"),
+            ),
+        ),
+    }
+
+    def sql_many(self, queries: "list[str]") -> "list[DataFrame]":
+        """Serve N SQL statements — a dashboard's worth of panels — with
+        ONE Spark job per (table, family, params) GROUP instead of one
+        per statement: the reference's batched-QPS story
+        (src/main.rs:205-288 amortizes per-query cost in-process) as a
+        SQL surface.
+
+        Each statement is routed but not executed; scalar decisions
+        whose family has a batch twin (quantile / OHLC / TWA / counter
+        / M4 — each a ~50-150 ms Spark job when served one-at-a-time)
+        are grouped, dispatched to :meth:`batch`, and the group's batch
+        frame is materialized with ONE collect (panel results are by
+        construction tiny: one row per range, pixels for M4); each
+        statement's DataFrame is a LOCAL relation sliced from its
+        group's rows with the statement's exact aliases/schema — a
+        later per-panel ``.collect()`` costs no Spark job, which is
+        where the amortization actually lands (a lazy query_id filter
+        still pays the ~100 ms scheduler floor per panel, measured
+        0.97× — no win). Statements the batch tier cannot express run
+        through :meth:`sql` unchanged: wheel scalar aggregates (already
+        driver-arithmetic), grouped/keyed shapes, and unmatched SQL.
+        Results keep input order and each panel's single-statement
+        schema; batch twins are value-identical to the scalar serving
+        paths (pinned in test_sketch_batch.py / test_engine.py).
+
+        For the pure serving loop (collect every panel's VALUES, the
+        reference's QPS shape) use :meth:`sql_many_rows` — wrapping
+        pre-materialized rows back into DataFrames costs one ~200 ms
+        parallelize-job per panel at collect time, which would eat the
+        amortization (measured 0.65×)."""
+        from pyspark.sql.types import StructField, StructType
+
+        out = self._sql_many_materialized(queries)
+        frames: "list[DataFrame]" = []
+        for item in out:
+            if isinstance(item, DataFrame):
+                frames.append(item)
+            else:
+                names, types, data = item
+                schema = StructType(
+                    [
+                        StructField(n, t, True)
+                        for n, t in zip(names, types)
+                    ]
+                )
+                frames.append(self.spark.createDataFrame(data, schema))
+        return frames
+
+    def sql_many_rows(self, queries: "list[str]") -> "list[list]":
+        """:meth:`sql_many`'s serving form: each statement's collected
+        rows (as ``pyspark.sql.Row`` with the statement's aliases), in
+        input order. Batchable groups cost ONE Spark job each; handing
+        back rows (not DataFrames) means NO further job per panel —
+        this is the surface whose amortization the bench records."""
+        from pyspark.sql import Row
+
+        out = self._sql_many_materialized(queries)
+        rows_out: "list[list]" = []
+        for item in out:
+            if isinstance(item, DataFrame):
+                rows_out.append(item.collect())
+            else:
+                names, _types, data = item
+                R = Row(*names)
+                rows_out.append([R(*r) for r in data])
+        return rows_out
+
+    def _sql_many_materialized(self, queries: "list[str]"):
+        """Shared core: route, group, run one batch job per group, and
+        slice per statement. Returns per statement either a lazy
+        DataFrame (non-batchable path) or ``(names, types, rows)``."""
+        decisions = [self.router._decide(q) for q in queries]
+        groups: dict[tuple, list[int]] = {}
+        for i, d in enumerate(decisions):
+            key = None
+            if d.granularity is None and d.path in self._BATCHABLE:
+                family = self._BATCHABLE[d.path][0]
+                if family in self._layers.get(d.table, {}):
+                    key = (d.table, family, d.quantile)
+            elif d.path == "m4_rollup" and "ohlc" in self._layers.get(
+                d.table, {}
+            ):
+                key = (d.table, "m4", d.limit)
+            if key is not None:
+                groups.setdefault(key, []).append(i)
+
+        out: "list[DataFrame | None]" = [None] * len(queries)
+        for (table, family, param), idxs in groups.items():
+            ranges = [decisions[i].range_ms for i in idxs]
+            kw = (
+                {"q": param}
+                if family == "quantile"
+                else {"n_pixels": param} if family == "m4" else {}
+            )
+            batch = self.batch(table, family, ranges, **kw)
+            fields = {f.name: f for f in batch.schema.fields}
+            by_qid: dict[int, list] = {}
+            for r in batch.collect():  # ONE job per group
+                by_qid.setdefault(r["query_id"], []).append(r)
+            for pos, i in enumerate(idxs):
+                d = decisions[i]
+                qrows = by_qid.get(pos, [])
+                if family == "m4":
+                    names = ["px_ms", "open", "high", "low", "close", "cnt"]
+                    types = [fields[n].dataType for n in names]
+                    data = [tuple(r[n] for n in names) for r in qrows]
+                else:
+                    aliases = dict(d.items)
+                    proj = [
+                        (role, src)
+                        for role, src in self._BATCHABLE[d.path][1]
+                        if role in aliases
+                    ]
+                    names = [aliases[role] for role, _src in proj]
+                    types = [fields[src].dataType for _role, src in proj]
+                    data = [
+                        tuple(
+                            0
+                            if role == "CNT" and r[src] is None
+                            else r[src]
+                            for role, src in proj
+                        )
+                        for r in qrows
+                    ]
+                out[i] = (names, types, data)
+        for i, q in enumerate(queries):
+            if out[i] is None:
+                out[i] = self.sql(q)
+        return out

@@ -40,6 +40,22 @@ def micros_to_value(col: Column | str) -> Column:
     return (c.cast("double") / QUANT_SCALE).cast("double")
 
 
+def py_value_to_micros(x: float) -> int:
+    """Driver/executor-Python twin of :func:`value_to_micros`: round
+    HALF-AWAY-FROM-ZERO like Spark ``F.round`` and DuckDB ``round()``.
+    Python's builtin ``round`` is banker's (half-to-even), so using it
+    in the streaming stitch partials made any sample whose v·1e6 lands
+    exactly on .5 differ by 1 micro from the batch rollup row —
+    breaking the bit-identical streaming/batch parity contract
+    (ADVICE r06 #1)."""
+    import math
+
+    scaled = x * QUANT_SCALE
+    if scaled >= 0:
+        return int(math.floor(scaled + 0.5))
+    return int(math.ceil(scaled - 0.5))
+
+
 def sql_value_to_micros(expr: str) -> str:
     """DuckDB-side twin of :func:`value_to_micros` (ANSI-ish SQL)."""
     return f"CAST(round(({expr}) * 1000000) AS BIGINT)"

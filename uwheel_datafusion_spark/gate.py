@@ -4662,15 +4662,45 @@ def centroids_q(spark, sf_dir):
     return _sim.label_centroids(load_table(spark, sf_dir, "embeddings"))
 
 
-@gate("embedding_int8_quantize", _sim.quantize_int8_oracle())
+@gate("embedding_int8_quantize", _sim.quantize_int8_packed_oracle())
 def int8_quantize_q(spark, sf_dir):
     """Symmetric per-vector int8 codes for the ANN tiers (4× less
     memory/shuffle bandwidth than float32 at 100 TB): q_scale =
-    max|x|/127, codes = round(x/q_scale) ∈ [-127, 127]. Map-only — two
-    JVM `transform` projections, no shuffle/UDF; the oracle executes
-    the dialect-mirrored double arithmetic, so codes hash-match
-    bit-for-bit."""
-    return _sim.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    max|x|/127, codes = round(x/q_scale) ∈ [-127, 127]. Map-only — JVM
+    `transform`/`array_join` projections, no shuffle/UDF; the oracle
+    executes the dialect-mirrored double arithmetic, so codes
+    hash-match bit-for-bit. Gate projection packs the code array as a
+    CSV string: the driver's pandas canonicalizer cannot hash list
+    cells (the one red row of CORRECTNESS_r06 — VERDICT r06 #1)."""
+    return _sim.quantize_int8_packed(load_table(spark, sf_dir, "embeddings"))
+
+
+@gate("embedding_pq_encode", _sim.pq_encode_oracle())
+def pq_encode_q(spark, sf_dir):
+    """Product-quantization codes — the ANN compression tier past int8
+    (FAISS IVFPQ's PQ half): 4 subspaces × 16 dims, 8-centroid Lloyd
+    codebook per subspace (the exact-int64 broadcast-centroid loop of
+    kmeans_assignments, per slice), vector stored as 4 small ids —
+    64× smaller than float32 at 100 TB. Encode is ONE map-only
+    argmin projection with codebooks inlined as literals; the oracle
+    replays every subspace's iterations CTE-by-CTE bit-for-bit."""
+    return _sim.pq_encode(load_table(spark, sf_dir, "embeddings"))
+
+
+@gate(
+    "similarity_knn_pq_adc",
+    _sim.knn_pq_adc_oracle(query_ids=KNN_QUERY_IDS, topk=5),
+)
+def knn_pq_adc_q(spark, sf_dir):
+    """ADC (asymmetric distance) top-k over the PQ codes: the query
+    side stays exact and builds a tiny m×k integer LUT; the corpus
+    side is scanned as CODES ONLY — m lookups summed per vector, the
+    compressed-domain scan that never touches the embeddings at query
+    time. Recall@10 vs the float ranking is measured per round in
+    bench.py ann_recall next to the int8/IVF tiers."""
+    return _sim.knn_pq_adc(
+        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, topk=5
+    )
 
 
 @gate(
@@ -5750,6 +5780,157 @@ def router_counter_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: router_batch_panels geometry: three 6-day day-aligned ranges, 2 days
+#: apart, all inside the events horizon
+_PANEL_RANGES = [
+    (RANGE_DAY[0] + k * 2 * DAY_MS, RANGE_DAY[0] + (k * 2 + 6) * DAY_MS)
+    for k in range(3)
+]
+_PANEL_VALUES = ", ".join(
+    f"({k}, {s}, {e})" for k, (s, e) in enumerate(_PANEL_RANGES)
+)
+
+
+@gate(
+    "router_batch_panels",
+    f"""
+    WITH ranges(panel_ofs, s_ms, e_ms) AS (VALUES {_PANEL_VALUES}),
+    ev AS (
+        SELECT r.panel_ofs, epoch_ms(e.ts) AS t, e.value AS v
+        FROM events e
+        JOIN ranges r
+          ON epoch_ms(e.ts) >= r.s_ms AND epoch_ms(e.ts) < r.e_ms
+    ),
+    rk AS (
+        SELECT panel_ofs, v,
+               row_number() OVER (
+                   PARTITION BY panel_ofs ORDER BY t, v
+               ) AS rn_o,
+               row_number() OVER (
+                   PARTITION BY panel_ofs ORDER BY t DESC, v DESC
+               ) AS rn_c
+        FROM ev
+    ),
+    o AS (
+        SELECT panel_ofs,
+               MIN(CASE WHEN rn_o = 1 THEN v END) AS open,
+               MAX(v) AS high,
+               MIN(v) AS low,
+               MIN(CASE WHEN rn_c = 1 THEN v END) AS close
+        FROM rk GROUP BY 1
+    ),
+    tw AS (
+        SELECT panel_ofs, t, v,
+               lag(t) OVER w AS pt,
+               lag(CAST(round(v * 1000000) AS BIGINT)) OVER w AS pvm,
+               row_number() OVER w AS rn
+        FROM ev WINDOW w AS (PARTITION BY panel_ofs ORDER BY t, v)
+    ),
+    ta AS (
+        SELECT panel_ofs,
+               CASE WHEN MAX(t) = MIN(t)
+                    THEN MIN(CASE WHEN rn = 1 THEN v END)
+                    ELSE CAST(SUM(CAST(pvm AS HUGEINT)
+                             * CAST(t - pt AS HUGEINT)) AS DOUBLE)
+                         / 1000000.0 / CAST(MAX(t) - MIN(t) AS DOUBLE)
+               END AS twa
+        FROM tw GROUP BY 1
+    ),
+    co AS (
+        SELECT panel_ofs, t, vm,
+               lag(vm) OVER (PARTITION BY panel_ofs ORDER BY t, vm) AS pvm
+        FROM (SELECT panel_ofs, t,
+                     CAST(round(v * 1000000) AS BIGINT) AS vm FROM ev)
+    ),
+    ci AS (
+        SELECT panel_ofs,
+               CAST(SUM(CASE WHEN pvm IS NULL THEN 0
+                             WHEN vm >= pvm THEN vm - pvm
+                             ELSE vm END) AS DOUBLE) / 1000000.0 AS increase,
+               CASE WHEN MAX(t) = MIN(t) THEN NULL
+                    ELSE (CAST(SUM(CASE WHEN pvm IS NULL THEN 0
+                                        WHEN vm >= pvm THEN vm - pvm
+                                        ELSE vm END) AS DOUBLE) / 1000000.0)
+                         / (CAST(MAX(t) - MIN(t) AS DOUBLE) / 1000.0)
+               END AS rate_per_sec
+        FROM co GROUP BY 1
+    )
+    SELECT CAST(panel_id AS INTEGER) AS panel_id, metric,
+           CAST(value AS DOUBLE) AS value
+    FROM (
+        SELECT panel_ofs AS panel_id, 'open' AS metric, open AS value FROM o
+        UNION ALL SELECT panel_ofs, 'high', high FROM o
+        UNION ALL SELECT panel_ofs, 'low', low FROM o
+        UNION ALL SELECT panel_ofs, 'close', close FROM o
+        UNION ALL SELECT panel_ofs + 3, 'twa', twa FROM ta
+        UNION ALL SELECT panel_ofs + 6, 'increase', increase FROM ci
+        UNION ALL SELECT panel_ofs + 6, 'rate_per_sec', rate_per_sec FROM ci
+    )
+    """,
+)
+def router_batch_panels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batched-QPS story as a SQL surface (VERDICT r06 #7): a
+    9-panel dashboard — 3 candlestick, 3 TWA, 3 counter statements
+    over 3 day-aligned ranges — served through ``WheelEngine.sql_many``,
+    which routes every statement, groups the scalar decisions by
+    (table, family) and answers each GROUP with ONE batch job + one collect over the
+    registered rollups (engine.py sql_many → batch → sketch_batch
+    twins) instead of 9 separate jobs. Panels melt to (panel_id,
+    metric, value) for the gate; the oracle replays each family's
+    raw-row semantics per range — so a lost query_id mapping, wrong
+    alias projection, or family mix-up hash-mismatches."""
+    from uwheel_datafusion_spark.engine import WheelEngine
+    from uwheel_datafusion_spark.functions.time import ms_to_ts_literal
+
+    _tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    eng = WheelEngine(spark).register_table(
+        "events_panels", ev, ts_col="ts", value_col="value",
+        watermark_ms=EVENTS_WM_MS, advance_to_ms=EVENTS_ADV_MS,
+        ohlc=True, twa=True, counter=True, cache=False,
+    )
+
+    def _where(k):
+        s, e = _PANEL_RANGES[k]
+        return (
+            f"FROM events_panels WHERE ts >= '{ms_to_ts_literal(s)}' "
+            f"AND ts < '{ms_to_ts_literal(e)}'"
+        )
+
+    panels = (
+        [
+            "SELECT min_by(value, ts) AS open, max(value) AS high, "
+            "min(value) AS low, max_by(value, struct(ts, value)) AS close "
+            + _where(k)
+            for k in range(3)
+        ]
+        + [f"SELECT TWA(value, ts) AS twa {_where(k)}" for k in range(3)]
+        + [
+            "SELECT COUNTER_INCREASE(value, ts) AS increase, "
+            f"COUNTER_RATE(value, ts) AS rate_per_sec {_where(k)}"
+            for k in range(3)
+        ]
+    )
+    expect = ["ohlc_rollup"] * 3 + ["twa_rollup"] * 3 + ["counter_rollup"] * 3
+    for q, want in zip(panels, expect):
+        d = eng.router._decide(q)
+        assert d.path == want, (q, d)
+    frames = eng.sql_many(panels)
+    melted = []
+    for i, f in enumerate(frames):
+        pairs = ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in f.columns)
+        melted.append(
+            f.selectExpr(
+                f"CAST({i} AS INT) AS panel_id",
+                f"stack({len(f.columns)}, {pairs}) AS (metric, value)",
+            )
+        )
+    out = melted[0]
+    for m in melted[1:]:
+        out = out.unionByName(m)
+    return out
+
+
 # --------------------------------------------------------------------------
 # driver evaluation window
 # --------------------------------------------------------------------------
@@ -6005,7 +6186,7 @@ _DRIVER_WINDOW_R5 = [
 # similarity ANN, corpus, linalg, text, sampling/split. A regression
 # anywhere in the engine should turn a CORRECTNESS_r06 row red rather
 # than hiding outside the window.
-_DRIVER_WINDOW = [
+_DRIVER_WINDOW_R6 = [
     # --- round-6 additions (never driver-checked) ---
     "router_ohlc_day",
     "router_twa_range",
@@ -6072,6 +6253,84 @@ _DRIVER_WINDOW = [
     "split_train_val_test",
 ]
 
+# ROUND-7 WINDOW. Must-proves first: router_batch_panels (new this
+# round — the sql_many batched-panel surface), embedding_int8_quantize
+# (the r06 red row, reprojected driver-hashable), and
+# router_keyed_counter_day (the last of 171 queries with zero driver
+# rows). Then canaries biased toward code CHANGED this round — the
+# half-up rounding fix (streaming stitch + sessionizer), the
+# granularity-vs-slot router guards (median cells), the slot-partial
+# TWA/counter fallbacks and slot-threaded M4 fallback (their rollup
+# cells), load_rollup torn-swap repair (table sink) — plus the same
+# every-family spread as r6.
+_DRIVER_WINDOW = [
+    # --- round-7 must-proves ---
+    "router_batch_panels",
+    "embedding_int8_quantize",
+    "router_keyed_counter_day",
+    "embedding_pq_encode",
+    "similarity_knn_pq_adc",
+    # --- rounding-fix canaries (py_value_to_micros) ---
+    "streaming_twa_stitch_parity",
+    "session_window_30m_by_user",
+    # --- router cells over code touched this round ---
+    "router_twa_range",
+    "router_counter_day",
+    "router_m4_range",
+    "router_median_day_rollup",
+    "router_keyed_median_day",
+    "twa_by_type_day",
+    "counter_increase_by_type_day",
+    "router_keyed_ohlc_day",
+    "router_keyed_m4_day",
+    "router_ohlc_day",
+    # --- engine facade + batch tier (sql_many shares it) ---
+    "engine_batch_quantile_ohlc",
+    "keyed_sketch_batch_served",
+    # --- streaming (incl. table sink over load_rollup repair) ---
+    "streaming_table_sink_parity",
+    "streaming_wheel_rollup_parity",
+    "streaming_keyed_rollup_parity",
+    # --- wheel core / maintenance ---
+    "wheel_rollup_hour",
+    "wheel_range_unaligned_hybrid",
+    "wheel_second_aligned_range",
+    "wheel_extend_incremental",
+    "wheel_backfill_day",
+    # --- batched serving tiers ---
+    "wheel_range_batch_serving",
+    "keyed_rollup_batch_served",
+    "sketch_batch_quantile_ohlc",
+    "sketch_batch_heavy_hitters",
+    "sketch_batch_m4",
+    # --- router cells (rest of the matrix) ---
+    "router_multi_agg_range",
+    "router_quarter_rollup",
+    "router_topk_users_day",
+    "router_keyed_distinct_day",
+    # --- sketch families ---
+    "m4_downsample_200px",
+    # --- distinct / heavy hitters ---
+    "heavy_hitters_mg_verified_range",
+    "heavy_hitters_range_topk_users",
+    # --- anomaly ---
+    "anomaly_keyed_hourly_3sigma",
+    # --- SQL surface (joins, subqueries) ---
+    "tpch_q1_pricing_summary",
+    "tpch_q21_waiting_supplier",
+    "asof_join_purchase_to_click",
+    # --- dedup ---
+    "dedup_minhash_lsh_capped",
+    "dedup_connected_components_star",
+    "dedup_lsh_incremental",
+    # --- similarity / ANN (int8 tier shares quantize_int8) ---
+    "similarity_knn_int8",
+    "similarity_ann_ivf_multiprobe",
+    # --- corpus / sampling ---
+    "corpus_mixture_reweight",
+    "split_train_val_test",
+]
+
 
 def _reorder_registry() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
@@ -6081,6 +6340,7 @@ def _reorder_registry() -> None:
     assert not [n for n in _DRIVER_WINDOW_R3 if n not in REGISTRY]
     assert not [n for n in _DRIVER_WINDOW_R4 if n not in REGISTRY]
     assert not [n for n in _DRIVER_WINDOW_R5 if n not in REGISTRY]
+    assert not [n for n in _DRIVER_WINDOW_R6 if n not in REGISTRY]
     ordered = {n: REGISTRY[n] for n in _DRIVER_WINDOW}
     ordered.update({n: q for n, q in REGISTRY.items() if n not in ordered})
     # mutate in place: other modules hold references to this dict

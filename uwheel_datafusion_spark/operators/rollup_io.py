@@ -32,7 +32,14 @@ def save_rollup(rollup: DataFrame, path: str) -> None:
 
 def load_rollup(spark, path: str) -> DataFrame:
     """Reopen a persisted rollup; the ``dt`` partition column is KEPT
-    so ``_bucket_range_pred`` prunes day partitions at planning time."""
+    so ``_bucket_range_pred`` prunes day partitions at planning time.
+
+    Repairs a torn :func:`upsert_rollup` swap BEFORE serving (ADVICE
+    r06 #4): a crash between the swap's two renames leaves a
+    ``dt=X__old`` dir and no live ``dt=X``; waiting for the next
+    upsert to repair it would make every reader in the window silently
+    see that day's rollup rows absent rather than the pre-crash data."""
+    _recover_torn_partitions(path)
     return spark.read.parquet(path)
 
 

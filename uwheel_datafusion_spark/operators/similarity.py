@@ -668,6 +668,51 @@ def quantize_int8_oracle(
     """
 
 
+def quantize_int8_packed(
+    vecs: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Driver-hashable projection of :func:`quantize_int8`: the int8
+    codes packed as one CSV string per vector. The correctness driver
+    canonicalizes results with pandas ``sort_values``, which cannot
+    hash/sort list cells (``TypeError: unhashable type: 'list'`` —
+    the one red row of CORRECTNESS_r06), so the gate projection packs
+    the array scalar-wise; the quantization math (and the array-typed
+    serving surface used by knn_brute_force_int8) is unchanged. Still
+    map-only JVM expressions — transform + array_join, no UDF."""
+    q = quantize_int8(vecs, vec_col, id_col)
+    packed = SPARK.array_join(
+        SPARK.transform("qvec8", "c", "CAST(c AS STRING)"), ","
+    )
+    return q.select(
+        F.col(id_col),
+        F.col("q_scale"),
+        F.expr(packed).alias("qvec8_csv"),
+    )
+
+
+def quantize_int8_packed_oracle(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    d = DUCK
+    m = d.array_max(d.transform(vec_col, "x", "abs(CAST(x AS DOUBLE))"))
+    packed = d.array_join(
+        d.transform("qvec8", "c", "CAST(c AS VARCHAR)"), ","
+    )
+    return f"""
+        SELECT {id_col}, q_scale, {packed} AS qvec8_csv
+        FROM (
+            SELECT {id_col}, q_scale,
+                   {d.transform(vec_col, "x", _int8_body(d))} AS qvec8
+            FROM (
+                SELECT {id_col}, {vec_col}, ({m}) / 127.0 AS q_scale
+                FROM {table}
+            )
+        )
+    """
+
+
 # --------------------------------------------------------------------------
 # Multi-probe IVF (FAISS nprobe): k-means cells + nearest-nprobe search
 # --------------------------------------------------------------------------
@@ -872,4 +917,291 @@ def knn_brute_force_int8_oracle(
                    ) AS BIGINT) AS rnk
             FROM scored
         ) WHERE rnk <= {k}
+    """
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): m-subspace codebooks + ADC search
+# --------------------------------------------------------------------------
+#
+# The production ANN compression tier past int8 (FAISS IVFPQ's PQ
+# half): each vector is split into PQ_M contiguous subvectors; each
+# subspace learns its own small k-means codebook (the SAME exact-int64
+# Lloyd machinery as kmeans_assignments, run per subspace); a vector is
+# stored as m codebook ids — m BYTES per vector at k ≤ 256 (here
+# k ≤ 16, so m nibbles), vs 4·dim bytes float32: a 64-dim embedding
+# compresses 64×. Search is ADC (asymmetric distance computation): the
+# QUERY stays exact; per query a tiny m×k lookup table of
+# query-subvector ↔ centroid squared distances is built once, and a
+# corpus vector's approximate distance is m table lookups summed —
+# the scan reads codes only, never the embeddings.
+#
+# Everything is exact int64 (quantized subvectors, truncating division
+# in the centroid update — DuckDB `//` truncates toward zero exactly
+# like _tdiv), so the DuckDB oracle replays codebooks, codes, LUTs and
+# ranking bit-for-bit.
+
+PQ_M = 4  #: default subspace count (dim must divide evenly)
+
+
+def _pq_geometry(dim: int, m: int) -> list[tuple[int, int]]:
+    """1-based (start, width) slice per subspace."""
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    w = dim // m
+    return [(s * w + 1, w) for s in range(m)]
+
+
+def _pq_codebooks(
+    qv: DataFrame, dim: int, m: int, k: int, n_iter: int
+) -> list[list[list[int]]]:
+    """Per-subspace Lloyd codebooks over a (vec_id, qvec) frame — the
+    broadcast-centroid loop of _kmeans_centroids run on each slice
+    (same init: the k lowest-vec_id subvectors)."""
+    books = []
+    for lo, w in _pq_geometry(dim, m):
+        qs = qv.select(
+            "vec_id", F.expr(f"slice(qvec, {lo}, {w})").alias("qvec")
+        )
+        books.append(_kmeans_centroids(qs, k, n_iter))
+    return books
+
+
+def _pq_code_cols(
+    books: list[list[list[int]]], dim: int, m: int
+) -> list[F.Column]:
+    """One map-only argmin-distance projection per subspace (codebooks
+    inlined as literals — no join, no shuffle; the encode pass is a
+    single projection over the corpus)."""
+    cols = []
+    for s, (lo, w) in enumerate(_pq_geometry(dim, m)):
+        sub = f"slice(qvec, {lo}, {w})"
+        ords = []
+        for cid, cvec in enumerate(books[s]):
+            lit = "array(" + ", ".join(str(c) for c in cvec) + ")"
+            dist = SPARK.sum_list_bigint(SPARK.zip_sqdiff(sub, lit))
+            ords.append(F.expr(f"({dist} * {KMEANS_ENC} + {cid})"))
+        cols.append(
+            (F.least(*ords) % KMEANS_ENC).cast("long").alias(f"code_{s}")
+        )
+    return cols
+
+
+def pq_encode(
+    vecs: DataFrame,
+    m: int = PQ_M,
+    k: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """PQ codes ``(vec_id, code_0 … code_{m-1})`` — the stored ANN
+    representation at 100 TB (m small ints per vector). Build = m
+    subspace Lloyd loops (each: map-only assign + one k×(dim/m)-row
+    shuffle per update) + ONE final map-only encode projection."""
+    if not 2 <= k <= KMEANS_ENC:
+        raise ValueError(f"k must be in [2, {KMEANS_ENC}]")
+    qv = _quantized(vecs, vec_col).select("vec_id", "qvec").cache()
+    books = _pq_codebooks(qv, dim, m, k, n_iter)
+    return qv.select(F.col("vec_id"), *_pq_code_cols(books, dim, m))
+
+
+def knn_pq_adc(
+    vecs: DataFrame,
+    query_ids: tuple[int, ...],
+    topk: int = 5,
+    m: int = PQ_M,
+    k: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Top-k by ADC over PQ codes: ``(query_id, neighbor_id, adc_dist,
+    rnk)``. The query side stays EXACT (its quantized subvectors build
+    an m×k integer LUT of subvector↔centroid squared distances, one
+    tiny broadcast frame); the corpus side is scanned as CODES ONLY —
+    the compressed-domain scan that reads m ids per vector instead of
+    dim floats. Approximate by construction (codes quantize the
+    corpus); recall@10 vs the float ranking is measured per round in
+    bench.py ann_recall next to the int8 and IVF tiers."""
+    qv = _quantized(vecs, vec_col).select("vec_id", "qvec").cache()
+    books = _pq_codebooks(qv, dim, m, k, n_iter)
+    codes = qv.select(F.col("vec_id"), *_pq_code_cols(books, dim, m))
+
+    lut_cols = [F.col("vec_id").alias("query_id")]
+    for s, (lo, w) in enumerate(_pq_geometry(dim, m)):
+        sub = f"slice(qvec, {lo}, {w})"
+        dists = []
+        for cvec in books[s]:
+            lit = "array(" + ", ".join(str(c) for c in cvec) + ")"
+            dists.append(SPARK.sum_list_bigint(SPARK.zip_sqdiff(sub, lit)))
+        lut_cols.append(F.expr("array(" + ", ".join(dists) + ")").alias(f"lut_{s}"))
+    luts = qv.filter(F.col("vec_id").isin(*query_ids)).select(*lut_cols)
+
+    adc = sum(
+        F.element_at(f"lut_{s}", (F.col(f"code_{s}") + 1).cast("int"))
+        for s in range(m)
+    )
+    scored = (
+        codes.join(F.broadcast(luts), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.cast("long").alias("adc_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= topk)
+        .select("query_id", "neighbor_id", "adc_dist", "rnk")
+    )
+
+
+def _pq_cte_parts(
+    table: str, m: int, k: int, n_iter: int, vec_col: str, dim: int
+) -> tuple[list[str], list[str]]:
+    """DuckDB CTEs replaying the per-subspace Lloyd loops: returns
+    ``(parts, final_assign_cte_names)`` — af{s} holds (vec_id, mord)
+    under subspace s's final codebook. Mirrors _kmeans_cte_parts with
+    per-subspace name prefixes."""
+    d = DUCK
+    q = d.quantize_vec(vec_col, Q_SCALE)
+    parts = [f"qv AS (SELECT vec_id, {q} AS qvec FROM {table})"]
+    finals = []
+    dist = d.sum_list_bigint(d.zip_sqdiff("qv.qvec", "c.cvec"))
+    for s, (lo, w) in enumerate(_pq_geometry(dim, m)):
+        sub = d.slice("qvec", str(lo), w)
+        parts.append(
+            f"s{s}qv AS (SELECT vec_id, {sub} AS qvec FROM qv)"
+        )
+        parts.append(
+            f"""s{s}c0 AS (
+                SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                            AS BIGINT) AS cid,
+                       qvec AS cvec
+                FROM (SELECT vec_id, qvec FROM s{s}qv
+                      ORDER BY vec_id LIMIT {k})
+            )"""
+        )
+        # dist references alias qv — each subspace CTE binds FROM s{s}qv qv
+        sdist = dist
+        for i in range(1, n_iter):
+            prev = f"s{s}c{i - 1}"
+            parts.append(
+                f"""s{s}a{i} AS (
+                    SELECT qv.vec_id,
+                           min({sdist} * {KMEANS_ENC} + c.cid) AS mord
+                    FROM s{s}qv qv CROSS JOIN {prev} c GROUP BY qv.vec_id
+                )"""
+            )
+            parts.append(
+                f"""s{s}u{i} AS (
+                    SELECT (a.mord % {KMEANS_ENC}) AS cid, pos,
+                           SUM(comp) AS s, COUNT(*) AS c
+                    FROM s{s}a{i} a JOIN s{s}qv qv USING (vec_id),
+                         LATERAL (SELECT unnest(range(len(qv.qvec))) AS pos,
+                                         unnest(qv.qvec) AS comp)
+                    GROUP BY 1, 2
+                )"""
+            )
+            parts.append(
+                f"""s{s}c{i} AS (
+                    SELECT p.cid, COALESCE(n.cvec, p.cvec) AS cvec
+                    FROM {prev} p LEFT JOIN (
+                        SELECT cid, list(s // c ORDER BY pos) AS cvec
+                        FROM s{s}u{i} GROUP BY cid
+                    ) n USING (cid)
+                )"""
+            )
+        last = f"s{s}c{n_iter - 1}"
+        parts.append(
+            f"""s{s}af AS (
+                SELECT qv.vec_id,
+                       min({sdist} * {KMEANS_ENC} + c.cid) AS mord
+                FROM s{s}qv qv CROSS JOIN {last} c GROUP BY qv.vec_id
+            )"""
+        )
+        finals.append(f"s{s}af")
+    return parts, finals
+
+
+def pq_encode_oracle(
+    table: str = "embeddings",
+    m: int = PQ_M,
+    k: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> str:
+    parts, finals = _pq_cte_parts(table, m, k, n_iter, vec_col, dim)
+    joins = " ".join(f"JOIN {f} USING (vec_id)" for f in finals[1:])
+    codes = ", ".join(
+        f"CAST({f}.mord % {KMEANS_ENC} AS BIGINT) AS code_{s}"
+        for s, f in enumerate(finals)
+    )
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT vec_id, {codes}
+        FROM {finals[0]} {joins}
+    """
+
+
+def knn_pq_adc_oracle(
+    table: str = "embeddings",
+    query_ids: tuple[int, ...] = (),
+    topk: int = 5,
+    m: int = PQ_M,
+    k: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> str:
+    """Replay: same codebooks (per-subspace CTE Lloyd), same codes,
+    the query LUT as per-centroid distance lists, rank by (adc ASC,
+    neighbor ASC)."""
+    d = DUCK
+    ids = ", ".join(str(i) for i in query_ids)
+    parts, finals = _pq_cte_parts(table, m, k, n_iter, vec_col, dim)
+    joins = " ".join(f"JOIN {f} USING (vec_id)" for f in finals[1:])
+    codes = ", ".join(
+        f"CAST({f}.mord % {KMEANS_ENC} AS BIGINT) AS code_{s}"
+        for s, f in enumerate(finals)
+    )
+    parts.append(
+        f"codes AS (SELECT vec_id, {codes} FROM {finals[0]} {joins})"
+    )
+    lut_exprs = []
+    for s, (lo, w) in enumerate(_pq_geometry(dim, m)):
+        sub = d.slice("qv.qvec", str(lo), w)
+        dists = ", ".join(
+            f"""(SELECT {d.sum_list_bigint(d.zip_sqdiff(sub, 'c.cvec'))}
+                 FROM s{s}c{n_iter - 1} c WHERE c.cid = {cid})"""
+            for cid in range(k)
+        )
+        lut_exprs.append(f"[{dists}] AS lut_{s}")
+    parts.append(
+        f"""luts AS (
+            SELECT qv.vec_id AS query_id, {", ".join(lut_exprs)}
+            FROM qv WHERE qv.vec_id IN ({ids})
+        )"""
+    )
+    adc = " + ".join(
+        f"list_extract(q.lut_{s}, CAST(v.code_{s} + 1 AS INTEGER))"
+        for s in range(m)
+    )
+    return f"""
+        WITH {", ".join(parts)},
+        scored AS (
+            SELECT q.query_id, v.vec_id AS neighbor_id,
+                   CAST({adc} AS BIGINT) AS adc_dist
+            FROM codes v JOIN luts q ON v.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, adc_dist, rnk FROM (
+            SELECT query_id, neighbor_id, adc_dist,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY adc_dist, neighbor_id
+                   ) AS BIGINT) AS rnk
+            FROM scored
+        ) WHERE rnk <= {topk}
     """

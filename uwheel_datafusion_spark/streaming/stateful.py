@@ -44,7 +44,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from uwheel_datafusion_spark.functions.quant import QUANT_SCALE
+from uwheel_datafusion_spark.functions.quant import (
+    QUANT_SCALE,
+    py_value_to_micros,
+)
 from uwheel_datafusion_spark.functions.time import ensure_event_time
 
 OUTPUT_SCHEMA = StructType(
@@ -91,7 +94,7 @@ def _make_sessionizer(gap_ms: int):
         events: list[tuple[int, int]] = []  # (us, value_micros)
         for pdf in pdfs:
             for us, v in zip(pdf["us"], pdf["value"]):
-                events.append((int(us), int(round(float(v) * QUANT_SCALE))))
+                events.append((int(us), py_value_to_micros(float(v))))
         events.sort()
 
         if state.exists:

@@ -50,7 +50,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from uwheel_datafusion_spark.functions.quant import QUANT_SCALE
+from uwheel_datafusion_spark.functions.quant import py_value_to_micros
 from uwheel_datafusion_spark.functions.time import (
     MINUTE_MS,
     ensure_event_time,
@@ -77,7 +77,7 @@ def _twa_partial(ms, v):
     of build_twa_rollup's window+agg (same micros×ms integer areas)."""
     area = 0
     for i in range(1, len(ms)):
-        area += int(round(v[i - 1] * QUANT_SCALE)) * (ms[i] - ms[i - 1])
+        area += py_value_to_micros(v[i - 1]) * (ms[i] - ms[i - 1])
     return {
         "first_ts_ms": ms[0],
         "first_v": v[0],
@@ -90,7 +90,7 @@ def _twa_partial(ms, v):
 
 def _counter_partial(ms, v):
     """Exact counter partial (reset-aware steps in micros)."""
-    vm = [int(round(x * QUANT_SCALE)) for x in v]
+    vm = [py_value_to_micros(x) for x in v]
     inc = 0
     for i in range(1, len(vm)):
         inc += vm[i] - vm[i - 1] if vm[i] >= vm[i - 1] else vm[i]
