@@ -331,6 +331,10 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_correctness):
                                            # broadcast of |query_ids|
                                            # rows vs one corpus scan —
                                            # linear, not quadratic
+        "similarity_knn_pq_adc",           # ADC: broadcast of the
+                                           # |query_ids| LUT frame vs
+                                           # one corpus CODES scan —
+                                           # same linear shape as int8
         "tpch_q11_important_part_value",   # 1-row broadcast threshold
                                            # (crossJoin of a scalar agg —
                                            # benign at any scale)
