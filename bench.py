@@ -1057,6 +1057,9 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         "pipeline_pretraining_pack",
         "router_month_rollup",
         "router_keyed_distinct_day",
+        "dedup_span_islands",
+        "dedup_span_scrub",
+        "dedup_bloom_gate",
     )
     for name in headline:
         if name not in REGISTRY:

@@ -2015,6 +2015,117 @@ def streaming_table_sink_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@gate(
+    "streaming_dedup_exact_parity",
+    """
+    SELECT md5(text) AS text_md5,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def streaming_dedup_exact_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time exact dedup, driver-gated end-to-end INCLUDING a
+    kill-and-resume: the documents fixture streams as micro-batches
+    through a Structured Streaming update-mode aggregation maintaining
+    the digest registry (digest → canonical min doc_id + count); the
+    dedup object is KILLED mid-corpus and a FRESH one resumes from the
+    same (checkpoint, state_dir). The final registry must hash-match
+    the batch GROUP BY — streaming and batch build the same registry
+    no matter how the stream was chopped."""
+    import os
+    import shutil
+    import tempfile
+
+    from uwheel_datafusion_spark.streaming.dedup_stream import (
+        StreamingExactDedup,
+    )
+
+    _tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="dedup_stream_gate_")
+    try:
+        src = os.path.join(work, "in")
+        os.makedirs(src)
+        ckpt = os.path.join(work, "ckpt")
+        state = os.path.join(work, "state")
+
+        def mk_stream():
+            return (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+        half = docs.filter("doc_id % 2 = 0")
+        half.coalesce(2).write.mode("append").parquet(src)
+        d1 = StreamingExactDedup(mk_stream())
+        d1.start(ckpt, state_dir=state)
+        d1.process_available()
+        d1.stop()
+
+        docs.filter("doc_id % 2 = 1").coalesce(2).write.mode("append").parquet(src)
+        d2 = StreamingExactDedup(mk_stream())
+        d2.start(ckpt, state_dir=state)
+        d2.process_available()
+        d2.stop()
+
+        out = d2.groups_df(spark)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+from uwheel_datafusion_spark.operators.dedup import (
+    lsh_band_table_oracle as _lsh_band_oracle,
+)
+
+
+@gate("streaming_lsh_index_parity", _lsh_band_oracle())
+def streaming_lsh_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the persisted LSH band index: document
+    micro-batches append band rows through the built-in exactly-once
+    parquet file sink (transaction-logged — a resumed query never
+    double-writes), into the same band_idx-partitioned layout
+    dedup.save_lsh_index writes. The streamed table must be
+    row-identical to the batch-built band table."""
+    import os
+    import shutil
+    import tempfile
+
+    from uwheel_datafusion_spark.streaming.dedup_stream import (
+        start_lsh_index_stream,
+    )
+
+    _tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="lsh_stream_gate_")
+    try:
+        src = os.path.join(work, "in")
+        os.makedirs(src)
+        table = os.path.join(work, "bands")
+        docs.repartitionByRange(4, "doc_id").write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_lsh_index_stream(stream, table, os.path.join(work, "ckpt"))
+        q.processAllAvailable()
+        q.stop()
+        rows = [
+            (r.doc_id, r.band_idx, r.band_hash)
+            for r in spark.read.parquet(table)
+            .select("doc_id", "band_idx", "band_hash")
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id bigint, band_idx bigint, band_hash bigint"
+    )
+
+
 #: keyed wheel — hypertable-style continuous aggregate: the reference's
 #: single-series index sharded by a dimension key (one distributed
 #: rollup on (key, minute), per-key O(1) driver serving)
@@ -4540,6 +4651,43 @@ def dedup_lsh_incremental_q(spark, sf_dir):
     return _dd.lsh_incremental_candidates(new, _dd.lsh_band_table(corpus))
 
 
+from uwheel_datafusion_spark.operators import spans as _spn
+
+
+@gate("dedup_span_islands", _spn.duplicate_span_islands_oracle())
+def dedup_span_islands_q(spark, sf_dir):
+    """Exact duplicate-SPAN detection (Lee et al. 2022, ExactSubstr):
+    maximal ≥6-token spans occurring in ≥2 documents, as gaps-and-
+    islands over the duplicated k-gram windows. Shuffles keyed on
+    (gram_hash) then (doc_id) — the suffix-array semantics without the
+    single-machine suffix array."""
+    return _spn.duplicate_span_islands(load_table(spark, sf_dir, "documents"))
+
+
+@gate("dedup_span_scrub", _spn.scrub_duplicate_spans_oracle())
+def dedup_span_scrub_q(spark, sf_dir):
+    """ExactSubstr removal: cut every cross-document duplicated span
+    out of every document, keep the surrounding text (clean_text +
+    kept/removed token counts). The rebuild aggregate is order-pinned
+    on both engines."""
+    return _spn.scrub_duplicate_spans(load_table(spark, sf_dir, "documents"))
+
+
+@gate(
+    "dedup_bloom_gate",
+    _spn.bloom_gate_oracle(_LSH_CORPUS_PRED, _LSH_NEW_PRED),
+)
+def dedup_bloom_gate_q(spark, sf_dir):
+    """Bloom membership pre-filter for incremental ingest: the corpus
+    collapses to ≤ 2^16 distinct bit positions (the bitset AS a
+    broadcastable table); new docs with any unset bit are GUARANTEED
+    unseen and skip the LSH stage. Same 80/20 split as
+    dedup_lsh_incremental — the two gates compose into the production
+    ingest path (bloom → LSH → exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _spn.bloom_gate(docs, _LSH_CORPUS_PRED, _LSH_NEW_PRED)
+
+
 @gate("dedup_simhash_fingerprints", _dd.simhash_fingerprints_oracle())
 def simhash_fp_q(spark, sf_dir):
     return _dd.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
@@ -6270,9 +6418,14 @@ _DRIVER_WINDOW = [
     "router_keyed_counter_day",
     "embedding_pq_encode",
     "similarity_knn_pq_adc",
-    # --- rounding-fix canaries (py_value_to_micros) ---
+    # --- new this session: span dedup + bloom + streaming dedup ---
+    "dedup_span_islands",
+    "dedup_span_scrub",
+    "dedup_bloom_gate",
+    "streaming_dedup_exact_parity",
+    "streaming_lsh_index_parity",
+    # --- rounding-fix canary (py_value_to_micros) ---
     "streaming_twa_stitch_parity",
-    "session_window_30m_by_user",
     # --- router cells over code touched this round ---
     "router_twa_range",
     "router_counter_day",
@@ -6312,13 +6465,8 @@ _DRIVER_WINDOW = [
     "m4_downsample_200px",
     # --- distinct / heavy hitters ---
     "heavy_hitters_mg_verified_range",
-    "heavy_hitters_range_topk_users",
-    # --- anomaly ---
-    "anomaly_keyed_hourly_3sigma",
     # --- SQL surface (joins, subqueries) ---
-    "tpch_q1_pricing_summary",
     "tpch_q21_waiting_supplier",
-    "asof_join_purchase_to_click",
     # --- dedup ---
     "dedup_minhash_lsh_capped",
     "dedup_connected_components_star",

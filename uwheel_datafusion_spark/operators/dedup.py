@@ -372,6 +372,18 @@ def lsh_band_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).select("doc_id", "band.band_idx", "band.band_hash")
 
 
+def lsh_band_table_oracle(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB twin of lsh_band_table — used by the streaming index
+    parity gate (streamed bands must be row-identical to batch)."""
+    sig_sql = minhash_signatures_oracle(table, text_col)
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, CAST({j} AS BIGINT) AS band_idx, "
+        f"{_band_hash_expr(j)} AS band_hash FROM sig"
+        for j in range(N_BANDS)
+    )
+    return f"WITH sig AS ({sig_sql}) {band_selects}"
+
+
 def save_lsh_index(bands: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Persist the band table partitioned by band_idx; EXTEND the index
     with a new ingest batch by writing its bands with mode='append' —
