@@ -1060,6 +1060,8 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         "dedup_span_islands",
         "dedup_span_scrub",
         "dedup_bloom_gate",
+        "text_gopher_quality",
+        "dedup_span_incremental",
     )
     for name in headline:
         if name not in REGISTRY:

@@ -132,3 +132,41 @@ def test_islands_plan_partitions_by_doc(spark):
         .toString()
     )
     assert "SinglePartition" not in plan, plan
+
+
+def test_incremental_span_probe(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, f"alpha beta {BOILER} gamma delta"),
+            (2, "corpus only other content entirely distinct"),
+        ],
+    )
+    new = _docs(
+        spark,
+        [
+            (10, f"prefix words {BOILER} suffix"),        # dup vs corpus
+            (11, "wholly novel text nothing shared here at all"),
+            (12, "in batch twin span example text body"),  # dup only intra-batch
+            (13, "in batch twin span example text body"),
+        ],
+    )
+    idx = sp.span_gram_index(corpus, k=6)
+    out = {r.doc_id: r for r in sp.incremental_span_islands(new, idx, k=6).collect()}
+    # only the vs-corpus duplicate is found; intra-batch dups are by
+    # contract invisible to the probe (they surface when the batch is
+    # appended to the index and the NEXT batch probes it)
+    assert set(out) == {10}
+    assert (out[10].span_start, out[10].span_end) == (3, 11)
+
+
+def test_incremental_index_extend_catches_next_batch(spark):
+    corpus = _docs(spark, [(1, "base corpus content")])
+    batch1 = _docs(spark, [(10, f"first {BOILER} tail")])
+    batch2 = _docs(spark, [(20, f"second {BOILER} tail")])
+    idx = sp.span_gram_index(corpus, k=6)
+    assert sp.incremental_span_islands(batch1, idx, k=6).count() == 0
+    # append batch1's grams, as an ingest loop would
+    idx2 = idx.union(sp.span_gram_index(batch1, k=6)).distinct()
+    hits = sp.incremental_span_islands(batch2, idx2, k=6).collect()
+    assert len(hits) == 1 and hits[0].doc_id == 20

@@ -4042,6 +4042,15 @@ def text_winnow_fingerprints_q(spark, sf_dir):
     return _tx.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+@gate("text_gopher_quality", _tx.gopher_quality_flags_oracle())
+def text_gopher_quality_q(spark, sf_dir):
+    """Gopher rule-based pretraining filter (Rae et al. 2021 A1.1):
+    per-document word-count / mean-word-length / symbol-ratio /
+    alpha-word / required-stopword flags + the keep decision — exact
+    integer math, map-only, whole-stage codegen."""
+    return _tx.gopher_quality_flags(load_table(spark, sf_dir, "documents"))
+
+
 @gate("dedup_winnow_shared_pairs", _tx.winnow_shared_pairs_oracle())
 def dedup_winnow_shared_pairs_q(spark, sf_dir):
     """Overlap-candidate pairs sharing ≥2 winnowing fingerprints —
@@ -4686,6 +4695,23 @@ def dedup_bloom_gate_q(spark, sf_dir):
     ingest path (bloom → LSH → exact)."""
     docs = load_table(spark, sf_dir, "documents")
     return _spn.bloom_gate(docs, _LSH_CORPUS_PRED, _LSH_NEW_PRED)
+
+
+@gate(
+    "dedup_span_incremental",
+    _spn.incremental_span_islands_oracle(_LSH_CORPUS_PRED, _LSH_NEW_PRED),
+)
+def dedup_span_incremental_q(spark, sf_dir):
+    """Ingest-time ExactSubstr: maximal spans of the 20% 'new batch'
+    already present in the 80% 'corpus', probed through the persisted
+    DISTINCT-gram index alone — corpus text is never re-read (the
+    span-tier twin of dedup_lsh_incremental; probe cost is the new
+    batch's token stream)."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = _spn.span_gram_index(docs.filter(F.expr(_LSH_CORPUS_PRED)))
+    return _spn.incremental_span_islands(
+        docs.filter(F.expr(_LSH_NEW_PRED)), idx
+    )
 
 
 @gate("dedup_simhash_fingerprints", _dd.simhash_fingerprints_oracle())

@@ -310,6 +310,100 @@ def scrub_duplicate_spans_oracle(
 
 
 # --------------------------------------------------------------------------
+# incremental span dedup: new batch vs persisted gram index
+# --------------------------------------------------------------------------
+
+
+def span_gram_index(
+    docs: DataFrame, text_col: str = "text", k: int = SPAN_K
+) -> DataFrame:
+    """The persisted corpus-side state for incremental span dedup: the
+    DISTINCT k-gram hashes of the corpus — one bigint per distinct
+    gram, extended by append per ingest batch (same lifecycle as the
+    LSH band index). Corpus text is never re-read by the probe."""
+    return duplicate_span_posting(docs, text_col, k).select("gh").distinct()
+
+
+def incremental_span_islands(
+    new_docs: DataFrame,
+    gram_index: DataFrame,
+    text_col: str = "text",
+    k: int = SPAN_K,
+) -> DataFrame:
+    """Maximal spans of a NEW batch that already exist in the corpus
+    gram index — the ingest-time ExactSubstr probe. Same output shape
+    as duplicate_span_islands; the duplicated-gram set is a semi-join
+    of the batch's posting against the index (hash join on gh; with
+    the index bucketed on gh, co-located and shuffle-free at corpus
+    scale — the probe cost is the NEW batch's token stream, not the
+    corpus)."""
+    posting = duplicate_span_posting(new_docs, text_col, k)
+    hits = posting.join(
+        gram_index.select("gh"), "gh", "left_semi"
+    ).select("doc_id", "pos")
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hits.withColumn(
+            "_brk",
+            F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+                F.lit(1)
+            ),
+        )
+        .withColumn("span_idx", F.sum("_brk").over(run))
+        .groupBy("doc_id", "span_idx")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+    )
+
+
+def incremental_span_islands_oracle(
+    corpus_pred: str,
+    new_pred: str,
+    table: str = "documents",
+    text_col: str = "text",
+    k: int = SPAN_K,
+) -> str:
+    """Oracle twin over one table split by predicates (mirrors
+    lsh_incremental_candidates_oracle)."""
+    d = DUCK
+    return f"""
+        WITH {_posting_cte(d, table, text_col, k)},
+        idx AS (
+            SELECT DISTINCT gh FROM posting WHERE {corpus_pred}
+        ),
+        hits AS (
+            SELECT p.doc_id, p.pos FROM posting p JOIN idx USING (gh)
+            WHERE {new_pred.replace('doc_id', 'p.doc_id')}
+        ),
+        marked AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - LAG(pos) OVER
+                            (PARTITION BY doc_id ORDER BY pos) <= {k}
+                        THEN 0 ELSE 1 END AS _brk
+            FROM hits
+        ),
+        numbered AS (
+            SELECT doc_id, pos,
+                   CAST(SUM(_brk) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS span_idx
+            FROM marked
+        )
+        SELECT doc_id, span_idx,
+               MIN(pos) AS span_start,
+               MAX(pos) + {k - 1} AS span_end,
+               COUNT(*) AS n_grams
+        FROM numbered
+        GROUP BY doc_id, span_idx
+    """
+
+
+# --------------------------------------------------------------------------
 # Bloom membership gate for incremental dedup
 # --------------------------------------------------------------------------
 

@@ -249,6 +249,132 @@ def quality_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Appendix A1.1) — the canonical
+# rule-based pretraining document filter, reproduced by Dolma/RedPajama/
+# DataTrove. Word-shape rules only (the fixture corpus is single-line,
+# so the line-level bullet/ellipsis rules are vacuous here); every rule
+# is exact integer math + one IEEE double division, identical in both
+# engines — map-only, inside whole-stage codegen.
+# --------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_REQUIRED_HITS = 2
+
+
+def _gopher_exprs(d: Dialect, text: str = "text") -> dict[str, str]:
+    toks = d.split(text)
+    n_words = f"CAST({d.size(toks)} AS BIGINT)"
+    # total characters across words (exact; immune to run-on whitespace)
+    word_chars = d.sum_list_bigint(
+        d.transform(toks, "t", "CAST(length(t) AS BIGINT)")
+    )
+    alpha_words = f"CAST({d.size(d.filter(toks, 't', _ALPHA_PRED))} AS BIGINT)"
+    # '#' occurrences + '...' occurrences (each ellipsis counts once)
+    hash_cnt = (
+        f"CAST(length({text}) - length(replace({text}, '#', '')) AS BIGINT)"
+    )
+    dots = "replace({t}, '...', '')".format(t=text)
+    ellipsis_cnt = f"CAST((length({text}) - length({dots})) / 3 AS BIGINT)"
+    req = ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_WORDS)
+    req_hits = (
+        f"CAST({d.size(d.filter(d.array_distinct(toks), 't', f't IN ({req})'))}"
+        " AS BIGINT)"
+    )
+    return {
+        "n_words": n_words,
+        "word_chars": word_chars,
+        "alpha_words": alpha_words,
+        "symbol_cnt": f"({hash_cnt} + {ellipsis_cnt})",
+        "req_hits": req_hits,
+    }
+
+
+#: token contains at least one ASCII letter (rlike in Spark,
+#: regexp_matches in DuckDB — same RE2/Java-safe class pattern)
+_ALPHA_PRED = "t IS NOT NULL AND length(regexp_replace(t, '[^A-Za-z]', '')) > 0"
+
+
+def _gopher_flag_exprs() -> dict[str, str]:
+    """Rule flags + keep decision from the materialized base counts
+    (dialect-free SQL: arithmetic on already-computed BIGINTs)."""
+    mean_len = "(CAST(word_chars AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE))"
+    alpha_frac = "(CAST(alpha_words AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE))"
+    sym_ratio = "(CAST(symbol_cnt AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE))"
+    flags = {
+        "mean_word_len": mean_len,
+        "alpha_word_frac": alpha_frac,
+        "symbol_ratio": sym_ratio,
+        "ok_word_count": (
+            f"CAST(CASE WHEN n_words >= {GOPHER_MIN_WORDS} "
+            f"AND n_words <= {GOPHER_MAX_WORDS} THEN 1 ELSE 0 END AS BIGINT)"
+        ),
+        "ok_mean_word_len": (
+            f"CAST(CASE WHEN {mean_len} >= {GOPHER_MIN_MEAN_WORD_LEN} "
+            f"AND {mean_len} <= {GOPHER_MAX_MEAN_WORD_LEN} "
+            "THEN 1 ELSE 0 END AS BIGINT)"
+        ),
+        "ok_symbol_ratio": (
+            f"CAST(CASE WHEN {sym_ratio} < {GOPHER_MAX_SYMBOL_RATIO} "
+            "THEN 1 ELSE 0 END AS BIGINT)"
+        ),
+        "ok_alpha_words": (
+            f"CAST(CASE WHEN {alpha_frac} >= {GOPHER_MIN_ALPHA_WORD_FRAC} "
+            "THEN 1 ELSE 0 END AS BIGINT)"
+        ),
+        "ok_required_words": (
+            f"CAST(CASE WHEN req_hits >= {GOPHER_MIN_REQUIRED_HITS} "
+            "THEN 1 ELSE 0 END AS BIGINT)"
+        ),
+    }
+    flags["gopher_keep"] = (
+        "CAST(ok_word_count * ok_mean_word_len * ok_symbol_ratio"
+        " * ok_alpha_words * ok_required_words AS BIGINT)"
+    )
+    return flags
+
+
+def gopher_quality_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher rule flags + keep decision: (doc_id,
+    n_words, req_hits, mean_word_len, alpha_word_frac, symbol_ratio,
+    ok_* per rule, gopher_keep). Map-only; filter with
+    ``.filter('gopher_keep = 1')`` in a pipeline."""
+    base = docs.select(
+        "doc_id",
+        *[
+            F.expr(e).alias(k)
+            for k, e in _gopher_exprs(SPARK, text_col).items()
+        ],
+    )
+    flags = _gopher_flag_exprs()
+    out = base
+    for k, e in flags.items():
+        out = out.withColumn(k, F.expr(e))
+    return out.drop("word_chars", "alpha_words", "symbol_cnt")
+
+
+def gopher_quality_flags_oracle(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    base_cols = ",\n  ".join(
+        f"{e} AS {k}" for k, e in _gopher_exprs(DUCK, text_col).items()
+    )
+    flag_cols = ",\n  ".join(
+        f"{e} AS {k}" for k, e in _gopher_flag_exprs().items()
+    )
+    return f"""
+        WITH base AS (SELECT doc_id, {base_cols} FROM {table})
+        SELECT doc_id, n_words, req_hits, {flag_cols}
+        FROM base
+    """
+
+
+# --------------------------------------------------------------------------
 # winnowing — localized rolling-hash fingerprints (Schleimer et al.,
 # SIGMOD 2003; the MOSS algorithm). Unlike the whole-document rolling
 # hash above (one fingerprint per doc, any edit changes it) or SimHash
