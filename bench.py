@@ -987,8 +987,13 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
                 "sec": round(i8_sec, 3),
             },
         }
-        # PQ + ADC: the 64×-compression tier's quality cost, measured
-        # (4 subspaces × 8 centroids; codes are 4 ids per vector)
+        # PQ + ADC: the 64×-compression tier's quality cost, measured.
+        # NOTE on magnitude: the fixture embeddings are near-random, so
+        # neighbor distances CONCENTRATE (d_10 ≈ d_median in 64-dim) and
+        # any coarse quantizer's recall is structurally low — the number
+        # exists to record the trade per corpus, vs ~0.001 by chance.
+        from uwheel_datafusion_spark.operators.similarity import PQ_M
+
         t0 = time.perf_counter()
         pq = knn_pq_adc(emb, qids, topk=10).collect()
         pq_sec = time.perf_counter() - t0
@@ -999,8 +1004,8 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         extras["ann_recall"]["pq_adc_vs_float"] = {
             "recall_at_10": round(hits_pq / total, 4) if total else None,
             "sec": round(pq_sec, 3),
-            "m": 4,
-            "k_per_subspace": 8,
+            "m": PQ_M,
+            "k_per_subspace": 16,
         }
 
     # ------------------------------------------------ headline gate queries

@@ -46,7 +46,17 @@ REGISTRY: dict[str, GateQuery] = {}
 
 def gate(name: str, oracle: str | None = None):
     def deco(fn):
-        REGISTRY[name] = GateQuery(fn=fn, oracle=oracle)
+        def tuned(spark, sf_dir, _fn=fn):
+            # every gate may run under the grading driver's vanilla
+            # session (200 shuffle partitions, InferFiltersFromGenerate
+            # on) — apply the runtime-settable tuning once per call;
+            # idempotent and exception-guarded (see _tune_session)
+            _tune_session(spark)
+            return _fn(spark, sf_dir)
+
+        tuned.__name__ = fn.__name__
+        tuned.__doc__ = fn.__doc__
+        REGISTRY[name] = GateQuery(fn=tuned, oracle=oracle)
         return fn
 
     return deco
@@ -108,6 +118,12 @@ def _tune_session(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # see session.get_spark: stops the text tier's md5/shingle
+        # chains being cloned into a pre-exchange single-task filter
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     except Exception:
         pass
 
@@ -4714,6 +4730,86 @@ def dedup_span_incremental_q(spark, sf_dir):
     )
 
 
+_INGEST_ORACLE = f"""
+    WITH bloom AS ({_spn.bloom_gate_oracle(_LSH_CORPUS_PRED, _LSH_NEW_PRED)}),
+    corpus_md5 AS (
+        SELECT DISTINCT md5(text) AS h FROM documents
+        WHERE {_LSH_CORPUS_PRED}
+    ),
+    new_docs AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE {_LSH_NEW_PRED}
+    ),
+    exact AS (
+        SELECT n.doc_id FROM new_docs n JOIN corpus_md5 c ON n.h = c.h
+    ),
+    lsh AS (
+        SELECT DISTINCT new_doc_id AS doc_id
+        FROM ({_dd.lsh_incremental_candidates_oracle(_LSH_CORPUS_PRED, _LSH_NEW_PRED)})
+    )
+    SELECT b.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN l.doc_id IS NOT NULL THEN 'near_dup_candidate'
+                WHEN b.possible_dup THEN 'bloom_fp'
+                ELSE 'new' END AS status
+    FROM bloom b
+    LEFT JOIN exact e USING (doc_id)
+    LEFT JOIN lsh l USING (doc_id)
+"""
+
+
+@gate("pipeline_incremental_ingest", _INGEST_ORACLE)
+def pipeline_incremental_ingest_q(spark, sf_dir):
+    """The production ingest path END-TO-END, one status per new-batch
+    document. The bloom stage prunes the EXACT-dup verify (a doc whose
+    exact text was seen is GUARANTEED bloom-positive, so the digest
+    semi-join only matters for bloom survivors); the LSH band probe
+    runs on the whole batch regardless — near-dups have different
+    digests, so the bloom verdict says nothing about them (a
+    bloom-negative doc can still be a near-dup, and the CASE order
+    reflects that). 'bloom_fp' = bloom-positive but neither exact nor
+    near — the bloom stage's false-positive cost, measured per run
+    instead of asserted from the formula. Every stage is an equi-join
+    keyed on a digest/band/bit — nothing rescans corpus text."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.expr(_LSH_CORPUS_PRED))
+    new = docs.filter(F.expr(_LSH_NEW_PRED))
+
+    bloom = _spn.bloom_gate(docs, _LSH_CORPUS_PRED, _LSH_NEW_PRED)
+    corpus_md5 = (
+        corpus.select(F.expr(_d_md5_text()).alias("h")).distinct()
+    )
+    exact = (
+        new.select("doc_id", F.expr(_d_md5_text()).alias("h"))
+        .join(corpus_md5, "h", "left_semi")
+        .select("doc_id")
+        .withColumn("_ex", F.lit(1))
+    )
+    lsh = (
+        _dd.lsh_incremental_candidates(new, _dd.lsh_band_table(corpus))
+        .select(F.col("new_doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_lsh", F.lit(1))
+    )
+    return (
+        bloom.join(exact, "doc_id", "left")
+        .join(lsh, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_ex").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("_lsh").isNotNull(), F.lit("near_dup_candidate"))
+            .when(F.col("possible_dup"), F.lit("bloom_fp"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
+def _d_md5_text() -> str:
+    from uwheel_datafusion_spark.functions.dialect import SPARK as _SPK
+
+    return _SPK.md5("text")
+
+
 @gate("dedup_simhash_fingerprints", _dd.simhash_fingerprints_oracle())
 def simhash_fp_q(spark, sf_dir):
     return _dd.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
@@ -4852,10 +4948,10 @@ def int8_quantize_q(spark, sf_dir):
 @gate("embedding_pq_encode", _sim.pq_encode_oracle())
 def pq_encode_q(spark, sf_dir):
     """Product-quantization codes — the ANN compression tier past int8
-    (FAISS IVFPQ's PQ half): 4 subspaces × 16 dims, 8-centroid Lloyd
+    (FAISS IVFPQ's PQ half): 8 subspaces × 8 dims, 16-centroid Lloyd
     codebook per subspace (the exact-int64 broadcast-centroid loop of
-    kmeans_assignments, per slice), vector stored as 4 small ids —
-    64× smaller than float32 at 100 TB. Encode is ONE map-only
+    kmeans_assignments, per slice), vector stored as 8 nibble-sized
+    ids — 64× smaller than float32 at 100 TB. Encode is ONE map-only
     argmin projection with codebooks inlined as literals; the oracle
     replays every subspace's iterations CTE-by-CTE bit-for-bit."""
     return _sim.pq_encode(load_table(spark, sf_dir, "embeddings"))

@@ -941,7 +941,7 @@ def knn_brute_force_int8_oracle(
 # like _tdiv), so the DuckDB oracle replays codebooks, codes, LUTs and
 # ranking bit-for-bit.
 
-PQ_M = 4  #: default subspace count (dim must divide evenly)
+PQ_M = 8  #: default subspace count (dim must divide evenly)
 
 
 def _pq_geometry(dim: int, m: int) -> list[tuple[int, int]]:
@@ -989,7 +989,7 @@ def _pq_code_cols(
 def pq_encode(
     vecs: DataFrame,
     m: int = PQ_M,
-    k: int = 8,
+    k: int = 16,
     n_iter: int = 2,
     vec_col: str = "embedding",
     dim: int = 64,
@@ -1010,7 +1010,7 @@ def knn_pq_adc(
     query_ids: tuple[int, ...],
     topk: int = 5,
     m: int = PQ_M,
-    k: int = 8,
+    k: int = 16,
     n_iter: int = 2,
     vec_col: str = "embedding",
     dim: int = 64,
@@ -1128,7 +1128,7 @@ def _pq_cte_parts(
 def pq_encode_oracle(
     table: str = "embeddings",
     m: int = PQ_M,
-    k: int = 8,
+    k: int = 16,
     n_iter: int = 2,
     vec_col: str = "embedding",
     dim: int = 64,
@@ -1151,7 +1151,7 @@ def knn_pq_adc_oracle(
     query_ids: tuple[int, ...] = (),
     topk: int = 5,
     m: int = PQ_M,
-    k: int = 8,
+    k: int = 16,
     n_iter: int = 2,
     vec_col: str = "embedding",
     dim: int = 64,

@@ -65,9 +65,17 @@ BLOOM_J = 5  # hash functions per document
 # --------------------------------------------------------------------------
 
 
-def _gram_hashes_expr(d: Dialect, text_col: str, k: int) -> str:
-    """list<bigint>: 32-bit hash of each k-token window, in order."""
-    return d.token_hashes(d.shingles(d.split(text_col), k))
+def _gram_hashes_expr(d: Dialect, tokens_col: str, k: int) -> str:
+    """list<bigint>: 32-bit hash of each k-token window, in order.
+
+    ``tokens_col`` must be a MATERIALIZED array column (not an inline
+    split(...) expression): d.shingles references its tokens argument
+    k+1 times per window position, and neither engine eliminates the
+    common subexpression inside a lambda — an inline split re-tokenizes
+    the document O(k·positions) times (measured 12 s → 0.6 s at sf0.1
+    for the posting scan; same pathology the winnow fingerprints fixed
+    for their hash list)."""
+    return d.token_hashes(d.shingles(tokens_col, k))
 
 
 def _posting_cte(d: Dialect, table: str, text_col: str, k: int) -> str:
@@ -76,9 +84,12 @@ def _posting_cte(d: Dialect, table: str, text_col: str, k: int) -> str:
     the DataFrame side (see duplicate_span_posting)."""
     assert not d.is_spark, "Spark side builds posting via posexplode"
     return f"""
+        toked AS (
+            SELECT doc_id, {d.split(text_col)} AS _ts FROM {table}
+        ),
         hashed AS (
-            SELECT doc_id, {_gram_hashes_expr(d, text_col, k)} AS _hs
-            FROM {table}
+            SELECT doc_id, {_gram_hashes_expr(d, '_ts', k)} AS _hs
+            FROM toked
         ),
         posting AS (
             SELECT doc_id,
@@ -96,8 +107,11 @@ def duplicate_span_posting(
     position — map-only off the scan (posexplode keeps pos and hash
     aligned without a second pass over the token list)."""
     docs = ensure_min_parallelism(docs, "doc_id")
-    hashed = docs.select(
-        "doc_id", F.expr(_gram_hashes_expr(SPARK, text_col, k)).alias("_hs")
+    toked = docs.select(
+        "doc_id", F.expr(SPARK.split(text_col)).alias("_ts")
+    )
+    hashed = toked.select(
+        "doc_id", F.expr(_gram_hashes_expr(SPARK, "_ts", k)).alias("_hs")
     )
     return hashed.select(
         "doc_id", F.posexplode("_hs").alias("pos0", "gh")
