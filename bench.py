@@ -1007,6 +1007,24 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
             "m": PQ_M,
             "k_per_subspace": 16,
         }
+        # IVF-PQ: the composed production index — coarse-cell probe ×
+        # compressed-domain ADC; recall is bounded above by BOTH tiers
+        from uwheel_datafusion_spark.operators.similarity import ann_ivfpq_topk
+
+        t0 = time.perf_counter()
+        ivfpq = ann_ivfpq_topk(emb, qids, topk=10, nprobe=2, n_cells=4).collect()
+        ivfpq_sec = time.perf_counter() - t0
+        aip: dict = defaultdict(set)
+        for r in ivfpq:
+            aip[r["query_id"]].add(r["neighbor_id"])
+        hits_ip = sum(len(aip[q] & truth[q]) for q in truth)
+        extras["ann_recall"]["ivfpq_vs_float"] = {
+            "recall_at_10": round(hits_ip / total, 4) if total else None,
+            "sec": round(ivfpq_sec, 3),
+            "nprobe": 2,
+            "n_cells": 4,
+            "m": PQ_M,
+        }
 
     # ------------------------------------------------ headline gate queries
     headline = (

@@ -317,3 +317,26 @@ def test_pq_adc_reproduces_subvector_exact_distance(spark):
     for (a, b), d in got.items():
         want = sum((xa - xb) ** 2 for xa, xb in zip(q[a], q[b]))
         assert d == want, ((a, b), d, want)
+
+
+def test_ivfpq_full_probe_equals_pq_adc(spark, sf_correctness):
+    """With nprobe = n_cells the IVF half degenerates to a full scan,
+    so IVF-PQ must return exactly knn_pq_adc's ranking — the
+    composition's correctness anchor (the multiprobe twin of
+    test's nprobe=n_cells ≡ brute force pin, on the PQ metric)."""
+    import uwheel_datafusion_spark.operators.similarity as sim
+    from uwheel_datafusion_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    qids = (0, 1, 2)
+    full = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.adc_dist)
+        for r in sim.knn_pq_adc(emb, qids, topk=5).collect()
+    }
+    ivfpq = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.adc_dist)
+        for r in sim.ann_ivfpq_topk(
+            emb, qids, topk=5, nprobe=4, n_cells=4
+        ).collect()
+    }
+    assert ivfpq == full

@@ -4925,6 +4925,27 @@ def ann_multiprobe_q(spark, sf_dir):
     )
 
 
+@gate(
+    "similarity_ann_ivfpq",
+    _sim.ann_ivfpq_topk_oracle(
+        query_ids=KNN_QUERY_IDS, topk=5, nprobe=2, n_cells=4
+    ),
+)
+def ann_ivfpq_q(spark, sf_dir):
+    """IVF-PQ — the production ANN index (FAISS IVFPQ): coarse k-means
+    cells partition the corpus (bucket/partition key at 100 TB); each
+    query's 2 nearest of 4 cells are scanned as PQ CODES ONLY, ranked
+    by ADC against the query's broadcast m×k LUT. Search cost =
+    (nprobe/n_cells) of the corpus × m byte-lookups per vector — both
+    knobs explicit, recall measured per round in bench ann_recall.
+    Coarse cells, codebooks, codes, LUTs and ranking all replay in the
+    DuckDB oracle bit-for-bit."""
+    return _sim.ann_ivfpq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        KNN_QUERY_IDS, topk=5, nprobe=2, n_cells=4,
+    )
+
+
 @gate("similarity_label_centroids", _sim.label_centroids_oracle())
 def centroids_q(spark, sf_dir):
     """IVF cell-centroid build (posexplode + partial agg on

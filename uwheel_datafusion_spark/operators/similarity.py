@@ -1205,3 +1205,187 @@ def knn_pq_adc_oracle(
             FROM scored
         ) WHERE rnk <= {topk}
     """
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: coarse cells + compressed-domain ADC within probed cells
+# --------------------------------------------------------------------------
+
+
+def ann_ivfpq_topk(
+    vecs: DataFrame,
+    query_ids: tuple[int, ...],
+    topk: int = 5,
+    nprobe: int = 2,
+    n_cells: int = 4,
+    m: int = PQ_M,
+    k: int = 16,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """The production ANN index shape (FAISS IVFPQ): a coarse k-means
+    quantizer partitions the corpus into ``n_cells`` Voronoi cells
+    (the IVF half — at 100 TB the table is partitioned/bucketed by
+    this id), and within each probed cell the scan reads PQ CODES
+    only, ranked by ADC against the query's m×k LUT (the PQ half).
+    Search cost ≈ (nprobe/n_cells) of the corpus × m byte-lookups per
+    vector — both knobs explicit and recall-measured per round.
+
+    Simplification vs FAISS: codes quantize the RAW vectors, not the
+    cell residuals (residual encoding needs a per-cell codebook or
+    centroid subtraction; raw-vector PQ keeps the oracle replay exact
+    and the encode map-only — the recall artifact records the cost).
+
+    Plan shape: the probe frame (query_id, probed cell, LUT arrays) is
+    a broadcast of |query_ids|·nprobe rows; the corpus side is ONE
+    equi-join on the cell key — a hash join, never a nested loop.
+    Output (query_id, neighbor_id, adc_dist, rnk)."""
+    if not 2 <= n_cells <= KMEANS_ENC:
+        raise ValueError(f"n_cells must be in [2, {KMEANS_ENC}]")
+    assert 1 <= nprobe <= n_cells
+    qv = _quantized(vecs, vec_col).select("vec_id", "qvec").cache()
+    centroids = _kmeans_centroids(qv, n_cells, n_iter)
+    cells = _assign(qv, centroids).select(
+        "vec_id", (F.col("mord") % KMEANS_ENC).cast("long").alias("cell")
+    )
+    books = _pq_codebooks(qv, dim, m, k, n_iter)
+    codes = qv.select("vec_id", *_pq_code_cols(books, dim, m)).join(
+        cells, "vec_id"
+    )
+
+    ords = ", ".join(_dist_ord_exprs(SPARK, centroids))
+    probes = (
+        f"transform(slice(array_sort(array({ords})), 1, {nprobe}), "
+        f"o -> CAST(o % {KMEANS_ENC} AS BIGINT))"
+    )
+    lut_cols = [
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.expr(probes)).alias("q_cell"),
+    ]
+    for s, (lo, w) in enumerate(_pq_geometry(dim, m)):
+        sub = f"slice(qvec, {lo}, {w})"
+        dists = []
+        for cvec in books[s]:
+            lit = "array(" + ", ".join(str(c) for c in cvec) + ")"
+            dists.append(SPARK.sum_list_bigint(SPARK.zip_sqdiff(sub, lit)))
+        lut_cols.append(
+            F.expr("array(" + ", ".join(dists) + ")").alias(f"lut_{s}")
+        )
+    probe_frame = qv.filter(F.col("vec_id").isin(*query_ids)).select(*lut_cols)
+
+    adc = sum(
+        F.element_at(f"lut_{s}", (F.col(f"code_{s}") + 1).cast("int"))
+        for s in range(m)
+    )
+    scored = (
+        codes.join(
+            F.broadcast(probe_frame),
+            (F.col("cell") == F.col("q_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.cast("long").alias("adc_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= topk)
+        .select("query_id", "neighbor_id", "adc_dist", "rnk")
+    )
+
+
+def ann_ivfpq_topk_oracle(
+    table: str = "embeddings",
+    query_ids: tuple[int, ...] = (),
+    topk: int = 5,
+    nprobe: int = 2,
+    n_cells: int = 4,
+    m: int = PQ_M,
+    k: int = 16,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> str:
+    """Replay: coarse Lloyd cells (shared CTEs with the IVF oracle) +
+    per-subspace codebooks/codes/LUTs (shared with the PQ oracle) +
+    nearest-nprobe probe ranking, joined on the cell key."""
+    d = DUCK
+    ids = ", ".join(str(i) for i in query_ids)
+    kparts, last, dist = _kmeans_cte_parts(table, n_cells, n_iter, vec_col)
+    pparts, finals = _pq_cte_parts(table, m, k, n_iter, vec_col, dim)
+    # both builders open with an identical `qv` CTE — keep one
+    assert pparts[0].lstrip().startswith("qv AS")
+    parts = kparts + pparts[1:]
+    parts.append(
+        f"""cells AS (
+            SELECT qv.vec_id,
+                   CAST(min({dist} * {KMEANS_ENC} + c.cid) % {KMEANS_ENC}
+                        AS BIGINT) AS cell
+            FROM qv CROSS JOIN {last} c GROUP BY qv.vec_id
+        )"""
+    )
+    parts.append(
+        f"""probes AS (
+            SELECT vec_id AS query_id,
+                   CAST(ord % {KMEANS_ENC} AS BIGINT) AS q_cell
+            FROM (
+                SELECT qv.vec_id, ({dist} * {KMEANS_ENC} + c.cid) AS ord,
+                       row_number() OVER (
+                           PARTITION BY qv.vec_id
+                           ORDER BY ({dist} * {KMEANS_ENC} + c.cid)
+                       ) AS pr
+                FROM qv CROSS JOIN {last} c
+                WHERE qv.vec_id IN ({ids})
+            ) WHERE pr <= {nprobe}
+        )"""
+    )
+    joins = " ".join(f"JOIN {f} USING (vec_id)" for f in finals[1:])
+    code_cols = ", ".join(
+        f"CAST({f}.mord % {KMEANS_ENC} AS BIGINT) AS code_{s}"
+        for s, f in enumerate(finals)
+    )
+    parts.append(
+        f"codes AS (SELECT vec_id, {code_cols} FROM {finals[0]} {joins})"
+    )
+    lut_exprs = []
+    for s, (lo, w) in enumerate(_pq_geometry(dim, m)):
+        sub = d.slice("qv.qvec", str(lo), w)
+        dists = ", ".join(
+            f"""(SELECT {d.sum_list_bigint(d.zip_sqdiff(sub, 'c.cvec'))}
+                 FROM s{s}c{n_iter - 1} c WHERE c.cid = {cid})"""
+            for cid in range(k)
+        )
+        lut_exprs.append(f"[{dists}] AS lut_{s}")
+    parts.append(
+        f"""luts AS (
+            SELECT qv.vec_id AS query_id, {", ".join(lut_exprs)}
+            FROM qv WHERE qv.vec_id IN ({ids})
+        )"""
+    )
+    adc = " + ".join(
+        f"list_extract(q.lut_{s}, CAST(v.code_{s} + 1 AS INTEGER))"
+        for s in range(m)
+    )
+    return f"""
+        WITH {", ".join(parts)},
+        scored AS (
+            SELECT p.query_id, v.vec_id AS neighbor_id,
+                   CAST({adc} AS BIGINT) AS adc_dist
+            FROM probes p
+            JOIN cells cl ON cl.cell = p.q_cell
+            JOIN codes v ON v.vec_id = cl.vec_id AND v.vec_id <> p.query_id
+            JOIN luts q ON q.query_id = p.query_id
+        )
+        SELECT query_id, neighbor_id, adc_dist, rnk FROM (
+            SELECT query_id, neighbor_id, adc_dist,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY adc_dist, neighbor_id
+                   ) AS BIGINT) AS rnk
+            FROM scored
+        ) WHERE rnk <= {topk}
+    """
