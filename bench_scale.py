@@ -580,6 +580,87 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
     ):
         spark.conf.unset(k)
 
+    # ------------------------------------ ANN at 1 M vectors (100× sf0.1)
+    # The ANN tier's recall numbers come from the 10 k-vector fixture;
+    # this block rebuilds the IVF/IVF-PQ indexes over a 1 M-vector
+    # synthetic corpus (seeded, 64-dim) and measures (a) build walls,
+    # (b) per-query latency of multiprobe IVF and IVF-PQ vs the exact
+    # brute-force twin, (c) recall@10 of both against that twin — the
+    # quality/latency trade AT SCALE, not just at fixture size.
+    from collections import defaultdict
+
+    from uwheel_datafusion_spark.operators.similarity import (
+        ann_ivf_multiprobe_topk,
+        ann_ivfpq_topk,
+        knn_brute_force,
+    )
+
+    n_vec = 1_000_000
+    dim = 64
+    emb = (
+        spark.range(n_vec)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"transform(sequence(1, {dim}), i -> "
+                "CAST(((hash(id * 97 + i) % 1000) / 1000.0) AS FLOAT))"
+            ).alias("embedding"),
+        )
+        .repartition(32, "vec_id")
+        .cache()
+    )
+    emb.count()
+    ann_qids = tuple(range(20))
+
+    t0 = time.perf_counter()
+    bf = knn_brute_force(emb, ann_qids, k=10).collect()
+    bf_sec = time.perf_counter() - t0
+    truth: dict = defaultdict(set)
+    for r in bf:
+        truth[r["query_id"]].add(r["neighbor_id"])
+    total = sum(len(v) for v in truth.values())
+
+    t0 = time.perf_counter()
+    mp = ann_ivf_multiprobe_topk(
+        emb, ann_qids, k=10, nprobe=2, n_cells=8
+    ).collect()
+    mp_sec = time.perf_counter() - t0
+    amp: dict = defaultdict(set)
+    for r in mp:
+        amp[r["query_id"]].add(r["neighbor_id"])
+
+    t0 = time.perf_counter()
+    ip = ann_ivfpq_topk(
+        emb, ann_qids, topk=10, nprobe=2, n_cells=8
+    ).collect()
+    ip_sec = time.perf_counter() - t0
+    aip: dict = defaultdict(set)
+    for r in ip:
+        aip[r["query_id"]].add(r["neighbor_id"])
+
+    detail["ann_1m"] = {
+        "n_vectors": n_vec,
+        "n_queries": len(ann_qids),
+        "brute_force_sec": round(bf_sec, 2),
+        "ivf_multiprobe": {
+            "sec": round(mp_sec, 2),
+            "recall_at_10": round(
+                sum(len(amp[q] & truth[q]) for q in truth) / total, 4
+            ),
+            "nprobe": 2,
+            "n_cells": 8,
+        },
+        "ivfpq": {
+            "sec": round(ip_sec, 2),
+            "recall_at_10": round(
+                sum(len(aip[q] & truth[q]) for q in truth) / total, 4
+            ),
+            "nprobe": 2,
+            "n_cells": 8,
+        },
+    }
+    emb.unpersist()
+
     out["metric"] = "scale_proof_sf100_events"
     out["all_dual_checks_clean"] = (
         batch_mism == 0

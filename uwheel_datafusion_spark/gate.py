@@ -6567,6 +6567,10 @@ _DRIVER_WINDOW = [
     "dedup_bloom_gate",
     "streaming_dedup_exact_parity",
     "streaming_lsh_index_parity",
+    "text_gopher_quality",
+    "dedup_span_incremental",
+    "pipeline_incremental_ingest",
+    "similarity_ann_ivfpq",
     # --- rounding-fix canary (py_value_to_micros) ---
     "streaming_twa_stitch_parity",
     # --- router cells over code touched this round ---
@@ -6579,7 +6583,6 @@ _DRIVER_WINDOW = [
     "counter_increase_by_type_day",
     "router_keyed_ohlc_day",
     "router_keyed_m4_day",
-    "router_ohlc_day",
     # --- engine facade + batch tier (sql_many shares it) ---
     "engine_batch_quantile_ohlc",
     "keyed_sketch_batch_served",
@@ -6592,7 +6595,6 @@ _DRIVER_WINDOW = [
     "wheel_range_unaligned_hybrid",
     "wheel_second_aligned_range",
     "wheel_extend_incremental",
-    "wheel_backfill_day",
     # --- batched serving tiers ---
     "wheel_range_batch_serving",
     "keyed_rollup_batch_served",
@@ -6600,12 +6602,9 @@ _DRIVER_WINDOW = [
     "sketch_batch_heavy_hitters",
     "sketch_batch_m4",
     # --- router cells (rest of the matrix) ---
-    "router_multi_agg_range",
     "router_quarter_rollup",
     "router_topk_users_day",
     "router_keyed_distinct_day",
-    # --- sketch families ---
-    "m4_downsample_200px",
     # --- distinct / heavy hitters ---
     "heavy_hitters_mg_verified_range",
     # --- SQL surface (joins, subqueries) ---
