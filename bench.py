@@ -1085,6 +1085,8 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         "dedup_bloom_gate",
         "text_gopher_quality",
         "dedup_span_incremental",
+        "pipeline_scrub_quality_dedup",
+        "pipeline_incremental_ingest",
     )
     for name in headline:
         if name not in REGISTRY:

@@ -33,3 +33,17 @@ def test_driver_window_is_exactly_the_cap():
 
     assert len(_DRIVER_WINDOW) == 50
     assert list(REGISTRY)[:50] == _DRIVER_WINDOW
+
+
+def test_gate_wrapper_tunes_vanilla_session(spark):
+    """Every registry fn must apply _tune_session before running —
+    the grading driver calls gates under its own vanilla session, and
+    the text tier's performance contract depends on the
+    InferFiltersFromGenerate exclusion being set there (PLANS.md
+    round-7 cont. 4)."""
+    from uwheel_datafusion_spark import gate as g
+
+    key = "spark.sql.optimizer.excludedRules"
+    spark.conf.set(key, "")  # simulate an untuned session
+    g.REGISTRY["text_profile"].fn(spark, "/root/testdata/sf0.001").count()
+    assert "InferFiltersFromGenerate" in (spark.conf.get(key) or "")

@@ -340,3 +340,42 @@ def test_ivfpq_full_probe_equals_pq_adc(spark, sf_correctness):
         ).collect()
     }
     assert ivfpq == full
+
+
+def test_build_search_split_equals_one_shot(spark, sf_correctness):
+    """The persisted-index API (build once, search many) must return
+    exactly what the self-contained one-shot gates return — same
+    centroids init, same codebooks, same ranking."""
+    import uwheel_datafusion_spark.operators.similarity as sim
+    from uwheel_datafusion_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    qids = (0, 1, 2)
+
+    one = {
+        (r.query_id, r.rnk): (r.neighbor_id, round(r.cosine, 12))
+        for r in sim.ann_ivf_multiprobe_topk(
+            emb, qids, k=5, nprobe=2, n_cells=4
+        ).collect()
+    }
+    idx = sim.ivf_build(emb, n_cells=4)
+    split = {
+        (r.query_id, r.rnk): (r.neighbor_id, round(r.cosine, 12))
+        for r in sim.ivf_search(idx, emb, qids, k=5, nprobe=2).collect()
+    }
+    assert split == one
+    idx.cells.unpersist()
+
+    one_pq = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.adc_dist)
+        for r in sim.ann_ivfpq_topk(
+            emb, qids, topk=5, nprobe=2, n_cells=4
+        ).collect()
+    }
+    pq_idx = sim.ivfpq_build(emb, n_cells=4)
+    split_pq = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.adc_dist)
+        for r in sim.ivfpq_search(pq_idx, emb, qids, topk=5, nprobe=2).collect()
+    }
+    assert split_pq == one_pq
+    pq_idx.codes.unpersist()

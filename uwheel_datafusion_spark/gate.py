@@ -4810,6 +4810,75 @@ def _d_md5_text() -> str:
     return _SPK.md5("text")
 
 
+def _scrub_quality_dedup_oracle() -> str:
+    from uwheel_datafusion_spark.functions.dialect import DUCK as _DK
+    from uwheel_datafusion_spark.operators.textops import (
+        _gopher_exprs,
+        _gopher_flag_exprs,
+    )
+
+    base_cols = ",\n  ".join(
+        f"{e} AS {k}" for k, e in _gopher_exprs(_DK, "clean_text").items()
+    )
+    keep = _gopher_flag_exprs()["gopher_keep"]
+    flag_deps = ",\n  ".join(
+        f"{e} AS {k}"
+        for k, e in _gopher_flag_exprs().items()
+        if k.startswith("ok_")
+    )
+    return f"""
+        WITH scrubbed AS ({_spn.scrub_duplicate_spans_oracle()}),
+        base AS (
+            SELECT doc_id, clean_text, n_tokens_kept, {base_cols}
+            FROM scrubbed
+        ),
+        flags AS (
+            SELECT doc_id, clean_text, n_tokens_kept, {flag_deps}
+            FROM base
+        ),
+        kept AS (
+            SELECT doc_id, clean_text, n_tokens_kept, {keep} AS gopher_keep
+            FROM flags
+        )
+        SELECT COUNT(*) AS n_in,
+               COUNT(*) FILTER (WHERE n_tokens_kept > 0) AS n_nonempty,
+               COUNT(*) FILTER (WHERE gopher_keep = 1) AS n_quality,
+               COUNT(DISTINCT md5(clean_text))
+                   FILTER (WHERE gopher_keep = 1) AS n_unique
+        FROM kept
+    """
+
+
+@gate("pipeline_scrub_quality_dedup", _scrub_quality_dedup_oracle())
+def pipeline_scrub_quality_dedup_q(spark, sf_dir):
+    """The modern pretraining-prep chain end-to-end over THIS round's
+    tier: cut cross-document duplicated spans out of every document
+    (ExactSubstr removal), apply the Gopher rule filter to the
+    SCRUBBED text, then exact-dedup the survivors — funnel counts in
+    one row (docs in → nonempty after scrub → passing quality → unique
+    texts). One pass per stage, FILTER-clause aggregates at the end —
+    no stage rescans a prior stage's input."""
+    from uwheel_datafusion_spark.operators.textops import gopher_quality_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = _spn.scrub_duplicate_spans(docs)
+    flags = gopher_quality_flags(scrubbed, text_col="clean_text").select(
+        "doc_id", "gopher_keep"
+    )
+    joined = scrubbed.join(flags, "doc_id")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.count(F.when(F.col("n_tokens_kept") > 0, 1)).alias("n_nonempty"),
+        F.count(F.when(F.col("gopher_keep") == 1, 1)).alias("n_quality"),
+        F.countDistinct(
+            F.when(
+                F.col("gopher_keep") == 1,
+                F.expr("md5(CAST(clean_text AS BINARY))"),
+            )
+        ).alias("n_unique"),
+    )
+
+
 @gate("dedup_simhash_fingerprints", _dd.simhash_fingerprints_oracle())
 def simhash_fp_q(spark, sf_dir):
     return _dd.simhash_fingerprints(load_table(spark, sf_dir, "documents"))

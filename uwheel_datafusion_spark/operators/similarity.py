@@ -1389,3 +1389,203 @@ def ann_ivfpq_topk_oracle(
             FROM scored
         ) WHERE rnk <= {topk}
     """
+
+
+# --------------------------------------------------------------------------
+# build/search split: the persisted-index API (build once, search many)
+# --------------------------------------------------------------------------
+#
+# The one-shot ann_* functions above rebuild their index inside every
+# call — right for self-contained correctness gates, wrong for serving
+# (measured at 1 M vectors: Lloyd builds dominate and a "search" call
+# reads slower than brute force). These are the production entry
+# points: build() returns the stored representation (cells / codes —
+# at 100 TB, written out partitioned by cell), search() touches ONLY
+# that representation plus the query vectors.
+
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass
+class IvfIndex:
+    """Coarse quantizer + cell assignment — IVF-Flat's stored half.
+    ``cells`` is (vec_id, cell); at scale the fact table is
+    partitioned/bucketed by ``cell`` so a probe reads only the probed
+    partitions."""
+
+    centroids: list
+    cells: DataFrame
+    n_cells: int
+
+
+def ivf_build(
+    vecs: DataFrame,
+    n_cells: int = 4,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    if not 2 <= n_cells <= KMEANS_ENC:
+        raise ValueError(f"n_cells must be in [2, {KMEANS_ENC}]")
+    qv = _quantized(vecs, vec_col).select("vec_id", "qvec").cache()
+    centroids = _kmeans_centroids(qv, n_cells, n_iter)
+    cells = (
+        _assign(qv, centroids)
+        .select(
+            "vec_id",
+            (F.col("mord") % KMEANS_ENC).cast("long").alias("cell"),
+        )
+        .cache()
+    )
+    cells.count()  # materialize the stored representation
+    qv.unpersist()
+    return IvfIndex(centroids=centroids, cells=cells, n_cells=n_cells)
+
+
+def ivf_search(
+    index: IvfIndex,
+    vecs: DataFrame,
+    query_ids: tuple[int, ...],
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe cosine top-k against a PREBUILT IvfIndex — same
+    output contract as ann_ivf_multiprobe_topk. Reads the vectors of
+    probed cells only (cell-partitioned layout at scale)."""
+    assert 1 <= nprobe <= index.n_cells
+    qv = _quantized(vecs, vec_col, drop_zero=True)
+    corpus = qv.join(index.cells, "vec_id")
+    ords = ", ".join(_dist_ord_exprs(SPARK, index.centroids))
+    probes = (
+        f"transform(slice(array_sort(array({ords})), 1, {nprobe}), "
+        f"o -> CAST(o % {KMEANS_ENC} AS BIGINT))"
+    )
+    queries = qv.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm").alias("q_qnorm"),
+        F.explode(F.expr(probes)).alias("q_cell"),
+    )
+    cos = F.expr(
+        SPARK.cosine_q(SPARK.dot_q("q_qvec", "qvec"), "q_qnorm", "qnorm")
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("cell") == F.col("q_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("cosine", cos)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+@_dataclass
+class IvfPqIndex:
+    """Coarse cells + PQ codes — IVFPQ's stored half: ``codes`` is
+    (vec_id, cell, code_0..code_{m-1}), m small ints per vector."""
+
+    centroids: list
+    books: list
+    codes: DataFrame
+    n_cells: int
+    m: int
+    dim: int
+
+
+def ivfpq_build(
+    vecs: DataFrame,
+    n_cells: int = 4,
+    m: int = PQ_M,
+    k: int = 16,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> IvfPqIndex:
+    if not 2 <= n_cells <= KMEANS_ENC:
+        raise ValueError(f"n_cells must be in [2, {KMEANS_ENC}]")
+    qv = _quantized(vecs, vec_col).select("vec_id", "qvec").cache()
+    centroids = _kmeans_centroids(qv, n_cells, n_iter)
+    cells = _assign(qv, centroids).select(
+        "vec_id", (F.col("mord") % KMEANS_ENC).cast("long").alias("cell")
+    )
+    books = _pq_codebooks(qv, dim, m, k, n_iter)
+    codes = (
+        qv.select("vec_id", *_pq_code_cols(books, dim, m))
+        .join(cells, "vec_id")
+        .cache()
+    )
+    codes.count()  # materialize the stored representation
+    qv.unpersist()
+    return IvfPqIndex(
+        centroids=centroids, books=books, codes=codes,
+        n_cells=n_cells, m=m, dim=dim,
+    )
+
+
+def ivfpq_search(
+    index: IvfPqIndex,
+    vecs: DataFrame,
+    query_ids: tuple[int, ...],
+    topk: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k against a PREBUILT IvfPqIndex — same output contract
+    as ann_ivfpq_topk. The corpus side reads CODES ONLY (m ints per
+    vector, cell-pruned); the query side quantizes just the |query_ids|
+    vectors to build the broadcast LUT frame."""
+    assert 1 <= nprobe <= index.n_cells
+    m, dim = index.m, index.dim
+    qv = _quantized(
+        vecs.filter(F.col("vec_id").isin(*query_ids)), vec_col
+    ).select("vec_id", "qvec")
+    ords = ", ".join(_dist_ord_exprs(SPARK, index.centroids))
+    probes = (
+        f"transform(slice(array_sort(array({ords})), 1, {nprobe}), "
+        f"o -> CAST(o % {KMEANS_ENC} AS BIGINT))"
+    )
+    lut_cols = [
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.expr(probes)).alias("q_cell"),
+    ]
+    for s, (lo, w) in enumerate(_pq_geometry(dim, m)):
+        sub = f"slice(qvec, {lo}, {w})"
+        dists = []
+        for cvec in index.books[s]:
+            lit = "array(" + ", ".join(str(c) for c in cvec) + ")"
+            dists.append(SPARK.sum_list_bigint(SPARK.zip_sqdiff(sub, lit)))
+        lut_cols.append(
+            F.expr("array(" + ", ".join(dists) + ")").alias(f"lut_{s}")
+        )
+    probe_frame = qv.select(*lut_cols)
+    adc = sum(
+        F.element_at(f"lut_{s}", (F.col(f"code_{s}") + 1).cast("int"))
+        for s in range(m)
+    )
+    scored = (
+        index.codes.join(
+            F.broadcast(probe_frame),
+            (F.col("cell") == F.col("q_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.cast("long").alias("adc_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= topk)
+        .select("query_id", "neighbor_id", "adc_dist", "rnk")
+    )
