@@ -379,3 +379,72 @@ def test_build_search_split_equals_one_shot(spark, sf_correctness):
     }
     assert split_pq == one_pq
     pq_idx.codes.unpersist()
+
+
+def test_wide_ivf_bit_identical_to_literal_path(spark, sf_correctness):
+    """The Arrow-kernel assign (unbounded cell count) must be
+    BIT-IDENTICAL to the literal-argmin path wherever both run — same
+    init, same truncating updates, same tie-break."""
+    import uwheel_datafusion_spark.operators.similarity as sim
+    from uwheel_datafusion_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    lit = sim.ivf_build(emb, n_cells=4)
+    wide = sim.ivf_build_wide(emb, n_cells=4)
+    assert wide.centroids == lit.centroids
+    assert {tuple(r) for r in wide.cells.collect()} == {
+        tuple(r) for r in lit.cells.collect()
+    }
+    qids = (0, 1, 2)
+    a = {
+        (r.query_id, r.rnk): (r.neighbor_id, round(r.cosine, 12))
+        for r in sim.ivf_search(lit, emb, qids, k=5, nprobe=2).collect()
+    }
+    b = {
+        (r.query_id, r.rnk): (r.neighbor_id, round(r.cosine, 12))
+        for r in sim.ivf_search_wide(wide, emb, qids, k=5, nprobe=2).collect()
+    }
+    assert a == b
+    lit.cells.unpersist()
+    wide.cells.unpersist()
+
+
+def test_wide_ivf_beyond_literal_cap_full_probe_exact(spark, sf_correctness):
+    """n_cells = 64 — four times past the literal path's KMEANS_ENC
+    cap: the build must self-consistently assign every vector to its
+    nearest centroid, and a FULL probe (nprobe = n_cells) must equal
+    the exact brute-force top-k."""
+    import numpy as np
+
+    import uwheel_datafusion_spark.operators.similarity as sim
+    from uwheel_datafusion_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    idx = sim.ivf_build_wide(emb, n_cells=64)
+    assert len(idx.centroids) == 64
+
+    # self-consistency on a sample: assigned cell IS the argmin
+    cmat = np.asarray(idx.centroids, dtype=np.int64)
+    cnorm = (cmat * cmat).sum(axis=1)
+    qv = sim._quantized(emb).select("vec_id", "qvec")
+    sample = {r["vec_id"]: np.asarray(r["qvec"], dtype=np.int64)
+              for r in qv.limit(50).collect()}
+    cells = dict(idx.cells.filter(
+        idx.cells.vec_id.isin(*sample)).collect())
+    for vid, x in sample.items():
+        d2 = (x * x).sum() + cnorm - 2 * (cmat @ x)
+        assert cells[vid] == int(d2.argmin()), vid
+
+    qids = (0, 1, 2)
+    got = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in sim.ivf_search_wide(
+            idx, emb, qids, k=5, nprobe=64
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in sim.knn_brute_force(emb, qids, k=5).collect()
+    }
+    assert got == want
+    idx.cells.unpersist()

@@ -5015,6 +5015,25 @@ def ann_ivfpq_q(spark, sf_dir):
     )
 
 
+@gate(
+    "similarity_ann_ivf_wide",
+    _sim.ann_ivf_multiprobe_topk_oracle(
+        query_ids=KNN_QUERY_IDS, k=5, nprobe=2, n_cells=8
+    ),
+)
+def ann_ivf_wide_q(spark, sf_dir):
+    """The UNBOUNDED-cell IVF path driver-gated: assignment via the
+    Arrow-batched exact-int64 numpy kernel (map-only, no literal
+    centroid expressions — the cluster-scale form whose cell count
+    isn't capped by expression size), probe ranking driver-side in the
+    same integer arithmetic. Bit-identical to the literal path where
+    both run (pinned), so the literal path's DuckDB oracle gates this
+    one too."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _sim.ivf_build_wide(emb, n_cells=8)
+    return _sim.ivf_search_wide(idx, emb, KNN_QUERY_IDS, k=5, nprobe=2)
+
+
 @gate("similarity_label_centroids", _sim.label_centroids_oracle())
 def centroids_q(spark, sf_dir):
     """IVF cell-centroid build (posexplode + partial agg on

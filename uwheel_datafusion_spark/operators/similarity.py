@@ -1589,3 +1589,138 @@ def ivfpq_search(
         .filter(F.col("rnk") <= topk)
         .select("query_id", "neighbor_id", "adc_dist", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# wide-cell IVF: unbounded n_cells via Arrow-batched exact-int64 assign
+# --------------------------------------------------------------------------
+#
+# The literal-argmin assign above caps n_cells at O(tens): centroids
+# are inlined into the expression (k × dim literals) and the ord
+# encoding needs cid < KMEANS_ENC. Production IVF at corpus scale
+# wants ~sqrt(n) cells. This path broadcasts the centroid matrix to an
+# Arrow-batched numpy kernel instead (mapInPandas, map-only — the same
+# bit-identical-numpy-twin precedent as operators/linalg.py):
+# distances are exact int64 (d² = |x|² + |c|² − 2·x·c, every term
+# within int64 at the quantization scale), ties break toward the lower
+# cid exactly like the dist·ENC+cid min. Where both paths can run they
+# are BIT-IDENTICAL (pinned in test_similarity); beyond the literal
+# cap, exactness is pinned by full-probe ≡ brute-force.
+
+
+def _assign_cells_pandas(qv: DataFrame, centroids: list) -> DataFrame:
+    """(vec_id, cell): argmin-distance assignment against a broadcast
+    centroid matrix — one map-only Arrow pass, any cell count."""
+    import numpy as np
+
+    cmat = np.asarray(centroids, dtype=np.int64)
+    cnorm = (cmat * cmat).sum(axis=1)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(list(pdf["qvec"]), dtype=np.int64)
+            xnorm = (x * x).sum(axis=1)
+            # exact int64: |x|² + |c|² − 2 x·c per (row, centroid)
+            d2 = xnorm[:, None] + cnorm[None, :] - 2 * (x @ cmat.T)
+            # np.argmin takes the FIRST minimum → ties toward lower cid,
+            # identical to min(dist·ENC + cid)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": d2.argmin(axis=1)}
+            )
+
+    return qv.mapInPandas(kernel, "vec_id long, cell long")
+
+
+def ivf_build_wide(
+    vecs: DataFrame,
+    n_cells: int,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """ivf_build without the literal-expression cell cap: same init
+    (the n_cells lowest-vec_id vectors), same truncating integer
+    centroid updates, assignment via the Arrow kernel. Bit-identical
+    to ivf_build wherever both run."""
+    if n_cells < 2:
+        raise ValueError("n_cells must be >= 2")
+    qv = _quantized(vecs, vec_col).select("vec_id", "qvec").cache()
+    centroids = [
+        list(r["qvec"]) for r in qv.orderBy("vec_id").limit(n_cells).collect()
+    ]
+    for _ in range(n_iter - 1):
+        assigned = _assign_cells_pandas(qv, centroids).join(qv, "vec_id")
+        sums = (
+            assigned.select("cell", F.posexplode("qvec").alias("pos", "comp"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        nxt = [list(c) for c in centroids]
+        for r in sums:
+            nxt[r["cell"]][r["pos"]] = _tdiv(r["s"], r["c"])
+        centroids = nxt
+    cells = _assign_cells_pandas(qv, centroids).cache()
+    cells.count()
+    qv.unpersist()
+    return IvfIndex(centroids=centroids, cells=cells, n_cells=n_cells)
+
+
+def ivf_search_wide(
+    index: IvfIndex,
+    vecs: DataFrame,
+    query_ids: tuple[int, ...],
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ivf_search without the literal probe-ranking expression: the
+    |query_ids| query vectors are collected once and their nprobe
+    nearest cells ranked driver-side in the same exact int64
+    arithmetic; the probe pairs ship as a small broadcast frame.
+    Same output contract as ivf_search."""
+    import numpy as np
+
+    assert 1 <= nprobe <= index.n_cells
+    qv = _quantized(vecs, vec_col, drop_zero=True)
+    spark = vecs.sparkSession
+    cmat = np.asarray(index.centroids, dtype=np.int64)
+    cnorm = (cmat * cmat).sum(axis=1)
+
+    qrows = qv.filter(F.col("vec_id").isin(*query_ids)).collect()
+    pairs = []
+    for r in qrows:
+        x = np.asarray(r["qvec"], dtype=np.int64)
+        d2 = (x * x).sum() + cnorm - 2 * (cmat @ x)
+        order = np.lexsort((np.arange(len(d2)), d2))  # ties → lower cid
+        for cell in order[:nprobe]:
+            pairs.append((int(r["vec_id"]), int(cell)))
+    probe_pairs = spark.createDataFrame(pairs, "query_id long, q_cell long")
+
+    corpus = qv.join(index.cells, "vec_id")
+    queries = qv.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm").alias("q_qnorm"),
+    )
+    cos = F.expr(
+        SPARK.cosine_q(SPARK.dot_q("q_qvec", "qvec"), "q_qnorm", "qnorm")
+    )
+    scored = (
+        corpus.join(F.broadcast(probe_pairs), F.col("cell") == F.col("q_cell"))
+        .join(F.broadcast(queries), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
