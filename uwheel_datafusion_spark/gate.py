@@ -6659,6 +6659,7 @@ _DRIVER_WINDOW = [
     "dedup_span_incremental",
     "pipeline_incremental_ingest",
     "similarity_ann_ivfpq",
+    "similarity_ann_ivf_wide",
     # --- rounding-fix canary (py_value_to_micros) ---
     "streaming_twa_stitch_parity",
     # --- router cells over code touched this round ---
@@ -6692,7 +6693,6 @@ _DRIVER_WINDOW = [
     # --- router cells (rest of the matrix) ---
     "router_quarter_rollup",
     "router_topk_users_day",
-    "router_keyed_distinct_day",
     # --- distinct / heavy hitters ---
     "heavy_hitters_mg_verified_range",
     # --- SQL surface (joins, subqueries) ---
