@@ -1007,6 +1007,33 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
             "m": PQ_M,
             "k_per_subspace": 16,
         }
+        # byte-code PQ (FAISS default k=256, via the Arrow kernel —
+        # 16× past the literal-expression cap): the quantization-error
+        # regime where PQ recall becomes useful, measured per round
+        from uwheel_datafusion_spark.operators.similarity import (
+            knn_pq_adc_wide,
+            pq_build_wide,
+        )
+
+        t0 = time.perf_counter()
+        pq256 = pq_build_wide(emb, m=8, k=256)
+        pq256_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        p2 = knn_pq_adc_wide(pq256, emb, qids, topk=10).collect()
+        pq256_search = time.perf_counter() - t0
+        a256: dict = defaultdict(set)
+        for r in p2:
+            a256[r["query_id"]].add(r["neighbor_id"])
+        hits256 = sum(len(a256[q] & truth[q]) for q in truth)
+        extras["ann_recall"]["pq256_vs_float"] = {
+            "recall_at_10": round(hits256 / total, 4) if total else None,
+            "build_sec": round(pq256_build, 3),
+            "search_sec": round(pq256_search, 3),
+            "m": 8,
+            "k_per_subspace": 256,
+        }
+        pq256.codes.unpersist()
+
         # IVF-PQ: the composed production index — coarse-cell probe ×
         # compressed-domain ADC; recall is bounded above by BOTH tiers
         from uwheel_datafusion_spark.operators.similarity import ann_ivfpq_topk

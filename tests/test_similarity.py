@@ -448,3 +448,59 @@ def test_wide_ivf_beyond_literal_cap_full_probe_exact(spark, sf_correctness):
     }
     assert got == want
     idx.cells.unpersist()
+
+
+def test_wide_pq_bit_identical_to_literal_path(spark, sf_correctness):
+    """The Arrow PQ kernel must reproduce the literal-argmin encode and
+    ADC ranking exactly at a literal-feasible shape (m=4, k=8)."""
+    import uwheel_datafusion_spark.operators.similarity as sim
+    from uwheel_datafusion_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    lit_codes = {
+        tuple(r) for r in sim.pq_encode(emb, m=4, k=8).collect()
+    }
+    idx = sim.pq_build_wide(emb, m=4, k=8)
+    wide_codes = {tuple(r) for r in idx.codes.collect()}
+    assert wide_codes == lit_codes
+
+    qids = (0, 1, 2)
+    lit = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.adc_dist)
+        for r in sim.knn_pq_adc(emb, qids, topk=5, m=4, k=8).collect()
+    }
+    wide = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.adc_dist)
+        for r in sim.knn_pq_adc_wide(idx, emb, qids, topk=5).collect()
+    }
+    assert wide == lit
+    idx.codes.unpersist()
+
+
+def test_wide_pq_byte_codes_beyond_literal_cap(spark, sf_correctness):
+    """k=256 byte codes (16x past KMEANS_ENC): codes must be
+    self-consistent argmins against the learned codebooks, and ADC of
+    a query against ITSELF must rank the query's own code distance 0
+    when the query vector coincides with a codebook entry's argmin."""
+    import numpy as np
+
+    import uwheel_datafusion_spark.operators.similarity as sim
+    from uwheel_datafusion_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    idx = sim.pq_build_wide(emb, m=8, k=256)
+    assert all(len(b) == 256 for b in idx.books)
+
+    geom = sim._pq_geometry(idx.dim, idx.m)
+    mats = [np.asarray(b, dtype=np.int64) for b in idx.books]
+    qv = sim._quantized(emb).select("vec_id", "qvec")
+    sample = {r["vec_id"]: np.asarray(r["qvec"], dtype=np.int64)
+              for r in qv.limit(30).collect()}
+    codes = {r["vec_id"]: r for r in idx.codes.filter(
+        idx.codes.vec_id.isin(*sample)).collect()}
+    for vid, x in sample.items():
+        for s, (lo, w) in enumerate(geom):
+            sub = x[lo - 1: lo - 1 + w]
+            d2 = ((mats[s] - sub) ** 2).sum(axis=1)
+            assert codes[vid][f"code_{s}"] == int(d2.argmin()), (vid, s)
+    idx.codes.unpersist()

@@ -5066,6 +5066,20 @@ def pq_encode_q(spark, sf_dir):
     return _sim.pq_encode(load_table(spark, sf_dir, "embeddings"))
 
 
+@gate("embedding_pq_encode_wide", _sim.pq_encode_oracle(m=4, k=8))
+def pq_encode_wide_q(spark, sf_dir):
+    """The ARROW-KERNEL PQ encode driver-gated at a literal-feasible
+    shape (m=4, k=8) against the literal path's exact CTE-replay
+    oracle — the same kernel then runs FAISS-standard byte codes
+    (k=256, 16× past the literal cap; recall measured per round in
+    bench ann_recall.pq256_vs_float, semantics pinned in
+    test_similarity)."""
+    idx = _sim.pq_build_wide(
+        load_table(spark, sf_dir, "embeddings"), m=4, k=8
+    )
+    return idx.codes
+
+
 @gate(
     "similarity_knn_pq_adc",
     _sim.knn_pq_adc_oracle(query_ids=KNN_QUERY_IDS, topk=5),

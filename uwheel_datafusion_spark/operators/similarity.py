@@ -1724,3 +1724,165 @@ def ivf_search_wide(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# wide PQ: byte codes (k up to 256 per subspace) via the Arrow kernel
+# --------------------------------------------------------------------------
+#
+# The literal-argmin PQ encode caps k at KMEANS_ENC (nibble codes):
+# k=256 × m=8 would inline ~2000 distance expressions. FAISS's default
+# IS k=256 (byte codes) — the quantization-error regime where PQ recall
+# becomes useful. Same Arrow exact-int64 kernel as ivf_build_wide, per
+# subspace; bit-identical to the literal path at literal-feasible
+# shapes (pinned).
+
+
+@_dataclass
+class PqIndex:
+    """Per-subspace codebooks + the stored byte codes:
+    (vec_id, code_0..code_{m-1})."""
+
+    books: list
+    codes: DataFrame
+    m: int
+    k: int
+    dim: int
+
+
+def _pq_assign_codes_pandas(
+    qv: DataFrame, books: list, dim: int, m: int
+) -> DataFrame:
+    """(vec_id, code_0..code_{m-1}) in ONE Arrow pass: per subspace,
+    exact-int64 argmin against that subspace's codebook matrix."""
+    import numpy as np
+
+    geom = _pq_geometry(dim, m)
+    mats = [np.asarray(b, dtype=np.int64) for b in books]
+    norms = [(c * c).sum(axis=1) for c in mats]
+    schema = "vec_id long, " + ", ".join(f"code_{s} long" for s in range(m))
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(list(pdf["qvec"]), dtype=np.int64)
+            out = {"vec_id": pdf["vec_id"]}
+            for s, (lo, w) in enumerate(geom):
+                sub = x[:, lo - 1 : lo - 1 + w]
+                d2 = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    + norms[s][None, :]
+                    - 2 * (sub @ mats[s].T)
+                )
+                out[f"code_{s}"] = d2.argmin(axis=1)  # ties → lower cid
+            yield pd.DataFrame(out)
+
+    return qv.mapInPandas(kernel, schema)
+
+
+def pq_build_wide(
+    vecs: DataFrame,
+    m: int = PQ_M,
+    k: int = 256,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> PqIndex:
+    """PQ codebooks + codes at FAISS-standard shapes (k=256 byte
+    codes): same init (k lowest-vec_id subvectors) and truncating
+    integer updates as pq_encode, assignment via the Arrow kernel —
+    bit-identical where both run."""
+    import numpy as np
+
+    qv = _quantized(vecs, vec_col).select("vec_id", "qvec").cache()
+    geom = _pq_geometry(dim, m)
+    init_rows = qv.orderBy("vec_id").limit(k).collect()
+    books = [
+        [list(r["qvec"])[lo - 1 : lo - 1 + w] for r in init_rows]
+        for (lo, w) in geom
+    ]
+    for _ in range(n_iter - 1):
+        assigned = _pq_assign_codes_pandas(qv, books, dim, m).join(qv, "vec_id")
+        nxt = [[list(c) for c in b] for b in books]
+        for s, (lo, w) in enumerate(geom):
+            sums = (
+                assigned.select(
+                    F.col(f"code_{s}").alias("cid"),
+                    F.posexplode(F.expr(f"slice(qvec, {lo}, {w})")).alias(
+                        "pos", "comp"
+                    ),
+                )
+                .groupBy("cid", "pos")
+                .agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+            for r in sums:
+                nxt[s][r["cid"]][r["pos"]] = _tdiv(r["s"], r["c"])
+        books = nxt
+    codes = _pq_assign_codes_pandas(qv, books, dim, m).cache()
+    codes.count()
+    qv.unpersist()
+    return PqIndex(books=books, codes=codes, m=m, k=k, dim=dim)
+
+
+def knn_pq_adc_wide(
+    index: PqIndex,
+    vecs: DataFrame,
+    query_ids: tuple[int, ...],
+    topk: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k against a PREBUILT wide PqIndex: per-query LUTs are
+    computed driver-side in the same exact int64 arithmetic (|query
+    set| × m × k ints) and ship as one broadcast frame; the corpus
+    side reads CODES ONLY. Same output contract as knn_pq_adc."""
+    import numpy as np
+
+    m, dim = index.m, index.dim
+    geom = _pq_geometry(dim, m)
+    mats = [np.asarray(b, dtype=np.int64) for b in index.books]
+    norms = [(c * c).sum(axis=1) for c in mats]
+    spark = vecs.sparkSession
+
+    qrows = (
+        _quantized(vecs.filter(F.col("vec_id").isin(*query_ids)), vec_col)
+        .select("vec_id", "qvec")
+        .collect()
+    )
+    lut_rows = []
+    for r in qrows:
+        x = np.asarray(r["qvec"], dtype=np.int64)
+        luts = []
+        for s, (lo, w) in enumerate(geom):
+            sub = x[lo - 1 : lo - 1 + w]
+            d2 = (sub * sub).sum() + norms[s] - 2 * (mats[s] @ sub)
+            luts.append([int(v) for v in d2])
+        lut_rows.append((int(r["vec_id"]), *luts))
+    schema = "query_id long, " + ", ".join(
+        f"lut_{s} array<long>" for s in range(m)
+    )
+    lut_frame = spark.createDataFrame(lut_rows, schema)
+
+    adc = sum(
+        F.element_at(f"lut_{s}", (F.col(f"code_{s}") + 1).cast("int"))
+        for s in range(m)
+    )
+    scored = (
+        index.codes.join(
+            F.broadcast(lut_frame), F.col("vec_id") != F.col("query_id")
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.cast("long").alias("adc_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= topk)
+        .select("query_id", "neighbor_id", "adc_dist", "rnk")
+    )
