@@ -6674,6 +6674,7 @@ _DRIVER_WINDOW = [
     "pipeline_incremental_ingest",
     "similarity_ann_ivfpq",
     "similarity_ann_ivf_wide",
+    "embedding_pq_encode_wide",
     # --- rounding-fix canary (py_value_to_micros) ---
     "streaming_twa_stitch_parity",
     # --- router cells over code touched this round ---
@@ -6703,7 +6704,6 @@ _DRIVER_WINDOW = [
     "keyed_rollup_batch_served",
     "sketch_batch_quantile_ohlc",
     "sketch_batch_heavy_hitters",
-    "sketch_batch_m4",
     # --- router cells (rest of the matrix) ---
     "router_quarter_rollup",
     "router_topk_users_day",
