@@ -590,11 +590,11 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
     from collections import defaultdict
 
     from uwheel_datafusion_spark.operators.similarity import (
-        ivf_build,
-        ivf_search,
-        ivfpq_build,
-        ivfpq_search,
+        ivf_build_wide,
+        ivf_search_wide,
+        ivfpq_search_wide,
         knn_brute_force,
+        pq_build_wide,
     )
 
     n_vec = 1_000_000
@@ -624,22 +624,26 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
 
     # build ONCE (the persisted representation), search separately —
     # the production shape; a one-shot call conflates Lloyd build cost
-    # with probe cost and reads slower than brute force at this scale
+    # with probe cost and reads slower than brute force at this scale.
+    # Both indexes use the WIDE (Arrow-kernel) paths: 32 coarse cells
+    # (past the literal-expression cap) and k=256 byte codes.
     t0 = time.perf_counter()
-    ivf_idx = ivf_build(emb, n_cells=8)
+    ivf_idx = ivf_build_wide(emb, n_cells=32)
     ivf_build_sec = time.perf_counter() - t0
     t0 = time.perf_counter()
-    mp = ivf_search(ivf_idx, emb, ann_qids, k=10, nprobe=2).collect()
+    mp = ivf_search_wide(ivf_idx, emb, ann_qids, k=10, nprobe=4).collect()
     mp_sec = time.perf_counter() - t0
     amp: dict = defaultdict(set)
     for r in mp:
         amp[r["query_id"]].add(r["neighbor_id"])
 
     t0 = time.perf_counter()
-    pq_idx = ivfpq_build(emb, n_cells=8)
+    pq_idx = pq_build_wide(emb, m=8, k=256)
     pq_build_sec = time.perf_counter() - t0
     t0 = time.perf_counter()
-    ip = ivfpq_search(pq_idx, emb, ann_qids, topk=10, nprobe=2).collect()
+    ip = ivfpq_search_wide(
+        ivf_idx, pq_idx, emb, ann_qids, topk=10, nprobe=4
+    ).collect()
     ip_sec = time.perf_counter() - t0
     aip: dict = defaultdict(set)
     for r in ip:
@@ -649,23 +653,25 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
         "n_vectors": n_vec,
         "n_queries": len(ann_qids),
         "brute_force_sec": round(bf_sec, 2),
-        "ivf_multiprobe": {
+        "ivf_multiprobe_wide": {
             "build_sec": round(ivf_build_sec, 2),
             "search_sec": round(mp_sec, 2),
             "recall_at_10": round(
                 sum(len(amp[q] & truth[q]) for q in truth) / total, 4
             ),
-            "nprobe": 2,
-            "n_cells": 8,
+            "nprobe": 4,
+            "n_cells": 32,
         },
-        "ivfpq": {
+        "ivfpq_wide": {
             "build_sec": round(pq_build_sec, 2),
             "search_sec": round(ip_sec, 2),
             "recall_at_10": round(
                 sum(len(aip[q] & truth[q]) for q in truth) / total, 4
             ),
-            "nprobe": 2,
-            "n_cells": 8,
+            "nprobe": 4,
+            "n_cells": 32,
+            "m": 8,
+            "k_per_subspace": 256,
         },
     }
     ivf_idx.cells.unpersist()

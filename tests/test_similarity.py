@@ -504,3 +504,29 @@ def test_wide_pq_byte_codes_beyond_literal_cap(spark, sf_correctness):
             d2 = ((mats[s] - sub) ** 2).sum(axis=1)
             assert codes[vid][f"code_{s}"] == int(d2.argmin()), (vid, s)
     idx.codes.unpersist()
+
+
+def test_wide_ivfpq_full_probe_equals_wide_adc(spark, sf_correctness):
+    """nprobe = n_cells ⇒ wide IVF-PQ degenerates to the full wide ADC
+    scan — the composition anchor at shapes the literal path cannot
+    express (64 cells × 256-centroid byte codes)."""
+    import uwheel_datafusion_spark.operators.similarity as sim
+    from uwheel_datafusion_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    ivf = sim.ivf_build_wide(emb, n_cells=64)
+    pq = sim.pq_build_wide(emb, m=8, k=256)
+    qids = (0, 1, 2)
+    full = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.adc_dist)
+        for r in sim.knn_pq_adc_wide(pq, emb, qids, topk=5).collect()
+    }
+    comp = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.adc_dist)
+        for r in sim.ivfpq_search_wide(
+            ivf, pq, emb, qids, topk=5, nprobe=64
+        ).collect()
+    }
+    assert comp == full
+    ivf.cells.unpersist()
+    pq.codes.unpersist()

@@ -1886,3 +1886,78 @@ def knn_pq_adc_wide(
         .filter(F.col("rnk") <= topk)
         .select("query_id", "neighbor_id", "adc_dist", "rnk")
     )
+
+
+def ivfpq_search_wide(
+    ivf_index: IvfIndex,
+    pq_index: PqIndex,
+    vecs: DataFrame,
+    query_ids: tuple[int, ...],
+    topk: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Wide IVF-PQ: unbounded coarse cells × byte codes — the two
+    Arrow-kernel indexes composed (cells from ivf_build_wide, codes
+    from pq_build_wide over the same corpus). Per query, the nprobe
+    nearest cells AND the m×k ADC LUT are both computed driver-side in
+    exact int64; the corpus side is codes ⋈ cells ⋈ broadcast probe
+    pairs ⋈ broadcast LUTs — equi-joins only, codes-only read of the
+    probed fraction. Output (query_id, neighbor_id, adc_dist, rnk)."""
+    import numpy as np
+
+    assert 1 <= nprobe <= ivf_index.n_cells
+    m, dim = pq_index.m, pq_index.dim
+    geom = _pq_geometry(dim, m)
+    spark = vecs.sparkSession
+
+    cmat = np.asarray(ivf_index.centroids, dtype=np.int64)
+    cnorm = (cmat * cmat).sum(axis=1)
+    mats = [np.asarray(b, dtype=np.int64) for b in pq_index.books]
+    norms = [(c * c).sum(axis=1) for c in mats]
+
+    qrows = (
+        _quantized(vecs.filter(F.col("vec_id").isin(*query_ids)), vec_col)
+        .select("vec_id", "qvec")
+        .collect()
+    )
+    pairs, lut_rows = [], []
+    for r in qrows:
+        x = np.asarray(r["qvec"], dtype=np.int64)
+        d2 = (x * x).sum() + cnorm - 2 * (cmat @ x)
+        order = np.lexsort((np.arange(len(d2)), d2))
+        for cell in order[:nprobe]:
+            pairs.append((int(r["vec_id"]), int(cell)))
+        luts = []
+        for s, (lo, w) in enumerate(geom):
+            sub = x[lo - 1 : lo - 1 + w]
+            ld = (sub * sub).sum() + norms[s] - 2 * (mats[s] @ sub)
+            luts.append([int(v) for v in ld])
+        lut_rows.append((int(r["vec_id"]), *luts))
+    probe_pairs = spark.createDataFrame(pairs, "query_id long, q_cell long")
+    lut_schema = "query_id long, " + ", ".join(
+        f"lut_{s} array<long>" for s in range(m)
+    )
+    lut_frame = spark.createDataFrame(lut_rows, lut_schema)
+
+    adc = sum(
+        F.element_at(f"lut_{s}", (F.col(f"code_{s}") + 1).cast("int"))
+        for s in range(m)
+    )
+    scored = (
+        pq_index.codes.join(ivf_index.cells, "vec_id")
+        .join(F.broadcast(probe_pairs), F.col("cell") == F.col("q_cell"))
+        .join(F.broadcast(lut_frame), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.cast("long").alias("adc_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= topk)
+        .select("query_id", "neighbor_id", "adc_dist", "rnk")
+    )
