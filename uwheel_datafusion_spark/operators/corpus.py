@@ -59,8 +59,14 @@ DECON_EVAL_LO = 95
 DECON_BUCKETS = 100
 
 
-def _shingle_expr(d: Dialect, text: str, n: int) -> str:
-    return d.array_distinct(d.shingles(d.split(text), n))
+def _shingle_expr(d: Dialect, tokens_col: str, n: int) -> str:
+    """Distinct word n-grams over an ALREADY-MATERIALIZED token array
+    column — never pass an inline split(...): shingles references its
+    tokens argument n+1 times per window position and lambdas get no
+    CSE in either engine, so an inline split re-tokenizes the document
+    per position (quadratic in document length; the repo measured this
+    family at 12–20× on sf0.1 docs in spans.py/textops.py)."""
+    return d.array_distinct(d.shingles(tokens_col, n))
 
 
 def decontaminate(
@@ -89,8 +95,8 @@ def decontaminate(
     d = SPARK
     bucket = F.expr(hash_bucket_sql("doc_id", buckets))
     sh = docs.select(
-        "doc_id", "lang", F.expr(_shingle_expr(d, text_col, n)).alias("sh")
-    )
+        "doc_id", "lang", F.expr(d.split(text_col)).alias("_ts")
+    ).select("doc_id", "lang", F.expr(_shingle_expr(d, "_ts", n)).alias("sh"))
     ev = (
         sh.filter(bucket >= eval_lo)
         .select(F.explode("sh").alias("ngram"))
@@ -129,9 +135,12 @@ def decontaminate_oracle(
     d = DUCK
     bucket = hash_bucket_sql("doc_id", buckets)
     return f"""
-        WITH sh AS (
-            SELECT doc_id, lang, unnest({_shingle_expr(d, text_col, n)}) AS ngram
-            FROM {table}
+        WITH toked AS (
+            SELECT doc_id, lang, {d.split(text_col)} AS _ts FROM {table}
+        ),
+        sh AS (
+            SELECT doc_id, lang, unnest({_shingle_expr(d, '_ts', n)}) AS ngram
+            FROM toked
         ),
         ev AS (
             SELECT DISTINCT ngram FROM sh WHERE {bucket} >= {eval_lo}
@@ -258,18 +267,27 @@ DUP_BIGRAM_PCT = 20  # duplicate-bigram fraction > 20%
 TOP_TOKEN_PCT = 10  # single most frequent token > 10% of tokens
 
 
-def _repetition_exprs(d: Dialect, text: str) -> dict[str, str]:
-    toks = d.split(text)
-    bigrams = d.shingles(toks, 2)
-    counts = d.transform(
-        d.array_distinct(toks), "t", d.size(d.filter(toks, "x", "x = t"))
-    )
+def _repetition_exprs(d: Dialect, toks_col: str) -> dict[str, str]:
+    """Bigram repetition stats over an ALREADY-MATERIALIZED token array
+    (linear per document: shingles over a column reference)."""
+    bigrams = d.shingles(toks_col, 2)
     return {
-        "n_tokens": f"CAST({d.size(toks)} AS BIGINT)",
+        "n_tokens": f"CAST({d.size(toks_col)} AS BIGINT)",
         "n_bigrams": f"CAST({d.size(bigrams)} AS BIGINT)",
         "n_distinct_bigrams": f"CAST({d.size(d.array_distinct(bigrams))} AS BIGINT)",
-        "max_token_freq": f"CAST({d.array_max(counts)} AS BIGINT)",
     }
+
+
+def _max_token_freq_expr(d: Dialect, toks_col: str) -> str:
+    """ORACLE-ONLY single-expression max token frequency: the
+    filter-inside-transform is O(distinct_tokens × n_tokens) per
+    document — fine at oracle fixture scale, never on the Spark
+    product path (repetition_profile computes the same value linearly
+    via explode + groupBy, token-stream bounded)."""
+    counts = d.transform(
+        d.array_distinct(toks_col), "t", d.size(d.filter(toks_col, "x", "x = t"))
+    )
+    return f"CAST({d.array_max(counts)} AS BIGINT)"
 
 
 _REPETITION_FLAGS = {
@@ -291,18 +309,35 @@ def repetition_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     family): duplicate-bigram fraction and max-single-token frequency,
     each with an integer-exact threshold flag.
 
-    Map-only projection — no shuffle, whole-stage codegen, linear in
-    input splits. The per-token frequency count is O(distinct·tokens)
-    per document inside one expression; for web-scale documents
-    (10^3-10^4 tokens) that stays sub-millisecond per row.
+    Scale shape: tokens are materialized once; the bigram stats are a
+    linear map-only projection, and max_token_freq is computed
+    RELATIONALLY — explode the token stream, count per (doc_id, token)
+    with map-side partial aggregation, max per doc_id — so total work
+    is linear in the token stream (the single-expression alternative,
+    filter-inside-transform, is O(distinct·n_tokens) per document:
+    10^8–10^10 comparisons per row on 10^4–10^5-token web documents —
+    kept only in the oracle, see _max_token_freq_expr). Both groupBys
+    and the doc_id join shuffle keys that are uniform by construction.
     """
-    base = docs.select(
+    d = SPARK
+    toked = docs.select("doc_id", F.expr(d.split(text_col)).alias("_ts"))
+    base = toked.select(
         "doc_id",
         *[
             F.expr(e).alias(k)
-            for k, e in _repetition_exprs(SPARK, text_col).items()
+            for k, e in _repetition_exprs(d, "_ts").items()
         ],
     )
+    freq = (
+        toked.select("doc_id", F.explode("_ts").alias("_tok"))
+        .groupBy("doc_id", "_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("doc_id")
+        .agg(F.max("_c").cast("long").alias("max_token_freq"))
+    )
+    # left join: split(NULL) → NULL array → no exploded rows; the old
+    # expression form yielded NULL max_token_freq there, preserved here
+    base = base.join(freq, "doc_id", "left")
     return base.select(
         "*", *[F.expr(e).alias(k) for k, e in _REPETITION_FLAGS.items()]
     ).withColumn(
@@ -314,12 +349,18 @@ def repetition_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def repetition_profile_oracle(
     table: str = "documents", text_col: str = "text"
 ) -> str:
+    d = DUCK
     inner = ",\n  ".join(
-        f"{e} AS {k}" for k, e in _repetition_exprs(DUCK, text_col).items()
+        f"{e} AS {k}" for k, e in _repetition_exprs(d, "_ts").items()
     )
     flags = ",\n  ".join(f"{e} AS {k}" for k, e in _REPETITION_FLAGS.items())
     return f"""
-        WITH base AS (SELECT doc_id, {inner} FROM {table}),
+        WITH toked AS (SELECT doc_id, {d.split(text_col)} AS _ts FROM {table}),
+        base AS (
+            SELECT doc_id, {inner},
+                   {_max_token_freq_expr(d, '_ts')} AS max_token_freq
+            FROM toked
+        ),
         flagged AS (SELECT base.*, {flags} FROM base)
         SELECT flagged.*,
                CAST(CASE WHEN dup_bigram_flag + top_token_flag > 0

@@ -102,9 +102,18 @@ def _fan_out(docs: DataFrame) -> DataFrame:
 
 def _shingle_sets(docs: DataFrame, text_col: str, n: int) -> DataFrame:
     d = SPARK
-    sh = d.array_distinct(d.shingles(d.split(text_col), n))
-    return _fan_out(docs).select("doc_id", F.expr(sh).alias("shingles")).withColumn(
-        "n_shingles", F.size("shingles")
+    # tokenize ONCE into a materialized array column: shingles
+    # references its tokens argument n+1 times per window position and
+    # neither engine eliminates common subexpressions inside lambdas,
+    # so an inline split(text) re-tokenizes the document per position —
+    # quadratic in document length (spans.py measured 12 s → 0.6 s at
+    # sf0.1 for exactly this expression family)
+    sh = d.array_distinct(d.shingles("_ts", n))
+    return (
+        _fan_out(docs)
+        .select("doc_id", F.expr(d.split(text_col)).alias("_ts"))
+        .select("doc_id", F.expr(sh).alias("shingles"))
+        .withColumn("n_shingles", F.size("shingles"))
     )
 
 
@@ -176,10 +185,13 @@ def ngram_jaccard_pairs_oracle(
     table: str = "documents", text_col: str = "text", n: int = 3, threshold: float = 0.5
 ) -> str:
     d = DUCK
-    sh = d.array_distinct(d.shingles(d.split(text_col), n))
+    sh = d.array_distinct(d.shingles("_ts", n))
     return f"""
-        WITH sets AS (
-            SELECT doc_id, {sh} AS shingles FROM {table}
+        WITH toked AS (
+            SELECT doc_id, {d.split(text_col)} AS _ts FROM {table}
+        ),
+        sets AS (
+            SELECT doc_id, {sh} AS shingles FROM toked
         ),
         sized AS (SELECT doc_id, len(shingles) AS n_shingles FROM sets),
         posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sets),
@@ -539,11 +551,14 @@ def minhash_lsh_candidates_oracle(
 # --------------------------------------------------------------------------
 
 
-def _simhash_expr(d: Dialect, text_col: str) -> str:
+def _simhash_expr(d: Dialect, hashes: str) -> str:
     """SimHash over SIMHASH_BITS bits of hash32: per token vote ±1 per
-    bit position weighted by occurrence, final bit = sign of the vote."""
-    toks = d.split(text_col)
-    hashes = d.token_hashes(toks)
+    bit position weighted by occurrence, final bit = sign of the vote.
+
+    ``hashes`` must be a MATERIALIZED list<bigint> column (not an
+    inline md5-chain expression): the expression references it once per
+    bit, so inlining the token-hash chain would re-hash every token
+    SIMHASH_BITS times per row."""
     bit_terms = []
     for bit in range(SIMHASH_BITS):
         votes = d.sum_list_bigint(
@@ -554,14 +569,23 @@ def _simhash_expr(d: Dialect, text_col: str) -> str:
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    d = SPARK
     docs = _fan_out(docs)
     return docs.select(
-        "doc_id", F.expr(_simhash_expr(SPARK, text_col)).alias("simhash")
-    )
+        "doc_id",
+        F.expr(d.token_hashes(d.split(text_col))).alias("_hs"),
+    ).select("doc_id", F.expr(_simhash_expr(d, "_hs")).alias("simhash"))
 
 
 def simhash_fingerprints_oracle(table: str = "documents", text_col: str = "text") -> str:
-    return f"SELECT doc_id, {_simhash_expr(DUCK, text_col)} AS simhash FROM {table}"
+    d = DUCK
+    return f"""
+        SELECT doc_id, {_simhash_expr(d, '_hs')} AS simhash
+        FROM (
+            SELECT doc_id, {d.token_hashes(d.split(text_col))} AS _hs
+            FROM {table}
+        )
+    """
 
 
 def simhash_near_pairs(

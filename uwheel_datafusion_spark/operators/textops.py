@@ -319,8 +319,10 @@ def _gopher_flag_exprs() -> dict[str, str]:
             f"AND {mean_len} <= {GOPHER_MAX_MEAN_WORD_LEN} "
             "THEN 1 ELSE 0 END AS BIGINT)"
         ),
+        # <= (not <): Rae et al. A1.1 removes documents whose ratio is
+        # GREATER than the threshold, so exactly-at-threshold keeps
         "ok_symbol_ratio": (
-            f"CAST(CASE WHEN {sym_ratio} < {GOPHER_MAX_SYMBOL_RATIO} "
+            f"CAST(CASE WHEN {sym_ratio} <= {GOPHER_MAX_SYMBOL_RATIO} "
             "THEN 1 ELSE 0 END AS BIGINT)"
         ),
         "ok_alpha_words": (
@@ -387,8 +389,17 @@ WINNOW_K = 4  # k-gram width (tokens)
 WINNOW_W = 4  # window: one fingerprint guaranteed per w k-grams
 
 
-def _winnow_hashes_expr(d: Dialect, text_col: str, k: int) -> str:
-    return d.token_hashes(d.shingles(d.split(text_col), k))
+def _winnow_hashes_expr(d: Dialect, tokens_col: str, k: int) -> str:
+    """k-gram hash list over an ALREADY-MATERIALIZED token array.
+
+    ``tokens_col`` must be a column/CTE reference, never an inline
+    split(...): d.shingles references its tokens argument k+1 times per
+    window position and neither engine eliminates common subexpressions
+    inside a lambda, so an inline split re-tokenizes the document
+    O(k·positions) times — quadratic in document length (same pathology
+    measured at 12 s → 0.6 s in spans.py and 14 s → 0.6 s for
+    _winnow_select_expr below)."""
+    return d.token_hashes(d.shingles(tokens_col, k))
 
 
 def _winnow_select_expr(d: Dialect, hashes: str, w: int) -> str:
@@ -416,9 +427,11 @@ def winnow_fingerprints(
     from uwheel_datafusion_spark.operators.util import ensure_min_parallelism
 
     docs = ensure_min_parallelism(docs, "doc_id")
+    # tokenize ONCE into a materialized array, then hash: see
+    # _winnow_hashes_expr's contract (no CSE inside lambdas)
     hashed = docs.select(
-        "doc_id", F.expr(_winnow_hashes_expr(SPARK, text_col, k)).alias("_hs")
-    )
+        "doc_id", F.expr(SPARK.split(text_col)).alias("_ts")
+    ).select("doc_id", F.expr(_winnow_hashes_expr(SPARK, "_ts", k)).alias("_hs"))
     fps = F.expr(_winnow_select_expr(SPARK, "_hs", w))
     return hashed.select("doc_id", F.explode(fps).alias("fp"))
 
@@ -428,9 +441,12 @@ def winnow_fingerprints_oracle(
     k: int = WINNOW_K, w: int = WINNOW_W,
 ) -> str:
     return f"""
-        WITH hashed AS (
-            SELECT doc_id, {_winnow_hashes_expr(DUCK, text_col, k)} AS _hs
-            FROM {table}
+        WITH toked AS (
+            SELECT doc_id, {DUCK.split(text_col)} AS _ts FROM {table}
+        ),
+        hashed AS (
+            SELECT doc_id, {_winnow_hashes_expr(DUCK, '_ts', k)} AS _hs
+            FROM toked
         )
         SELECT doc_id, unnest({_winnow_select_expr(DUCK, '_hs', w)}) AS fp
         FROM hashed
@@ -463,9 +479,12 @@ def winnow_shared_pairs_oracle(
     k: int = WINNOW_K, w: int = WINNOW_W,
 ) -> str:
     return f"""
-        WITH hashed AS (
-            SELECT doc_id, {_winnow_hashes_expr(DUCK, text_col, k)} AS _hs
-            FROM {table}
+        WITH toked AS (
+            SELECT doc_id, {DUCK.split(text_col)} AS _ts FROM {table}
+        ),
+        hashed AS (
+            SELECT doc_id, {_winnow_hashes_expr(DUCK, '_ts', k)} AS _hs
+            FROM toked
         ),
         posting AS (
             SELECT doc_id, unnest({_winnow_select_expr(DUCK, '_hs', w)}) AS fp
@@ -499,9 +518,13 @@ def bpe_pair_counts(
     map-side partial agg, then TakeOrdered(top_n) — no global sort.
     """
     d = SPARK
-    pairs = d.shingles(d.split(text_col), 2)
+    # materialize the token array first: shingles references its tokens
+    # argument 3× per window position and lambdas get no CSE, so an
+    # inline split(text) would re-tokenize per pair position
+    pairs = d.shingles("_ts", 2)
     return (
-        docs.select(F.explode(F.expr(pairs)).alias("pair"))
+        docs.select(F.expr(d.split(text_col)).alias("_ts"))
+        .select(F.explode(F.expr(pairs)).alias("pair"))
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("pair"))
@@ -513,10 +536,13 @@ def bpe_pair_counts_oracle(
     table: str = "documents", text_col: str = "text", top_n: int = 20
 ) -> str:
     d = DUCK
-    pairs = d.shingles(d.split(text_col), 2)
+    pairs = d.shingles("_ts", 2)
     return f"""
         SELECT pair, COUNT(*) AS cnt
-        FROM (SELECT unnest({pairs}) AS pair FROM {table})
+        FROM (
+            SELECT unnest({pairs}) AS pair
+            FROM (SELECT {d.split(text_col)} AS _ts FROM {table})
+        )
         GROUP BY pair
         ORDER BY cnt DESC, pair
         LIMIT {top_n}
