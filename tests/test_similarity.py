@@ -44,6 +44,35 @@ def test_kmeans_tdiv_matches_sql_integer_division():
     con = duckdb.connect()
     for a, b in ((-7, 2), (7, 2), (-8, 4), (-9, 4), (1, 3), (-1, 3)):
         assert sim._tdiv(a, b) == con.execute(f"SELECT {a} // {b}").fetchone()[0]
+    # the oracle Lloyd update divides SUM(BIGINT) (= HUGEINT) by
+    # COUNT(*): HUGEINT // must ALSO truncate toward zero for corpora
+    # with negative embedding components, or the oracle would drift
+    # from _tdiv/Spark-div by 1 on every negative-sum cluster
+    for a, b in ((-7, 2), (-9, 4), (-1, 3)):
+        got = con.execute(
+            f"SELECT s // c FROM (SELECT SUM(x) AS s, COUNT(*) AS c "
+            f"FROM (VALUES ({a}), (0)) t(x) WHERE x <> 0 OR {b} = 2) q"
+        ).fetchone()
+        hug = con.execute(
+            f"SELECT s // {b} FROM (SELECT SUM(x) AS s "
+            f"FROM (VALUES ({a})) t(x)) q"
+        ).fetchone()[0]
+        assert hug == sim._tdiv(a, b), (a, b, hug)
+
+
+def test_pq_entry_points_reject_wide_k(spark, sf_smoke):
+    """ann_ivfpq_topk / ivfpq_build / knn_pq_adc must refuse k beyond
+    the mord-encoding capacity instead of silently aliasing codes mod
+    KMEANS_ENC (the guard is centralized in _kmeans_centroids)."""
+    import pytest as _pt
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    with _pt.raises(ValueError, match="wide"):
+        sim.knn_pq_adc(emb, (0,), k=17)
+    with _pt.raises(ValueError, match="wide"):
+        sim.ann_ivfpq_topk(emb, (0,), k=17)
+    with _pt.raises(ValueError, match="wide"):
+        sim.ivfpq_build(emb, k=17)
 
 
 def test_kmeans_assignment_is_map_only(spark, sf_correctness):

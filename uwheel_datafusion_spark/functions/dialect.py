@@ -163,6 +163,26 @@ class Dialect:
         md5s = self.transform(tokens, "t", self.md5("t"))
         return self.transform(md5s, "h", self.hash32_of_hex("h"))
 
+    def hash60_of_hex(self, h: str) -> str:
+        """60-bit hash from a materialized md5 hex string: first 15 hex
+        chars parsed as an int. 15 (not 16) chars so the value tops out
+        at 2^60−1 — always inside signed-BIGINT range in BOTH engines
+        (16 chars could exceed 2^63−1: Spark's conv→cast would NULL and
+        DuckDB's hex cast would error on overflow, and the two disagree
+        on wraparound). 60 bits pushes the birthday bound for unrelated
+        n-gram collisions from ~2^16 grams (32-bit) to ~2^30 grams."""
+        if self.is_spark:
+            return f"CAST(conv(substring({h}, 1, 15), 16, 10) AS BIGINT)"
+        return f"CAST(('0x' || substr({h}, 1, 15)) AS BIGINT)"
+
+    def token_hashes60(self, tokens: str) -> str:
+        """list<string> tokens → list<bigint> 60-bit hashes — for paths
+        where a hash collision is DESTRUCTIVE (e.g. span scrubbing
+        deletes text): at web-corpus gram cardinalities 32-bit hashes
+        collide constantly (birthday ~2^16), 60-bit holds to ~10^9."""
+        md5s = self.transform(tokens, "t", self.md5("t"))
+        return self.transform(md5s, "h", self.hash60_of_hex("h"))
+
     def shingles(self, tokens: str, n: int = 3) -> str:
         """Word n-grams joined by spaces; empty list when < n tokens."""
         positions = self.seq1(f"{self.size(tokens)} - {n - 1}")

@@ -452,14 +452,18 @@ def lsh_incremental_candidates_oracle(
         f"SELECT doc_id, {j} AS band_idx, {_band_hash_expr(j)} AS band_hash FROM sig"
         for j in range(N_BANDS)
     )
+    # predicates are applied inside per-side subqueries (where doc_id
+    # is unambiguous) rather than string-qualified into the join scope:
+    # blind 'doc_id' → 'n.doc_id' substitution broke on predicates that
+    # were already qualified or contained doc_id as an identifier
+    # substring
     return f"""
         WITH sig AS ({sig_sql}),
         bands AS ({band_selects})
         SELECT DISTINCT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
-        FROM bands n JOIN bands c
+        FROM (SELECT * FROM bands WHERE {new_pred}) n
+        JOIN (SELECT * FROM bands WHERE {corpus_pred}) c
           ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
-        WHERE ({new_pred.replace('doc_id', 'n.doc_id')})
-          AND ({corpus_pred.replace('doc_id', 'c.doc_id')})
     """
 
 

@@ -503,6 +503,17 @@ def _kmeans_centroids(qv: DataFrame, k: int, n_iter: int) -> list[list[int]]:
     """Lloyd centroid loop over a (vec_id, qvec) frame: init = the k
     lowest-vec_id vectors, then ``n_iter − 1`` broadcast-centroid
     updates (one k×dim-row shuffle each, driver fold in between)."""
+    # centralized guard for EVERY literal-path kmeans consumer
+    # (pq_encode, knn_pq_adc, ann_ivfpq_topk, ivfpq_build, ...): the
+    # mord = dist*KMEANS_ENC + cid encoding aliases codes mod
+    # KMEANS_ENC, so k beyond it would silently corrupt assignments
+    if not 2 <= k <= KMEANS_ENC:
+        raise ValueError(
+            f"k must be in [2, {KMEANS_ENC}]: the encoded-ordinal "
+            f"(dist*{KMEANS_ENC}+cid) packing aliases ids mod "
+            f"{KMEANS_ENC} — use the wide Arrow-kernel tier "
+            f"(ivf_build_wide / pq_encode_wide) for larger k"
+        )
     init_rows = qv.orderBy("vec_id").limit(k).collect()
     centroids = [list(r["qvec"]) for r in init_rows]
 

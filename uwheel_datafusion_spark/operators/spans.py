@@ -66,7 +66,15 @@ BLOOM_J = 5  # hash functions per document
 
 
 def _gram_hashes_expr(d: Dialect, tokens_col: str, k: int) -> str:
-    """list<bigint>: 32-bit hash of each k-token window, in order.
+    """list<bigint>: 60-bit hash of each k-token window, in order.
+
+    60-bit (not 32): scrub_duplicate_spans DELETES text based on these
+    hashes with no verify stage, so a gram collision destroys unique
+    text. At web-corpus scale (10^9+ distinct grams) 32-bit hashes are
+    past the birthday bound by orders of magnitude; 60-bit keeps the
+    expected collision count ≪1 up to ~10^9 grams (and the remaining
+    tail only ever merges two spans, never fabricates one, since
+    islands still group by doc_id).
 
     ``tokens_col`` must be a MATERIALIZED array column (not an inline
     split(...) expression): d.shingles references its tokens argument
@@ -75,7 +83,7 @@ def _gram_hashes_expr(d: Dialect, tokens_col: str, k: int) -> str:
     the document O(k·positions) times (measured 12 s → 0.6 s at sf0.1
     for the posting scan; same pathology the winnow fingerprints fixed
     for their hash list)."""
-    return d.token_hashes(d.shingles(tokens_col, k))
+    return d.token_hashes60(d.shingles(tokens_col, k))
 
 
 def _posting_cte(d: Dialect, table: str, text_col: str, k: int) -> str:
@@ -391,8 +399,12 @@ def incremental_span_islands_oracle(
             SELECT DISTINCT gh FROM posting WHERE {corpus_pred}
         ),
         hits AS (
-            SELECT p.doc_id, p.pos FROM posting p JOIN idx USING (gh)
-            WHERE {new_pred.replace('doc_id', 'p.doc_id')}
+            -- the new-batch predicate filters in a scope where doc_id
+            -- is unambiguous (no blind string qualification — see
+            -- lsh_incremental_candidates_oracle)
+            SELECT p.doc_id, p.pos
+            FROM (SELECT * FROM posting WHERE {new_pred}) p
+            JOIN idx USING (gh)
         ),
         marked AS (
             SELECT doc_id, pos,
