@@ -64,19 +64,29 @@ def main() -> None:
                 "wheel_vs_sql_scan": round(wheel / sql, 1),
                 **({"router_vs_sql_scan": round(router / sql, 1)} if router else {}),
             }
-        print(
-            json.dumps(
-                {
-                    "metric": "bench_total_wall",
-                    "value": round(total, 3),
-                    "unit": "sec",
-                    "queries": {k: round(v, 4) for k, v in timings.items()},
-                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                    "detail": extras,
-                }
-            ),
-            flush=True,
+        payload = {
+            "metric": "bench_total_wall",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 4) for k, v in timings.items()},
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "detail": extras,
+        }
+        # the round driver keeps only a truncated tail of stdout, so
+        # the full per-path histogram block would be unrecoverable —
+        # always persist the complete JSON as an in-repo artifact too
+        # (BENCH_FULL_OUT overrides the default path)
+        full_path = os.environ.get(
+            "BENCH_FULL_OUT",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_full.json"),
         )
+        try:
+            with open(full_path, "w") as fh:
+                json.dump(payload, fh, indent=1)
+        except OSError:
+            pass
+        print(json.dumps(payload), flush=True)
 
     def step(name):
         """Run one workload; record its failure instead of dying."""
@@ -275,6 +285,41 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         )
         timings["router_rewrite_ranges"] = r.wall_sec
         extras["router_rewrite_ranges"] = {"qps": r.qps, **r.latency}
+
+        # per-family _decide dispatch cost (pure driver, µs): separates
+        # pattern-cascade growth from serve-path cost when the e2e p50
+        # moves between rounds. Each family exemplar is matched 2000×.
+        fam = {
+            "scalar_sum": (
+                "SELECT SUM(value) FROM events WHERE ts >= "
+                "'2024-01-01 00:10:00' AND ts < '2024-01-01 03:40:00'"
+            ),
+            "median": (
+                "SELECT APPROX_MEDIAN(value) FROM events WHERE ts >= "
+                "'2024-01-01 00:10:00' AND ts < '2024-01-01 03:40:00'"
+            ),
+            "m4": (
+                "SELECT M4(ts, value, 16) FROM events WHERE ts >= "
+                "'2024-01-01 00:10:00' AND ts < '2024-01-01 03:40:00'"
+            ),
+            "keyed_grouped": (
+                "SELECT user_id, SUM(value) FROM events WHERE ts >= "
+                "'2024-01-01 00:10:00' AND ts < '2024-01-01 03:40:00' "
+                "GROUP BY user_id"
+            ),
+            "no_match_fallback": (
+                "SELECT value, LAG(value) OVER (ORDER BY ts) FROM events"
+            ),
+        }
+        decide_us = {}
+        for name, q in fam.items():
+            t0 = time.perf_counter()
+            for _ in range(2000):
+                router._decide(q)
+            decide_us[name] = round(
+                (time.perf_counter() - t0) / 2000 * 1e6, 2
+            )
+        extras["router_decide_micro_us"] = decide_us
 
     # ------------------------------------------- SQL full-scan path (E3, sampled)
     # TIMESTAMP literals against the TIMESTAMP_NTZ ts column push down to
