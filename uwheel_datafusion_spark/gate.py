@@ -5034,6 +5034,30 @@ def ann_ivf_wide_q(spark, sf_dir):
     return _sim.ivf_search_wide(idx, emb, KNN_QUERY_IDS, k=5, nprobe=2)
 
 
+@gate(
+    "similarity_ann_ivfpq_wide",
+    _sim.ivfpq_search_wide_oracle(
+        query_ids=KNN_QUERY_IDS, topk=5, nprobe=4, n_cells=64, m=8, k=256
+    ),
+)
+def ann_ivfpq_wide_q(spark, sf_dir):
+    """The wide Arrow-kernel IVF-PQ end-to-end at a GENUINELY wide
+    shape — 64 coarse cells x k=256 byte codes, both past the
+    literal-expression caps (the r7 wide gates could only be checked
+    at literal-feasible shapes): ivf_build_wide cells + pq_build_wide
+    codes composed by ivfpq_search_wide, vs a fully-relational DuckDB
+    replay of the same Lloyd loops, probe ranking and ADC LUTs
+    (row_number-based nearest-centroid assignment — no mord packing,
+    no cap). This is the FAISS-standard production index shape served
+    entirely through the kernels the 1 M-vector bench uses."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = _sim.ivf_build_wide(emb, n_cells=64)
+    pq = _sim.pq_build_wide(emb, m=8, k=256)
+    return _sim.ivfpq_search_wide(
+        ivf, pq, emb, KNN_QUERY_IDS, topk=5, nprobe=4
+    )
+
+
 @gate("similarity_label_centroids", _sim.label_centroids_oracle())
 def centroids_q(spark, sf_dir):
     """IVF cell-centroid build (posexplode + partial agg on
@@ -6656,7 +6680,7 @@ _DRIVER_WINDOW_R6 = [
 # TWA/counter fallbacks and slot-threaded M4 fallback (their rollup
 # cells), load_rollup torn-swap repair (table sink) — plus the same
 # every-family spread as r6.
-_DRIVER_WINDOW = [
+_DRIVER_WINDOW_R7 = [
     # --- round-7 must-proves ---
     "router_batch_panels",
     "embedding_int8_quantize",
@@ -6724,6 +6748,81 @@ _DRIVER_WINDOW = [
 ]
 
 
+# ROUND-8 WINDOW. Must-proves first: pipeline_scrub_quality_dedup (the
+# only query of 185 with no driver CORRECTNESS row in any round —
+# VERDICT r7 missing #1) and similarity_ann_ivfpq_wide (new this round:
+# the 64-cell x k=256 Arrow-kernel IVF-PQ vs a fully-relational
+# oracle). Then canaries over code CHANGED this round: every call site
+# of the token-array materialization fix (winnow, BPE, shingle sets,
+# decontaminate, SimHash), the relational repetition profile, the
+# Gopher <= symbol-ratio bound, the 60-bit span gram hashes, the
+# subquery-scoped incremental oracles — plus the same every-family
+# spread as r7 (wheel, router, streaming, batch tiers, joins, windows).
+_DRIVER_WINDOW = [
+    # --- round-8 must-proves ---
+    "pipeline_scrub_quality_dedup",
+    "similarity_ann_ivfpq_wide",
+    # --- token-array materialization canaries (this round's perf fix) ---
+    "text_winnow_fingerprints",
+    "dedup_winnow_shared_pairs",
+    "text_bpe_pair_counts",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_prefix_filter_jaccard",
+    "corpus_decontaminate_eval",
+    "corpus_repetition_profile",
+    "dedup_simhash_fingerprints",
+    "dedup_simhash_near_pairs",
+    # --- Gopher bound + span 60-bit hashes + oracle scoping canaries ---
+    "text_gopher_quality",
+    "dedup_span_islands",
+    "dedup_span_scrub",
+    "dedup_span_incremental",
+    "dedup_lsh_incremental",
+    "pipeline_incremental_ingest",
+    "pipeline_clean_corpus",
+    "pipeline_training_corpus",
+    "pipeline_neardup_corpus",
+    # --- wheel core / maintenance / batched serving ---
+    "wheel_rollup_hour",
+    "wheel_range_unaligned_hybrid",
+    "wheel_second_aligned_range",
+    "wheel_extend_incremental",
+    "wheel_range_batch_serving",
+    # --- router cells ---
+    "router_batch_panels",
+    "router_twa_range",
+    "router_counter_day",
+    "router_m4_range",
+    "router_median_day_rollup",
+    "router_quarter_rollup",
+    "router_topk_users_day",
+    "router_keyed_ohlc_day",
+    # --- streaming ---
+    "streaming_wheel_rollup_parity",
+    "streaming_keyed_rollup_parity",
+    "streaming_table_sink_parity",
+    "streaming_dedup_exact_parity",
+    # --- engine facade + sketch batch tiers ---
+    "engine_batch_quantile_ohlc",
+    "sketch_batch_quantile_ohlc",
+    "sketch_batch_heavy_hitters",
+    "keyed_rollup_batch_served",
+    # --- distinct / heavy hitters ---
+    "heavy_hitters_mg_verified_range",
+    # --- SQL surface: joins, subqueries, windows, as-of/overlap ---
+    "tpch_q21_waiting_supplier",
+    "asof_join_purchase_to_click",
+    "overlap_join_userday_error_windows",
+    "session_window_30m_by_user",
+    # --- similarity / ANN ---
+    "embedding_int8_quantize",
+    "similarity_ann_ivf_multiprobe",
+    # --- corpus / sampling ---
+    "corpus_mixture_reweight",
+    "split_train_val_test",
+]
+
+
 def _reorder_registry() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
     assert not missing, f"_DRIVER_WINDOW names not registered: {missing}"
@@ -6733,6 +6832,7 @@ def _reorder_registry() -> None:
     assert not [n for n in _DRIVER_WINDOW_R4 if n not in REGISTRY]
     assert not [n for n in _DRIVER_WINDOW_R5 if n not in REGISTRY]
     assert not [n for n in _DRIVER_WINDOW_R6 if n not in REGISTRY]
+    assert not [n for n in _DRIVER_WINDOW_R7 if n not in REGISTRY]
     ordered = {n: REGISTRY[n] for n in _DRIVER_WINDOW}
     ordered.update({n: q for n, q in REGISTRY.items() if n not in ordered})
     # mutate in place: other modules hold references to this dict

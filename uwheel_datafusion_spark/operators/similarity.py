@@ -1972,3 +1972,179 @@ def ivfpq_search_wide(
         .filter(F.col("rnk") <= topk)
         .select("query_id", "neighbor_id", "adc_dist", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# wide IVF-PQ oracle: fully-relational DuckDB replay, no literal caps
+# --------------------------------------------------------------------------
+
+
+def _wide_kmeans_ctes(
+    prefix: str, src: str, k: int, n_iter: int, d=None
+) -> tuple[list[str], str]:
+    """DuckDB CTEs replaying one Lloyd loop over ``src`` (vec_id, qvec)
+    with NO cell-count cap: nearest-centroid assignment is a
+    row_number() over (dist, cid) — the exact tie-break of the Arrow
+    kernel's first-minimum argmin — instead of the mord dist·16+cid
+    packing the literal-path oracles use (which caps cid at 16).
+    Returns (parts, final_centroid_cte_name)."""
+    d = d or DUCK
+    dist = d.sum_list_bigint(d.zip_sqdiff("qv.qvec", "c.cvec"))
+    parts = [
+        f"""{prefix}c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                        AS BIGINT) AS cid,
+                   qvec AS cvec
+            FROM (SELECT vec_id, qvec FROM {src}
+                  ORDER BY vec_id LIMIT {k})
+        )"""
+    ]
+    for i in range(1, n_iter):
+        prev = f"{prefix}c{i - 1}"
+        parts.append(
+            f"""{prefix}a{i} AS (
+                SELECT vec_id, cid FROM (
+                    SELECT qv.vec_id, c.cid,
+                           row_number() OVER (PARTITION BY qv.vec_id
+                               ORDER BY {dist}, c.cid) AS rn
+                    FROM {src} qv CROSS JOIN {prev} c
+                ) WHERE rn = 1
+            )"""
+        )
+        parts.append(
+            f"""{prefix}u{i} AS (
+                SELECT a.cid, pos, SUM(comp) AS s, COUNT(*) AS c
+                FROM {prefix}a{i} a JOIN {src} qv USING (vec_id),
+                     LATERAL (SELECT unnest(range(len(qv.qvec))) AS pos,
+                                     unnest(qv.qvec) AS comp)
+                GROUP BY 1, 2
+            )"""
+        )
+        parts.append(
+            f"""{prefix}c{i} AS (
+                SELECT p.cid, COALESCE(n.cvec, p.cvec) AS cvec
+                FROM {prev} p LEFT JOIN (
+                    SELECT cid, list(s // c ORDER BY pos) AS cvec
+                    FROM {prefix}u{i} GROUP BY cid
+                ) n USING (cid)
+            )"""
+        )
+    return parts, f"{prefix}c{n_iter - 1}"
+
+
+def ivfpq_search_wide_oracle(
+    table: str = "embeddings",
+    query_ids: tuple[int, ...] = (),
+    topk: int = 5,
+    nprobe: int = 2,
+    n_cells: int = 64,
+    m: int = PQ_M,
+    k: int = 256,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of ivf_build_wide + pq_build_wide +
+    ivfpq_search_wide at GENUINELY WIDE shapes (cells and codebook
+    sizes past the literal-expression caps): coarse Lloyd cells, m
+    per-subspace Lloyd codebooks, byte codes, per-query probe ranking
+    and ADC LUTs — all relational, bit-for-bit against the Arrow
+    kernels (same init from the k lowest vec_ids, same
+    truncate-toward-zero centroid updates, same (dist, cid)
+    first-minimum tie-break, same (adc_dist, neighbor_id) ranking)."""
+    d = DUCK
+    assert query_ids, "query_ids required"
+    ids = ", ".join(str(i) for i in query_ids)
+    q = d.quantize_vec(vec_col, Q_SCALE)
+    dist = d.sum_list_bigint(d.zip_sqdiff("qv.qvec", "c.cvec"))
+    parts = [f"qv AS (SELECT vec_id, {q} AS qvec FROM {table})"]
+
+    # coarse quantizer + final cell assignment
+    coarse, cfin = _wide_kmeans_ctes("g", "qv", n_cells, n_iter, d)
+    parts += coarse
+    parts.append(
+        f"""cells AS (
+            SELECT vec_id, cid AS cell FROM (
+                SELECT qv.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY qv.vec_id
+                           ORDER BY {dist}, c.cid) AS rn
+                FROM qv CROSS JOIN {cfin} c
+            ) WHERE rn = 1
+        )"""
+    )
+
+    # per-subspace codebooks + codes
+    code_finals = []
+    for s, (lo, w) in enumerate(_pq_geometry(dim, m)):
+        sub = d.slice("qvec", str(lo), w)
+        parts.append(
+            f"s{s}qv AS (SELECT vec_id, {sub} AS qvec FROM qv)"
+        )
+        book, bfin = _wide_kmeans_ctes(f"s{s}", f"s{s}qv", k, n_iter, d)
+        parts += book
+        parts.append(
+            f"""s{s}code AS (
+                SELECT vec_id, cid AS code_{s} FROM (
+                    SELECT qv.vec_id, c.cid,
+                           row_number() OVER (PARTITION BY qv.vec_id
+                               ORDER BY {dist}, c.cid) AS rn
+                    FROM s{s}qv qv CROSS JOIN {bfin} c
+                ) WHERE rn = 1
+            )"""
+        )
+        code_finals.append((s, bfin))
+
+    # query side: probe pairs (nprobe nearest coarse cells) + ADC LUTs
+    parts.append(
+        f"qq AS (SELECT vec_id, qvec FROM qv WHERE vec_id IN ({ids}))"
+    )
+    parts.append(
+        f"""probe AS (
+            SELECT query_id, cid AS q_cell FROM (
+                SELECT qv.vec_id AS query_id, c.cid,
+                       row_number() OVER (PARTITION BY qv.vec_id
+                           ORDER BY {dist}, c.cid) AS rn
+                FROM qq qv CROSS JOIN {cfin} c
+            ) WHERE rn <= {nprobe}
+        )"""
+    )
+    for s, bfin in code_finals:
+        lo, w = _pq_geometry(dim, m)[s]
+        qsub = d.slice("qv.qvec", str(lo), w)
+        ld = d.sum_list_bigint(d.zip_sqdiff(qsub, "c.cvec"))
+        parts.append(
+            f"""lut{s} AS (
+                SELECT qv.vec_id AS query_id, c.cid, {ld} AS ld
+                FROM qq qv CROSS JOIN {bfin} c
+            )"""
+        )
+
+    code_joins = " ".join(
+        f"JOIN s{s}code USING (vec_id)" for s in range(m)
+    )
+    lut_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.query_id = p.query_id "
+        f"AND l{s}.cid = s{s}code.code_{s}"
+        for s in range(m)
+    )
+    adc = " + ".join(f"l{s}.ld" for s in range(m))
+    parts.append(
+        f"""scored AS (
+            SELECT p.query_id, cells.vec_id AS neighbor_id,
+                   CAST({adc} AS BIGINT) AS adc_dist
+            FROM cells {code_joins}
+            JOIN probe p ON cells.cell = p.q_cell
+            {lut_joins}
+            WHERE cells.vec_id <> p.query_id
+        )"""
+    )
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_dist, neighbor_id) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= {topk}
+    """
