@@ -166,3 +166,56 @@ def test_streamed_index_serves_incremental_candidates(spark, tmp_path):
     assert got == want
     assert any(n == 500 for n, _ in got)  # the exact-dup doc hits
     assert all(n != 501 for n, _ in got)  # the novel doc doesn't
+
+
+def test_streamed_cells_serve_identically_to_batch(spark, sf_correctness):
+    """Batch/stream interchange for the IVF tier: an IvfIndex
+    rehydrated from the STREAMED cells table must serve
+    ivf_search_wide bit-identically to the batch-built index."""
+    import os
+    import shutil
+    import tempfile
+
+    from uwheel_datafusion_spark.operators import similarity as sim
+    from uwheel_datafusion_spark.sources.registry import load_table
+    from uwheel_datafusion_spark.streaming.ann_stream import (
+        ivf_index_from_table,
+        start_ivf_cells_stream,
+    )
+
+    emb = load_table(spark, sf_correctness, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    idx = sim.ivf_build_wide(emb, n_cells=8)
+    work = tempfile.mkdtemp(prefix="ann_interchange_")
+    try:
+        src = os.path.join(work, "in")
+        os.makedirs(src)
+        table = os.path.join(work, "cells")
+        emb.repartitionByRange(3, "vec_id").write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_ivf_cells_stream(
+            stream, idx.centroids, table, os.path.join(work, "ckpt")
+        )
+        q.processAllAvailable()
+        q.stop()
+        streamed = ivf_index_from_table(spark, idx.centroids, table)
+        a = sorted(
+            tuple(r)
+            for r in sim.ivf_search_wide(
+                idx, emb, (0, 1, 2), k=5, nprobe=2
+            ).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in sim.ivf_search_wide(
+                streamed, emb, (0, 1, 2), k=5, nprobe=2
+            ).collect()
+        )
+        assert a == b and a
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

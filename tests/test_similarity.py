@@ -559,3 +559,42 @@ def test_wide_ivfpq_full_probe_equals_wide_adc(spark, sf_correctness):
     assert comp == full
     ivf.cells.unpersist()
     pq.codes.unpersist()
+
+
+def test_semantic_dedup_fence_and_keep_lowest(spark, sf_correctness):
+    """SemDeDup invariants: (a) a degenerate clustering (mega-cell)
+    is refused, not silently joined quadratically; (b) within any
+    near-dup relation the LOWEST vec_id always survives; (c) dropped
+    rows really have a kept lower-id within-cell neighbor >= tau."""
+    import pytest as _pt
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    with _pt.raises(ValueError, match="more cells"):
+        sim.semantic_dedup(emb, max_cell_rows=10)
+
+    out = sim.semantic_dedup(emb).collect()
+    kept = {r.vec_id for r in out if r.kept == 1}
+    cell = {r.vec_id: r.cell for r in out}
+    dropped = [r.vec_id for r in out if r.kept == 0]
+    assert dropped, "fixture should contain semantic near-dups"
+    qv = {
+        r.vec_id: (list(r.qvec), r.qnorm)
+        for r in sim._quantized(emb, drop_zero=True)
+        .select("vec_id", "qvec", "qnorm")
+        .collect()
+    }
+
+    def cos(a, b):
+        (va, na), (vb, nb) = qv[a], qv[b]
+        return sum(x * y for x, y in zip(va, vb)) / (na * nb) ** 0.5
+
+    for d in dropped:
+        lower = [
+            v for v in kept | set(dropped)
+            if v < d and cell[v] == cell[d] and cos(v, d) >= 0.45
+        ]
+        assert lower, f"vec {d} dropped without a lower near neighbor"
+    # minimum id of every cell is always kept (no lower id exists)
+    for c in set(cell.values()):
+        members = [v for v in cell if cell[v] == c]
+        assert min(members) in kept

@@ -4240,6 +4240,17 @@ def corpus_repetition_q(spark, sf_dir):
     return _cx.repetition_profile(load_table(spark, sf_dir, "documents"))
 
 
+@gate("corpus_dsir_importance", _cx.importance_weights_oracle())
+def dsir_importance_q(spark, sf_dir):
+    """DSIR-style data-selection scoring (Xie et al. 2023) with EXACT
+    integer ratio weights: hashed-bigram features (vocab folded to
+    4096 buckets so the weights table ALWAYS broadcasts), add-1
+    smoothed target/corpus occurrence ratios, per-document scores in
+    one broadcast join + one groupBy(doc_id). The target sample is the
+    same held-out doc_id hash split decontaminate uses."""
+    return _cx.importance_weights(load_table(spark, sf_dir, "documents"))
+
+
 @gate("corpus_mixture_reweight", _cx.mixture_reweight_summary_oracle())
 def corpus_mixture_q(spark, sf_dir):
     """Pile/DoReMi-style mixture resampling to per-source target
@@ -5056,6 +5067,81 @@ def ann_ivfpq_wide_q(spark, sf_dir):
     return _sim.ivfpq_search_wide(
         ivf, pq, emb, KNN_QUERY_IDS, topk=5, nprobe=4
     )
+
+
+@gate("dedup_semantic_clustered", _sim.semantic_dedup_oracle())
+def semantic_dedup_q(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic near-dup REMOVAL scoped
+    to k-means cells — drop any vector with a lower-id within-cell
+    neighbor at cosine >= 0.45, keep-lowest canonical. The clustering
+    bounds the pair join (ONE equi-join on the cell key; production
+    n_cells ~ sqrt(n) makes the pair work O(n^1.5)); a max-cell fence
+    refuses degenerate clusterings. Cells replayed relationally by the
+    wide-kmeans oracle, cosine in exact quantized-int arithmetic."""
+    return _sim.semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+
+
+@gate(
+    "streaming_ann_cells_parity",
+    _sim.ivf_cells_wide_oracle(n_cells=8),
+)
+def streaming_ann_cells_q(spark, sf_dir):
+    """Streaming IVF ingest (the FAISS train()/add() split, streamed):
+    coarse centroids from a batch ivf_build_wide are FROZEN; embedding
+    micro-batches are assigned to cells via the same Arrow exact-int64
+    kernel and append through the built-in exactly-once parquet file
+    sink, partitioned by cell (probe-side partition pruning). The
+    query is killed after the first file and resumed from the
+    checkpoint mid-stream — the final table must still be
+    row-identical to the batch assignment, which the relational
+    wide-kmeans oracle replays."""
+    import os
+    import shutil
+    import tempfile
+
+    from uwheel_datafusion_spark.streaming.ann_stream import (
+        start_ivf_cells_stream,
+    )
+
+    _tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    idx = _sim.ivf_build_wide(emb, n_cells=8)
+    work = tempfile.mkdtemp(prefix="ann_stream_gate_")
+    try:
+        src_dir = os.path.join(work, "in")
+        os.makedirs(src_dir)
+        table = os.path.join(work, "cells")
+        ckpt = os.path.join(work, "ckpt")
+        emb.repartitionByRange(4, "vec_id").write.mode("append").parquet(
+            src_dir
+        )
+
+        def reader():
+            return (
+                spark.readStream.schema(emb.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+
+        # first incarnation: one trigger, then kill mid-stream
+        q = start_ivf_cells_stream(reader(), idx.centroids, table, ckpt)
+        q.processAllAvailable()
+        q.stop()
+        # resume from the checkpoint: must drain the rest exactly once
+        q = start_ivf_cells_stream(reader(), idx.centroids, table, ckpt)
+        q.processAllAvailable()
+        q.stop()
+        rows = [
+            (r.vec_id, r.cell)
+            for r in spark.read.parquet(table)
+            .select("vec_id", "cell")
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "vec_id bigint, cell bigint")
 
 
 @gate("similarity_label_centroids", _sim.label_centroids_oracle())
@@ -6770,7 +6856,7 @@ _DRIVER_WINDOW = [
     "dedup_prefix_filter_jaccard",
     "corpus_decontaminate_eval",
     "corpus_repetition_profile",
-    "dedup_simhash_fingerprints",
+    "dedup_semantic_clustered",
     "dedup_simhash_near_pairs",
     # --- Gopher bound + span 60-bit hashes + oracle scoping canaries ---
     "text_gopher_quality",
@@ -6801,7 +6887,7 @@ _DRIVER_WINDOW = [
     "streaming_wheel_rollup_parity",
     "streaming_keyed_rollup_parity",
     "streaming_table_sink_parity",
-    "streaming_dedup_exact_parity",
+    "streaming_ann_cells_parity",
     # --- engine facade + sketch batch tiers ---
     "engine_batch_quantile_ohlc",
     "sketch_batch_quantile_ohlc",
@@ -6818,7 +6904,7 @@ _DRIVER_WINDOW = [
     "embedding_int8_quantize",
     "similarity_ann_ivf_multiprobe",
     # --- corpus / sampling ---
-    "corpus_mixture_reweight",
+    "corpus_dsir_importance",
     "split_train_val_test",
 ]
 

@@ -42,6 +42,8 @@ __all__ = [
     "repetition_profile_oracle",
     "mixture_reweight_summary",
     "mixture_reweight_summary_oracle",
+    "importance_weights",
+    "importance_weights_oracle",
 ]
 
 
@@ -482,4 +484,137 @@ def mixture_reweight_summary_oracle(
         SELECT t.{source_col}, t.n_docs, t.weight, t.target_n,
                CAST(COALESCE(k.kept_n, 0) AS BIGINT) AS kept_n
         FROM targets t LEFT JOIN kept k USING ({source_col})
+    """
+
+
+# --------------------------------------------------------------------------
+# hashed n-gram importance reweighting (DSIR-style, integer weights)
+# --------------------------------------------------------------------------
+
+#: hashed-feature vocabulary size — the WEIGHTS TABLE is at most this
+#: many rows regardless of corpus size, so it always broadcasts
+DSIR_BUCKETS = 4096
+#: weight scale: w_f = (SCALE·(t_f+1)) div (c_f+1), exact integers
+DSIR_W_SCALE = 10_000
+
+
+def _dsir_feature_expr(d: Dialect, toks_col: str) -> str:
+    """list<bigint> of hashed-bigram feature ids over a MATERIALIZED
+    token array (hash32 of each word bigram, folded into
+    DSIR_BUCKETS)."""
+    grams = d.shingles(toks_col, 2)
+    hashes = d.token_hashes(grams)
+    return d.transform(hashes, "h", f"(abs(h) % {DSIR_BUCKETS})")
+
+
+def importance_weights(
+    docs: DataFrame,
+    text_col: str = "text",
+    eval_lo: int = DECON_EVAL_LO,
+    buckets: int = DECON_BUCKETS,
+) -> DataFrame:
+    """Data-selection importance weighting (DSIR, Xie et al. 2023,
+    public literature), with EXACT integer weights instead of float
+    log-ratios (cross-engine float logs are libm-dependent; an integer
+    ratio keeps the oracle bit-exact and preserves the ranking
+    semantics — monotone in the target/corpus likelihood ratio):
+
+      feature  f  = hash(word bigram) folded into DSIR_BUCKETS
+      weight  w_f = (SCALE·(t_f+1)) div (c_f+1)   (add-1 smoothed)
+      doc score   = Σ over the doc's feature occurrences of w_f
+
+    where t_f counts occurrences in the TARGET sample (the last
+    ``buckets − eval_lo``% of doc_id hash buckets — the role a
+    curated high-quality corpus plays in DSIR) and c_f in the raw
+    corpus (the rest). High-scoring documents are the ones whose
+    hashed-feature profile looks most target-like — the DSIR selection
+    statistic.
+
+    Returns one row per corpus document: (doc_id, n_feats, score,
+    score_per_feat).
+
+    Scale shape: the weights table is ≤ DSIR_BUCKETS rows by
+    construction → broadcast; the corpus explodes features map-side
+    off the scan, aggregates counts by feature (≤ DSIR_BUCKETS
+    groups), then scores docs with one groupBy(doc_id) — every shuffle
+    is keyed on a bounded or uniform key, nothing quadratic."""
+    d = SPARK
+    bucket = F.expr(hash_bucket_sql("doc_id", buckets))
+    feats = docs.select(
+        "doc_id", F.expr(d.split(text_col)).alias("_ts")
+    ).select(
+        "doc_id",
+        bucket.alias("_b"),
+        F.explode(F.expr(_dsir_feature_expr(d, "_ts"))).alias("f"),
+    )
+    tgt = (
+        feats.filter(F.col("_b") >= eval_lo)
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("t_f"))
+    )
+    corpus_feats = feats.filter(F.col("_b") < eval_lo)
+    cnt = corpus_feats.groupBy("f").agg(F.count(F.lit(1)).alias("c_f"))
+    weights = (
+        cnt.join(tgt, "f", "full")
+        .select(
+            "f",
+            F.expr(
+                f"CAST(({DSIR_W_SCALE} * (coalesce(t_f, 0) + 1)) "
+                f"div (coalesce(c_f, 0) + 1) AS BIGINT)"
+            ).alias("w"),
+        )
+    )
+    return (
+        corpus_feats.join(F.broadcast(weights), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("w").cast("long").alias("score"),
+        )
+        .withColumn(
+            "score_per_feat", F.expr("CAST(score div n_feats AS BIGINT)")
+        )
+    )
+
+
+def importance_weights_oracle(
+    table: str = "documents",
+    text_col: str = "text",
+    eval_lo: int = DECON_EVAL_LO,
+    buckets: int = DECON_BUCKETS,
+) -> str:
+    d = DUCK
+    bucket = hash_bucket_sql("doc_id", buckets)
+    return f"""
+        WITH toked AS (
+            SELECT doc_id, CAST({bucket} AS BIGINT) AS _b,
+                   {d.split(text_col)} AS _ts
+            FROM {table}
+        ),
+        feats AS (
+            SELECT doc_id, _b, unnest({_dsir_feature_expr(d, '_ts')}) AS f
+            FROM toked
+        ),
+        tgt AS (
+            SELECT f, COUNT(*) AS t_f FROM feats WHERE _b >= {eval_lo}
+            GROUP BY f
+        ),
+        cnt AS (
+            SELECT f, COUNT(*) AS c_f FROM feats WHERE _b < {eval_lo}
+            GROUP BY f
+        ),
+        weights AS (
+            SELECT COALESCE(cnt.f, tgt.f) AS f,
+                   CAST(({DSIR_W_SCALE} * (COALESCE(t_f, 0) + 1))
+                        // (COALESCE(c_f, 0) + 1) AS BIGINT) AS w
+            FROM cnt FULL JOIN tgt ON cnt.f = tgt.f
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_feats,
+               CAST(SUM(w) AS BIGINT) AS score,
+               CAST(CAST(SUM(w) AS BIGINT) // COUNT(*) AS BIGINT)
+                   AS score_per_feat
+        FROM (SELECT * FROM feats WHERE _b < {eval_lo}) cf
+        JOIN weights USING (f)
+        GROUP BY doc_id
     """

@@ -2148,3 +2148,164 @@ def ivfpq_search_wide_oracle(
         )
         WHERE rnk <= {topk}
     """
+
+
+# --------------------------------------------------------------------------
+# semantic dedup (SemDeDup): cluster-scoped embedding near-dup removal
+# --------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    vecs: DataFrame,
+    threshold: float = 0.45,
+    n_cells: int = 16,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    max_cell_rows: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public literature): embedding-space
+    near-duplicate REMOVAL scoped to k-means clusters — the trick that
+    makes semantic dedup tractable at corpus scale. Vectors are
+    assigned to ``n_cells`` coarse cells (the wide Arrow-kernel Lloyd
+    build, any cell count); within each cell, a vector is DROPPED when
+    a lower-vec_id neighbor in the SAME cell has cosine ≥ threshold
+    (deterministic keep-lowest canonicalization, engine-independent).
+    Cross-cell near-dups are deliberately not compared — that is the
+    SemDeDup contract: the clustering bounds the pair join.
+
+    Output: (vec_id, cell, kept) — kept ∈ {0, 1}; zero-norm vectors
+    are excluded (cosine undefined), exactly like the other cosine ops.
+
+    Scale shape: ONE equi-join on the cell key (within-cell pairs
+    only) — with production n_cells ≈ √n, cell populations are ~√n and
+    the pair work is O(n^1.5), not O(n²). The ``max_cell_rows`` fence
+    refuses a degenerate clustering (one mega-cell) instead of
+    silently launching its quadratic join; the remedy is more cells,
+    not a bigger fence."""
+    ivf = ivf_build_wide(vecs, n_cells=n_cells, n_iter=n_iter, vec_col=vec_col)
+    hot = (
+        ivf.cells.groupBy("cell").count()
+        .filter(F.col("count") > max_cell_rows)
+        .limit(1)
+        .collect()
+    )
+    if hot:
+        raise ValueError(
+            f"semantic_dedup: cell {hot[0]['cell']} holds "
+            f"{hot[0]['count']} > {max_cell_rows} vectors — the "
+            f"within-cell pair join would be quadratic; rebuild with "
+            f"more cells (production: n_cells ~ sqrt(n))"
+        )
+    qv = _quantized(vecs, vec_col, drop_zero=True).select(
+        "vec_id", "qvec", "qnorm"
+    )
+    corp = qv.join(ivf.cells, "vec_id")
+    a, b = corp.alias("a"), corp.alias("b")
+    dup = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .withColumn("cosine", F.expr(_COS))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        corp.select("vec_id", "cell")
+        .join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("_dup").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("kept"),
+        )
+    )
+
+
+def semantic_dedup_oracle(
+    table: str = "embeddings",
+    threshold: float = 0.45,
+    n_cells: int = 16,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+) -> str:
+    """Relational replay of semantic_dedup: the wide-kmeans CTEs build
+    the same cells (row_number nearest-centroid assignment, no cap),
+    then the within-cell lower-id near-neighbor test."""
+    d = DUCK
+    q = d.quantize_vec(vec_col, Q_SCALE)
+    dist = d.sum_list_bigint(d.zip_sqdiff("qv.qvec", "c.cvec"))
+    cos = d.cosine_q(d.dot_q("a.qvec", "b.qvec"), "a.qnorm", "b.qnorm")
+    coarse, cfin = _wide_kmeans_ctes("g", "qv", n_cells, n_iter, d)
+    parts = [f"qv AS (SELECT vec_id, {q} AS qvec FROM {table})"]
+    parts += coarse
+    parts.append(
+        f"""cells AS (
+            SELECT vec_id, cid AS cell FROM (
+                SELECT qv.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY qv.vec_id
+                           ORDER BY {dist}, c.cid) AS rn
+                FROM qv CROSS JOIN {cfin} c
+            ) WHERE rn = 1
+        )"""
+    )
+    parts.append(
+        f"""qn AS (
+            SELECT * FROM (
+                SELECT vec_id, qvec, {d.dot_q('qvec', 'qvec')} AS qnorm
+                FROM qv
+            ) WHERE qnorm > 0
+        )"""
+    )
+    parts.append(
+        """corp AS (
+            SELECT qn.vec_id, qn.qvec, qn.qnorm, cells.cell
+            FROM qn JOIN cells USING (vec_id)
+        )"""
+    )
+    parts.append(
+        f"""dup AS (
+            SELECT DISTINCT a.vec_id
+            FROM corp a JOIN corp b
+              ON a.cell = b.cell AND b.vec_id < a.vec_id
+            WHERE {cos} >= {threshold}
+        )"""
+    )
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT c.vec_id, c.cell,
+               CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS kept
+        FROM corp c LEFT JOIN dup d USING (vec_id)
+    """
+
+
+def ivf_cells_wide_oracle(
+    table: str = "embeddings",
+    n_cells: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+) -> str:
+    """Relational replay of ivf_build_wide's final cell assignment
+    (vec_id, cell) — gates both the batch build and the streamed
+    cells table (streaming/ann_stream.py), which are by contract
+    row-identical."""
+    d = DUCK
+    q = d.quantize_vec(vec_col, Q_SCALE)
+    dist = d.sum_list_bigint(d.zip_sqdiff("qv.qvec", "c.cvec"))
+    coarse, cfin = _wide_kmeans_ctes("g", "qv", n_cells, n_iter, d)
+    parts = [f"qv AS (SELECT vec_id, {q} AS qvec FROM {table})"] + coarse
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT vec_id, cell FROM (
+            SELECT qv.vec_id, c.cid AS cell,
+                   row_number() OVER (PARTITION BY qv.vec_id
+                       ORDER BY {dist}, c.cid) AS rn
+            FROM qv CROSS JOIN {cfin} c
+        ) WHERE rn = 1
+    """

@@ -1,0 +1,96 @@
+"""Streaming ANN index maintenance — the ingest-time twin of the wide
+IVF tier (operators/similarity.ivf_build_wide / ivf_search_wide).
+
+A production vector corpus is not indexed once: new embeddings arrive
+continuously, and FAISS-style serving separates the *trained* coarse
+quantizer (centroids, rebuilt rarely, offline) from the *assignment*
+of vectors to cells (append-only, per vector, online). This module
+streams the assignment half:
+
+- the coarse centroids come from a batch ``ivf_build_wide`` (frozen —
+  exactly how FAISS `add()` works after `train()`);
+- each embedding micro-batch is assigned via the SAME Arrow-batched
+  exact-int64 kernel (`_assign_cells_pandas`, map-only — legal in a
+  stream, no state);
+- (vec_id, cell) rows append through the built-in exactly-once parquet
+  file sink, PARTITIONED BY cell — the same layout a 100 TB corpus
+  wants (a probe's equi-join on the cell key prunes to the probed
+  cells' partitions), with crash recovery from the sink's transaction
+  log (a resumed query never double-writes a batch).
+
+Parity contract (gated): the streamed cells table is row-identical to
+the batch assignment under the same centroids, so an ``IvfIndex``
+rebuilt from the streamed table serves ``ivf_search_wide`` with
+bit-identical results — streaming ingest and batch build are
+interchangeable, same as the streamed LSH band index
+(streaming/dedup_stream.py).
+
+Reference scope: the reference engine (src/main.rs) has no vector
+tier; beyond-parity training-data infrastructure (SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from uwheel_datafusion_spark.functions.dialect import SPARK
+from uwheel_datafusion_spark.operators.similarity import (
+    Q_SCALE,
+    IvfIndex,
+    _assign_cells_pandas,
+)
+
+
+def cells_rows_stream(
+    stream_vecs: DataFrame,
+    centroids: list,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell) assignment rows from a STREAMING embedding
+    source against FROZEN coarse centroids — quantization + the Arrow
+    argmin kernel, both map-only (no batch-only fan-out repartition: a
+    streaming source owns its partitioning)."""
+    d = SPARK
+    qv = stream_vecs.select(
+        "vec_id", F.expr(d.quantize_vec(vec_col, Q_SCALE)).alias("qvec")
+    )
+    return _assign_cells_pandas(qv, centroids)
+
+
+def start_ivf_cells_stream(
+    stream_vecs: DataFrame,
+    centroids: list,
+    table_dir: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+):
+    """Maintain the persisted IVF cells table from an embedding stream.
+
+    Assignment rows are append-only and map-only, so the built-in
+    parquet file sink gives exactly-once semantics for free. The table
+    is partitioned by cell, so a probe reading it prunes to its nprobe
+    cells' partitions."""
+    return (
+        cells_rows_stream(stream_vecs, centroids, vec_col)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", table_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("cell")
+        .start()
+    )
+
+
+def ivf_index_from_table(
+    spark, centroids: list, table_dir: str
+) -> IvfIndex:
+    """Rehydrate a servable IvfIndex from the streamed cells table —
+    the batch/stream interchange point: ivf_search_wide neither knows
+    nor cares which path populated the cells."""
+    cells = spark.read.parquet(table_dir).select(
+        F.col("vec_id").cast("long"), F.col("cell").cast("long")
+    )
+    return IvfIndex(
+        centroids=centroids, cells=cells, n_cells=len(centroids)
+    )
