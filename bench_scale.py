@@ -654,6 +654,24 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
     for r in ip:
         aip[r["query_id"]].add(r["neighbor_id"])
 
+    # two-stage refine (the FAISS IndexRefineFlat pattern): ADC top-100
+    # candidates re-ranked by the EXACT metric over the stored full
+    # vectors — recall recovers toward exact-scan quality for one extra
+    # broadcast equi-join over one corpus pass.
+    from uwheel_datafusion_spark.operators.similarity import (
+        ivfpq_search_rerank,
+    )
+
+    t0 = time.perf_counter()
+    rr = ivfpq_search_rerank(
+        ivf_idx, pq_idx, emb, ann_qids, topk=10, nprobe=4,
+        n_candidates=100,
+    ).collect()
+    rr_sec = time.perf_counter() - t0
+    arr: dict = defaultdict(set)
+    for r in rr:
+        arr[r["query_id"]].add(r["neighbor_id"])
+
     detail["ann_1m"] = {
         "n_vectors": n_vec,
         "n_queries": len(ann_qids),
@@ -677,6 +695,17 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
             "n_cells": 32,
             "m": 8,
             "k_per_subspace": 256,
+        },
+        # recall here is against the cosine brute-force truth, like the
+        # two rows above (the rerank metric is exact squared-L2, so the
+        # honest comparison is rerank vs plain ADC on the same truth)
+        "ivfpq_rerank": {
+            "search_sec": round(rr_sec, 2),
+            "recall_at_10": round(
+                sum(len(arr[q] & truth[q]) for q in truth) / total, 4
+            ),
+            "nprobe": 4,
+            "n_candidates": 100,
         },
     }
     ivf_idx.cells.unpersist()

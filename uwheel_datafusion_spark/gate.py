@@ -4251,6 +4251,29 @@ def dsir_importance_q(spark, sf_dir):
     return _cx.importance_weights(load_table(spark, sf_dir, "documents"))
 
 
+@gate("corpus_domain_filter", _cx.domain_filter_oracle())
+def corpus_domain_filter_q(spark, sf_dir):
+    """Domain-level aggregate filtering (C4/RefinedWeb/Dolma drop
+    whole domains whose aggregate stats fail, catching what per-doc
+    filters can't — a domain that is 40% boilerplate): flag docs with
+    a doc-level predicate (here: too short), aggregate the flag rate
+    per source, drop sources past 35% flagged (exact integer compare),
+    broadcast the |sources|-row verdict back. One tiny aggregate +
+    one broadcast join; the corpus is never shuffled."""
+    return _cx.domain_filter(load_table(spark, sf_dir, "documents"))
+
+
+@gate("corpus_oov_rate", _cx.oov_rate_oracle())
+def corpus_oov_rate_q(spark, sf_dir):
+    """OOV-rate novelty filter — the integer-exact proxy for CCNet's
+    KenLM perplexity gate (Wenzek et al. 2020): score each document by
+    the share of its token-stream bigrams unseen in a trusted
+    reference slice's vocabulary; keep when n_oov*100 <= n_grams*10.
+    Tokens materialize once; reference vocab broadcasts; the only
+    corpus shuffle is groupBy(doc_id)."""
+    return _cx.oov_rate(load_table(spark, sf_dir, "documents"))
+
+
 @gate("corpus_mixture_reweight", _cx.mixture_reweight_summary_oracle())
 def corpus_mixture_q(spark, sf_dir):
     """Pile/DoReMi-style mixture resampling to per-source target
@@ -5069,6 +5092,37 @@ def ann_ivfpq_wide_q(spark, sf_dir):
     )
 
 
+@gate(
+    "similarity_ann_ivfpq_rerank",
+    _sim.ivfpq_rerank_oracle(
+        query_ids=KNN_QUERY_IDS,
+        topk=5,
+        nprobe=4,
+        n_cells=32,
+        m=8,
+        k=64,
+        n_candidates=25,
+    ),
+)
+def ann_ivfpq_rerank_q(spark, sf_dir):
+    """Two-stage production ANN serving (the FAISS refine pattern,
+    IndexRefineFlat over IVFPQ): the byte-code IVF-PQ proposes
+    n_candidates=25 approximate neighbors from codes only, then the
+    EXACT squared-L2 metric is recomputed for just those candidates
+    against the stored full-precision vectors — a broadcast hash
+    equi-join on vec_id, one corpus pass, no shuffle — and the final
+    top-5 re-ranked. Recall recovers toward exact-scan quality while
+    exact-distance work stays O(|queries|*n_candidates), not O(N).
+    Oracle: the full relational wide-IVF-PQ replay as a candidate
+    subquery, refined by the same integer arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = _sim.ivf_build_wide(emb, n_cells=32)
+    pq = _sim.pq_build_wide(emb, m=8, k=64)
+    return _sim.ivfpq_search_rerank(
+        ivf, pq, emb, KNN_QUERY_IDS, topk=5, nprobe=4, n_candidates=25
+    )
+
+
 @gate("dedup_semantic_clustered", _sim.semantic_dedup_oracle())
 def semantic_dedup_q(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): semantic near-dup REMOVAL scoped
@@ -5149,6 +5203,32 @@ def centroids_q(spark, sf_dir):
     """IVF cell-centroid build (posexplode + partial agg on
     (cell, pos)): reduce volume is n_cells × dim, not corpus size."""
     return _sim.label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+@gate("embedding_rp_project", _sim.rp_project_oracle())
+def rp_project_q(spark, sf_dir):
+    """Johnson–Lindenstrauss random projection (Achlioptas 2003 ±1
+    matrix): 64-dim quantized vectors → 16 exact int64 components via
+    literal ±1 dot products — constant-folded, map-only, zero per-row
+    hashing. The dimension-reduction front end for ANN/clustering at
+    100 TB: 4× less distance work and shuffle width downstream, rank
+    distortion bounded by the JL lemma."""
+    return _sim.rp_project(load_table(spark, sf_dir, "embeddings"))
+
+
+@gate(
+    "similarity_knn_rp",
+    _sim.knn_rp_oracle(query_ids=KNN_QUERY_IDS, k=5),
+)
+def knn_rp_q(spark, sf_dir):
+    """Brute-force top-k in the JL-PROJECTED space: squared L2 over 16
+    exact int64 components instead of 64 — the reduced-dimension
+    serving path (project once, store the 16-wide sketch, scan it for
+    every query). Broadcast queries, one pass, per-query window
+    top-k."""
+    return _sim.knn_rp(
+        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=5
+    )
 
 
 @gate("embedding_int8_quantize", _sim.quantize_int8_packed_oracle())

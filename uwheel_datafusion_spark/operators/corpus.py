@@ -44,6 +44,10 @@ __all__ = [
     "mixture_reweight_summary_oracle",
     "importance_weights",
     "importance_weights_oracle",
+    "domain_filter",
+    "domain_filter_oracle",
+    "oov_rate",
+    "oov_rate_oracle",
 ]
 
 
@@ -617,4 +621,219 @@ def importance_weights_oracle(
         FROM (SELECT * FROM feats WHERE _b < {eval_lo}) cf
         JOIN weights USING (f)
         GROUP BY doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# domain-level aggregate filtering (C4/RefinedWeb "drop bad domains")
+# --------------------------------------------------------------------------
+
+#: drop a source when more than this percent of its documents trip the
+#: doc-level flag predicate (integer compare: flagged*100 > n*PCT)
+DOMAIN_MAX_FLAG_PCT = 35
+#: the gate's doc-level flag: "too short" (RefinedWeb drops domains
+#: dominated by boilerplate/short pages; the fixture's n_chars spread
+#: makes this split sources meaningfully at every SF)
+DOMAIN_FLAG_PREDICATE = "n_chars < 200"
+
+
+def domain_filter(
+    docs: DataFrame,
+    flag_predicate: str = DOMAIN_FLAG_PREDICATE,
+    source_col: str = "source",
+    max_flag_pct: int = DOMAIN_MAX_FLAG_PCT,
+) -> DataFrame:
+    """Domain-level aggregate filtering (public pipeline practice: C4
+    drops pages by site-level rules, RefinedWeb/Dolma drop whole
+    domains whose aggregate quality stats fail — a per-document filter
+    can't catch a domain that is 40% boilerplate). ``flag_predicate``
+    is a doc-level SQL predicate marking BAD documents; a source is
+    dropped when more than ``max_flag_pct`` percent of its documents
+    are flagged (exact integer compare, no float ratios).
+
+    Returns one row per document: (doc_id, source, doc_flag, n_docs,
+    n_flagged, source_keep, final_keep) where final_keep = source kept
+    AND doc not flagged.
+
+    Scale shape: one tiny aggregate (|sources| rows — domains are
+    ~1e6-row metadata at web scale, still broadcastable) grouped from
+    a map-only flag projection, broadcast-joined back to the corpus;
+    no corpus shuffle at any point.
+    """
+    flagged = docs.select(
+        "doc_id",
+        source_col,
+        F.expr(flag_predicate).cast("long").alias("doc_flag"),
+    )
+    stats = (
+        flagged.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_flag").alias("n_flagged"),
+        )
+        .withColumn(
+            "source_keep",
+            (
+                F.col("n_flagged") * 100
+                <= F.col("n_docs") * max_flag_pct
+            ).cast("long"),
+        )
+    )
+    return (
+        flagged.join(F.broadcast(stats), source_col)
+        .select(
+            "doc_id",
+            source_col,
+            "doc_flag",
+            "n_docs",
+            "n_flagged",
+            "source_keep",
+            (F.col("source_keep") * (1 - F.col("doc_flag")))
+            .cast("long")
+            .alias("final_keep"),
+        )
+    )
+
+
+def domain_filter_oracle(
+    table: str = "documents",
+    flag_predicate: str = DOMAIN_FLAG_PREDICATE,
+    source_col: str = "source",
+    max_flag_pct: int = DOMAIN_MAX_FLAG_PCT,
+) -> str:
+    return f"""
+        WITH flagged AS (
+            SELECT doc_id, {source_col},
+                   CAST(CASE WHEN {flag_predicate} THEN 1 ELSE 0 END
+                        AS BIGINT) AS doc_flag
+            FROM {table}
+        ),
+        stats AS (
+            SELECT {source_col}, COUNT(*) AS n_docs,
+                   SUM(doc_flag) AS n_flagged,
+                   CAST(CASE WHEN SUM(doc_flag) * 100
+                                  <= COUNT(*) * {max_flag_pct}
+                        THEN 1 ELSE 0 END AS BIGINT) AS source_keep
+            FROM flagged
+            GROUP BY {source_col}
+        )
+        SELECT f.doc_id, f.{source_col}, f.doc_flag,
+               s.n_docs, CAST(s.n_flagged AS BIGINT) AS n_flagged,
+               s.source_keep,
+               CAST(s.source_keep * (1 - f.doc_flag) AS BIGINT)
+                   AS final_keep
+        FROM flagged f JOIN stats s USING ({source_col})
+    """
+
+
+# --------------------------------------------------------------------------
+# OOV-rate novelty filter (the integer-exact CCNet proxy)
+# --------------------------------------------------------------------------
+
+#: doc_id hash buckets >= this form the trusted reference slice
+#: (CCNet's Wikipedia stand-in); deliberately distinct from
+#: DECON_EVAL_LO so the two splits don't alias
+OOV_REF_LO = 90
+OOV_BUCKETS = 100
+#: keep documents whose unseen-bigram share is <= this percent
+#: (integer compare n_oov*100 <= n_grams*PCT, no float ratios)
+OOV_MAX_PCT = 10
+
+
+def oov_rate(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    ref_lo: int = OOV_REF_LO,
+    buckets: int = OOV_BUCKETS,
+    max_oov_pct: int = OOV_MAX_PCT,
+) -> DataFrame:
+    """Out-of-vocabulary-rate quality filter — the integer-exact proxy
+    for CCNet's KenLM perplexity gate (Wenzek et al. 2020): a document
+    whose word bigrams are mostly unseen in a trusted reference corpus
+    is likely boilerplate/garbled, exactly what high LM perplexity
+    flags. The reference vocabulary here is the distinct bigram set of
+    a held-out doc_id hash-bucket slice (with real data: the curated
+    reference corpus). Token-STREAM bigrams (not distinct) are scored,
+    so repeated junk weighs in proportionally.
+
+    Returns one row per scored document: (doc_id, n_grams, n_oov,
+    oov_keep).
+
+    Scale shape: tokens materialize once (no per-position re-split);
+    the reference vocabulary is the small curated side → broadcast;
+    the corpus explodes bigrams map-side and the only shuffle is
+    groupBy(doc_id) — the decontaminate shape, uniform key, no skew.
+    """
+    d = SPARK
+    bucket = F.expr(hash_bucket_sql("doc_id", buckets))
+    grams = docs.select(
+        "doc_id", F.expr(d.split(text_col)).alias("_ts")
+    ).select("doc_id", F.expr(d.shingles("_ts", n)).alias("gs"))
+    vocab = (
+        grams.filter(bucket >= ref_lo)
+        .select(F.explode("gs").alias("gram"))
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    per_doc = (
+        grams.filter(bucket < ref_lo)
+        .select("doc_id", F.explode("gs").alias("gram"))
+        .join(F.broadcast(vocab), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("seen").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+    base = docs.filter(bucket < ref_lo).select("doc_id")
+    ng = F.coalesce("n_grams", F.lit(0))
+    no = F.coalesce("n_oov", F.lit(0))
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        ng.cast("long").alias("n_grams"),
+        no.cast("long").alias("n_oov"),
+        (no * 100 <= ng * max_oov_pct).cast("long").alias("oov_keep"),
+    )
+
+
+def oov_rate_oracle(
+    table: str = "documents",
+    text_col: str = "text",
+    n: int = 2,
+    ref_lo: int = OOV_REF_LO,
+    buckets: int = OOV_BUCKETS,
+    max_oov_pct: int = OOV_MAX_PCT,
+) -> str:
+    d = DUCK
+    bucket = hash_bucket_sql("doc_id", buckets)
+    return f"""
+        WITH toked AS (
+            SELECT doc_id, {d.split(text_col)} AS _ts FROM {table}
+        ),
+        grams AS (
+            SELECT doc_id, unnest({d.shingles('_ts', n)}) AS gram
+            FROM toked
+        ),
+        vocab AS (
+            SELECT DISTINCT gram FROM grams WHERE {bucket} >= {ref_lo}
+        ),
+        per_doc AS (
+            SELECT g.doc_id, COUNT(*) AS n_grams,
+                   SUM(CASE WHEN v.gram IS NULL THEN 1 ELSE 0 END)
+                       AS n_oov
+            FROM grams g LEFT JOIN vocab v USING (gram)
+            WHERE {bucket} < {ref_lo}
+            GROUP BY g.doc_id
+        )
+        SELECT t.doc_id,
+               CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+               CAST(CASE WHEN COALESCE(p.n_oov, 0) * 100
+                              <= COALESCE(p.n_grams, 0) * {max_oov_pct}
+                    THEN 1 ELSE 0 END AS BIGINT) AS oov_keep
+        FROM {table} t LEFT JOIN per_doc p USING (doc_id)
+        WHERE {hash_bucket_sql('t.doc_id', buckets)} < {ref_lo}
     """

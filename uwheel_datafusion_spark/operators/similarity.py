@@ -2151,6 +2151,122 @@ def ivfpq_search_wide_oracle(
 
 
 # --------------------------------------------------------------------------
+# IVF-PQ + exact re-rank: the FAISS refine stage (IndexRefineFlat)
+# --------------------------------------------------------------------------
+#
+# Production ANN serving is two-stage: the compressed index (IVF-PQ)
+# proposes n_candidates ≫ topk approximate neighbors cheaply from
+# codes only, then the EXACT metric is recomputed for just those
+# candidates against the stored full-precision vectors and the final
+# top-k re-ranked. Recall approaches exact-scan quality while the
+# exact distance work drops from O(N) to O(|queries|·n_candidates) —
+# the candidate frame is tiny, so the refine join is a broadcast hash
+# equi-join on vec_id over one corpus pass (no shuffle).
+
+
+def ivfpq_search_rerank(
+    ivf_index: IvfIndex,
+    pq_index: PqIndex,
+    vecs: DataFrame,
+    query_ids: tuple[int, ...],
+    topk: int = 5,
+    nprobe: int = 2,
+    n_candidates: int = 25,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: ADC candidates from ivfpq_search_wide, exact
+    squared-L2 re-rank over the quantized full vectors. Output
+    (query_id, neighbor_id, exact_dist, rnk) — rnk by (exact_dist,
+    neighbor_id), fully deterministic."""
+    assert n_candidates >= topk
+    cand = ivfpq_search_wide(
+        ivf_index,
+        pq_index,
+        vecs,
+        query_ids,
+        topk=n_candidates,
+        nprobe=nprobe,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    qv = _quantized(vecs, vec_col).select("vec_id", "qvec")
+    queries = qv.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qvec")
+    )
+    sqd = F.expr(SPARK.sum_list_bigint(SPARK.zip_sqdiff("q_qvec", "qvec")))
+    refined = (
+        qv.join(
+            F.broadcast(cand), F.col("vec_id") == F.col("neighbor_id")
+        )
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            sqd.cast("long").alias("exact_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("exact_dist", "neighbor_id")
+    return (
+        refined.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= topk)
+        .select("query_id", "neighbor_id", "exact_dist", "rnk")
+    )
+
+
+def ivfpq_rerank_oracle(
+    table: str = "embeddings",
+    query_ids: tuple[int, ...] = (),
+    topk: int = 5,
+    nprobe: int = 2,
+    n_cells: int = 64,
+    m: int = PQ_M,
+    k: int = 256,
+    n_candidates: int = 25,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of the refine stage: the full wide IVF-PQ oracle
+    (Lloyd cells + codebooks + ADC ranking) runs as a candidate
+    subquery at topk=n_candidates, then the exact squared-L2 distance
+    over re-quantized full vectors re-ranks — the same integer
+    arithmetic as the Spark path, bit-for-bit."""
+    d = DUCK
+    inner = ivfpq_search_wide_oracle(
+        table=table,
+        query_ids=query_ids,
+        topk=n_candidates,
+        nprobe=nprobe,
+        n_cells=n_cells,
+        m=m,
+        k=k,
+        n_iter=n_iter,
+        vec_col=vec_col,
+        dim=dim,
+    )
+    q = d.quantize_vec(vec_col, Q_SCALE)
+    sqd = d.sum_list_bigint(d.zip_sqdiff("q.qvec", "n.qvec"))
+    return f"""
+        WITH cand AS (SELECT query_id, neighbor_id FROM ({inner})),
+        fullv AS (SELECT vec_id, {q} AS qvec FROM {table}),
+        refined AS (
+            SELECT c.query_id, c.neighbor_id,
+                   CAST({sqd} AS BIGINT) AS exact_dist
+            FROM cand c
+            JOIN fullv n ON n.vec_id = c.neighbor_id
+            JOIN fullv q ON q.vec_id = c.query_id
+        )
+        SELECT query_id, neighbor_id, exact_dist,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY exact_dist, neighbor_id) AS rnk
+            FROM refined
+        )
+        WHERE rnk <= {topk}
+    """
+
+
+# --------------------------------------------------------------------------
 # semantic dedup (SemDeDup): cluster-scoped embedding near-dup removal
 # --------------------------------------------------------------------------
 
@@ -2308,4 +2424,155 @@ def ivf_cells_wide_oracle(
                        ORDER BY {dist}, c.cid) AS rn
             FROM qv CROSS JOIN {cfin} c
         ) WHERE rn = 1
+    """
+
+
+# --------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (Achlioptas ±1, integer-exact)
+# --------------------------------------------------------------------------
+#
+# Dimension reduction ahead of ANN/clustering: project d=64 vectors to
+# RP_DIM with a deterministic ±1 matrix (Achlioptas 2003 — database-
+# friendly JL projections use {−1,+1} entries; no Gaussians needed).
+# On quantized integer vectors the projection is an exact int64 dot
+# with a LITERAL ±1 array per output dim — constant-folded, map-only,
+# zero per-row hashing (the _plane_components lesson). Downstream
+# distance work drops dim/RP_DIM = 4× while JL preserves relative
+# distances within (1±ε) w.h.p.
+
+
+RP_DIM = 16
+
+
+def _rp_components(j: int, dim: int) -> list[int]:
+    """Deterministic ±1 row j of the projection matrix (md5 parity —
+    computed once driver-side, inlined as a literal)."""
+    import hashlib
+
+    return [
+        1
+        if int(hashlib.md5(f"rp{j}_{i}".encode()).hexdigest()[:8], 16) % 2
+        == 0
+        else -1
+        for i in range(1, dim + 1)
+    ]
+
+
+def _rp_expr(d, j: int, dim: int) -> str:
+    comps = ", ".join(str(c) for c in _rp_components(j, dim))
+    arr = f"array({comps})" if d.is_spark else f"[{comps}]"
+    return d.sum_list_bigint(d.zip_mult("qvec", arr))
+
+
+def rp_project(
+    vecs: DataFrame,
+    out_dim: int = RP_DIM,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Project each quantized vector to ``out_dim`` exact int64
+    components: (vec_id, rp_0 .. rp_{out_dim-1}). Map-only; scalar
+    output columns so results are driver-hashable."""
+    qv = _quantized(vecs, vec_col).select("vec_id", "qvec")
+    return qv.select(
+        "vec_id",
+        *[
+            F.expr(_rp_expr(SPARK, j, dim)).cast("long").alias(f"rp_{j}")
+            for j in range(out_dim)
+        ],
+    )
+
+
+def rp_project_oracle(
+    table: str = "embeddings",
+    out_dim: int = RP_DIM,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> str:
+    d = DUCK
+    q = d.quantize_vec(vec_col, Q_SCALE)
+    cols = ",\n  ".join(
+        f"CAST({_rp_expr(d, j, dim)} AS BIGINT) AS rp_{j}"
+        for j in range(out_dim)
+    )
+    return f"""
+        WITH qv AS (SELECT vec_id, {q} AS qvec FROM {table})
+        SELECT vec_id, {cols} FROM qv
+    """
+
+
+def knn_rp(
+    vecs: DataFrame,
+    query_ids: tuple[int, ...],
+    k: int = 5,
+    out_dim: int = RP_DIM,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Brute-force top-k in the PROJECTED space (squared L2 over
+    out_dim exact int64 components — 4× less distance work per pair
+    than the full dim; JL bounds the rank distortion). The projected
+    query rows broadcast; one corpus pass; per-query top-k via window
+    rank. Output (query_id, neighbor_id, rp_dist, rnk)."""
+    proj = rp_project(vecs, out_dim, vec_col, dim)
+    queries = proj.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"rp_{j}").alias(f"q_rp_{j}") for j in range(out_dim)],
+    )
+    dist = sum(
+        (F.col(f"q_rp_{j}") - F.col(f"rp_{j}"))
+        * (F.col(f"q_rp_{j}") - F.col(f"rp_{j}"))
+        for j in range(out_dim)
+    )
+    scored = (
+        proj.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dist.cast("long").alias("rp_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("rp_dist", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rp_dist", "rnk")
+    )
+
+
+def knn_rp_oracle(
+    table: str = "embeddings",
+    query_ids: tuple[int, ...] = (),
+    k: int = 5,
+    out_dim: int = RP_DIM,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> str:
+    d = DUCK
+    assert query_ids, "query_ids required"
+    ids = ", ".join(str(i) for i in query_ids)
+    q = d.quantize_vec(vec_col, Q_SCALE)
+    cols = ",\n  ".join(
+        f"CAST({_rp_expr(d, j, dim)} AS BIGINT) AS rp_{j}"
+        for j in range(out_dim)
+    )
+    dist = " + ".join(
+        f"(q.rp_{j} - v.rp_{j}) * (q.rp_{j} - v.rp_{j})"
+        for j in range(out_dim)
+    )
+    return f"""
+        WITH qv AS (SELECT vec_id, {q} AS qvec FROM {table}),
+        proj AS (SELECT vec_id, {cols} FROM qv),
+        scored AS (
+            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                   CAST({dist} AS BIGINT) AS rp_dist
+            FROM proj q JOIN proj v ON v.vec_id <> q.vec_id
+            WHERE q.vec_id IN ({ids})
+        )
+        SELECT query_id, neighbor_id, rp_dist, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY rp_dist, neighbor_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {k}
     """
