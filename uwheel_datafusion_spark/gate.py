@@ -6924,7 +6924,20 @@ _DRIVER_WINDOW_R7 = [
 # Gopher <= symbol-ratio bound, the 60-bit span gram hashes, the
 # subquery-scoped incremental oracles — plus the same every-family
 # spread as r7 (wheel, router, streaming, batch tiers, joins, windows).
+# Second rotation within round 8: the five operators added mid-round
+# (refine-stage rerank, JL projection x2, domain filter, OOV rate)
+# lead; to keep the window at 50, the five entries with the MOST
+# prior green driver rows stepped out (wheel_rollup_hour x5,
+# wheel_range_unaligned_hybrid x5, tpch_q21 x5,
+# streaming_wheel_rollup_parity x4, wheel_range_batch_serving x4 —
+# all remain locally gated and sweep-checked).
 _DRIVER_WINDOW = [
+    # --- round-8 cont.: refine stage, JL projection, corpus filters ---
+    "similarity_ann_ivfpq_rerank",
+    "embedding_rp_project",
+    "similarity_knn_rp",
+    "corpus_domain_filter",
+    "corpus_oov_rate",
     # --- round-8 must-proves ---
     "pipeline_scrub_quality_dedup",
     "similarity_ann_ivfpq_wide",
@@ -6949,12 +6962,9 @@ _DRIVER_WINDOW = [
     "pipeline_training_corpus",
     "pipeline_neardup_corpus",
     # --- wheel core / maintenance / batched serving ---
-    "wheel_rollup_hour",
-    "wheel_range_unaligned_hybrid",
-    "wheel_second_aligned_range",
+            "wheel_second_aligned_range",
     "wheel_extend_incremental",
-    "wheel_range_batch_serving",
-    # --- router cells ---
+        # --- router cells ---
     "router_batch_panels",
     "router_twa_range",
     "router_counter_day",
@@ -6964,8 +6974,7 @@ _DRIVER_WINDOW = [
     "router_topk_users_day",
     "router_keyed_ohlc_day",
     # --- streaming ---
-    "streaming_wheel_rollup_parity",
-    "streaming_keyed_rollup_parity",
+        "streaming_keyed_rollup_parity",
     "streaming_table_sink_parity",
     "streaming_ann_cells_parity",
     # --- engine facade + sketch batch tiers ---
@@ -6976,8 +6985,7 @@ _DRIVER_WINDOW = [
     # --- distinct / heavy hitters ---
     "heavy_hitters_mg_verified_range",
     # --- SQL surface: joins, subqueries, windows, as-of/overlap ---
-    "tpch_q21_waiting_supplier",
-    "asof_join_purchase_to_click",
+        "asof_join_purchase_to_click",
     "overlap_join_userday_error_windows",
     "session_window_30m_by_user",
     # --- similarity / ANN ---
