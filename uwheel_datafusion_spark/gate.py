@@ -4913,6 +4913,95 @@ def pipeline_scrub_quality_dedup_q(spark, sf_dir):
     )
 
 
+def _quality_ensemble_oracle() -> str:
+    from uwheel_datafusion_spark.operators.textops import (
+        gopher_quality_flags_oracle,
+    )
+
+    gop = gopher_quality_flags_oracle()
+    oov = _cx.oov_rate_oracle()
+    dom = _cx.domain_filter_oracle()
+    rep = _cx.repetition_profile_oracle()
+    return f"""
+        WITH gop AS (SELECT doc_id, gopher_keep FROM ({gop})),
+        oov AS (SELECT doc_id, oov_keep FROM ({oov})),
+        dom AS (SELECT doc_id, final_keep AS domain_keep FROM ({dom})),
+        rep AS (SELECT doc_id, repetitive FROM ({rep}))
+        SELECT d.doc_id, g.gopher_keep,
+               CAST(COALESCE(o.oov_keep, 1) AS BIGINT) AS oov_keep,
+               m.domain_keep,
+               CAST(1 - r.repetitive AS BIGINT) AS rep_keep,
+               CAST(g.gopher_keep + COALESCE(o.oov_keep, 1)
+                    + m.domain_keep + (1 - r.repetitive)
+                    AS BIGINT) AS keep_votes,
+               CAST(g.gopher_keep * COALESCE(o.oov_keep, 1)
+                    * m.domain_keep * (1 - r.repetitive)
+                    AS BIGINT) AS ensemble_keep
+        FROM documents d
+        JOIN gop g USING (doc_id)
+        JOIN dom m USING (doc_id)
+        JOIN rep r USING (doc_id)
+        LEFT JOIN oov o USING (doc_id)
+    """
+
+
+@gate("pipeline_quality_ensemble", _quality_ensemble_oracle())
+def pipeline_quality_ensemble_q(spark, sf_dir):
+    """Tagger-ensemble quality filtering (the Dolma/RefinedWeb shape:
+    several independent quality taggers vote per document, the corpus
+    keeps unanimous survivors and the vote counts feed ablations):
+    Gopher rules + OOV novelty rate + domain-level aggregate verdict +
+    repetition profile, each an existing gated operator, composed by
+    doc_id equi-joins. Per doc: the four keep flags, keep_votes, and
+    the unanimous ensemble_keep. Docs in the OOV reference slice are
+    not scored by that tagger and count as kept there (left join,
+    coalesce 1). Every tagger is map-only or uniform-key bounded
+    shuffle; the ensemble adds only doc_id joins."""
+    from uwheel_datafusion_spark.operators.textops import (
+        gopher_quality_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    gop = gopher_quality_flags(docs).select("doc_id", "gopher_keep")
+    oov = _cx.oov_rate(docs).select("doc_id", "oov_keep")
+    dom = _cx.domain_filter(docs).select(
+        "doc_id", F.col("final_keep").alias("domain_keep")
+    )
+    rep = _cx.repetition_profile(docs).select("doc_id", "repetitive")
+    oov_keep = F.coalesce("oov_keep", F.lit(1)).cast("long")
+    rep_keep = (1 - F.col("repetitive")).cast("long")
+    return (
+        docs.select("doc_id")
+        .join(gop, "doc_id")
+        .join(dom, "doc_id")
+        .join(rep, "doc_id")
+        .join(oov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "gopher_keep",
+            oov_keep.alias("oov_keep"),
+            "domain_keep",
+            rep_keep.alias("rep_keep"),
+            (
+                F.col("gopher_keep")
+                + oov_keep
+                + F.col("domain_keep")
+                + rep_keep
+            )
+            .cast("long")
+            .alias("keep_votes"),
+            (
+                F.col("gopher_keep")
+                * oov_keep
+                * F.col("domain_keep")
+                * rep_keep
+            )
+            .cast("long")
+            .alias("ensemble_keep"),
+        )
+    )
+
+
 @gate("dedup_simhash_fingerprints", _dd.simhash_fingerprints_oracle())
 def simhash_fp_q(spark, sf_dir):
     return _dd.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
