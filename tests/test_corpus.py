@@ -233,3 +233,60 @@ def test_canonicalize_tie_breaks_on_min_doc_id(spark):
     out = {r["doc_id"]: r for r in dd.canonicalize(docs, pairs).collect()}
     assert out[5]["canonical_id"] == 5 and out[5]["keep"] == 1
     assert out[7]["canonical_id"] == 5 and out[7]["keep"] == 0
+
+
+# --------------------------------------------------------------------------
+# domain filter
+# --------------------------------------------------------------------------
+
+
+def test_domain_filter_threshold_boundary(spark):
+    """A source at EXACTLY the max flag rate is kept (<=, matching the
+    oracle's integer cross-multiply); one past it is dropped, and
+    final_keep is source_keep AND NOT doc_flag."""
+    rows = []
+    # srcA: 7/20 flagged = 35% — exactly at the 35% default → kept
+    for i in range(20):
+        rows.append((i, "w " * 10, "en", "srcA", 100 if i < 7 else 300))
+    # srcB: 8/20 flagged = 40% → dropped
+    for i in range(20):
+        rows.append((100 + i, "w " * 10, "en", "srcB", 100 if i < 8 else 300))
+    out = cx.domain_filter(_docs(spark, rows)).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert all(r.source_keep == 1 for r in by_src["srcA"])
+    assert all(r.source_keep == 0 for r in by_src["srcB"])
+    assert all(r.final_keep == 0 for r in by_src["srcB"])
+    a_kept = [r for r in by_src["srcA"] if r.final_keep == 1]
+    # kept = srcA docs that are NOT flagged (n_chars >= 200)
+    assert len(a_kept) == 13
+    assert all(r.doc_flag == 0 for r in a_kept)
+
+
+# --------------------------------------------------------------------------
+# OOV rate
+# --------------------------------------------------------------------------
+
+
+def test_oov_rate_scores_against_reference_slice(spark):
+    """Docs whose bigrams all appear in the reference slice have
+    n_oov=0 and are kept; a doc of never-seen bigrams is dropped; a
+    doc too short for bigrams (1 token) scores (0, 0) and is kept."""
+    ref_ids = _ids_for(lambda b: b >= 90, 2)
+    low_ids = _ids_for(lambda b: b < 90, 3)
+    rows = [
+        (ref_ids[0], "alpha beta gamma", "en", "s", 16),
+        (ref_ids[1], "beta gamma delta", "en", "s", 16),
+        (low_ids[0], "alpha beta gamma delta", "en", "s", 22),  # all seen
+        (low_ids[1], "zz yy xx ww vv uu", "en", "s", 17),  # none seen
+        (low_ids[2], "alpha", "en", "s", 5),  # no bigrams
+    ]
+    out = {r.doc_id: r for r in cx.oov_rate(_docs(spark, rows)).collect()}
+    assert set(out) == set(low_ids)  # reference slice is not scored
+    ok = out[low_ids[0]]
+    assert (ok.n_grams, ok.n_oov, ok.oov_keep) == (3, 0, 1)
+    bad = out[low_ids[1]]
+    assert bad.n_grams == 5 and bad.n_oov == 5 and bad.oov_keep == 0
+    tiny = out[low_ids[2]]
+    assert (tiny.n_grams, tiny.n_oov, tiny.oov_keep) == (0, 0, 1)
