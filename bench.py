@@ -1077,7 +1077,53 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
             "m": 8,
             "k_per_subspace": 256,
         }
+
+        # two-stage refine (FAISS IndexRefineFlat): byte-code IVF-PQ
+        # candidates re-ranked by the exact metric — the recall the
+        # SERVING path actually ships, vs the raw ADC numbers above
+        from uwheel_datafusion_spark.operators.similarity import (
+            ivf_build_wide,
+            ivfpq_search_rerank,
+        )
+
+        ivfw = ivf_build_wide(emb, n_cells=4)
+        t0 = time.perf_counter()
+        rrank = ivfpq_search_rerank(
+            ivfw, pq256, emb, qids, topk=10, nprobe=2, n_candidates=50
+        ).collect()
+        rr_sec = time.perf_counter() - t0
+        arr: dict = defaultdict(set)
+        for r in rrank:
+            arr[r["query_id"]].add(r["neighbor_id"])
+        hits_rr = sum(len(arr[q] & truth[q]) for q in truth)
+        extras["ann_recall"]["ivfpq_rerank_vs_float"] = {
+            "recall_at_10": round(hits_rr / total, 4) if total else None,
+            "sec": round(rr_sec, 3),
+            "nprobe": 2,
+            "n_cells": 4,
+            "n_candidates": 50,
+            "m": 8,
+            "k_per_subspace": 256,
+        }
+        ivfw.cells.unpersist()
         pq256.codes.unpersist()
+
+        # JL random projection: exact search in the 16-dim projected
+        # space — the dimension-reduction front end's rank distortion
+        from uwheel_datafusion_spark.operators.similarity import knn_rp
+
+        t0 = time.perf_counter()
+        rp = knn_rp(emb, qids, k=10).collect()
+        rp_sec = time.perf_counter() - t0
+        arp: dict = defaultdict(set)
+        for r in rp:
+            arp[r["query_id"]].add(r["neighbor_id"])
+        hits_rp = sum(len(arp[q] & truth[q]) for q in truth)
+        extras["ann_recall"]["rp16_vs_float"] = {
+            "recall_at_10": round(hits_rp / total, 4) if total else None,
+            "sec": round(rp_sec, 3),
+            "out_dim": 16,
+        }
 
         # IVF-PQ: the composed production index — coarse-cell probe ×
         # compressed-domain ADC; recall is bounded above by BOTH tiers
