@@ -2179,16 +2179,36 @@ def ivfpq_search_rerank(
     (query_id, neighbor_id, exact_dist, rnk) — rnk by (exact_dist,
     neighbor_id), fully deterministic."""
     assert n_candidates >= topk
-    cand = ivfpq_search_wide(
-        ivf_index,
-        pq_index,
-        vecs,
-        query_ids,
-        topk=n_candidates,
-        nprobe=nprobe,
-        vec_col=vec_col,
-    ).select("query_id", "neighbor_id")
-    qv = _quantized(vecs, vec_col).select("vec_id", "qvec")
+    # the candidate frame is bounded at |queries|·n_candidates rows by
+    # construction, so collecting it is a bounded driver transfer (the
+    # centroid/LUT policy) — and turning the candidate ids into an
+    # isin() predicate lets the refine stage's corpus read PUSH DOWN to
+    # the parquet scan (row-group pruning) instead of full-scanning the
+    # corpus to feed a broadcast join. At 100 TB the refine becomes a
+    # point-lookup read of ~|q|·C vectors, not a corpus pass.
+    cand_rows = (
+        ivfpq_search_wide(
+            ivf_index,
+            pq_index,
+            vecs,
+            query_ids,
+            topk=n_candidates,
+            nprobe=nprobe,
+            vec_col=vec_col,
+        )
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+    spark = vecs.sparkSession
+    cand = spark.createDataFrame(
+        [(r["query_id"], r["neighbor_id"]) for r in cand_rows],
+        "query_id long, neighbor_id long",
+    )
+    cand_ids = sorted({r["neighbor_id"] for r in cand_rows})
+    qv = _quantized(
+        vecs.filter(F.col("vec_id").isin(cand_ids + list(query_ids))),
+        vec_col,
+    ).select("vec_id", "qvec")
     queries = qv.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qvec")
     )
