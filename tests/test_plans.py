@@ -335,6 +335,12 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_correctness):
                                            # |query_ids| LUT frame vs
                                            # one corpus CODES scan —
                                            # same linear shape as int8
+        "similarity_knn_rp",               # JL-projected exact search:
+                                           # broadcast of |query_ids|
+                                           # projected rows vs one scan
+                                           # of the 16-wide sketch —
+                                           # the same linear brute-
+                                           # force-baseline shape
         "tpch_q11_important_part_value",   # 1-row broadcast threshold
                                            # (crossJoin of a scalar agg —
                                            # benign at any scale)

@@ -2399,15 +2399,17 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def region_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join: fact orders ⋈ broadcast dims (SURVEY §2.3 — Spark
-    gives every join flavor; dims are broadcast so the only shuffle is
-    the final group-by)."""
+    """Star join: fact orders ⋈ dims (SURVEY §2.3 — Spark gives every
+    join flavor). nation/region are CONSTANT-size dims → forced
+    broadcast; customer GROWS with scale factor (150k·SF rows — tens
+    of GB at warehouse scale), so its join is left to AQE, which
+    broadcasts at test scale and shuffle-hash-joins when it must."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     joined = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -2447,7 +2449,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     agg = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey")
         .agg(_sum_micros(rev).alias("rev_micros"))
     )
@@ -2512,9 +2514,10 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5: six-way join with a compound join condition
     (supplier must share the customer's nation). The two fact tables
-    (orders, lineitem) sort-merge/shuffle-hash on orderkey; customer,
-    supplier, nation, region broadcast — so the plan has exactly one
-    big shuffle pair plus the final group-by, which is what survives a
+    (orders, lineitem) sort-merge/shuffle-hash on orderkey; nation and
+    region (constant-size) broadcast by hint, customer/supplier (they
+    GROW with SF) by AQE only while they fit — so the plan has one big
+    shuffle pair plus the final group-by, which is what survives a
     100× scale-up."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
@@ -2528,9 +2531,9 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -2628,8 +2631,9 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q14: conditional aggregation — a CASE inside the sum
     splits promo revenue from total in ONE pass (no second scan, no
-    self-join); the month filter pushes to the lineitem scan and the
-    part dim broadcasts. Both sums use the scaled-long policy; the
+    self-join); the month filter pushes to the lineitem scan and AQE
+    broadcasts the part dim while it fits (it grows with SF, so no
+    forced hint). Both sums use the scaled-long policy; the
     ratio divides the exact int64 sums as the final lowering."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
@@ -2643,7 +2647,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     return (
-        month.join(F.broadcast(p), month.l_partkey == p.p_partkey)
+        month.join(p, month.l_partkey == p.p_partkey)
         .agg(
             (
                 F.lit(100.0)
@@ -2682,7 +2686,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             micros_to_value(_sum_micros(rev)).alias("revenue"),
@@ -2735,8 +2739,8 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
         .filter(
@@ -2797,12 +2801,12 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     )
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
@@ -2851,9 +2855,9 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity"
     ) * F.col("p_retailprice") * F.lit(0.1)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -2895,7 +2899,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(_sum_micros(rev).alias("rev_micros"))
@@ -2948,7 +2952,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_micros = revenue.agg(F.max("total_micros")).first()[0]
     return (
         revenue.filter(F.col("total_micros") == F.lit(max_micros))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -3032,7 +3036,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(hot), li.l_orderkey == F.col("hot_key"))
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "c_name",
             "c_custkey",
@@ -3271,7 +3275,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     pv = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(_sum_micros(rev).alias("v_micros"))
     )
@@ -3577,16 +3581,17 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def brand_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact ⋈ two broadcast dims (part, supplier) with a dim-side
-    filter pushed into the part scan — completes join coverage over
-    every fixture table."""
+    """Fact ⋈ two dims (part, supplier — SF-scaled, so joined
+    without a forced broadcast hint; AQE broadcasts them while they
+    fit) with a dim-side filter pushed into the part scan — completes
+    join coverage over every fixture table."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
     s = load_table(spark, sf_dir, "supplier")
     rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .groupBy("p_brand", "s_name")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
@@ -4269,7 +4274,9 @@ def corpus_oov_rate_q(spark, sf_dir):
     KenLM perplexity gate (Wenzek et al. 2020): score each document by
     the share of its token-stream bigrams unseen in a trusted
     reference slice's vocabulary; keep when n_oov*100 <= n_grams*10.
-    Tokens materialize once; reference vocab broadcasts; the only
+    Tokens materialize once; the vocab join is a plain equi-join on
+    gram (AQE broadcasts it when small; a Wikipedia-scale vocabulary
+    shuffles, the scalable shape); the only
     corpus shuffle is groupBy(doc_id)."""
     return _cx.oov_rate(load_table(spark, sf_dir, "documents"))
 

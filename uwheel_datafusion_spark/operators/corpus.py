@@ -761,9 +761,11 @@ def oov_rate(
     oov_keep).
 
     Scale shape: tokens materialize once (no per-position re-split);
-    the reference vocabulary is the small curated side → broadcast;
-    the corpus explodes bigrams map-side and the only shuffle is
-    groupBy(doc_id) — the decontaminate shape, uniform key, no skew.
+    the vocab lookup is a plain equi-join on gram — NOT a forced
+    broadcast, because a real reference vocabulary can be 1e8+ rows
+    (AQE still broadcasts it whenever it is small); the corpus
+    explodes bigrams map-side and the remaining shuffle is
+    groupBy(doc_id) — uniform key, no skew.
     """
     d = SPARK
     bucket = F.expr(hash_bucket_sql("doc_id", buckets))
@@ -776,10 +778,15 @@ def oov_rate(
         .distinct()
         .withColumn("seen", F.lit(1))
     )
+    # NO broadcast hint, deliberately: unlike decontaminate's eval
+    # side (benchmark suites, a few MB by nature), a reference
+    # vocabulary can be corpus-sized (a Wikipedia-scale bigram set is
+    # ~1e8 rows) — the scalable shape is an equi-join on gram, and AQE
+    # still picks a broadcast join whenever the vocab IS small.
     per_doc = (
         grams.filter(bucket < ref_lo)
         .select("doc_id", F.explode("gs").alias("gram"))
-        .join(F.broadcast(vocab), "gram", "left")
+        .join(vocab, "gram", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -882,14 +882,17 @@ def canonicalize(
     throws away content); docs outside the pair graph are their own
     canonical and always kept.
 
-    Scale shape: component labels are one row per clustered doc (tiny
-    vs corpus) → broadcast onto the corpus; the canonical argmax is a
-    groupBy over the labeled subset only; final join back is keyed on
+    Scale shape: component labels are one row per CLUSTERED doc — a
+    plain equi-join on doc_id, deliberately not a forced broadcast: in
+    a web-scale corpus the near-dup fraction can be 30–50% of all
+    documents, far past broadcast size (AQE still broadcasts the label
+    table whenever it IS small); the canonical argmax is a groupBy
+    over the labeled subset only; final join back is keyed on
     component. No corpus-wide shuffle beyond what CC itself does."""
     comp = connected_components(pairs, a_col, b_col)
     labeled = (
         docs.select("doc_id", "n_chars")
-        .join(F.broadcast(comp), "doc_id", "left")
+        .join(comp, "doc_id", "left")
         .withColumn("component", F.coalesce("component", F.col("doc_id")))
         .withColumn(
             "ord",
