@@ -4281,6 +4281,18 @@ def corpus_oov_rate_q(spark, sf_dir):
     return _cx.oov_rate(load_table(spark, sf_dir, "documents"))
 
 
+@gate("corpus_dsir_select", _cx.dsir_select_oracle())
+def dsir_select_q(spark, sf_dir):
+    """DSIR top-25% data SELECTION (the step the importance scores
+    exist for): documents bucket by doc_id hash and each bucket keeps
+    its own top-p% by score_per_feat — with uniform buckets the union
+    converges to the global top-p% while rank parallelism = bucket
+    count and no global sort ever happens (Spark plans the per-bucket
+    prefix as WindowGroupLimit, truncated map-side before the
+    shuffle). Deterministic: score ties break by doc_id."""
+    return _cx.dsir_select(load_table(spark, sf_dir, "documents"))
+
+
 @gate("corpus_mixture_reweight", _cx.mixture_reweight_summary_oracle())
 def corpus_mixture_q(spark, sf_dir):
     """Pile/DoReMi-style mixture resampling to per-source target

@@ -48,6 +48,8 @@ __all__ = [
     "domain_filter_oracle",
     "oov_rate",
     "oov_rate_oracle",
+    "dsir_select",
+    "dsir_select_oracle",
 ]
 
 
@@ -843,4 +845,92 @@ def oov_rate_oracle(
                     THEN 1 ELSE 0 END AS BIGINT) AS oov_keep
         FROM {table} t LEFT JOIN per_doc p USING (doc_id)
         WHERE {hash_bucket_sql('t.doc_id', buckets)} < {ref_lo}
+    """
+
+
+# --------------------------------------------------------------------------
+# DSIR top-p% selection (score → select, the step after scoring)
+# --------------------------------------------------------------------------
+
+#: keep this percent of scored documents
+DSIR_SELECT_PCT = 25
+#: independent selection buckets — parallelism of the rank, and the
+#: reason no global sort exists (each bucket keeps its own top-p%)
+DSIR_SELECT_BUCKETS = 16
+
+
+def dsir_select(
+    docs: DataFrame,
+    text_col: str = "text",
+    pct: int = DSIR_SELECT_PCT,
+    sel_buckets: int = DSIR_SELECT_BUCKETS,
+) -> DataFrame:
+    """Select the top ``pct`` percent of documents by DSIR importance
+    score — the data-selection step the scores exist for. A global
+    top-p% needs a global sort (or a driver-side threshold); the
+    scalable form used here buckets documents by doc_id hash and keeps
+    each bucket's own top-p% (ceil per bucket): with uniform buckets
+    the union converges to the global top-p% while rank parallelism =
+    bucket count and NO global sort ever happens (the pack_chunks /
+    mixture_reweight precedent — Spark plans the per-bucket prefix as
+    WindowGroupLimit, truncating map-side before the shuffle).
+
+    Returns the selected rows: (doc_id, sel_bucket, score_per_feat,
+    sel_rank), deterministic (score ties break by doc_id).
+    """
+    from pyspark.sql import Window as W
+
+    w = importance_weights(docs, text_col)
+    b = F.expr(hash_bucket_sql("doc_id", sel_buckets))
+    scored = w.select(
+        "doc_id", "score_per_feat", b.cast("long").alias("sel_bucket")
+    )
+    counts = scored.groupBy("sel_bucket").agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    targets = counts.withColumn(
+        "t_b", F.expr(f"CAST((n_b * {pct} + 99) DIV 100 AS BIGINT)")
+    )
+    wspec = W.partitionBy("sel_bucket").orderBy(
+        F.col("score_per_feat").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.join(
+            F.broadcast(targets.select("sel_bucket", "t_b")), "sel_bucket"
+        )
+        .withColumn("sel_rank", F.row_number().over(wspec).cast("long"))
+        .filter(F.col("sel_rank") <= F.col("t_b"))
+        .select("doc_id", "sel_bucket", "score_per_feat", "sel_rank")
+    )
+
+
+def dsir_select_oracle(
+    table: str = "documents",
+    text_col: str = "text",
+    pct: int = DSIR_SELECT_PCT,
+    sel_buckets: int = DSIR_SELECT_BUCKETS,
+) -> str:
+    inner = importance_weights_oracle(table, text_col)
+    b = hash_bucket_sql("doc_id", sel_buckets)
+    return f"""
+        WITH w AS (SELECT doc_id, score_per_feat FROM ({inner})),
+        scored AS (
+            SELECT doc_id, score_per_feat,
+                   CAST({b} AS BIGINT) AS sel_bucket
+            FROM w
+        ),
+        targets AS (
+            SELECT sel_bucket,
+                   CAST((COUNT(*) * {pct} + 99) // 100 AS BIGINT) AS t_b
+            FROM scored GROUP BY sel_bucket
+        )
+        SELECT doc_id, sel_bucket, score_per_feat,
+               CAST(rn AS BIGINT) AS sel_rank
+        FROM (
+            SELECT s.*, t.t_b,
+                   row_number() OVER (PARTITION BY s.sel_bucket
+                       ORDER BY s.score_per_feat DESC, s.doc_id ASC) AS rn
+            FROM scored s JOIN targets t USING (sel_bucket)
+        )
+        WHERE rn <= t_b
     """

@@ -1711,7 +1711,14 @@ def ivf_search_wide(
             pairs.append((int(r["vec_id"]), int(cell)))
     probe_pairs = spark.createDataFrame(pairs, "query_id long, q_cell long")
 
-    corpus = qv.join(index.cells, "vec_id")
+    # explicit probed-cell predicate on the cells side: the broadcast
+    # hash join alone would also drop unprobed cells, but only AFTER
+    # reading them — the literal isin() reaches a parquet-backed cells
+    # table as a pushed filter (the streamed index is PARTITIONED BY
+    # cell precisely so this prunes whole partitions)
+    probed = sorted({c for _, c in pairs})
+    cells = index.cells.filter(F.col("cell").isin(probed))
+    corpus = qv.join(cells, "vec_id")
     queries = qv.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("qvec").alias("q_qvec"),
@@ -1955,8 +1962,13 @@ def ivfpq_search_wide(
         F.element_at(f"lut_{s}", (F.col(f"code_{s}") + 1).cast("int"))
         for s in range(m)
     )
+    # probed-cell predicate for partition/row-group pruning on a
+    # parquet-backed cells table (see ivf_search_wide) — the join
+    # would drop the rows anyway, but only after reading them
+    probed_cells = sorted({c for _, c in pairs})
+    cells = ivf_index.cells.filter(F.col("cell").isin(probed_cells))
     scored = (
-        pq_index.codes.join(ivf_index.cells, "vec_id")
+        pq_index.codes.join(cells, "vec_id")
         .join(F.broadcast(probe_pairs), F.col("cell") == F.col("q_cell"))
         .join(F.broadcast(lut_frame), "query_id")
         .filter(F.col("vec_id") != F.col("query_id"))
