@@ -1125,6 +1125,95 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
             "out_dim": 16,
         }
 
+        # planted near-duplicate probe: the fixture's random embeddings
+        # CONCENTRATE distances (d_10 ≈ d_median in 64-dim), so the
+        # absolute recalls above are structurally low for any coarse
+        # quantizer. Planting queries AT small deterministic
+        # perturbations of corpus vectors measures the same indexes in
+        # the separated regime ANN serves in practice (near-dup
+        # retrieval: the true neighborhood is genuinely close) —
+        # recall here isolates index quality from fixture pathology.
+        from uwheel_datafusion_spark.operators.similarity import (
+            ivf_search_wide,
+            ivfpq_search_wide,
+        )
+
+        n_plant = 20
+        base_ids = [
+            r[0]
+            for r in emb.select("vec_id").orderBy("vec_id").limit(n_plant).collect()
+        ]
+        max_id = emb.agg(F.max("vec_id")).first()[0]
+        planted = emb.filter(F.col("vec_id").isin(base_ids)).select(
+            (F.col("vec_id") + max_id + 1).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> CAST(x + "
+                "((hash(vec_id * 131 + i) % 100) / 20000.0) AS FLOAT))"
+            ).alias("embedding"),
+            "label",
+        )
+        emb2 = emb.select("vec_id", "embedding", "label").union(planted)
+        plant_qids = tuple(int(b) + max_id + 1 for b in base_ids)
+
+        bf2 = knn_brute_force(emb2, plant_qids, k=10).collect()
+        truth2: dict = defaultdict(set)
+        for r in bf2:
+            truth2[r["query_id"]].add(r["neighbor_id"])
+        total2 = sum(len(v) for v in truth2.values())
+
+        ivf2 = ivf_build_wide(emb2, n_cells=4)
+        got_ivf = ivf_search_wide(
+            ivf2, emb2, plant_qids, k=10, nprobe=2
+        ).collect()
+        a_ivf: dict = defaultdict(set)
+        for r in got_ivf:
+            a_ivf[r["query_id"]].add(r["neighbor_id"])
+
+        pq2 = pq_build_wide(emb2, m=8, k=256)
+        got_adc = ivfpq_search_wide(
+            ivf2, pq2, emb2, plant_qids, topk=10, nprobe=2
+        ).collect()
+        a_adc: dict = defaultdict(set)
+        for r in got_adc:
+            a_adc[r["query_id"]].add(r["neighbor_id"])
+
+        got_rr = ivfpq_search_rerank(
+            ivf2, pq2, emb2, plant_qids, topk=10, nprobe=2,
+            n_candidates=50,
+        ).collect()
+        a_rr: dict = defaultdict(set)
+        for r in got_rr:
+            a_rr[r["query_id"]].add(r["neighbor_id"])
+
+        def _rec(a):
+            return (
+                round(sum(len(a[q] & truth2[q]) for q in truth2) / total2, 4)
+                if total2
+                else None
+            )
+
+        # top-1 source hit rate: the planted query's nearest true
+        # neighbor IS its source vector — the dedup-retrieval yes/no
+        top1 = {
+            r["query_id"]: r["neighbor_id"]
+            for r in got_rr
+            if r["rnk"] == 1
+        }
+        src_hits = sum(
+            1
+            for q, b in zip(plant_qids, base_ids)
+            if top1.get(q) == b
+        )
+        extras["ann_recall"]["planted_neardup"] = {
+            "n_planted": n_plant,
+            "ivf_nprobe2": _rec(a_ivf),
+            "ivfpq_adc_nprobe2": _rec(a_adc),
+            "ivfpq_rerank_nprobe2": _rec(a_rr),
+            "rerank_top1_source_hit_rate": round(src_hits / n_plant, 4),
+        }
+        ivf2.cells.unpersist()
+        pq2.codes.unpersist()
+
         # IVF-PQ: the composed production index — coarse-cell probe ×
         # compressed-domain ADC; recall is bounded above by BOTH tiers
         from uwheel_datafusion_spark.operators.similarity import ann_ivfpq_topk
