@@ -7046,6 +7046,8 @@ _DRIVER_WINDOW = [
     "similarity_knn_rp",
     "corpus_domain_filter",
     "corpus_oov_rate",
+    "pipeline_quality_ensemble",
+    "corpus_dsir_select",
     # --- round-8 must-proves ---
     "pipeline_scrub_quality_dedup",
     "similarity_ann_ivfpq_wide",
@@ -7078,7 +7080,6 @@ _DRIVER_WINDOW = [
     "router_counter_day",
     "router_m4_range",
     "router_median_day_rollup",
-    "router_quarter_rollup",
     "router_topk_users_day",
     "router_keyed_ohlc_day",
     # --- streaming ---
@@ -7087,7 +7088,6 @@ _DRIVER_WINDOW = [
     "streaming_ann_cells_parity",
     # --- engine facade + sketch batch tiers ---
     "engine_batch_quantile_ohlc",
-    "sketch_batch_quantile_ohlc",
     "sketch_batch_heavy_hitters",
     "keyed_rollup_batch_served",
     # --- distinct / heavy hitters ---
