@@ -708,6 +708,65 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
             "n_candidates": 100,
         },
     }
+
+    # planted near-duplicate probe at 1 M vectors: the synthetic
+    # corpus concentrates distances like the fixture does, so the
+    # recalls above are the concentrated-regime numbers; planting
+    # queries AT small deterministic perturbations of corpus vectors
+    # measures the index in the separated regime (near-dup retrieval)
+    # — see bench.py ann_recall.planted_neardup for the sf0.1 twin.
+    plant_base = [int(q) for q in ann_qids]
+    planted = emb.filter(F.col("vec_id").isin(plant_base)).select(
+        (F.col("vec_id") + n_vec).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(x + "
+            "((hash(vec_id * 131 + i) % 100) / 20000.0) AS FLOAT))"
+        ).alias("embedding"),
+    )
+    emb2 = emb.select("vec_id", "embedding").union(planted).cache()
+    emb2.count()
+    plant_qids = tuple(q + n_vec for q in plant_base)
+    bf_p = knn_brute_force(emb2, plant_qids, k=10).collect()
+    truth_p: dict = defaultdict(set)
+    for r in bf_p:
+        truth_p[r["query_id"]].add(r["neighbor_id"])
+    total_p = sum(len(v) for v in truth_p.values())
+    # reuse the EXISTING indexes' centroids/codebooks; assign the 20
+    # planted rows through the same kernels by rebuilding cells/codes
+    # over emb2 is overkill — production would add() them; here the
+    # rerank runs over a fresh small build to keep the probe honest
+    ivf_p = ivf_build_wide(emb2, n_cells=32)
+    pq_p = pq_build_wide(emb2, m=8, k=256)
+    t0 = time.perf_counter()
+    rr_p = ivfpq_search_rerank(
+        ivf_p, pq_p, emb2, plant_qids, topk=10, nprobe=4,
+        n_candidates=100,
+    ).collect()
+    rr_p_sec = time.perf_counter() - t0
+    a_p: dict = defaultdict(set)
+    for r in rr_p:
+        a_p[r["query_id"]].add(r["neighbor_id"])
+    top1_p = {
+        r["query_id"]: r["neighbor_id"] for r in rr_p if r["rnk"] == 1
+    }
+    src_hits_p = sum(
+        1 for q, b in zip(plant_qids, plant_base) if top1_p.get(q) == b
+    )
+    detail["ann_1m"]["planted_neardup"] = {
+        "n_planted": len(plant_qids),
+        "rerank_recall_at_10": round(
+            sum(len(a_p[q] & truth_p[q]) for q in truth_p) / total_p, 4
+        )
+        if total_p
+        else None,
+        "rerank_top1_source_hit_rate": round(
+            src_hits_p / len(plant_qids), 4
+        ),
+        "rerank_search_sec": round(rr_p_sec, 2),
+    }
+    ivf_p.cells.unpersist()
+    pq_p.codes.unpersist()
+    emb2.unpersist()
     ivf_idx.cells.unpersist()
     pq_idx.codes.unpersist()
     emb.unpersist()
