@@ -4293,6 +4293,19 @@ def dsir_select_q(spark, sf_dir):
     return _cx.dsir_select(load_table(spark, sf_dir, "documents"))
 
 
+@gate("corpus_dsir_select_exact", _cx.dsir_select_exact_oracle())
+def dsir_select_exact_q(spark, sf_dir):
+    """EXACT global top-25% DSIR selection WITH TIES (FETCH FIRST n
+    WITH TIES semantics) — the exact complement to the per-bucket
+    approximation: pass 1 aggregates the integer score histogram
+    (cardinality bounded by the score's VALUE RANGE, not corpus size,
+    so the driver transfer is bounded at any scale) and walks it to
+    the threshold; pass 2 is a map-only filter. Keeping all ties at
+    the threshold removes any need for a single-partition tie-rank
+    window. No global sort anywhere."""
+    return _cx.dsir_select_exact(load_table(spark, sf_dir, "documents"))
+
+
 @gate("corpus_mixture_reweight", _cx.mixture_reweight_summary_oracle())
 def corpus_mixture_q(spark, sf_dir):
     """Pile/DoReMi-style mixture resampling to per-source target
@@ -7048,6 +7061,7 @@ _DRIVER_WINDOW = [
     "corpus_oov_rate",
     "pipeline_quality_ensemble",
     "corpus_dsir_select",
+    "corpus_dsir_select_exact",
     # --- round-8 must-proves ---
     "pipeline_scrub_quality_dedup",
     "similarity_ann_ivfpq_wide",
@@ -7066,7 +7080,6 @@ _DRIVER_WINDOW = [
     "dedup_span_islands",
     "dedup_span_scrub",
     "dedup_span_incremental",
-    "dedup_lsh_incremental",
     "pipeline_incremental_ingest",
     "pipeline_clean_corpus",
     "pipeline_training_corpus",

@@ -50,6 +50,8 @@ __all__ = [
     "oov_rate_oracle",
     "dsir_select",
     "dsir_select_oracle",
+    "dsir_select_exact",
+    "dsir_select_exact_oracle",
 ]
 
 
@@ -933,4 +935,70 @@ def dsir_select_oracle(
             FROM scored s JOIN targets t USING (sel_bucket)
         )
         WHERE rn <= t_b
+    """
+
+
+def dsir_select_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    pct: int = DSIR_SELECT_PCT,
+) -> DataFrame:
+    """EXACT global top-p% selection WITH TIES (the FETCH FIRST n
+    WITH TIES semantics) — the exact complement to dsir_select's
+    per-bucket approximation, still with no global sort:
+
+    pass 1 aggregates the integer score HISTOGRAM (cardinality is
+    bounded by the score's value range — DSIR weights are scaled
+    integers — NOT by corpus size, so the driver transfer stays
+    bounded at any corpus scale) and walks it descending to the
+    threshold T = max score where the cumulative count reaches
+    ceil(n·p/100); pass 2 is a map-only filter score >= T. All ties
+    at T are kept, so no single-partition tie-ranking window ever
+    exists and the result is deterministic.
+
+    Returns (doc_id, score_per_feat) for the selected documents.
+    """
+    w = importance_weights(docs, text_col).select(
+        "doc_id", "score_per_feat"
+    )
+    hist = (
+        w.groupBy("score_per_feat")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    n = sum(r["c"] for r in hist)
+    if n == 0:
+        return w
+    target = -(-n * pct // 100)  # ceil(n*pct/100)
+    run, thr = 0, None
+    for r in sorted(hist, key=lambda r: -r["score_per_feat"]):
+        run += r["c"]
+        thr = r["score_per_feat"]
+        if run >= target:
+            break
+    return w.filter(F.col("score_per_feat") >= thr)
+
+
+def dsir_select_exact_oracle(
+    table: str = "documents",
+    text_col: str = "text",
+    pct: int = DSIR_SELECT_PCT,
+) -> str:
+    inner = importance_weights_oracle(table, text_col)
+    return f"""
+        WITH w AS (SELECT doc_id, score_per_feat FROM ({inner})),
+        tot AS (SELECT COUNT(*) AS n FROM w),
+        hist AS (
+            SELECT score_per_feat AS s, COUNT(*) AS c
+            FROM w GROUP BY 1
+        ),
+        cum AS (
+            SELECT s, SUM(c) OVER (ORDER BY s DESC) AS cum FROM hist
+        ),
+        thr AS (
+            SELECT MAX(s) AS t FROM cum, tot
+            WHERE cum >= (n * {pct} + 99) // 100
+        )
+        SELECT w.doc_id, w.score_per_feat
+        FROM w, thr WHERE w.score_per_feat >= thr.t
     """
