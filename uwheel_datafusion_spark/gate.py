@@ -4063,6 +4063,18 @@ def text_winnow_fingerprints_q(spark, sf_dir):
     return _tx.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+@gate("text_keyword_search", _tx.keyword_search_oracle())
+def keyword_search_q(spark, sf_dir):
+    """Lexical keyword retrieval — the inverted-index complement to
+    the embedding ANN tier: integer-exact TF-IDF (idf = SCALE*N div
+    df, no libm logs) over query-term postings only. The exploded
+    token stream filters to the |terms| literals BEFORE any shuffle
+    (the inverted-index access path at scale); df is a |terms|-row
+    broadcast; the top-k is orderBy+limit = TakeOrderedAndProject,
+    a map-side partial top-k, never a global sort."""
+    return _tx.keyword_search(load_table(spark, sf_dir, "documents"))
+
+
 @gate("text_gopher_quality", _tx.gopher_quality_flags_oracle())
 def text_gopher_quality_q(spark, sf_dir):
     """Gopher rule-based pretraining filter (Rae et al. 2021 A1.1):
@@ -7062,6 +7074,7 @@ _DRIVER_WINDOW = [
     "pipeline_quality_ensemble",
     "corpus_dsir_select",
     "corpus_dsir_select_exact",
+    "text_keyword_search",
     # --- round-8 must-proves ---
     "pipeline_scrub_quality_dedup",
     "similarity_ann_ivfpq_wide",
@@ -7093,7 +7106,6 @@ _DRIVER_WINDOW = [
     "router_counter_day",
     "router_m4_range",
     "router_median_day_rollup",
-    "router_topk_users_day",
     "router_keyed_ohlc_day",
     # --- streaming ---
         "streaming_keyed_rollup_parity",

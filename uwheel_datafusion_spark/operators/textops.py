@@ -618,3 +618,96 @@ def pii_redact_profile_oracle(
                CAST(length({red}) AS BIGINT) AS redacted_len
         FROM (SELECT doc_id, {aug} AS _t FROM {table})
     """
+
+
+# --------------------------------------------------------------------------
+# lexical keyword retrieval (integer-exact TF-IDF top-k)
+# --------------------------------------------------------------------------
+#
+# The keyword complement to the embedding ANN tier: score(d) =
+# Σ_t tf(t,d) · idf_t with the EXACT integer idf proxy
+# idf_t = (SCALE·N) div df_t — monotone in the true 1/df weighting, so
+# rankings match classic TF-IDF for single-term and dominant-term
+# queries while both engines agree bit-for-bit (no libm logs).
+
+KEYWORD_IDF_SCALE = 10_000
+#: the gate's query — mid-frequency fixture-vocabulary terms
+KEYWORD_QUERY = ("table", "join", "stream")
+
+
+def keyword_search(
+    docs: DataFrame,
+    terms: tuple[str, ...] = KEYWORD_QUERY,
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents for a keyword query by integer-exact
+    TF-IDF. Output (doc_id, score), ordered (score desc, doc_id) —
+    fully deterministic.
+
+    Scale shape: the exploded token stream is FILTERED to the query's
+    |terms| literals before any shuffle, so only query-term postings
+    flow (at 100 TB this is the inverted-index access path: everything
+    else never leaves the scan); df is a |terms|-row aggregate →
+    broadcast; the final top-k is orderBy+limit, which Spark plans as
+    TakeOrderedAndProject — a map-side partial top-k, never a global
+    sort."""
+    d = SPARK
+    n_docs = docs.count()
+    toks = (
+        docs.select("doc_id", F.expr(d.split(text_col)).alias("_ts"))
+        .select("doc_id", F.explode("_ts").alias("t"))
+        .filter(F.col("t").isin(*terms))
+    )
+    tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    idf = (
+        tf.groupBy("t")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .withColumn(
+            "w",
+            F.expr(
+                f"CAST(({KEYWORD_IDF_SCALE} * {n_docs}) DIV df AS BIGINT)"
+            ),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf.select("t", "w")), "t")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("w")).cast("long").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
+def keyword_search_oracle(
+    table: str = "documents",
+    terms: tuple[str, ...] = KEYWORD_QUERY,
+    k: int = 10,
+    text_col: str = "text",
+) -> str:
+    d = DUCK
+    quoted = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({d.split(text_col)}) AS t
+            FROM {table}
+        ),
+        hits AS (SELECT doc_id, t FROM toks WHERE t IN ({quoted})),
+        tf AS (
+            SELECT doc_id, t, COUNT(*) AS tf FROM hits GROUP BY 1, 2
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM {table}),
+        idf AS (
+            SELECT t, CAST(({KEYWORD_IDF_SCALE} * n.n_docs)
+                           // COUNT(DISTINCT doc_id) AS BIGINT) AS w
+            FROM tf, n GROUP BY t, n.n_docs
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   CAST(SUM(tf.tf * idf.w) AS BIGINT) AS score
+            FROM tf JOIN idf USING (t)
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, score FROM scored
+        ORDER BY score DESC, doc_id
+        LIMIT {k}
+    """
