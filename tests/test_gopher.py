@@ -63,3 +63,25 @@ def test_mean_word_length_bounds(spark):
     text = long_words + " the of and to that have with be"
     r = _flags(spark, text)
     assert r.ok_mean_word_len == 0 and r.gopher_keep == 0
+
+
+def test_keyword_search_ranking_and_determinism(spark):
+    """TF-IDF micro-pin: a doc repeating a rare query term outranks
+    one with a single common term; ties order by doc_id."""
+    from uwheel_datafusion_spark.operators import textops as tx
+
+    rows = [
+        (1, "rare rare rare common", "en", "s", 22),
+        (2, "common filler words here", "en", "s", 24),
+        (3, "rare common", "en", "s", 11),
+        (4, "filler only", "en", "s", 11),
+        (5, "common rare", "en", "s", 11),  # same tf profile as doc 3
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = tx.keyword_search(docs, terms=("rare", "common"), k=4).collect()
+    assert [r.doc_id for r in got] == [1, 3, 5, 2]
+    assert got[1].score == got[2].score  # docs 3 and 5 tie exactly
+    assert got[0].score > got[1].score > got[3].score
