@@ -424,3 +424,35 @@ def test_aqe_splits_skewed_join_partition(spark, sf_correctness):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_keyword_search_top_k_is_take_ordered(spark, sf_correctness):
+    """Lexical retrieval's final top-k must plan as
+    TakeOrderedAndProject (map-side partial top-k) — a global Sort
+    before the limit would be a 100 TB regression."""
+    from uwheel_datafusion_spark.operators.textops import keyword_search
+
+    plan = _executed_plan(
+        keyword_search(load_table(spark, sf_correctness, "documents"))
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan
+
+
+def test_rerank_refine_pushes_candidate_ids_to_scan(spark, sf_correctness):
+    """The refine stage's corpus read must carry the candidate-id
+    In(vec_id, …) predicate all the way to the parquet scan (the
+    point-lookup contract from PLANS.md round-8 cont. 4) — losing the
+    pushdown silently reverts the refine to a full corpus pass."""
+    import uwheel_datafusion_spark.operators.similarity as sim
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    ivf = sim.ivf_build_wide(emb, n_cells=4)
+    pq = sim.pq_build_wide(emb, m=4, k=8)
+    df = sim.ivfpq_search_rerank(
+        ivf, pq, emb, (0, 1, 2), topk=5, nprobe=2, n_candidates=10
+    )
+    plan = _executed_plan(df)
+    assert "PushedFilters: [In(vec_id" in plan, plan[:2000]
+    ivf.cells.unpersist()
+    pq.codes.unpersist()
