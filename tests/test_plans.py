@@ -456,3 +456,122 @@ def test_rerank_refine_pushes_candidate_ids_to_scan(spark, sf_correctness):
     assert "PushedFilters: [In(vec_id" in plan, plan[:2000]
     ivf.cells.unpersist()
     pq.codes.unpersist()
+
+
+def test_keyword_index_probe_prunes_to_query_term_buckets(
+    spark, sf_correctness, tmp_path
+):
+    """The persisted inverted index's probe must read ONLY the query
+    terms' hash-bucket partitions (postings AND terms tables) — proven
+    functionally: corrupt every unprobed bucket's files; the probe must
+    neither fail nor change its answer, while an unpruned full read
+    fails."""
+    from uwheel_datafusion_spark.operators import textops as tx
+
+    docs = load_table(spark, sf_correctness, "documents")
+    root = tmp_path / "kw"
+    tx.build_keyword_index(docs, str(root))
+    probed = {tx._term_bucket(t) for t in tx.KEYWORD_QUERY}
+    probe = lambda: sorted(
+        map(tuple, tx.keyword_index_probe(spark, str(root)).collect())
+    )
+    before = probe()
+    assert before
+    plan = _executed_plan(tx.keyword_index_probe(spark, str(root)))
+    assert "PartitionFilters" in plan and "bucket#" in plan
+    corrupted = 0
+    for sub in ("postings", "terms"):
+        for d in (root / sub).glob("bucket=*"):
+            if int(d.name.split("=")[1]) not in probed:
+                for f in d.glob("*.parquet"):
+                    f.write_bytes(b"not a parquet file")
+                    corrupted += 1
+    assert corrupted  # the fixture vocab spans far more than 3 buckets
+    assert probe() == before
+    with pytest.raises(Exception):
+        spark.read.parquet(str(root / "postings")).collect()
+
+
+def test_served_ann_reads_only_probed_cell_partitions(
+    spark, sf_correctness, tmp_path
+):
+    """The round-9 serving-layout contract (VERDICT r8 next #1): a
+    served ANN search must read ONLY the probed cells' partition
+    directories of the payload table — partition pruning from the
+    literal cell-isin predicate, no corpus access at all. Checked on
+    the files actually read (inputFiles), not just the plan string."""
+    import uwheel_datafusion_spark.operators.ann_serving as srv
+    import uwheel_datafusion_spark.operators.similarity as sim
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    ivf = sim.ivf_build_wide(emb, n_cells=8)
+    pq = sim.pq_build_wide(emb, m=4, k=8)
+    ivf_served = srv.save_ivf_payload(ivf, emb, str(tmp_path / "ivf"))
+    pq_served = srv.save_ivfpq_payload(ivf, pq, str(tmp_path / "pq"))
+    # queries arrive from OUTSIDE the corpus in production — an
+    # in-memory frame here, so every parquet file a search reads must
+    # come from a served payload table
+    qrows = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id").isin(0, 1, 2))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    queries = spark.createDataFrame(
+        qrows, "vec_id long, embedding array<float>"
+    )
+
+    # capture the probed-cell set the search computes (monkeypatch the
+    # payload reader — same function object both searches route through)
+    probed_sets = []
+    orig_read = srv._read_payload
+
+    def spy_read(sp, path, probed, extra_cols):
+        probed_sets.append(set(probed))
+        return orig_read(sp, path, probed, extra_cols)
+
+    srv._read_payload = spy_read
+    try:
+        flat = srv.ivf_search_served(ivf_served, queries, k=5, nprobe=2)
+        before = sorted(map(tuple, flat.collect()))
+    finally:
+        srv._read_payload = orig_read
+    probed = probed_sets[0]
+    # ≤ |queries|·nprobe distinct cells probed, strictly fewer than all 8
+    assert 0 < len(probed) <= 6 < 8, probed
+    plan = _executed_plan(flat)
+    assert "PartitionFilters" in plan and "cell#" in plan
+
+    adc = srv.ivfpq_search_served(pq_served, queries, topk=5, nprobe=2)
+    adc_plan = _executed_plan(adc)
+    assert "PartitionFilters" in adc_plan and "cell#" in adc_plan
+
+    # refine stage of the served rerank: candidate-id pushdown into the
+    # PAYLOAD table scan (point lookups), never the corpus (the query
+    # frame is in-memory, so no embeddings.parquet may appear anywhere)
+    rr = srv.ivfpq_rerank_served(
+        pq_served, ivf_served, queries, topk=5, nprobe=2, n_candidates=10
+    )
+    rr_plan = _executed_plan(rr)
+    assert "PushedFilters: [In(vec_id" in rr_plan, rr_plan[:2000]
+    assert all("embeddings.parquet" not in f for f in rr.inputFiles())
+
+    # FUNCTIONAL pruning proof (last — it destroys the table): corrupt
+    # every UNPROBED partition's files — a scan that didn't prune would
+    # now throw; the served search must neither fail nor change its
+    # answer
+    unprobed = [c for c in range(8) if c not in probed]
+    assert unprobed
+    for c in unprobed:
+        for f in (tmp_path / "ivf" / f"cell={c}").glob("*.parquet"):
+            f.write_bytes(b"not a parquet file")
+    after = sorted(
+        map(tuple, srv.ivf_search_served(ivf_served, queries, k=5, nprobe=2).collect())
+    )
+    assert after == before
+    # sanity: an UNPRUNED full read of the same table does fail
+    with pytest.raises(Exception):
+        spark.read.parquet(str(tmp_path / "ivf")).collect()
+    ivf.cells.unpersist()
+    pq.codes.unpersist()

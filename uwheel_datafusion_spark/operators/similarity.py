@@ -2459,6 +2459,81 @@ def ivf_cells_wide_oracle(
     """
 
 
+def ivf_search_wide_oracle(
+    table: str = "embeddings",
+    query_ids: tuple[int, ...] = (),
+    k: int = 5,
+    nprobe: int = 2,
+    n_cells: int = 32,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of ivf_build_wide + multi-probe cosine search at
+    GENUINELY WIDE cell counts (no mord packing, no literal cap):
+    wide-kmeans cells, per-query probe ranking by (dist, cid)
+    row_number — the Arrow kernel's first-minimum tie-break — then
+    exact quantized cosine over the probed cells only, ranked by
+    (cosine desc, neighbor_id). Gates ivf_search_wide AND the served
+    cell-partitioned layout (operators/ann_serving.py), which are by
+    contract bit-identical."""
+    d = DUCK
+    assert query_ids, "query_ids required"
+    ids = ", ".join(str(i) for i in query_ids)
+    q = d.quantize_vec(vec_col, Q_SCALE)
+    dist = d.sum_list_bigint(d.zip_sqdiff("qv.qvec", "c.cvec"))
+    cos = d.cosine_q(d.dot_q("q.qvec", "v.qvec"), "q.qnorm", "v.qnorm")
+    coarse, cfin = _wide_kmeans_ctes("g", "qv", n_cells, n_iter, d)
+    parts = [f"qv AS (SELECT vec_id, {q} AS qvec FROM {table})"] + coarse
+    parts.append(
+        f"""cells AS (
+            SELECT vec_id, cid AS cell FROM (
+                SELECT qv.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY qv.vec_id
+                           ORDER BY {dist}, c.cid) AS rn
+                FROM qv CROSS JOIN {cfin} c
+            ) WHERE rn = 1
+        )"""
+    )
+    parts.append(
+        f"""qn AS (
+            SELECT * FROM (
+                SELECT vec_id, qvec, {d.dot_q('qvec', 'qvec')} AS qnorm
+                FROM qv
+            ) WHERE qnorm > 0
+        )"""
+    )
+    parts.append(
+        f"""probe AS (
+            SELECT query_id, cid AS q_cell FROM (
+                SELECT qv.vec_id AS query_id, c.cid,
+                       row_number() OVER (PARTITION BY qv.vec_id
+                           ORDER BY {dist}, c.cid) AS rn
+                FROM (SELECT vec_id, qvec FROM qn
+                      WHERE vec_id IN ({ids})) qv
+                CROSS JOIN {cfin} c
+            ) WHERE rn <= {nprobe}
+        )"""
+    )
+    parts.append(
+        f"""scored AS (
+            SELECT p.query_id, v.vec_id AS neighbor_id, {cos} AS cosine
+            FROM probe p
+            JOIN cells cl ON cl.cell = p.q_cell
+            JOIN qn v ON v.vec_id = cl.vec_id AND v.vec_id <> p.query_id
+            JOIN qn q ON q.vec_id = p.query_id
+        )"""
+    )
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {k}
+    """
+
+
 # --------------------------------------------------------------------------
 # Johnson–Lindenstrauss random projection (Achlioptas ±1, integer-exact)
 # --------------------------------------------------------------------------

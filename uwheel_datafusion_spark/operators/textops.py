@@ -653,7 +653,10 @@ def keyword_search(
     TakeOrderedAndProject — a map-side partial top-k, never a global
     sort."""
     d = SPARK
-    n_docs = docs.count()
+    # N rides the plan as a 1-row aggregate cross-joined into the
+    # |terms|-row idf frame — no separate docs.count() driver job
+    # (VERDICT r8 next #5): one action, one job.
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     toks = (
         docs.select("doc_id", F.expr(d.split(text_col)).alias("_ts"))
         .select("doc_id", F.explode("_ts").alias("t"))
@@ -663,10 +666,11 @@ def keyword_search(
     idf = (
         tf.groupBy("t")
         .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n))
         .withColumn(
             "w",
             F.expr(
-                f"CAST(({KEYWORD_IDF_SCALE} * {n_docs}) DIV df AS BIGINT)"
+                f"CAST(({KEYWORD_IDF_SCALE} * n_docs) DIV df AS BIGINT)"
             ),
         )
     )
@@ -711,3 +715,164 @@ def keyword_search_oracle(
         ORDER BY score DESC, doc_id
         LIMIT {k}
     """
+
+
+# --------------------------------------------------------------------------
+# persisted inverted index: build once / probe many / extend per batch
+# --------------------------------------------------------------------------
+#
+# keyword_search rebuilds postings from the corpus text per query set —
+# right for a self-contained gate, wrong at 100 TB where the posting
+# table is built ONCE and probed (the same lifecycle as the LSH band
+# index, dedup.save_lsh_index / lsh_incremental_candidates, and the
+# span gram index, spans.py). Layout under ``path``:
+#
+# - postings/  (bucket, t, doc_id, tf)   PARTITIONED BY bucket
+# - terms/     (bucket, t, df)           PARTITIONED BY bucket
+# - stats/     (n_docs)
+#
+# ``bucket`` is a term-hash (md5 % n_buckets) computed IDENTICALLY
+# Spark-side at write and Python-side at probe, so a probe turns its
+# query terms into a literal bucket-isin predicate and reads only
+# those partition directories (partition pruning — pinned functionally
+# in tests/test_plans.py). Every table is APPEND-ONLY: extend appends
+# new postings plus PARTIAL (t, df) and (n_docs) rows, and the probe
+# aggregates the partials (SUM over the probed buckets — |terms|-row
+# work). No read-modify-write anywhere, so the extend path is the same
+# exactly-once append discipline a streaming ingest needs. Contract:
+# each extend batch carries NEW doc_ids (partial df sums are correct
+# because a doc never reappears — the bloom/exact dedup gate upstream
+# enforces exactly that in the composed pipeline).
+
+KEYWORD_INDEX_BUCKETS = 64
+
+
+def _term_bucket(t: str, n_buckets: int = KEYWORD_INDEX_BUCKETS) -> int:
+    """Python twin of the Spark-side bucket expression: first 8 md5 hex
+    digits as an int, mod n_buckets."""
+    import hashlib
+
+    return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def _bucket_expr(n_buckets: int) -> F.Column:
+    """Spark twin of _term_bucket over column ``t``."""
+    return (
+        F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % n_buckets
+    ).alias("bucket")
+
+
+def _postings_frame(
+    docs: DataFrame, text_col: str, n_buckets: int
+) -> DataFrame:
+    d = SPARK
+    toks = (
+        docs.select("doc_id", F.expr(d.split(text_col)).alias("_ts"))
+        .select("doc_id", F.explode("_ts").alias("t"))
+    )
+    return (
+        toks.groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(_bucket_expr(n_buckets), "t", "doc_id", "tf")
+    )
+
+
+def build_keyword_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    n_buckets: int = KEYWORD_INDEX_BUCKETS,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the inverted index: one tokenize+groupBy pass over
+    the batch, three partitioned writes. df rows are per-batch partials
+    (see module comment); the probe sums them."""
+    # persist THIS BATCH's postings between the two writes: one corpus
+    # tokenization total (re-evaluating the frame would re-run the
+    # tokenize+explode lineage — the dsir_select_exact lesson), and the
+    # df partial must cover this batch only (a read-back of the
+    # postings dir would double-count earlier batches under append)
+    postings = _postings_frame(docs, text_col, n_buckets).persist()
+    try:
+        postings.write.partitionBy("bucket").mode(mode).parquet(
+            f"{path}/postings"
+        )
+        (
+            postings.groupBy("bucket", "t")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+            .write.partitionBy("bucket")
+            .mode(mode)
+            .parquet(f"{path}/terms")
+        )
+    finally:
+        postings.unpersist()
+    docs.agg(F.count(F.lit(1)).alias("n_docs")).write.mode(mode).parquet(
+        f"{path}/stats"
+    )
+
+
+def extend_keyword_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    n_buckets: int = KEYWORD_INDEX_BUCKETS,
+) -> None:
+    """Append one ingest batch (NEW doc_ids) — pure appends, no
+    read-modify-write: postings rows, partial (t, df) rows, a partial
+    (n_docs) row. Crash-safe under re-run-from-scratch semantics of the
+    caller's batch boundary (same discipline as lsh extend)."""
+    build_keyword_index(new_docs, path, text_col, n_buckets, mode="append")
+
+
+def keyword_index_probe(
+    spark,
+    path: str,
+    terms: tuple[str, ...] = KEYWORD_QUERY,
+    k: int = 10,
+    n_buckets: int = KEYWORD_INDEX_BUCKETS,
+) -> DataFrame:
+    """Top-k TF-IDF answered ENTIRELY from the persisted index: the
+    query terms hash to a literal bucket list driver-side, so both the
+    postings read and the terms read prune to the probed partitions;
+    the corpus text is never touched. Scoring is identical to
+    keyword_search (integer-exact idf = (SCALE·N) div df), so the same
+    oracle gates both."""
+    buckets = sorted({_term_bucket(t, n_buckets) for t in terms})
+    # explicit schemas: no footer-inference reads at planning time —
+    # with thousands of partition files, inference would open footers
+    # OUTSIDE the probed buckets (and costs a listing-wide read at
+    # scale); the index schema is fixed by construction
+    postings = (
+        spark.read.schema("t string, doc_id long, tf long, bucket long")
+        .parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("t").isin(*terms))
+    )
+    n = (
+        spark.read.schema("n_docs long")
+        .parquet(f"{path}/stats")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+    idf = (
+        spark.read.schema("t string, df long, bucket long")
+        .parquet(f"{path}/terms")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("t").isin(*terms))
+        .groupBy("t")
+        .agg(F.sum("df").alias("df"))  # sum the per-batch partials
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "w",
+            F.expr(
+                f"CAST(({KEYWORD_IDF_SCALE} * n_docs) DIV df AS BIGINT)"
+            ),
+        )
+    )
+    scored = (
+        postings.join(F.broadcast(idf.select("t", "w")), "t")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("w")).cast("long").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)

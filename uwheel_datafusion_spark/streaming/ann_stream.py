@@ -94,3 +94,94 @@ def ivf_index_from_table(
     return IvfIndex(
         centroids=centroids, cells=cells, n_cells=len(centroids)
     )
+
+
+# --------------------------------------------------------------------------
+# serving-complete payload streaming (round 9): stream the VECTORS too
+# --------------------------------------------------------------------------
+#
+# (vec_id, cell) alone is not servable — a search would still join the
+# corpus on vec_id to recover the vectors (the r8 layout gap: cell
+# pruning saved compute but not I/O). The payload stream appends
+# (cell, vec_id, qvec, qnorm) through the same exactly-once file sink,
+# PARTITIONED BY cell, so ivf_search_served (operators/ann_serving.py)
+# answers queries from the streamed table alone — zero corpus access,
+# probed-partition reads only.
+
+
+def payload_rows_stream(
+    stream_vecs: DataFrame,
+    centroids: list,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell, vec_id, qvec, qnorm) serving-complete payload rows from a
+    STREAMING embedding source against FROZEN coarse centroids — one
+    map-only Arrow pass per micro-batch: quantize, exact-int64 argmin
+    cell assignment (identical tie-break to the batch kernel), exact
+    integer self-dot for the cosine norm."""
+    import numpy as np
+
+    d = SPARK
+    qv = stream_vecs.select(
+        "vec_id", F.expr(d.quantize_vec(vec_col, Q_SCALE)).alias("qvec")
+    )
+    cmat = np.asarray(centroids, dtype=np.int64)
+    cnorm = (cmat * cmat).sum(axis=1)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(list(pdf["qvec"]), dtype=np.int64)
+            xnorm = (x * x).sum(axis=1)
+            d2 = xnorm[:, None] + cnorm[None, :] - 2 * (x @ cmat.T)
+            yield pd.DataFrame(
+                {
+                    "cell": d2.argmin(axis=1),  # first-min → lower cid
+                    "vec_id": pdf["vec_id"],
+                    "qvec": pdf["qvec"],
+                    "qnorm": xnorm,
+                }
+            )
+
+    return qv.mapInPandas(
+        kernel, "cell long, vec_id long, qvec array<long>, qnorm long"
+    )
+
+
+def start_ivf_payload_stream(
+    stream_vecs: DataFrame,
+    centroids: list,
+    table_dir: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+):
+    """Maintain the SERVING-COMPLETE payload table from an embedding
+    stream: append-only, map-only, exactly-once via the parquet file
+    sink's transaction log, partitioned by cell so a probe reads only
+    its nprobe cells' partitions — the streamed index is directly what
+    ivf_search_served reads."""
+    return (
+        payload_rows_stream(stream_vecs, centroids, vec_col)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", table_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("cell")
+        .start()
+    )
+
+
+def served_index_from_table(centroids: list, table_dir: str):
+    """Rehydrate a ServedIvfIndex from the streamed payload table —
+    batch save_ivf_payload and streaming ingest are interchangeable:
+    ivf_search_served neither knows nor cares which wrote the table."""
+    from uwheel_datafusion_spark.operators.ann_serving import (
+        ServedIvfIndex,
+    )
+
+    return ServedIvfIndex(
+        centroids=centroids, path=table_dir, n_cells=len(centroids)
+    )
