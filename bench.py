@@ -1105,6 +1105,56 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
             "m": 8,
             "k_per_subspace": 256,
         }
+        # residual IVF-PQ (the FAISS-default formulation, round 9):
+        # codes quantize r = x − c(x) instead of raw vectors — at EQUAL
+        # m/k and the same probe budget, within-cell residuals
+        # concentrate around zero so the codebooks resolve finer
+        # structure and ADC recall must not drop vs plain PQ
+        from uwheel_datafusion_spark.operators.similarity import (
+            ivfpq_search_residual,
+            ivfpq_search_wide,
+            pq_build_residual,
+        )
+
+        t0 = time.perf_counter()
+        plain_adc = ivfpq_search_wide(
+            ivfw, pq256, emb, qids, topk=10, nprobe=2
+        ).collect()
+        plain_sec = time.perf_counter() - t0
+        a_pl: dict = defaultdict(set)
+        for r in plain_adc:
+            a_pl[r["query_id"]].add(r["neighbor_id"])
+        t0 = time.perf_counter()
+        rpq = pq_build_residual(emb, ivfw, m=8, k=256)
+        rpq_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res_adc = ivfpq_search_residual(
+            rpq, emb, qids, topk=10, nprobe=2
+        ).collect()
+        res_sec = time.perf_counter() - t0
+        a_re: dict = defaultdict(set)
+        for r in res_adc:
+            a_re[r["query_id"]].add(r["neighbor_id"])
+        extras["ann_recall"]["ivfpq_residual_vs_plain"] = {
+            "plain_adc_recall_at_10": round(
+                sum(len(a_pl[q] & truth[q]) for q in truth) / total, 4
+            )
+            if total
+            else None,
+            "residual_adc_recall_at_10": round(
+                sum(len(a_re[q] & truth[q]) for q in truth) / total, 4
+            )
+            if total
+            else None,
+            "plain_search_sec": round(plain_sec, 3),
+            "residual_build_sec": round(rpq_build, 3),
+            "residual_search_sec": round(res_sec, 3),
+            "m": 8,
+            "k_per_subspace": 256,
+            "nprobe": 2,
+            "n_cells": 4,
+        }
+        rpq.codes.unpersist()
         ivfw.cells.unpersist()
         pq256.codes.unpersist()
 
@@ -1185,6 +1235,16 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         for r in got_rr:
             a_rr[r["query_id"]].add(r["neighbor_id"])
 
+        # residual PQ in the SEPARATED regime — where finer within-cell
+        # resolution should show up most clearly
+        rpq2 = pq_build_residual(emb2, ivf2, m=8, k=256)
+        got_res2 = ivfpq_search_residual(
+            rpq2, emb2, plant_qids, topk=10, nprobe=2
+        ).collect()
+        a_res2: dict = defaultdict(set)
+        for r in got_res2:
+            a_res2[r["query_id"]].add(r["neighbor_id"])
+
         def _rec(a):
             return (
                 round(sum(len(a[q] & truth2[q]) for q in truth2) / total2, 4)
@@ -1208,11 +1268,13 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
             "n_planted": n_plant,
             "ivf_nprobe2": _rec(a_ivf),
             "ivfpq_adc_nprobe2": _rec(a_adc),
+            "ivfpq_residual_adc_nprobe2": _rec(a_res2),
             "ivfpq_rerank_nprobe2": _rec(a_rr),
             "rerank_top1_source_hit_rate": round(src_hits / n_plant, 4),
         }
         ivf2.cells.unpersist()
         pq2.codes.unpersist()
+        rpq2.codes.unpersist()
 
         # IVF-PQ: the composed production index — coarse-cell probe ×
         # compressed-domain ADC; recall is bounded above by BOTH tiers

@@ -131,6 +131,13 @@ class Dialect:
             return f"zip_with({a}, {b}, (x, y) -> x * y)"
         return f"list_transform(list_zip({a}, {b}), z -> z[1] * z[2])"
 
+    def zip_sub(self, a: str, b: str) -> str:
+        """Element-wise difference of two bigint lists (residual
+        vectors for IVF-PQ residual encoding)."""
+        if self.is_spark:
+            return f"zip_with({a}, {b}, (x, y) -> x - y)"
+        return f"list_transform(list_zip({a}, {b}), z -> z[1] - z[2])"
+
     def zip_sqdiff(self, a: str, b: str) -> str:
         """Element-wise squared difference of two bigint lists (the
         summand of an exact integer squared-L2 distance)."""

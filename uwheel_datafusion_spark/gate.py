@@ -5426,6 +5426,32 @@ def ann_rerank_served_q(spark, sf_dir):
     )
 
 
+@gate(
+    "similarity_ann_ivfpq_residual",
+    _sim.ivfpq_search_residual_oracle(
+        query_ids=KNN_QUERY_IDS, topk=5, nprobe=4, n_cells=32, m=8, k=64
+    ),
+)
+def ann_ivfpq_residual_q(spark, sf_dir):
+    """RESIDUAL IVF-PQ — the standard FAISS IVFPQ formulation (Jégou
+    et al. 2011): codes quantize r = x − c(x) instead of raw vectors,
+    so within-cell residuals concentrate around zero and the same m×k
+    codebook budget resolves finer structure (ADC recall rises at
+    equal m/k — measured per round in bench.py ann_recall,
+    residual vs plain at identical shapes). ADC stays exact int64 via
+    ||q−y||² = ||(q−c)−(y−c)||²: one LUT per (query, probed cell)
+    against the residual codebooks, still a bounded driver collect.
+    The oracle replays coarse Lloyd cells, residual computation,
+    residual codebooks/codes and the per-probe LUT ranking
+    relationally, bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = _sim.ivf_build_wide(emb, n_cells=32)
+    rpq = _sim.pq_build_residual(emb, ivf, m=8, k=64)
+    return _sim.ivfpq_search_residual(
+        rpq, emb, KNN_QUERY_IDS, topk=5, nprobe=4
+    )
+
+
 @gate("dedup_semantic_clustered", _sim.semantic_dedup_oracle())
 def semantic_dedup_q(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): semantic near-dup REMOVAL scoped
@@ -7384,18 +7410,21 @@ _DRIVER_WINDOW_R8 = [
 # have >= 2 prior green driver rows with the latest <= 3 rounds old,
 # and remain locally gated and sweep-checked.
 _DRIVER_WINDOW = [
-    # --- round-9: cell-partitioned ANN serving + keyword index ---
+    # --- round-9: cell-partitioned ANN serving + keyword index +
+    #     residual PQ ---
     "similarity_ann_ivf_served",
     "similarity_ann_ivfpq_served",
     "similarity_ann_rerank_served",
     "streaming_ann_served_parity",
     "text_keyword_index_probe",
-    # --- canaries over round-9 changed code ---
+    "similarity_ann_ivfpq_residual",
+    # --- canaries over round-9 changed code (similarity_ann_ivf_wide
+    #     yields its slot to the residual gate: its kernels are
+    #     exercised by every served row above) ---
     "text_keyword_search",
     "corpus_dsir_select",
     "corpus_dsir_select_exact",
     "corpus_dsir_importance",
-    "similarity_ann_ivf_wide",
     "similarity_ann_ivfpq_wide",
     "similarity_ann_ivfpq_rerank",
     "streaming_ann_cells_parity",

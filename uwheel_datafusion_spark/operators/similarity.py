@@ -1813,9 +1813,18 @@ def pq_build_wide(
     codes): same init (k lowest-vec_id subvectors) and truncating
     integer updates as pq_encode, assignment via the Arrow kernel —
     bit-identical where both run."""
-    import numpy as np
-
     qv = _quantized(vecs, vec_col).select("vec_id", "qvec").cache()
+    books, codes = _pq_wide_books_codes(qv, dim, m, k, n_iter)
+    qv.unpersist()
+    return PqIndex(books=books, codes=codes, m=m, k=k, dim=dim)
+
+
+def _pq_wide_books_codes(qv: DataFrame, dim: int, m: int, k: int, n_iter: int):
+    """The wide-PQ Lloyd loop over an arbitrary (vec_id, qvec) frame —
+    shared by pq_build_wide (raw vectors) and pq_build_residual
+    (vector − coarse-centroid residuals). Init: the k lowest-vec_id
+    subvectors; truncating integer centroid updates; assignment via the
+    Arrow exact-int64 kernel. Returns (books, cached codes frame)."""
     geom = _pq_geometry(dim, m)
     init_rows = qv.orderBy("vec_id").limit(k).collect()
     books = [
@@ -1842,8 +1851,7 @@ def pq_build_wide(
         books = nxt
     codes = _pq_assign_codes_pandas(qv, books, dim, m).cache()
     codes.count()
-    qv.unpersist()
-    return PqIndex(books=books, codes=codes, m=m, k=k, dim=dim)
+    return books, codes
 
 
 def knn_pq_adc_wide(
@@ -2293,6 +2301,288 @@ def ivfpq_rerank_oracle(
             SELECT *, row_number() OVER (PARTITION BY query_id
                        ORDER BY exact_dist, neighbor_id) AS rnk
             FROM refined
+        )
+        WHERE rnk <= {topk}
+    """
+
+
+# --------------------------------------------------------------------------
+# residual IVF-PQ: encode (vector − coarse centroid), the FAISS default
+# --------------------------------------------------------------------------
+#
+# Plain IVF-PQ quantizes raw vectors, so every codebook spends its
+# k centroids covering the WHOLE corpus spread; the standard FAISS
+# IVFPQ formulation (Jégou et al. 2011, §A) encodes the RESIDUAL
+# r = x − c(x) instead — within a cell, residuals concentrate around
+# zero, so the same m×k codebook budget resolves much finer structure
+# and ADC recall rises at equal m/k. ADC stays exact-int64: for query
+# q probing cell c, ||q − y||² = ||(q − c) − (y − c)||², so the LUT is
+# computed per (query, probed cell) against the residual codebooks —
+# nprobe LUTs per query instead of one, still a driver-side
+# bounded-collect broadcast.
+
+
+@_dataclass
+class ResidualPqIndex:
+    """Coarse centroids + RESIDUAL codebooks + the stored codes:
+    (vec_id, cell, code_0..code_{m-1}) — codes carry the cell because
+    decoding/ADC is only meaningful relative to the cell centroid."""
+
+    centroids: list
+    books: list
+    codes: DataFrame
+    n_cells: int
+    m: int
+    k: int
+    dim: int
+
+
+def pq_build_residual(
+    vecs: DataFrame,
+    ivf_index: IvfIndex,
+    m: int = PQ_M,
+    k: int = 256,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> ResidualPqIndex:
+    """Residual-PQ build over a prebuilt coarse quantizer: residuals
+    qvec − centroid[cell] (exact int64, broadcast centroid frame), then
+    the SAME wide Lloyd loop and Arrow assignment kernel as
+    pq_build_wide, just over residual vectors."""
+    spark = vecs.sparkSession
+    qv = _quantized(vecs, vec_col).select("vec_id", "qvec")
+    cfrm = spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(ivf_index.centroids)],
+        "cell long, cvec array<long>",
+    )
+    res = (
+        qv.join(ivf_index.cells, "vec_id")
+        .join(F.broadcast(cfrm), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.expr(SPARK.zip_sub("qvec", "cvec")).alias("qvec"),
+        )
+        .cache()
+    )
+    res.count()
+    books, codes0 = _pq_wide_books_codes(
+        res.select("vec_id", "qvec"), dim, m, k, n_iter
+    )
+    codes = codes0.join(res.select("vec_id", "cell"), "vec_id").cache()
+    codes.count()
+    codes0.unpersist()
+    res.unpersist()
+    return ResidualPqIndex(
+        centroids=ivf_index.centroids,
+        books=books,
+        codes=codes,
+        n_cells=ivf_index.n_cells,
+        m=m,
+        k=k,
+        dim=dim,
+    )
+
+
+def ivfpq_search_residual(
+    index: ResidualPqIndex,
+    vecs: DataFrame,
+    query_ids: tuple[int, ...],
+    topk: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k under residual encoding: per (query, probed cell) the
+    query residual q − c is computed driver-side and its m×k LUT built
+    against the residual codebooks (|q|·nprobe·m·k ints — the bounded
+    centroid/LUT collect policy); the corpus side is codes ⋈ one
+    broadcast LUT frame keyed (query_id, q_cell), equi-join on the
+    cell key only. Output (query_id, neighbor_id, adc_dist, rnk)."""
+    import numpy as np
+
+    assert 1 <= nprobe <= index.n_cells
+    m, dim = index.m, index.dim
+    geom = _pq_geometry(dim, m)
+    spark = vecs.sparkSession
+    cmat = np.asarray(index.centroids, dtype=np.int64)
+    cnorm = (cmat * cmat).sum(axis=1)
+    mats = [np.asarray(b, dtype=np.int64) for b in index.books]
+    norms = [(c * c).sum(axis=1) for c in mats]
+
+    qrows = (
+        _quantized(vecs.filter(F.col("vec_id").isin(*query_ids)), vec_col)
+        .select("vec_id", "qvec")
+        .collect()
+    )
+    lut_rows = []
+    for r in qrows:
+        x = np.asarray(r["qvec"], dtype=np.int64)
+        d2 = (x * x).sum() + cnorm - 2 * (cmat @ x)
+        order = np.lexsort((np.arange(len(d2)), d2))
+        for cell in order[:nprobe]:
+            qres = x - cmat[cell]
+            luts = []
+            for s, (lo, w) in enumerate(geom):
+                sub = qres[lo - 1 : lo - 1 + w]
+                ld = (sub * sub).sum() + norms[s] - 2 * (mats[s] @ sub)
+                luts.append([int(v) for v in ld])
+            lut_rows.append((int(r["vec_id"]), int(cell), *luts))
+    schema = "query_id long, q_cell long, " + ", ".join(
+        f"lut_{s} array<long>" for s in range(m)
+    )
+    lut_frame = spark.createDataFrame(lut_rows, schema)
+    adc = sum(
+        F.element_at(f"lut_{s}", (F.col(f"code_{s}") + 1).cast("int"))
+        for s in range(m)
+    )
+    scored = (
+        index.codes.join(
+            F.broadcast(lut_frame), F.col("cell") == F.col("q_cell")
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.cast("long").alias("adc_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= topk)
+        .select("query_id", "neighbor_id", "adc_dist", "rnk")
+    )
+
+
+def ivfpq_search_residual_oracle(
+    table: str = "embeddings",
+    query_ids: tuple[int, ...] = (),
+    topk: int = 5,
+    nprobe: int = 2,
+    n_cells: int = 32,
+    m: int = PQ_M,
+    k: int = 64,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of pq_build_residual + ivfpq_search_residual:
+    wide-kmeans coarse cells, residuals qvec − cvec[cell], per-subspace
+    residual Lloyd codebooks/codes, per-(query, probed-cell) residual
+    LUTs — all relational, bit-for-bit with the Arrow kernels (same
+    init from the k lowest vec_ids, same truncate-toward-zero updates,
+    same (dist, cid) first-minimum and (adc_dist, neighbor_id)
+    tie-breaks)."""
+    d = DUCK
+    assert query_ids, "query_ids required"
+    ids = ", ".join(str(i) for i in query_ids)
+    q = d.quantize_vec(vec_col, Q_SCALE)
+    dist = d.sum_list_bigint(d.zip_sqdiff("qv.qvec", "c.cvec"))
+    parts = [f"qv AS (SELECT vec_id, {q} AS qvec FROM {table})"]
+
+    coarse, cfin = _wide_kmeans_ctes("g", "qv", n_cells, n_iter, d)
+    parts += coarse
+    parts.append(
+        f"""cells AS (
+            SELECT vec_id, cid AS cell FROM (
+                SELECT qv.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY qv.vec_id
+                           ORDER BY {dist}, c.cid) AS rn
+                FROM qv CROSS JOIN {cfin} c
+            ) WHERE rn = 1
+        )"""
+    )
+    parts.append(
+        f"""res AS (
+            SELECT qv.vec_id, cells.cell,
+                   {d.zip_sub('qv.qvec', 'c.cvec')} AS qvec
+            FROM qv JOIN cells USING (vec_id)
+            JOIN {cfin} c ON c.cid = cells.cell
+        )"""
+    )
+
+    code_finals = []
+    for s, (lo, w) in enumerate(_pq_geometry(dim, m)):
+        sub = d.slice("qvec", str(lo), w)
+        parts.append(
+            f"s{s}res AS (SELECT vec_id, {sub} AS qvec FROM res)"
+        )
+        book, bfin = _wide_kmeans_ctes(f"s{s}", f"s{s}res", k, n_iter, d)
+        parts += book
+        parts.append(
+            f"""s{s}code AS (
+                SELECT vec_id, cid AS code_{s} FROM (
+                    SELECT qv.vec_id, c.cid,
+                           row_number() OVER (PARTITION BY qv.vec_id
+                               ORDER BY {dist}, c.cid) AS rn
+                    FROM s{s}res qv CROSS JOIN {bfin} c
+                ) WHERE rn = 1
+            )"""
+        )
+        code_finals.append((s, bfin))
+
+    # query side: probe pairs from RAW query vs coarse centroids, then
+    # per-(query, probed cell) residual LUTs
+    parts.append(
+        f"qq AS (SELECT vec_id, qvec FROM qv WHERE vec_id IN ({ids}))"
+    )
+    parts.append(
+        f"""probe AS (
+            SELECT query_id, cid AS q_cell FROM (
+                SELECT qv.vec_id AS query_id, c.cid,
+                       row_number() OVER (PARTITION BY qv.vec_id
+                           ORDER BY {dist}, c.cid) AS rn
+                FROM qq qv CROSS JOIN {cfin} c
+            ) WHERE rn <= {nprobe}
+        )"""
+    )
+    parts.append(
+        f"""qres AS (
+            SELECT p.query_id, p.q_cell,
+                   {d.zip_sub('qq.qvec', 'c.cvec')} AS rvec
+            FROM probe p
+            JOIN qq ON qq.vec_id = p.query_id
+            JOIN {cfin} c ON c.cid = p.q_cell
+        )"""
+    )
+    for s, bfin in code_finals:
+        lo, w = _pq_geometry(dim, m)[s]
+        qsub = d.slice("q.rvec", str(lo), w)
+        ld = d.sum_list_bigint(d.zip_sqdiff(qsub, "c.cvec"))
+        parts.append(
+            f"""lut{s} AS (
+                SELECT q.query_id, q.q_cell, c.cid, {ld} AS ld
+                FROM qres q CROSS JOIN {bfin} c
+            )"""
+        )
+
+    code_joins = " ".join(
+        f"JOIN s{s}code USING (vec_id)" for s in range(m)
+    )
+    lut_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.query_id = p.query_id "
+        f"AND l{s}.q_cell = p.q_cell AND l{s}.cid = s{s}code.code_{s}"
+        for s in range(m)
+    )
+    adc = " + ".join(f"l{s}.ld" for s in range(m))
+    parts.append(
+        f"""scored AS (
+            SELECT p.query_id, cells.vec_id AS neighbor_id,
+                   CAST({adc} AS BIGINT) AS adc_dist
+            FROM cells {code_joins}
+            JOIN probe p ON cells.cell = p.q_cell
+            {lut_joins}
+            WHERE cells.vec_id <> p.query_id
+        )"""
+    )
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_dist, neighbor_id) AS rnk
+            FROM scored
         )
         WHERE rnk <= {topk}
     """
