@@ -681,18 +681,38 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
     mp = ivf_search_wide(ivf_idx, emb, ann_qids, k=10, nprobe=32).collect()
     mp_sec = time.perf_counter() - t0
 
-    # nprobe sweep on the served layout (recall/latency per point)
+    # nprobe sweep on the served layout (recall/latency per point).
+    # Honesty note: per QUERY the read fraction is nprobe/n_cells, but
+    # a 20-query batch reads the UNION of all probes' partitions —
+    # recorded as union_cells_read so the latency is attributable.
+    from uwheel_datafusion_spark.operators import ann_serving as _annsrv
+
     ivf_sweep = {}
     for np_ in (8, 32, 128):
-        t0 = time.perf_counter()
-        rows_ = ivf_search_served(
-            ivf_srv, ann_queries, k=10, nprobe=np_
-        ).collect()
-        sec = time.perf_counter() - t0
+        probed_union: list = []
+        orig_read = _annsrv._read_payload
+
+        def spy(sp, path, probed, schema, _acc=probed_union):
+            _acc.append(len(probed))
+            return orig_read(sp, path, probed, schema)
+
+        _annsrv._read_payload = spy
+        try:
+            t0 = time.perf_counter()
+            rows_ = ivf_search_served(
+                ivf_srv, ann_queries, k=10, nprobe=np_
+            ).collect()
+            sec = time.perf_counter() - t0
+        finally:
+            _annsrv._read_payload = orig_read
         ivf_sweep[f"nprobe_{np_}"] = {
             "search_sec": round(sec, 2),
             "recall_at_10": _recall(rows_),
-            "probe_fraction": round(np_ / ann_cells, 4),
+            "per_query_probe_fraction": round(np_ / ann_cells, 4),
+            "union_cells_read": probed_union[0] if probed_union else None,
+            "union_read_fraction": round(probed_union[0] / ann_cells, 4)
+            if probed_union
+            else None,
         }
 
     t0 = time.perf_counter()

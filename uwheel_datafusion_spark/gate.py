@@ -4079,16 +4079,17 @@ def keyword_search_q(spark, sf_dir):
 def keyword_index_probe_q(spark, sf_dir):
     """The keyword tier's PERSISTED inverted index (r8 next #3) — the
     same build/save/probe/extend lifecycle as the LSH band index and
-    the span gram index: postings (bucket, t, doc_id, tf) + partial
-    per-term df + partial n_docs, every table term-hash-PARTITIONED BY
-    bucket and append-only (extend never read-modify-writes). Here the
-    corpus is ingested as TWO batches (build + extend), then the query
-    answers entirely from the index: the query terms hash to a literal
-    bucket list driver-side, both index reads prune to those
-    partitions (pinned functionally in tests/test_plans.py), and the
-    corpus text is never touched at probe time. Scoring is the same
-    integer-exact TF-IDF, so the one-shot keyword_search oracle gates
-    the persisted path too."""
+    the span gram index: postings (bucket, t, doc_id, tf) term-hash-
+    PARTITIONED BY bucket + partial (n_docs) rows, both append-only
+    (extend never read-modify-writes; df is deliberately NOT stored —
+    it is the posting count of the pruned rows the probe already
+    reads). Here the corpus is ingested as TWO batches (build +
+    extend), then the query answers entirely from the index: the query
+    terms hash to a literal bucket list driver-side, the postings read
+    prunes to those partitions (pinned functionally in
+    tests/test_plans.py), and the corpus text is never touched at
+    probe time. Scoring is the same integer-exact TF-IDF, so the
+    one-shot keyword_search oracle gates the persisted path too."""
     import shutil
     import tempfile
 
@@ -4098,6 +4099,66 @@ def keyword_index_probe_q(spark, sf_dir):
         _tx.build_keyword_index(docs.filter(F.col("doc_id") % 2 == 0), work)
         _tx.extend_keyword_index(docs.filter(F.col("doc_id") % 2 == 1), work)
         rows = _tx.keyword_index_probe(spark, work).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.doc_id, r.score) for r in rows], "doc_id long, score long"
+    )
+
+
+@gate("streaming_keyword_index_parity", _tx.keyword_search_oracle())
+def streaming_keyword_index_q(spark, sf_dir):
+    """Streaming ingest for the inverted keyword index (round 9): the
+    batch layout is append-only by design, so the stream maintains it
+    through the built-in EXACTLY-ONCE parquet file sink — posting rows
+    are map-only per document (tf is a within-document count, one
+    Arrow kernel), (n_docs) streams as per-chunk partials the probe
+    sums. Both streams are killed after the first trigger and resumed
+    from their checkpoints; keyword_index_probe then answers the query
+    from the STREAMED index — row-identical to the batch build
+    (Spark-twin tokenization + same md5 bucket fold), so the one-shot
+    keyword_search oracle gates the whole pipeline."""
+    import os
+    import shutil
+    import tempfile
+
+    from uwheel_datafusion_spark.streaming.keyword_stream import (
+        start_keyword_postings_stream,
+        start_keyword_stats_stream,
+    )
+
+    _tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="kw_stream_gate_")
+    try:
+        src_dir = os.path.join(work, "in")
+        os.makedirs(src_dir)
+        idx_dir = os.path.join(work, "index")
+        docs.repartitionByRange(4, "doc_id").write.mode("append").parquet(
+            src_dir
+        )
+
+        def reader():
+            return (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+
+        for starter, ckpt in (
+            (start_keyword_postings_stream, os.path.join(work, "ck_p")),
+            (start_keyword_stats_stream, os.path.join(work, "ck_s")),
+        ):
+            # first incarnation: one trigger, kill mid-stream; resume
+            # must drain the rest exactly once
+            q = starter(reader(), idx_dir, ckpt)
+            q.processAllAvailable()
+            q.stop()
+            q = starter(reader(), idx_dir, ckpt)
+            q.processAllAvailable()
+            q.stop()
+
+        rows = _tx.keyword_index_probe(spark, idx_dir).collect()
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(
@@ -7418,16 +7479,18 @@ _DRIVER_WINDOW = [
     "streaming_ann_served_parity",
     "text_keyword_index_probe",
     "similarity_ann_ivfpq_residual",
+    "streaming_keyword_index_parity",
     # --- canaries over round-9 changed code (similarity_ann_ivf_wide
-    #     yields its slot to the residual gate: its kernels are
-    #     exercised by every served row above) ---
+    #     and streaming_ann_cells_parity yield their slots to the
+    #     residual + streamed-keyword gates: the wide kernels are
+    #     exercised by every served row above, and the served parity
+    #     row drives ann_stream end-to-end) ---
     "text_keyword_search",
     "corpus_dsir_select",
     "corpus_dsir_select_exact",
     "corpus_dsir_importance",
     "similarity_ann_ivfpq_wide",
     "similarity_ann_ivfpq_rerank",
-    "streaming_ann_cells_parity",
     # --- staleness rotation: last driver-checked in round 2 ---
     "brand_supplier_revenue",
     "orders_priority_distribution",

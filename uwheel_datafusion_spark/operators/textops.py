@@ -728,21 +728,23 @@ def keyword_search_oracle(
 # span gram index, spans.py). Layout under ``path``:
 #
 # - postings/  (bucket, t, doc_id, tf)   PARTITIONED BY bucket
-# - terms/     (bucket, t, df)           PARTITIONED BY bucket
-# - stats/     (n_docs)
+# - stats/     (n_docs)                  partial rows, summed at probe
 #
 # ``bucket`` is a term-hash (md5 % n_buckets) computed IDENTICALLY
 # Spark-side at write and Python-side at probe, so a probe turns its
 # query terms into a literal bucket-isin predicate and reads only
 # those partition directories (partition pruning — pinned functionally
-# in tests/test_plans.py). Every table is APPEND-ONLY: extend appends
-# new postings plus PARTIAL (t, df) and (n_docs) rows, and the probe
-# aggregates the partials (SUM over the probed buckets — |terms|-row
-# work). No read-modify-write anywhere, so the extend path is the same
-# exactly-once append discipline a streaming ingest needs. Contract:
-# each extend batch carries NEW doc_ids (partial df sums are correct
-# because a doc never reappears — the bloom/exact dedup gate upstream
-# enforces exactly that in the composed pipeline).
+# in tests/test_plans.py). There is deliberately NO separate df table:
+# the probe has already pruned-and-read exactly the query terms'
+# posting rows, and df(t) is their count — a |terms|-row aggregate
+# over rows in hand. Every table is APPEND-ONLY: extend appends new
+# postings plus a partial (n_docs) row, and the probe sums the
+# partials. No read-modify-write anywhere, so the extend path is the
+# same exactly-once append discipline the streaming ingest
+# (streaming/keyword_stream.py) rides through the parquet file sink.
+# Contract: each extend batch carries NEW doc_ids (posting-count df
+# stays exact because a doc never reappears — the bloom/exact dedup
+# gate upstream enforces exactly that in the composed pipeline).
 
 KEYWORD_INDEX_BUCKETS = 64
 
@@ -786,28 +788,13 @@ def build_keyword_index(
     n_buckets: int = KEYWORD_INDEX_BUCKETS,
     mode: str = "overwrite",
 ) -> None:
-    """Materialize the inverted index: one tokenize+groupBy pass over
-    the batch, three partitioned writes. df rows are per-batch partials
-    (see module comment); the probe sums them."""
-    # persist THIS BATCH's postings between the two writes: one corpus
-    # tokenization total (re-evaluating the frame would re-run the
-    # tokenize+explode lineage — the dsir_select_exact lesson), and the
-    # df partial must cover this batch only (a read-back of the
-    # postings dir would double-count earlier batches under append)
-    postings = _postings_frame(docs, text_col, n_buckets).persist()
-    try:
-        postings.write.partitionBy("bucket").mode(mode).parquet(
-            f"{path}/postings"
-        )
-        (
-            postings.groupBy("bucket", "t")
-            .agg(F.count(F.lit(1)).cast("long").alias("df"))
-            .write.partitionBy("bucket")
-            .mode(mode)
-            .parquet(f"{path}/terms")
-        )
-    finally:
-        postings.unpersist()
+    """Materialize the inverted index: ONE tokenize+groupBy pass over
+    the batch into the bucket-partitioned postings table, plus a
+    1-row (n_docs) partial. df is not stored — it is the posting count
+    per term, aggregated from the pruned rows at probe time."""
+    _postings_frame(docs, text_col, n_buckets).write.partitionBy(
+        "bucket"
+    ).mode(mode).parquet(f"{path}/postings")
     docs.agg(F.count(F.lit(1)).alias("n_docs")).write.mode(mode).parquet(
         f"{path}/stats"
     )
@@ -820,9 +807,9 @@ def extend_keyword_index(
     n_buckets: int = KEYWORD_INDEX_BUCKETS,
 ) -> None:
     """Append one ingest batch (NEW doc_ids) — pure appends, no
-    read-modify-write: postings rows, partial (t, df) rows, a partial
-    (n_docs) row. Crash-safe under re-run-from-scratch semantics of the
-    caller's batch boundary (same discipline as lsh extend)."""
+    read-modify-write: postings rows plus a partial (n_docs) row.
+    Crash-safe under re-run-from-scratch semantics of the caller's
+    batch boundary (same discipline as lsh extend)."""
     build_keyword_index(new_docs, path, text_col, n_buckets, mode="append")
 
 
@@ -834,11 +821,13 @@ def keyword_index_probe(
     n_buckets: int = KEYWORD_INDEX_BUCKETS,
 ) -> DataFrame:
     """Top-k TF-IDF answered ENTIRELY from the persisted index: the
-    query terms hash to a literal bucket list driver-side, so both the
-    postings read and the terms read prune to the probed partitions;
-    the corpus text is never touched. Scoring is identical to
-    keyword_search (integer-exact idf = (SCALE·N) div df), so the same
-    oracle gates both."""
+    query terms hash to a literal bucket list driver-side, so the
+    postings read prunes to the probed partitions; the corpus text is
+    never touched. df(t) is the posting count over the pruned rows
+    already in hand (a |terms|-row aggregate — no stored df table to
+    keep consistent); N is the sum of the appended (n_docs) partials.
+    Scoring is identical to keyword_search (integer-exact idf =
+    (SCALE·N) div df), so the same oracle gates both."""
     buckets = sorted({_term_bucket(t, n_buckets) for t in terms})
     # explicit schemas: no footer-inference reads at planning time —
     # with thousands of partition files, inference would open footers
@@ -856,12 +845,8 @@ def keyword_index_probe(
         .agg(F.sum("n_docs").alias("n_docs"))
     )
     idf = (
-        spark.read.schema("t string, df long, bucket long")
-        .parquet(f"{path}/terms")
-        .filter(F.col("bucket").isin(buckets))
-        .filter(F.col("t").isin(*terms))
-        .groupBy("t")
-        .agg(F.sum("df").alias("df"))  # sum the per-batch partials
+        postings.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))  # (doc_id, t) unique rows
         .crossJoin(F.broadcast(n))
         .withColumn(
             "w",
