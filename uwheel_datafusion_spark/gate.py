@@ -4106,6 +4106,43 @@ def keyword_index_probe_q(spark, sf_dir):
     )
 
 
+@gate("text_keyword_bm25", _tx.keyword_search_bm25_oracle())
+def keyword_bm25_q(spark, sf_dir):
+    """Okapi BM25 top-k — the production keyword scorer
+    (Lucene/Elasticsearch default), INTEGER-EXACT at k1=1.2, b=0.75:
+    idf, the scaled length norm L = dl/avgdl·1e4 and the tf saturation
+    tfn = tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))·1e3 are all integer
+    divisions of positive terms (Spark DIV ≡ DuckDB //), so both
+    engines rank bit-identically with no libm. Same scan shape as
+    keyword_search: query-term postings filter before any shuffle,
+    |terms|-row df broadcast, (N, total_dl) as a 1-row cross-joined
+    aggregate, top-k as TakeOrderedAndProject."""
+    return _tx.keyword_search_bm25(load_table(spark, sf_dir, "documents"))
+
+
+@gate("text_keyword_index_bm25", _tx.keyword_search_bm25_oracle())
+def keyword_index_bm25_q(spark, sf_dir):
+    """BM25 answered ENTIRELY from the persisted inverted index: the
+    posting rows carry dl and the stats partials sum to (N, total_dl),
+    so the index is BM25-complete — build + extend two batches, then
+    score with zero corpus access, pruned to the query terms' bucket
+    partitions. Same oracle as the one-shot BM25 (scoring identical)."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="kw_bm25_gate_")
+    try:
+        _tx.build_keyword_index(docs.filter(F.col("doc_id") % 2 == 0), work)
+        _tx.extend_keyword_index(docs.filter(F.col("doc_id") % 2 == 1), work)
+        rows = _tx.keyword_index_bm25_probe(spark, work).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.doc_id, r.score) for r in rows], "doc_id long, score long"
+    )
+
+
 @gate("streaming_keyword_index_parity", _tx.keyword_search_oracle())
 def streaming_keyword_index_q(spark, sf_dir):
     """Streaming ingest for the inverted keyword index (round 9): the
@@ -7480,17 +7517,18 @@ _DRIVER_WINDOW = [
     "text_keyword_index_probe",
     "similarity_ann_ivfpq_residual",
     "streaming_keyword_index_parity",
-    # --- canaries over round-9 changed code (similarity_ann_ivf_wide
-    #     and streaming_ann_cells_parity yield their slots to the
-    #     residual + streamed-keyword gates: the wide kernels are
-    #     exercised by every served row above, and the served parity
-    #     row drives ann_stream end-to-end) ---
+    "text_keyword_bm25",
+    "text_keyword_index_bm25",
+    # --- canaries over round-9 changed code (similarity_ann_ivf_wide,
+    #     streaming_ann_cells_parity, similarity_ann_ivfpq_wide and
+    #     similarity_ann_ivfpq_rerank yield their slots to the four
+    #     residual/keyword gates above: the wide kernels are exercised
+    #     by every served row, the served parity row drives ann_stream
+    #     end-to-end, and all four displaced rows are r8-green) ---
     "text_keyword_search",
     "corpus_dsir_select",
     "corpus_dsir_select_exact",
     "corpus_dsir_importance",
-    "similarity_ann_ivfpq_wide",
-    "similarity_ann_ivfpq_rerank",
     # --- staleness rotation: last driver-checked in round 2 ---
     "brand_supplier_revenue",
     "orders_priority_distribution",

@@ -769,15 +769,21 @@ def _bucket_expr(n_buckets: int) -> F.Column:
 def _postings_frame(
     docs: DataFrame, text_col: str, n_buckets: int
 ) -> DataFrame:
+    # dl (document token count, BM25's length signal) is denormalized
+    # into every posting row: constant per doc, so grouping by it is
+    # free, and it lets the BM25 probe run from the index alone
     d = SPARK
-    toks = (
-        docs.select("doc_id", F.expr(d.split(text_col)).alias("_ts"))
-        .select("doc_id", F.explode("_ts").alias("t"))
+    toks = docs.select(
+        "doc_id", F.expr(d.split(text_col)).alias("_ts")
+    ).select(
+        "doc_id",
+        F.expr(d.size("_ts")).cast("long").alias("dl"),
+        F.explode("_ts").alias("t"),
     )
     return (
-        toks.groupBy("doc_id", "t")
+        toks.groupBy("doc_id", "dl", "t")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .select(_bucket_expr(n_buckets), "t", "doc_id", "tf")
+        .select(_bucket_expr(n_buckets), "t", "doc_id", "tf", "dl")
     )
 
 
@@ -790,14 +796,21 @@ def build_keyword_index(
 ) -> None:
     """Materialize the inverted index: ONE tokenize+groupBy pass over
     the batch into the bucket-partitioned postings table, plus a
-    1-row (n_docs) partial. df is not stored — it is the posting count
-    per term, aggregated from the pruned rows at probe time."""
+    1-row (n_docs, total_dl) partial. df is not stored — it is the
+    posting count per term, aggregated from the pruned rows at probe
+    time. total_dl (BM25's avgdl numerator; avgdl = total_dl/n_docs
+    stays exact-rational in the scoring) costs one extra map-only
+    tokenize of the batch — build-time, linear, 1-row output."""
+    d = SPARK
     _postings_frame(docs, text_col, n_buckets).write.partitionBy(
         "bucket"
     ).mode(mode).parquet(f"{path}/postings")
-    docs.agg(F.count(F.lit(1)).alias("n_docs")).write.mode(mode).parquet(
-        f"{path}/stats"
-    )
+    docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.expr(d.size(d.split(text_col))).cast("long")
+        ).alias("total_dl"),
+    ).write.mode(mode).parquet(f"{path}/stats")
 
 
 def extend_keyword_index(
@@ -844,6 +857,12 @@ def keyword_index_probe(
         .parquet(f"{path}/stats")
         .agg(F.sum("n_docs").alias("n_docs"))
     )
+    return _tfidf_topk(postings, n, k)
+
+
+def _tfidf_topk(postings: DataFrame, n: DataFrame, k: int) -> DataFrame:
+    """Shared TF-IDF scoring tail over pruned posting rows: df from
+    the rows in hand, idf broadcast, top-k TakeOrderedAndProject."""
     idf = (
         postings.groupBy("t")
         .agg(F.count(F.lit(1)).alias("df"))  # (doc_id, t) unique rows
@@ -861,3 +880,184 @@ def keyword_index_probe(
         .agg(F.sum(F.col("tf") * F.col("w")).cast("long").alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
+# --------------------------------------------------------------------------
+# BM25 (Okapi, Robertson et al.) — integer-exact at k1 = 1.2, b = 0.75
+# --------------------------------------------------------------------------
+#
+# The production keyword scorer (Lucene/Elasticsearch default). The
+# float formulation is libm-free already except for the rationals, so
+# an exact integer form exists at fixed k1 = 12/10, b = 3/4:
+#
+#   idf_w = (10000·N) div df                       (the TF-IDF weight)
+#   L     = (dl·N·10000) div T                     (scaled dl/avgdl;
+#                                                   avgdl = T/N exact)
+#   tfn   = (880000000·tf) div (400000·tf + 120000 + 36·L)
+#           -- tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl)) scaled ×1000:
+#           multiply through by 4·10000·1000; all positive, so Spark
+#           DIV ≡ DuckDB // (truncation = floor)
+#   score = Σ_t (idf_w · tfn) div 1000
+#
+# Ranking granularity is idf_w/1000 per unit of tf_norm — far below
+# any score gap that matters — and int64 bounds hold to ~1e9 docs ×
+# ~1e13 tokens (idf_w·tfn ≤ 1e4·N·2200). Ties break by doc_id.
+
+BM25_TFN = (
+    "CAST((880000000 * tf) DIV "
+    "(400000 * tf + 120000 + 36 * L) AS BIGINT)"
+)
+
+
+def _bm25_topk(
+    postings: DataFrame, stats: DataFrame, k: int
+) -> DataFrame:
+    """Shared BM25 scoring tail over pruned posting rows carrying
+    (t, doc_id, tf, dl): df from the rows in hand; (N, T) a broadcast
+    1-row frame; per-term contribution exact-integer; top-k
+    TakeOrderedAndProject."""
+    idf = (
+        postings.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "w",
+            F.expr(
+                f"CAST(({KEYWORD_IDF_SCALE} * n_docs) DIV df AS BIGINT)"
+            ),
+        )
+    )
+    scored = (
+        postings.join(
+            F.broadcast(idf.select("t", "w", "n_docs", "total_dl")), "t"
+        )
+        .withColumn(
+            "L",
+            F.expr(
+                "CAST((dl * n_docs * 10000) DIV total_dl AS BIGINT)"
+            ),
+        )
+        .withColumn("tfn", F.expr(BM25_TFN))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("CAST((w * tfn) DIV 1000 AS BIGINT)"))
+            .cast("long")
+            .alias("score")
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
+def keyword_search_bm25(
+    docs: DataFrame,
+    terms: tuple[str, ...] = KEYWORD_QUERY,
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by integer-exact Okapi BM25 (k1=1.2,
+    b=0.75). Same scan shape as keyword_search: query-term postings
+    filter before any shuffle, |terms|-row df broadcast, (N, T) as a
+    1-row cross-joined aggregate, top-k as TakeOrderedAndProject.
+    Output (doc_id, score)."""
+    d = SPARK
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr(d.size(d.split(text_col))).cast("long")).alias(
+            "total_dl"
+        ),
+    )
+    toks = docs.select(
+        "doc_id", F.expr(d.split(text_col)).alias("_ts")
+    ).select(
+        "doc_id",
+        F.expr(d.size("_ts")).cast("long").alias("dl"),
+        F.explode("_ts").alias("t"),
+    ).filter(F.col("t").isin(*terms))
+    postings = toks.groupBy("doc_id", "dl", "t").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return _bm25_topk(postings, stats, k)
+
+
+def keyword_search_bm25_oracle(
+    table: str = "documents",
+    terms: tuple[str, ...] = KEYWORD_QUERY,
+    k: int = 10,
+    text_col: str = "text",
+) -> str:
+    d = DUCK
+    quoted = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH toked AS (
+            SELECT doc_id, {d.split(text_col)} AS _ts FROM {table}
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(len(_ts)) AS BIGINT) AS total_dl
+            FROM toked
+        ),
+        toks AS (
+            SELECT doc_id, CAST(len(_ts) AS BIGINT) AS dl,
+                   unnest(_ts) AS t
+            FROM toked
+        ),
+        tf AS (
+            SELECT doc_id, dl, t, COUNT(*) AS tf
+            FROM toks WHERE t IN ({quoted}) GROUP BY 1, 2, 3
+        ),
+        idf AS (
+            SELECT t, CAST(({KEYWORD_IDF_SCALE} * s.n_docs) // COUNT(*)
+                           AS BIGINT) AS w,
+                   s.n_docs, s.total_dl
+            FROM tf, stats s GROUP BY t, s.n_docs, s.total_dl
+        ),
+        ell AS (
+            SELECT tf.doc_id, tf.t, tf.tf, idf.w,
+                   CAST((tf.dl * idf.n_docs * 10000) // idf.total_dl
+                        AS BIGINT) AS L
+            FROM tf JOIN idf USING (t)
+        ),
+        contrib AS (
+            SELECT doc_id,
+                   CAST((w * CAST((880000000 * tf) //
+                        (400000 * tf + 120000 + 36 * L) AS BIGINT))
+                        // 1000 AS BIGINT) AS c
+            FROM ell
+        )
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score
+        FROM contrib GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT {k}
+    """
+
+
+def keyword_index_bm25_probe(
+    spark,
+    path: str,
+    terms: tuple[str, ...] = KEYWORD_QUERY,
+    k: int = 10,
+    n_buckets: int = KEYWORD_INDEX_BUCKETS,
+) -> DataFrame:
+    """BM25 top-k answered ENTIRELY from the persisted index — the
+    posting rows already carry dl and the stats partials sum to
+    (N, T), so the index is BM25-complete with no corpus access:
+    pruned postings read, |terms|-row df, exact-integer scoring,
+    TakeOrderedAndProject top-k."""
+    buckets = sorted({_term_bucket(t, n_buckets) for t in terms})
+    postings = (
+        spark.read.schema(
+            "t string, doc_id long, tf long, dl long, bucket long"
+        )
+        .parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("t").isin(*terms))
+    )
+    stats = (
+        spark.read.schema("n_docs long, total_dl long")
+        .parquet(f"{path}/stats")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_dl").alias("total_dl"),
+        )
+    )
+    return _bm25_topk(postings, stats, k)

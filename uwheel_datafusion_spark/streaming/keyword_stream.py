@@ -50,10 +50,11 @@ def posting_rows_stream(
     text_col: str = "text",
     n_buckets: int = KEYWORD_INDEX_BUCKETS,
 ) -> DataFrame:
-    """(bucket, t, doc_id, tf) posting rows from a STREAMING document
-    source — one map-only Arrow pass: per document, a Counter over the
-    Spark-twin tokenization; bucket via the same md5 fold the batch
-    build computes Spark-side."""
+    """(bucket, t, doc_id, tf, dl) posting rows from a STREAMING
+    document source — one map-only Arrow pass: per document, a Counter
+    over the Spark-twin tokenization (dl = the token count, BM25's
+    length signal, denormalized like the batch build); bucket via the
+    same md5 fold the batch build computes Spark-side."""
 
     def kernel(batches):
         from collections import Counter
@@ -63,33 +64,51 @@ def posting_rows_stream(
         for pdf in batches:
             if not len(pdf):
                 continue
-            out = {"bucket": [], "t": [], "doc_id": [], "tf": []}
+            out = {
+                "bucket": [], "t": [], "doc_id": [], "tf": [], "dl": [],
+            }
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                for t, tf in Counter(_split_spark_twin(text)).items():
+                toks = _split_spark_twin(text)
+                for t, tf in Counter(toks).items():
                     out["bucket"].append(_term_bucket(t, n_buckets))
                     out["t"].append(t)
                     out["doc_id"].append(doc_id)
                     out["tf"].append(tf)
+                    out["dl"].append(len(toks))
             yield pd.DataFrame(out)
 
     return stream_docs.select("doc_id", text_col).mapInPandas(
-        kernel, "bucket long, t string, doc_id long, tf long"
+        kernel, "bucket long, t string, doc_id long, tf long, dl long"
     )
 
 
-def stats_rows_stream(stream_docs: DataFrame) -> DataFrame:
-    """Partial (n_docs) rows — one count per Arrow chunk, map-only;
-    the probe sums partials, so chunk-granularity partials satisfy the
-    same contract as the batch build's one row per batch."""
+def stats_rows_stream(
+    stream_docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Partial (n_docs, total_dl) rows — one row per Arrow chunk,
+    map-only; the probe sums partials, so chunk-granularity partials
+    satisfy the same contract as the batch build's one row per batch."""
 
     def kernel(batches):
         import pandas as pd
 
         for pdf in batches:
             if len(pdf):
-                yield pd.DataFrame({"n_docs": [len(pdf)]})
+                yield pd.DataFrame(
+                    {
+                        "n_docs": [len(pdf)],
+                        "total_dl": [
+                            sum(
+                                len(_split_spark_twin(t))
+                                for t in pdf[text_col]
+                            )
+                        ],
+                    }
+                )
 
-    return stream_docs.select("doc_id").mapInPandas(kernel, "n_docs long")
+    return stream_docs.select("doc_id", text_col).mapInPandas(
+        kernel, "n_docs long, total_dl long"
+    )
 
 
 def start_keyword_postings_stream(
@@ -118,11 +137,12 @@ def start_keyword_stats_stream(
     stream_docs: DataFrame,
     index_dir: str,
     checkpoint_dir: str,
+    text_col: str = "text",
 ):
-    """Maintain ``{index_dir}/stats`` (partial n_docs rows) — the
-    second half of the index, same sink discipline."""
+    """Maintain ``{index_dir}/stats`` (partial n_docs/total_dl rows) —
+    the second half of the index, same sink discipline."""
     return (
-        stats_rows_stream(stream_docs)
+        stats_rows_stream(stream_docs, text_col)
         .writeStream.outputMode("append")
         .format("parquet")
         .option("path", f"{index_dir}/stats")
