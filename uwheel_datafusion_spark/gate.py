@@ -4203,6 +4203,90 @@ def streaming_keyword_index_q(spark, sf_dir):
     )
 
 
+def _hybrid_rrf_oracle(
+    terms=None, vec_query_id: int = 0, depth: int = 20, k: int = 10,
+    rrf_k: int = 60,
+) -> str:
+    """Relational replay of the RRF fusion: BM25 top-``depth`` ranks +
+    exact cosine KNN top-``depth`` ranks, fused by Σ 1e6 // (60+rank)."""
+    terms = terms or _tx.KEYWORD_QUERY
+    kw = _tx.keyword_search_bm25_oracle(terms=terms, k=depth)
+    knn = _sim.knn_brute_force_oracle(
+        query_ids=(vec_query_id,), k=depth
+    )
+    return f"""
+        WITH kw AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS kw_rank
+            FROM ({kw})
+        ),
+        vec AS (
+            SELECT neighbor_id AS doc_id, rnk AS vec_rank
+            FROM ({knn})
+        ),
+        fused AS (
+            SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id,
+                   CAST(COALESCE(1000000 // ({rrf_k} + kw.kw_rank), 0)
+                      + COALESCE(1000000 // ({rrf_k} + vec.vec_rank), 0)
+                        AS BIGINT) AS rrf_score
+            FROM kw FULL OUTER JOIN vec USING (doc_id)
+        )
+        SELECT doc_id, rrf_score FROM fused
+        ORDER BY rrf_score DESC, doc_id
+        LIMIT {k}
+    """
+
+
+@gate("retrieval_hybrid_rrf", _hybrid_rrf_oracle())
+def hybrid_rrf_q(spark, sf_dir):
+    """HYBRID retrieval — reciprocal-rank fusion (Cormack et al. 2009,
+    the standard lexical+vector combiner) of the two retrieval
+    modalities this engine serves: BM25 keyword top-20 and exact
+    cosine KNN top-20 (doc_id ≡ vec_id in the fixture schema — one
+    embedding per document), fused by Σ 1e6 div (60 + rank) — integer
+    exact, so both engines rank bit-identically; missing-from-one-list
+    contributes 0 (COALESCE). Scale shape: both inputs are already
+    top-depth (TakeOrderedAndProject / window top-k); the fusion is a
+    full outer join of two ≤depth-row frames — driver-light,
+    shuffle-trivial. Ties break by doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    depth, rrf_k = 20, 60
+    kw = _tx.keyword_search_bm25(docs, k=depth).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("kw_rank"),
+    )
+    vec = _sim.knn_brute_force(emb, (0,), k=depth).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rnk").alias("vec_rank"),
+    )
+    fused = (
+        kw.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(
+                    F.expr(f"CAST(1000000 DIV ({rrf_k} + kw_rank) AS BIGINT)"),
+                    F.lit(0),
+                )
+                + F.coalesce(
+                    F.expr(
+                        f"CAST(1000000 DIV ({rrf_k} + vec_rank) AS BIGINT)"
+                    ),
+                    F.lit(0),
+                )
+            )
+            .cast("long")
+            .alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id")).limit(10)
+
+
 @gate("text_gopher_quality", _tx.gopher_quality_flags_oracle())
 def text_gopher_quality_q(spark, sf_dir):
     """Gopher rule-based pretraining filter (Rae et al. 2021 A1.1):
@@ -7519,6 +7603,7 @@ _DRIVER_WINDOW = [
     "streaming_keyword_index_parity",
     "text_keyword_bm25",
     "text_keyword_index_bm25",
+    "retrieval_hybrid_rrf",
     # --- canaries over round-9 changed code (similarity_ann_ivf_wide,
     #     streaming_ann_cells_parity, similarity_ann_ivfpq_wide and
     #     similarity_ann_ivfpq_rerank yield their slots to the four
@@ -7528,7 +7613,8 @@ _DRIVER_WINDOW = [
     "text_keyword_search",
     "corpus_dsir_select",
     "corpus_dsir_select_exact",
-    "corpus_dsir_importance",
+    # (corpus_dsir_importance's slot goes to retrieval_hybrid_rrf: the
+    #  two select gates above exercise the full scoring lineage)
     # --- staleness rotation: last driver-checked in round 2 ---
     "brand_supplier_revenue",
     "orders_priority_distribution",
