@@ -348,6 +348,19 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_correctness):
                                            # total-bound / n_range
                                            # scalars — same benign shape
                                            # as q11's threshold
+        "text_keyword_search",             # N rides the plan as a 1-row
+                                           # cross-joined count into the
+                                           # |terms|-row idf frame (the
+                                           # r8 "fold docs.count() into
+                                           # the aggregate" fix) — q11's
+                                           # benign scalar shape
+        "text_keyword_bm25",               # same 1-row (N, total_dl)
+                                           # scalar cross join
+        "retrieval_hybrid_rrf",            # inherits keyword_bm25's
+                                           # scalar cross join; the RRF
+                                           # fusion itself is a full
+                                           # outer join of two ≤20-row
+                                           # top-k frames
         # NOTE: wheel_range_batch_serving was briefly allowlisted here;
         # its runs-containment join is now a block-id broadcast HASH
         # join (range_agg_batch_df), so the audit covers it again.
