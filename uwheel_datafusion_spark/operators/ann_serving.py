@@ -276,6 +276,58 @@ def ivfpq_search_served(
     )
 
 
+def compact_partitioned_table(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "cell",
+    sort_cols: tuple = ("vec_id",),
+    schema: str | None = None,
+) -> int:
+    """Small-file compaction for a streamed partitioned index table —
+    the OPTIMIZE step every file-sink-maintained index eventually
+    needs: each micro-batch appended one file per touched partition,
+    so a long-lived stream leaves thousands of tiny files per cell and
+    probe-time file-open cost swamps the partition-pruning win.
+
+    Rewrites the table so each partition directory holds ONE file,
+    rows sorted by ``sort_cols`` (parquet row-group stats then serve
+    point lookups — the rerank's vec_id isin — with row-group
+    pruning). One shuffle keyed on the partition column; a cell lives
+    in exactly one task, so exactly one output file per partition.
+    The swap is write-to-sibling + two renames — the brief
+    non-atomicity is the maintenance-window contract (same as the
+    rollup writers); readers hold no open handles across queries in
+    this engine. Returns the number of files after compaction.
+
+    Works for ANY table in the cell-partitioned family: the IVF
+    payload, the PQ codes, the keyword postings (partition_col =
+    'bucket', sort_cols = ('t', 'doc_id'))."""
+    import os
+    import shutil
+
+    reader = spark.read.schema(schema) if schema else spark.read
+    df = reader.parquet(path)
+    tmp = f"{path}__compacting"
+    (
+        df.repartition(F.col(partition_col))
+        .sortWithinPartitions(partition_col, *sort_cols)
+        .write.partitionBy(partition_col)
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    old = f"{path}__precompact"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    n_files = sum(
+        1
+        for base, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return n_files
+
+
 def ivfpq_rerank_served(
     pq_served: ServedIvfPqIndex,
     ivf_served: ServedIvfIndex,
