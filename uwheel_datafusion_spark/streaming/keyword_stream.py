@@ -37,12 +37,16 @@ from uwheel_datafusion_spark.operators.textops import (
 )
 
 
-def _split_spark_twin(text: str) -> list[str]:
+def _split_spark_twin(text) -> list[str] | None:
     """Python twin of Spark SQL ``split(text, ' ')`` (Java
     String.split(" ", -1)): split on every single space, KEEP empty
-    tokens from consecutive/trailing separators. Python str.split(' ')
-    has exactly these semantics."""
-    return text.split(" ") if text else [""]
+    tokens from consecutive/trailing separators — Python str.split(' ')
+    has exactly these semantics, including ``"" -> [""]``. NULL text
+    returns None: batch-side, split(NULL) is NULL, explode(NULL) emits
+    NO rows, and SUM skips the NULL dl — the twin must do the same."""
+    if text is None or (isinstance(text, float)):  # pandas NULL = NaN
+        return None
+    return text.split(" ")
 
 
 def posting_rows_stream(
@@ -69,6 +73,8 @@ def posting_rows_stream(
             }
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
                 toks = _split_spark_twin(text)
+                if toks is None:  # NULL text: batch emits no postings
+                    continue
                 for t, tf in Counter(toks).items():
                     out["bucket"].append(_term_bucket(t, n_buckets))
                     out["t"].append(t)
@@ -94,14 +100,15 @@ def stats_rows_stream(
 
         for pdf in batches:
             if len(pdf):
+                toks = [_split_spark_twin(t) for t in pdf[text_col]]
                 yield pd.DataFrame(
                     {
+                        # n_docs counts EVERY doc (batch COUNT(*));
+                        # NULL text contributes 0 to total_dl (batch
+                        # SUM skips the NULL size)
                         "n_docs": [len(pdf)],
                         "total_dl": [
-                            sum(
-                                len(_split_spark_twin(t))
-                                for t in pdf[text_col]
-                            )
+                            sum(len(ts) for ts in toks if ts is not None)
                         ],
                     }
                 )
