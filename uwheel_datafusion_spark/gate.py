@@ -5535,6 +5535,57 @@ def ann_ivf_served_q(spark, sf_dir):
 
 
 @gate(
+    "similarity_ann_filtered_served",
+    _sim.ivf_search_wide_oracle(
+        query_ids=KNN_QUERY_IDS,
+        k=5,
+        nprobe=4,
+        n_cells=32,
+        corpus_where="label = 3",
+    ),
+)
+def ann_filtered_served_q(spark, sf_dir):
+    """FILTERED vector search (the FAISS IDSelector / metadata-
+    predicate shape — 'nearest neighbors WHERE label = 3'): the
+    metadata column is denormalized into the cell-partitioned payload
+    at save time, the index builds over everything, and the predicate
+    applies at query time to the candidate side only — pushed into the
+    SAME pruned parquet read as the cell partition filter, zero extra
+    passes. Probe ranking is unfiltered (cells are geometric), so
+    within-subset recall degrades gracefully exactly as FAISS filtered
+    search does. Oracle: the wide relational replay with the candidate
+    side joined to the metadata predicate."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = _sim.ivf_build_wide(emb, n_cells=32)
+    work = tempfile.mkdtemp(prefix="ivf_filtered_gate_")
+    try:
+        served = _srv.save_ivf_payload(
+            ivf, emb, os.path.join(work, "payload"), extra_cols=("label",)
+        )
+        queries = emb.filter(F.col("vec_id").isin(*KNN_QUERY_IDS)).select(
+            "vec_id", "embedding"
+        )
+        rows = _srv.ivf_search_served(
+            served,
+            queries,
+            k=5,
+            nprobe=4,
+            where="label = 3",
+            extra_schema="label long",
+        ).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.query_id, r.neighbor_id, r.cosine, r.rnk) for r in rows],
+        "query_id long, neighbor_id long, cosine double, rnk long",
+    )
+
+
+@gate(
     "similarity_ann_ivfpq_served",
     _sim.ivfpq_search_wide_oracle(
         query_ids=KNN_QUERY_IDS, topk=5, nprobe=4, n_cells=32, m=8, k=64
@@ -7687,6 +7738,7 @@ _DRIVER_WINDOW = [
     "text_keyword_index_bm25",
     "retrieval_hybrid_rrf",
     "streaming_ann_served_compacted",
+    "similarity_ann_filtered_served",
     # --- canaries over round-9 changed code (similarity_ann_ivf_wide,
     #     streaming_ann_cells_parity, similarity_ann_ivfpq_wide and
     #     similarity_ann_ivfpq_rerank yield their slots to the four
@@ -7722,7 +7774,8 @@ _DRIVER_WINDOW = [
     "set_ops_priority_customers",
     "skew_salted_events_by_type",
     "subquery_correlated_max_order",
-    "text_langid_summary",
+    # (text_langid_summary's slot goes to similarity_ann_filtered_served:
+    #  the text family already holds six fresher rows in this window)
     # (topk_orders' slot goes to streaming_ann_served_compacted: the
     #  top-k shape is covered in-window by the keyword top-k rows and
     #  window_top3_orders_per_customer)

@@ -79,15 +79,22 @@ def save_ivf_payload(
     path: str,
     vec_col: str = "embedding",
     mode: str = "overwrite",
+    extra_cols: tuple = (),
 ) -> ServedIvfIndex:
     """Materialize the IVF-Flat payload into its cell layout: one
     build-time shuffle (payload ⋈ cells on vec_id, then the
     partitioned write), amortized over every subsequent search. The
     zero-norm rows are kept (the write is metric-agnostic); cosine
-    search filters qnorm > 0 at read exactly like the in-memory path."""
-    qv = _quantized(vecs, vec_col).select("vec_id", "qvec", "qnorm")
+    search filters qnorm > 0 at read exactly like the in-memory path.
+    ``extra_cols`` denormalizes metadata columns (label, lang, ...)
+    into the payload so FILTERED search (metadata predicate + vector
+    query) runs from the index alone — the predicate pushes into the
+    pruned parquet read next to the cell filter."""
+    qv = _quantized(vecs, vec_col).select(
+        "vec_id", "qvec", "qnorm", *extra_cols
+    )
     payload = qv.join(index.cells, "vec_id").select(
-        "cell", "vec_id", "qvec", "qnorm"
+        "cell", "vec_id", "qvec", "qnorm", *extra_cols
     )
     payload.write.partitionBy("cell").mode(mode).parquet(path)
     return ServedIvfIndex(
@@ -159,6 +166,8 @@ def ivf_search_served(
     k: int = 5,
     nprobe: int = 2,
     vec_col: str = "embedding",
+    where: str | None = None,
+    extra_schema: str = "",
 ) -> DataFrame:
     """Multi-probe cosine top-k answered ENTIRELY from the served
     table: the corpus is never touched. ``queries`` is a small
@@ -166,7 +175,17 @@ def ivf_search_served(
     pushed-down isin() slice of the corpus in the gates. Same output
     contract and bit-identical results to ivf_search_wide (same
     quantization, probe ranking, cosine and (cosine desc, neighbor_id)
-    tie-break), so the same oracle gates both."""
+    tie-break), so the same oracle gates both.
+
+    ``where`` (with its columns declared in ``extra_schema``, e.g.
+    ``where="label = 3", extra_schema="label long"``) is FILTERED
+    search — the FAISS IDSelector/metadata-predicate shape: the index
+    is built over everything, the predicate applies at query time to
+    the candidate side only, and it lands in the pruned parquet scan
+    as a pushed data filter next to the cell partition filter. Probe
+    ranking is unchanged (cells are geometric, the filter is not), so
+    recall within the filtered subset degrades gracefully exactly as
+    FAISS filtered search does."""
     assert 1 <= nprobe <= index.n_cells
     spark = queries.sparkSession
     qq = _quantized(queries, vec_col, drop_zero=True)
@@ -174,12 +193,15 @@ def ivf_search_served(
     pairs = _rank_probes(index.centroids, qrows, nprobe)
     probe_pairs = spark.createDataFrame(pairs, "query_id long, q_cell long")
     probed = sorted({c for _, c in pairs})
+    extra = f", {extra_schema}" if extra_schema else ""
     payload = _read_payload(
         spark,
         index.path,
         probed,
-        "vec_id long, qvec array<long>, qnorm long, cell long",
+        f"vec_id long, qvec array<long>, qnorm long{extra}, cell long",
     ).filter(F.col("qnorm") > 0)
+    if where:
+        payload = payload.filter(where)
     qframe = qq.select(
         F.col("vec_id").alias("query_id"),
         F.col("qvec").alias("q_qvec"),

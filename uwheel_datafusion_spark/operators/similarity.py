@@ -2757,6 +2757,7 @@ def ivf_search_wide_oracle(
     n_cells: int = 32,
     n_iter: int = 2,
     vec_col: str = "embedding",
+    corpus_where: str | None = None,
 ) -> str:
     """DuckDB replay of ivf_build_wide + multi-probe cosine search at
     GENUINELY WIDE cell counts (no mord packing, no literal cap):
@@ -2765,13 +2766,21 @@ def ivf_search_wide_oracle(
     exact quantized cosine over the probed cells only, ranked by
     (cosine desc, neighbor_id). Gates ivf_search_wide AND the served
     cell-partitioned layout (operators/ann_serving.py), which are by
-    contract bit-identical."""
+    contract bit-identical. ``corpus_where`` replays FILTERED search:
+    the index builds over everything, the predicate applies to the
+    candidate side only (never the probe ranking), matching
+    ivf_search_served's ``where``."""
     d = DUCK
     assert query_ids, "query_ids required"
     ids = ", ".join(str(i) for i in query_ids)
     q = d.quantize_vec(vec_col, Q_SCALE)
     dist = d.sum_list_bigint(d.zip_sqdiff("qv.qvec", "c.cvec"))
     cos = d.cosine_q(d.dot_q("q.qvec", "v.qvec"), "q.qnorm", "v.qnorm")
+    meta_join = (
+        f"JOIN {table} m ON m.vec_id = v.vec_id AND m.{corpus_where}"
+        if corpus_where
+        else ""
+    )
     coarse, cfin = _wide_kmeans_ctes("g", "qv", n_cells, n_iter, d)
     parts = [f"qv AS (SELECT vec_id, {q} AS qvec FROM {table})"] + coarse
     parts.append(
@@ -2810,6 +2819,7 @@ def ivf_search_wide_oracle(
             FROM probe p
             JOIN cells cl ON cl.cell = p.q_cell
             JOIN qn v ON v.vec_id = cl.vec_id AND v.vec_id <> p.query_id
+            {meta_join}
             JOIN qn q ON q.vec_id = p.query_id
         )"""
     )
