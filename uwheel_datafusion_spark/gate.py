@@ -4143,6 +4143,34 @@ def keyword_index_bm25_q(spark, sf_dir):
     )
 
 
+@gate("text_keyword_phrase", _tx.keyword_phrase_search_oracle())
+def keyword_phrase_q(spark, sf_dir):
+    """PHRASE search from a positional index (the Lucene positions
+    tier): the positions table (bucket, t, doc_id, pos) lives beside
+    the tf postings — term-hash partitioned, append-only, built here
+    as two batches (build + extend) — and only phrase probes pay for
+    it. The probe prunes to the phrase terms' partitions and chains
+    |phrase|−1 equi-joins on (doc_id, pos+i) to count consecutive
+    runs; pos is 1-based on both engines (posexplode+1 ≡
+    generate_subscripts), so the DuckDB corpus replay matches
+    bit-for-bit."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="kw_phrase_gate_")
+    try:
+        _tx.build_keyword_positions(docs.filter(F.col("doc_id") % 2 == 0), work)
+        _tx.extend_keyword_positions(docs.filter(F.col("doc_id") % 2 == 1), work)
+        rows = _tx.keyword_phrase_search(spark, work).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.doc_id, r.n_matches) for r in rows],
+        "doc_id long, n_matches long",
+    )
+
+
 @gate("streaming_keyword_index_parity", _tx.keyword_search_oracle())
 def streaming_keyword_index_q(spark, sf_dir):
     """Streaming ingest for the inverted keyword index (round 9): the
@@ -7739,6 +7767,7 @@ _DRIVER_WINDOW = [
     "retrieval_hybrid_rrf",
     "streaming_ann_served_compacted",
     "similarity_ann_filtered_served",
+    "text_keyword_phrase",
     # --- canaries over round-9 changed code (similarity_ann_ivf_wide,
     #     streaming_ann_cells_parity, similarity_ann_ivfpq_wide and
     #     similarity_ann_ivfpq_rerank yield their slots to the four
@@ -7761,7 +7790,9 @@ _DRIVER_WINDOW = [
     "argmax_latest_order_per_customer",
     "dedup_connected_components",
     "dedup_exact_groups",
-    "distinct_users_by_day",
+    # (distinct_users_by_day's slot goes to text_keyword_phrase: the
+    #  distinct-aggregate shape is covered in-window by tpch_q16's
+    #  per-group distinct-supplier count)
     "grouping_sets_orders_status_priority",
     "keyed_wheel_by_type_range",
     "multimodal_feature_extract",

@@ -1061,3 +1061,129 @@ def keyword_index_bm25_probe(
         )
     )
     return _bm25_topk(postings, stats, k)
+
+
+# --------------------------------------------------------------------------
+# positional index: phrase queries (the Lucene positions tier)
+# --------------------------------------------------------------------------
+#
+# Phrase search needs token POSITIONS, which the tf postings
+# deliberately do not carry (they'd bloat every probe). Positions live
+# in their own optional table — ``{path}/positions`` (bucket, t,
+# doc_id, pos), term-hash partitioned and append-only exactly like the
+# postings — so only phrase probes pay for them. A phrase probe reads
+# the phrase terms' partitions only and chains |phrase|−1 equi-joins
+# on (doc_id, pos + i): consecutive-position containment, the standard
+# positional-index phrase algorithm. pos is 1-based on both engines
+# (Spark posexplode+1 ≡ DuckDB generate_subscripts).
+
+PHRASE_QUERY = ("table", "hash")  #: the gate's phrase (fixture vocab)
+
+
+def _positions_frame(
+    docs: DataFrame, text_col: str, n_buckets: int
+) -> DataFrame:
+    d = SPARK
+    return docs.select(
+        "doc_id", F.posexplode(F.expr(d.split(text_col))).alias("pos0", "t")
+    ).select(
+        _bucket_expr(n_buckets),
+        "t",
+        "doc_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+    )
+
+
+def build_keyword_positions(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    n_buckets: int = KEYWORD_INDEX_BUCKETS,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize (or with mode='append', extend) the positional
+    table — map-only posexplode, one partitioned write; the same
+    append-only lifecycle as the postings (and streamable through the
+    file sink: the frame is stateless, so the SAME expression tree
+    runs on a streaming source)."""
+    _positions_frame(docs, text_col, n_buckets).write.partitionBy(
+        "bucket"
+    ).mode(mode).parquet(f"{path}/positions")
+
+
+def extend_keyword_positions(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    n_buckets: int = KEYWORD_INDEX_BUCKETS,
+) -> None:
+    build_keyword_positions(new_docs, path, text_col, n_buckets, "append")
+
+
+def keyword_phrase_search(
+    spark,
+    path: str,
+    phrase: tuple[str, ...] = PHRASE_QUERY,
+    k: int = 10,
+    n_buckets: int = KEYWORD_INDEX_BUCKETS,
+) -> DataFrame:
+    """Top-``k`` documents by EXACT phrase occurrence count, answered
+    entirely from the positional table: reads prune to the phrase
+    terms' bucket partitions, then |phrase|−1 broadcast-friendly
+    equi-joins on (doc_id, pos+i) count consecutive runs. Output
+    (doc_id, n_matches), ties by doc_id."""
+    assert len(phrase) >= 2, "a phrase needs at least two terms"
+    buckets = sorted({_term_bucket(t, n_buckets) for t in phrase})
+    pos = (
+        spark.read.schema("t string, doc_id long, pos long, bucket long")
+        .parquet(f"{path}/positions")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("t").isin(*set(phrase)))
+    )
+    cur = pos.filter(F.col("t") == phrase[0]).select("doc_id", "pos")
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = pos.filter(F.col("t") == term).select(
+            "doc_id", (F.col("pos") - i).alias("pos")
+        )
+        cur = cur.join(nxt, ["doc_id", "pos"])
+    scored = cur.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches")
+    )
+    return scored.orderBy(
+        F.col("n_matches").desc(), F.col("doc_id")
+    ).limit(k)
+
+
+def keyword_phrase_search_oracle(
+    table: str = "documents",
+    phrase: tuple[str, ...] = PHRASE_QUERY,
+    k: int = 10,
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay from the corpus text: 1-based positions via
+    generate_subscripts, the same consecutive-position join chain."""
+    d = DUCK
+    joins = " ".join(
+        f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id "
+        f"AND p{i}.t = '{t}' AND p{i}.pos = p0.pos + {i}"
+        for i, t in enumerate(phrase[1:], start=1)
+    )
+    return f"""
+        WITH toked AS (
+            SELECT doc_id, {d.split(text_col)} AS _ts FROM {table}
+        ),
+        pos AS (
+            SELECT doc_id, unnest(_ts) AS t,
+                   CAST(generate_subscripts(_ts, 1) AS BIGINT) AS pos
+            FROM toked
+        ),
+        runs AS (
+            SELECT p0.doc_id
+            FROM pos p0 {joins}
+            WHERE p0.t = '{phrase[0]}'
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+        FROM runs GROUP BY doc_id
+        ORDER BY n_matches DESC, doc_id
+        LIMIT {k}
+    """
