@@ -4143,6 +4143,44 @@ def keyword_index_bm25_q(spark, sf_dir):
     )
 
 
+@gate(
+    "text_keyword_index_delete",
+    _tx.keyword_search_oracle(
+        table="(SELECT * FROM documents WHERE doc_id % 7 <> 0) AS live"
+    ),
+)
+def keyword_index_delete_q(spark, sf_dir):
+    """Right-to-erasure on the append-only index (the LSM/Lucene
+    tombstone discipline): deletes append (doc_id) tombstones plus a
+    NEGATIVE (n_docs, total_dl) stats partial recovered from the
+    deleted docs' own posting rows (Σtf ≡ dl), so probes anti-join the
+    tombstones AND their summed corpus statistics — hence idf — are
+    exactly those of the live corpus. No rewrite of any index file.
+    Oracle: the one-shot TF-IDF replay over ONLY the live documents —
+    if tombstoning leaked a deleted doc into candidates, df, or N, the
+    hash would differ."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="kw_delete_gate_")
+    try:
+        _tx.build_keyword_index(docs, work)
+        dead = [
+            r.doc_id
+            for r in docs.filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id")
+            .collect()
+        ]
+        _tx.delete_docs_from_index(spark, work, dead)
+        rows = _tx.keyword_index_probe(spark, work).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.doc_id, r.score) for r in rows], "doc_id long, score long"
+    )
+
+
 @gate("text_keyword_phrase", _tx.keyword_phrase_search_oracle())
 def keyword_phrase_q(spark, sf_dir):
     """PHRASE search from a positional index (the Lucene positions
@@ -7768,6 +7806,7 @@ _DRIVER_WINDOW = [
     "streaming_ann_served_compacted",
     "similarity_ann_filtered_served",
     "text_keyword_phrase",
+    "text_keyword_index_delete",
     # --- canaries over round-9 changed code (similarity_ann_ivf_wide,
     #     streaming_ann_cells_parity, similarity_ann_ivfpq_wide and
     #     similarity_ann_ivfpq_rerank yield their slots to the four
@@ -7818,7 +7857,9 @@ _DRIVER_WINDOW = [
     "tpch_q5_local_supplier_volume",
     "wheel_gapfill_hour_locf",
     "wheel_landmark",
-    "wheel_orders_range_with_weeks",
+    # (wheel_orders_range_with_weeks' slot goes to
+    #  text_keyword_index_delete: the wheel family keeps seven rows in
+    #  this window incl. all three range alignments)
     "wheel_range_minute_aligned",
     "wheel_rollup_minute",
     "wheel_topn_minutes",

@@ -852,6 +852,7 @@ def keyword_index_probe(
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("t").isin(*terms))
     )
+    postings = _live_postings(spark, path, postings)
     n = (
         spark.read.schema("n_docs long")
         .parquet(f"{path}/stats")
@@ -1052,6 +1053,7 @@ def keyword_index_bm25_probe(
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("t").isin(*terms))
     )
+    postings = _live_postings(spark, path, postings)
     stats = (
         spark.read.schema("n_docs long, total_dl long")
         .parquet(f"{path}/stats")
@@ -1061,6 +1063,66 @@ def keyword_index_bm25_probe(
         )
     )
     return _bm25_topk(postings, stats, k)
+
+
+# --------------------------------------------------------------------------
+# tombstone deletes: right-to-erasure on an append-only index
+# --------------------------------------------------------------------------
+#
+# An append-only index cannot rewrite history on a delete (that is
+# the point), so deletes are TOMBSTONES — the standard LSM/Lucene
+# discipline: ``{path}/tombstones`` accumulates (doc_id) rows, probes
+# anti-join them (AQE broadcasts the tombstone side while it is
+# small), and a compaction pass can fold them in later. Exactness is
+# preserved END-TO-END: the delete also appends a NEGATIVE stats
+# partial (−n docs, −Σdl) computed from the deleted docs' own posting
+# rows, so the probe's summed (N, total_dl) — and therefore idf and
+# the BM25 length norm — are exactly those of the live corpus, not
+# the ingested one.
+
+
+def delete_docs_from_index(
+    spark,
+    path: str,
+    doc_ids: list,
+) -> None:
+    """Tombstone ``doc_ids``: one append to tombstones/, one NEGATIVE
+    (n_docs, total_dl) partial to stats/. dl of each deleted doc is
+    recovered from its posting rows (Σtf ≡ dl by construction) — one
+    filtered pass over postings, no read-modify-write anywhere."""
+    ids_df = spark.createDataFrame(
+        [(int(i),) for i in doc_ids], "doc_id long"
+    )
+    ids_df.write.mode("append").parquet(f"{path}/tombstones")
+    dead = (
+        spark.read.schema("t string, doc_id long, tf long, bucket long")
+        .parquet(f"{path}/postings")
+        .filter(F.col("doc_id").isin([int(i) for i in doc_ids]))
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.sum("tf").alias("dl_sum"),
+        )
+        .first()
+    )
+    # docs with NULL text never wrote postings: they count in n_docs
+    # at ingest, so the negative partial must count them too
+    n_dead_postings = dead["nd"] or 0
+    n_dead = len(set(int(i) for i in doc_ids))
+    spark.createDataFrame(
+        [(-n_dead, -(dead["dl_sum"] or 0))], "n_docs long, total_dl long"
+    ).write.mode("append").parquet(f"{path}/stats")
+    assert n_dead_postings <= n_dead
+
+
+def _live_postings(spark, path: str, postings: DataFrame) -> DataFrame:
+    """Anti-join the tombstones (if any) — the probe-side delete
+    filter. Missing tombstone table = nothing deleted."""
+    import os
+
+    if not os.path.isdir(f"{path}/tombstones"):
+        return postings
+    dead = spark.read.schema("doc_id long").parquet(f"{path}/tombstones")
+    return postings.join(dead, "doc_id", "left_anti")
 
 
 # --------------------------------------------------------------------------
@@ -1140,6 +1202,7 @@ def keyword_phrase_search(
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("t").isin(*set(phrase)))
     )
+    pos = _live_postings(spark, path, pos)
     cur = pos.filter(F.col("t") == phrase[0]).select("doc_id", "pos")
     for i, term in enumerate(phrase[1:], start=1):
         nxt = pos.filter(F.col("t") == term).select(
