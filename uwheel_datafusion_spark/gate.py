@@ -4181,6 +4181,29 @@ def keyword_index_delete_q(spark, sf_dir):
     )
 
 
+@gate("text_keyword_conjunctive", _tx.keyword_conjunctive_oracle())
+def keyword_conjunctive_q(spark, sf_dir):
+    """Boolean-AND retrieval from the persisted index: only documents
+    containing EVERY query term qualify — HAVING count(distinct t) =
+    |terms| over the pruned postings, so the qualification and the
+    TF-IDF score share ONE aggregate (no second pass). Same pruning,
+    same integer-exact scoring; the oracle adds the HAVING to the
+    one-shot replay."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="kw_conj_gate_")
+    try:
+        _tx.build_keyword_index(docs, work)
+        rows = _tx.keyword_index_search_conjunctive(spark, work).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.doc_id, r.score) for r in rows], "doc_id long, score long"
+    )
+
+
 @gate("text_keyword_phrase", _tx.keyword_phrase_search_oracle())
 def keyword_phrase_q(spark, sf_dir):
     """PHRASE search from a positional index (the Lucene positions
@@ -5642,6 +5665,57 @@ def ann_filtered_served_q(spark, sf_dir):
             nprobe=4,
             where="label = 3",
             extra_schema="label long",
+        ).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.query_id, r.neighbor_id, r.cosine, r.rnk) for r in rows],
+        "query_id long, neighbor_id long, cosine double, rnk long",
+    )
+
+
+@gate(
+    "similarity_ann_deleted_served",
+    _sim.ivf_search_wide_oracle(
+        query_ids=KNN_QUERY_IDS,
+        k=5,
+        nprobe=4,
+        n_cells=32,
+        corpus_where="vec_id % 5 <> 0",
+    ),
+)
+def ann_deleted_served_q(spark, sf_dir):
+    """Right-to-erasure on the served ANN table (FAISS remove_ids
+    semantics, tombstone discipline): deletes append (vec_id) rows to
+    a sibling tombstone dir; every search anti-joins them (no payload
+    file rewritten; the trained coarse quantizer keeps serving). Here
+    every fifth vector is erased, then the probe answers must rank as
+    if those vectors never existed — the oracle replays the wide
+    search with the candidate side restricted to live ids, so one
+    leaked deleted neighbor breaks the hash."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = _sim.ivf_build_wide(emb, n_cells=32)
+    work = tempfile.mkdtemp(prefix="ivf_deleted_gate_")
+    try:
+        served = _srv.save_ivf_payload(
+            ivf, emb, os.path.join(work, "payload")
+        )
+        dead = [
+            r.vec_id
+            for r in emb.filter(F.col("vec_id") % 5 == 0)
+            .select("vec_id")
+            .collect()
+        ]
+        _srv.delete_vectors_from_index(spark, served.path, dead)
+        queries = emb.filter(F.col("vec_id").isin(*KNN_QUERY_IDS)).select(
+            "vec_id", "embedding"
+        )
+        rows = _srv.ivf_search_served(
+            served, queries, k=5, nprobe=4
         ).collect()
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -7807,6 +7881,8 @@ _DRIVER_WINDOW = [
     "similarity_ann_filtered_served",
     "text_keyword_phrase",
     "text_keyword_index_delete",
+    "text_keyword_conjunctive",
+    "similarity_ann_deleted_served",
     # --- canaries over round-9 changed code (similarity_ann_ivf_wide,
     #     streaming_ann_cells_parity, similarity_ann_ivfpq_wide and
     #     similarity_ann_ivfpq_rerank yield their slots to the four
@@ -7835,7 +7911,9 @@ _DRIVER_WINDOW = [
     "grouping_sets_orders_status_priority",
     "keyed_wheel_by_type_range",
     "multimodal_feature_extract",
-    "pivot_event_type_by_user_decile",
+    # (pivot_event_type_by_user_decile's slot goes to
+    #  text_keyword_conjunctive: the multi-bucket aggregate shape is
+    #  covered in-window by grouping_sets_orders_status_priority)
     "quantiles_order_value_deciles",
     "range_join_purchase_click_5m",
     "region_revenue_join",
@@ -7863,7 +7941,10 @@ _DRIVER_WINDOW = [
     "wheel_range_minute_aligned",
     "wheel_rollup_minute",
     "wheel_topn_minutes",
-    "window_top3_orders_per_customer",
+    # (window_top3_orders_per_customer's slot goes to
+    #  similarity_ann_deleted_served: the per-group rank-prefix shape
+    #  is covered in-window by window_customer_running_total (r2) and
+    #  the keyword top-k rows)
 ]
 
 

@@ -143,6 +143,21 @@ def _rank_probes(centroids: list, qrows, nprobe: int) -> list:
     return pairs
 
 
+def delete_vectors_from_index(
+    spark: SparkSession, path: str, vec_ids: list
+) -> None:
+    """Right-to-erasure for a served ANN table (IVF payload or PQ
+    codes): append (vec_id) TOMBSTONES to the sibling
+    ``{path}_tombstones`` dir — the same LSM discipline as the keyword
+    index (textops.delete_docs_from_index); every search anti-joins
+    them, compaction can fold them in later. No payload file is
+    rewritten. Coarse centroids are unaffected (FAISS remove_ids
+    semantics: the trained quantizer keeps serving)."""
+    spark.createDataFrame(
+        [(int(i),) for i in vec_ids], "vec_id long"
+    ).write.mode("append").parquet(f"{path}_tombstones")
+
+
 def _read_payload(
     spark: SparkSession, path: str, probed: list, schema: str
 ) -> DataFrame:
@@ -152,12 +167,21 @@ def _read_payload(
     functionally in tests/test_plans.py by corrupting unprobed
     partitions). The schema is explicit: no footer-inference reads at
     planning time, which at scale would open files outside the probed
-    partitions."""
-    return (
+    partitions. Tombstoned vec_ids (if any) are anti-joined out —
+    AQE broadcasts the tombstone side while it is small."""
+    import os
+
+    out = (
         spark.read.schema(schema)
         .parquet(path)
         .filter(F.col("cell").isin(probed))
     )
+    if os.path.isdir(f"{path}_tombstones"):
+        dead = spark.read.schema("vec_id long").parquet(
+            f"{path}_tombstones"
+        )
+        out = out.join(dead, "vec_id", "left_anti")
+    return out
 
 
 def ivf_search_served(

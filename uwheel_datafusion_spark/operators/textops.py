@@ -1065,6 +1065,92 @@ def keyword_index_bm25_probe(
     return _bm25_topk(postings, stats, k)
 
 
+def keyword_index_search_conjunctive(
+    spark,
+    path: str,
+    terms: tuple[str, ...] = KEYWORD_QUERY,
+    k: int = 10,
+    n_buckets: int = KEYWORD_INDEX_BUCKETS,
+) -> DataFrame:
+    """Boolean-AND retrieval from the persisted index: only documents
+    containing EVERY query term qualify (HAVING count(distinct t) =
+    |terms| over the pruned postings — the qualification and the
+    score share one aggregate), ranked by the same integer-exact
+    TF-IDF. Output (doc_id, score) top-k."""
+    buckets = sorted({_term_bucket(t, n_buckets) for t in terms})
+    n_terms = len(set(terms))
+    postings = (
+        spark.read.schema("t string, doc_id long, tf long, bucket long")
+        .parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("t").isin(*terms))
+    )
+    postings = _live_postings(spark, path, postings)
+    n = (
+        spark.read.schema("n_docs long")
+        .parquet(f"{path}/stats")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+    idf = (
+        postings.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "w",
+            F.expr(
+                f"CAST(({KEYWORD_IDF_SCALE} * n_docs) DIV df AS BIGINT)"
+            ),
+        )
+    )
+    scored = (
+        postings.join(F.broadcast(idf.select("t", "w")), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("t").alias("nt"),
+            F.sum(F.col("tf") * F.col("w")).cast("long").alias("score"),
+        )
+        .filter(F.col("nt") == n_terms)
+        .select("doc_id", "score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
+def keyword_conjunctive_oracle(
+    table: str = "documents",
+    terms: tuple[str, ...] = KEYWORD_QUERY,
+    k: int = 10,
+    text_col: str = "text",
+) -> str:
+    d = DUCK
+    quoted = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({d.split(text_col)}) AS t
+            FROM {table}
+        ),
+        hits AS (SELECT doc_id, t FROM toks WHERE t IN ({quoted})),
+        tf AS (
+            SELECT doc_id, t, COUNT(*) AS tf FROM hits GROUP BY 1, 2
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM {table}),
+        idf AS (
+            SELECT t, CAST(({KEYWORD_IDF_SCALE} * n.n_docs)
+                           // COUNT(DISTINCT doc_id) AS BIGINT) AS w
+            FROM tf, n GROUP BY t, n.n_docs
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   CAST(SUM(tf.tf * idf.w) AS BIGINT) AS score
+            FROM tf JOIN idf USING (t)
+            GROUP BY tf.doc_id
+            HAVING COUNT(DISTINCT tf.t) = {len(set(terms))}
+        )
+        SELECT doc_id, score FROM scored
+        ORDER BY score DESC, doc_id
+        LIMIT {k}
+    """
+
+
 # --------------------------------------------------------------------------
 # tombstone deletes: right-to-erasure on an append-only index
 # --------------------------------------------------------------------------
