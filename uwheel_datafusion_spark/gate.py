@@ -7843,27 +7843,33 @@ _DRIVER_WINDOW_R8 = [
 ]
 
 
-# ROUND-9 WINDOW. Leads: the five operators NEW this round (the
-# cell-partitioned ANN serving layout x3, the serving-complete
-# streaming payload, the persisted inverted keyword index), then
-# canaries over every module CHANGED this round (keyword_search's
-# folded count, the DSIR selection restructure — WindowGroupLimit
-# literal bound + one-scoring-run checkpoint — and the wide ANN
-# kernels the serving tables are built from, incl. ann_stream).
-# The remaining 37 rows attack the staleness debt directly
-# (VERDICT r8 next #6): of the 45 gates whose last driver check was
-# r1-r3, the 37 below return (all five r2-last rows plus 32 of the
-# r3 rows, spread across wheel/tpch/dedup/text/window/router/
-# sampling families). The 8 r3 rows left out are those whose code
-# paths are exercised by a fresher cousin already in the window:
-# dedup_minhash_lsh_candidates (capped variant, r8),
-# kmeans_lloyd_2iter_embeddings + similarity_ann_ivf_topk (wide
-# kmeans/IVF gates above), text_profile + text_chunking
-# (gopher/keyword rows), sql_scan_sum_range (wheel range rows),
-# events_by_type (router_counter_day r8), json_props_extract
-# (pivot/langid rows return). Rows displaced from the r8 window all
-# have >= 2 prior green driver rows with the latest <= 3 rounds old,
-# and remain locally gated and sweep-checked.
+# ROUND-9 WINDOW. Leads: the SIXTEEN operators new this round — the
+# cell-partitioned ANN serving layout x3, filtered and tombstone-
+# deleted variants, residual IVF-PQ, the serving-complete streaming
+# payload + its compaction, the persisted inverted keyword index
+# (probe / streamed ingest / BM25 x2 / phrase / conjunctive / delete)
+# and hybrid RRF — then canaries over every module CHANGED this round
+# (keyword_search's folded count; the DSIR selection restructure:
+# WindowGroupLimit literal bound + one-scoring-run checkpoint). The
+# remaining 31 rows attack the staleness debt directly (VERDICT r8
+# next #6): of the 45 gates whose last driver check was r1-r3, all
+# five r2-last rows plus 26 of the r3 rows return, spread across
+# wheel/tpch/dedup/window/router/sampling/multimodal families. The
+# r3 rows left out are those whose code paths are exercised by a
+# fresher cousin — eight documented at rotation time
+# (dedup_minhash_lsh_candidates: capped variant r8;
+# kmeans_lloyd_2iter_embeddings + similarity_ann_ivf_topk: wide
+# kmeans/IVF gates above; text_profile + text_chunking:
+# gopher/keyword rows; sql_scan_sum_range: wheel range rows;
+# events_by_type: router_counter_day r8; json_props_extract: langid/
+# grouping rows) and six displaced mid-round for the operators added
+# after the first rotation, each documented INLINE at its slot below
+# (distinct_users_by_day, text_langid_summary, topk_orders,
+# pivot_event_type_by_user_decile, wheel_orders_range_with_weeks,
+# window_top3_orders_per_customer). Rows displaced from the r8 window
+# all have >= 2 prior green driver rows with the latest <= 3 rounds
+# old, and every displaced row remains locally gated and covered by
+# the 214/214 SWEEP_r09 at both scales.
 _DRIVER_WINDOW = [
     # --- round-9: cell-partitioned ANN serving + keyword index +
     #     residual PQ ---
