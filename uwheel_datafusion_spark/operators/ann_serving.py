@@ -96,7 +96,16 @@ def save_ivf_payload(
     payload = qv.join(index.cells, "vec_id").select(
         "cell", "vec_id", "qvec", "qnorm", *extra_cols
     )
-    payload.write.partitionBy("cell").mode(mode).parquet(path)
+    # sort within partitions by vec_id: parquet row-group min/max
+    # stats on vec_id then serve the rerank's isin() point lookups
+    # with row-group pruning instead of full-partition reads
+    (
+        payload.repartition(F.col("cell"))
+        .sortWithinPartitions("cell", "vec_id")
+        .write.partitionBy("cell")
+        .mode(mode)
+        .parquet(path)
+    )
     return ServedIvfIndex(
         centroids=index.centroids, path=path, n_cells=index.n_cells
     )
@@ -115,7 +124,13 @@ def save_ivfpq_payload(
     payload = pq_index.codes.join(ivf_index.cells, "vec_id").select(
         "cell", "vec_id", *[f"code_{s}" for s in range(m)]
     )
-    payload.write.partitionBy("cell").mode(mode).parquet(path)
+    (
+        payload.repartition(F.col("cell"))
+        .sortWithinPartitions("cell", "vec_id")
+        .write.partitionBy("cell")
+        .mode(mode)
+        .parquet(path)
+    )
     return ServedIvfPqIndex(
         centroids=ivf_index.centroids,
         books=pq_index.books,
@@ -403,16 +418,22 @@ def ivfpq_rerank_served(
         "query_id long, neighbor_id long",
     )
     cand_ids = sorted({r["neighbor_id"] for r in cand_rows})
-    # candidate vectors: point reads from the served payload, vec_id
-    # isin pushed to the scan (bounded at |q|·C ids by construction)
-    fullv = (
-        spark.read.schema(
-            "vec_id long, qvec array<long>, qnorm long, cell long"
-        )
-        .parquet(ivf_served.path)
-        .filter(F.col("vec_id").isin(cand_ids))
-        .select("vec_id", "qvec")
+    # candidate vectors: point reads from the served payload. Every
+    # candidate came from a PROBED cell, so the refine read prunes to
+    # the probed partitions (recomputing the probe set is trivial
+    # driver math against the same frozen centroids) AND pushes the
+    # vec_id isin to row groups (the payload is written sorted by
+    # vec_id within each cell, so min/max stats actually prune)
+    qrows = _quantized(queries, "embedding").select("vec_id", "qvec").collect()
+    probed = sorted(
+        {c for _, c in _rank_probes(pq_served.centroids, qrows, nprobe)}
     )
+    fullv = _read_payload(
+        spark,
+        ivf_served.path,
+        probed,
+        "vec_id long, qvec array<long>, qnorm long, cell long",
+    ).filter(F.col("vec_id").isin(cand_ids)).select("vec_id", "qvec")
     qframe = _quantized(queries, "embedding").select(
         F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qvec")
     )
