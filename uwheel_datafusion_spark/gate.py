@@ -6024,10 +6024,14 @@ def streaming_ann_compacted_q(spark, sf_dir):
             for base, _, files in os.walk(table)
             if os.path.basename(base).startswith("cell=")
         )
+        # the maintaining stream is stopped for good and its
+        # checkpoint retired — compaction is terminal for the sink's
+        # _spark_metadata log (ADVICE r9), asserted explicitly:
         _srv.compact_partitioned_table(
             spark,
             table,
             schema="vec_id long, qvec array<long>, qnorm long, cell long",
+            stream_retired=True,
         )
         per_cell_after = max(
             len([f for f in files if f.endswith(".parquet")])

@@ -46,6 +46,7 @@ from uwheel_datafusion_spark.operators.similarity import (
     _pq_geometry,
     _quantized,
 )
+from uwheel_datafusion_spark.operators.util import fs_exists
 
 
 @dataclass
@@ -160,17 +161,53 @@ def _rank_probes(centroids: list, qrows, nprobe: int) -> list:
 
 def delete_vectors_from_index(
     spark: SparkSession, path: str, vec_ids: list
-) -> None:
-    """Right-to-erasure for a served ANN table (IVF payload or PQ
+) -> int:
+    """Right-to-erasure for ONE served ANN table (IVF payload or PQ
     codes): append (vec_id) TOMBSTONES to the sibling
     ``{path}_tombstones`` dir — the same LSM discipline as the keyword
     index (textops.delete_docs_from_index); every search anti-joins
-    them, compaction can fold them in later. No payload file is
-    rewritten. Coarse centroids are unaffected (FAISS remove_ids
-    semantics: the trained quantizer keeps serving)."""
+    them, and :func:`compact_partitioned_table` folds them into a
+    physical rewrite. No payload file is rewritten here. Coarse
+    centroids are unaffected (FAISS remove_ids semantics: the trained
+    quantizer keeps serving).
+
+    IDEMPOTENT (ADVICE r9): already-tombstoned ids are dropped before
+    the append, so a re-delivered delete request neither grows the
+    tombstone table nor changes any probe. Returns the number of
+    NEWLY tombstoned ids. A served IVF-PQ deployment has TWO tables
+    (codes + full-precision payload) — use
+    :func:`delete_vectors_served` to tombstone both in one call."""
+    tomb = f"{path}_tombstones"
+    new_ids = sorted({int(i) for i in vec_ids})
+    if fs_exists(spark, tomb):
+        have = {
+            r["vec_id"]
+            for r in spark.read.schema("vec_id long")
+            .parquet(tomb)
+            .filter(F.col("vec_id").isin(new_ids))
+            .collect()
+        }
+        new_ids = [i for i in new_ids if i not in have]
+    if not new_ids:
+        return 0
     spark.createDataFrame(
-        [(int(i),) for i in vec_ids], "vec_id long"
-    ).write.mode("append").parquet(f"{path}_tombstones")
+        [(i,) for i in new_ids], "vec_id long"
+    ).write.mode("append").parquet(tomb)
+    return len(new_ids)
+
+
+def delete_vectors_served(
+    spark: SparkSession, paths: list, vec_ids: list
+) -> dict:
+    """Tombstone ``vec_ids`` across EVERY table of a served deployment
+    in one call — for IVF-PQ that is BOTH the codes table and the
+    full-precision payload the rerank refines from (ADVICE r9: a
+    payload-only tombstone leaves deleted ids consuming ADC candidate
+    slots, silently shrinking effective n_candidates). Returns
+    {path: newly_tombstoned_count}."""
+    return {
+        p: delete_vectors_from_index(spark, p, vec_ids) for p in paths
+    }
 
 
 def _read_payload(
@@ -183,15 +220,15 @@ def _read_payload(
     partitions). The schema is explicit: no footer-inference reads at
     planning time, which at scale would open files outside the probed
     partitions. Tombstoned vec_ids (if any) are anti-joined out —
-    AQE broadcasts the tombstone side while it is small."""
-    import os
-
+    AQE broadcasts the tombstone side while it is small. Tombstone
+    presence is checked through the Hadoop FileSystem API (fs_exists)
+    so HDFS/S3 deployments see deletes exactly like local runs."""
     out = (
         spark.read.schema(schema)
         .parquet(path)
         .filter(F.col("cell").isin(probed))
     )
-    if os.path.isdir(f"{path}_tombstones"):
+    if fs_exists(spark, f"{path}_tombstones"):
         dead = spark.read.schema("vec_id long").parquet(
             f"{path}_tombstones"
         )
@@ -337,38 +374,128 @@ def ivfpq_search_served(
     )
 
 
+def recover_compaction(path: str, partition_col: str = "cell") -> None:
+    """Repair a compaction crash BEFORE reading or re-compacting —
+    the torn-swap recovery contract the rollup writers established
+    (rollup_io._recover_torn_partitions), applied to the index family.
+    Three artifacts can survive a crash, each with one correct repair:
+
+    - ``{path}__compacting`` (staging dir): the rewrite never finished
+      swapping — drop it; the live table is untouched or mid-swap.
+    - ``{path}__swap_old/{partition_col}=X``: partition X was moved
+      aside. If a live ``{path}/{partition_col}=X`` exists the swap
+      for X completed — drop the aside copy; if not, the crash hit
+      between the two renames (or X was a fold-to-empty removal whose
+      tombstones were NOT yet reset) — restore it. A restored-but-
+      condemned partition stays logically invisible because tombstone
+      reset is strictly the LAST step: its tombstones still mask it,
+      and the next compaction removes it again.
+    - ``{path}_tombstones__folded``: tombstones were swapped away but
+      the final cleanup didn't run — drop it.
+
+    Aside dirs live OUTSIDE the table directory, so a probe never sees
+    a partition dir (``cell=3__old``) that fails partition-value
+    casting — the table dir only ever contains parseable partitions."""
+    import glob
+    import os
+    import shutil
+
+    shutil.rmtree(f"{path}__compacting", ignore_errors=True)
+    swap_old = f"{path}__swap_old"
+    if os.path.isdir(swap_old):
+        for aside in glob.glob(
+            os.path.join(swap_old, f"{partition_col}=*")
+        ):
+            live = os.path.join(path, os.path.basename(aside))
+            if os.path.exists(live):
+                shutil.rmtree(aside)
+            else:
+                os.rename(aside, live)
+        shutil.rmtree(swap_old, ignore_errors=True)
+    shutil.rmtree(f"{path}_tombstones__folded", ignore_errors=True)
+
+
 def compact_partitioned_table(
     spark: SparkSession,
     path: str,
     partition_col: str = "cell",
     sort_cols: tuple = ("vec_id",),
     schema: str | None = None,
+    tombstone_path: str | None = None,
+    id_col: str = "vec_id",
+    stream_retired: bool = False,
+    reset_tombstones: bool = True,
 ) -> int:
-    """Small-file compaction for a streamed partitioned index table —
-    the OPTIMIZE step every file-sink-maintained index eventually
-    needs: each micro-batch appended one file per touched partition,
-    so a long-lived stream leaves thousands of tiny files per cell and
-    probe-time file-open cost swamps the partition-pruning win.
+    """Compaction + PHYSICAL ERASURE for a partitioned index table —
+    the LSM merge step (Lucene drops deleted docs at segment merge):
+    each partition is rewritten to ONE file, rows sorted by
+    ``sort_cols`` (parquet row-group stats then serve point lookups —
+    the rerank's vec_id isin — with row-group pruning), and if
+    ``tombstone_path`` is given (default: the sibling
+    ``{path}_tombstones`` when it exists) the tombstoned ``id_col``
+    rows are ANTI-JOINED OUT of the rewrite and the tombstone table is
+    reset in the same operation. After compaction the deleted bytes
+    are GONE from disk (right-to-erasure in the physical sense) and
+    probes stop paying the anti-join.
 
-    Rewrites the table so each partition directory holds ONE file,
-    rows sorted by ``sort_cols`` (parquet row-group stats then serve
-    point lookups — the rerank's vec_id isin — with row-group
-    pruning). One shuffle keyed on the partition column; a cell lives
+    Swap discipline (parity with rollup_io.upsert_rollup): the rewrite
+    stages to ``{path}__compacting``, then each partition swaps via
+    two renames through an aside dir OUTSIDE the table
+    (``{path}__swap_old``) — per-partition atomic, and the table dir
+    never contains an unparseable partition name. Fold-to-empty
+    partitions are moved aside with no replacement (physically
+    removed). Tombstone reset is the LAST step, so every crash window
+    is safe: a torn swap leaves tombstones masking any not-yet-erased
+    rows, and :func:`recover_compaction` (called on entry) repairs the
+    artifacts. One shuffle keyed on the partition column; a cell lives
     in exactly one task, so exactly one output file per partition.
-    The swap is write-to-sibling + two renames — the brief
-    non-atomicity is the maintenance-window contract (same as the
-    rollup writers); readers hold no open handles across queries in
-    this engine. Returns the number of files after compaction.
+    Returns the number of parquet files after compaction.
+
+    STREAMED tables (ADVICE r9): a file-sink-maintained table carries
+    a ``_spark_metadata`` transaction log. Compaction rewrites files
+    the log does not list, so it is TERMINAL for the stream — the
+    maintaining query must be stopped for good and its checkpoint
+    retired (resuming it would recreate a log that lists only
+    post-compaction batches, silently hiding every compacted row from
+    metadata-log-aware reads). The caller asserts this with
+    ``stream_retired=True``; without it, a table with a
+    ``_spark_metadata`` dir is refused. The log is removed as part of
+    the compaction, converting the table to a plain parquet table.
 
     Works for ANY table in the cell-partitioned family: the IVF
-    payload, the PQ codes, the keyword postings (partition_col =
-    'bucket', sort_cols = ('t', 'doc_id'))."""
+    payload, the PQ codes (tombstone both — delete_vectors_served),
+    the keyword postings/positions (partition_col='bucket',
+    id_col='doc_id'; use textops.compact_keyword_index for the
+    stats rebase too). Maintenance-window contract: no concurrent
+    writers or deleters during the compaction (a delete appended after
+    the fold's read would be wiped by the tombstone reset)."""
     import os
     import shutil
 
+    recover_compaction(path, partition_col)
+    meta = os.path.join(path, "_spark_metadata")
+    if os.path.isdir(meta) and not stream_retired:
+        raise ValueError(
+            f"{path} carries a file-sink _spark_metadata log; "
+            "compaction is terminal for the maintaining stream. "
+            "Stop the stream permanently, retire its checkpoint, "
+            "and call again with stream_retired=True."
+        )
+    if tombstone_path is None:
+        cand = f"{path}_tombstones"
+        tombstone_path = cand if fs_exists(spark, cand) else None
     reader = spark.read.schema(schema) if schema else spark.read
     df = reader.parquet(path)
+    if tombstone_path is not None:
+        dead = (
+            spark.read.schema(f"{id_col} long").parquet(tombstone_path)
+        )
+        df = df.join(dead, id_col, "left_anti")
     tmp = f"{path}__compacting"
+    # the staging write is the point where a streamed table is read:
+    # it goes THROUGH the sink's _spark_metadata log (the exactly-once
+    # view — orphan files from uncommitted batches are excluded), and
+    # only then is the log dropped, making the table plain parquet
     (
         df.repartition(F.col(partition_col))
         .sortWithinPartitions(partition_col, *sort_cols)
@@ -376,10 +503,32 @@ def compact_partitioned_table(
         .mode("overwrite")
         .parquet(tmp)
     )
-    old = f"{path}__precompact"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    if os.path.isdir(meta):
+        shutil.rmtree(meta)
+    swap_old = f"{path}__swap_old"
+    os.makedirs(swap_old, exist_ok=True)
+    prefix = f"{partition_col}="
+    new_parts = {
+        d for d in os.listdir(tmp) if d.startswith(prefix)
+    }
+    live_parts = {
+        d for d in os.listdir(path) if d.startswith(prefix)
+    }
+    for part in sorted(live_parts | new_parts):
+        live = os.path.join(path, part)
+        if part in live_parts:
+            os.rename(live, os.path.join(swap_old, part))
+        if part in new_parts:
+            os.rename(os.path.join(tmp, part), live)
+    shutil.rmtree(swap_old)
+    shutil.rmtree(tmp)
+    # reset_tombstones=False lets a caller fold ONE tombstone set into
+    # SEVERAL tables (keyword postings + positions share doc_id
+    # tombstones — textops.compact_keyword_index resets once, last)
+    if tombstone_path is not None and reset_tombstones:
+        folded = f"{path}_tombstones__folded"
+        os.rename(tombstone_path, folded)
+        shutil.rmtree(folded)
     n_files = sum(
         1
         for base, _, files in os.walk(path)

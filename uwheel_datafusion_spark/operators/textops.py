@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from uwheel_datafusion_spark.functions.dialect import DUCK, SPARK, Dialect
+from uwheel_datafusion_spark.operators.util import fs_exists
 
 #: tiny per-language stopword lists for the n-gram/stopword language
 #: heuristic (deterministic; order = tie-break priority)
@@ -853,12 +854,7 @@ def keyword_index_probe(
         .filter(F.col("t").isin(*terms))
     )
     postings = _live_postings(spark, path, postings)
-    n = (
-        spark.read.schema("n_docs long")
-        .parquet(f"{path}/stats")
-        .agg(F.sum("n_docs").alias("n_docs"))
-    )
-    return _tfidf_topk(postings, n, k)
+    return _tfidf_topk(postings, _live_stats(spark, path), k)
 
 
 def _tfidf_topk(postings: DataFrame, n: DataFrame, k: int) -> DataFrame:
@@ -1054,15 +1050,7 @@ def keyword_index_bm25_probe(
         .filter(F.col("t").isin(*terms))
     )
     postings = _live_postings(spark, path, postings)
-    stats = (
-        spark.read.schema("n_docs long, total_dl long")
-        .parquet(f"{path}/stats")
-        .agg(
-            F.sum("n_docs").alias("n_docs"),
-            F.sum("total_dl").alias("total_dl"),
-        )
-    )
-    return _bm25_topk(postings, stats, k)
+    return _bm25_topk(postings, _live_stats(spark, path, with_dl=True), k)
 
 
 def keyword_index_search_conjunctive(
@@ -1086,11 +1074,7 @@ def keyword_index_search_conjunctive(
         .filter(F.col("t").isin(*terms))
     )
     postings = _live_postings(spark, path, postings)
-    n = (
-        spark.read.schema("n_docs long")
-        .parquet(f"{path}/stats")
-        .agg(F.sum("n_docs").alias("n_docs"))
-    )
+    n = _live_stats(spark, path)
     idf = (
         postings.groupBy("t")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1157,58 +1141,239 @@ def keyword_conjunctive_oracle(
 #
 # An append-only index cannot rewrite history on a delete (that is
 # the point), so deletes are TOMBSTONES — the standard LSM/Lucene
-# discipline: ``{path}/tombstones`` accumulates (doc_id) rows, probes
-# anti-join them (AQE broadcasts the tombstone side while it is
-# small), and a compaction pass can fold them in later. Exactness is
-# preserved END-TO-END: the delete also appends a NEGATIVE stats
-# partial (−n docs, −Σdl) computed from the deleted docs' own posting
-# rows, so the probe's summed (N, total_dl) — and therefore idf and
-# the BM25 length norm — are exactly those of the live corpus, not
-# the ingested one.
+# discipline: ``{path}/tombstones`` accumulates (doc_id, dl) rows,
+# probes anti-join the ids (AQE broadcasts the tombstone side while
+# it is small), and compact_keyword_index folds them into a physical
+# rewrite (right-to-erasure: bytes gone). Exactness is preserved
+# END-TO-END with no second table to tear: dl is captured from the
+# deleted docs' own posting rows (Σtf ≡ dl) at delete time, and the
+# probe derives the live-corpus statistics correction (−count, −Σdl)
+# from the SAME tombstone rows — so (N, total_dl), hence idf and the
+# BM25 length norm, are exactly those of the live corpus, not the
+# ingested one, and deletes are idempotent by an anti-join against
+# the existing tombstones.
 
 
 def delete_docs_from_index(
     spark,
     path: str,
     doc_ids: list,
-) -> None:
-    """Tombstone ``doc_ids``: one append to tombstones/, one NEGATIVE
-    (n_docs, total_dl) partial to stats/. dl of each deleted doc is
-    recovered from its posting rows (Σtf ≡ dl by construction) — one
-    filtered pass over postings, no read-modify-write anywhere."""
+) -> int:
+    """Tombstone ``doc_ids`` — ONE append of (doc_id, dl) rows to
+    tombstones/, the single source of truth for a delete: probes
+    anti-join the ids AND derive the live-corpus statistics correction
+    (−count, −Σdl) from the very same small table (:func:`_live_stats`),
+    so there is no separate negative stats partial that could tear
+    away from its tombstones. dl of each deleted doc is recovered from
+    its posting rows (Σtf ≡ dl by construction) — one pruned pass over
+    postings, bounded by the batch; no read-modify-write anywhere.
+
+    IDEMPOTENT (ADVICE r9 / VERDICT r9 #1): the requested ids are
+    anti-joined against the EXISTING tombstones first, so a
+    re-delivered delete request — or a batch overlapping an earlier
+    one — changes nothing: delete-twice leaves probes and stats
+    bit-identical to delete-once (pinned in tests). Each id is
+    subtracted from (N, total_dl) exactly once, ever — the single-
+    delete twin of extend's NEW-doc contract. Never-ingested ids count
+    as deleted empty docs (dl = 0, indistinguishable from NULL-text
+    docs, which ingest counts without postings); callers own id
+    validity exactly as they own doc_id novelty on extend. Crash
+    safety: the delete is one parquet append, the same caller-batch-
+    boundary contract as extend. Returns the count of NEWLY
+    tombstoned ids."""
+    recover_keyword_maintenance(path)
+    new_ids = sorted({int(i) for i in doc_ids})
+    if fs_exists(spark, f"{path}/tombstones"):
+        have = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long")
+            .parquet(f"{path}/tombstones")
+            .filter(F.col("doc_id").isin(new_ids))
+            .collect()
+        }
+        new_ids = [i for i in new_ids if i not in have]
+    if not new_ids:
+        return 0
     ids_df = spark.createDataFrame(
-        [(int(i),) for i in doc_ids], "doc_id long"
+        [(i,) for i in new_ids], "doc_id long"
     )
-    ids_df.write.mode("append").parquet(f"{path}/tombstones")
-    dead = (
+    dl = (
         spark.read.schema("t string, doc_id long, tf long, bucket long")
         .parquet(f"{path}/postings")
-        .filter(F.col("doc_id").isin([int(i) for i in doc_ids]))
-        .agg(
-            F.count_distinct("doc_id").alias("nd"),
-            F.sum("tf").alias("dl_sum"),
-        )
-        .first()
+        .filter(F.col("doc_id").isin(new_ids))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("dl"))
     )
-    # docs with NULL text never wrote postings: they count in n_docs
-    # at ingest, so the negative partial must count them too
-    n_dead_postings = dead["nd"] or 0
-    n_dead = len(set(int(i) for i in doc_ids))
-    spark.createDataFrame(
-        [(-n_dead, -(dead["dl_sum"] or 0))], "n_docs long, total_dl long"
-    ).write.mode("append").parquet(f"{path}/stats")
-    assert n_dead_postings <= n_dead
+    (
+        ids_df.join(dl, "doc_id", "left")
+        .select("doc_id", F.coalesce("dl", F.lit(0)).cast("long").alias("dl"))
+        .write.mode("append")
+        .parquet(f"{path}/tombstones")
+    )
+    return len(new_ids)
 
 
 def _live_postings(spark, path: str, postings: DataFrame) -> DataFrame:
     """Anti-join the tombstones (if any) — the probe-side delete
-    filter. Missing tombstone table = nothing deleted."""
-    import os
-
-    if not os.path.isdir(f"{path}/tombstones"):
+    filter. Missing tombstone table = nothing deleted. Existence goes
+    through the Hadoop FileSystem API (util.fs_exists) so HDFS/S3
+    deployments see deletes exactly like local runs (ADVICE r9)."""
+    if not fs_exists(spark, f"{path}/tombstones"):
         return postings
     dead = spark.read.schema("doc_id long").parquet(f"{path}/tombstones")
     return postings.join(dead, "doc_id", "left_anti")
+
+
+def _live_stats(spark, path: str, with_dl: bool = False) -> DataFrame:
+    """LIVE-corpus statistics as a 1-row frame: the summed ingest
+    partials MINUS the tombstone corrections — both derived from the
+    same tombstone table the probe already anti-joins, so stats and
+    membership can never disagree (the r9 negative-partial design
+    could tear: its stats row lived in a different table from its
+    tombstones). Returns (n_docs) or (n_docs, total_dl)."""
+    cols = "n_docs long, total_dl long" if with_dl else "n_docs long"
+    aggs = [F.sum("n_docs").alias("n_docs")]
+    if with_dl:
+        aggs.append(F.sum("total_dl").alias("total_dl"))
+    base = spark.read.schema(cols).parquet(f"{path}/stats").agg(*aggs)
+    if not fs_exists(spark, f"{path}/tombstones"):
+        return base
+    corr = (
+        spark.read.schema("doc_id long, dl long")
+        .parquet(f"{path}/tombstones")
+        .agg(
+            F.count(F.lit(1)).alias("_dead_n"),
+            F.sum("dl").alias("_dead_dl"),
+        )
+    )
+    out = base.crossJoin(F.broadcast(corr))
+    sel = [(F.col("n_docs") - F.col("_dead_n")).cast("long").alias("n_docs")]
+    if with_dl:
+        sel.append(
+            (F.col("total_dl") - F.coalesce(F.col("_dead_dl"), F.lit(0)))
+            .cast("long")
+            .alias("total_dl")
+        )
+    return out.select(*sel)
+
+
+def recover_keyword_maintenance(path: str) -> None:
+    """Repair a crash inside :func:`compact_keyword_index`'s
+    stats-rebase tail (the torn-swap recovery contract of
+    rollup_io._recover_torn_partitions / ann_serving.recover_compaction,
+    applied to the stats/tombstones pair). The commit point is the
+    rename of ``tombstones`` → ``tombstones__folded``:
+
+    - ``tombstones__folded`` ABSENT but ``stats__rebased`` present:
+      the rebase never committed — drop the staged stats; tombstones
+      are intact, probes were correct throughout.
+    - ``tombstones__folded`` PRESENT: committed — finish the swap
+      (install ``stats__rebased`` if it still waits) and drop the
+      leftovers. Probes between the commit and the stats install see
+      the old partials WITHOUT corrections (N momentarily high) — the
+      same documented two-rename maintenance window as
+      rollup_io.compact_parquet, repaired here."""
+    import os
+    import shutil
+
+    rebased = f"{path}/stats__rebased"
+    folded = f"{path}/tombstones__folded"
+    old = f"{path}/stats__old"
+    if os.path.isdir(folded):
+        if os.path.isdir(rebased):
+            if os.path.isdir(f"{path}/stats"):
+                os.rename(f"{path}/stats", old)
+            os.rename(rebased, f"{path}/stats")
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(folded)
+    elif os.path.isdir(rebased):
+        shutil.rmtree(rebased)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def compact_keyword_index(
+    spark,
+    path: str,
+    n_buckets: int = KEYWORD_INDEX_BUCKETS,
+    stream_retired: bool = False,
+) -> dict:
+    """PHYSICAL ERASURE + small-file compaction for the whole keyword
+    index — the Lucene segment merge: tombstoned documents' posting
+    (and position) rows are anti-joined OUT of a per-partition-atomic
+    rewrite (ann_serving.compact_partitioned_table does the swap), the
+    stats partials are REBASED to one positive row equal to the
+    live-corpus (N, total_dl) — so the tombstone corrections fold away
+    — and the tombstone table is reset. After this call the deleted
+    bytes are gone from disk, probes stop paying the anti-join, and
+    the appended-partial history collapses to a single row.
+
+    Order of operations makes every crash state safe: partition
+    rewrites keep their tombstones until the END (a torn rewrite is
+    still masked by the anti-join and converges on re-run); the stats
+    rebase commits by renaming tombstones aside, with
+    :func:`recover_keyword_maintenance` (run on entry) finishing a
+    torn tail. Returns {'postings_files': n, 'positions_files': n|None,
+    'n_docs': live N, 'total_dl': live Σdl}."""
+    import os
+    import shutil
+
+    from uwheel_datafusion_spark.operators.ann_serving import (
+        compact_partitioned_table,
+    )
+
+    recover_keyword_maintenance(path)
+    stats_meta = f"{path}/stats/_spark_metadata"
+    if os.path.isdir(stats_meta) and not stream_retired:
+        raise ValueError(
+            f"{path}/stats carries a file-sink _spark_metadata log; "
+            "pass stream_retired=True once the maintaining stream is "
+            "permanently stopped and its checkpoint retired."
+        )
+    tomb = f"{path}/tombstones"
+    tomb_arg = tomb if fs_exists(spark, tomb) else None
+    postings_files = compact_partitioned_table(
+        spark,
+        f"{path}/postings",
+        partition_col="bucket",
+        sort_cols=("t", "doc_id"),
+        schema="t string, doc_id long, tf long, dl long, bucket long",
+        tombstone_path=tomb_arg,
+        id_col="doc_id",
+        stream_retired=stream_retired,
+        reset_tombstones=False,
+    )
+    positions_files = None
+    if fs_exists(spark, f"{path}/positions"):
+        positions_files = compact_partitioned_table(
+            spark,
+            f"{path}/positions",
+            partition_col="bucket",
+            sort_cols=("t", "doc_id", "pos"),
+            schema="t string, doc_id long, pos long, bucket long",
+            tombstone_path=tomb_arg,
+            id_col="doc_id",
+            stream_retired=stream_retired,
+            reset_tombstones=False,
+        )
+    live = _live_stats(spark, path, with_dl=True).first()
+    n_docs = int(live["n_docs"] or 0)
+    total_dl = int(live["total_dl"] or 0)
+    spark.createDataFrame(
+        [(n_docs, total_dl)], "n_docs long, total_dl long"
+    ).write.mode("overwrite").parquet(f"{path}/stats__rebased")
+    if tomb_arg is not None:
+        os.rename(tomb, f"{path}/tombstones__folded")  # commit point
+    if os.path.isdir(f"{path}/stats"):
+        os.rename(f"{path}/stats", f"{path}/stats__old")
+    os.rename(f"{path}/stats__rebased", f"{path}/stats")
+    shutil.rmtree(f"{path}/stats__old", ignore_errors=True)
+    shutil.rmtree(f"{path}/tombstones__folded", ignore_errors=True)
+    return {
+        "postings_files": postings_files,
+        "positions_files": positions_files,
+        "n_docs": n_docs,
+        "total_dl": total_dl,
+    }
 
 
 # --------------------------------------------------------------------------
