@@ -603,3 +603,68 @@ def test_served_ann_reads_only_probed_cell_partitions(
         spark.read.parquet(str(tmp_path / "ivf")).collect()
     ivf.cells.unpersist()
     pq.codes.unpersist()
+
+
+def test_hybrid_served_retrieval_never_touches_corpus(
+    spark, sf_correctness, tmp_path
+):
+    """retrieval.RetrievalEngine.retrieve (round 10 — VERDICT r9 next
+    #3) must answer the hybrid query ENTIRELY from the two persisted
+    indexes: with an in-memory query frame, no file read anywhere in
+    the fused plan (or the internal candidate stage) may come from
+    documents.parquet or embeddings.parquet."""
+    import uwheel_datafusion_spark.operators.ann_serving as srv
+    import uwheel_datafusion_spark.operators.similarity as sim
+    import uwheel_datafusion_spark.operators.textops as tx
+    from pyspark.sql import functions as F
+    from uwheel_datafusion_spark.operators.retrieval import RetrievalEngine
+
+    docs = load_table(spark, sf_correctness, "documents")
+    emb = load_table(spark, sf_correctness, "embeddings")
+    ivf = sim.ivf_build_wide(emb, n_cells=8)
+    pq = sim.pq_build_wide(emb, m=4, k=8)
+    ivf_served = srv.save_ivf_payload(ivf, emb, str(tmp_path / "ivf"))
+    pq_served = srv.save_ivfpq_payload(ivf, pq, str(tmp_path / "pq"))
+    tx.build_keyword_index(docs, str(tmp_path / "kw"))
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        "vec_id", "embedding"
+    ).collect()[0]
+    query_vec = spark.createDataFrame(
+        [(qrow.vec_id, list(qrow.embedding))],
+        "vec_id long, embedding array<float>",
+    )
+    eng = RetrievalEngine(
+        spark,
+        keyword_path=str(tmp_path / "kw"),
+        ivf_served=ivf_served,
+        pq_served=pq_served,
+    )
+    # spy on the payload reader: every parquet read the vector tier
+    # issues (ADC candidates AND the refine) routes through it
+    read_paths = []
+    orig_read = srv._read_payload
+
+    def spy(sp, path, probed, schema):
+        read_paths.append(path)
+        return orig_read(sp, path, probed, schema)
+
+    srv._read_payload = spy
+    try:
+        fused = eng.retrieve(
+            tx.KEYWORD_QUERY, query_vec, k=10, depth=10,
+            nprobe=2, n_candidates=10,
+        )
+        rows = fused.collect()
+    finally:
+        srv._read_payload = orig_read
+    assert rows
+    banned = ("documents.parquet", "embeddings.parquet")
+    for f in fused.inputFiles():
+        assert not any(b in f for b in banned), f
+    assert read_paths and all(
+        str(tmp_path) in p for p in read_paths
+    ), read_paths
+    plan = _executed_plan(fused)
+    assert "PartitionFilters" in plan and "bucket#" in plan
+    ivf.cells.unpersist()
+    pq.codes.unpersist()

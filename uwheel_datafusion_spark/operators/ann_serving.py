@@ -545,6 +545,7 @@ def ivfpq_rerank_served(
     topk: int = 5,
     nprobe: int = 2,
     n_candidates: int = 25,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Two-stage serving with BOTH stages on served tables: ADC
     candidates from the codes table, exact squared-L2 refine reading
@@ -552,12 +553,18 @@ def ivfpq_rerank_served(
     (row-group point lookups — never the corpus). The full-precision
     store and the compressed store are the same two tables a FAISS
     IndexRefineFlat persists. Output (query_id, neighbor_id,
-    exact_dist, rnk); bit-identical to ivfpq_search_rerank."""
+    exact_dist, rnk); bit-identical to ivfpq_search_rerank.
+
+    DELETE contract (ADVICE r9): a complete vector delete tombstones
+    BOTH tables (delete_vectors_served) — a payload-only tombstone
+    would still let the dead id consume an ADC candidate slot here,
+    silently shrinking effective n_candidates."""
     assert n_candidates >= topk
     spark = queries.sparkSession
     cand_rows = (
         ivfpq_search_served(
-            pq_served, queries, topk=n_candidates, nprobe=nprobe
+            pq_served, queries, topk=n_candidates, nprobe=nprobe,
+            vec_col=vec_col,
         )
         .select("query_id", "neighbor_id")
         .collect()
@@ -573,7 +580,7 @@ def ivfpq_rerank_served(
     # driver math against the same frozen centroids) AND pushes the
     # vec_id isin to row groups (the payload is written sorted by
     # vec_id within each cell, so min/max stats actually prune)
-    qrows = _quantized(queries, "embedding").select("vec_id", "qvec").collect()
+    qrows = _quantized(queries, vec_col).select("vec_id", "qvec").collect()
     probed = sorted(
         {c for _, c in _rank_probes(pq_served.centroids, qrows, nprobe)}
     )
@@ -583,7 +590,7 @@ def ivfpq_rerank_served(
         probed,
         "vec_id long, qvec array<long>, qnorm long, cell long",
     ).filter(F.col("vec_id").isin(cand_ids)).select("vec_id", "qvec")
-    qframe = _quantized(queries, "embedding").select(
+    qframe = _quantized(queries, vec_col).select(
         F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qvec")
     )
     sqd = F.expr(SPARK.sum_list_bigint(SPARK.zip_sqdiff("q_qvec", "qvec")))

@@ -880,12 +880,15 @@ def _tfidf_topk(postings: DataFrame, n: DataFrame, k: int) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# BM25 (Okapi, Robertson et al.) — integer-exact at k1 = 1.2, b = 0.75
+# BM25 tf-saturation — integer-exact at k1 = 1.2, b = 0.75
 # --------------------------------------------------------------------------
 #
-# The production keyword scorer (Lucene/Elasticsearch default). The
-# float formulation is libm-free already except for the rationals, so
-# an exact integer form exists at fixed k1 = 12/10, b = 3/4:
+# Okapi's tf-saturation and length normalization with a LINEAR integer
+# idf proxy (ADVICE r9: this is NOT Okapi's log idf — rare terms weigh
+# heavier than Lucene would rank them; the Lucene-comparable log-idf
+# formulation is keyword_search_bm25_log below, also integer-exact).
+# The saturation/norm terms are libm-free already except for the
+# rationals, so an exact integer form exists at fixed k1=12/10, b=3/4:
 #
 #   idf_w = (10000·N) div df                       (the TF-IDF weight)
 #   L     = (dl·N·10000) div T                     (scaled dl/avgdl;
@@ -951,10 +954,16 @@ def keyword_search_bm25(
     k: int = 10,
     text_col: str = "text",
 ) -> DataFrame:
-    """Top-``k`` documents by integer-exact Okapi BM25 (k1=1.2,
-    b=0.75). Same scan shape as keyword_search: query-term postings
-    filter before any shuffle, |terms|-row df broadcast, (N, T) as a
-    1-row cross-joined aggregate, top-k as TakeOrderedAndProject.
+    """Top-``k`` documents by integer-exact BM25 tf-SATURATION with a
+    LINEAR integer idf (k1=1.2, b=0.75): the tf/length-norm term is
+    Okapi's, the term weight is the (SCALE·N) div df TF-IDF proxy —
+    NOT Okapi's log idf, so rare terms weigh heavier than in
+    Lucene/Elasticsearch rankings (ADVICE r9: naming clarified; for
+    Lucene-comparable ranking use :func:`keyword_search_bm25_log`,
+    whose monotone fixed-point log2 idf is also integer-exact). Same
+    scan shape as keyword_search: query-term postings filter before
+    any shuffle, |terms|-row df broadcast, (N, T) as a 1-row
+    cross-joined aggregate, top-k as TakeOrderedAndProject.
     Output (doc_id, score)."""
     d = SPARK
     stats = docs.agg(
@@ -1026,6 +1035,201 @@ def keyword_search_bm25_oracle(
         ORDER BY score DESC, doc_id
         LIMIT {k}
     """
+
+
+# --------------------------------------------------------------------------
+# BM25 with LOG idf (Lucene-comparable ranking) — still integer-exact
+# --------------------------------------------------------------------------
+#
+# Okapi/Lucene weighs a term by idf = ln(1 + (N − df + 0.5)/(df + 0.5))
+#                                   = ln((2N + 2)/(2df + 1)).
+# No libm is needed for a CROSS-ENGINE-EXACT monotone equivalent:
+# ln x = log2 x · ln 2, and ln 2 is a constant the ×SCALE fixed-point
+# absorbs — ranking by log2 ≡ ranking by ln. log2 of the rational is
+# computed in fixed point with a piecewise-linear mantissa:
+#
+#   q  = ((2N + 2) · 2^20) div (2df + 1)        (> 2^20 since df ≤ N)
+#   p  = ⌊log2 q⌋ = length(bin(q)) − 1          (exact integer msb)
+#   w  = (p − 20)·SCALE + ((q − 2^p)·SCALE) div 2^p
+#
+# w/SCALE = log2(q/2^20) with ≤ 0.0861 absolute mantissa error
+# (max of log2(1+f) − f on [0,1]), monotone in q — hence monotone
+# DECREASING in df, the property that makes rankings Lucene-shaped.
+# bin()/length()/<< (DuckDB) ≡ bin()/length()/shiftleft (Spark), all
+# positive, so both engines agree bit-for-bit. int64 bounds: q ≤
+# (2N+2)·2^20 — safe to N ≈ 4e12 docs.
+
+BM25_LOG2_FRACBITS = 20
+BM25_LOG2_Q = (
+    f"CAST(((2 * n_docs + 2) * {1 << BM25_LOG2_FRACBITS}) "
+    "{div} (2 * df + 1) AS BIGINT)"
+)
+
+
+def _log2_fixedpoint(div: str, shift: str) -> str:
+    """The shared w-expression over a column ``q`` (both dialects):
+    (p − FRACBITS)·SCALE + ((q − 2^p)·SCALE) div 2^p."""
+    p = "(length(bin(q)) - 1)"
+    pow2 = shift.format(p=p)
+    return (
+        f"CAST(({p} - {BM25_LOG2_FRACBITS}) * {KEYWORD_IDF_SCALE} "
+        f"+ ((q - {pow2}) * {KEYWORD_IDF_SCALE}) {div} {pow2} AS BIGINT)"
+    )
+
+
+_SPARK_LOG2_W = _log2_fixedpoint(
+    "DIV", "shiftleft(CAST(1 AS BIGINT), {p})"
+)
+_DUCK_LOG2_W = _log2_fixedpoint("//", "(CAST(1 AS BIGINT) << {p})")
+
+
+def _bm25_log_topk(
+    postings: DataFrame, stats: DataFrame, k: int
+) -> DataFrame:
+    """BM25 scoring tail with the fixed-point LOG idf: identical plan
+    shape to _bm25_topk (pruned postings, |terms|-row idf broadcast,
+    TakeOrderedAndProject top-k) — only the w expression differs."""
+    idf = (
+        postings.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .withColumn("q", F.expr(BM25_LOG2_Q.format(div="DIV")))
+        .withColumn("w", F.expr(_SPARK_LOG2_W))
+    )
+    scored = (
+        postings.join(
+            F.broadcast(idf.select("t", "w", "n_docs", "total_dl")), "t"
+        )
+        .withColumn(
+            "L",
+            F.expr(
+                "CAST((dl * n_docs * 10000) DIV total_dl AS BIGINT)"
+            ),
+        )
+        .withColumn("tfn", F.expr(BM25_TFN))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("CAST((w * tfn) DIV 1000 AS BIGINT)"))
+            .cast("long")
+            .alias("score")
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
+def keyword_search_bm25_log(
+    docs: DataFrame,
+    terms: tuple[str, ...] = KEYWORD_QUERY,
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` by Okapi BM25 with the LOG idf (the
+    Lucene/Elasticsearch formulation, ADVICE r9): idf is a monotone
+    fixed-point log2 of (2N+2)/(2df+1) — cross-engine exact integers,
+    no libm — so rare-vs-common term weighting matches real BM25's
+    log shape, not the linear proxy. tf saturation and length norm are
+    the same exact-integer Okapi terms as keyword_search_bm25; plan
+    shape identical. Output (doc_id, score)."""
+    d = SPARK
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr(d.size(d.split(text_col))).cast("long")).alias(
+            "total_dl"
+        ),
+    )
+    toks = docs.select(
+        "doc_id", F.expr(d.split(text_col)).alias("_ts")
+    ).select(
+        "doc_id",
+        F.expr(d.size("_ts")).cast("long").alias("dl"),
+        F.explode("_ts").alias("t"),
+    ).filter(F.col("t").isin(*terms))
+    postings = toks.groupBy("doc_id", "dl", "t").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return _bm25_log_topk(postings, stats, k)
+
+
+def keyword_search_bm25_log_oracle(
+    table: str = "documents",
+    terms: tuple[str, ...] = KEYWORD_QUERY,
+    k: int = 10,
+    text_col: str = "text",
+) -> str:
+    d = DUCK
+    quoted = ", ".join(f"'{t}'" for t in terms)
+    q_expr = BM25_LOG2_Q.format(div="//")
+    return f"""
+        WITH toked AS (
+            SELECT doc_id, {d.split(text_col)} AS _ts FROM {table}
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(len(_ts)) AS BIGINT) AS total_dl
+            FROM toked
+        ),
+        toks AS (
+            SELECT doc_id, CAST(len(_ts) AS BIGINT) AS dl,
+                   unnest(_ts) AS t
+            FROM toked
+        ),
+        tf AS (
+            SELECT doc_id, dl, t, COUNT(*) AS tf
+            FROM toks WHERE t IN ({quoted}) GROUP BY 1, 2, 3
+        ),
+        qv AS (
+            SELECT t, {q_expr} AS q, n_docs, total_dl
+            FROM (
+                SELECT t, COUNT(*) AS df, s.n_docs, s.total_dl
+                FROM tf, stats s GROUP BY t, s.n_docs, s.total_dl
+            )
+        ),
+        idf AS (
+            SELECT t, {_DUCK_LOG2_W} AS w, n_docs, total_dl FROM qv
+        ),
+        ell AS (
+            SELECT tf.doc_id, tf.t, tf.tf, idf.w,
+                   CAST((tf.dl * idf.n_docs * 10000) // idf.total_dl
+                        AS BIGINT) AS L
+            FROM tf JOIN idf USING (t)
+        ),
+        contrib AS (
+            SELECT doc_id,
+                   CAST((w * CAST((880000000 * tf) //
+                        (400000 * tf + 120000 + 36 * L) AS BIGINT))
+                        // 1000 AS BIGINT) AS c
+            FROM ell
+        )
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score
+        FROM contrib GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT {k}
+    """
+
+
+def keyword_index_bm25_log_probe(
+    spark,
+    path: str,
+    terms: tuple[str, ...] = KEYWORD_QUERY,
+    k: int = 10,
+    n_buckets: int = KEYWORD_INDEX_BUCKETS,
+) -> DataFrame:
+    """Log-idf BM25 answered ENTIRELY from the persisted index — the
+    same pruned-postings/live-stats plumbing as keyword_index_bm25_probe
+    with the Lucene-shaped scorer."""
+    buckets = sorted({_term_bucket(t, n_buckets) for t in terms})
+    postings = (
+        spark.read.schema(
+            "t string, doc_id long, tf long, dl long, bucket long"
+        )
+        .parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("t").isin(*terms))
+    )
+    postings = _live_postings(spark, path, postings)
+    return _bm25_log_topk(
+        postings, _live_stats(spark, path, with_dl=True), k
+    )
 
 
 def keyword_index_bm25_probe(

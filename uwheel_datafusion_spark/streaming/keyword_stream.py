@@ -156,3 +156,33 @@ def start_keyword_stats_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def start_keyword_positions_stream(
+    stream_docs: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    n_buckets: int = KEYWORD_INDEX_BUCKETS,
+):
+    """Maintain ``{index_dir}/positions`` (the phrase tier) from a
+    document stream. Unlike the tf postings (whose within-document
+    Counter needs an Arrow kernel), the positions frame is a PURE
+    stateless expression tree — posexplode + the md5 bucket fold — so
+    the batch builder's exact expressions
+    (textops._positions_frame) run unchanged on the streaming source:
+    JVM-side, whole-stage-codegen, zero Python in the hot path. Same
+    exactly-once parquet file sink, PARTITIONED BY bucket; batch and
+    streamed tables are row-identical by construction (gated:
+    streaming_keyword_positions_parity)."""
+    from uwheel_datafusion_spark.operators.textops import _positions_frame
+
+    return (
+        _positions_frame(stream_docs, text_col, n_buckets)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{index_dir}/positions")
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("bucket")
+        .start()
+    )
