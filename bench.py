@@ -1356,6 +1356,14 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         "dedup_span_incremental",
         "pipeline_scrub_quality_dedup",
         "pipeline_incremental_ingest",
+        # round-10: hybrid retrieval served from the persisted indexes;
+        # the erasure gates time the whole delete -> compact -> probe
+        # lifecycle (build + tombstone + physical fold) at sf0.1
+        "retrieval_hybrid_served",
+        "text_keyword_index_erased",
+        "similarity_ann_compacted_erased",
+        "text_keyword_bm25_log",
+        "text_keyword_index_bm25_log",
     )
     for name in headline:
         if name not in REGISTRY:

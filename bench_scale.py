@@ -596,7 +596,7 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
         pq_build_wide,
     )
 
-    n_vec = 1_000_000
+    n_vec = int(os.environ.get("BENCH_ANN_VECS", 1_000_000))
     dim = 64
     emb = (
         spark.range(n_vec)
@@ -615,8 +615,12 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
     # ivf_build_wide seeds its centroids from the lowest-vec_id rows,
     # so querying ids 0..19 would place every query point exactly at a
     # centroid seed and flatter recall. Strided ids far past any seed
-    # range keep the measurement honest.
-    ann_qids = tuple(100_000 + 37_777 * i for i in range(20))
+    # range keep the measurement honest. (Expressed relative to n_vec
+    # so BENCH_ANN_VECS smoke runs stay in range; at the default 1 M
+    # this is base 100 000, stride 42 857.)
+    _qbase = n_vec // 10
+    _qstep = max(1, (n_vec - _qbase) // 21)
+    ann_qids = tuple(_qbase + _qstep * i for i in range(20))
 
     t0 = time.perf_counter()
     bf = knn_brute_force(emb, ann_qids, k=10).collect()
@@ -731,6 +735,30 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
     ).collect()
     rr_sec = time.perf_counter() - t0
 
+    # recall-vs-latency FRONTIER at production geometry (round 10 —
+    # VERDICT r9 next #5): the 0.29 rerank point was a single
+    # operating point, not a ceiling; this sweep maps the
+    # (nprobe × n_candidates) surface so a deployment picks its point.
+    # The exact-integer PQ kernel cannot express a learned float
+    # rotation (OPQ) without breaking the bit-identical-oracle
+    # contract, so the public recall levers here are probe width and
+    # refine depth — see PLANS.md for why the concentrated synthetic
+    # corpus bounds the absolute numbers (planted_neardup below
+    # measures the separated regime on the same index).
+    rerank_frontier = {}
+    for np_ in (32, 128, 256):
+        for nc in (100, 400):
+            t0 = time.perf_counter()
+            fr = ivfpq_rerank_served(
+                pq_srv, ivf_srv, ann_queries, topk=10, nprobe=np_,
+                n_candidates=nc,
+            ).collect()
+            fr_sec = time.perf_counter() - t0
+            rerank_frontier[f"nprobe_{np_}_cand_{nc}"] = {
+                "search_sec": round(fr_sec, 2),
+                "recall_at_10": _recall(fr),
+            }
+
     detail["ann_1m"] = {
         "n_vectors": n_vec,
         "n_queries": len(ann_qids),
@@ -762,6 +790,7 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
             "nprobe": 32,
             "n_candidates": 100,
         },
+        "ivfpq_rerank_frontier": rerank_frontier,
     }
 
     # planted near-duplicate probe at 1 M vectors: the synthetic
@@ -849,6 +878,163 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
     emb.unpersist()
     shutil.rmtree(ann_work, ignore_errors=True)
 
+    # -------------------------------- keyword index at 1 M documents
+    # The lexical tier's 100 TB claim was plan-pinned but unmeasured
+    # (VERDICT r9 next #4): this block builds the bucket-partitioned
+    # postings + positional index over a synthetic 1 M-doc corpus
+    # (seeded hash vocabulary with a frequency mixture so idf varies),
+    # then measures build walls, per-access-path probe latencies
+    # (TF-IDF, BM25, log-idf BM25, conjunctive, phrase), the
+    # buckets-read accounting (the union_cells_read analogue), the
+    # one-shot-vs-index-probe speedup, and the round-10 erasure path
+    # (tombstone 10% + compact, probes parity-checked before/after).
+    # Dual checks: every index probe vs its one-shot corpus-scan twin,
+    # exact row equality.
+    from uwheel_datafusion_spark.operators import textops as _txs
+
+    n_docs_kw = int(os.environ.get("BENCH_KW_DOCS", 1_000_000))
+    doc_len = 24
+    # token rank ~ mixture of uniforms over [0, m) with m itself
+    # uniform — small ranks frequent, large ranks rare (zipf-ish);
+    # vocabulary = 2000 distinct tokens
+    docs_kw = (
+        spark.range(n_docs_kw)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                f"concat_ws(' ', transform(sequence(1, {doc_len}), i -> "
+                "concat('w', CAST(pmod(hash(id * 53 + i), "
+                "pmod(hash(id * 101 + i * 7), 1999) + 1) AS STRING))))"
+            ).alias("text"),
+        )
+        .repartition(32, "doc_id")
+        .cache()
+    )
+    docs_kw.count()
+    kw_terms = ("w17", "w523", "w1801")  # frequent / mid / rare
+    kw_phrase = ("w3", "w11")
+    kw_work = tempfile.mkdtemp(prefix="kw1m_")
+    kw_dir = f"{kw_work}/kw"
+    t0 = time.perf_counter()
+    _txs.build_keyword_index(docs_kw, kw_dir)
+    kw_build_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _txs.build_keyword_positions(docs_kw, kw_dir)
+    kw_pos_build_sec = time.perf_counter() - t0
+    postings_rows = spark.read.parquet(f"{kw_dir}/postings").count()
+
+    def _p50(fn, reps=5):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    kw_mism = 0
+
+    def _rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    paths = {
+        "tfidf": (
+            lambda: _txs.keyword_index_probe(spark, kw_dir, kw_terms),
+            lambda: _txs.keyword_search(docs_kw, kw_terms),
+        ),
+        "bm25": (
+            lambda: _txs.keyword_index_bm25_probe(spark, kw_dir, kw_terms),
+            lambda: _txs.keyword_search_bm25(docs_kw, kw_terms),
+        ),
+        "bm25_log": (
+            lambda: _txs.keyword_index_bm25_log_probe(
+                spark, kw_dir, kw_terms
+            ),
+            lambda: _txs.keyword_search_bm25_log(docs_kw, kw_terms),
+        ),
+        "conjunctive": (
+            lambda: _txs.keyword_index_search_conjunctive(
+                spark, kw_dir, kw_terms
+            ),
+            None,
+        ),
+        "phrase": (
+            lambda: _txs.keyword_phrase_search(spark, kw_dir, kw_phrase),
+            None,
+        ),
+    }
+    kw_detail: dict = {
+        "n_docs": n_docs_kw,
+        "doc_len_tokens": doc_len,
+        "postings_rows": postings_rows,
+        "n_buckets": _txs.KEYWORD_INDEX_BUCKETS,
+        "build_sec": round(kw_build_sec, 2),
+        "positions_build_sec": round(kw_pos_build_sec, 2),
+        "probe_terms": list(kw_terms),
+        "buckets_read": {
+            "probe": len({_txs._term_bucket(t) for t in kw_terms}),
+            "phrase": len({_txs._term_bucket(t) for t in kw_phrase}),
+            "read_fraction": round(
+                len({_txs._term_bucket(t) for t in kw_terms})
+                / _txs.KEYWORD_INDEX_BUCKETS,
+                4,
+            ),
+        },
+        "paths": {},
+    }
+    for name, (index_fn, oneshot_fn) in paths.items():
+        p50 = _p50(lambda f=index_fn: f().collect())
+        entry = {"index_probe_p50_sec": round(p50, 3)}
+        if oneshot_fn is not None:
+            o50 = _p50(lambda f=oneshot_fn: f().collect(), reps=3)
+            entry["one_shot_scan_p50_sec"] = round(o50, 3)
+            entry["index_speedup"] = round(o50 / p50, 2)
+            if _rows(index_fn()) != _rows(oneshot_fn()):
+                kw_mism += 1
+        kw_detail["paths"][name] = entry
+
+    # erasure at scale: tombstone 10% of docs, verify the anti-join
+    # probe, compact (physical fold + stats rebase), verify parity
+    # with the pre-compaction answer and the post-delete one-shot
+    dead_kw = list(range(0, n_docs_kw, 10))
+    t0 = time.perf_counter()
+    _txs.delete_docs_from_index(spark, kw_dir, dead_kw)
+    kw_delete_sec = time.perf_counter() - t0
+    tomb_bm25 = _rows(
+        _txs.keyword_index_bm25_probe(spark, kw_dir, kw_terms)
+    )
+    tomb_p50 = _p50(
+        lambda: _txs.keyword_index_bm25_probe(
+            spark, kw_dir, kw_terms
+        ).collect()
+    )
+    live_docs = docs_kw.filter(F.col("doc_id") % 10 != 0)
+    if tomb_bm25 != _rows(_txs.keyword_search_bm25(live_docs, kw_terms)):
+        kw_mism += 1
+    t0 = time.perf_counter()
+    _txs.compact_keyword_index(spark, kw_dir)
+    kw_compact_sec = time.perf_counter() - t0
+    compacted_p50 = _p50(
+        lambda: _txs.keyword_index_bm25_probe(
+            spark, kw_dir, kw_terms
+        ).collect()
+    )
+    if _rows(
+        _txs.keyword_index_bm25_probe(spark, kw_dir, kw_terms)
+    ) != tomb_bm25:
+        kw_mism += 1
+    kw_detail["erasure"] = {
+        "deleted_docs": len(dead_kw),
+        "delete_sec": round(kw_delete_sec, 2),
+        "compact_sec": round(kw_compact_sec, 2),
+        "bm25_p50_with_tombstones_sec": round(tomb_p50, 3),
+        "bm25_p50_after_compaction_sec": round(compacted_p50, 3),
+    }
+    kw_detail["dual_check_mismatches"] = kw_mism
+    detail["keyword_index_1m"] = kw_detail
+    docs_kw.unpersist()
+    shutil.rmtree(kw_work, ignore_errors=True)
+
     out["metric"] = "scale_proof_sf100_events"
     out["all_dual_checks_clean"] = (
         batch_mism == 0
@@ -856,6 +1042,7 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
         and all(f["dual_check_mismatches"] == 0 for f in fams.values())
         and detail["streaming_stitch"]["parity_mismatches"] == 0
         and detail["streaming_stitch"]["finalized_buckets"] > 0
+        and detail["keyword_index_1m"]["dual_check_mismatches"] == 0
     )
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)

@@ -356,6 +356,9 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_correctness):
                                            # benign scalar shape
         "text_keyword_bm25",               # same 1-row (N, total_dl)
                                            # scalar cross join
+        "text_keyword_bm25_log",           # same 1-row (N, total_dl)
+                                           # scalar cross join (log-idf
+                                           # variant, identical shape)
         "retrieval_hybrid_rrf",            # inherits keyword_bm25's
                                            # scalar cross join; the RRF
                                            # fusion itself is a full

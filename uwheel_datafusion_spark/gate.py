@@ -8192,7 +8192,7 @@ _DRIVER_WINDOW_R8 = [
 # all have >= 2 prior green driver rows with the latest <= 3 rounds
 # old, and every displaced row remains locally gated and covered by
 # the 214/214 SWEEP_r09 at both scales.
-_DRIVER_WINDOW = [
+_DRIVER_WINDOW_R9 = [
     # --- round-9: cell-partitioned ANN serving + keyword index +
     #     residual PQ ---
     "similarity_ann_ivf_served",
@@ -8275,6 +8275,74 @@ _DRIVER_WINDOW = [
     #  the keyword top-k rows)
 ]
 
+_DRIVER_WINDOW = [
+    # --- round-10: physical erasure, served hybrid retrieval,
+    #     streamed positions, log-idf BM25 ---
+    "text_keyword_index_erased",
+    "similarity_ann_compacted_erased",
+    "retrieval_hybrid_served",
+    "streaming_keyword_positions_parity",
+    "text_keyword_bm25_log",
+    "text_keyword_index_bm25_log",
+    # --- canaries over round-10 CHANGED code: the delete path was
+    #     redesigned (single (doc_id, dl) tombstone source of truth,
+    #     _live_stats corrections), compaction was rewritten
+    #     (per-partition swap + tombstone fold + stream_retired), and
+    #     the served rerank gained vec_col — every r9-green row whose
+    #     code moved re-gates here ---
+    "text_keyword_index_delete",
+    "text_keyword_index_probe",
+    "text_keyword_index_bm25",
+    "text_keyword_phrase",
+    "similarity_ann_deleted_served",
+    "streaming_ann_served_compacted",
+    "similarity_ann_rerank_served",
+    # --- staleness rotation: the ENTIRE last-checked-round-3 cohort
+    #     (14 rows — the oldest driver-green evidence in the union) ---
+    "dedup_minhash_lsh_candidates",
+    "distinct_users_by_day",
+    "events_by_type",
+    "json_props_extract",
+    "kmeans_lloyd_2iter_embeddings",
+    "pivot_event_type_by_user_decile",
+    "similarity_ann_ivf_topk",
+    "sql_scan_sum_range",
+    "text_chunking",
+    "text_langid_summary",
+    "text_profile",
+    "topk_orders",
+    "wheel_orders_range_with_weeks",
+    "window_top3_orders_per_customer",
+    # --- staleness rotation: 23 of the 41 last-checked-round-4 rows,
+    #     picked for family diversity (all 14 stale TPC-H, the three
+    #     multimodal rows, keyed rollups, sliding window, semi/exists
+    #     subquery, distinct-range, wheel daily rollup); the remaining
+    #     18 r4 rows rotate next round with the r5 cohort ---
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_part_value",
+    "tpch_q14_promo_revenue_share",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_promotable_supplier",
+    "tpch_q22_dormant_customers",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "multimodal_resize_stub",
+    "keyed_rollup_served_by_type",
+    "keyed_hourly_rollup_by_type",
+    "sliding_window_1h_15m",
+    "subquery_exists_shipped_after_order",
+    "distinct_users_range",
+    "wheel_rollup_day",
+]
+
 
 def _reorder_registry() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
@@ -8287,6 +8355,7 @@ def _reorder_registry() -> None:
     assert not [n for n in _DRIVER_WINDOW_R6 if n not in REGISTRY]
     assert not [n for n in _DRIVER_WINDOW_R7 if n not in REGISTRY]
     assert not [n for n in _DRIVER_WINDOW_R8 if n not in REGISTRY]
+    assert not [n for n in _DRIVER_WINDOW_R9 if n not in REGISTRY]
     ordered = {n: REGISTRY[n] for n in _DRIVER_WINDOW}
     ordered.update({n: q for n, q in REGISTRY.items() if n not in ordered})
     # mutate in place: other modules hold references to this dict
