@@ -1158,6 +1158,73 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         ivfw.cells.unpersist()
         pq256.codes.unpersist()
 
+        # Hadamard-rotated PQ (round 10 — the OPQ-class energy-
+        # balancing rotation, integer-exact): neutral by construction
+        # on this ISOTROPIC fixture (per-dim variance uniform to 1e-6),
+        # so the honest measurement is BOTH regimes — the fixture, and
+        # an anisotropic twin (per-subspace float scales 1..8, exact
+        # small-int multiplies) where energy imbalance is the failure
+        # mode OPQ exists for. Truth is the exact brute force in each
+        # corpus's own space.
+        from uwheel_datafusion_spark.operators.similarity import (
+            knn_pq_adc_rotated,
+            pq_build_rotated,
+        )
+        from pyspark.sql import functions as FF
+
+        rot_block = {}
+        aniso = emb.select(
+            "vec_id",
+            FF.expr(
+                "transform(embedding, (x, i) -> "
+                "CAST(x * CAST(1 + CAST(i / 8 AS INT) AS FLOAT) AS FLOAT))"
+            ).alias("embedding"),
+        )
+        for regime, corpus in (("isotropic_fixture", emb), ("anisotropic", aniso)):
+            bf_r = knn_brute_force(corpus, qids, k=10).collect()
+            truth_r: dict = defaultdict(set)
+            for r in bf_r:
+                truth_r[r["query_id"]].add(r["neighbor_id"])
+            total_r = sum(len(v) for v in truth_r.values())
+            plain_r = pq_build_wide(corpus, m=8, k=64)
+            got_plain = knn_pq_adc_wide(
+                plain_r, corpus, qids, topk=10
+            ).collect()
+            t0 = time.perf_counter()
+            rot_idx = pq_build_rotated(corpus, m=8, k=64)
+            rot_build = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            got_rot = knn_pq_adc_rotated(
+                rot_idx, corpus, qids, topk=10
+            ).collect()
+            rot_sec = time.perf_counter() - t0
+
+            def _rr(rows):
+                a: dict = defaultdict(set)
+                for r in rows:
+                    a[r["query_id"]].add(r["neighbor_id"])
+                return (
+                    round(
+                        sum(len(a[q] & truth_r[q]) for q in truth_r)
+                        / total_r,
+                        4,
+                    )
+                    if total_r
+                    else None
+                )
+
+            rot_block[regime] = {
+                "plain_pq_recall_at_10": _rr(got_plain),
+                "rotated_pq_recall_at_10": _rr(got_rot),
+                "rotated_build_sec": round(rot_build, 3),
+                "rotated_search_sec": round(rot_sec, 3),
+                "m": 8,
+                "k_per_subspace": 64,
+            }
+            plain_r.codes.unpersist()
+            rot_idx.codes.unpersist()
+        extras["ann_recall"]["pq_rotated_vs_plain"] = rot_block
+
         # JL random projection: exact search in the 16-dim projected
         # space — the dimension-reduction front end's rank distortion
         from uwheel_datafusion_spark.operators.similarity import knn_rp

@@ -897,7 +897,8 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
     # token rank ~ mixture of uniforms over [0, m) with m itself
     # uniform — small ranks frequent, large ranks rare (zipf-ish);
     # vocabulary = 2000 distinct tokens
-    docs_kw = (
+    kw_work = tempfile.mkdtemp(prefix="kw1m_")
+    (
         spark.range(n_docs_kw)
         .select(
             F.col("id").alias("doc_id"),
@@ -908,12 +909,14 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
             ).alias("text"),
         )
         .repartition(32, "doc_id")
-        .cache()
+        .write.parquet(f"{kw_work}/corpus")
     )
-    docs_kw.count()
+    # the corpus lives in PARQUET and is read fresh by BOTH sides —
+    # a cached in-memory one-shot twin would flatter the scan path
+    # (at 100 TB the corpus is never resident)
+    docs_kw = spark.read.parquet(f"{kw_work}/corpus")
     kw_terms = ("w17", "w523", "w1801")  # frequent / mid / rare
     kw_phrase = ("w3", "w11")
-    kw_work = tempfile.mkdtemp(prefix="kw1m_")
     kw_dir = f"{kw_work}/kw"
     t0 = time.perf_counter()
     _txs.build_keyword_index(docs_kw, kw_dir)
@@ -1032,7 +1035,6 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
     }
     kw_detail["dual_check_mismatches"] = kw_mism
     detail["keyword_index_1m"] = kw_detail
-    docs_kw.unpersist()
     shutil.rmtree(kw_work, ignore_errors=True)
 
     out["metric"] = "scale_proof_sf100_events"

