@@ -40,6 +40,7 @@ from uwheel_datafusion_spark.plans.range_plan import (
     decompose_hybrid,
     decompose_range,
 )
+from uwheel_datafusion_spark.operators.retrieval import RetrievalEngine
 from uwheel_datafusion_spark.plans.sql_router import WheelSqlRouter
 
 __all__ = [
@@ -47,6 +48,7 @@ __all__ = [
     "WheelIndex",
     "KeyedWheelIndex",
     "WheelSqlRouter",
+    "RetrievalEngine",
     "RangePlan",
     "decompose_range",
     "decompose_hybrid",
