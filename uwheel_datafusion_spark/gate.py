@@ -4270,6 +4270,70 @@ def keyword_index_erased_q(spark, sf_dir):
     )
 
 
+@gate(
+    "text_keyword_index_lifecycle",
+    _tx.keyword_search_bm25_oracle(
+        table="(SELECT * FROM documents "
+        "WHERE (doc_id % 21 <> 0 OR doc_id % 3 = 2) "
+        "AND doc_id % 5 <> 0) AS live"
+    ),
+)
+def keyword_index_lifecycle_q(spark, sf_dir):
+    """FULL index lifecycle composition (round 10): build → extend →
+    delete → COMPACT (physical erasure + stats REBASE to one row) →
+    extend AGAIN → delete again → probe. This pins the property the
+    erasure gate alone can't: compaction leaves a LIVE, EXTENDABLE
+    index — the post-compaction extend appends its (n_docs, total_dl)
+    partial onto the rebased single row, the post-compaction delete
+    starts a FRESH tombstone table, and _live_stats composes all three
+    generations exactly. Both delete batches target only
+    already-ingested, never-previously-erased ids (the documented
+    single-delete contract). Oracle: one-shot BM25 over exactly the
+    surviving documents — any stats drift across generations breaks
+    the hash. Generations: build %3=0, extend %3=1, delete
+    (%21=0 ∧ %3≠2), compact, extend %3=2, delete (%5=0 ∧ not erased)
+    ⇒ live = (%21≠0 ∨ %3=2) ∧ %5≠0."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="kw_lifecycle_gate_")
+    try:
+        _tx.build_keyword_index(docs.filter(F.col("doc_id") % 3 == 0), work)
+        _tx.extend_keyword_index(docs.filter(F.col("doc_id") % 3 == 1), work)
+        dead1 = [
+            r.doc_id
+            for r in docs.filter(
+                (F.col("doc_id") % 21 == 0) & (F.col("doc_id") % 3 != 2)
+            )
+            .select("doc_id")
+            .collect()
+        ]
+        _tx.delete_docs_from_index(spark, work, dead1)
+        _tx.compact_keyword_index(spark, work)
+        # the index keeps living after the merge: a THIRD ingest
+        # generation lands on the rebased stats, and fresh deletes
+        # (ids disjoint from the erased set) start a new tombstone
+        # table over the compacted files
+        _tx.extend_keyword_index(docs.filter(F.col("doc_id") % 3 == 2), work)
+        dead2 = [
+            r.doc_id
+            for r in docs.filter(
+                (F.col("doc_id") % 5 == 0)
+                & ((F.col("doc_id") % 21 != 0) | (F.col("doc_id") % 3 == 2))
+            )
+            .select("doc_id")
+            .collect()
+        ]
+        _tx.delete_docs_from_index(spark, work, dead2)
+        rows = _tx.keyword_index_bm25_probe(spark, work).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.doc_id, r.score) for r in rows], "doc_id long, score long"
+    )
+
+
 @gate("text_keyword_conjunctive", _tx.keyword_conjunctive_oracle())
 def keyword_conjunctive_q(spark, sf_dir):
     """Boolean-AND retrieval from the persisted index: only documents
@@ -4377,6 +4441,92 @@ def streaming_keyword_positions_q(spark, sf_dir):
     return spark.createDataFrame(
         [(r.doc_id, r.n_matches) for r in rows],
         "doc_id long, n_matches long",
+    )
+
+
+@gate(
+    "streaming_keyword_index_compacted",
+    _tx.keyword_search_oracle(
+        table="(SELECT * FROM documents WHERE doc_id % 9 <> 0) AS live"
+    ),
+)
+def streaming_keyword_compacted_q(spark, sf_dir):
+    """Stream-to-retirement composition (round 10 — closes the loop
+    between the r9 streamed keyword ingest and the r10 erasure tier):
+    the postings and stats tables are MAINTAINED BY STREAMS through
+    the exactly-once file sink (so both carry _spark_metadata logs),
+    the streams are then permanently stopped, every ninth doc is
+    tombstoned, and compact_keyword_index(stream_retired=True) folds
+    the tombstones into a physical rewrite — dropping the sink logs
+    (compaction is terminal for the stream, ADVICE r9 #1: the rewrite
+    reads THROUGH the log for the exactly-once view, then converts the
+    table to plain parquet) and rebasing the streamed per-chunk stats
+    partials to one live row. In-gate asserts: both logs gone, raw
+    postings hold zero deleted ids, one file per bucket partition.
+    Driver check: TF-IDF from the compacted, formerly-streamed index
+    hash-matches the live-corpus oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from uwheel_datafusion_spark.streaming.keyword_stream import (
+        start_keyword_postings_stream,
+        start_keyword_stats_stream,
+    )
+
+    _tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="kw_stream_compact_gate_")
+    try:
+        src_dir = os.path.join(work, "in")
+        os.makedirs(src_dir)
+        idx_dir = os.path.join(work, "index")
+        docs.repartitionByRange(4, "doc_id").write.mode("append").parquet(
+            src_dir
+        )
+
+        def reader():
+            return (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+
+        for starter, ckpt in (
+            (start_keyword_postings_stream, os.path.join(work, "ck_p")),
+            (start_keyword_stats_stream, os.path.join(work, "ck_s")),
+        ):
+            q = starter(reader(), idx_dir, ckpt)
+            q.processAllAvailable()
+            q.stop()
+        assert os.path.isdir(f"{idx_dir}/postings/_spark_metadata")
+        assert os.path.isdir(f"{idx_dir}/stats/_spark_metadata")
+        dead = [
+            r.doc_id
+            for r in docs.filter(F.col("doc_id") % 9 == 0)
+            .select("doc_id")
+            .collect()
+        ]
+        _tx.delete_docs_from_index(spark, idx_dir, dead)
+        _tx.compact_keyword_index(spark, idx_dir, stream_retired=True)
+        assert not os.path.exists(f"{idx_dir}/postings/_spark_metadata")
+        assert not os.path.exists(f"{idx_dir}/stats/_spark_metadata")
+        assert not os.path.exists(f"{idx_dir}/tombstones")
+        raw = spark.read.parquet(f"{idx_dir}/postings")
+        assert raw.filter(F.col("doc_id").isin(dead)).count() == 0
+        for d in os.listdir(f"{idx_dir}/postings"):
+            if d.startswith("bucket="):
+                files = [
+                    f
+                    for f in os.listdir(f"{idx_dir}/postings/{d}")
+                    if f.endswith(".parquet")
+                ]
+                assert len(files) == 1, (d, files)
+        rows = _tx.keyword_index_probe(spark, idx_dir).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.doc_id, r.score) for r in rows], "doc_id long, score long"
     )
 
 
@@ -8311,6 +8461,8 @@ _DRIVER_WINDOW = [
     "text_keyword_bm25_log",
     "text_keyword_index_bm25_log",
     "similarity_ann_pq_rotated",
+    "text_keyword_index_lifecycle",
+    "streaming_keyword_index_compacted",
     # --- canaries over round-10 CHANGED code: the delete path was
     #     redesigned (single (doc_id, dl) tombstone source of truth,
     #     _live_stats corrections), compaction was rewritten
@@ -8353,7 +8505,8 @@ _DRIVER_WINDOW = [
     "tpch_q9_product_profit",
     "tpch_q10_returned_items",
     "tpch_q11_important_part_value",
-    "tpch_q14_promo_revenue_share",
+    # (tpch_q14's slot goes to text_keyword_index_lifecycle: 13 other
+    #  stale TPC-H rows remain in this window; q14 rotates next round)
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_disjunctive_revenue",
@@ -8363,7 +8516,9 @@ _DRIVER_WINDOW = [
     "multimodal_frame_sample",
     "multimodal_resize_stub",
     "keyed_rollup_served_by_type",
-    "keyed_hourly_rollup_by_type",
+    # (keyed_hourly_rollup_by_type's slot goes to
+    #  streaming_keyword_index_compacted: the keyed family keeps its
+    #  served row above; the hourly rollup rotates next round)
     "sliding_window_1h_15m",
     "subquery_exists_shipped_after_order",
     # (distinct_users_range's slot goes to similarity_ann_pq_rotated:
