@@ -6220,6 +6220,88 @@ def ann_compacted_erased_q(spark, sf_dir):
 
 
 @gate(
+    "similarity_ann_ivfpq_erased_served",
+    _sim.ivfpq_rerank_oracle(
+        query_ids=KNN_QUERY_IDS,
+        topk=5,
+        nprobe=4,
+        n_cells=32,
+        m=8,
+        k=64,
+        n_candidates=25,
+        candidate_where="vec_id % 5 <> 0",
+    ),
+)
+def ann_ivfpq_erased_served_q(spark, sf_dir):
+    """DUAL-TABLE erasure for served IVF-PQ (round 10 — ADVICE r9 #5's
+    full remedy): a complete vector delete tombstones BOTH tables of
+    the deployment in one delete_vectors_served call — the codes table
+    (so dead ids stop consuming ADC candidate slots) AND the
+    full-precision payload (so the refine can't resurrect them) — then
+    BOTH are compacted, folding the tombstones into physical rewrites.
+    In-gate asserts: raw reads of both compacted tables hold zero
+    deleted ids, both tombstone dirs are gone. Driver check: the
+    two-stage rerank from the twice-erased deployment hash-matches the
+    wide rerank replay with the candidate side restricted to live ids
+    (erase-then-compact ≡ tombstone semantics ≡ never-candidates)."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = _sim.ivf_build_wide(emb, n_cells=32)
+    pq = _sim.pq_build_wide(emb, m=8, k=64)
+    work = tempfile.mkdtemp(prefix="ivfpq_erased_gate_")
+    try:
+        ivf_served = _srv.save_ivf_payload(
+            ivf, emb, os.path.join(work, "ivf_payload")
+        )
+        pq_served = _srv.save_ivfpq_payload(
+            ivf, pq, os.path.join(work, "pq_payload")
+        )
+        dead = [
+            r.vec_id
+            for r in emb.filter(F.col("vec_id") % 5 == 0)
+            .select("vec_id")
+            .collect()
+        ]
+        out = _srv.delete_vectors_served(
+            spark, [ivf_served.path, pq_served.path], dead
+        )
+        assert set(out.values()) == {len(dead)}
+        _srv.compact_partitioned_table(
+            spark,
+            ivf_served.path,
+            schema="vec_id long, qvec array<long>, qnorm long, cell long",
+        )
+        pq_schema = (
+            "vec_id long, "
+            + ", ".join(f"code_{s} long" for s in range(8))
+            + ", cell long"
+        )
+        _srv.compact_partitioned_table(
+            spark, pq_served.path, schema=pq_schema
+        )
+        for p in (ivf_served.path, pq_served.path):
+            raw = spark.read.parquet(p)
+            assert raw.filter(F.col("vec_id").isin(dead)).count() == 0
+            assert not os.path.exists(f"{p}_tombstones")
+        queries = emb.filter(F.col("vec_id").isin(*KNN_QUERY_IDS)).select(
+            "vec_id", "embedding"
+        )
+        rows = _srv.ivfpq_rerank_served(
+            pq_served, ivf_served, queries, topk=5, nprobe=4,
+            n_candidates=25,
+        ).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.query_id, r.neighbor_id, r.exact_dist, r.rnk) for r in rows],
+        "query_id long, neighbor_id long, exact_dist long, rnk long",
+    )
+
+
+@gate(
     "similarity_ann_ivfpq_served",
     _sim.ivfpq_search_wide_oracle(
         query_ids=KNN_QUERY_IDS, topk=5, nprobe=4, n_cells=32, m=8, k=64
@@ -8463,6 +8545,7 @@ _DRIVER_WINDOW = [
     "similarity_ann_pq_rotated",
     "text_keyword_index_lifecycle",
     "streaming_keyword_index_compacted",
+    "similarity_ann_ivfpq_erased_served",
     # --- canaries over round-10 CHANGED code: the delete path was
     #     redesigned (single (doc_id, dl) tombstone source of truth,
     #     _live_stats corrections), compaction was rewritten
@@ -8514,7 +8597,9 @@ _DRIVER_WINDOW = [
     "tpch_q22_dormant_customers",
     "multimodal_decode_stub",
     "multimodal_frame_sample",
-    "multimodal_resize_stub",
+    # (multimodal_resize_stub's slot goes to
+    #  similarity_ann_ivfpq_erased_served: decode_stub + frame_sample
+    #  cover the Arrow plumbing; resize rotates next round)
     "keyed_rollup_served_by_type",
     # (keyed_hourly_rollup_by_type's slot goes to
     #  streaming_keyword_index_compacted: the keyed family keeps its

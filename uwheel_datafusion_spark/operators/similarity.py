@@ -2063,6 +2063,7 @@ def ivfpq_search_wide_oracle(
     n_iter: int = 2,
     vec_col: str = "embedding",
     dim: int = 64,
+    candidate_where: str | None = None,
 ) -> str:
     """DuckDB replay of ivf_build_wide + pq_build_wide +
     ivfpq_search_wide at GENUINELY WIDE shapes (cells and codebook
@@ -2148,6 +2149,13 @@ def ivfpq_search_wide_oracle(
         for s in range(m)
     )
     adc = " + ".join(f"l{s}.ld" for s in range(m))
+    # candidate_where replays TOMBSTONE deletes (the served dual-table
+    # erase): the index is built over everything, only the candidate
+    # side is restricted to live ids — exactly what the anti-join (or
+    # the post-compaction physical absence) does engine-side
+    cand_filter = (
+        f" AND cells.{candidate_where}" if candidate_where else ""
+    )
     parts.append(
         f"""scored AS (
             SELECT p.query_id, cells.vec_id AS neighbor_id,
@@ -2155,7 +2163,7 @@ def ivfpq_search_wide_oracle(
             FROM cells {code_joins}
             JOIN probe p ON cells.cell = p.q_cell
             {lut_joins}
-            WHERE cells.vec_id <> p.query_id
+            WHERE cells.vec_id <> p.query_id{cand_filter}
         )"""
     )
     return f"""
@@ -2264,12 +2272,16 @@ def ivfpq_rerank_oracle(
     n_iter: int = 2,
     vec_col: str = "embedding",
     dim: int = 64,
+    candidate_where: str | None = None,
 ) -> str:
     """DuckDB replay of the refine stage: the full wide IVF-PQ oracle
     (Lloyd cells + codebooks + ADC ranking) runs as a candidate
     subquery at topk=n_candidates, then the exact squared-L2 distance
     over re-quantized full vectors re-ranks — the same integer
-    arithmetic as the Spark path, bit-for-bit."""
+    arithmetic as the Spark path, bit-for-bit. ``candidate_where``
+    restricts the ADC candidate side to live ids (tombstone-delete /
+    post-erasure replay); the refine inherits it through the candidate
+    list."""
     d = DUCK
     inner = ivfpq_search_wide_oracle(
         table=table,
@@ -2282,6 +2294,7 @@ def ivfpq_rerank_oracle(
         n_iter=n_iter,
         vec_col=vec_col,
         dim=dim,
+        candidate_where=candidate_where,
     )
     q = d.quantize_vec(vec_col, Q_SCALE)
     sqd = d.sum_list_bigint(d.zip_sqdiff("q.qvec", "n.qvec"))
