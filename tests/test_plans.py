@@ -335,6 +335,9 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_correctness):
                                            # |query_ids| LUT frame vs
                                            # one corpus CODES scan —
                                            # same linear shape as int8
+        "similarity_ann_pq_rotated",       # rotated ADC: the same
+                                           # broadcast-LUT-vs-codes
+                                           # scan shape (linear)
         "similarity_knn_rp",               # JL-projected exact search:
                                            # broadcast of |query_ids|
                                            # projected rows vs one scan
