@@ -5980,13 +5980,14 @@ def ann_pq_rotated_q(spark, sf_dir):
     ‖Hx−Hy‖² = dim·‖x−y‖² EXACTLY in int64 — a true rotation up to
     uniform scale, no floats), then the unchanged wide-PQ Lloyd loop
     trains codebooks in the rotated space and ADC ranks against
-    rotated-query LUTs. Measured in bench ann_recall.pq_rotated_vs_plain
-    on both regimes: recall@10 0.26→0.30 on the isotropic fixture and
-    0.312→0.356 on an anisotropic twin (~+15% at identical cost) — the
-    RR+PQ effect: beyond variance balancing, the rotation decorrelates
-    per-vector quantization error across subspaces, so the
-    independent-subspace ADC sum tracks the true distance better even
-    when marginal variances are already equal. Oracle: literal ±1 rotation
+    rotated-query LUTs. Measured at both scales (an OPT-IN
+    preprocessing step — regime-dependent like FAISS's OPQ/RR):
+    +15% recall on the sf0.1 fixture embeddings in both isotropic and
+    anisotropic regimes (quantization-error decorrelation), but a LOSS
+    on the 1M iid-uniform synthetic corpus (the ±1 sums Gaussianize
+    already-independent uniform marginals — harder to code at fixed
+    budget); bench ann_recall.pq_rotated_vs_plain + BENCH sf1
+    pq_rotated_vs_plain_1m record both. Oracle: literal ±1 rotation
     CTE + the exact wide-kmeans replay per subspace + LUT-ranked ADC."""
     emb = load_table(spark, sf_dir, "embeddings")
     idx = _sim.pq_build_rotated(emb, m=8, k=64)
