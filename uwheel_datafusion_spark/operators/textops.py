@@ -1385,7 +1385,7 @@ def delete_docs_from_index(
     safety: the delete is one parquet append, the same caller-batch-
     boundary contract as extend. Returns the count of NEWLY
     tombstoned ids."""
-    recover_keyword_maintenance(path)
+    recover_keyword_maintenance(spark, path)
     req_ids = sorted({int(i) for i in doc_ids})
     ids_df = spark.createDataFrame([(i,) for i in req_ids], "doc_id long")
     if fs_exists(spark, f"{path}/tombstones"):
@@ -1424,7 +1424,23 @@ def _live_postings(spark, path: str, postings: DataFrame) -> DataFrame:
     """Anti-join the tombstones (if any) — the probe-side delete
     filter. Missing tombstone table = nothing deleted. Existence goes
     through the Hadoop FileSystem API (util.fs_exists) so HDFS/S3
-    deployments see deletes exactly like local runs (ADVICE r9)."""
+    deployments see deletes exactly like local runs (ADVICE r9).
+
+    ADVICE r10 #4: every keyword probe flows through here, so this is
+    also where a probe REFUSES to read a table that carries a
+    compaction marker (torn swap or in-flight maintenance) instead of
+    silently serving a table with moved-aside partitions."""
+    from uwheel_datafusion_spark.operators.util import (
+        assert_not_mid_maintenance,
+    )
+
+    assert_not_mid_maintenance(
+        spark,
+        f"{path}/postings__compacting",
+        f"{path}/postings__swap_old",
+        f"{path}/positions__compacting",
+        f"{path}/positions__swap_old",
+    )
     if not fs_exists(spark, f"{path}/tombstones"):
         return postings
     dead = spark.read.schema("doc_id long").parquet(f"{path}/tombstones")
@@ -1464,7 +1480,7 @@ def _live_stats(spark, path: str, with_dl: bool = False) -> DataFrame:
     return out.select(*sel)
 
 
-def recover_keyword_maintenance(path: str) -> None:
+def recover_keyword_maintenance(spark, path: str) -> None:
     """Repair a crash inside :func:`compact_keyword_index`'s
     stats-rebase tail (the torn-swap recovery contract of
     rollup_io._recover_torn_partitions / ann_serving.recover_compaction,
@@ -1479,23 +1495,31 @@ def recover_keyword_maintenance(path: str) -> None:
       leftovers. Probes between the commit and the stats install see
       the old partials WITHOUT corrections (N momentarily high) — the
       same documented two-rename maintenance window as
-      rollup_io.compact_parquet, repaired here."""
-    import os
-    import shutil
+      rollup_io.compact_parquet, repaired here.
+
+    All steps go through the Hadoop FileSystem API (ADVICE r10 /
+    VERDICT r10: the probe side was FS-agnostic, the maintenance side
+    was driver-local-only), so recovery behaves identically on
+    file:/, hdfs:// and s3a:// index roots."""
+    from uwheel_datafusion_spark.operators.util import (
+        fs_delete,
+        fs_is_dir,
+        fs_rename,
+    )
 
     rebased = f"{path}/stats__rebased"
     folded = f"{path}/tombstones__folded"
     old = f"{path}/stats__old"
-    if os.path.isdir(folded):
-        if os.path.isdir(rebased):
-            if os.path.isdir(f"{path}/stats"):
-                os.rename(f"{path}/stats", old)
-            os.rename(rebased, f"{path}/stats")
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(folded)
-    elif os.path.isdir(rebased):
-        shutil.rmtree(rebased)
-    shutil.rmtree(old, ignore_errors=True)
+    if fs_is_dir(spark, folded):
+        if fs_is_dir(spark, rebased):
+            if fs_is_dir(spark, f"{path}/stats"):
+                fs_rename(spark, f"{path}/stats", old)
+            fs_rename(spark, rebased, f"{path}/stats")
+        fs_delete(spark, old)
+        fs_delete(spark, folded)
+    elif fs_is_dir(spark, rebased):
+        fs_delete(spark, rebased)
+    fs_delete(spark, old)
 
 
 def compact_keyword_index(
@@ -1521,16 +1545,20 @@ def compact_keyword_index(
     :func:`recover_keyword_maintenance` (run on entry) finishing a
     torn tail. Returns {'postings_files': n, 'positions_files': n|None,
     'n_docs': live N, 'total_dl': live Σdl}."""
-    import os
-    import shutil
-
     from uwheel_datafusion_spark.operators.ann_serving import (
         compact_partitioned_table,
     )
+    from uwheel_datafusion_spark.operators.util import (
+        fs_delete,
+        fs_is_dir,
+        fs_rename,
+    )
 
-    recover_keyword_maintenance(path)
+    recover_keyword_maintenance(spark, path)
     stats_meta = f"{path}/stats/_spark_metadata"
-    if os.path.isdir(stats_meta) and not stream_retired:
+    # Hadoop-FS check (ADVICE r10 #2): os.path.isdir is always false
+    # on a remote FS, silently skipping the stream-retirement refusal
+    if fs_is_dir(spark, stats_meta) and not stream_retired:
         raise ValueError(
             f"{path}/stats carries a file-sink _spark_metadata log; "
             "pass stream_retired=True once the maintaining stream is "
@@ -1569,12 +1597,12 @@ def compact_keyword_index(
         [(n_docs, total_dl)], "n_docs long, total_dl long"
     ).write.mode("overwrite").parquet(f"{path}/stats__rebased")
     if tomb_arg is not None:
-        os.rename(tomb, f"{path}/tombstones__folded")  # commit point
-    if os.path.isdir(f"{path}/stats"):
-        os.rename(f"{path}/stats", f"{path}/stats__old")
-    os.rename(f"{path}/stats__rebased", f"{path}/stats")
-    shutil.rmtree(f"{path}/stats__old", ignore_errors=True)
-    shutil.rmtree(f"{path}/tombstones__folded", ignore_errors=True)
+        fs_rename(spark, tomb, f"{path}/tombstones__folded")  # commit point
+    if fs_is_dir(spark, f"{path}/stats"):
+        fs_rename(spark, f"{path}/stats", f"{path}/stats__old")
+    fs_rename(spark, f"{path}/stats__rebased", f"{path}/stats")
+    fs_delete(spark, f"{path}/stats__old")
+    fs_delete(spark, f"{path}/tombstones__folded")
     return {
         "postings_files": postings_files,
         "positions_files": positions_files,

@@ -5,19 +5,113 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` resolved against the session's
+    Hadoop configuration — the same resolution ``spark.read`` itself
+    performs, so file:/, hdfs://, s3a:// all behave identically."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
 def fs_exists(spark: SparkSession, path: str) -> bool:
     """Filesystem-agnostic existence check via the Hadoop FileSystem
     API — the check every index sidecar (tombstones, stats partials)
     must use instead of driver-local ``os.path``: on HDFS/S3 (the
     100 TB deployment target) ``os.path.isdir`` is ALWAYS false, so a
     local-only check silently resurrects deleted rows (right-to-
-    erasure leak — ADVICE r9). Resolves ``path`` against the session's
-    Hadoop configuration, so file:/, hdfs://, s3a:// all behave
-    identically to what ``spark.read`` itself would see."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    erasure leak — ADVICE r9)."""
+    fs, jpath = _hadoop_fs(spark, path)
     return bool(fs.exists(jpath))
+
+
+def fs_is_dir(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS directory check (``os.path.isdir`` twin). ADVICE r10:
+    the stream-retirement refusal must use THIS, not ``os.path`` — on
+    a remote FS a driver-local isdir is always false, so the guard
+    would silently never fire."""
+    fs, jpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(jpath)) and bool(
+        fs.getFileStatus(jpath).isDirectory()
+    )
+
+
+def fs_list_names(spark: SparkSession, path: str, prefix: str = "") -> list:
+    """Child basenames of a directory (optionally prefix-filtered),
+    empty when the directory is absent — the ``os.listdir`` of the
+    maintenance protocol, via the Hadoop FileSystem API. One RPC
+    (listStatus); partition counts are bounded (one dir per cell /
+    bucket / dt), so no paged listing is needed."""
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(jpath)
+        if st.getPath().getName().startswith(prefix)
+    )
+
+
+def fs_rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Hadoop-FS rename, raising on failure (Hadoop's rename returns
+    false instead of throwing for most failure modes). On HDFS and
+    file:/ this is the atomic commit primitive the swap protocol
+    leans on; on S3A it is a copy+delete — NOT atomic and O(bytes).
+    The swap protocol stays CORRECT there (every torn state is marked
+    by a sibling dir that recover_compaction repairs and that probes
+    refuse to read through), but the maintenance window widens; an
+    S3 deployment should point maintenance at an HDFS/consistent-
+    rename staging area or a table format with a commit log."""
+    fs, jsrc = _hadoop_fs(spark, src)
+    jdst = spark._jvm.org.apache.hadoop.fs.Path(dst)
+    if not fs.rename(jsrc, jdst):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def fs_delete(spark: SparkSession, path: str) -> bool:
+    """Recursive Hadoop-FS delete; False when the path was absent
+    (``shutil.rmtree(..., ignore_errors=True)`` twin)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return False
+    return bool(fs.delete(jpath, True))
+
+
+def fs_mkdirs(spark: SparkSession, path: str) -> None:
+    """``os.makedirs(..., exist_ok=True)`` twin via the Hadoop FS."""
+    fs, jpath = _hadoop_fs(spark, path)
+    fs.mkdirs(jpath)
+
+
+def fs_count_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> int:
+    """Recursive file count under ``path`` (``os.walk`` twin) via the
+    Hadoop listFiles iterator."""
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return 0
+    it, n = fs.listFiles(jpath, True), 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(suffix):
+            n += 1
+    return n
+
+
+def assert_not_mid_maintenance(spark: SparkSession, *markers: str) -> None:
+    """Fail FAST when a maintenance sibling marker exists next to an
+    index table (ADVICE r10 #4): after a mid-swap crash, a moved-aside
+    partition's live rows would otherwise be silently absent from
+    every probe until someone happens to re-run compaction. A probe
+    must not auto-heal — the marker may belong to a compaction that is
+    IN FLIGHT right now, and a reader-triggered recovery would corrupt
+    it — so the read refuses loudly and names the repair."""
+    for m in markers:
+        if fs_exists(spark, m):
+            raise RuntimeError(
+                f"maintenance marker {m} exists: a compaction is in "
+                "flight or crashed mid-swap. Probes refuse to serve a "
+                "possibly-incomplete table; run recover_compaction() "
+                "(or let the running compaction finish) first."
+            )
 
 
 def ensure_min_parallelism(df: DataFrame, key: str) -> DataFrame:
