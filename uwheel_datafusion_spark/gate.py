@@ -4385,6 +4385,43 @@ def keyword_phrase_q(spark, sf_dir):
     )
 
 
+def _kill_resume_streams(df, key_col: str, src_dir: str, starters) -> None:
+    """Run file-source streams through a REAL kill/resume (ADVICE r10
+    #3): only half the source files exist when the first incarnation
+    runs, so after its kill the checkpoint genuinely sits mid-corpus;
+    the other half lands before the resume, and the helper ASSERTS the
+    resumed incarnation processed >0 input rows — without this, a
+    processAllAvailable() first incarnation drains everything and the
+    claimed checkpoint-resume path is never exercised. ``starters`` is
+    a list of zero-arg callables returning a started StreamingQuery
+    (each owning its reader + checkpoint); with several, all first
+    incarnations run before any resume, so every stream's resume sees
+    new files."""
+    halves = (
+        df.filter(F.col(key_col) % 2 == 0),
+        df.filter(F.col(key_col) % 2 == 1),
+    )
+    halves[0].repartitionByRange(2, key_col).write.mode("append").parquet(
+        src_dir
+    )
+    for start in starters:
+        q = start()
+        q.processAllAvailable()
+        q.stop()
+    halves[1].repartitionByRange(2, key_col).write.mode("append").parquet(
+        src_dir
+    )
+    for start in starters:
+        q = start()
+        q.processAllAvailable()
+        resumed = sum(p["numInputRows"] for p in q.recentProgress)
+        q.stop()
+        assert resumed > 0, (
+            "resume incarnation processed no rows — kill/resume not "
+            "actually exercised"
+        )
+
+
 @gate(
     "streaming_keyword_positions_parity",
     _tx.keyword_phrase_search_oracle(),
@@ -4395,8 +4432,11 @@ def streaming_keyword_positions_q(spark, sf_dir):
     positions frame is a pure stateless expression tree (posexplode +
     md5 bucket fold), so the batch builder's exact expressions run
     unchanged on a streaming source through the exactly-once parquet
-    file sink — JVM-side, no Arrow kernel at all. The stream is killed
-    after one trigger and resumed from its checkpoint;
+    file sink — JVM-side, no Arrow kernel at all. The stream is
+    killed with only HALF the corpus files on disk and resumed from
+    its checkpoint after the rest land — the resume's progress is
+    asserted >0 input rows (ADVICE r10 #3: a first incarnation that
+    drains everything proves nothing about resume);
     keyword_phrase_search then answers the phrase query from the
     STREAMED table, which must be row-identical to a batch build —
     the corpus-replay phrase oracle checks it bit-for-bit."""
@@ -4416,9 +4456,6 @@ def streaming_keyword_positions_q(spark, sf_dir):
         os.makedirs(src_dir)
         idx_dir = os.path.join(work, "index")
         ckpt = os.path.join(work, "ck_pos")
-        docs.repartitionByRange(4, "doc_id").write.mode("append").parquet(
-            src_dir
-        )
 
         def reader():
             return (
@@ -4427,14 +4464,16 @@ def streaming_keyword_positions_q(spark, sf_dir):
                 .parquet(src_dir)
             )
 
-        # first incarnation: one trigger, kill mid-stream; resume must
-        # drain the rest exactly once
-        q = start_keyword_positions_stream(reader(), idx_dir, ckpt)
-        q.processAllAvailable()
-        q.stop()
-        q = start_keyword_positions_stream(reader(), idx_dir, ckpt)
-        q.processAllAvailable()
-        q.stop()
+        _kill_resume_streams(
+            docs,
+            "doc_id",
+            src_dir,
+            [
+                lambda: start_keyword_positions_stream(
+                    reader(), idx_dir, ckpt
+                )
+            ],
+        )
         rows = _tx.keyword_phrase_search(spark, idx_dir).collect()
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -4537,8 +4576,10 @@ def streaming_keyword_index_q(spark, sf_dir):
     through the built-in EXACTLY-ONCE parquet file sink — posting rows
     are map-only per document (tf is a within-document count, one
     Arrow kernel), (n_docs) streams as per-chunk partials the probe
-    sums. Both streams are killed after the first trigger and resumed
-    from their checkpoints; keyword_index_probe then answers the query
+    sums. Both streams are killed with only HALF the corpus files on
+    disk and resumed from their checkpoints after the rest land (the
+    resumes' progress is asserted >0 input rows — ADVICE r10 #3);
+    keyword_index_probe then answers the query
     from the STREAMED index — row-identical to the batch build
     (Spark-twin tokenization + same md5 bucket fold), so the one-shot
     keyword_search oracle gates the whole pipeline."""
@@ -4556,11 +4597,7 @@ def streaming_keyword_index_q(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="kw_stream_gate_")
     try:
         src_dir = os.path.join(work, "in")
-        os.makedirs(src_dir)
         idx_dir = os.path.join(work, "index")
-        docs.repartitionByRange(4, "doc_id").write.mode("append").parquet(
-            src_dir
-        )
 
         def reader():
             return (
@@ -4569,19 +4606,19 @@ def streaming_keyword_index_q(spark, sf_dir):
                 .parquet(src_dir)
             )
 
-        for starter, ckpt in (
-            (start_keyword_postings_stream, os.path.join(work, "ck_p")),
-            (start_keyword_stats_stream, os.path.join(work, "ck_s")),
-        ):
-            # first incarnation: one trigger, kill mid-stream; resume
-            # must drain the rest exactly once
-            q = starter(reader(), idx_dir, ckpt)
-            q.processAllAvailable()
-            q.stop()
-            q = starter(reader(), idx_dir, ckpt)
-            q.processAllAvailable()
-            q.stop()
-
+        _kill_resume_streams(
+            docs,
+            "doc_id",
+            src_dir,
+            [
+                lambda: start_keyword_postings_stream(
+                    reader(), idx_dir, os.path.join(work, "ck_p")
+                ),
+                lambda: start_keyword_stats_stream(
+                    reader(), idx_dir, os.path.join(work, "ck_s")
+                ),
+            ],
+        )
         rows = _tx.keyword_index_probe(spark, idx_dir).collect()
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -6424,8 +6461,9 @@ def streaming_ann_cells_q(spark, sf_dir):
     micro-batches are assigned to cells via the same Arrow exact-int64
     kernel and append through the built-in exactly-once parquet file
     sink, partitioned by cell (probe-side partition pruning). The
-    query is killed after the first file and resumed from the
-    checkpoint mid-stream — the final table must still be
+    query is killed with only HALF the corpus files on disk and
+    resumed from the checkpoint after the rest land (resume progress
+    asserted >0 rows — ADVICE r10 #3) — the final table must still be
     row-identical to the batch assignment, which the relational
     wide-kmeans oracle replays."""
     import os
@@ -6444,12 +6482,8 @@ def streaming_ann_cells_q(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="ann_stream_gate_")
     try:
         src_dir = os.path.join(work, "in")
-        os.makedirs(src_dir)
         table = os.path.join(work, "cells")
         ckpt = os.path.join(work, "ckpt")
-        emb.repartitionByRange(4, "vec_id").write.mode("append").parquet(
-            src_dir
-        )
 
         def reader():
             return (
@@ -6458,14 +6492,16 @@ def streaming_ann_cells_q(spark, sf_dir):
                 .parquet(src_dir)
             )
 
-        # first incarnation: one trigger, then kill mid-stream
-        q = start_ivf_cells_stream(reader(), idx.centroids, table, ckpt)
-        q.processAllAvailable()
-        q.stop()
-        # resume from the checkpoint: must drain the rest exactly once
-        q = start_ivf_cells_stream(reader(), idx.centroids, table, ckpt)
-        q.processAllAvailable()
-        q.stop()
+        _kill_resume_streams(
+            emb,
+            "vec_id",
+            src_dir,
+            [
+                lambda: start_ivf_cells_stream(
+                    reader(), idx.centroids, table, ckpt
+                )
+            ],
+        )
         rows = [
             (r.vec_id, r.cell)
             for r in spark.read.parquet(table)
@@ -6487,7 +6523,9 @@ def streaming_ann_served_q(spark, sf_dir):
     """Streaming ANN ingest made SERVING-COMPLETE (r8 next #7): the
     payload stream appends (cell, vec_id, qvec, qnorm) — the vectors
     themselves, not just assignments — through the exactly-once parquet
-    file sink PARTITIONED BY cell, with a kill-and-resume mid-stream.
+    file sink PARTITIONED BY cell, with a REAL kill-and-resume: the
+    first incarnation sees only half the corpus files, the resume
+    drains the rest (progress asserted >0 rows — ADVICE r10 #3).
     The search then runs ivf_search_served DIRECTLY against the
     streamed table: zero corpus-side vector reads, probed partitions
     only. Batch save_ivf_payload and streaming ingest are
@@ -6510,12 +6548,8 @@ def streaming_ann_served_q(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="ann_served_stream_gate_")
     try:
         src_dir = os.path.join(work, "in")
-        os.makedirs(src_dir)
         table = os.path.join(work, "payload")
         ckpt = os.path.join(work, "ckpt")
-        emb.repartitionByRange(4, "vec_id").write.mode("append").parquet(
-            src_dir
-        )
 
         def reader():
             return (
@@ -6524,15 +6558,16 @@ def streaming_ann_served_q(spark, sf_dir):
                 .parquet(src_dir)
             )
 
-        # first incarnation: one trigger, then kill mid-stream
-        q = start_ivf_payload_stream(reader(), idx.centroids, table, ckpt)
-        q.processAllAvailable()
-        q.stop()
-        # resume from the checkpoint: must drain the rest exactly once
-        q = start_ivf_payload_stream(reader(), idx.centroids, table, ckpt)
-        q.processAllAvailable()
-        q.stop()
-
+        _kill_resume_streams(
+            emb,
+            "vec_id",
+            src_dir,
+            [
+                lambda: start_ivf_payload_stream(
+                    reader(), idx.centroids, table, ckpt
+                )
+            ],
+        )
         served = served_index_from_table(idx.centroids, table)
         queries = emb.filter(F.col("vec_id").isin(*KNN_QUERY_IDS))
         rows = _srv.ivf_search_served(
