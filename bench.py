@@ -1032,6 +1032,27 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
                 "sec": round(i8_sec, 3),
             },
         }
+        # binary quantization (1 bit/dim, 32× smaller than float):
+        # sign-bit Hamming candidates run entirely in whole-stage
+        # codegen (zip_with + bit_count + aggregate), exact-cosine
+        # rerank of the top-50 restores metric fidelity — recall is
+        # governed by n_candidates, cost by the popcount scan
+        from uwheel_datafusion_spark.operators.similarity import (
+            knn_binary_hamming,
+        )
+
+        t0 = time.perf_counter()
+        bh = knn_binary_hamming(emb, qids, k=10, n_candidates=50).collect()
+        bh_sec = time.perf_counter() - t0
+        abh: dict = defaultdict(set)
+        for r in bh:
+            abh[r["query_id"]].add(r["neighbor_id"])
+        hits_bh = sum(len(abh[q] & truth[q]) for q in truth)
+        extras["ann_recall"]["binary_hamming_vs_float"] = {
+            "recall_at_10": round(hits_bh / total, 4) if total else None,
+            "sec": round(bh_sec, 3),
+            "n_candidates": 50,
+        }
         # PQ + ADC: the 64×-compression tier's quality cost, measured.
         # NOTE on magnitude: the fixture embeddings are near-random, so
         # neighbor distances CONCENTRATE (d_10 ≈ d_median in 64-dim) and

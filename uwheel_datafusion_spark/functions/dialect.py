@@ -214,6 +214,52 @@ class Dialect:
         """Exact integer dot product of two quantized vectors."""
         return self.sum_list_bigint(self.zip_mult(a, b))
 
+    def bit_count(self, e: str) -> str:
+        """Population count of an integer — identical builtin name in
+        both engines (Spark widens to INT, DuckDB to TINYINT; callers
+        cast the SUM)."""
+        return f"bit_count({e})"
+
+    def shl1(self, e: str) -> str:
+        """BIGINT 1 << e (e < 63 — callers pack 32-bit words so sign
+        and overflow never differ across engines)."""
+        if self.is_spark:
+            return f"shiftleft(CAST(1 AS BIGINT), {e})"
+        return f"(CAST(1 AS BIGINT) << ({e}))"
+
+    def sign_pack32(self, qvec: str, dim: int) -> str:
+        """Quantized bigint vector → list of ⌈dim/32⌉ BIGINT words of
+        SIGN BITS: bit (j−1) of word w is set iff qvec[32w+j] > 0 —
+        binary quantization (1 bit per dimension, 32 dims per word;
+        32-bit words inside BIGINTs so shifts and sums are identical
+        in both engines with no sign-bit edge cases). Entirely builtin
+        expressions: packing stays in whole-stage codegen on Spark."""
+        words = []
+        for w in range(0, dim, 32):
+            width = min(32, dim - w)
+            body = (
+                f"acc + CASE WHEN {self.idx(qvec, f'j + {w}')} > 0 "
+                f"THEN {self.shl1('j - 1')} ELSE CAST(0 AS BIGINT) END"
+            )
+            words.append(
+                self.reduce(self.seq1(str(width)), "0", "acc", "j", body)
+            )
+        inner = ", ".join(words)
+        return f"array({inner})" if self.is_spark else f"[{inner}]"
+
+    def hamming_words(self, a: str, b: str) -> str:
+        """Exact Hamming distance between two packed sign-bit word
+        lists: Σ popcount(a[i] XOR b[i]) — two builtin ops per word,
+        no Python, no UDF."""
+        if self.is_spark:
+            pc = f"zip_with({a}, {b}, (x, y) -> CAST(bit_count(x ^ y) AS BIGINT))"
+        else:
+            pc = (
+                f"list_transform(list_zip({a}, {b}), "
+                f"z -> CAST(bit_count(xor(z[1], z[2])) AS BIGINT))"
+            )
+        return self.sum_list_bigint(pc)
+
     def cosine_q(self, dot: str, na: str, nb: str) -> str:
         """cos = dot / sqrt(na·nb), all single IEEE double ops."""
         return (

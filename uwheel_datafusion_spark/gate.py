@@ -4056,6 +4056,19 @@ def text_chunking_q(spark, sf_dir):
     return _tx.chunk_documents(load_table(spark, sf_dir, "documents"))
 
 
+@gate("text_bigram_lm_surprise", _tx.bigram_lm_surprise_oracle())
+def bigram_lm_q(spark, sf_dir):
+    """Add-one bigram LANGUAGE MODEL surprise per document (round 11 —
+    the actual model behind CCNet's KenLM perplexity gate, which
+    corpus_oov_rate only proxied): P(w2|w1) = (c(w1w2)+1)/(c(w1)+V),
+    surprise = Σ −log2 P via the BM25 monotone fixed-point log2 —
+    cross-engine exact integers, no libm. The LM lives in two count
+    TABLES (unigrams, bigrams), never on the driver: one tokenize
+    pass, two count shuffles, two gram-keyed joins, one doc re-agg —
+    the same plan at 100 TB."""
+    return _tx.bigram_lm_surprise(load_table(spark, sf_dir, "documents"))
+
+
 @gate("text_winnow_fingerprints", _tx.winnow_fingerprints_oracle())
 def text_winnow_fingerprints_q(spark, sf_dir):
     """Winnowing (MOSS): min k-gram hash per w-window — localized
@@ -4942,6 +4955,23 @@ def split_q(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test split by doc_id hash;
     per-split doc count + exact char volume."""
     return _sp.train_val_test_summary(load_table(spark, sf_dir, "documents"))
+
+
+@gate(
+    "split_leakage_free_clusters", _sp.leakage_free_split_summary_oracle()
+)
+def split_leakage_free_q(spark, sf_dir):
+    """Cluster-aware train/val/test split (round 11): exact-content
+    clusters (the dedup digests) decide the split ONCE per cluster via
+    the canonical member's hash, so duplicates can never straddle the
+    train/eval boundary — the train/test contamination failure a
+    doc-id-hash split commits (Lee et al. 2022 §6 measure it). The
+    summary audits the fix: n_rescued counts members a naive split
+    would have placed differently. One digest shuffle + one digest
+    join (exchange reused)."""
+    return _sp.leakage_free_split_summary(
+        load_table(spark, sf_dir, "documents")
+    )
 
 
 @gate("sample_stratified_per_lang", _sp.stratified_sample_summary_oracle())
@@ -6029,6 +6059,32 @@ def ann_pq_rotated_q(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     idx = _sim.pq_build_rotated(emb, m=8, k=64)
     return _sim.knn_pq_adc_rotated(idx, emb, KNN_QUERY_IDS, topk=5)
+
+
+@gate(
+    "similarity_ann_binary_hamming",
+    _sim.knn_binary_hamming_oracle(
+        query_ids=KNN_QUERY_IDS, k=5, n_candidates=25
+    ),
+)
+def ann_binary_hamming_q(spark, sf_dir):
+    """Binary quantization + Hamming candidates + exact rerank (round
+    11 — the 1-bit end of the compression spectrum: FAISS
+    IndexBinaryFlat / the binary stage of RaBitQ-class indexes;
+    SimHash with coordinate hyperplanes): sign bits packed 32/word
+    into BIGINTs (32× smaller than the float payload), candidate
+    generation is popcount(XOR) per word pair — zip_with + bit_count +
+    aggregate, ALL builtin, whole-stage codegen, no UDF anywhere —
+    then an exact integer-cosine rerank of the Hamming
+    top-n_candidates. The two window stages share one hash shuffle on
+    query_id. Oracle replays pack, Hamming, cut and rerank
+    relationally — exact integers end to end."""
+    return _sim.knn_binary_hamming(
+        load_table(spark, sf_dir, "embeddings"),
+        KNN_QUERY_IDS,
+        k=5,
+        n_candidates=25,
+    )
 
 
 from uwheel_datafusion_spark.operators import ann_serving as _srv

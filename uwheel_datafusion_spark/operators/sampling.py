@@ -256,3 +256,88 @@ def stratified_sample_summary_oracle(
         )
         WHERE _rn <= {n_per_stratum}
     """
+
+
+# --------------------------------------------------------------------------
+# leakage-free train/val/test split (cluster-aware)
+# --------------------------------------------------------------------------
+#
+# A doc-id-hash split (train_val_test_summary above) puts exact/near
+# duplicates of a training document into the EVAL split — the standard
+# train/test contamination failure (the reason dedup papers — Lee et
+# al. 2022 §6 — measure eval overlap). The leakage-free split decides
+# the split once per CONTENT CLUSTER (here: exact-content digest
+# groups, the same digests dedup.exact_dup_groups keys on) and every
+# member inherits the canonical member's assignment, so no cluster
+# ever straddles a split boundary. At 100 TB this is one
+# (digest, doc_id) shuffle for the cluster map and one join — both on
+# the same digest key, so the exchange is reused.
+
+
+def leakage_free_split_summary(
+    docs: DataFrame,
+    text_col: str = "text",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Cluster-aware split assignment + audit: per split, the doc
+    count, cluster count, and ``n_rescued`` — members whose OWN
+    doc_id-hash split would have differed from their cluster's
+    (exactly the documents a naive split would leak across the
+    boundary)."""
+    from uwheel_datafusion_spark.functions.dialect import SPARK as _D
+
+    digest = F.expr(_D.md5(f"coalesce({text_col}, '')"))
+    tagged = docs.select("doc_id", digest.alias("digest"))
+    canon = tagged.groupBy("digest").agg(
+        F.min("doc_id").alias("canonical_id")
+    )
+    joined = tagged.join(canon, "digest")
+    cluster_split = split_column("canonical_id", train_pct, val_pct)
+    own_split = split_column("doc_id", train_pct, val_pct)
+    return (
+        joined.select(
+            cluster_split.alias("split"),
+            (cluster_split != own_split).cast("long").alias("rescued"),
+            "canonical_id",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canonical_id").alias("n_clusters"),
+            F.sum("rescued").alias("n_rescued"),
+        )
+    )
+
+
+def leakage_free_split_summary_oracle(
+    table: str = "documents",
+    text_col: str = "text",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> str:
+    from uwheel_datafusion_spark.functions.dialect import DUCK as _D
+
+    digest = _D.md5(f"coalesce({text_col}, '')")
+    cs = split_column_sql("canonical_id", train_pct, val_pct)
+    os_ = split_column_sql("doc_id", train_pct, val_pct)
+    return f"""
+        WITH tagged AS (
+            SELECT doc_id, {digest} AS digest FROM {table}
+        ),
+        canon AS (
+            SELECT digest, MIN(doc_id) AS canonical_id
+            FROM tagged GROUP BY 1
+        ),
+        joined AS (
+            SELECT t.doc_id, c.canonical_id
+            FROM tagged t JOIN canon c USING (digest)
+        )
+        SELECT {cs} AS split,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT canonical_id) AS n_clusters,
+               CAST(SUM(CASE WHEN {cs} <> {os_} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rescued
+        FROM joined
+        GROUP BY 1
+    """

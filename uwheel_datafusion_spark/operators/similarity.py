@@ -3246,3 +3246,123 @@ def knn_pq_adc_rotated_oracle(
         )
         WHERE rnk <= {topk}
     """
+
+
+# --------------------------------------------------------------------------
+# binary quantization (sign bits) + Hamming candidates + exact rerank
+# --------------------------------------------------------------------------
+#
+# The 1-bit-per-dimension end of the compression spectrum (FAISS
+# IndexBinaryFlat / the binary stage of RaBitQ-class indexes; SimHash
+# with coordinate hyperplanes): each vector collapses to dim/32 packed
+# BIGINT words of sign bits — 32x smaller than the float payload — and
+# candidate generation is popcount(XOR) per word-pair, entirely inside
+# Spark's whole-stage codegen (zip_with + bit_count + aggregate are all
+# builtin). An exact-cosine rerank over the Hamming top-n_candidates
+# restores metric fidelity, the same two-stage shape as
+# ivfpq_search_rerank. At 100 TB the candidate scan reads 1/32 of the
+# vector bytes and does ~2 integer ops per vector instead of a 64-dim
+# dot product; the rerank touches only n_candidates rows per query.
+# Reference scope: beyond-parity training-data infrastructure
+# (SURVEY.md §2.12); serve-from-index discipline per src/main.rs:205-235.
+
+
+def knn_binary_hamming(
+    vecs: DataFrame,
+    query_ids: tuple[int, ...],
+    k: int = 5,
+    n_candidates: int = 25,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Two-stage binary ANN: sign-bit Hamming top-``n_candidates``
+    (deterministic (hamming, neighbor_id) tie-break), then exact
+    integer-cosine rerank to top-``k``. Output (query_id, neighbor_id,
+    hamming, cosine, rnk). Both stages share one hash shuffle on
+    query_id (the two windows use the same partitioning; Catalyst
+    reuses the exchange). The broadcast query frame carries both the
+    packed words and the full quantized vector, so the rerank needs no
+    second corpus access."""
+    assert n_candidates >= k
+    d = SPARK
+    qv = _quantized(vecs, vec_col, drop_zero=True)
+    bv = qv.withColumn("bvec", F.expr(d.sign_pack32("qvec", dim)))
+    queries = bv.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bvec").alias("q_bvec"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm").alias("q_qnorm"),
+    )
+    scored = (
+        bv.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("hamming", F.expr(d.hamming_words("q_bvec", "bvec")))
+        .withColumn(
+            "cosine",
+            F.expr(d.cosine_q(d.dot_q("q_qvec", "qvec"), "q_qnorm", "qnorm")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "hamming",
+            "cosine",
+        )
+    )
+    wh = W.partitionBy("query_id").orderBy(F.col("hamming"), F.col("neighbor_id"))
+    cand = scored.withColumn("h_rnk", F.row_number().over(wh)).filter(
+        F.col("h_rnk") <= n_candidates
+    )
+    wc = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(wc).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "hamming", "cosine", "rnk")
+    )
+
+
+def knn_binary_hamming_oracle(
+    table: str = "embeddings",
+    query_ids: tuple[int, ...] = (),
+    k: int = 5,
+    n_candidates: int = 25,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> str:
+    """Relational replay of both stages — the same sign-pack words
+    (32-bit words in BIGINTs: shifts and sums identical across
+    engines), popcount-XOR Hamming, candidate cut and cosine rerank,
+    all integer-exact."""
+    d = DUCK
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = d.cosine_q(d.dot_q("q.qvec", "v.qvec"), "q.qnorm", "v.qnorm")
+    return f"""
+        WITH {_oracle_qv(table, vec_col)},
+        bv AS (
+            SELECT vec_id, qvec, qnorm,
+                   {d.sign_pack32('qvec', dim)} AS bvec
+            FROM qn
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                   {d.hamming_words('q.bvec', 'v.bvec')} AS hamming,
+                   {cos} AS cosine
+            FROM bv q JOIN bv v ON v.vec_id <> q.vec_id
+            WHERE q.vec_id IN ({ids})
+        ),
+        cand AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY hamming, neighbor_id) AS h_rnk
+                FROM scored
+            ) WHERE h_rnk <= {n_candidates}
+        )
+        SELECT query_id, neighbor_id, hamming, cosine,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT query_id, neighbor_id, hamming, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM cand
+        ) WHERE rnk <= {k}
+    """

@@ -1736,3 +1736,124 @@ def keyword_phrase_search_oracle(
         ORDER BY n_matches DESC, doc_id
         LIMIT {k}
     """
+
+
+# --------------------------------------------------------------------------
+# bigram language-model surprise (the CCNet/KenLM perplexity gate,
+# integer-exact) — round 11
+# --------------------------------------------------------------------------
+#
+# CCNet (Wenzek et al. 2020) filters web text by the perplexity of a
+# KenLM n-gram model; corpus_oov_rate approximates the GATE with OOV
+# novelty, but not the MODEL. This is the actual language model, one
+# size down (add-one-smoothed bigram, trained on the corpus itself):
+#
+#   P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)
+#   surprise(doc) = Σ_bigrams −log2 P = Σ log2((c(w1)+V)/(c(w1 w2)+1))
+#
+# The ratio is ≥ 1 by construction (c(w1) ≥ c(w1 w2), V ≥ 1), so the
+# BM25 fixed-point log2 (monotone, cross-engine exact integers —
+# _log2_fixedpoint above) applies verbatim: q = (den·2^20) div num,
+# w = fixed-point log2(q/2^20) ≥ 0. Perplexity-ranking by Σw ≡ ranking
+# by Σln (ln 2 is absorbed by the ×SCALE fixed point). Plan shape at
+# 100 TB: one tokenize pass, two count shuffles (unigrams, bigrams),
+# two count joins keyed on the exploded grams, one doc_id re-agg —
+# no driver-side model, the LM lives in two count tables.
+
+
+def bigram_lm_surprise(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-document add-one bigram-LM surprise: (doc_id, n_bigrams,
+    surprise_fp, surprise_per_bigram_fp) — fixed-point log2 units
+    ×KEYWORD_IDF_SCALE, exact integers. Docs with < 2 tokens carry no
+    bigrams and are excluded (no defined LM score)."""
+    from uwheel_datafusion_spark.operators.util import (
+        ensure_min_parallelism,
+    )
+
+    d = SPARK
+    docs = ensure_min_parallelism(docs, "doc_id")
+    toks = docs.select(
+        "doc_id", F.expr(d.split(text_col)).alias("_ts")
+    )
+    uni = (
+        toks.select(F.explode("_ts").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v_size"))
+    doc_bi = toks.select(
+        "doc_id", F.explode(F.expr(d.shingles("_ts", 2))).alias("bg")
+    )
+    c2 = doc_bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        doc_bi.join(c2, "bg")
+        .withColumn("w1", F.expr(d.idx(d.split("bg"), "1")))
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "q",
+            F.expr(
+                f"CAST(((c1 + v_size) * {1 << BM25_LOG2_FRACBITS}) "
+                "DIV (c2 + 1) AS BIGINT)"
+            ),
+        )
+        .withColumn("w", F.expr(_SPARK_LOG2_W))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("w").alias("surprise_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.col("surprise_fp").cast("long").alias("surprise_fp"),
+            F.expr("CAST(surprise_fp DIV n_bigrams AS BIGINT)").alias(
+                "surprise_per_bigram_fp"
+            ),
+        )
+    )
+
+
+def bigram_lm_surprise_oracle(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    d = DUCK
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {d.split(text_col)} AS ts FROM {table}
+        ),
+        uni AS (
+            SELECT w1, COUNT(*) AS c1 FROM (
+                SELECT unnest(ts) AS w1 FROM toks
+            ) GROUP BY 1
+        ),
+        vocab AS (SELECT COUNT(*) AS v_size FROM uni),
+        doc_bi AS (
+            SELECT doc_id, unnest({d.shingles('ts', 2)}) AS bg
+            FROM toks
+        ),
+        c2 AS (SELECT bg, COUNT(*) AS c2 FROM doc_bi GROUP BY 1),
+        scored AS (
+            SELECT doc_id,
+                   CAST(((c1 + v_size) * {1 << BM25_LOG2_FRACBITS})
+                        // (c2 + 1) AS BIGINT) AS q
+            FROM doc_bi
+            JOIN c2 USING (bg)
+            JOIN uni ON uni.w1 = {d.idx(d.split('bg'), '1')}
+            CROSS JOIN vocab
+        ),
+        weighted AS (
+            SELECT doc_id, {_DUCK_LOG2_W} AS w FROM scored
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_bigrams,
+               CAST(SUM(w) AS BIGINT) AS surprise_fp,
+               CAST(CAST(SUM(w) AS BIGINT) // COUNT(*) AS BIGINT)
+                   AS surprise_per_bigram_fp
+        FROM weighted
+        GROUP BY 1
+    """

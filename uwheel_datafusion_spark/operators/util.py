@@ -96,6 +96,45 @@ def fs_count_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> 
     return n
 
 
+def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Atomic small-file text write via the Hadoop FS (tmp + rename) —
+    for sidecar markers (epoch meta) that must live NEXT TO the table
+    on whatever filesystem the table is on, not on the driver's local
+    disk."""
+    fs, _ = _hadoop_fs(spark, path)
+    jvm = spark._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    jdst = jvm.org.apache.hadoop.fs.Path(path)
+    if fs.exists(jdst):
+        fs.delete(jdst, False)
+    if not fs.rename(tmp, jdst):
+        raise IOError(f"rename failed: {path}.tmp -> {path}")
+
+
+def fs_read_text(spark: SparkSession, path: str) -> "str | None":
+    """Small-file text read via the Hadoop FS; None when absent."""
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        # commons-io drains the stream JVM-side: a py4j readFully(buf)
+        # call canNOT work — py4j passes byte[] by value, so the Java
+        # side fills a copy and the Python bytearray stays zeroed
+        return str(
+            spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        )
+    finally:
+        stream.close()
+
+
 def assert_not_mid_maintenance(spark: SparkSession, *markers: str) -> None:
     """Fail FAST when a maintenance sibling marker exists next to an
     index table (ADVICE r10 #4): after a mid-swap crash, a moved-aside

@@ -114,33 +114,42 @@ def _load_state(state_dir: str, checkpoint: str | None = None):
 
 def _sink_meta_file(table_dir: str) -> str:
     # leading underscore: ignored by Spark/DuckDB parquet listings
-    return os.path.join(table_dir, "_sink_meta.json")
+    return f"{table_dir}/_sink_meta.json"
 
 
-def _persist_sink_meta(table_dir: str, epoch_id: int, checkpoint: str) -> None:
+def _persist_sink_meta(
+    spark, table_dir: str, epoch_id: int, checkpoint: str
+) -> None:
     """Atomic epoch marker for the table sink — written AFTER the
     partition upsert, so a crash in between replays the epoch; the
-    upsert is idempotent (current totals), so replay converges."""
+    upsert is idempotent (current totals), so replay converges. The
+    marker lives NEXT TO the table, written through the Hadoop FS API
+    (round 11: a driver-local write would strand the guard on the
+    driver's disk while the table lives on HDFS/S3 — every resuming
+    driver would then re-apply epoch 0)."""
     import json
 
-    os.makedirs(table_dir, exist_ok=True)
-    tmp = _sink_meta_file(table_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"epoch": epoch_id, "checkpoint": checkpoint}, f)
-    os.replace(tmp, _sink_meta_file(table_dir))
+    from uwheel_datafusion_spark.operators.util import fs_write_text
+
+    fs_write_text(
+        spark,
+        _sink_meta_file(table_dir),
+        json.dumps({"epoch": epoch_id, "checkpoint": checkpoint}),
+    )
 
 
-def _load_sink_meta(table_dir: str, checkpoint: str):
+def _load_sink_meta(spark, table_dir: str, checkpoint: str):
     """Restore the table sink's epoch marker; same checkpoint-identity
     guard as _load_state (epoch ids restart at 0 under a different
     checkpoint)."""
     import json
 
-    p = _sink_meta_file(table_dir)
-    if not os.path.exists(p):
+    from uwheel_datafusion_spark.operators.util import fs_read_text
+
+    text = fs_read_text(spark, _sink_meta_file(table_dir))
+    if text is None:
         return None
-    with open(p) as f:
-        meta = json.load(f)
+    meta = json.loads(text)
     saved = meta.get("checkpoint")
     if saved is not None and saved != checkpoint:
         raise ValueError(
@@ -807,7 +816,9 @@ class StreamingWheel:
                 store.n_late_rows += st.get("late", 0)
                 self._last_epoch = st["epoch"]
         if table_dir is not None:
-            meta = _load_sink_meta(table_dir, checkpoint_dir)
+            meta = _load_sink_meta(
+                self._agg.sparkSession, table_dir, checkpoint_dir
+            )
             if meta is not None:
                 self._last_epoch = max(self._last_epoch, meta["epoch"])
         guarded = state_dir is not None or table_dir is not None
@@ -839,7 +850,12 @@ class StreamingWheel:
                         checkpoint=checkpoint_dir,
                     )
                 if table_dir is not None:
-                    _persist_sink_meta(table_dir, epoch_id, checkpoint_dir)
+                    _persist_sink_meta(
+                        batch_df.sparkSession,
+                        table_dir,
+                        epoch_id,
+                        checkpoint_dir,
+                    )
 
         self._query = (
             self._agg.writeStream.outputMode("update")
