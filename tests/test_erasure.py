@@ -557,3 +557,27 @@ def test_keyword_maintenance_on_file_uri_scheme(spark, sf_smoke, tmp_path):
     assert not (tmp_path / "kw_uri" / "tombstones").exists()
     raw = spark.read.parquet(f"{uri}/postings")
     assert raw.filter(F.col("doc_id").isin(dead)).count() == 0
+
+
+def test_compaction_lock_blocks_concurrent_run(spark, sf_smoke, tmp_path):
+    """Round 11: a second compaction of the same table must refuse
+    while the lock is held (its recover-on-entry would destroy the
+    first's in-flight staging), and steal_lock=True lets an operator
+    assert the holder is dead. The lock is released on completion."""
+    from uwheel_datafusion_spark.operators.util import fs_try_lock
+
+    emb, ivf, served, queries = _served_ivf(spark, sf_smoke, tmp_path)
+    schema = "vec_id long, qvec array<long>, qnorm long, cell long"
+    lock = f"{served.path}__maintenance_lock"
+    assert fs_try_lock(spark, lock)  # simulate a holder
+    with pytest.raises(RuntimeError, match="steal_lock"):
+        srv.compact_partitioned_table(spark, served.path, schema=schema)
+    assert os.path.exists(lock)  # the refused caller did not free it
+    srv.compact_partitioned_table(
+        spark, served.path, schema=schema, steal_lock=True
+    )
+    assert not os.path.exists(lock)  # released on completion
+    # and a fresh run takes/releases it cleanly
+    srv.compact_partitioned_table(spark, served.path, schema=schema)
+    assert not os.path.exists(lock)
+    ivf.cells.unpersist()

@@ -139,3 +139,27 @@ def test_bigram_lm_surprise_skips_short_docs(spark):
     rows = tx.bigram_lm_surprise(docs).collect()
     assert {r.doc_id for r in rows} == {3}
     assert rows[0].n_bigrams == 1
+
+
+def test_binary_served_full_probe_equals_inmemory(spark, sf_smoke, tmp_path):
+    """nprobe = n_cells ⇒ every cell probed, so the served three-stage
+    search must equal the in-memory two-stage knn_binary_hamming
+    bit-for-bit (same pack, Hamming, cut, rerank, tie-breaks)."""
+    import uwheel_datafusion_spark.operators.ann_serving as srv
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    ivf = sim.ivf_build_wide(emb, n_cells=4)
+    served = srv.save_ivf_payload(
+        ivf, emb, str(tmp_path / "bin_payload"), include_binary=True
+    )
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        "vec_id", "embedding"
+    )
+    got = srv.ivf_binary_search_served(
+        served, queries, k=5, nprobe=4, n_candidates=25
+    )
+    expect = sim.knn_binary_hamming(emb, (0, 1, 2), k=5, n_candidates=25)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+    ivf.cells.unpersist()

@@ -6090,6 +6090,51 @@ def ann_binary_hamming_q(spark, sf_dir):
 from uwheel_datafusion_spark.operators import ann_serving as _srv
 
 
+@gate(
+    "similarity_ann_binary_served",
+    _sim.ivf_binary_search_wide_oracle(
+        query_ids=KNN_QUERY_IDS, k=5, nprobe=3, n_cells=8, n_candidates=25
+    ),
+)
+def ann_binary_served_q(spark, sf_dir):
+    """SERVED three-stage ANN (round 11 — the FAISS IndexBinaryIVF +
+    refine composition on the cell-partitioned table): the coarse
+    quantizer prunes the parquet read to nprobe partitions, the 1-bit
+    sign codes MATERIALIZED IN the payload at build time
+    (save_ivf_payload include_binary=True) rank candidates by
+    popcount-XOR Hamming — reading 2 BIGINT words where cosine reads
+    the 64-element vector — and the exact integer cosine reranks the
+    Hamming top-25. Zero corpus access at query time; oracle replays
+    cells, probes, pack, Hamming cut and rerank relationally."""
+    import os
+    import shutil
+    import tempfile
+
+    _tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = _sim.ivf_build_wide(emb, n_cells=8)
+    work = tempfile.mkdtemp(prefix="ann_binary_served_gate_")
+    try:
+        served = _srv.save_ivf_payload(
+            ivf, emb, os.path.join(work, "payload"), include_binary=True
+        )
+        queries = emb.filter(F.col("vec_id").isin(*KNN_QUERY_IDS)).select(
+            "vec_id", "embedding"
+        )
+        rows = _srv.ivf_binary_search_served(
+            served, queries, k=5, nprobe=3, n_candidates=25
+        ).collect()
+    finally:
+        ivf.cells.unpersist()
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.query_id, r.neighbor_id, r.hamming, r.cosine, r.rnk)
+         for r in rows],
+        "query_id long, neighbor_id long, hamming long, cosine double, "
+        "rnk long",
+    )
+
+
 def _served_indexes(spark, sf_dir, work, n_cells=32, m=8, pq_k=64):
     """Build the wide indexes once and materialize BOTH served tables
     (IVF-Flat payload + IVF-PQ codes) into the cell layout under

@@ -81,6 +81,8 @@ def save_ivf_payload(
     vec_col: str = "embedding",
     mode: str = "overwrite",
     extra_cols: tuple = (),
+    include_binary: bool = False,
+    dim: int = 64,
 ) -> ServedIvfIndex:
     """Materialize the IVF-Flat payload into its cell layout: one
     build-time shuffle (payload ⋈ cells on vec_id, then the
@@ -90,12 +92,23 @@ def save_ivf_payload(
     ``extra_cols`` denormalizes metadata columns (label, lang, ...)
     into the payload so FILTERED search (metadata predicate + vector
     query) runs from the index alone — the predicate pushes into the
-    pruned parquet read next to the cell filter."""
+    pruned parquet read next to the cell filter. ``include_binary``
+    additionally materializes the packed sign-bit words (``bvec``,
+    dialect.sign_pack32) so the served binary-Hamming candidate stage
+    (:func:`ivf_binary_search_served`) reads its 1-bit codes straight
+    from the pruned partitions — computed once at build, never at
+    query time."""
+    from uwheel_datafusion_spark.functions.dialect import SPARK as _D
+
     qv = _quantized(vecs, vec_col).select(
         "vec_id", "qvec", "qnorm", *extra_cols
     )
+    bin_cols = ()
+    if include_binary:
+        qv = qv.withColumn("bvec", F.expr(_D.sign_pack32("qvec", dim)))
+        bin_cols = ("bvec",)
     payload = qv.join(index.cells, "vec_id").select(
-        "cell", "vec_id", "qvec", "qnorm", *extra_cols
+        "cell", "vec_id", "qvec", "qnorm", *bin_cols, *extra_cols
     )
     # sort within partitions by vec_id: parquet row-group min/max
     # stats on vec_id then serve the rerank's isin() point lookups
@@ -502,6 +515,7 @@ def compact_partitioned_table(
     id_col: str = "vec_id",
     stream_retired: bool = False,
     reset_tombstones: bool = True,
+    steal_lock: bool = False,
 ) -> int:
     """Compaction + PHYSICAL ERASURE for a partitioned index table —
     the LSM merge step (Lucene drops deleted docs at segment merge):
@@ -556,7 +570,61 @@ def compact_partitioned_table(
     the fold's read would be wiped by the tombstone reset). All
     filesystem steps go through the Hadoop FileSystem API, so the
     maintenance side works on the same FSs the probe side does; see
-    util.fs_rename for the S3A (non-atomic rename) caveat."""
+    util.fs_rename for the S3A (non-atomic rename) caveat.
+
+    CONCURRENT-maintenance guard (round 11): a ``__maintenance_lock``
+    file is atomically created before recovery runs and removed at the
+    end, so two compactions of one table cannot interleave (the second
+    caller's recover-on-entry would otherwise "repair" — i.e. destroy —
+    the first's in-flight staging). A lock left by a CRASHED job can't
+    be distinguished from a live job still in its read phase (no
+    markers exist yet in either case; plain parquet has no heartbeat —
+    Delta/Iceberg commit protocols are the production answer), so the
+    operator asserts the holder is dead with ``steal_lock=True``."""
+    from uwheel_datafusion_spark.operators.util import (
+        fs_count_files,
+        fs_delete,
+        fs_is_dir,
+        fs_list_names,
+        fs_mkdirs,
+        fs_rename,
+        fs_try_lock,
+    )
+
+    lock = f"{path}__maintenance_lock"
+    if not fs_try_lock(spark, lock) and not steal_lock:
+        raise RuntimeError(
+            f"{lock} exists: another compaction of {path} is in "
+            "flight (or crashed while holding the lock). If the "
+            "holder is known dead, re-run with steal_lock=True."
+        )
+    try:
+        return _compact_locked(
+            spark,
+            path,
+            partition_col,
+            sort_cols,
+            schema,
+            tombstone_path,
+            id_col,
+            stream_retired,
+            reset_tombstones,
+        )
+    finally:
+        fs_delete(spark, lock)
+
+
+def _compact_locked(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    sort_cols: tuple,
+    schema: "str | None",
+    tombstone_path: "str | None",
+    id_col: str,
+    stream_retired: bool,
+    reset_tombstones: bool,
+) -> int:
     from uwheel_datafusion_spark.operators.util import (
         fs_count_files,
         fs_delete,
@@ -694,4 +762,84 @@ def ivfpq_rerank_served(
         refined.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= topk)
         .select("query_id", "neighbor_id", "exact_dist", "rnk")
+    )
+
+
+def ivf_binary_search_served(
+    index: ServedIvfIndex,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    n_candidates: int = 25,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Three-stage served ANN (round 11 — IVF cells × binary codes ×
+    exact rerank, the FAISS IndexBinaryIVF + refine composition): the
+    coarse quantizer prunes the table read to nprobe partitions, the
+    1-bit sign codes stored IN the payload (save_ivf_payload
+    include_binary=True) rank candidates by popcount-XOR Hamming —
+    whole-stage codegen, reading 2 BIGINT words where cosine reads the
+    64-element vector — and the exact integer cosine reranks the
+    Hamming top-``n_candidates``. Output (query_id, neighbor_id,
+    hamming, cosine, rnk). The two windows share one query_id shuffle;
+    tombstones and maintenance markers behave exactly as in
+    ivf_search_served (same _read_payload)."""
+    assert 1 <= nprobe <= index.n_cells and n_candidates >= k
+    from uwheel_datafusion_spark.functions.dialect import SPARK as _D
+
+    spark = queries.sparkSession
+    qq = _quantized(queries, vec_col, drop_zero=True).withColumn(
+        "bvec", F.expr(_D.sign_pack32("qvec", dim))
+    )
+    qrows = qq.select("vec_id", "qvec").collect()
+    pairs = _rank_probes(index.centroids, qrows, nprobe)
+    probe_pairs = spark.createDataFrame(pairs, "query_id long, q_cell long")
+    probed = sorted({c for _, c in pairs})
+    payload = _read_payload(
+        spark,
+        index.path,
+        probed,
+        "vec_id long, qvec array<long>, qnorm long, "
+        "bvec array<long>, cell long",
+    ).filter(F.col("qnorm") > 0)
+    qframe = qq.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bvec").alias("q_bvec"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm").alias("q_qnorm"),
+    )
+    scored = (
+        payload.join(F.broadcast(probe_pairs), F.col("cell") == F.col("q_cell"))
+        .join(F.broadcast(qframe), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("hamming", F.expr(_D.hamming_words("q_bvec", "bvec")))
+        .withColumn(
+            "cosine",
+            F.expr(
+                SPARK.cosine_q(
+                    SPARK.dot_q("q_qvec", "qvec"), "q_qnorm", "qnorm"
+                )
+            ),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "hamming",
+            "cosine",
+        )
+    )
+    wh = W.partitionBy("query_id").orderBy(
+        F.col("hamming"), F.col("neighbor_id")
+    )
+    cand = scored.withColumn("h_rnk", F.row_number().over(wh)).filter(
+        F.col("h_rnk") <= n_candidates
+    )
+    wc = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(wc).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "hamming", "cosine", "rnk")
     )

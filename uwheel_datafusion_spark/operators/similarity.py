@@ -3366,3 +3366,92 @@ def knn_binary_hamming_oracle(
             FROM cand
         ) WHERE rnk <= {k}
     """
+
+
+def ivf_binary_search_wide_oracle(
+    table: str = "embeddings",
+    query_ids: tuple[int, ...] = (),
+    k: int = 5,
+    nprobe: int = 2,
+    n_cells: int = 32,
+    n_candidates: int = 25,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of the served IVF × binary-Hamming × rerank
+    composition (ann_serving.ivf_binary_search_served): wide-kmeans
+    cells + first-minimum probe ranking (identical to
+    ivf_search_wide_oracle), then sign-pack words, popcount-XOR
+    Hamming candidate cut within the probed cells, exact-cosine
+    rerank — integers end to end."""
+    d = DUCK
+    assert query_ids, "query_ids required"
+    ids = ", ".join(str(i) for i in query_ids)
+    q = d.quantize_vec(vec_col, Q_SCALE)
+    dist = d.sum_list_bigint(d.zip_sqdiff("qv.qvec", "c.cvec"))
+    cos = d.cosine_q(d.dot_q("q.qvec", "v.qvec"), "q.qnorm", "v.qnorm")
+    coarse, cfin = _wide_kmeans_ctes("g", "qv", n_cells, n_iter, d)
+    parts = [f"qv AS (SELECT vec_id, {q} AS qvec FROM {table})"] + coarse
+    parts.append(
+        f"""cells AS (
+            SELECT vec_id, cid AS cell FROM (
+                SELECT qv.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY qv.vec_id
+                           ORDER BY {dist}, c.cid) AS rn
+                FROM qv CROSS JOIN {cfin} c
+            ) WHERE rn = 1
+        )"""
+    )
+    parts.append(
+        f"""qn AS (
+            SELECT * FROM (
+                SELECT vec_id, qvec, {d.dot_q('qvec', 'qvec')} AS qnorm,
+                       {d.sign_pack32('qvec', dim)} AS bvec
+                FROM qv
+            ) WHERE qnorm > 0
+        )"""
+    )
+    parts.append(
+        f"""probe AS (
+            SELECT query_id, cid AS q_cell FROM (
+                SELECT qv.vec_id AS query_id, c.cid,
+                       row_number() OVER (PARTITION BY qv.vec_id
+                           ORDER BY {dist}, c.cid) AS rn
+                FROM (SELECT vec_id, qvec FROM qn
+                      WHERE vec_id IN ({ids})) qv
+                CROSS JOIN {cfin} c
+            ) WHERE rn <= {nprobe}
+        )"""
+    )
+    parts.append(
+        f"""scored AS (
+            SELECT p.query_id, v.vec_id AS neighbor_id,
+                   {d.hamming_words('q.bvec', 'v.bvec')} AS hamming,
+                   {cos} AS cosine
+            FROM probe p
+            JOIN cells cl ON cl.cell = p.q_cell
+            JOIN qn v ON v.vec_id = cl.vec_id AND v.vec_id <> p.query_id
+            JOIN qn q ON q.vec_id = p.query_id
+        )"""
+    )
+    parts.append(
+        f"""cand AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY hamming, neighbor_id) AS h_rnk
+                FROM scored
+            ) WHERE h_rnk <= {n_candidates}
+        )"""
+    )
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT query_id, neighbor_id, hamming, cosine,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT query_id, neighbor_id, hamming, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM cand
+        ) WHERE rnk <= {k}
+    """

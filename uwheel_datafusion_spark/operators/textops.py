@@ -1527,6 +1527,7 @@ def compact_keyword_index(
     path: str,
     n_buckets: int = KEYWORD_INDEX_BUCKETS,
     stream_retired: bool = False,
+    steal_lock: bool = False,
 ) -> dict:
     """PHYSICAL ERASURE + small-file compaction for the whole keyword
     index — the Lucene segment merge: tombstoned documents' posting
@@ -1576,6 +1577,7 @@ def compact_keyword_index(
         id_col="doc_id",
         stream_retired=stream_retired,
         reset_tombstones=False,
+        steal_lock=steal_lock,
     )
     positions_files = None
     if fs_exists(spark, f"{path}/positions"):
@@ -1589,6 +1591,7 @@ def compact_keyword_index(
             id_col="doc_id",
             stream_retired=stream_retired,
             reset_tombstones=False,
+            steal_lock=steal_lock,
         )
     live = _live_stats(spark, path, with_dl=True).first()
     n_docs = int(live["n_docs"] or 0)

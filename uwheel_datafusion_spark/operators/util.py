@@ -135,6 +135,25 @@ def fs_read_text(spark: SparkSession, path: str) -> "str | None":
         stream.close()
 
 
+def fs_try_lock(spark: SparkSession, path: str) -> bool:
+    """Best-effort mutual exclusion for maintenance jobs: atomically
+    create an empty lock file, False if it already exists. Atomic on
+    HDFS and file:/ (createNewFile semantics); on S3A creation is not
+    a coordination primitive — an S3 deployment should front
+    maintenance with an external lock (the same caveat as fs_rename).
+    The lock guards against CONCURRENT maintenance only; crash
+    staleness is resolved by recover-on-entry clearing it (a crashed
+    job's partial state is exactly what recovery repairs)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    parent = jpath.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    try:
+        return bool(fs.createNewFile(jpath))
+    except Exception:
+        return False
+
+
 def assert_not_mid_maintenance(spark: SparkSession, *markers: str) -> None:
     """Fail FAST when a maintenance sibling marker exists next to an
     index table (ADVICE r10 #4): after a mid-swap crash, a moved-aside
