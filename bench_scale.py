@@ -759,6 +759,39 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
                 "recall_at_10": _recall(fr),
             }
 
+    # binary tier at PRODUCTION SCALE (round 11): sign bits packed
+    # 32/word, candidates by popcount-XOR Hamming on 2 BIGINT words
+    # (whole-stage codegen) instead of a 64-element integer dot —
+    # served from the same cell layout with the packed words
+    # materialized into the payload; exact-cosine rerank. Measured
+    # against the flat served sweep at the same nprobe so the
+    # candidate-stage arithmetic saving is attributable.
+    from uwheel_datafusion_spark.operators.ann_serving import (
+        ivf_binary_search_served,
+    )
+
+    t0 = time.perf_counter()
+    bin_srv = save_ivf_payload(
+        ivf_idx, emb, f"{ann_work}/ivf_bin", include_binary=True
+    )
+    bin_layout_sec = time.perf_counter() - t0
+    binary_sweep = {}
+    for nc in (100, 400):
+        t0 = time.perf_counter()
+        bh_rows = ivf_binary_search_served(
+            bin_srv, ann_queries, k=10, nprobe=32, n_candidates=nc
+        ).collect()
+        bh_sec = time.perf_counter() - t0
+        binary_sweep[f"cand_{nc}"] = {
+            "search_sec": round(bh_sec, 2),
+            "recall_at_10": _recall(bh_rows),
+        }
+    binary_served_1m = {
+        "layout_write_sec": round(bin_layout_sec, 2),
+        "nprobe": 32,
+        "sweep": binary_sweep,
+    }
+
     # Hadamard-rotated PQ at PRODUCTION SCALE (round 10): full-scan
     # ADC (no coarse tier, so the comparison isolates the quantizer),
     # plain vs rotated at identical m/k — does the sf0.1 ~+15% lift
@@ -825,6 +858,7 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
             "n_candidates": 100,
         },
         "ivfpq_rerank_frontier": rerank_frontier,
+        "binary_served_1m": binary_served_1m,
         "pq_rotated_vs_plain_1m": pq_rotated_1m,
     }
 

@@ -163,3 +163,49 @@ def test_binary_served_full_probe_equals_inmemory(spark, sf_smoke, tmp_path):
         map(tuple, expect.collect())
     )
     ivf.cells.unpersist()
+
+
+def test_binary_payload_stream_serves_identically(spark, sf_smoke, tmp_path):
+    """The binary tier is stream-maintainable: a payload stream with
+    include_binary=True yields a table ivf_binary_search_served answers
+    from bit-identically to the batch build (the sign words are a pure
+    stateless expression — same contract as the streamed positions)."""
+    import os
+
+    import uwheel_datafusion_spark.operators.ann_serving as srv
+    from uwheel_datafusion_spark.streaming.ann_stream import (
+        served_index_from_table,
+        start_ivf_payload_stream,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    ivf = sim.ivf_build_wide(emb, n_cells=4)
+    src = str(tmp_path / "src")
+    emb.write.parquet(src)
+    table = str(tmp_path / "payload")
+    q = start_ivf_payload_stream(
+        spark.readStream.schema(emb.schema).parquet(src),
+        ivf.centroids,
+        table,
+        str(tmp_path / "ckpt"),
+        include_binary=True,
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = served_index_from_table(ivf.centroids, table)
+    batch_served = srv.save_ivf_payload(
+        ivf, emb, str(tmp_path / "batch_payload"), include_binary=True
+    )
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    got = srv.ivf_binary_search_served(
+        streamed, queries, k=5, nprobe=2, n_candidates=25
+    )
+    expect = srv.ivf_binary_search_served(
+        batch_served, queries, k=5, nprobe=2, n_candidates=25
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+    ivf.cells.unpersist()

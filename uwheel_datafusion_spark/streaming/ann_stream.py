@@ -113,6 +113,8 @@ def payload_rows_stream(
     stream_vecs: DataFrame,
     centroids: list,
     vec_col: str = "embedding",
+    include_binary: bool = False,
+    dim: int = 64,
 ) -> DataFrame:
     """(cell, vec_id, qvec, qnorm) serving-complete payload rows from a
     STREAMING embedding source against FROZEN coarse centroids — one
@@ -146,9 +148,17 @@ def payload_rows_stream(
                 }
             )
 
-    return qv.mapInPandas(
+    out = qv.mapInPandas(
         kernel, "cell long, vec_id long, qvec array<long>, qnorm long"
     )
+    if include_binary:
+        # the packed sign words are a pure stateless expression over
+        # qvec (dialect.sign_pack32) — legal in a stream unchanged,
+        # same contract as the streamed positional index
+        out = out.withColumn(
+            "bvec", F.expr(d.sign_pack32("qvec", dim))
+        )
+    return out
 
 
 def start_ivf_payload_stream(
@@ -157,14 +167,22 @@ def start_ivf_payload_stream(
     table_dir: str,
     checkpoint_dir: str,
     vec_col: str = "embedding",
+    include_binary: bool = False,
+    dim: int = 64,
 ):
     """Maintain the SERVING-COMPLETE payload table from an embedding
     stream: append-only, map-only, exactly-once via the parquet file
     sink's transaction log, partitioned by cell so a probe reads only
     its nprobe cells' partitions — the streamed index is directly what
-    ivf_search_served reads."""
+    ivf_search_served reads. ``include_binary`` streams the packed
+    sign words too, so the binary-Hamming tier
+    (ann_serving.ivf_binary_search_served) is stream-maintainable
+    exactly like the batch save_ivf_payload(include_binary=True)."""
     return (
-        payload_rows_stream(stream_vecs, centroids, vec_col)
+        payload_rows_stream(
+            stream_vecs, centroids, vec_col,
+            include_binary=include_binary, dim=dim,
+        )
         .writeStream.outputMode("append")
         .format("parquet")
         .option("path", table_dir)
