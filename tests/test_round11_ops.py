@@ -209,3 +209,33 @@ def test_binary_payload_stream_serves_identically(spark, sf_smoke, tmp_path):
         map(tuple, expect.collect())
     )
     ivf.cells.unpersist()
+
+
+def test_hard_negatives_excludes_anchor_label(spark, sf_smoke):
+    """Every mined negative carries a label different from its
+    anchor's, and within the eligible (label-mismatched) pool the
+    ranking is exactly the cosine ranking."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    anchors = {
+        r.vec_id: r.label
+        for r in emb.filter(F.col("vec_id").isin(0, 1, 2)).collect()
+    }
+    out = sim.hard_negatives(emb, (0, 1, 2), k=5).collect()
+    assert len(out) == 15
+    labels = {
+        r.vec_id: r.label for r in emb.select("vec_id", "label").collect()
+    }
+    for r in out:
+        assert r.neighbor_label == labels[r.neighbor_id]
+        assert r.neighbor_label != anchors[r.query_id]
+    # the top negative is the global cosine argmax over the mismatched
+    # pool: cross-check one anchor against brute force + filter
+    bf = sim.knn_brute_force(emb, (0,), k=emb.count() - 1).collect()
+    eligible = [
+        r for r in bf if labels[r.neighbor_id] != anchors[0]
+    ]
+    top = sorted(eligible, key=lambda r: (-r.cosine, r.neighbor_id))[:5]
+    got0 = sorted(
+        [r for r in out if r.query_id == 0], key=lambda r: r.rnk
+    )
+    assert [r.neighbor_id for r in got0] == [r.neighbor_id for r in top]

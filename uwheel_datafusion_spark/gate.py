@@ -6062,6 +6062,22 @@ def ann_pq_rotated_q(spark, sf_dir):
 
 
 @gate(
+    "similarity_hard_negatives",
+    _sim.hard_negatives_oracle(query_ids=KNN_QUERY_IDS, k=5),
+)
+def hard_negatives_q(spark, sf_dir):
+    """Hard-negative MINING (round 11 — the DPR/contrastive-training
+    prep step): for each anchor, the top-k most-similar vectors with a
+    DIFFERENT label (random negatives are too easy; in-label
+    neighbors are false negatives). Per-query label-mismatch predicate
+    lives in the broadcast-join condition — one corpus pass, exact
+    quantized cosine, deterministic tie-break."""
+    return _sim.hard_negatives(
+        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=5
+    )
+
+
+@gate(
     "similarity_ann_binary_hamming",
     _sim.knn_binary_hamming_oracle(
         query_ids=KNN_QUERY_IDS, k=5, n_candidates=25

@@ -3455,3 +3455,84 @@ def ivf_binary_search_wide_oracle(
             FROM cand
         ) WHERE rnk <= {k}
     """
+
+
+def hard_negatives(
+    vecs: DataFrame,
+    query_ids: tuple[int, ...],
+    k: int = 5,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative MINING (round 11 — the DPR/contrastive-training
+    prep step: for each anchor, the most-similar corpus vectors with a
+    DIFFERENT label are the negatives worth training on; random
+    negatives are too easy and in-label neighbors are false
+    negatives). Exact top-k by quantized cosine restricted to
+    label-mismatched candidates — the per-query predicate lives in the
+    join condition, so Catalyst keeps one broadcast join (anchors are
+    few) and the corpus scan is still one pass. Output (query_id,
+    neighbor_id, neighbor_label, cosine, rnk)."""
+    qv = _quantized(vecs, vec_col, drop_zero=True).select(
+        "vec_id", "qvec", "qnorm", label_col
+    )
+    anchors = qv.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm").alias("q_qnorm"),
+        F.col(label_col).alias("q_label"),
+    )
+    cos = F.expr(
+        SPARK.cosine_q(SPARK.dot_q("q_qvec", "qvec"), "q_qnorm", "qnorm")
+    )
+    scored = (
+        qv.join(
+            F.broadcast(anchors),
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col(label_col) != F.col("q_label")),
+        )
+        .withColumn("cosine", cos)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col(label_col).cast("long").alias("neighbor_label"),
+            "cosine",
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rnk")
+    )
+
+
+def hard_negatives_oracle(
+    table: str = "embeddings",
+    query_ids: tuple[int, ...] = (),
+    k: int = 5,
+    vec_col: str = "embedding",
+) -> str:
+    d = DUCK
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = d.cosine_q(d.dot_q("q.qvec", "v.qvec"), "q.qnorm", "v.qnorm")
+    return f"""
+        WITH {_oracle_qv(table, vec_col)},
+        scored AS (
+            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                   CAST(v.label AS BIGINT) AS neighbor_label,
+                   {cos} AS cosine
+            FROM qn q
+            JOIN qn v ON v.vec_id <> q.vec_id AND v.label <> q.label
+            WHERE q.vec_id IN ({ids})
+        )
+        SELECT query_id, neighbor_id, neighbor_label, cosine, rnk FROM (
+            SELECT query_id, neighbor_id, neighbor_label, cosine,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                   ) AS BIGINT) AS rnk
+            FROM scored
+        ) WHERE rnk <= {k}
+    """
