@@ -8686,7 +8686,7 @@ _DRIVER_WINDOW_R9 = [
     #  the keyword top-k rows)
 ]
 
-_DRIVER_WINDOW = [
+_DRIVER_WINDOW_R10 = [
     # --- round-10: physical erasure, served hybrid retrieval,
     #     streamed positions, log-idf BM25, Hadamard-rotated PQ ---
     "text_keyword_index_erased",
@@ -8765,6 +8765,74 @@ _DRIVER_WINDOW = [
 ]
 
 
+_DRIVER_WINDOW = [
+    # --- round-11 additions (never driver-checked) ---
+    "similarity_ann_binary_hamming",
+    "similarity_ann_binary_served",
+    "similarity_hard_negatives",
+    "split_leakage_free_clusters",
+    "text_bigram_lm_surprise",
+    # --- canaries over round-11 CHANGED code: the compaction/swap/
+    #     recovery machinery moved to the Hadoop FS API with
+    #     roll-forward recovery + probe refusal + the lock (both index
+    #     families), the four file-source streaming gates were
+    #     restructured for a REAL kill/resume, save_ivf_payload and
+    #     _read_payload changed (include_binary, marker refusal), and
+    #     the table sink's epoch guard moved to fs_read/write_text ---
+    "streaming_keyword_positions_parity",
+    "streaming_keyword_index_parity",
+    "streaming_ann_cells_parity",
+    "streaming_ann_served_parity",
+    "similarity_ann_compacted_erased",
+    "text_keyword_index_erased",
+    "streaming_keyword_index_compacted",
+    "similarity_ann_ivfpq_erased_served",
+    "text_keyword_index_lifecycle",
+    "streaming_ann_served_compacted",
+    "streaming_table_sink_parity",
+    "similarity_ann_ivf_served",
+    "similarity_ann_filtered_served",
+    "similarity_ann_rerank_served",
+    # --- staleness rotation: the ENTIRE remaining last-checked-
+    #     round-4 cohort (22 rows, incl. the four displaced from the
+    #     r10 window: q14, keyed-hourly, resize, distinct-range) ---
+    "router_week_rollup",
+    "distinct_users_by_day_hll",
+    "wheel_interval_7d",
+    "distinct_users_range",
+    "distinct_users_by_type_day",
+    "keyed_gapfill_hour_locf_by_type",
+    "keyed_hourly_rollup_by_type",
+    "tpch_q14_promo_revenue_share",
+    "window_trailing_7d_user_revenue",
+    "subquery_scalar_above_avg_order",
+    "rollup_orders_year_status",
+    "cube_orders_status_priority",
+    "semi_join_active_customers",
+    "text_token_stats",
+    "sample_hash_10pct",
+    "histogram_event_values",
+    "dedup_minhash_signatures",
+    "dedup_simhash_fingerprints",
+    "similarity_knn_brute_force",
+    "similarity_cosine_pair_dedup",
+    "similarity_label_centroids",
+    "multimodal_resize_stub",
+    # --- staleness rotation: 9 of the 20 last-checked-round-5 rows
+    #     (family-diverse: sketch x3, behavioral x3, router, corpus,
+    #     anomaly); the remaining 11 rotate next round ---
+    "quantile_median_by_day_hist",
+    "ohlc_by_type_day",
+    "twa_by_day_events",
+    "retention_cohort_matrix",
+    "funnel_view_click_purchase_30m",
+    "sample_bottomk_range_users",
+    "router_keyed_hour_rollup",
+    "corpus_pack_256_summary",
+    "anomaly_hourly_count_3sigma",
+]
+
+
 def _reorder_registry() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
     assert not missing, f"_DRIVER_WINDOW names not registered: {missing}"
@@ -8777,6 +8845,7 @@ def _reorder_registry() -> None:
     assert not [n for n in _DRIVER_WINDOW_R7 if n not in REGISTRY]
     assert not [n for n in _DRIVER_WINDOW_R8 if n not in REGISTRY]
     assert not [n for n in _DRIVER_WINDOW_R9 if n not in REGISTRY]
+    assert not [n for n in _DRIVER_WINDOW_R10 if n not in REGISTRY]
     ordered = {n: REGISTRY[n] for n in _DRIVER_WINDOW}
     ordered.update({n: q for n, q in REGISTRY.items() if n not in ordered})
     # mutate in place: other modules hold references to this dict
