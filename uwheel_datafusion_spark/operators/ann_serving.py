@@ -582,12 +582,7 @@ def compact_partitioned_table(
     Delta/Iceberg commit protocols are the production answer), so the
     operator asserts the holder is dead with ``steal_lock=True``."""
     from uwheel_datafusion_spark.operators.util import (
-        fs_count_files,
         fs_delete,
-        fs_is_dir,
-        fs_list_names,
-        fs_mkdirs,
-        fs_rename,
         fs_try_lock,
     )
 
