@@ -64,7 +64,11 @@ def fs_rename(spark: SparkSession, src: str, dst: str) -> None:
     rename staging area or a table format with a commit log."""
     fs, jsrc = _hadoop_fs(spark, src)
     jdst = spark._jvm.org.apache.hadoop.fs.Path(dst)
-    if not fs.rename(jsrc, jdst):
+    try:
+        ok = bool(fs.rename(jsrc, jdst))
+    except Exception as e:  # FS contract varies: some throw, some return false
+        raise IOError(f"rename failed: {src} -> {dst}: {e}") from e
+    if not ok:
         raise IOError(f"rename failed: {src} -> {dst}")
 
 
