@@ -6062,6 +6062,39 @@ def ann_pq_rotated_q(spark, sf_dir):
 
 
 @gate(
+    "similarity_recall_eval",
+    _sim.ann_recall_eval_oracle(query_ids=KNN_QUERY_IDS, k=5, nprobe=2),
+)
+def recall_eval_q(spark, sf_dir):
+    """Recall@k AS A QUERY (round 11 — the FAISS benchmark loop,
+    distributed): approximate (IVF multi-probe) and exact top-k as two
+    plans, left-semi join on (query_id, neighbor_id), per-query hit
+    counts — the index-quality audit runs at corpus scale instead of
+    a driver loop. Exact integers; oracle replays both tiers + the
+    intersection."""
+    return _sim.ann_recall_eval(
+        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=5, nprobe=2
+    )
+
+
+@gate(
+    "similarity_knn_truncated_mrl",
+    _sim.knn_truncated_mrl_oracle(query_ids=KNN_QUERY_IDS, k=5, keep_dims=16),
+)
+def knn_mrl_q(spark, sf_dir):
+    """Matryoshka-truncated retrieval (round 11 — MRL, Kusupati et al.
+    2022): serve from the first 16 of 64 coordinates — 4× less
+    distance arithmetic, memory and shuffle width, with the slice
+    applied at the scan projection. Exact cosine over the prefix,
+    deterministic tie-breaks, relational oracle over the same
+    slice."""
+    return _sim.knn_truncated_mrl(
+        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=5,
+        keep_dims=16,
+    )
+
+
+@gate(
     "similarity_hard_negatives",
     _sim.hard_negatives_oracle(query_ids=KNN_QUERY_IDS, k=5),
 )
@@ -8772,6 +8805,8 @@ _DRIVER_WINDOW = [
     "similarity_hard_negatives",
     "split_leakage_free_clusters",
     "text_bigram_lm_surprise",
+    "similarity_recall_eval",
+    "similarity_knn_truncated_mrl",
     # --- canaries over round-11 CHANGED code: the compaction/swap/
     #     recovery machinery moved to the Hadoop FS API with
     #     roll-forward recovery + probe refusal + the lock (both index
@@ -8818,9 +8853,9 @@ _DRIVER_WINDOW = [
     "similarity_cosine_pair_dedup",
     "similarity_label_centroids",
     "multimodal_resize_stub",
-    # --- staleness rotation: 9 of the 20 last-checked-round-5 rows
-    #     (family-diverse: sketch x3, behavioral x3, router, corpus,
-    #     anomaly); the remaining 11 rotate next round ---
+    # --- staleness rotation: 7 of the 20 last-checked-round-5 rows
+    #     (family-diverse: sketch x3, behavioral x3, router); the
+    #     remaining 13 rotate next round ---
     "quantile_median_by_day_hist",
     "ohlc_by_type_day",
     "twa_by_day_events",
@@ -8828,8 +8863,6 @@ _DRIVER_WINDOW = [
     "funnel_view_click_purchase_30m",
     "sample_bottomk_range_users",
     "router_keyed_hour_rollup",
-    "corpus_pack_256_summary",
-    "anomaly_hourly_count_3sigma",
 ]
 
 

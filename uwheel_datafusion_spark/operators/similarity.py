@@ -3536,3 +3536,100 @@ def hard_negatives_oracle(
             FROM scored
         ) WHERE rnk <= {k}
     """
+
+
+def ann_recall_eval(
+    vecs: DataFrame,
+    query_ids: tuple[int, ...],
+    k: int = 5,
+    nprobe: int = 2,
+    n_cells: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k AS A QUERY (round 11): the index-quality measurement a
+    production ANN deployment runs offline (the FAISS benchmark loop),
+    expressed relationally so it scales with the corpus instead of a
+    driver loop — approximate (IVF multi-probe) and exact (brute
+    force) top-k run as two plans over one scan lineage, equi-join on
+    (query_id, neighbor_id), and recall@k = |intersection| / k per
+    query, integer-exact (hits and k are integers; the ratio is
+    reported as hits to keep the cross-engine hash exact). Output
+    (query_id, n_hits, k)."""
+    approx = ann_ivf_multiprobe_topk(
+        vecs, query_ids, k=k, nprobe=nprobe, n_cells=n_cells,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    exact = knn_brute_force(vecs, query_ids, k=k, vec_col=vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select("query_id", "n_hits", F.lit(k).cast("long").alias("k"))
+    )
+
+
+def ann_recall_eval_oracle(
+    table: str = "embeddings",
+    query_ids: tuple[int, ...] = (),
+    k: int = 5,
+    nprobe: int = 2,
+    n_cells: int = 4,
+    vec_col: str = "embedding",
+) -> str:
+    approx = ann_ivf_multiprobe_topk_oracle(
+        table, query_ids, k=k, nprobe=nprobe, n_cells=n_cells,
+        vec_col=vec_col,
+    )
+    exact = knn_brute_force_oracle(
+        table, query_ids, k=k, vec_col=vec_col
+    )
+    return f"""
+        WITH approx AS ({approx}), exact AS ({exact})
+        SELECT e.query_id, COUNT(*) AS n_hits,
+               CAST({k} AS BIGINT) AS k
+        FROM exact e
+        JOIN approx a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY 1
+    """
+
+
+def knn_truncated_mrl(
+    vecs: DataFrame,
+    query_ids: tuple[int, ...],
+    k: int = 5,
+    keep_dims: int = 16,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style TRUNCATED retrieval (round 11 — MRL, Kusupati
+    et al. 2022: embeddings trained so any prefix is itself a valid
+    lower-capacity embedding; serving truncates to the first
+    ``keep_dims`` coordinates for a dims/keep_dims cut in distance
+    work, memory and shuffle width): exact cosine top-k over the
+    sliced vectors — the slice happens at the scan projection, so
+    every downstream byte is already small. Same output contract and
+    tie-breaks as knn_brute_force."""
+    truncated = vecs.select(
+        "vec_id",
+        F.slice(F.col(vec_col), 1, keep_dims).alias(vec_col),
+    )
+    return knn_brute_force(truncated, query_ids, k=k, vec_col=vec_col)
+
+
+def knn_truncated_mrl_oracle(
+    table: str = "embeddings",
+    query_ids: tuple[int, ...] = (),
+    k: int = 5,
+    keep_dims: int = 16,
+    vec_col: str = "embedding",
+) -> str:
+    d = DUCK
+    sliced = (
+        f"(SELECT vec_id, NULL AS label, "
+        f"{d.slice(vec_col, '1', keep_dims)} AS {vec_col} FROM {table})"
+    )
+    return knn_brute_force_oracle(
+        sliced, query_ids, k=k, vec_col=vec_col
+    )
