@@ -367,6 +367,27 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_correctness):
                                            # fusion itself is a full
                                            # outer join of two ≤20-row
                                            # top-k frames
+        "similarity_ann_binary_hamming",   # binary candidate gen: the
+                                           # same linear broadcast-of-
+                                           # |query_ids|-vs-one-scan
+                                           # shape as knn_brute_force
+                                           # (the scan reads 2 packed
+                                           # words per row, 32× less)
+        "similarity_hard_negatives",       # broadcast anchors vs one
+                                           # corpus scan; the label-
+                                           # mismatch predicate is part
+                                           # of the join condition —
+                                           # linear, not quadratic
+        "similarity_knn_truncated_mrl",    # knn_brute_force over the
+                                           # 16-dim slice — same linear
+                                           # baseline shape
+        "similarity_recall_eval",          # contains knn_brute_force
+                                           # as its exact-truth side —
+                                           # same linear baseline shape
+        "text_bigram_lm_surprise",         # |V| rides the plan as a
+                                           # 1-row cross-joined scalar
+                                           # (q11's benign shape); the
+                                           # count joins are equi-joins
         # NOTE: wheel_range_batch_serving was briefly allowlisted here;
         # its runs-containment join is now a block-id broadcast HASH
         # join (range_agg_batch_df), so the audit covers it again.
