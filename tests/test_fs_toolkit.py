@@ -79,3 +79,102 @@ def test_assert_not_mid_maintenance(spark, tmp_path):
     fs_mkdirs(spark, a)
     with pytest.raises(RuntimeError, match="recover_compaction"):
         assert_not_mid_maintenance(spark, a)
+
+
+def test_compaction_converges_under_crash_at_every_rename(
+    spark, tmp_path
+):
+    """Fault injection: kill the compaction at EVERY fs_rename call
+    site in turn (the only mutation primitive in the swap protocol)
+    and require that recovery + a re-run converge to exactly the
+    clean-compaction end state — erased rows gone from a raw read,
+    probes bit-identical, no leftover markers. This walks every crash
+    window the protocol's docstrings claim are safe, instead of the
+    hand-picked states the erasure tests construct."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import uwheel_datafusion_spark.operators.ann_serving as srv
+    import uwheel_datafusion_spark.operators.util as util
+
+    def build(path):
+        df = spark.range(60).select(
+            F.col("id").alias("vec_id"),
+            (F.col("id") % 4).alias("cell"),
+            (F.col("id") * 7).alias("payload"),
+        )
+        (
+            df.repartition(F.col("cell"))
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        srv.delete_vectors_from_index(
+            spark, path, [i for i in range(60) if i % 5 == 0]
+        )
+        # kill cell=3 entirely: a fold-to-empty partition in every run
+        srv.delete_vectors_from_index(
+            spark, path, [i for i in range(60) if i % 4 == 3]
+        )
+
+    schema = "vec_id long, payload long, cell long"
+
+    def raw_state(path):
+        return sorted(
+            map(
+                tuple,
+                spark.read.schema(schema).parquet(path)
+                .select("vec_id", "payload", "cell").collect(),
+            )
+        )
+
+    # the clean end state, computed once
+    clean = str(tmp_path / "clean")
+    build(clean)
+    srv.compact_partitioned_table(
+        spark, clean, schema=schema, sort_cols=("vec_id",)
+    )
+    want = raw_state(clean)
+    assert want and all(v % 5 != 0 and v % 4 != 3 for v, _, _ in want)
+
+    real_rename = util.fs_rename
+    n_crash = 0
+    for kill_at in range(1, 30):
+        path = str(tmp_path / f"t{kill_at}")
+        build(path)
+        calls = {"n": 0}
+
+        def dying(sp, src, dst, _c=calls, _k=kill_at):
+            _c["n"] += 1
+            if _c["n"] == _k:
+                raise IOError(f"injected crash at rename #{_k}")
+            return real_rename(sp, src, dst)
+
+        util.fs_rename = dying
+        try:
+            srv.compact_partitioned_table(
+                spark, path, schema=schema, sort_cols=("vec_id",)
+            )
+            crashed = False
+        except IOError:
+            crashed = True
+        finally:
+            util.fs_rename = real_rename
+        if not crashed:
+            # fewer rename sites than kill_at: protocol fully covered
+            assert raw_state(path) == want
+            break
+        n_crash += 1
+        # a crashed run may hold the lock (the finally released it via
+        # fs_delete, which we did not break) — re-run must converge;
+        # recover-on-entry repairs whatever the crash left
+        srv.compact_partitioned_table(
+            spark, path, schema=schema, sort_cols=("vec_id",),
+            steal_lock=True,
+        )
+        assert raw_state(path) == want, f"kill_at={kill_at}"
+        for marker in ("__compacting", "__swap_old",
+                       "__retired_metadata", "_tombstones",
+                       "__maintenance_lock"):
+            assert not os.path.exists(path + marker), (kill_at, marker)
+    assert n_crash >= 5  # the protocol really has multiple rename sites
