@@ -6061,6 +6061,57 @@ def ann_pq_rotated_q(spark, sf_dir):
     return _sim.knn_pq_adc_rotated(idx, emb, KNN_QUERY_IDS, topk=5)
 
 
+@gate("text_lm_perplexity_select", _tx.lm_perplexity_select_oracle())
+def lm_select_q(spark, sf_dir):
+    """The CCNet GATE itself (round 11 — Wenzek et al. 2020 keep the
+    lowest-perplexity slice of each shard): per doc_id-hash bucket,
+    keep the 50% lowest bigram-LM-surprise documents — the dsir_select
+    no-global-sort shape (driver-collected per-bucket ceil targets +
+    LITERAL rank bound → WindowGroupLimit map-side truncation).
+    Composes text_bigram_lm_surprise into the actual filtering
+    decision; oracle replays scoring, bucketing, targets and ranks."""
+    return _tx.lm_perplexity_select(load_table(spark, sf_dir, "documents"))
+
+
+@gate(
+    "similarity_index_stats",
+    _sim.served_index_stats_oracle(
+        n_cells=8, dead_where="vec_id % 5 = 0"
+    ),
+)
+def index_stats_q(spark, sf_dir):
+    """Served-index BALANCE AUDIT (round 11 — the FAISS
+    imbalance-factor check, distributed): per-cell LIVE row counts on
+    the served table (tombstones netted out exactly like probes do),
+    integer ppm shares and skew vs uniform — the signal that says
+    whether a hot cell is about to break the nprobe/recall contract.
+    Runs on the table + tombstones alone (no corpus); oracle rebuilds
+    the cell assignment relationally and removes the deleted ids."""
+    import os
+    import shutil
+    import tempfile
+
+    _tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = _sim.ivf_build_wide(emb, n_cells=8)
+    work = tempfile.mkdtemp(prefix="ann_stats_gate_")
+    try:
+        served = _srv.save_ivf_payload(
+            ivf, emb, os.path.join(work, "payload")
+        )
+        dead = [r.vec_id for r in emb.filter(F.col("vec_id") % 5 == 0)
+                .select("vec_id").collect()]
+        _srv.delete_vectors_from_index(spark, served.path, dead)
+        rows = _srv.served_index_stats(spark, served.path).collect()
+    finally:
+        ivf.cells.unpersist()
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.cell, r.n_live, r.share_ppm, r.skew_x_ppm) for r in rows],
+        "cell long, n_live long, share_ppm long, skew_x_ppm long",
+    )
+
+
 @gate(
     "similarity_recall_eval",
     _sim.ann_recall_eval_oracle(query_ids=KNN_QUERY_IDS, k=5, nprobe=2),
@@ -8807,6 +8858,8 @@ _DRIVER_WINDOW = [
     "text_bigram_lm_surprise",
     "similarity_recall_eval",
     "similarity_knn_truncated_mrl",
+    "text_lm_perplexity_select",
+    "similarity_index_stats",
     # --- canaries over round-11 CHANGED code: the compaction/swap/
     #     recovery machinery moved to the Hadoop FS API with
     #     roll-forward recovery + probe refusal + the lock (both index
@@ -8853,15 +8906,13 @@ _DRIVER_WINDOW = [
     "similarity_cosine_pair_dedup",
     "similarity_label_centroids",
     "multimodal_resize_stub",
-    # --- staleness rotation: 7 of the 20 last-checked-round-5 rows
-    #     (family-diverse: sketch x3, behavioral x3, router); the
-    #     remaining 13 rotate next round ---
+    # --- staleness rotation: 5 of the 20 last-checked-round-5 rows
+    #     (family-diverse: sketch x2, behavioral x2, router); the
+    #     remaining 15 rotate next round ---
     "quantile_median_by_day_hist",
     "ohlc_by_type_day",
-    "twa_by_day_events",
     "retention_cohort_matrix",
     "funnel_view_click_purchase_30m",
-    "sample_bottomk_range_users",
     "router_keyed_hour_rollup",
 ]
 

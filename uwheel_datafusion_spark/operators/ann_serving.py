@@ -838,3 +838,57 @@ def ivf_binary_search_served(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "hamming", "cosine", "rnk")
     )
+
+
+def served_index_stats(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "cell",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Operational audit of a served index table (round 11 — the
+    `IndexIVF.print_stats` / imbalance-factor check every production
+    ANN deployment runs): per-cell LIVE row counts (tombstones netted
+    out through the same anti-join probes use), each cell's corpus
+    share and its skew against the uniform mean — the balance signal
+    that decides whether nprobe/recall targets hold (one hot cell
+    makes every probe that hits it pay the whole table). Exact
+    integers: share_ppm = n·10⁶ div total, skew_x_ppm = n·n_cells·10⁶
+    div total (10⁶ = uniform). One groupBy shuffle over (cell) pairs;
+    the totals ride the plan as a 1-row broadcast cross join (the
+    benign q11 scalar shape)."""
+    from uwheel_datafusion_spark.operators.util import (
+        assert_not_mid_maintenance,
+    )
+
+    assert_not_mid_maintenance(
+        spark, f"{path}__compacting", f"{path}__swap_old"
+    )
+    rows = spark.read.schema(
+        f"{id_col} long, {partition_col} long"
+    ).parquet(path)
+    if fs_exists(spark, f"{path}_tombstones"):
+        dead = spark.read.schema(f"{id_col} long").parquet(
+            f"{path}_tombstones"
+        )
+        rows = rows.join(dead, id_col, "left_anti")
+    per_cell = rows.groupBy(partition_col).agg(
+        F.count(F.lit(1)).alias("n_live")
+    )
+    totals = per_cell.agg(
+        F.sum("n_live").alias("_total"),
+        F.count(F.lit(1)).alias("_n_cells"),
+    )
+    return (
+        per_cell.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(partition_col),
+            "n_live",
+            F.expr("CAST(n_live * 1000000 DIV _total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.expr(
+                "CAST(n_live * _n_cells * 1000000 DIV _total AS BIGINT)"
+            ).alias("skew_x_ppm"),
+        )
+    )

@@ -3633,3 +3633,56 @@ def knn_truncated_mrl_oracle(
     return knn_brute_force_oracle(
         sliced, query_ids, k=k, vec_col=vec_col
     )
+
+
+def served_index_stats_oracle(
+    table: str = "embeddings",
+    n_cells: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    dead_where: str | None = None,
+) -> str:
+    """Relational replay of ann_serving.served_index_stats over a
+    freshly-built wide-kmeans layout: cell assignment (first-minimum
+    tie-break), optional tombstoned ids removed, per-cell live counts,
+    integer ppm shares and skew."""
+    d = DUCK
+    q = d.quantize_vec(vec_col, Q_SCALE)
+    dist = d.sum_list_bigint(d.zip_sqdiff("qv.qvec", "c.cvec"))
+    coarse, cfin = _wide_kmeans_ctes("g", "qv", n_cells, n_iter, d)
+    parts = [f"qv AS (SELECT vec_id, {q} AS qvec FROM {table})"] + coarse
+    parts.append(
+        f"""cells AS (
+            SELECT vec_id, cid AS cell FROM (
+                SELECT qv.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY qv.vec_id
+                           ORDER BY {dist}, c.cid) AS rn
+                FROM qv CROSS JOIN {cfin} c
+            ) WHERE rn = 1
+        )"""
+    )
+    live = (
+        f"(SELECT * FROM cells WHERE NOT ({dead_where}))"
+        if dead_where
+        else "cells"
+    )
+    parts.append(
+        f"""per_cell AS (
+            SELECT cell, COUNT(*) AS n_live FROM {live} GROUP BY 1
+        )""",
+    )
+    parts.append(
+        """totals AS (
+            SELECT CAST(SUM(n_live) AS BIGINT) AS _total,
+                   COUNT(*) AS _n_cells
+            FROM per_cell
+        )"""
+    )
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT cell, n_live,
+               CAST(n_live * 1000000 // _total AS BIGINT) AS share_ppm,
+               CAST(n_live * _n_cells * 1000000 // _total AS BIGINT)
+                   AS skew_x_ppm
+        FROM per_cell CROSS JOIN totals
+    """

@@ -1860,3 +1860,105 @@ def bigram_lm_surprise_oracle(
         FROM weighted
         GROUP BY 1
     """
+
+
+def lm_perplexity_select(
+    docs: DataFrame,
+    text_col: str = "text",
+    pct: int = 50,
+    sel_buckets: int = 8,
+) -> DataFrame:
+    """The CCNet GATE itself (round 11 — Wenzek et al. 2020 keep the
+    lowest-perplexity slice of each shard): select the ``pct`` percent
+    LOWEST bigram-LM surprise documents, per doc_id-hash bucket — the
+    same no-global-sort shape as corpus.dsir_select (per-bucket ceil
+    targets collected driver-side — ``sel_buckets`` rows, never the
+    corpus — and a LITERAL rank bound so Spark plans WindowGroupLimit,
+    map-side truncation before the one shuffle). Deterministic:
+    surprise ties break by doc_id. Returns (doc_id, sel_bucket,
+    surprise_per_bigram_fp, sel_rank)."""
+    from pyspark.sql import Window as W
+
+    from uwheel_datafusion_spark.operators.sampling import (
+        hash_bucket_sql,
+    )
+
+    spark = docs.sparkSession
+    scored = (
+        bigram_lm_surprise(docs, text_col)
+        .select(
+            "doc_id",
+            "surprise_per_bigram_fp",
+            F.expr(hash_bucket_sql("doc_id", sel_buckets))
+            .cast("long")
+            .alias("sel_bucket"),
+        )
+        .localCheckpoint(eager=True)  # counts pass + rank pass share one scoring run
+    )
+    counts = (
+        scored.groupBy("sel_bucket").agg(F.count(F.lit(1)).alias("n_b"))
+        .collect()
+    )
+    t_map = {r["sel_bucket"]: -(-r["n_b"] * pct // 100) for r in counts}
+    if not t_map:
+        return scored.select(
+            "doc_id",
+            "sel_bucket",
+            "surprise_per_bigram_fp",
+            F.lit(0).cast("long").alias("sel_rank"),
+        )
+    lit_bound = max(t_map.values())
+    targets = spark.createDataFrame(
+        sorted(t_map.items()), "sel_bucket long, t_b long"
+    )
+    wspec = W.partitionBy("sel_bucket").orderBy(
+        F.col("surprise_per_bigram_fp").asc(), F.col("doc_id").asc()
+    )
+    ranked = scored.withColumn(
+        "sel_rank", F.row_number().over(wspec).cast("long")
+    ).filter(F.col("sel_rank") <= F.lit(lit_bound))
+    return (
+        ranked.join(F.broadcast(targets), "sel_bucket")
+        .filter(F.col("sel_rank") <= F.col("t_b"))
+        .select(
+            "doc_id", "sel_bucket", "surprise_per_bigram_fp", "sel_rank"
+        )
+    )
+
+
+def lm_perplexity_select_oracle(
+    table: str = "documents",
+    text_col: str = "text",
+    pct: int = 50,
+    sel_buckets: int = 8,
+) -> str:
+    from uwheel_datafusion_spark.operators.sampling import (
+        hash_bucket_sql,
+    )
+
+    lm = bigram_lm_surprise_oracle(table, text_col)
+    b = hash_bucket_sql("doc_id", sel_buckets)
+    return f"""
+        WITH lm AS ({lm}),
+        scored AS (
+            SELECT doc_id, surprise_per_bigram_fp,
+                   CAST({b} AS BIGINT) AS sel_bucket
+            FROM lm
+        ),
+        targets AS (
+            SELECT sel_bucket,
+                   CAST((COUNT(*) * {pct} + 99) // 100 AS BIGINT) AS t_b
+            FROM scored GROUP BY 1
+        ),
+        ranked AS (
+            SELECT doc_id, sel_bucket, surprise_per_bigram_fp,
+                   CAST(row_number() OVER (
+                       PARTITION BY sel_bucket
+                       ORDER BY surprise_per_bigram_fp ASC, doc_id ASC
+                   ) AS BIGINT) AS sel_rank
+            FROM scored
+        )
+        SELECT doc_id, sel_bucket, surprise_per_bigram_fp, sel_rank
+        FROM ranked JOIN targets USING (sel_bucket)
+        WHERE sel_rank <= t_b
+    """
