@@ -388,6 +388,13 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_correctness):
                                            # 1-row cross-joined scalar
                                            # (q11's benign shape); the
                                            # count joins are equi-joins
+        "text_lm_perplexity_select",       # composes the bigram LM —
+                                           # same 1-row |V| scalar; the
+                                           # selection itself is
+                                           # equi-join + WindowGroupLimit
+        "similarity_index_stats",          # (total, n_cells) rides as
+                                           # a 1-row broadcast cross
+                                           # join — q11's benign shape
         # NOTE: wheel_range_batch_serving was briefly allowlisted here;
         # its runs-containment join is now a block-id broadcast HASH
         # join (range_agg_batch_df), so the audit covers it again.
