@@ -178,3 +178,77 @@ def test_compaction_converges_under_crash_at_every_rename(
                        "__maintenance_lock"):
             assert not os.path.exists(path + marker), (kill_at, marker)
     assert n_crash >= 5  # the protocol really has multiple rename sites
+
+
+def test_keyword_compaction_converges_under_crash_at_every_rename(
+    spark, sf_smoke, tmp_path
+):
+    """Keyword twin of the rename fault injection: compact_keyword_index
+    adds the stats-rebase tail (commit point = the tombstones→folded
+    rename) on top of two partitioned-table swaps. Killing every
+    fs_rename site in turn must leave an index whose probes are
+    bit-identical to the clean compaction after recovery + re-run —
+    including the crash windows where stats are momentarily
+    uncorrected (documented two-rename maintenance window)."""
+    import shutil
+
+    import uwheel_datafusion_spark.operators.textops as tx
+    import uwheel_datafusion_spark.operators.util as util
+    from pyspark.sql import functions as F
+    from uwheel_datafusion_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    dead = [r.doc_id for r in docs.filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id").collect()]
+
+    def build(root):
+        tx.build_keyword_index(docs, root)
+        tx.build_keyword_positions(docs, root)
+        tx.delete_docs_from_index(spark, root, dead)
+
+    def probes(root):
+        return (
+            sorted(map(tuple,
+                       tx.keyword_index_probe(spark, root).collect())),
+            sorted(map(tuple,
+                       tx.keyword_index_bm25_probe(spark, root).collect())),
+            sorted(map(tuple,
+                       tx.keyword_phrase_search(spark, root).collect())),
+            tuple(tx._live_stats(spark, root, with_dl=True).first()),
+        )
+
+    clean = str(tmp_path / "clean")
+    build(clean)
+    tx.compact_keyword_index(spark, clean)
+    want = probes(clean)
+    shutil.rmtree(clean)
+
+    real_rename = util.fs_rename
+    n_crash = 0
+    for kill_at in range(1, 40):
+        root = str(tmp_path / f"k{kill_at}")
+        build(root)
+        calls = {"n": 0}
+
+        def dying(sp, src, dst, _c=calls, _k=kill_at):
+            _c["n"] += 1
+            if _c["n"] == _k:
+                raise IOError(f"injected crash at rename #{_k}")
+            return real_rename(sp, src, dst)
+
+        util.fs_rename = dying
+        try:
+            tx.compact_keyword_index(spark, root)
+            crashed = False
+        except IOError:
+            crashed = True
+        finally:
+            util.fs_rename = real_rename
+        if crashed:
+            n_crash += 1
+            tx.compact_keyword_index(spark, root, steal_lock=True)
+        assert probes(root) == want, f"kill_at={kill_at}"
+        shutil.rmtree(root)
+        if not crashed:
+            break
+    assert n_crash >= 4  # both table swaps + the stats tail have sites
