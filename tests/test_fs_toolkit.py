@@ -252,3 +252,75 @@ def test_keyword_compaction_converges_under_crash_at_every_rename(
         if not crashed:
             break
     assert n_crash >= 4  # both table swaps + the stats tail have sites
+
+
+def test_recovery_erases_when_every_row_tombstoned(spark, tmp_path):
+    """ADVICE r11 #1 fault injection: tombstone EVERY row, so the
+    committed staging rewrite is _SUCCESS plus ZERO cell= dirs, then
+    crash the swap at every rename site in turn and run RECOVERY ONLY
+    (no re-compaction — a re-run would re-stage and mask the bug).
+    Roll-forward must still deliver the physical-erasure guarantee:
+    zero live cell= partitions on disk afterward, markers cleaned.
+    The old `if staged or aside:` guard skipped the fold-to-empty
+    removals in exactly this state."""
+    import uwheel_datafusion_spark.operators.ann_serving as srv
+    import uwheel_datafusion_spark.operators.util as util
+    from pyspark.sql import functions as F
+
+    from uwheel_datafusion_spark.operators.util import (
+        fs_delete,
+        fs_list_names,
+    )
+
+    def build(path):
+        df = spark.range(40).select(
+            F.col("id").alias("vec_id"),
+            (F.col("id") % 4).alias("cell"),
+            (F.col("id") * 3).alias("payload"),
+        )
+        (
+            df.repartition(F.col("cell"))
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        srv.delete_vectors_from_index(spark, path, list(range(40)))
+
+    schema = "vec_id long, payload long, cell long"
+    real_rename = util.fs_rename
+    n_crash = 0
+    for kill_at in range(1, 20):
+        path = str(tmp_path / f"all{kill_at}")
+        build(path)
+        calls = {"n": 0}
+
+        def dying(sp, src, dst, _c=calls, _k=kill_at):
+            _c["n"] += 1
+            if _c["n"] == _k:
+                raise IOError(f"injected crash at rename #{_k}")
+            return real_rename(sp, src, dst)
+
+        util.fs_rename = dying
+        try:
+            srv.compact_partitioned_table(
+                spark, path, schema=schema, sort_cols=("vec_id",)
+            )
+            crashed = False
+        except IOError:
+            crashed = True
+        finally:
+            util.fs_rename = real_rename
+        if crashed:
+            n_crash += 1
+            fs_delete(spark, f"{path}__maintenance_lock")
+            srv.recover_compaction(spark, path)
+        # physical erasure: NO live partition dir survives — whether
+        # the crash hit before the first move-aside (_SUCCESS present,
+        # staged empty, aside empty, live full: the ADVICE state) or
+        # anywhere later
+        assert fs_list_names(spark, path, "cell=") == [], f"kill_at={kill_at}"
+        for marker in ("__compacting", "__swap_old", "__retired_metadata"):
+            assert not os.path.exists(path + marker), (kill_at, marker)
+        if not crashed:
+            break
+    assert n_crash >= 3

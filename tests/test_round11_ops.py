@@ -194,7 +194,7 @@ def test_binary_payload_stream_serves_identically(spark, sf_smoke, tmp_path):
     )
     q.processAllAvailable()
     q.stop()
-    streamed = served_index_from_table(ivf.centroids, table)
+    streamed = served_index_from_table(ivf.centroids, table, has_binary=True)
     batch_served = srv.save_ivf_payload(
         ivf, emb, str(tmp_path / "batch_payload"), include_binary=True
     )

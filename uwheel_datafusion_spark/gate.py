@@ -4284,6 +4284,55 @@ def keyword_index_erased_q(spark, sf_dir):
 
 
 @gate(
+    "text_keyword_bulk_erased_df",
+    _tx.keyword_search_bm25_oracle(
+        table="(SELECT * FROM documents WHERE lang <> 'de') AS live"
+    ),
+)
+def keyword_bulk_erased_df_q(spark, sf_dir):
+    """Keyword-index twin of the DataFrame-native erasure (round 12),
+    composed with the SELF-DECIDING maintenance policy: the delete
+    batch is `documents WHERE lang = 'de'` AS A FRAME (request dedup,
+    idempotence anti-join, per-doc dl recovery from the doc's own
+    posting rows, and the tombstone append all distributed — the id
+    set never materializes on the driver), then auto_compact_keyword
+    reads the tombstone fraction back (~14% of docs) and, with the
+    deletes-allowed knob at 10%, decides the physical rewrite itself —
+    postings rewrite, stats rebase, tombstone reset. In-gate asserts
+    pin policy + physical erasure; the driver checks BM25 from the
+    auto-compacted index against the live-corpus oracle (BM25
+    exercises N, total_dl, df and dl, so any drift breaks the hash).
+    operators/maintenance.py + textops.delete_docs_from_index."""
+    import os
+    import shutil
+    import tempfile
+
+    from uwheel_datafusion_spark.operators import maintenance as _mnt
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="kw_bulk_df_gate_")
+    try:
+        _tx.build_keyword_index(docs, work)
+        batch = docs.filter(F.col("lang") == "de").select("doc_id")
+        assert _tx.delete_docs_from_index(spark, work, batch) == batch.count()
+        assert _tx.delete_docs_from_index(spark, work, batch) == 0
+        out = _mnt.auto_compact_keyword(
+            spark, work, tombstone_threshold_ppm=100_000
+        )
+        assert out["due"] and out["compacted"]
+        raw = spark.read.parquet(f"{work}/postings")
+        dead = docs.filter(F.col("lang") == "de").select("doc_id")
+        assert raw.join(dead, "doc_id", "left_semi").count() == 0
+        assert not os.path.exists(f"{work}/tombstones")
+        rows = _tx.keyword_index_bm25_probe(spark, work).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.doc_id, r.score) for r in rows], "doc_id long, score long"
+    )
+
+
+@gate(
     "text_keyword_index_lifecycle",
     _tx.keyword_search_bm25_oracle(
         table="(SELECT * FROM documents "
@@ -6451,6 +6500,128 @@ def ann_compacted_erased_q(spark, sf_dir):
             served, queries, k=5, nprobe=4
         ).collect()
     finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.query_id, r.neighbor_id, r.cosine, r.rnk) for r in rows],
+        "query_id long, neighbor_id long, cosine double, rnk long",
+    )
+
+
+@gate(
+    "similarity_ann_auto_compacted",
+    _sim.ivf_search_wide_oracle(
+        query_ids=KNN_QUERY_IDS,
+        k=5,
+        nprobe=4,
+        n_cells=32,
+        corpus_where="vec_id % 4 <> 0",
+    ),
+)
+def ann_auto_compacted_q(spark, sf_dir):
+    """SELF-DECIDING maintenance (round 12 — VERDICT r11 next #1, the
+    TieredMergePolicy role): delete every 4th vector (25% ≥ the 20%
+    deletes-allowed default), let maintenance_due() read the signals
+    back (exact-integer ppm from a column-pruned id/cell read +
+    broadcast semi-join against the tombstones), then auto_compact()
+    — due-check and physical rewrite in one scheduler-shaped call.
+    In-gate asserts pin the POLICY: not-due before the delete is a
+    no-op, due_tombstones fires after (ppm ≥ 200 000), the compacted
+    table reads physically clean and returns to 'ok'. The driver
+    checks the ranking: the post-auto-compaction probe hash-matches
+    the live-corpus wide-IVF oracle (auto-maintenance ≡
+    never-ingested). operators/maintenance.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from uwheel_datafusion_spark.operators import maintenance as _mnt
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = _sim.ivf_build_wide(emb, n_cells=32)
+    work = tempfile.mkdtemp(prefix="ann_auto_compact_gate_")
+    try:
+        served = _srv.save_ivf_payload(
+            ivf, emb, os.path.join(work, "payload")
+        )
+        schema = "vec_id long, qvec array<long>, qnorm long, cell long"
+        pre = _mnt.auto_compact(spark, served.path, schema=schema)
+        assert not pre["due_tombstones"] and pre["masked_rows"] == 0
+        dead = [
+            r.vec_id
+            for r in emb.filter(F.col("vec_id") % 4 == 0)
+            .select("vec_id")
+            .collect()
+        ]
+        _srv.delete_vectors_from_index(spark, served.path, dead)
+        out = _mnt.auto_compact(spark, served.path, schema=schema)
+        assert out["due_tombstones"] and out["compacted"]
+        assert out["tombstone_fraction_ppm"] >= 200_000
+        assert out["masked_rows"] == len(dead)
+        raw = spark.read.schema(schema).parquet(served.path)
+        assert raw.filter(F.col("vec_id").isin(dead)).count() == 0
+        assert not os.path.exists(f"{served.path}_tombstones")
+        post = _mnt.maintenance_due(spark, served.path)
+        assert post["recommendation"] == "ok"
+        queries = emb.filter(F.col("vec_id").isin(*KNN_QUERY_IDS)).select(
+            "vec_id", "embedding"
+        )
+        rows = _srv.ivf_search_served(
+            served, queries, k=5, nprobe=4
+        ).collect()
+    finally:
+        ivf.cells.unpersist()
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.query_id, r.neighbor_id, r.cosine, r.rnk) for r in rows],
+        "query_id long, neighbor_id long, cosine double, rnk long",
+    )
+
+
+@gate(
+    "similarity_ann_bulk_erased_df",
+    _sim.ivf_search_wide_oracle(
+        query_ids=KNN_QUERY_IDS,
+        k=5,
+        nprobe=4,
+        n_cells=32,
+        corpus_where="label <> 3",
+    ),
+)
+def ann_bulk_erased_df_q(spark, sf_dir):
+    """DELETE-BY-PREDICATE, DataFrame-native (round 12 — VERDICT r11
+    next #4 / ADVICE r10 #2 second carry): the right-to-erasure batch
+    is `embeddings WHERE label = 3` AS A FRAME — the id set never
+    exists as a Python list, and the whole delete pipeline (request
+    dedup, idempotence anti-join against existing tombstones, the
+    tombstone append) is distributed; at 100 TB the batch can be a
+    billion ids and the driver never sees one. Redelivering the same
+    frame must be a no-op (second call returns 0). Driver check: the
+    served probe over the tombstoned table hash-matches the wide-IVF
+    oracle with the candidate side restricted to label <> 3 —
+    delete-by-frame ≡ tombstone semantics ≡ never-candidates."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = _sim.ivf_build_wide(emb, n_cells=32)
+    work = tempfile.mkdtemp(prefix="ann_bulk_df_gate_")
+    try:
+        served = _srv.save_ivf_payload(
+            ivf, emb, os.path.join(work, "payload")
+        )
+        batch = emb.filter(F.col("label") == 3).select("vec_id")
+        n = _srv.delete_vectors_from_index(spark, served.path, batch)
+        assert n == batch.count()
+        assert _srv.delete_vectors_from_index(spark, served.path, batch) == 0
+        queries = emb.filter(F.col("vec_id").isin(*KNN_QUERY_IDS)).select(
+            "vec_id", "embedding"
+        )
+        rows = _srv.ivf_search_served(
+            served, queries, k=5, nprobe=4
+        ).collect()
+    finally:
+        ivf.cells.unpersist()
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(
         [(r.query_id, r.neighbor_id, r.cosine, r.rnk) for r in rows],

@@ -53,11 +53,18 @@ from uwheel_datafusion_spark.operators.util import fs_exists
 class ServedIvfIndex:
     """IVF-Flat's serving-complete stored half: coarse centroids plus
     the PATH of a parquet table (cell, vec_id, qvec, qnorm)
-    PARTITIONED BY cell. Search needs nothing else."""
+    PARTITIONED BY cell. Search needs nothing else. ``has_binary``
+    records whether the payload carries the packed sign words
+    (save_ivf_payload include_binary=True) — the binary-Hamming tier
+    checks it and FAILS FAST instead of reading bvec as NULL (ADVICE
+    r11 #2: NULL Hamming sorts FIRST in the ascending candidate
+    window, silently replacing the top-n_candidates with an arbitrary
+    subset)."""
 
     centroids: list
     path: str
     n_cells: int
+    has_binary: bool = False
 
 
 @dataclass
@@ -121,7 +128,8 @@ def save_ivf_payload(
         .parquet(path)
     )
     return ServedIvfIndex(
-        centroids=index.centroids, path=path, n_cells=index.n_cells
+        centroids=index.centroids, path=path, n_cells=index.n_cells,
+        has_binary=include_binary,
     )
 
 
@@ -189,12 +197,30 @@ def delete_vectors_from_index(
     tombstone table nor changes any probe. Returns the number of
     NEWLY tombstoned ids. A served IVF-PQ deployment has TWO tables
     (codes + full-precision payload) — use
-    :func:`delete_vectors_served` to tombstone both in one call."""
+    :func:`delete_vectors_served` to tombstone both in one call.
+
+    ``vec_ids`` is a Python iterable OR a DataFrame whose FIRST column
+    holds the ids (round 12 — ADVICE r10 #2 second carry / VERDICT r11
+    next #4): a production right-to-erasure batch arrives as a frame
+    (ids matching a predicate, an uploaded GDPR list), and the whole
+    pipeline — dedup against the request itself, anti-join against the
+    existing tombstones, the append — now stays DISTRIBUTED with no
+    driver round-trip of the id set for either input shape (pinned by
+    a monkeypatched-collect test)."""
     tomb = f"{path}_tombstones"
-    ids_df = spark.createDataFrame(
-        [(int(i),) for i in sorted({int(i) for i in vec_ids})],
-        "vec_id long",
-    )
+    if isinstance(vec_ids, DataFrame):
+        ids_df = (
+            vec_ids.select(
+                F.col(vec_ids.columns[0]).cast("long").alias("vec_id")
+            )
+            .where(F.col("vec_id").isNotNull())
+            .distinct()
+        )
+    else:
+        ids_df = spark.createDataFrame(
+            [(int(i),) for i in sorted({int(i) for i in vec_ids})],
+            "vec_id long",
+        )
     if fs_exists(spark, tomb):
         # broadcast anti-join, not an isin literal — a large delete
         # batch as an In-predicate is a planner-choking expression
@@ -204,24 +230,43 @@ def delete_vectors_from_index(
             "vec_id",
             "left_anti",
         )
-    new_ids = sorted(r["vec_id"] for r in ids_df.collect())
-    if not new_ids:
-        return 0
-    spark.createDataFrame(
-        [(i,) for i in new_ids], "vec_id long"
-    ).write.mode("append").parquet(tomb)
-    return len(new_ids)
+    # persist: the count and the append must see the SAME anti-join
+    # result without recomputing the dedup twice
+    ids_df = ids_df.persist()
+    try:
+        n_new = ids_df.count()
+        if n_new:
+            ids_df.write.mode("append").parquet(tomb)
+        return n_new
+    finally:
+        ids_df.unpersist()
 
 
 def delete_vectors_served(
-    spark: SparkSession, paths: list, vec_ids: list
+    spark: SparkSession, paths: list, vec_ids
 ) -> dict:
     """Tombstone ``vec_ids`` across EVERY table of a served deployment
     in one call — for IVF-PQ that is BOTH the codes table and the
     full-precision payload the rerank refines from (ADVICE r9: a
     payload-only tombstone leaves deleted ids consuming ADC candidate
     slots, silently shrinking effective n_candidates). Returns
-    {path: newly_tombstoned_count}."""
+    {path: newly_tombstoned_count}. ``vec_ids`` may be an iterable or
+    an id DataFrame (round 12); a frame is persisted across the loop
+    so every table tombstones the SAME id set even when the frame's
+    lineage is non-deterministic (a sampled or freshly-joined batch) —
+    a per-table re-evaluation drifting between the codes and payload
+    tables would recreate exactly the dual-table inconsistency this
+    function exists to prevent."""
+    if isinstance(vec_ids, DataFrame):
+        vec_ids = vec_ids.persist()
+        try:
+            vec_ids.count()  # materialize before fan-out
+            return {
+                p: delete_vectors_from_index(spark, p, vec_ids)
+                for p in paths
+            }
+        finally:
+            vec_ids.unpersist()
     return {
         p: delete_vectors_from_index(spark, p, vec_ids) for p in paths
     }
@@ -471,7 +516,16 @@ def recover_compaction(
         staged = set(fs_list_names(spark, staging, prefix))
         aside = set(fs_list_names(spark, swap_old, prefix))
         live = set(fs_list_names(spark, path, prefix))
-        if staged or aside:
+        # ADVICE r11 #1: the guard must include `live` — if EVERY
+        # partition folds to empty (all rows tombstoned), the committed
+        # staging dir carries _SUCCESS and ZERO cell= dirs; with a
+        # `staged or aside` guard, a crash before the first move-aside
+        # would make recovery skip the fold-to-empty removals entirely,
+        # silently breaking the physical-erasure guarantee (tombstones
+        # still mask the rows, but the bytes stay on disk and nothing
+        # prompts a re-run). Fault-injected in
+        # tests/test_fs_toolkit.py::test_recovery_erases_when_every_row_tombstoned.
+        if staged or aside or live:
             fs_mkdirs(spark, swap_old)
             for part in sorted(staged | aside | live):
                 in_s, in_l, in_a = part in staged, part in live, part in aside
@@ -516,6 +570,7 @@ def compact_partitioned_table(
     stream_retired: bool = False,
     reset_tombstones: bool = True,
     steal_lock: bool = False,
+    stale_lock_after_sec: "float | None" = None,
 ) -> int:
     """Compaction + PHYSICAL ERASURE for a partitioned index table —
     the LSM merge step (Lucene drops deleted docs at segment merge):
@@ -578,21 +633,40 @@ def compact_partitioned_table(
     caller's recover-on-entry would otherwise "repair" — i.e. destroy —
     the first's in-flight staging). A lock left by a CRASHED job can't
     be distinguished from a live job still in its read phase (no
-    markers exist yet in either case; plain parquet has no heartbeat —
-    Delta/Iceberg commit protocols are the production answer), so the
-    operator asserts the holder is dead with ``steal_lock=True``."""
+    markers exist yet in either case; plain parquet has no built-in
+    commit log — Delta/Iceberg protocols are the production answer),
+    so the operator asserts the holder is dead with
+    ``steal_lock=True`` — OR, since round 12 (VERDICT r11 next #8),
+    proves it from the lock's HEARTBEAT: holders stamp
+    ``{lock}.hb`` at acquisition and at each stage boundary (the
+    staging rewrite — the long Spark job — is bracketed by stamps),
+    so with ``stale_lock_after_sec`` set, a lock whose heartbeat is
+    older than that budget is stolen automatically. Pick the budget
+    ≫ the longest single stage (hours at 100 TB), not ≫ the whole
+    job — the heartbeat advances between stages. A legacy lock with
+    no heartbeat is never auto-stolen (age unknowable)."""
     from uwheel_datafusion_spark.operators.util import (
-        fs_delete,
+        fs_lock_age_sec,
+        fs_release_lock,
         fs_try_lock,
     )
 
     lock = f"{path}__maintenance_lock"
-    if not fs_try_lock(spark, lock) and not steal_lock:
-        raise RuntimeError(
-            f"{lock} exists: another compaction of {path} is in "
-            "flight (or crashed while holding the lock). If the "
-            "holder is known dead, re-run with steal_lock=True."
+    if not fs_try_lock(spark, lock):
+        age = fs_lock_age_sec(spark, lock)
+        stale = (
+            stale_lock_after_sec is not None
+            and age is not None
+            and age > stale_lock_after_sec
         )
+        if not (steal_lock or stale):
+            raise RuntimeError(
+                f"{lock} exists: another compaction of {path} is in "
+                "flight (or crashed while holding the lock). If the "
+                "holder is known dead, re-run with steal_lock=True; "
+                "or pass stale_lock_after_sec to steal automatically "
+                "once the holder's heartbeat goes stale."
+            )
     try:
         return _compact_locked(
             spark,
@@ -606,7 +680,7 @@ def compact_partitioned_table(
             reset_tombstones,
         )
     finally:
-        fs_delete(spark, lock)
+        fs_release_lock(spark, lock)
 
 
 def _compact_locked(
@@ -623,12 +697,14 @@ def _compact_locked(
     from uwheel_datafusion_spark.operators.util import (
         fs_count_files,
         fs_delete,
+        fs_heartbeat,
         fs_is_dir,
         fs_list_names,
         fs_mkdirs,
         fs_rename,
     )
 
+    lock = f"{path}__maintenance_lock"
     recover_compaction(spark, path, partition_col)
     meta = f"{path}/_spark_metadata"
     if fs_is_dir(spark, meta) and not stream_retired:
@@ -655,6 +731,7 @@ def _compact_locked(
     # log itself is only moved aside AFTER the staged rewrite commits
     # (its _SUCCESS marker is recovery's roll-forward key) and deleted
     # as the last cleanup step (ADVICE r10 #1)
+    fs_heartbeat(spark, lock)  # about to enter the long stage
     (
         df.repartition(F.col(partition_col))
         .sortWithinPartitions(partition_col, *sort_cols)
@@ -662,6 +739,7 @@ def _compact_locked(
         .mode("overwrite")
         .parquet(tmp)
     )
+    fs_heartbeat(spark, lock)  # staging rewrite survived
     if fs_is_dir(spark, meta):
         fs_rename(spark, meta, f"{path}__retired_metadata")
     swap_old = f"{path}__swap_old"
@@ -781,6 +859,21 @@ def ivf_binary_search_served(
     tombstones and maintenance markers behave exactly as in
     ivf_search_served (same _read_payload)."""
     assert 1 <= nprobe <= index.n_cells and n_candidates >= k
+    if not index.has_binary:
+        # ADVICE r11 #2: on a payload built without include_binary,
+        # the explicit schema reads bvec as NULL, hamming_words yields
+        # NULL, and NULLs sort FIRST in the ascending Hamming window —
+        # the candidate cut silently becomes an arbitrary subset.
+        # Loud and named beats silently degraded recall.
+        raise ValueError(
+            f"served payload at {index.path} was not built with "
+            "include_binary=True (ServedIvfIndex.has_binary is False): "
+            "the binary-Hamming tier would read bvec as NULL and rank "
+            "an arbitrary candidate subset. Rebuild the payload with "
+            "save_ivf_payload(include_binary=True), or rehydrate with "
+            "served_index_from_table(..., has_binary=True) if the "
+            "streamed table carries bvec."
+        )
     from uwheel_datafusion_spark.functions.dialect import SPARK as _D
 
     spark = queries.sparkSession

@@ -104,7 +104,21 @@ def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
     """Atomic small-file text write via the Hadoop FS (tmp + rename) —
     for sidecar markers (epoch meta) that must live NEXT TO the table
     on whatever filesystem the table is on, not on the driver's local
-    disk."""
+    disk.
+
+    Hadoop's rename (unlike POSIX ``os.replace``) will not clobber an
+    existing destination, so an OVERWRITE is delete(dst)+rename(tmp) —
+    two steps, and a crash between them leaves no main file at all
+    (ADVICE r11 #3: a torn sink-meta overwrite would silently erase
+    both the epoch-replay guard and the checkpoint-identity check).
+    The tmp sibling is therefore written COMPLETE and durable BEFORE
+    the delete, and :func:`fs_read_text` falls back to it when the
+    main file is absent — every crash window leaves a readable marker
+    carrying either the old or the new content, never nothing. The
+    only unreadable-tmp window is a crash MID-WRITE of the tmp on a
+    FIRST write (no main file existed): readers see exactly what they
+    saw before the write started — no marker — which is the pre-write
+    state, not a lost one."""
     fs, _ = _hadoop_fs(spark, path)
     jvm = spark._jvm
     tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
@@ -121,10 +135,20 @@ def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
 
 
 def fs_read_text(spark: SparkSession, path: str) -> "str | None":
-    """Small-file text read via the Hadoop FS; None when absent."""
+    """Small-file text read via the Hadoop FS; None when absent.
+
+    Falls back to the ``.tmp`` sibling when the main file is missing:
+    fs_write_text's overwrite is delete-then-rename (Hadoop rename
+    does not clobber), so a crash between the two leaves only the
+    fully-written tmp — without the fallback a torn overwrite would
+    read as "no marker" and silently drop the guard the marker
+    carries (ADVICE r11 #3)."""
     fs, jpath = _hadoop_fs(spark, path)
     if not fs.exists(jpath):
-        return None
+        jtmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+        if not fs.exists(jtmp):
+            return None
+        jpath = jtmp
     stream = fs.open(jpath)
     try:
         # commons-io drains the stream JVM-side: a py4j readFully(buf)
@@ -145,17 +169,24 @@ def fs_try_lock(spark: SparkSession, path: str) -> bool:
     HDFS and file:/ (createNewFile semantics); on S3A creation is not
     a coordination primitive — an S3 deployment should front
     maintenance with an external lock (the same caveat as fs_rename).
-    The lock guards against CONCURRENT maintenance only; crash
-    staleness is resolved by recover-on-entry clearing it (a crashed
-    job's partial state is exactly what recovery repairs)."""
+    The lock guards against CONCURRENT maintenance; crash staleness
+    is resolved either by the explicit steal_lock assertion or, since
+    round 12, by the HEARTBEAT sidecar: a successful acquisition
+    writes ``{path}.hb`` (epoch seconds), holders refresh it at stage
+    boundaries (:func:`fs_heartbeat`), and a next caller may steal a
+    lock whose heartbeat is older than its staleness budget
+    (:func:`fs_lock_age_sec`) without a human liveness assertion."""
     fs, jpath = _hadoop_fs(spark, path)
     parent = jpath.getParent()
     if parent is not None and not fs.exists(parent):
         fs.mkdirs(parent)
     try:
-        return bool(fs.createNewFile(jpath))
+        got = bool(fs.createNewFile(jpath))
     except Exception:
         return False
+    if got:
+        fs_heartbeat(spark, path)
+    return got
 
 
 def assert_not_mid_maintenance(spark: SparkSession, *markers: str) -> None:
@@ -189,3 +220,41 @@ def ensure_min_parallelism(df: DataFrame, key: str) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target, key)
     return df
+
+
+def fs_heartbeat(spark: SparkSession, lock: str) -> None:
+    """Refresh a maintenance lock's liveness sidecar (round 12 —
+    VERDICT r11 next #8): ``{lock}.hb`` holds the holder's last
+    progress timestamp (epoch seconds, driver clock). The holder
+    writes it at acquisition and at each protocol stage boundary
+    (before/after the staging rewrite — the long Spark job), so a
+    crash freezes the timestamp and :func:`fs_lock_age_sec` lets the
+    next caller distinguish crash-stale from merely-slow without a
+    human liveness assertion. Torn-overwrite-safe via fs_write_text's
+    tmp-fallback contract (ADVICE r11 #3)."""
+    import time
+
+    fs_write_text(spark, lock + ".hb", repr(time.time()))
+
+
+def fs_lock_age_sec(spark: SparkSession, lock: str) -> "float | None":
+    """Seconds since the lock's last heartbeat; None when the lock
+    predates the heartbeat protocol (a legacy or hand-made lock file —
+    callers must then fall back to the explicit steal_lock assertion).
+    Driver clocks are assumed sane to within the staleness threshold
+    (hours), the same assumption every lease protocol makes."""
+    import time
+
+    txt = fs_read_text(spark, lock + ".hb")
+    if txt is None:
+        return None
+    try:
+        return max(0.0, time.time() - float(txt))
+    except ValueError:
+        return None
+
+
+def fs_release_lock(spark: SparkSession, lock: str) -> None:
+    """Delete a maintenance lock AND its heartbeat sidecar."""
+    fs_delete(spark, lock)
+    fs_delete(spark, lock + ".hb")

@@ -192,14 +192,20 @@ def start_ivf_payload_stream(
     )
 
 
-def served_index_from_table(centroids: list, table_dir: str):
+def served_index_from_table(
+    centroids: list, table_dir: str, has_binary: bool = False
+):
     """Rehydrate a ServedIvfIndex from the streamed payload table —
     batch save_ivf_payload and streaming ingest are interchangeable:
-    ivf_search_served neither knows nor cares which wrote the table."""
+    ivf_search_served neither knows nor cares which wrote the table.
+    Pass ``has_binary=True`` when the maintaining stream ran with
+    include_binary=True — the binary-Hamming tier refuses a handle
+    that does not declare the packed sign words (ADVICE r11 #2)."""
     from uwheel_datafusion_spark.operators.ann_serving import (
         ServedIvfIndex,
     )
 
     return ServedIvfIndex(
-        centroids=centroids, path=table_dir, n_cells=len(centroids)
+        centroids=centroids, path=table_dir, n_cells=len(centroids),
+        has_binary=has_binary,
     )
