@@ -414,3 +414,127 @@ def test_keyword_lock_heartbeat_staleness(spark, sf_smoke, tmp_path):
     out = tx.compact_keyword_index(spark, root, stale_lock_after_sec=3600)
     assert out["postings_files"] > 0
     assert not os.path.exists(lock) and not os.path.exists(lock + ".hb")
+
+
+def test_generation_union_serving(spark, sf_smoke, tmp_path):
+    """LSM generations (VERDICT r11 next #2): a compacted baseline
+    plus a delta generation served as a UNION must answer bit-
+    identically to the same corpus in one table — same quantization,
+    probe ranking and tie-breaks, with per-generation tombstones
+    honored."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    ivf = sim.ivf_build_wide(emb, n_cells=4)
+    base = str(tmp_path / "base")
+    delta = str(tmp_path / "delta")
+    srv.save_ivf_payload(ivf, emb.filter(F.col("vec_id") % 2 == 0), base)
+    srv.save_ivf_payload(ivf, emb.filter(F.col("vec_id") % 2 == 1), delta)
+    union_idx = srv.ServedIvfIndex(
+        centroids=ivf.centroids, path=base, n_cells=ivf.n_cells,
+        delta_paths=(delta,),
+    )
+    single = srv.save_ivf_payload(ivf, emb, str(tmp_path / "single"))
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        "vec_id", "embedding"
+    )
+    got = srv.ivf_search_served(union_idx, queries, k=5, nprobe=3)
+    want = srv.ivf_search_served(single, queries, k=5, nprobe=3)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # a tombstone in the DELTA generation masks in the union probe
+    victim = [r.neighbor_id for r in want.collect() if r.neighbor_id % 2][0]
+    srv.delete_vectors_from_index(spark, delta, [victim])
+    got2 = srv.ivf_search_served(union_idx, queries, k=5, nprobe=3)
+    assert victim not in {r.neighbor_id for r in got2.collect()}
+    ivf.cells.unpersist()
+
+
+def test_merge_generations_end_to_end(spark, tmp_path):
+    """merge_generations folds delta + both tombstone sets into the
+    baseline: one table afterward, deleted ids physically gone, delta
+    dir consumed, idempotent re-run a no-op."""
+    base, delta = str(tmp_path / "b"), str(tmp_path / "d")
+    _toy_table(spark, base, n=40)
+    df = spark.range(40, 80).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 4).alias("cell"),
+        (F.col("id") * 7).alias("payload"),
+    )
+    df.repartition(F.col("cell")).write.partitionBy("cell").parquet(delta)
+    srv.delete_vectors_from_index(spark, base, [0, 4])
+    srv.delete_vectors_from_index(spark, delta, [44, 48])
+    schema = "vec_id long, payload long, cell long"
+    n = srv.merge_generations(spark, base, delta, schema=schema)
+    assert n == 4  # one file per cell partition
+    raw = spark.read.schema(schema).parquet(base)
+    got = sorted(r.vec_id for r in raw.collect())
+    assert got == [i for i in range(80) if i not in (0, 4, 44, 48)]
+    assert not os.path.exists(delta)
+    assert not os.path.exists(f"{base}_tombstones")
+    assert not os.path.exists(f"{delta}_tombstones")
+    assert not os.path.exists(f"{base}__compacting")
+    # idempotent: delta already consumed
+    assert srv.merge_generations(spark, base, delta, schema=schema) == 4
+
+
+def test_merge_generations_converges_under_crash_at_every_rename(
+    spark, tmp_path
+):
+    """Rename fault injection over the MERGE protocol: the commit
+    point is one dir rename (staging → __compacting) and completion
+    IS recover_compaction's roll-forward (with the _MERGE_SOURCE
+    stamp removing the consumed delta), so a crash at every rename
+    site in turn must converge to the clean merge under re-run —
+    never a double-counted delta, never a lost one."""
+    import uwheel_datafusion_spark.operators.util as util
+
+    schema = "vec_id long, payload long, cell long"
+
+    def build(b, d):
+        _toy_table(spark, b, n=40)
+        df = spark.range(40, 80).select(
+            F.col("id").alias("vec_id"),
+            (F.col("id") % 4).alias("cell"),
+            (F.col("id") * 7).alias("payload"),
+        )
+        df.repartition(F.col("cell")).write.partitionBy("cell").parquet(d)
+        srv.delete_vectors_from_index(spark, b, [0, 4])
+        srv.delete_vectors_from_index(spark, d, [44, 48])
+
+    want = [i for i in range(80) if i not in (0, 4, 44, 48)]
+    real_rename = util.fs_rename
+    n_crash = 0
+    for kill_at in range(1, 25):
+        b = str(tmp_path / f"b{kill_at}")
+        d = str(tmp_path / f"d{kill_at}")
+        build(b, d)
+        calls = {"n": 0}
+
+        def dying(sp, src, dst, _c=calls, _k=kill_at):
+            _c["n"] += 1
+            if _c["n"] == _k:
+                raise IOError(f"injected crash at rename #{_k}")
+            return real_rename(sp, src, dst)
+
+        util.fs_rename = dying
+        try:
+            srv.merge_generations(spark, b, d, schema=schema)
+            crashed = False
+        except IOError:
+            crashed = True
+        finally:
+            util.fs_rename = real_rename
+        if crashed:
+            n_crash += 1
+            srv.merge_generations(
+                spark, b, d, schema=schema, steal_lock=True
+            )
+        raw = spark.read.schema(schema).parquet(b)
+        assert sorted(r.vec_id for r in raw.collect()) == want, kill_at
+        assert not os.path.exists(d), kill_at
+        for marker in ("__compacting", "__swap_old", "__merge_staging",
+                       "_tombstones", "__maintenance_lock"):
+            assert not os.path.exists(b + marker), (kill_at, marker)
+        if not crashed:
+            break
+    assert n_crash >= 3

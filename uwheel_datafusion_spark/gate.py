@@ -7039,6 +7039,123 @@ def streaming_ann_compacted_q(spark, sf_dir):
     )
 
 
+@gate(
+    "streaming_ann_recompact_resume",
+    _sim.ivf_search_wide_oracle(
+        query_ids=KNN_QUERY_IDS, k=5, nprobe=2, n_cells=8
+    ),
+)
+def streaming_ann_recompact_resume_q(spark, sf_dir):
+    """POST-COMPACTION RE-STREAMING bootstrap (round 12 — VERDICT r11
+    next #2): compaction is TERMINAL for a file-sink stream (resuming
+    it would recreate a _spark_metadata log that hides every compacted
+    row — refusal pinned since r10), which previously meant index
+    maintenance permanently ended streaming ingest. The LSM answer,
+    gated end to end: (1) a generation-1 stream ingests 2/3 of the
+    corpus through a REAL kill-and-resume (resume progress asserted
+    >0 rows); (2) the stream retires and compact_partitioned_table
+    rewrites the baseline (sink log consumed and removed); (3) a NEW
+    generation-2 stream — fresh sink dir via next_generation_dir,
+    fresh checkpoint — ingests the last third; (4) the probe serves
+    the UNION of generations (ServedIvfIndex.delta_paths: each
+    generation read through its own sink log/tombstones/markers,
+    partition-pruned per generation); (5) merge_generations folds the
+    retired delta back into the baseline — commit point is ONE dir
+    rename, completion IS recover_compaction's roll-forward — and the
+    single-path handle must answer bit-identically to the union
+    (asserted in-gate). Driver check: the final probe hash-matches
+    the full-corpus wide-IVF oracle, i.e. stream → kill → compact →
+    re-stream → merge ≡ never-compacted."""
+    import os
+    import shutil
+    import tempfile
+
+    from uwheel_datafusion_spark.streaming.ann_stream import (
+        served_index_from_table,
+        start_ivf_payload_stream,
+    )
+
+    _tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    idx = _sim.ivf_build_wide(emb, n_cells=8)
+    work = tempfile.mkdtemp(prefix="ann_recompact_resume_gate_")
+    schema = "vec_id long, qvec array<long>, qnorm long, cell long"
+    try:
+        src1 = os.path.join(work, "in1")
+        table = os.path.join(work, "payload")
+        ckpt1 = os.path.join(work, "ckpt1")
+
+        def reader1():
+            return (
+                spark.readStream.schema(emb.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src1)
+            )
+
+        _kill_resume_streams(
+            emb.filter(F.col("vec_id") % 3 < 2),
+            "vec_id",
+            src1,
+            [
+                lambda: start_ivf_payload_stream(
+                    reader1(), idx.centroids, table, ckpt1
+                )
+            ],
+        )
+        # retire generation 1: terminal compaction consumes the log
+        _srv.compact_partitioned_table(
+            spark, table, schema=schema, stream_retired=True
+        )
+        assert not os.path.exists(f"{table}/_spark_metadata")
+        # bootstrap generation 2: fresh sink dir + fresh checkpoint
+        delta = _srv.next_generation_dir(spark, table)
+        assert delta.endswith("__delta1")
+        src2 = os.path.join(work, "in2")
+        emb.filter(F.col("vec_id") % 3 == 2).repartitionByRange(
+            2, "vec_id"
+        ).write.mode("append").parquet(src2)
+        q = start_ivf_payload_stream(
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src2),
+            idx.centroids,
+            delta,
+            os.path.join(work, "ckpt2"),
+        )
+        q.processAllAvailable()
+        q.stop()
+        assert os.path.exists(f"{delta}/_spark_metadata")
+        queries = emb.filter(F.col("vec_id").isin(*KNN_QUERY_IDS))
+        union_idx = _srv.ServedIvfIndex(
+            centroids=idx.centroids,
+            path=table,
+            n_cells=idx.n_cells,
+            delta_paths=(delta,),
+        )
+        union_rows = _srv.ivf_search_served(
+            union_idx, queries, k=5, nprobe=2
+        ).collect()
+        # major compaction: delta folds back into the baseline
+        _srv.merge_generations(
+            spark, table, delta, schema=schema,
+            delta_stream_retired=True,
+        )
+        assert not os.path.exists(delta)
+        served = served_index_from_table(idx.centroids, table)
+        rows = _srv.ivf_search_served(
+            served, queries, k=5, nprobe=2
+        ).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, union_rows))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.query_id, r.neighbor_id, r.cosine, r.rnk) for r in rows],
+        "query_id long, neighbor_id long, cosine double, rnk long",
+    )
+
+
 @gate("similarity_label_centroids", _sim.label_centroids_oracle())
 def centroids_q(spark, sf_dir):
     """IVF cell-centroid build (posexplode + partial agg on
