@@ -695,9 +695,14 @@ def test_hybrid_served_retrieval_never_touches_corpus(
     banned = ("documents.parquet", "embeddings.parquet")
     for f in fused.inputFiles():
         assert not any(b in f for b in banned), f
-    assert read_paths and all(
-        str(tmp_path) in p for p in read_paths
-    ), read_paths
+    # _read_payload takes a single path OR a list of LSM generations
+    # (round 12) — flatten before asserting
+    flat = [
+        p
+        for entry in read_paths
+        for p in ([entry] if isinstance(entry, str) else list(entry))
+    ]
+    assert flat and all(str(tmp_path) in p for p in flat), read_paths
     plan = _executed_plan(fused)
     assert "PartitionFilters" in plan and "bucket#" in plan
     ivf.cells.unpersist()

@@ -100,6 +100,19 @@ def fs_count_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> 
     return n
 
 
+def fs_mtime(spark: SparkSession, path: str) -> "float | None":
+    """Modification time (epoch seconds) via the Hadoop FS; None when
+    absent. The manifest vacuum's orphan-file age rule needs it: an
+    UNreferenced dir younger than the grace window may belong to an
+    append that staged but has not committed yet, so age — not
+    reachability alone — decides removal (the Iceberg
+    remove-orphan-files contract)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    return fs.getFileStatus(jpath).getModificationTime() / 1000.0
+
+
 def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
     """Atomic small-file text write via the Hadoop FS (tmp + rename) —
     for sidecar markers (epoch meta) that must live NEXT TO the table
