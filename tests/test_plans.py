@@ -707,3 +707,79 @@ def test_hybrid_served_retrieval_never_touches_corpus(
     assert "PartitionFilters" in plan and "bucket#" in plan
     ivf.cells.unpersist()
     pq.codes.unpersist()
+
+
+def test_manifest_probes_read_only_probed_partitions(
+    spark, sf_correctness, tmp_path
+):
+    """Manifest tables (round 12) must keep the serving-layout
+    contract PER GENERATION: a served ANN search partition-prunes each
+    committed generation's scan to the probed cells, and a keyword
+    probe to the query terms' buckets — checked on the executed plan's
+    PartitionFilters (inputFiles() reflects the ANALYZED plan, before
+    partition pruning runs, so it lists every partition even when the
+    scan reads only the probed ones)."""
+    import uwheel_datafusion_spark.operators.ann_serving as srv
+    import uwheel_datafusion_spark.operators.similarity as sim
+    import uwheel_datafusion_spark.operators.textops as tx
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    ivf = sim.ivf_build_wide(emb, n_cells=8)
+    root = str(tmp_path / "ann")
+    served = srv.save_ivf_payload_manifest(
+        ivf, emb.filter(F.col("vec_id") % 2 == 0), root
+    )
+    import uwheel_datafusion_spark.operators.manifest as mf
+
+    mf.manifest_table_append(
+        spark, root,
+        srv.ivf_payload_frame(ivf, emb.filter(F.col("vec_id") % 2 == 1)),
+    )
+    qrows = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id").isin(0, 1))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    queries = spark.createDataFrame(
+        qrows, "vec_id long, embedding array<float>"
+    )
+    out = srv.ivf_search_served(served, queries, k=3, nprobe=2)
+    out.collect()
+    pairs = srv._rank_probes(
+        ivf.centroids,
+        sim._quantized(queries, "embedding").select("vec_id", "qvec")
+        .collect(),
+        2,
+    )
+    probed = sorted({c for _, c in pairs})
+    plan = _executed_plan(out)
+    want = f"IN ({','.join(str(c) for c in probed)})"
+    # BOTH generation scans carry the literal cell-isin as a
+    # PartitionFilter (one occurrence per generation dir)
+    hits = [
+        seg for seg in plan.split("PartitionFilters: [")[1:]
+        if seg.split("]", 1)[0].find(want) >= 0
+    ]
+    assert len(hits) >= 2, (want, plan[:2000])
+    ivf.cells.unpersist()
+
+    docs = load_table(spark, sf_correctness, "documents")
+    kroot = str(tmp_path / "kw")
+    tx.build_keyword_index_manifest(
+        docs.filter(F.col("doc_id") % 2 == 0), kroot
+    )
+    tx.build_keyword_index_manifest(
+        docs.filter(F.col("doc_id") % 2 == 1), kroot
+    )
+    probe = tx.keyword_manifest_bm25_probe(spark, kroot)
+    probe.collect()
+    kbuckets = sorted({tx._term_bucket(t) for t in tx.KEYWORD_QUERY})
+    kplan = _executed_plan(probe)
+    kwant = f"IN ({','.join(str(b) for b in kbuckets)})"
+    khits = [
+        seg for seg in kplan.split("PartitionFilters: [")[1:]
+        if seg.split("]", 1)[0].find(kwant) >= 0
+    ]
+    assert len(khits) >= 2, (kwant, kplan[:2000])
