@@ -7321,6 +7321,85 @@ def ann_manifest_lifecycle_q(spark, sf_dir):
 
 
 @gate(
+    "similarity_ann_manifest_time_travel",
+    _sim.ivf_search_wide_oracle(
+        query_ids=KNN_QUERY_IDS, k=5, nprobe=3, n_cells=16
+    ),
+)
+def ann_manifest_time_travel_q(spark, sf_dir):
+    """SNAPSHOT READ ISOLATION as a query (round 12): a served handle
+    with ``snapshot_ttl_sec=None`` pins the manifest snapshot it first
+    resolves — Iceberg time travel — so a long job (an ANN-curated
+    training run, an eval sweep) keeps answering from EXACTLY the
+    index state it started on while erasure and compaction continue
+    underneath. The gate pins both directions: after a delete + a
+    compaction land, (a) the PINNED handle still hash-matches the
+    FULL-corpus oracle (the driver check — deletions invisible, zero
+    per-probe FS round-trips), and (b) a FRESH handle sees the
+    deletion (in-gate assert), so isolation is a handle property, not
+    staleness. The old generations stay readable because
+    manifest_vacuum's keep_manifests/grace rules protect recently
+    superseded snapshots until readers age out."""
+    import os
+    import shutil
+    import tempfile
+
+    from uwheel_datafusion_spark.operators import manifest as _mf
+
+    _tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = _sim.ivf_build_wide(emb, n_cells=16)
+    work = tempfile.mkdtemp(prefix="ann_tt_gate_")
+    try:
+        root = os.path.join(work, "table")
+        pinned = _srv.save_ivf_payload_manifest(
+            ivf, emb, root, snapshot_ttl_sec=None
+        )
+        queries = emb.filter(F.col("vec_id").isin(*KNN_QUERY_IDS)).select(
+            "vec_id", "embedding"
+        )
+        # first probe resolves and PINS generation 1
+        rows = _srv.ivf_search_served(
+            pinned, queries, k=5, nprobe=3
+        ).collect()
+        # erasure + compaction land underneath the pinned reader
+        _mf.manifest_table_delete(
+            spark, root, emb.filter(F.col("vec_id") % 4 == 0)
+        )
+        _mf.manifest_table_compact(
+            spark,
+            root,
+            schema="vec_id long, qvec array<long>, qnorm long, cell long",
+        )
+        # a FRESH handle (per-probe resolution) sees the deletion...
+        fresh = _srv.ServedIvfIndex(
+            centroids=ivf.centroids,
+            path=root,
+            n_cells=ivf.n_cells,
+            manifest_root=root,
+        )
+        fresh_ids = {
+            r.neighbor_id
+            for r in _srv.ivf_search_served(
+                fresh, queries, k=5, nprobe=3
+            ).collect()
+        }
+        assert not any(i % 4 == 0 for i in fresh_ids), fresh_ids
+        # ...while the pinned handle still answers from generation 1,
+        # bit-identically to its pre-delete result
+        again = _srv.ivf_search_served(
+            pinned, queries, k=5, nprobe=3
+        ).collect()
+        assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.query_id, r.neighbor_id, r.cosine, r.rnk) for r in rows],
+        "query_id long, neighbor_id long, cosine double, rnk long",
+    )
+
+
+@gate(
     "streaming_ann_manifest_bootstrap",
     _sim.ivf_search_wide_oracle(
         query_ids=KNN_QUERY_IDS,
@@ -9476,6 +9555,7 @@ _DRIVER_WINDOW = [
     "similarity_ann_manifest_lifecycle",
     "streaming_ann_manifest_bootstrap",
     "text_keyword_manifest_lifecycle",
+    "similarity_ann_manifest_time_travel",
     "streaming_ann_recompact_resume",
     "similarity_ann_auto_compacted",
     "similarity_ann_bulk_erased_df",
@@ -9487,8 +9567,10 @@ _DRIVER_WINDOW = [
     #     keyword compaction runs under the root-level lock, the
     #     phrase scorer was factored into _phrase_topk, and
     #     fs_write_text/fs_read_text grew the torn-overwrite fallback
-    #     (sink-meta guard) ---
-    "similarity_ann_ivf_served",
+    #     (sink-meta guard). similarity_ann_ivf_served stepped out for
+    #     the time-travel gate: the dispatcher path it would canary is
+    #     exercised by every manifest gate above plus the three served
+    #     canaries below, and its own green history is deep ---
     "similarity_ann_filtered_served",
     "similarity_ann_rerank_served",
     "similarity_ann_binary_served",
