@@ -296,3 +296,53 @@ def test_keyword_manifest_compact_rebase(spark, sf_smoke, tmp_path):
     assert sorted(map(tuple,
         tx.keyword_manifest_bm25_probe(spark, root).collect()
     )) == want
+
+
+def test_commit_stream_dir_refusals(spark, tmp_path):
+    """manifest_commit_stream_dir must refuse a dir outside the root
+    (streams must target manifest_stream_target) and a dir with no
+    sink log (batch generations go through manifest_table_append)."""
+    root = str(tmp_path / "t")
+    outside = str(tmp_path / "elsewhere")
+    _df(spark, 0, 5).write.parquet(outside)
+    with pytest.raises(ValueError, match="not a direct child"):
+        mf.manifest_commit_stream_dir(spark, root, outside)
+    inside = mf.manifest_stream_target(root)
+    _df(spark, 0, 5).write.parquet(inside)  # plain batch dir, no log
+    with pytest.raises(ValueError, match="no _spark_metadata"):
+        mf.manifest_commit_stream_dir(spark, root, inside)
+
+
+def test_snapshot_ttl_cache_semantics(spark, sf_smoke, tmp_path):
+    """snapshot_ttl_sec on the served handle: 0.0 re-resolves per
+    probe (sees new commits immediately), None pins the first-resolved
+    snapshot for the handle's lifetime (Iceberg read isolation)."""
+    import uwheel_datafusion_spark.operators.ann_serving as srv
+    import uwheel_datafusion_spark.operators.similarity as sim
+    from uwheel_datafusion_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    ivf = sim.ivf_build_wide(emb, n_cells=4)
+    root = str(tmp_path / "ann")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    fresh = srv.save_ivf_payload_manifest(ivf, half, root)  # ttl 0.0
+    pinned = srv.ServedIvfIndex(
+        centroids=ivf.centroids, path=root, n_cells=ivf.n_cells,
+        manifest_root=root, snapshot_ttl_sec=None,
+    )
+    q = emb.filter(F.col("vec_id").isin(0, 2)).select(
+        "vec_id", "embedding"
+    )
+    before_fresh = srv.ivf_search_served(fresh, q, k=4, nprobe=4).collect()
+    before_pin = srv.ivf_search_served(pinned, q, k=4, nprobe=4).collect()
+    assert sorted(map(tuple, before_fresh)) == sorted(map(tuple, before_pin))
+    mf.manifest_table_append(
+        spark, root,
+        srv.ivf_payload_frame(ivf, emb.filter(F.col("vec_id") % 2 == 1)),
+    )
+    after_fresh = srv.ivf_search_served(fresh, q, k=4, nprobe=4).collect()
+    after_pin = srv.ivf_search_served(pinned, q, k=4, nprobe=4).collect()
+    # ttl=0 sees generation 2; the pinned handle answers unchanged
+    assert sorted(map(tuple, after_fresh)) != sorted(map(tuple, before_fresh))
+    assert sorted(map(tuple, after_pin)) == sorted(map(tuple, before_pin))
+    ivf.cells.unpersist()
