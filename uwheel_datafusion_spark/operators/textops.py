@@ -1591,28 +1591,15 @@ def compact_keyword_index(
     its heartbeat age, same contract as compact_partitioned_table
     (round 12 — VERDICT r11 next #8)."""
     from uwheel_datafusion_spark.operators.util import (
-        fs_lock_age_sec,
+        fs_acquire_lock,
         fs_release_lock,
-        fs_try_lock,
     )
 
     root_lock = f"{path}__maintenance_lock"
-    if not fs_try_lock(spark, root_lock):
-        age = fs_lock_age_sec(spark, root_lock)
-        stale = (
-            stale_lock_after_sec is not None
-            and age is not None
-            and age > stale_lock_after_sec
-        )
-        if not (steal_lock or stale):
-            raise RuntimeError(
-                f"{root_lock} exists: another keyword-index "
-                f"maintenance of {path} is in flight (or crashed "
-                "while holding the lock). If the holder is known "
-                "dead, re-run with steal_lock=True; or pass "
-                "stale_lock_after_sec to steal automatically once "
-                "the holder's heartbeat goes stale."
-            )
+    fs_acquire_lock(
+        spark, root_lock, steal_lock, stale_lock_after_sec,
+        what=f"keyword-index maintenance of {path}",
+    )
     try:
         return _compact_keyword_locked(
             spark, path, n_buckets, stream_retired, steal_lock
@@ -1633,10 +1620,12 @@ def _compact_keyword_locked(
     )
     from uwheel_datafusion_spark.operators.util import (
         fs_delete,
+        fs_heartbeat,
         fs_is_dir,
         fs_rename,
     )
 
+    root_lock = f"{path}__maintenance_lock"
     recover_keyword_maintenance(spark, path)
     stats_meta = f"{path}/stats/_spark_metadata"
     # Hadoop-FS check (ADVICE r10 #2): os.path.isdir is always false
@@ -1649,6 +1638,12 @@ def _compact_keyword_locked(
         )
     tomb = f"{path}/tombstones"
     tomb_arg = tomb if fs_exists(spark, tomb) else None
+    # the ROOT lock's heartbeat must advance across the long inner
+    # stages too (ADVICE r12 #1): the subtable compactions stamp their
+    # OWN locks, leaving the root heartbeat frozen at acquisition — a
+    # staleness budget sized to one stage would let a second scheduler
+    # steal the root lock mid-postings-rewrite
+    fs_heartbeat(spark, root_lock)
     postings_files = compact_partitioned_table(
         spark,
         f"{path}/postings",
@@ -1663,6 +1658,7 @@ def _compact_keyword_locked(
     )
     positions_files = None
     if fs_exists(spark, f"{path}/positions"):
+        fs_heartbeat(spark, root_lock)  # postings stage survived
         positions_files = compact_partitioned_table(
             spark,
             f"{path}/positions",
@@ -1675,6 +1671,7 @@ def _compact_keyword_locked(
             reset_tombstones=False,
             steal_lock=steal_lock,
         )
+    fs_heartbeat(spark, root_lock)  # entering the stats rebase
     live = _live_stats(spark, path, with_dl=True).first()
     n_docs = int(live["n_docs"] or 0)
     total_dl = int(live["total_dl"] or 0)
@@ -1936,12 +1933,18 @@ def delete_docs_from_index_manifest(spark, root, doc_ids) -> int:
     """Tombstone ``doc_ids`` (iterable OR DataFrame — the id set never
     materializes on the driver for the frame form) and commit the
     EXACT stats correction in the same manifest publication. dl of
-    each deleted doc is recovered from its posting rows (Σtf ≡ dl);
-    idempotent via an anti-join against the snapshot's existing
-    tombstones, so redelivery subtracts nothing twice. Overlapping
-    CONCURRENT delete batches are the caller's to serialize (same
-    contract as the dir-swap family); sequential re-delivery is safe.
-    Returns the count of newly tombstoned ids."""
+    each deleted doc is recovered from its posting rows (Σtf ≡ dl).
+
+    Idempotence is REBASED inside the optimistic commit loop (ADVICE
+    r12 #5): the anti-join against existing tombstones, the dl
+    recovery, the staged tombstone dir, and the (n_docs, total_dl)
+    correction are all recomputed from the snapshot each commit
+    attempt sees — so two CONCURRENT overlapping delete batches
+    conflict, and the loser's retry re-deduplicates against the
+    winner's just-committed tombstones instead of double-subtracting
+    the overlap from the BM25 stats. A loser's abandoned tomb dir is
+    unreferenced garbage for manifest_vacuum. Returns the count of
+    newly tombstoned ids (0 when every id was already dead)."""
     from pyspark.sql import DataFrame as _DF
 
     from uwheel_datafusion_spark.operators.manifest import (
@@ -1950,8 +1953,7 @@ def delete_docs_from_index_manifest(spark, root, doc_ids) -> int:
         manifest_latest,
     )
 
-    snap = manifest_latest(spark, root)
-    if snap is None:
+    if manifest_latest(spark, root) is None:
         raise ValueError(f"{root}: no committed manifest generation")
     if isinstance(doc_ids, _DF):
         ids_df = (
@@ -1965,50 +1967,55 @@ def delete_docs_from_index_manifest(spark, root, doc_ids) -> int:
         ids_df = spark.createDataFrame(
             [(i,) for i in sorted({int(i) for i in doc_ids})], "doc_id long"
         )
-    dead_prior = _manifest_union(
-        spark, root, snap.tombstone_dirs, "doc_id long"
-    )
-    if dead_prior is not None:
-        ids_df = ids_df.join(dead_prior, "doc_id", "left_anti")
     ids_df = ids_df.persist()
-    try:
-        n_new = ids_df.count()
-        if not n_new:
-            return 0
+    result = {"n_new": 0}
+
+    class _NothingNew(Exception):
+        pass
+
+    def mutate(s):
+        fresh = ids_df
+        dead_prior = _manifest_union(
+            spark, root, s.tombstone_dirs, "doc_id long"
+        )
+        if dead_prior is not None:
+            fresh = fresh.join(dead_prior, "doc_id", "left_anti")
         postings = _manifest_union(
             spark,
             root,
-            snap.data_dirs,
+            s.data_dirs,
             "t string, doc_id long, tf long, bucket long",
         )
         dl = (
-            postings.join(F.broadcast(ids_df), "doc_id")
+            postings.join(F.broadcast(fresh), "doc_id")
             .groupBy("doc_id")
             .agg(F.sum("tf").cast("long").alias("dl"))
         )
-        frame = ids_df.join(dl, "doc_id", "left").select(
+        frame = fresh.join(dl, "doc_id", "left").select(
             "doc_id", F.coalesce("dl", F.lit(0)).cast("long").alias("dl")
         ).persist()
-        tname = f"tomb-{_token()}"
-        frame.write.parquet(f"{root}/{tname}")
-        corr = frame.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl")
-        ).collect()[0]
+        try:
+            corr = frame.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl")
+            ).collect()[0]
+            n_new = int(corr["n"])
+            if not n_new:
+                raise _NothingNew
+            tname = f"tomb-{_token()}"
+            frame.write.parquet(f"{root}/{tname}")
+        finally:
+            frame.unpersist()
+        result["n_new"] = n_new
+        extra = dict(s.extra)
+        extra["n_docs"] = int(extra["n_docs"]) - n_new
+        extra["total_dl"] = int(extra["total_dl"]) - int(corr["dl"] or 0)
+        return s.data_dirs, s.tombstone_dirs + (tname,), "delete", extra
 
-        def mutate(s):
-            extra = dict(s.extra)
-            extra["n_docs"] = int(extra["n_docs"]) - int(corr["n"])
-            extra["total_dl"] = int(extra["total_dl"]) - int(corr["dl"] or 0)
-            return (
-                s.data_dirs,
-                s.tombstone_dirs + (tname,),
-                "delete",
-                extra,
-            )
-
+    try:
         _commit_with_retry(spark, root, mutate)
-        frame.unpersist()
-        return n_new
+        return result["n_new"]
+    except _NothingNew:
+        return 0
     finally:
         ids_df.unpersist()
 
@@ -2156,27 +2163,16 @@ def compact_keyword_index_manifest(
         manifest_latest,
     )
     from uwheel_datafusion_spark.operators.util import (
-        fs_lock_age_sec,
+        fs_acquire_lock,
+        fs_heartbeat,
         fs_release_lock,
-        fs_try_lock,
     )
 
     lock = f"{root}__maintenance_lock"
-    if not fs_try_lock(spark, lock):
-        age = fs_lock_age_sec(spark, lock)
-        stale = (
-            stale_lock_after_sec is not None
-            and age is not None
-            and age > stale_lock_after_sec
-        )
-        if not (steal_lock or stale):
-            raise RuntimeError(
-                f"{lock} exists: another compaction of {root} is in "
-                "flight (or crashed while holding the lock). If the "
-                "holder is known dead, re-run with steal_lock=True; "
-                "or pass stale_lock_after_sec to steal automatically "
-                "once the holder's heartbeat goes stale."
-            )
+    fs_acquire_lock(
+        spark, lock, steal_lock, stale_lock_after_sec,
+        what=f"compaction of {root}",
+    )
     try:
         base = manifest_latest(spark, root)
         if base is None:
@@ -2192,12 +2188,17 @@ def compact_keyword_index_manifest(
             if dead is not None:
                 rows = rows.join(dead, "doc_id", "left_anti")
             name = f"{prefix}-{_token()}"
+            # the fold is the long stage — bracket it with heartbeats
+            # so stale_lock_after_sec can be sized to ONE stage, not
+            # the whole job (ADVICE r12 #1)
+            fs_heartbeat(spark, lock)
             (
                 rows.repartition(F.col("bucket"))
                 .sortWithinPartitions("bucket", "t", "doc_id")
                 .write.partitionBy("bucket")
                 .parquet(f"{root}/{name}")
             )
+            fs_heartbeat(spark, lock)
             return name
 
         folded = _fold(

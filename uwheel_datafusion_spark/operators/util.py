@@ -113,6 +113,50 @@ def fs_mtime(spark: SparkSession, path: str) -> "float | None":
     return fs.getFileStatus(jpath).getModificationTime() / 1000.0
 
 
+#: Marker framing (ADVICE r12 #2): fs_write_text prefixes every marker
+#: with one header line carrying the payload's byte length + sha256, so
+#: fs_read_text can tell a COMPLETE ``.tmp`` sibling (crash between the
+#: overwrite's delete and rename — safe to serve) from a TORN one
+#: (crash mid tmp-write — must be ignored). Without the frame the two
+#: are indistinguishable, and a truncated ``_STAGED_PARTS`` read through
+#: the fallback would make recover_compaction treat real staged
+#: partitions as fold-to-empty: silent data loss.
+_FRAME_PREFIX = "#fsv1 "
+
+
+def _frame_text(text: str) -> str:
+    import hashlib
+
+    body = text.encode("utf-8")
+    return (
+        f"{_FRAME_PREFIX}{hashlib.sha256(body).hexdigest()} "
+        f"{len(body)}\n{text}"
+    )
+
+
+def _unframe_text(raw: str) -> "tuple[str | None, bool]":
+    """(payload, framed): payload is None for a framed-but-INVALID
+    read (torn tmp); unframed legacy content passes through as-is."""
+    import hashlib
+
+    if not raw.startswith(_FRAME_PREFIX):
+        return raw, False
+    head, _, body = raw.partition("\n")
+    parts = head[len(_FRAME_PREFIX):].split()
+    if len(parts) != 2:
+        return None, True
+    digest, nbytes = parts
+    enc = body.encode("utf-8")
+    try:
+        if len(enc) != int(nbytes):
+            return None, True
+    except ValueError:
+        return None, True
+    if hashlib.sha256(enc).hexdigest() != digest:
+        return None, True
+    return body, True
+
+
 def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
     """Atomic small-file text write via the Hadoop FS (tmp + rename) —
     for sidecar markers (epoch meta) that must live NEXT TO the table
@@ -127,17 +171,21 @@ def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
     The tmp sibling is therefore written COMPLETE and durable BEFORE
     the delete, and :func:`fs_read_text` falls back to it when the
     main file is absent — every crash window leaves a readable marker
-    carrying either the old or the new content, never nothing. The
-    only unreadable-tmp window is a crash MID-WRITE of the tmp on a
-    FIRST write (no main file existed): readers see exactly what they
-    saw before the write started — no marker — which is the pre-write
-    state, not a lost one."""
+    carrying either the old or the new content, never nothing.
+
+    Content is FRAMED (one header line: sha256 + byte length — ADVICE
+    r12 #2) so the fallback can validate the tmp: a crash MID-WRITE of
+    the tmp truncates it, and an unvalidated fallback would serve the
+    torn content as if it were the marker — for ``_STAGED_PARTS`` that
+    turns live partitions into fold-to-empty candidates (data loss).
+    A torn tmp now reads as "no marker" (first write) or as the intact
+    main file (overwrite), never as truncated content."""
     fs, _ = _hadoop_fs(spark, path)
     jvm = spark._jvm
     tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
     out = fs.create(tmp, True)
     try:
-        out.write(bytearray(text.encode("utf-8")))
+        out.write(bytearray(_frame_text(text).encode("utf-8")))
     finally:
         out.close()
     jdst = jvm.org.apache.hadoop.fs.Path(path)
@@ -147,21 +195,8 @@ def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
         raise IOError(f"rename failed: {path}.tmp -> {path}")
 
 
-def fs_read_text(spark: SparkSession, path: str) -> "str | None":
-    """Small-file text read via the Hadoop FS; None when absent.
-
-    Falls back to the ``.tmp`` sibling when the main file is missing:
-    fs_write_text's overwrite is delete-then-rename (Hadoop rename
-    does not clobber), so a crash between the two leaves only the
-    fully-written tmp — without the fallback a torn overwrite would
-    read as "no marker" and silently drop the guard the marker
-    carries (ADVICE r11 #3)."""
-    fs, jpath = _hadoop_fs(spark, path)
-    if not fs.exists(jpath):
-        jtmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
-        if not fs.exists(jtmp):
-            return None
-        jpath = jtmp
+def _fs_read_raw(spark: SparkSession, jpath) -> str:
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     stream = fs.open(jpath)
     try:
         # commons-io drains the stream JVM-side: a py4j readFully(buf)
@@ -174,6 +209,35 @@ def fs_read_text(spark: SparkSession, path: str) -> "str | None":
         )
     finally:
         stream.close()
+
+
+def fs_read_text(spark: SparkSession, path: str) -> "str | None":
+    """Small-file text read via the Hadoop FS; None when absent.
+
+    Falls back to the ``.tmp`` sibling when the main file is missing:
+    fs_write_text's overwrite is delete-then-rename (Hadoop rename
+    does not clobber), so a crash between the two leaves only the
+    fully-written tmp — without the fallback a torn overwrite would
+    read as "no marker" and silently drop the guard the marker
+    carries (ADVICE r11 #3).
+
+    The tmp is only served when its FRAME validates (ADVICE r12 #2):
+    a crash mid tmp-write leaves a truncated file whose length/sha256
+    header no longer matches, and serving it would hand recovery a
+    truncated partition list. An UNFRAMED tmp (legacy, or a file not
+    written by fs_write_text) is likewise refused — completeness is
+    unknowable. The MAIN file is served framed or not (framing is
+    stripped; pre-framing markers keep reading), because rename only
+    ever publishes complete files there."""
+    fs, jpath = _hadoop_fs(spark, path)
+    if fs.exists(jpath):
+        payload, _ = _unframe_text(_fs_read_raw(spark, jpath))
+        return payload
+    jtmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    if not fs.exists(jtmp):
+        return None
+    payload, framed = _unframe_text(_fs_read_raw(spark, jtmp))
+    return payload if framed else None
 
 
 def fs_try_lock(spark: SparkSession, path: str) -> bool:
@@ -271,3 +335,44 @@ def fs_release_lock(spark: SparkSession, lock: str) -> None:
     """Delete a maintenance lock AND its heartbeat sidecar."""
     fs_delete(spark, lock)
     fs_delete(spark, lock + ".hb")
+
+
+def fs_acquire_lock(
+    spark: SparkSession,
+    lock: str,
+    steal_lock: bool = False,
+    stale_lock_after_sec: "float | None" = None,
+    what: str = "maintenance",
+) -> None:
+    """THE maintenance-lock acquisition protocol, shared by every
+    compaction/merge entry point (they previously each inlined it —
+    and none re-stamped the heartbeat on a STEAL, ADVICE r12 #1):
+    atomically create the lock, else steal it when the caller asserts
+    the holder dead (``steal_lock``) or proves it from a stale
+    heartbeat (``stale_lock_after_sec``), else raise.
+
+    A STEAL re-stamps the heartbeat immediately: the stolen lock's
+    frozen timestamp would otherwise stay stale, letting a SECOND
+    scheduler also steal mid-run — two concurrent compactions of the
+    same table, each folding the other's staged dirs into one snapshot
+    (every base row duplicated in subsequent probes). Re-stamping
+    closes that window to the one steal decision."""
+    if fs_try_lock(spark, lock):
+        return
+    age = fs_lock_age_sec(spark, lock)
+    stale = (
+        stale_lock_after_sec is not None
+        and age is not None
+        and age > stale_lock_after_sec
+    )
+    if not (steal_lock or stale):
+        raise RuntimeError(
+            f"{lock} exists: another {what} is in flight (or crashed "
+            "while holding the lock). If the holder is known dead, "
+            "re-run with steal_lock=True; or pass stale_lock_after_sec "
+            "to steal automatically once the holder's heartbeat goes "
+            "stale."
+        )
+    # stolen: claim liveness NOW so the next caller's staleness check
+    # measures THIS holder, not the crashed one
+    fs_heartbeat(spark, lock)
