@@ -853,6 +853,103 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
     }
     rot_idx.codes.unpersist()
 
+    # RESIDUAL codes in the SERVED tier + the m=16 budget sweep
+    # (round 13 — VERDICT r12 next #1: the r12 rerank frontier capped
+    # at 0.52 recall regardless of nprobe/candidates because the m=8
+    # plain-code budget binds; residual encoding and a doubled code
+    # budget are the two public levers, both now served).
+    from uwheel_datafusion_spark.operators.ann_serving import (
+        save_ivfpq_payload_residual,
+    )
+    from uwheel_datafusion_spark.operators.similarity import (
+        pq_build_residual,
+    )
+
+    def _rerank_points(codes_srv, points):
+        out = {}
+        for np_, nc in points:
+            t0 = time.perf_counter()
+            fr = ivfpq_rerank_served(
+                codes_srv, ivf_srv, ann_queries, topk=10, nprobe=np_,
+                n_candidates=nc,
+            ).collect()
+            out[f"nprobe_{np_}_cand_{nc}"] = {
+                "search_sec": round(time.perf_counter() - t0, 2),
+                "recall_at_10": _recall(fr),
+            }
+        return out
+
+    residual_m16 = {}
+    for m_, tag in ((8, "residual_m8"), (16, "residual_m16")):
+        t0 = time.perf_counter()
+        res_idx = pq_build_residual(emb, ivf_idx, m=m_, k=256)
+        build_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res_srv = save_ivfpq_payload_residual(
+            res_idx, f"{ann_work}/pqres{m_}"
+        )
+        layout_sec = time.perf_counter() - t0
+        res_idx.codes.unpersist()
+        t0 = time.perf_counter()
+        adc_rows = ivfpq_search_served(
+            res_srv, ann_queries, topk=10, nprobe=32
+        ).collect()
+        adc_sec = time.perf_counter() - t0
+        residual_m16[tag] = {
+            "build_sec": round(build_sec, 2),
+            "layout_write_sec": round(layout_sec, 2),
+            "adc_search_sec": round(adc_sec, 2),
+            "adc_recall_at_10": _recall(adc_rows),
+            "rerank": _rerank_points(
+                res_srv, [(32, 100), (32, 400), (128, 400)]
+            ),
+            "k_per_subspace": 256,
+        }
+    # plain m=16 rerank point for the budget-vs-encoding attribution
+    t0 = time.perf_counter()
+    pq16 = pq_build_wide(emb, m=16, k=256)
+    pq16_build_sec = time.perf_counter() - t0
+    pq16_srv = save_ivfpq_payload(ivf_idx, pq16, f"{ann_work}/pq16")
+    pq16.codes.unpersist()
+    residual_m16["plain_m16"] = {
+        "build_sec": round(pq16_build_sec, 2),
+        "rerank": _rerank_points(pq16_srv, [(32, 400)]),
+        "k_per_subspace": 256,
+    }
+    # rotated-residual (OPQ-style) serving: coarse quantizer AND
+    # residual codebooks in Hadamard-rotated space, queries rotated
+    # driver-side; refine stays raw-space against a payload cell-
+    # partitioned by the SAME rotated quantizer
+    t0 = time.perf_counter()
+    rot_ivf = ivf_build_wide(emb, n_cells=ann_cells, rotate=True)
+    rot_ivf_build_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rot_res = pq_build_residual(emb, rot_ivf, m=8, k=256, rotate=True)
+    rot_res_build_sec = time.perf_counter() - t0
+    rot_srv = save_ivfpq_payload_residual(
+        rot_res, f"{ann_work}/pqrotres", rotated=True
+    )
+    rot_res.codes.unpersist()
+    rot_payload = save_ivf_payload(rot_ivf, emb, f"{ann_work}/ivf_rot")
+    rot_ivf.cells.unpersist()
+    rot_points = {}
+    for np_, nc in [(32, 400), (128, 400)]:
+        t0 = time.perf_counter()
+        fr = ivfpq_rerank_served(
+            rot_srv, rot_payload, ann_queries, topk=10, nprobe=np_,
+            n_candidates=nc,
+        ).collect()
+        rot_points[f"nprobe_{np_}_cand_{nc}"] = {
+            "search_sec": round(time.perf_counter() - t0, 2),
+            "recall_at_10": _recall(fr),
+        }
+    residual_m16["rotated_residual_m8"] = {
+        "ivf_build_sec": round(rot_ivf_build_sec, 2),
+        "build_sec": round(rot_res_build_sec, 2),
+        "rerank": rot_points,
+        "k_per_subspace": 256,
+    }
+
     detail["ann_1m"] = {
         "n_vectors": n_vec,
         "corpus": f"clustered-{n_latent}-aniso-g0.5-n0.5",
@@ -888,6 +985,7 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
         "ivfpq_rerank_frontier": rerank_frontier,
         "binary_served_1m": binary_served_1m,
         "pq_rotated_vs_plain_1m": pq_rotated_1m,
+        "residual_served_1m": residual_m16,
     }
 
     # planted near-duplicate probe at 1 M vectors: the synthetic

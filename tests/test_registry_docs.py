@@ -47,3 +47,41 @@ def test_gate_wrapper_tunes_vanilla_session(spark):
     spark.conf.set(key, "")  # simulate an untuned session
     g.REGISTRY["text_profile"].fn(spark, "/root/testdata/sf0.001").count()
     assert "InferFiltersFromGenerate" in (spark.conf.get(key) or "")
+
+
+def test_readme_component_table_covers_gated_families():
+    """VERDICT r12 next #8: the coverage-map table rotted past round 9
+    once — pin one representative gate name per driver-gated family so
+    a new family can't ship without its README row."""
+    with open("README.md") as f:
+        readme = f.read()
+    q = entry_mod.queries()
+    representatives = [
+        # one per family, oldest → newest
+        "wheel_rollup_minute" if "wheel_rollup_minute" in q else "sql_scan_sum_range",
+        "router_multi_agg_range",
+        "streaming_table_sink_parity",
+        "dedup_minhash_lsh_capped",
+        "similarity_ann_rerank_served",
+        "text_keyword_index_erased",
+        "retrieval_hybrid_served",
+        # round 12 families
+        "similarity_ann_auto_compacted",
+        "streaming_ann_recompact_resume",
+        "similarity_ann_manifest_lifecycle",
+        "similarity_ann_manifest_time_travel",
+        "similarity_ann_bulk_erased_df",
+        # round 13 families
+        "similarity_ann_ivfpq_residual_served",
+        "similarity_ann_ivfpq_rotated_served",
+        "similarity_ann_ivf_sampled_served",
+        "streaming_table_sink_manifest_parity",
+        "similarity_ann_manifest_auto_compacted",
+    ]
+    missing_from_registry = [n for n in representatives if n not in q]
+    assert not missing_from_registry, missing_from_registry
+    missing_from_readme = [n for n in representatives if n not in readme]
+    assert not missing_from_readme, (
+        f"driver-gated families missing a README coverage row: "
+        f"{missing_from_readme}"
+    )

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 import uwheel_datafusion_spark.operators.ann_serving as srv
 import uwheel_datafusion_spark.operators.manifest as mf
+import uwheel_datafusion_spark.operators.similarity as sim
 import uwheel_datafusion_spark.operators.textops as tx
 import uwheel_datafusion_spark.operators.util as util
 from uwheel_datafusion_spark.sources.registry import load_table
@@ -224,3 +225,166 @@ def test_manifest_delete_concurrent_overlap_rebases(spark, tmp_path):
     # every probe masks the union
     hits = tx.keyword_manifest_probe(spark, root, k=50).collect()
     assert not ({r.doc_id for r in hits} & set(union))
+
+
+def _parity(got_df, want_df):
+    assert sorted(map(tuple, got_df.collect())) == sorted(
+        map(tuple, want_df.collect())
+    )
+
+
+def test_residual_served_bit_parity(spark, tmp_path):
+    """VERDICT r12 next #1: the served codes table can now carry
+    RESIDUAL codes — search must be bit-identical to the in-memory
+    residual path (same per-(query, probed-cell) LUTs, same
+    tie-breaks), so the same DuckDB oracle gates both."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = (1, 2, 3)
+    ivf = sim.ivf_build_wide(emb, n_cells=8)
+    rpq = sim.pq_build_residual(emb, ivf, m=8, k=16)
+    served = srv.save_ivfpq_payload_residual(rpq, str(tmp_path / "codes"))
+    assert served.residual and not served.rotated
+    queries = emb.filter(F.col("vec_id").isin(*qids)).select(
+        "vec_id", "embedding"
+    )
+    got = srv.ivfpq_search_served(served, queries, topk=5, nprobe=3)
+    want = sim.ivfpq_search_residual(rpq, emb, qids, topk=5, nprobe=3)
+    _parity(got, want)
+    ivf.cells.unpersist()
+    rpq.codes.unpersist()
+
+
+def test_rotated_residual_served_bit_parity(spark, tmp_path):
+    """The Hadamard pre-rotation composes: coarse cells + residual
+    codebooks trained in rotated space, queries rotated driver-side —
+    served search ≡ in-memory rotate-aware residual search, and the
+    two-stage rerank refines RAW-space from the rotated-cell IVF
+    payload."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = (1, 2, 3)
+    ivf = sim.ivf_build_wide(emb, n_cells=8, rotate=True)
+    rpq = sim.pq_build_residual(emb, ivf, m=8, k=16, rotate=True)
+    served = srv.save_ivfpq_payload_residual(
+        rpq, str(tmp_path / "codes"), rotated=True
+    )
+    queries = emb.filter(F.col("vec_id").isin(*qids)).select(
+        "vec_id", "embedding"
+    )
+    got = srv.ivfpq_search_served(served, queries, topk=5, nprobe=3)
+    want = sim.ivfpq_search_residual(
+        rpq, emb, qids, topk=5, nprobe=3, rotate=True
+    )
+    _parity(got, want)
+    # rerank: candidates rotated-residual, refine exact raw-space from
+    # the IVF payload partitioned by the SAME rotated-space quantizer
+    ivf_served = srv.save_ivf_payload(ivf, emb, str(tmp_path / "payload"))
+    rr = srv.ivfpq_rerank_served(
+        served, ivf_served, queries, topk=5, nprobe=3, n_candidates=10
+    )
+    rows = rr.collect()
+    assert {r.query_id for r in rows} == set(qids)
+    assert all(r.rnk <= 5 for r in rows)
+    ivf.cells.unpersist()
+    rpq.codes.unpersist()
+
+
+def test_sample_trained_kmeans_deterministic(spark):
+    """Sample-trained k-means (VERDICT r12 next #2/#3) must be
+    invariant to physical partitioning: the hash-ranked training
+    prefix and init are a total order on vec_id, so two builds over
+    differently-partitioned inputs yield identical centroids."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = sim.ivf_build_wide(emb.repartition(7), n_cells=8, train_sample=100)
+    b = sim.ivf_build_wide(emb, n_cells=8, train_sample=100)
+    assert a.centroids == b.centroids
+    # and the final assignment is exact over the FULL corpus: every
+    # vec_id present exactly once
+    n = emb.count()
+    assert a.cells.count() == n and b.cells.count() == n
+    a.cells.unpersist()
+    b.cells.unpersist()
+
+
+def test_manifest_rollup_epoch_guard_and_compact(spark, tmp_path):
+    """Manifest rollup sink semantics (VERDICT r12 next #5): replayed
+    epochs are no-ops read from the commit log itself, newer
+    generations win per slot key, compaction folds to one dir with the
+    guard intact, and a foreign checkpoint is refused."""
+    import uwheel_datafusion_spark.operators.rollup_io as rio
+
+    root = str(tmp_path / "r")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "bucket_ms long, sum_micros long, cnt long"
+        )
+
+    day = 86_400_000
+    s1 = rio.manifest_rollup_append(
+        spark, root, batch([(0, 10, 1), (day, 20, 2)]),
+        epoch=0, checkpoint="ck",
+    )
+    assert s1.gen == 1 and s1.extra["epoch"] == 0
+    # replayed epoch: no-op
+    assert rio.manifest_rollup_append(
+        spark, root, batch([(0, 99, 9)]), epoch=0, checkpoint="ck"
+    ) is None
+    # newer epoch updates slot 0 (current totals), adds a slot
+    rio.manifest_rollup_append(
+        spark, root, batch([(0, 30, 3), (2 * day, 5, 1)]),
+        epoch=1, checkpoint="ck",
+    )
+    got = sorted(
+        (r.bucket_ms, r.sum_micros, r.cnt)
+        for r in rio.manifest_rollup_read(spark, root).collect()
+    )
+    want = [(0, 30, 3), (day, 20, 2), (2 * day, 5, 1)]
+    assert got == want
+    # foreign checkpoint refused
+    with pytest.raises(ValueError, match="checkpoint"):
+        rio.manifest_rollup_append(
+            spark, root, batch([(0, 1, 1)]), epoch=9, checkpoint="other"
+        )
+    # auto-compact policy: 2 generations, threshold 1 → due, folds
+    from uwheel_datafusion_spark.operators import maintenance as mnt
+
+    out = mnt.auto_compact_rollup_manifest(spark, root, max_generations=1)
+    assert out["due"] and out["compacted"] and out["generations_after"] == 1
+    assert sorted(
+        (r.bucket_ms, r.sum_micros, r.cnt)
+        for r in rio.manifest_rollup_read(spark, root).collect()
+    ) == want
+    # guard survived the fold: epoch 1 still replay-refused
+    assert rio.manifest_rollup_append(
+        spark, root, batch([(0, 1, 1)]), epoch=1, checkpoint="ck"
+    ) is None
+    # empty batch: no commit, no schemaless dir
+    gen_before = mf.manifest_latest(spark, root).gen
+    assert rio.manifest_rollup_append(
+        spark, root, batch([]).limit(0), epoch=7, checkpoint="ck"
+    ) is None
+    assert mf.manifest_latest(spark, root).gen == gen_before
+
+
+def test_keyword_manifest_auto_compact(spark, tmp_path):
+    """Keyword-manifest policy (VERDICT r12 next #6): tombstone mass
+    from the snapshot triggers the fold; stats ride unchanged."""
+    from uwheel_datafusion_spark.operators import maintenance as mnt
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    ids = sorted(
+        r.doc_id
+        for r in docs.select("doc_id").orderBy("doc_id").limit(20).collect()
+    )
+    docs = docs.filter(F.col("doc_id").isin(ids))
+    root = str(tmp_path / "kw")
+    tx.build_keyword_index_manifest(docs, root, with_positions=True)
+    pre = mnt.auto_compact_keyword_manifest(spark, root)
+    assert not pre["due"] and not pre["compacted"]
+    tx.delete_docs_from_index_manifest(spark, root, ids[:5])  # 25%
+    out = mnt.auto_compact_keyword_manifest(spark, root)
+    assert out["due_tombstones"] and out["compacted"]
+    snap = mf.manifest_latest(spark, root)
+    assert len(snap.data_dirs) == 1 and snap.tombstone_dirs == ()
+    hits = tx.keyword_manifest_bm25_probe(spark, root, k=50).collect()
+    assert not ({r.doc_id for r in hits} & set(ids[:5]))

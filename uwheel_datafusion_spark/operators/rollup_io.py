@@ -222,3 +222,191 @@ def upsert_rollup(
         fs_rename(spark, src, dst)
         fs_delete(spark, old_dir)
     fs_delete(spark, tmp)
+
+
+# --------------------------------------------------------------------------
+# manifest-committed rollup tables (round 13 — VERDICT r12 next #5)
+# --------------------------------------------------------------------------
+#
+# upsert_rollup's MERGE is per-partition-atomic via dir renames — the
+# S3A caveat util.fs_rename documents. The manifest endpoint replaces
+# it for the rollup family exactly as it did for the ANN/keyword
+# indexes: every micro-batch epoch publishes ONE immutable dt-
+# partitioned generation dir + ONE small-file commit; a slot's current
+# value is the row from the HIGHEST generation that carries its key
+# (update-mode batches emit CURRENT totals per slot, so
+# newest-generation-wins IS the MERGE). The epoch-replay guard and the
+# checkpoint-identity check ride the snapshot's ``extra`` — atomically
+# with the data, which the _sink_meta.json sidecar could not give
+# (ADVICE r11 #3's torn-overwrite dance exists because of that gap).
+# Compaction folds latest-per-key into one generation; vacuum reclaims
+# folded dirs; a commit-point crash leaves an unreferenced orphan dir
+# and an unchanged epoch guard, so the replay re-applies cleanly —
+# exactly-once without any marker recovery protocol.
+
+
+def manifest_rollup_append(
+    spark,
+    root: str,
+    batch: DataFrame,
+    key_cols: "tuple[str, ...]" = ("bucket_ms",),
+    epoch: "int | None" = None,
+    checkpoint: "str | None" = None,
+    note: str = "epoch",
+):
+    """Publish one micro-batch (CURRENT totals per slot key) as a new
+    rollup generation. Returns the committed Snapshot, or None when
+    ``epoch`` is ≤ the snapshot's recorded epoch (a replayed epoch —
+    the foreachBatch guard, now read from the commit log itself).
+    Raises when the table was maintained under a different checkpoint
+    (epoch ids are only comparable within one checkpoint)."""
+    from uwheel_datafusion_spark.operators.manifest import (
+        _commit_with_retry,
+        _token,
+        manifest_latest,
+    )
+
+    snap = manifest_latest(spark, root)
+    if snap is not None:
+        saved = snap.extra.get("checkpoint")
+        if (
+            checkpoint is not None
+            and saved is not None
+            and saved != checkpoint
+        ):
+            raise ValueError(
+                f"rollup manifest {root!r} was maintained under "
+                f"checkpoint {saved!r} but is being resumed under "
+                f"{checkpoint!r}; epoch ids are only comparable within "
+                "one checkpoint"
+            )
+        if epoch is not None and epoch <= int(snap.extra.get("epoch", -1)):
+            return None  # replayed epoch: already committed
+        if tuple(snap.extra.get("key_cols", key_cols)) != tuple(key_cols):
+            raise ValueError(
+                f"{root}: key_cols {key_cols} differ from the table's "
+                f"{tuple(snap.extra.get('key_cols'))}"
+            )
+    if batch.isEmpty():
+        # update-mode triggers can fire with zero changed rows (e.g. a
+        # watermark-only advance); an empty generation dir would carry
+        # no parquet footer to read a schema from, and there is nothing
+        # to commit — the epoch guard intentionally stays put so a
+        # replay of the same empty epoch is another no-op
+        return None
+    dname = f"data-{_token()}"
+    (
+        batch.withColumn("dt", _dt_col())
+        .repartition("dt")
+        .write.partitionBy("dt")
+        .parquet(f"{root}/{dname}")
+    )
+
+    def mutate(s):
+        if s is not None and epoch is not None and epoch <= int(
+            s.extra.get("epoch", -1)
+        ):
+            # a concurrent commit already recorded this epoch
+            raise _EpochReplayed
+        dirs = (s.data_dirs if s else ()) + (dname,)
+        extra = dict(s.extra) if s else {}
+        extra["key_cols"] = list(key_cols)
+        if epoch is not None:
+            extra["epoch"] = int(epoch)
+        if checkpoint is not None:
+            extra["checkpoint"] = checkpoint
+        return dirs, (), note, extra
+
+    try:
+        return _commit_with_retry(spark, root, mutate)
+    except _EpochReplayed:
+        return None
+
+
+class _EpochReplayed(Exception):
+    pass
+
+
+def manifest_rollup_read(spark, root: str, snapshot=None) -> DataFrame:
+    """The table's current slots: newest-generation-wins per slot key.
+    Each generation dir is read independently (dt partition pruning
+    holds per dir; a pushed-down day predicate prunes every union
+    branch), tagged with its position in the snapshot's dir order, and
+    one window keeps the highest-generation row per key. After
+    compaction the union is a single dir and the window is a no-op
+    pass over distinct keys."""
+    from pyspark.sql import Window as W
+
+    from uwheel_datafusion_spark.operators.manifest import manifest_latest
+
+    snap = snapshot or manifest_latest(spark, root)
+    if snap is None or not snap.data_dirs:
+        raise ValueError(f"{root}: no committed rollup generations")
+    key_cols = [str(c) for c in snap.extra.get("key_cols", ("bucket_ms",))]
+    out = None
+    for i, d in enumerate(snap.data_dirs):
+        df = spark.read.parquet(f"{root}/{d}").withColumn(
+            "_gen", F.lit(i)
+        )
+        out = df if out is None else out.unionByName(df)
+    w = W.partitionBy(*key_cols).orderBy(F.col("_gen").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_gen")
+    )
+
+
+def manifest_rollup_compact(
+    spark,
+    root: str,
+    steal_lock: bool = False,
+    stale_lock_after_sec: "float | None" = None,
+    _before_commit=None,
+):
+    """Fold the snapshot's generations into ONE latest-per-key dir and
+    commit a snapshot referencing only it (+ any generations appended
+    since the fold, which stay NEWER in dir order so their rows keep
+    winning). Physical reclamation at manifest_vacuum. Same lock +
+    heartbeat discipline as manifest_table_compact."""
+    from uwheel_datafusion_spark.operators.manifest import (
+        _commit_with_retry,
+        _token,
+        manifest_latest,
+    )
+    from uwheel_datafusion_spark.operators.util import (
+        fs_acquire_lock,
+        fs_heartbeat,
+        fs_release_lock,
+    )
+
+    lock = f"{root}__maintenance_lock"
+    fs_acquire_lock(
+        spark, lock, steal_lock, stale_lock_after_sec,
+        what=f"rollup compaction of {root}",
+    )
+    try:
+        base = manifest_latest(spark, root)
+        if base is None:
+            raise ValueError(f"{root}: nothing to compact (no commits)")
+        folded = f"data-{_token()}"
+        fs_heartbeat(spark, lock)
+        (
+            manifest_rollup_read(spark, root, snapshot=base)
+            .repartition("dt")
+            .write.partitionBy("dt")
+            .parquet(f"{root}/{folded}")
+        )
+        fs_heartbeat(spark, lock)
+        if _before_commit is not None:
+            _before_commit()
+
+        def mutate(snap):
+            new_data = (folded,) + tuple(
+                d for d in snap.data_dirs if d not in base.data_dirs
+            )
+            return new_data, (), f"compact gen {base.gen}", dict(snap.extra)
+
+        return _commit_with_retry(spark, root, mutate)
+    finally:
+        fs_release_lock(spark, lock)

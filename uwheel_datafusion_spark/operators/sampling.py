@@ -48,6 +48,19 @@ def hash_bucket_sql(key: str, buckets: int = 100) -> str:
     )
 
 
+def hash_rank_sql(key: str) -> str:
+    """Portable SQL: the full Knuth-mix RANK in [0, 1e9+7) for a
+    bigint key — hash_bucket_sql without the bucket fold. Ordering by
+    (this, key) is a seeded deterministic shuffle of the rows that
+    renders identically in Spark SQL and DuckDB: the k-means training
+    samplers (round 13 — VERDICT r12 next #2/#3) take their sample AND
+    their centroid init as prefixes of this order, so the oracle
+    replays the exact training set and the init stops being the
+    n lowest vec_ids (which on clustered corpora can all land in one
+    latent cluster, wasting cells)."""
+    return f"(((abs({key}) % {_P1}) * {_KNUTH} + {_OFF}) % {_P2})"
+
+
 def hash_sample(
     df: DataFrame, key_col: str, pct: int, buckets: int = 100
 ) -> DataFrame:

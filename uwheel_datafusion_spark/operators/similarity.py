@@ -1651,19 +1651,56 @@ def ivf_build_wide(
     n_cells: int,
     n_iter: int = 2,
     vec_col: str = "embedding",
+    rotate: bool = False,
+    dim: int = 64,
+    train_sample: "int | None" = None,
 ) -> IvfIndex:
     """ivf_build without the literal-expression cell cap: same init
     (the n_cells lowest-vec_id vectors), same truncating integer
     centroid updates, assignment via the Arrow kernel. Bit-identical
-    to ivf_build wherever both run."""
+    to ivf_build wherever both run. ``rotate=True`` trains the coarse
+    quantizer in the Hadamard-ROTATED space (round 13 — the OPQ-style
+    pre-rotation for the served residual tier: rotation spreads
+    per-dimension variance so the PQ subspaces split information
+    evenly); centroids/cells are then rotated-space objects and
+    queries must be rotated before probe ranking.
+
+    ``train_sample=N`` (round 13 — VERDICT r12 next #2/#3, the FAISS
+    ``max_points_per_centroid`` discipline: size it ~256·n_cells)
+    trains the Lloyd loop on the first N rows of the seeded
+    hash-ranked order (sampling.hash_rank_sql — a deterministic,
+    DuckDB-replayable shuffle of the corpus) instead of the full
+    corpus, and seeds the centroids from that same order (fixing the
+    lowest-vec_id init, which on clustered corpora can burn many seeds
+    inside one latent cluster). The FINAL assignment stays exact over
+    the full corpus. At 10⁹ vectors full-corpus training is ~1000× the
+    needed work — per iteration this cuts the posexplode shuffle from
+    n·dim to N·dim rows. None keeps the legacy full-corpus/lowest-id
+    behavior bit-for-bit."""
     if n_cells < 2:
         raise ValueError("n_cells must be >= 2")
-    qv = _quantized(vecs, vec_col).select("vec_id", "qvec").cache()
-    centroids = [
-        list(r["qvec"]) for r in qv.orderBy("vec_id").limit(n_cells).collect()
-    ]
+    from uwheel_datafusion_spark.operators.sampling import hash_rank_sql
+
+    qv = (
+        _rotated_qv(vecs, vec_col, dim)
+        if rotate
+        else _quantized(vecs, vec_col).select("vec_id", "qvec")
+    ).cache()
+    if train_sample is not None:
+        rank = F.expr(hash_rank_sql("vec_id"))
+        train = qv.orderBy(rank, "vec_id").limit(train_sample).cache()
+        centroids = [
+            list(r["qvec"])
+            for r in train.orderBy(rank, "vec_id").limit(n_cells).collect()
+        ]
+    else:
+        train = qv
+        centroids = [
+            list(r["qvec"])
+            for r in qv.orderBy("vec_id").limit(n_cells).collect()
+        ]
     for _ in range(n_iter - 1):
-        assigned = _assign_cells_pandas(qv, centroids).join(qv, "vec_id")
+        assigned = _assign_cells_pandas(train, centroids).join(train, "vec_id")
         sums = (
             assigned.select("cell", F.posexplode("qvec").alias("pos", "comp"))
             .groupBy("cell", "pos")
@@ -1676,6 +1713,8 @@ def ivf_build_wide(
         centroids = nxt
     cells = _assign_cells_pandas(qv, centroids).cache()
     cells.count()
+    if train is not qv:
+        train.unpersist()
     qv.unpersist()
     return IvfIndex(centroids=centroids, cells=cells, n_cells=n_cells)
 
@@ -1808,31 +1847,57 @@ def pq_build_wide(
     n_iter: int = 2,
     vec_col: str = "embedding",
     dim: int = 64,
+    train_sample: "int | None" = None,
 ) -> PqIndex:
     """PQ codebooks + codes at FAISS-standard shapes (k=256 byte
     codes): same init (k lowest-vec_id subvectors) and truncating
     integer updates as pq_encode, assignment via the Arrow kernel —
-    bit-identical where both run."""
+    bit-identical where both run. ``train_sample``: see
+    ivf_build_wide (hash-ranked sample training, exact final codes)."""
     qv = _quantized(vecs, vec_col).select("vec_id", "qvec").cache()
-    books, codes = _pq_wide_books_codes(qv, dim, m, k, n_iter)
+    books, codes = _pq_wide_books_codes(
+        qv, dim, m, k, n_iter, train_sample=train_sample
+    )
     qv.unpersist()
     return PqIndex(books=books, codes=codes, m=m, k=k, dim=dim)
 
 
-def _pq_wide_books_codes(qv: DataFrame, dim: int, m: int, k: int, n_iter: int):
+def _pq_wide_books_codes(
+    qv: DataFrame,
+    dim: int,
+    m: int,
+    k: int,
+    n_iter: int,
+    train_sample: "int | None" = None,
+):
     """The wide-PQ Lloyd loop over an arbitrary (vec_id, qvec) frame —
     shared by pq_build_wide (raw vectors) and pq_build_residual
     (vector − coarse-centroid residuals). Init: the k lowest-vec_id
     subvectors; truncating integer centroid updates; assignment via the
-    Arrow exact-int64 kernel. Returns (books, cached codes frame)."""
+    Arrow exact-int64 kernel. Returns (books, cached codes frame).
+    ``train_sample=N`` trains every subspace codebook on the first N
+    rows of the seeded hash-ranked order and inits from that order —
+    the same FAISS max_points_per_centroid discipline as
+    ivf_build_wide; the FINAL code assignment stays exact over the
+    full frame."""
+    from uwheel_datafusion_spark.operators.sampling import hash_rank_sql
+
     geom = _pq_geometry(dim, m)
-    init_rows = qv.orderBy("vec_id").limit(k).collect()
+    if train_sample is not None:
+        rank = F.expr(hash_rank_sql("vec_id"))
+        train = qv.orderBy(rank, "vec_id").limit(train_sample).cache()
+        init_rows = train.orderBy(rank, "vec_id").limit(k).collect()
+    else:
+        train = qv
+        init_rows = qv.orderBy("vec_id").limit(k).collect()
     books = [
         [list(r["qvec"])[lo - 1 : lo - 1 + w] for r in init_rows]
         for (lo, w) in geom
     ]
     for _ in range(n_iter - 1):
-        assigned = _pq_assign_codes_pandas(qv, books, dim, m).join(qv, "vec_id")
+        assigned = _pq_assign_codes_pandas(train, books, dim, m).join(
+            train, "vec_id"
+        )
         nxt = [[list(c) for c in b] for b in books]
         for s, (lo, w) in enumerate(geom):
             sums = (
@@ -1849,6 +1914,8 @@ def _pq_wide_books_codes(qv: DataFrame, dim: int, m: int, k: int, n_iter: int):
             for r in sums:
                 nxt[s][r["cid"]][r["pos"]] = _tdiv(r["s"], r["c"])
         books = nxt
+    if train is not qv:
+        train.unpersist()
     codes = _pq_assign_codes_pandas(qv, books, dim, m).cache()
     codes.count()
     return books, codes
@@ -2000,25 +2067,47 @@ def ivfpq_search_wide(
 
 
 def _wide_kmeans_ctes(
-    prefix: str, src: str, k: int, n_iter: int, d=None
+    prefix: str, src: str, k: int, n_iter: int, d=None,
+    train_sample: "int | None" = None,
 ) -> tuple[list[str], str]:
     """DuckDB CTEs replaying one Lloyd loop over ``src`` (vec_id, qvec)
     with NO cell-count cap: nearest-centroid assignment is a
     row_number() over (dist, cid) — the exact tie-break of the Arrow
     kernel's first-minimum argmin — instead of the mord dist·16+cid
     packing the literal-path oracles use (which caps cid at 16).
-    Returns (parts, final_centroid_cte_name)."""
+    Returns (parts, final_centroid_cte_name). ``train_sample`` replays
+    the seeded hash-ranked sample training (round 13): init AND Lloyd
+    iterations read the first N rows of the (hash_rank, vec_id) order
+    — exactly the Spark builders' training set."""
     d = d or DUCK
     dist = d.sum_list_bigint(d.zip_sqdiff("qv.qvec", "c.cvec"))
-    parts = [
+    parts = []
+    if train_sample is not None:
+        from uwheel_datafusion_spark.operators.sampling import (
+            hash_rank_sql,
+        )
+
+        rank = hash_rank_sql("vec_id")
+        tsrc = f"{prefix}tr"
+        parts.append(
+            f"""{tsrc} AS MATERIALIZED (
+                SELECT vec_id, qvec FROM {src}
+                ORDER BY {rank}, vec_id LIMIT {train_sample}
+            )"""
+        )
+        init_order = f"{rank}, vec_id"
+    else:
+        tsrc = src
+        init_order = "vec_id"
+    parts.append(
         f"""{prefix}c0 AS (
-            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+            SELECT CAST(row_number() OVER (ORDER BY {init_order}) - 1
                         AS BIGINT) AS cid,
                    qvec AS cvec
-            FROM (SELECT vec_id, qvec FROM {src}
-                  ORDER BY vec_id LIMIT {k})
+            FROM (SELECT vec_id, qvec FROM {tsrc}
+                  ORDER BY {init_order} LIMIT {k})
         )"""
-    ]
+    )
     for i in range(1, n_iter):
         prev = f"{prefix}c{i - 1}"
         parts.append(
@@ -2027,14 +2116,14 @@ def _wide_kmeans_ctes(
                     SELECT qv.vec_id, c.cid,
                            row_number() OVER (PARTITION BY qv.vec_id
                                ORDER BY {dist}, c.cid) AS rn
-                    FROM {src} qv CROSS JOIN {prev} c
+                    FROM {tsrc} qv CROSS JOIN {prev} c
                 ) WHERE rn = 1
             )"""
         )
         parts.append(
             f"""{prefix}u{i} AS (
                 SELECT a.cid, pos, SUM(comp) AS s, COUNT(*) AS c
-                FROM {prefix}a{i} a JOIN {src} qv USING (vec_id),
+                FROM {prefix}a{i} a JOIN {tsrc} qv USING (vec_id),
                      LATERAL (SELECT unnest(range(len(qv.qvec))) AS pos,
                                      unnest(qv.qvec) AS comp)
                 GROUP BY 1, 2
@@ -2064,6 +2153,7 @@ def ivfpq_search_wide_oracle(
     vec_col: str = "embedding",
     dim: int = 64,
     candidate_where: str | None = None,
+    train_sample: "int | None" = None,
 ) -> str:
     """DuckDB replay of ivf_build_wide + pq_build_wide +
     ivfpq_search_wide at GENUINELY WIDE shapes (cells and codebook
@@ -2081,7 +2171,9 @@ def ivfpq_search_wide_oracle(
     parts = [f"qv AS (SELECT vec_id, {q} AS qvec FROM {table})"]
 
     # coarse quantizer + final cell assignment
-    coarse, cfin = _wide_kmeans_ctes("g", "qv", n_cells, n_iter, d)
+    coarse, cfin = _wide_kmeans_ctes(
+        "g", "qv", n_cells, n_iter, d, train_sample=train_sample
+    )
     parts += coarse
     parts.append(
         f"""cells AS (
@@ -2101,7 +2193,9 @@ def ivfpq_search_wide_oracle(
         parts.append(
             f"s{s}qv AS (SELECT vec_id, {sub} AS qvec FROM qv)"
         )
-        book, bfin = _wide_kmeans_ctes(f"s{s}", f"s{s}qv", k, n_iter, d)
+        book, bfin = _wide_kmeans_ctes(
+            f"s{s}", f"s{s}qv", k, n_iter, d, train_sample=train_sample
+        )
         parts += book
         parts.append(
             f"""s{s}code AS (
@@ -2273,6 +2367,7 @@ def ivfpq_rerank_oracle(
     vec_col: str = "embedding",
     dim: int = 64,
     candidate_where: str | None = None,
+    train_sample: "int | None" = None,
 ) -> str:
     """DuckDB replay of the refine stage: the full wide IVF-PQ oracle
     (Lloyd cells + codebooks + ADC ranking) runs as a candidate
@@ -2295,6 +2390,7 @@ def ivfpq_rerank_oracle(
         vec_col=vec_col,
         dim=dim,
         candidate_where=candidate_where,
+        train_sample=train_sample,
     )
     q = d.quantize_vec(vec_col, Q_SCALE)
     sqd = d.sum_list_bigint(d.zip_sqdiff("q.qvec", "n.qvec"))
@@ -2358,13 +2454,22 @@ def pq_build_residual(
     n_iter: int = 2,
     vec_col: str = "embedding",
     dim: int = 64,
+    rotate: bool = False,
+    train_sample: "int | None" = None,
 ) -> ResidualPqIndex:
     """Residual-PQ build over a prebuilt coarse quantizer: residuals
     qvec − centroid[cell] (exact int64, broadcast centroid frame), then
     the SAME wide Lloyd loop and Arrow assignment kernel as
-    pq_build_wide, just over residual vectors."""
+    pq_build_wide, just over residual vectors. ``rotate=True`` encodes
+    Hadamard-ROTATED residuals against a ROTATED-space coarse quantizer
+    (pass the ivf_index from ``ivf_build_wide(..., rotate=True)``) —
+    the OPQ-style composition the served compressed tier carries."""
     spark = vecs.sparkSession
-    qv = _quantized(vecs, vec_col).select("vec_id", "qvec")
+    qv = (
+        _rotated_qv(vecs, vec_col, dim)
+        if rotate
+        else _quantized(vecs, vec_col).select("vec_id", "qvec")
+    )
     cfrm = spark.createDataFrame(
         [(i, list(c)) for i, c in enumerate(ivf_index.centroids)],
         "cell long, cvec array<long>",
@@ -2381,7 +2486,8 @@ def pq_build_residual(
     )
     res.count()
     books, codes0 = _pq_wide_books_codes(
-        res.select("vec_id", "qvec"), dim, m, k, n_iter
+        res.select("vec_id", "qvec"), dim, m, k, n_iter,
+        train_sample=train_sample,
     )
     codes = codes0.join(res.select("vec_id", "cell"), "vec_id").cache()
     codes.count()
@@ -2405,13 +2511,17 @@ def ivfpq_search_residual(
     topk: int = 5,
     nprobe: int = 2,
     vec_col: str = "embedding",
+    rotate: bool = False,
 ) -> DataFrame:
     """ADC top-k under residual encoding: per (query, probed cell) the
     query residual q − c is computed driver-side and its m×k LUT built
     against the residual codebooks (|q|·nprobe·m·k ints — the bounded
     centroid/LUT collect policy); the corpus side is codes ⋈ one
     broadcast LUT frame keyed (query_id, q_cell), equi-join on the
-    cell key only. Output (query_id, neighbor_id, adc_dist, rnk)."""
+    cell key only. Output (query_id, neighbor_id, adc_dist, rnk).
+    ``rotate=True`` (for an index built with ``rotate=True``) rotates
+    the collected query vectors with the same integer Hadamard before
+    probe ranking and LUT construction — exact int64 either way."""
     import numpy as np
 
     assert 1 <= nprobe <= index.n_cells
@@ -2422,6 +2532,11 @@ def ivfpq_search_residual(
     cnorm = (cmat * cmat).sum(axis=1)
     mats = [np.asarray(b, dtype=np.int64) for b in index.books]
     norms = [(c * c).sum(axis=1) for c in mats]
+    H = (
+        np.array([_had_row(j, dim) for j in range(dim)], dtype=np.int64)
+        if rotate
+        else None
+    )
 
     qrows = (
         _quantized(vecs.filter(F.col("vec_id").isin(*query_ids)), vec_col)
@@ -2431,6 +2546,8 @@ def ivfpq_search_residual(
     lut_rows = []
     for r in qrows:
         x = np.asarray(r["qvec"], dtype=np.int64)
+        if H is not None:
+            x = H @ x
         d2 = (x * x).sum() + cnorm - 2 * (cmat @ x)
         order = np.lexsort((np.arange(len(d2)), d2))
         for cell in order[:nprobe]:
@@ -2479,6 +2596,9 @@ def ivfpq_search_residual_oracle(
     n_iter: int = 2,
     vec_col: str = "embedding",
     dim: int = 64,
+    rotated: bool = False,
+    candidate_where: "str | None" = None,
+    train_sample: "int | None" = None,
 ) -> str:
     """DuckDB replay of pq_build_residual + ivfpq_search_residual:
     wide-kmeans coarse cells, residuals qvec − cvec[cell], per-subspace
@@ -2486,15 +2606,35 @@ def ivfpq_search_residual_oracle(
     LUTs — all relational, bit-for-bit with the Arrow kernels (same
     init from the k lowest vec_ids, same truncate-toward-zero updates,
     same (dist, cid) first-minimum and (adc_dist, neighbor_id)
-    tie-breaks)."""
+    tie-breaks). ``rotated=True`` replays the Hadamard pre-rotation
+    (literal ±1 dot products, materialized once) before the whole
+    pipeline — the rotated-residual served tier's oracle.
+    ``candidate_where`` restricts the candidate side to live ids
+    (tombstone-delete replay), same convention as
+    ivfpq_search_wide_oracle (prefixed ``cells.``)."""
     d = DUCK
     assert query_ids, "query_ids required"
     ids = ", ".join(str(i) for i in query_ids)
     q = d.quantize_vec(vec_col, Q_SCALE)
     dist = d.sum_list_bigint(d.zip_sqdiff("qv.qvec", "c.cvec"))
-    parts = [f"qv AS (SELECT vec_id, {q} AS qvec FROM {table})"]
+    if rotated:
+        rot_list = ", ".join(
+            f"CAST({_had_expr(d, j, dim, 'q0')} AS BIGINT)"
+            for j in range(dim)
+        )
+        # MATERIALIZED: see knn_pq_adc_rotated_oracle — the 64x64-term
+        # rotation must not be re-inlined into every kmeans cross join
+        parts = [
+            f"raw AS (SELECT vec_id, {q} AS q0 FROM {table})",
+            f"qv AS MATERIALIZED "
+            f"(SELECT vec_id, [{rot_list}] AS qvec FROM raw)",
+        ]
+    else:
+        parts = [f"qv AS (SELECT vec_id, {q} AS qvec FROM {table})"]
 
-    coarse, cfin = _wide_kmeans_ctes("g", "qv", n_cells, n_iter, d)
+    coarse, cfin = _wide_kmeans_ctes(
+        "g", "qv", n_cells, n_iter, d, train_sample=train_sample
+    )
     parts += coarse
     parts.append(
         f"""cells AS (
@@ -2521,7 +2661,9 @@ def ivfpq_search_residual_oracle(
         parts.append(
             f"s{s}res AS (SELECT vec_id, {sub} AS qvec FROM res)"
         )
-        book, bfin = _wide_kmeans_ctes(f"s{s}", f"s{s}res", k, n_iter, d)
+        book, bfin = _wide_kmeans_ctes(
+            f"s{s}", f"s{s}res", k, n_iter, d, train_sample=train_sample
+        )
         parts += book
         parts.append(
             f"""s{s}code AS (
@@ -2579,6 +2721,9 @@ def ivfpq_search_residual_oracle(
         for s in range(m)
     )
     adc = " + ".join(f"l{s}.ld" for s in range(m))
+    # candidate_where replays TOMBSTONE deletes (the served dual-table
+    # erasure gates): restricts the candidate side only
+    cw = f" AND cells.{candidate_where}" if candidate_where else ""
     parts.append(
         f"""scored AS (
             SELECT p.query_id, cells.vec_id AS neighbor_id,
@@ -2586,7 +2731,7 @@ def ivfpq_search_residual_oracle(
             FROM cells {code_joins}
             JOIN probe p ON cells.cell = p.q_cell
             {lut_joins}
-            WHERE cells.vec_id <> p.query_id
+            WHERE cells.vec_id <> p.query_id{cw}
         )"""
     )
     return f"""
@@ -2596,6 +2741,69 @@ def ivfpq_search_residual_oracle(
             SELECT *, row_number() OVER (PARTITION BY query_id
                        ORDER BY adc_dist, neighbor_id) AS rnk
             FROM scored
+        )
+        WHERE rnk <= {topk}
+    """
+
+
+def ivfpq_rerank_residual_oracle(
+    table: str = "embeddings",
+    query_ids: tuple[int, ...] = (),
+    topk: int = 5,
+    nprobe: int = 2,
+    n_cells: int = 32,
+    m: int = PQ_M,
+    k: int = 64,
+    n_candidates: int = 25,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    rotated: bool = False,
+    candidate_where: "str | None" = None,
+    train_sample: "int | None" = None,
+) -> str:
+    """DuckDB replay of the residual(-rotated) two-stage rerank: the
+    full residual-ADC oracle runs as the candidate subquery at
+    topk=n_candidates, then the exact squared-L2 over re-quantized
+    RAW vectors re-ranks (refinement is raw-space regardless of the
+    code space — same as the Spark path, which reads the IVF payload's
+    raw qvec; under rotation the ADC ranks in rotated space where
+    ‖Hx−Hy‖² = dim·‖x−y‖², so candidates agree and the refine values
+    are raw either way)."""
+    d = DUCK
+    inner = ivfpq_search_residual_oracle(
+        table=table,
+        query_ids=query_ids,
+        topk=n_candidates,
+        nprobe=nprobe,
+        n_cells=n_cells,
+        m=m,
+        k=k,
+        n_iter=n_iter,
+        vec_col=vec_col,
+        dim=dim,
+        rotated=rotated,
+        candidate_where=candidate_where,
+        train_sample=train_sample,
+    )
+    q = d.quantize_vec(vec_col, Q_SCALE)
+    sqd = d.sum_list_bigint(d.zip_sqdiff("q.qvec", "n.qvec"))
+    return f"""
+        WITH cand AS (SELECT query_id, neighbor_id FROM ({inner})),
+        fullv AS (SELECT vec_id, {q} AS qvec FROM {table}),
+        refined AS (
+            SELECT c.query_id, c.neighbor_id,
+                   CAST({sqd} AS BIGINT) AS exact_dist
+            FROM cand c
+            JOIN fullv n ON n.vec_id = c.neighbor_id
+            JOIN fullv q ON q.vec_id = c.query_id
+        )
+        SELECT query_id, neighbor_id, exact_dist,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY exact_dist, neighbor_id) AS rnk
+            FROM refined
         )
         WHERE rnk <= {topk}
     """
@@ -2741,6 +2949,7 @@ def ivf_cells_wide_oracle(
     n_cells: int = 8,
     n_iter: int = 2,
     vec_col: str = "embedding",
+    train_sample: "int | None" = None,
 ) -> str:
     """Relational replay of ivf_build_wide's final cell assignment
     (vec_id, cell) — gates both the batch build and the streamed
@@ -2749,7 +2958,9 @@ def ivf_cells_wide_oracle(
     d = DUCK
     q = d.quantize_vec(vec_col, Q_SCALE)
     dist = d.sum_list_bigint(d.zip_sqdiff("qv.qvec", "c.cvec"))
-    coarse, cfin = _wide_kmeans_ctes("g", "qv", n_cells, n_iter, d)
+    coarse, cfin = _wide_kmeans_ctes(
+        "g", "qv", n_cells, n_iter, d, train_sample=train_sample
+    )
     parts = [f"qv AS (SELECT vec_id, {q} AS qvec FROM {table})"] + coarse
     return f"""
         WITH {", ".join(parts)}
@@ -2771,6 +2982,7 @@ def ivf_search_wide_oracle(
     n_iter: int = 2,
     vec_col: str = "embedding",
     corpus_where: str | None = None,
+    train_sample: "int | None" = None,
 ) -> str:
     """DuckDB replay of ivf_build_wide + multi-probe cosine search at
     GENUINELY WIDE cell counts (no mord packing, no literal cap):
@@ -2794,7 +3006,9 @@ def ivf_search_wide_oracle(
         if corpus_where
         else ""
     )
-    coarse, cfin = _wide_kmeans_ctes("g", "qv", n_cells, n_iter, d)
+    coarse, cfin = _wide_kmeans_ctes(
+        "g", "qv", n_cells, n_iter, d, train_sample=train_sample
+    )
     parts = [f"qv AS (SELECT vec_id, {q} AS qvec FROM {table})"] + coarse
     parts.append(
         f"""cells AS (
@@ -3076,14 +3290,18 @@ def pq_build_rotated(
     n_iter: int = 2,
     vec_col: str = "embedding",
     dim: int = 64,
+    train_sample: "int | None" = None,
 ) -> RotatedPqIndex:
     """PQ build over Hadamard-rotated vectors: rotation is one map-only
     projection, then the SAME wide Lloyd loop as pq_build_wide
     (identical init, truncating updates, Arrow assignment) runs on the
-    rotated frame — one code path, two coordinate systems."""
+    rotated frame — one code path, two coordinate systems.
+    ``train_sample``: see ivf_build_wide."""
     assert dim & (dim - 1) == 0, "Hadamard needs a power-of-two dim"
     rqv = _rotated_qv(vecs, vec_col, dim).cache()
-    books, codes = _pq_wide_books_codes(rqv, dim, m, k, n_iter)
+    books, codes = _pq_wide_books_codes(
+        rqv, dim, m, k, n_iter, train_sample=train_sample
+    )
     rqv.unpersist()
     return RotatedPqIndex(books=books, codes=codes, m=m, k=k, dim=dim)
 
@@ -3162,6 +3380,7 @@ def knn_pq_adc_rotated_oracle(
     n_iter: int = 2,
     vec_col: str = "embedding",
     dim: int = 64,
+    train_sample: "int | None" = None,
 ) -> str:
     """DuckDB replay of rotate + wide-PQ build + rotated ADC: the
     rotation is the same literal ±1 dot-product array, then the exact
@@ -3190,7 +3409,9 @@ def knn_pq_adc_rotated_oracle(
         parts.append(
             f"s{s}qv AS MATERIALIZED (SELECT vec_id, {sub} AS qvec FROM qv)"
         )
-        book, bfin = _wide_kmeans_ctes(f"s{s}", f"s{s}qv", k, n_iter, d)
+        book, bfin = _wide_kmeans_ctes(
+            f"s{s}", f"s{s}qv", k, n_iter, d, train_sample=train_sample
+        )
         parts += book
         parts.append(
             f"""s{s}code AS (
@@ -3378,6 +3599,7 @@ def ivf_binary_search_wide_oracle(
     n_iter: int = 2,
     vec_col: str = "embedding",
     dim: int = 64,
+    train_sample: "int | None" = None,
 ) -> str:
     """DuckDB replay of the served IVF × binary-Hamming × rerank
     composition (ann_serving.ivf_binary_search_served): wide-kmeans
@@ -3391,7 +3613,9 @@ def ivf_binary_search_wide_oracle(
     q = d.quantize_vec(vec_col, Q_SCALE)
     dist = d.sum_list_bigint(d.zip_sqdiff("qv.qvec", "c.cvec"))
     cos = d.cosine_q(d.dot_q("q.qvec", "v.qvec"), "q.qnorm", "v.qnorm")
-    coarse, cfin = _wide_kmeans_ctes("g", "qv", n_cells, n_iter, d)
+    coarse, cfin = _wide_kmeans_ctes(
+        "g", "qv", n_cells, n_iter, d, train_sample=train_sample
+    )
     parts = [f"qv AS (SELECT vec_id, {q} AS qvec FROM {table})"] + coarse
     parts.append(
         f"""cells AS (
