@@ -1452,6 +1452,10 @@ def _run(*, sf_dir, n_queries, sql_sample, timings, extras, step) -> None:
         "similarity_ann_compacted_erased",
         "text_keyword_bm25_log",
         "text_keyword_index_bm25_log",
+        # round-13: residual codes in the served tier (full erasure
+        # lifecycle) and the sample-trained coarse quantizer
+        "similarity_ann_ivfpq_residual_served",
+        "similarity_ann_ivf_sampled_served",
     )
     for name in headline:
         if name not in REGISTRY:

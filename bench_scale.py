@@ -678,17 +678,31 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
     )
 
     ann_cells = 1024
+    # round 13 (VERDICT r12 next #2/#3): the PRODUCTION builds train on
+    # the seeded hash-ranked sample (FAISS max_points_per_centroid —
+    # 256 points per centroid) with hash-ranked init; a one-off
+    # FULL-corpus build is kept purely as the recall-parity reference
+    ivf_train = 256 * ann_cells
+    pq_train = 256 * 256
     t0 = time.perf_counter()
-    ivf_idx = ivf_build_wide(emb, n_cells=ann_cells)
+    ivf_full = ivf_build_wide(emb, n_cells=ann_cells)
+    ivf_build_full_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ivf_idx = ivf_build_wide(
+        emb, n_cells=ann_cells, train_sample=ivf_train
+    )
     ivf_build_sec = time.perf_counter() - t0
     t0 = time.perf_counter()
-    pq_idx = pq_build_wide(emb, m=8, k=256)
+    pq_idx = pq_build_wide(emb, m=8, k=256, train_sample=pq_train)
     pq_build_sec = time.perf_counter() - t0
 
     ann_work = tempfile.mkdtemp(prefix="ann1m_served_")
     t0 = time.perf_counter()
     ivf_srv = save_ivf_payload(ivf_idx, emb, f"{ann_work}/ivf")
     ivf_layout_sec = time.perf_counter() - t0
+    # recall parity sampled-vs-full at the headline operating point
+    ivf_full_srv = save_ivf_payload(ivf_full, emb, f"{ann_work}/ivf_full")
+    ivf_full.cells.unpersist()
     t0 = time.perf_counter()
     pq_srv = save_ivfpq_payload(ivf_idx, pq_idx, f"{ann_work}/pq")
     pq_layout_sec = time.perf_counter() - t0
@@ -745,6 +759,19 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
             if probed_union
             else None,
         }
+
+    # sampled-vs-full training parity at the headline operating point
+    full_rows = ivf_search_served(
+        ivf_full_srv, ann_queries, k=10, nprobe=32
+    ).collect()
+    sampled_vs_full = {
+        "full_recall_at_10_nprobe_32": _recall(full_rows),
+        "sampled_recall_at_10_nprobe_32": ivf_sweep["nprobe_32"][
+            "recall_at_10"
+        ],
+        "full_build_sec": round(ivf_build_full_sec, 2),
+        "sampled_build_sec": round(ivf_build_sec, 2),
+    }
 
     t0 = time.perf_counter()
     ip = ivfpq_search_served(
@@ -835,7 +862,7 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
     ).collect()
     plain_adc_sec = time.perf_counter() - t0
     t0 = time.perf_counter()
-    rot_idx = pq_build_rotated(emb, m=8, k=256)
+    rot_idx = pq_build_rotated(emb, m=8, k=256, train_sample=pq_train)
     rot_build_sec = time.perf_counter() - t0
     t0 = time.perf_counter()
     rot_adc_1m = knn_pq_adc_rotated(
@@ -882,7 +909,9 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
     residual_m16 = {}
     for m_, tag in ((8, "residual_m8"), (16, "residual_m16")):
         t0 = time.perf_counter()
-        res_idx = pq_build_residual(emb, ivf_idx, m=m_, k=256)
+        res_idx = pq_build_residual(
+            emb, ivf_idx, m=m_, k=256, train_sample=pq_train
+        )
         build_sec = time.perf_counter() - t0
         t0 = time.perf_counter()
         res_srv = save_ivfpq_payload_residual(
@@ -907,7 +936,7 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
         }
     # plain m=16 rerank point for the budget-vs-encoding attribution
     t0 = time.perf_counter()
-    pq16 = pq_build_wide(emb, m=16, k=256)
+    pq16 = pq_build_wide(emb, m=16, k=256, train_sample=pq_train)
     pq16_build_sec = time.perf_counter() - t0
     pq16_srv = save_ivfpq_payload(ivf_idx, pq16, f"{ann_work}/pq16")
     pq16.codes.unpersist()
@@ -921,10 +950,14 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
     # driver-side; refine stays raw-space against a payload cell-
     # partitioned by the SAME rotated quantizer
     t0 = time.perf_counter()
-    rot_ivf = ivf_build_wide(emb, n_cells=ann_cells, rotate=True)
+    rot_ivf = ivf_build_wide(
+        emb, n_cells=ann_cells, rotate=True, train_sample=ivf_train
+    )
     rot_ivf_build_sec = time.perf_counter() - t0
     t0 = time.perf_counter()
-    rot_res = pq_build_residual(emb, rot_ivf, m=8, k=256, rotate=True)
+    rot_res = pq_build_residual(
+        emb, rot_ivf, m=8, k=256, rotate=True, train_sample=pq_train
+    )
     rot_res_build_sec = time.perf_counter() - t0
     rot_srv = save_ivfpq_payload_residual(
         rot_res, f"{ann_work}/pqrotres", rotated=True
@@ -957,6 +990,9 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
         "n_cells": ann_cells,
         "brute_force_sec": round(bf_sec, 2),
         "ivf_build_sec": round(ivf_build_sec, 2),
+        "ivf_build_full_sec": round(ivf_build_full_sec, 2),
+        "train_sample": {"ivf": ivf_train, "pq": pq_train},
+        "sampled_vs_full": sampled_vs_full,
         "pq_build_sec": round(pq_build_sec, 2),
         "served_layout_write_sec": {
             "ivf_payload": round(ivf_layout_sec, 2),
