@@ -50,6 +50,14 @@ def test_catalyst_rule_rewrites_aligned_sum(spark, tmp_path):
         # the scan reads the rollup's columns, not the fact's)
         assert "events.parquet" not in plan, plan
         assert "bucket_ms:bigint,sum_micros:bigint" in plan, plan
+        # the 100 TB read path: the injected per-query pruning reaches
+        # the rollup scan — dt bounds as PARTITION filters (day dirs
+        # listed, not read) and the bucket_ms range as pushed filters
+        # (parquet row-group stats)
+        assert "PartitionFilters: [" in plan and "dt#" in plan.split(
+            "PartitionFilters:"
+        )[1].split("]")[0], plan
+        assert "GreaterThanOrEqual(bucket_ms" in plan, plan
         got = df.collect()[0]["s"]
         # the rewritten plan sums per-minute double sums — identical
         # up to float re-association; the driver index's exact-micros

@@ -59,13 +59,23 @@ public class WheelRollupRewrite extends Rule<LogicalPlan> {
         final long tsId;
         final long valueId;
         final long granUs;
-        final LogicalPlan replacement;
+        final scala.collection.immutable.Seq<NamedExpression> aliases;
+        final LogicalPlan rollupChild;
+        final AttributeReference bucketAttr; // bucket_ms, for pushdown
+        final AttributeReference dtAttr;     // dt partition col, or null
 
-        Target(long tsId, long valueId, long granUs, LogicalPlan repl) {
+        Target(long tsId, long valueId, long granUs,
+               scala.collection.immutable.Seq<NamedExpression> aliases,
+               LogicalPlan rollupChild,
+               AttributeReference bucketAttr,
+               AttributeReference dtAttr) {
             this.tsId = tsId;
             this.valueId = valueId;
             this.granUs = granUs;
-            this.replacement = repl;
+            this.aliases = aliases;
+            this.rollupChild = rollupChild;
+            this.bucketAttr = bucketAttr;
+            this.dtAttr = dtAttr;
         }
     }
 
@@ -90,8 +100,25 @@ public class WheelRollupRewrite extends Rule<LogicalPlan> {
                     .MODULE$.apply(id)));
             i++;
         }
-        LogicalPlan repl = new Project(toSeq(out), p.child());
-        TARGETS.put(tsId, new Target(tsId, valueId, granMs * 1000L, repl));
+        // locate the rollup's own bucket_ms (pushdown) and dt
+        // (partition pruning) attributes — the per-query pruning
+        // predicates the splice injects BELOW the alias projection,
+        // which the reapplied ts-condition (a cast over bucket_ms)
+        // cannot give Catalyst by itself
+        AttributeReference bucket = null;
+        AttributeReference dt = null;
+        scala.collection.Iterator<?> oit = p.child().output().iterator();
+        while (oit.hasNext()) {
+            AttributeReference a = (AttributeReference) oit.next();
+            if ("bucket_ms".equals(a.name())) {
+                bucket = a;
+            } else if ("dt".equals(a.name())) {
+                dt = a;
+            }
+        }
+        TARGETS.put(tsId, new Target(
+            tsId, valueId, granMs * 1000L, toSeq(out), p.child(),
+            bucket, dt));
     }
 
     public static void clear() {
@@ -287,9 +314,58 @@ public class WheelRollupRewrite extends Rule<LogicalPlan> {
         if (!refsWithin(f, t)) {
             return null;
         }
-        // splice: same condition over the rollup view, upper projects
-        // restacked, aggregate node itself unchanged
-        LogicalPlan out = new Filter(f.condition(), t.replacement);
+        // splice: the per-query PRUNING filter sits below the alias
+        // projection so it lands on the rollup scan directly —
+        // bucket_ms range pushes to parquet row groups, the dt bounds
+        // prune day partitions (the 100 TB read path); the original
+        // ts-condition is reapplied above for semantic identity
+        LogicalPlan inner = t.rollupChild;
+        Expression prune = null;
+        if (t.bucketAttr != null) {
+            Literal bLo = org.apache.spark.sql.catalyst.expressions
+                .Literal$.MODULE$.apply(Long.valueOf(lo / 1000L));
+            Literal bHi = org.apache.spark.sql.catalyst.expressions
+                .Literal$.MODULE$.apply(Long.valueOf(hi / 1000L));
+            prune = new And(
+                new GreaterThanOrEqual(t.bucketAttr, bLo),
+                new LessThan(t.bucketAttr, bHi));
+        }
+        if (t.dtAttr != null) {
+            // the saved layout's dt partition values infer as DATE by
+            // default (partitionColumnTypeInference); a type-matched
+            // literal keeps the injected plan RESOLVED either way
+            long dayLo = Math.floorDiv(lo / 1000L, 86_400_000L);
+            long dayHi = Math.floorDiv((hi - 1) / 1000L, 86_400_000L);
+            Literal lLo;
+            Literal lHi;
+            if (t.dtAttr.dataType()
+                    instanceof org.apache.spark.sql.types.DateType) {
+                // Literal.apply(LocalDate) maps to a DateType literal
+                lLo = org.apache.spark.sql.catalyst.expressions.Literal$
+                    .MODULE$.apply(java.time.LocalDate.ofEpochDay(dayLo));
+                lHi = org.apache.spark.sql.catalyst.expressions.Literal$
+                    .MODULE$.apply(java.time.LocalDate.ofEpochDay(dayHi));
+            } else {
+                java.time.format.DateTimeFormatter fmt =
+                    java.time.format.DateTimeFormatter.ISO_LOCAL_DATE;
+                lLo = org.apache.spark.sql.catalyst.expressions.Literal$
+                    .MODULE$.apply(java.time.LocalDate.ofEpochDay(dayLo)
+                        .format(fmt));
+                lHi = org.apache.spark.sql.catalyst.expressions.Literal$
+                    .MODULE$.apply(java.time.LocalDate.ofEpochDay(dayHi)
+                        .format(fmt));
+            }
+            Expression dtCond = new And(
+                new GreaterThanOrEqual(t.dtAttr, lLo),
+                new org.apache.spark.sql.catalyst.expressions
+                    .LessThanOrEqual(t.dtAttr, lHi));
+            prune = (prune == null) ? dtCond : new And(prune, dtCond);
+        }
+        if (prune != null) {
+            inner = new Filter(prune, inner);
+        }
+        LogicalPlan replacement = new Project(t.aliases, inner);
+        LogicalPlan out = new Filter(f.condition(), replacement);
         for (int i = upper.size() - 1; i >= 0; i--) {
             out = new Project(upper.get(i).projectList(), out);
         }
