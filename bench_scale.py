@@ -892,13 +892,13 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
         pq_build_residual,
     )
 
-    def _rerank_points(codes_srv, points):
+    def _rerank_points(codes_srv, points, metric="l2"):
         out = {}
         for np_, nc in points:
             t0 = time.perf_counter()
             fr = ivfpq_rerank_served(
                 codes_srv, ivf_srv, ann_queries, topk=10, nprobe=np_,
-                n_candidates=nc,
+                n_candidates=nc, metric=metric,
             ).collect()
             out[f"nprobe_{np_}_cand_{nc}"] = {
                 "search_sec": round(time.perf_counter() - t0, 2),
@@ -931,6 +931,12 @@ def main(out_path: str, n_rows: int = N_ROWS_DEFAULT) -> dict:
             "adc_recall_at_10": _recall(adc_rows),
             "rerank": _rerank_points(
                 res_srv, [(32, 100), (32, 400), (128, 400)]
+            ),
+            # COSINE refine (round 13): the truth metric IS cosine —
+            # the L2-refine plateau is the metric gap, and this is the
+            # frontier once the refine matches the deployment metric
+            "rerank_cosine": _rerank_points(
+                res_srv, [(32, 100), (32, 400)], metric="cosine"
             ),
             "k_per_subspace": 256,
         }

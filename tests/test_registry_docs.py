@@ -74,6 +74,7 @@ def test_readme_component_table_covers_gated_families():
         # round 13 families
         "similarity_ann_ivfpq_residual_served",
         "similarity_ann_ivfpq_rotated_served",
+        "similarity_ann_cosine_rerank_served",
         "similarity_ann_ivf_sampled_served",
         "streaming_table_sink_manifest_parity",
         "similarity_ann_manifest_auto_compacted",

@@ -388,3 +388,31 @@ def test_keyword_manifest_auto_compact(spark, tmp_path):
     assert len(snap.data_dirs) == 1 and snap.tombstone_dirs == ()
     hits = tx.keyword_manifest_bm25_probe(spark, root, k=50).collect()
     assert not ({r.doc_id for r in hits} & set(ids[:5]))
+
+
+def test_vacuum_horizon_expiry_ignores_age_gate(spark, tmp_path):
+    """code-review r13 #6: dirs falling OUT of the retention horizon
+    (their last referencing manifest expired this call) are committed
+    history — deleted regardless of min_age_sec; the age gate protects
+    only true ORPHANS (possibly a concurrent writer's staging)."""
+    root = str(tmp_path / "t")
+    mf.manifest_table_append(spark, root, _df(spark, 0, 40))   # gen 1
+    mf.manifest_table_compact(                                  # gen 2
+        spark, root, schema="vec_id long, payload long, cell long"
+    )
+    # a fresh never-committed dir: a writer may still be staging it
+    (
+        _df(spark, 90, 95)
+        .repartition(F.col("cell"))
+        .write.partitionBy("cell")
+        .parquet(f"{root}/data-orphan0000")
+    )
+    removed = mf.manifest_vacuum(
+        spark, root, min_age_sec=3600, keep_manifests=1
+    )
+    # gen 1's manifest expired -> its folded-away dir went with it,
+    # young or not; the young orphan survived the age gate
+    assert len(removed["dirs"]) == 1
+    assert removed["dirs"][0] != "data-orphan0000"
+    assert util.fs_exists(spark, f"{root}/data-orphan0000")
+    assert _rows(spark, root) == _expect(range(40))

@@ -7133,6 +7133,62 @@ def ann_ivfpq_residual_served_q(spark, sf_dir):
 
 
 @gate(
+    "similarity_ann_cosine_rerank_served",
+    _sim.ivfpq_rerank_residual_oracle(
+        query_ids=KNN_QUERY_IDS,
+        topk=5,
+        nprobe=4,
+        n_cells=32,
+        m=8,
+        k=64,
+        n_candidates=25,
+        metric="cosine",
+    ),
+)
+def ann_cosine_rerank_served_q(spark, sf_dir):
+    """COSINE-metric refine on the served two-stage rerank (round 13):
+    for a cosine deployment over unnormalized vectors the L2 refine
+    ranks a genuinely different neighbor set (angle order ≠ distance
+    order when norms vary — the 1M bench's rerank recall plateaued at
+    ~0.54 vs cosine truth across EVERY code quality, a metric gap not
+    a code-budget one). The refine stage now ranks candidates by the
+    same exact quantized integer cosine the IVF-Flat tier serves,
+    reading (qvec, qnorm) from the identical payload point lookups.
+    Driver check: residual-ADC candidates + cosine refine hash-match
+    the full relational replay ranked by cosine DESC."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = _sim.ivf_build_wide(emb, n_cells=32)
+    rpq = _sim.pq_build_residual(emb, ivf, m=8, k=64)
+    work = tempfile.mkdtemp(prefix="ivfpq_cosine_gate_")
+    try:
+        ivf_served = _srv.save_ivf_payload(
+            ivf, emb, os.path.join(work, "ivf_payload")
+        )
+        pq_served = _srv.save_ivfpq_payload_residual(
+            rpq, os.path.join(work, "codes")
+        )
+        queries = emb.filter(F.col("vec_id").isin(*KNN_QUERY_IDS)).select(
+            "vec_id", "embedding"
+        )
+        rows = _srv.ivfpq_rerank_served(
+            pq_served, ivf_served, queries, topk=5, nprobe=4,
+            n_candidates=25, metric="cosine",
+        ).collect()
+    finally:
+        ivf.cells.unpersist()
+        rpq.codes.unpersist()
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.query_id, r.neighbor_id, r.cosine, r.rnk) for r in rows],
+        "query_id long, neighbor_id long, cosine double, rnk long",
+    )
+
+
+@gate(
     "similarity_ann_ivfpq_rotated_served",
     _sim.ivfpq_search_residual_oracle(
         query_ids=KNN_QUERY_IDS,
@@ -10013,14 +10069,17 @@ _DRIVER_WINDOW = [
     # --- round-13 additions (never driver-checked) ---
     "similarity_ann_ivfpq_residual_served",
     "similarity_ann_ivfpq_rotated_served",
+    "similarity_ann_cosine_rerank_served",
     "similarity_ann_ivf_sampled_served",
     "similarity_ann_manifest_auto_compacted",
     "streaming_table_sink_manifest_parity",
-    # --- canaries over round-13 CHANGED code ---
+    # --- canaries over round-13 CHANGED code (ivfpq_erased_served
+    #     stepped out for the cosine gate: the residual gate above
+    #     exercises its whole dual-table erase+compact path and its
+    #     own r12 driver row is fresh) ---
     "similarity_ann_ivfpq_wide",
     "similarity_ann_ivfpq_rerank",
     "similarity_ann_rerank_served",
-    "similarity_ann_ivfpq_erased_served",
     "similarity_ann_manifest_lifecycle",
     "similarity_ann_manifest_time_travel",
     "streaming_ann_recompact_resume",

@@ -1272,14 +1272,23 @@ def ivfpq_rerank_served(
     nprobe: int = 2,
     n_candidates: int = 25,
     vec_col: str = "embedding",
+    metric: str = "l2",
 ) -> DataFrame:
     """Two-stage serving with BOTH stages on served tables: ADC
-    candidates from the codes table, exact squared-L2 refine reading
-    the candidate vectors from the IVF payload table by vec_id isin()
+    candidates from the codes table, exact refine reading the
+    candidate vectors from the IVF payload table by vec_id isin()
     (row-group point lookups — never the corpus). The full-precision
     store and the compressed store are the same two tables a FAISS
-    IndexRefineFlat persists. Output (query_id, neighbor_id,
-    exact_dist, rnk); bit-identical to ivfpq_search_rerank.
+    IndexRefineFlat persists. ``metric='l2'`` (default) outputs
+    (query_id, neighbor_id, exact_dist, rnk) ranked by squared L2 —
+    bit-identical to ivfpq_search_rerank. ``metric='cosine'`` (round
+    13) outputs (query_id, neighbor_id, cosine, rnk) ranked by exact
+    quantized cosine desc — for a COSINE deployment over unnormalized
+    vectors the L2 refine ranks a genuinely different neighbor set
+    (‖a−b‖² order ≠ angle order when norms vary; the 1M bench's
+    rerank plateau at ~0.54 recall-vs-cosine-truth across EVERY code
+    quality is exactly this metric gap, not a code-budget limit), so
+    the refine metric must match the deployment's truth metric.
 
     DELETE contract (ADVICE r9): a complete vector delete tombstones
     BOTH tables (delete_vectors_served) — a payload-only tombstone
@@ -1331,19 +1340,39 @@ def ivfpq_rerank_served(
         spark,
         probed,
         "vec_id long, qvec array<long>, qnorm long, cell long",
-    ).filter(F.col("vec_id").isin(cand_ids)).select("vec_id", "qvec")
-    qframe = _quantized(queries, vec_col).select(
-        F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qvec")
+    ).filter(F.col("vec_id").isin(cand_ids)).select(
+        "vec_id", "qvec", "qnorm"
     )
-    sqd = F.expr(SPARK.sum_list_bigint(SPARK.zip_sqdiff("q_qvec", "qvec")))
-    refined = (
-        fullv.join(F.broadcast(cand), F.col("vec_id") == F.col("neighbor_id"))
-        .join(F.broadcast(qframe), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            sqd.cast("long").alias("exact_dist"),
+    qframe = _quantized(queries, vec_col).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm").alias("q_qnorm"),
+    )
+    joined = fullv.join(
+        F.broadcast(cand), F.col("vec_id") == F.col("neighbor_id")
+    ).join(F.broadcast(qframe), "query_id")
+    if metric == "cosine":
+        cos = F.expr(
+            SPARK.cosine_q(
+                SPARK.dot_q("q_qvec", "qvec"), "q_qnorm", "qnorm"
+            )
         )
+        refined = joined.filter(F.col("qnorm") > 0).select(
+            "query_id", "neighbor_id", cos.alias("cosine")
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        return (
+            refined.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= topk)
+            .select("query_id", "neighbor_id", "cosine", "rnk")
+        )
+    sqd = F.expr(SPARK.sum_list_bigint(SPARK.zip_sqdiff("q_qvec", "qvec")))
+    refined = joined.select(
+        "query_id",
+        "neighbor_id",
+        sqd.cast("long").alias("exact_dist"),
     )
     w = W.partitionBy("query_id").orderBy("exact_dist", "neighbor_id")
     return (

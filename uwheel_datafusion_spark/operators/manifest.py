@@ -112,6 +112,15 @@ def _load_snapshot(spark: SparkSession, root: str, gen: int) -> Snapshot:
     txt = fs_read_text(
         spark, f"{root}/{MANIFEST_SUBDIR}/{_GEN_FMT.format(gen)}"
     )
+    if txt is None:
+        # listed a moment ago, gone now: a concurrent vacuum expired
+        # it between the listStatus and this read — name the race
+        # instead of TypeError-ing mid-operation
+        raise ValueError(
+            f"{root}: manifest generation {gen} disappeared between "
+            "listing and read (concurrent manifest_vacuum?); re-resolve "
+            "and retry"
+        )
     d = json.loads(txt)
     return Snapshot(
         gen=d["gen"],
@@ -526,9 +535,15 @@ def manifest_vacuum(
         raise ValueError(f"{root}: no committed manifest; refusing to vacuum")
     removed = {"dirs": [], "manifests": []}
     now = time.time()
-    # 1) expire: manifests older than the horizon + aged-out attempt files
+    # 1) expire: manifests older than the horizon + aged-out attempt
+    # files. Expired manifests are READ before deletion — the dirs
+    # they referenced are committed history falling out of the
+    # horizon, deletable regardless of age (the age gate exists only
+    # for possibly-still-staging ORPHANS), matching the docstring and
+    # Iceberg's expire-snapshots.
     mdir = f"{root}/{MANIFEST_SUBDIR}"
     retained_gens = []
+    expired_refs = set()
     for name in fs_list_names(spark, mdir):
         g = _gen_num(name)
         if g is None:  # crashed attempt file
@@ -537,6 +552,15 @@ def manifest_vacuum(
                 fs_delete(spark, f"{mdir}/{name}")
                 removed["manifests"].append(name)
         elif g <= snap.gen - keep_manifests:
+            try:
+                s = _load_snapshot(spark, root, g)
+                expired_refs |= (
+                    set(s.data_dirs)
+                    | set(s.tombstone_dirs)
+                    | set(s.extra.get("aux_dirs", ()))
+                )
+            except ValueError:
+                pass  # a concurrent vacuum already expired it
             fs_delete(spark, f"{mdir}/{name}")
             removed["manifests"].append(name)
         else:
@@ -547,14 +571,19 @@ def manifest_vacuum(
     # exactly like data/tombstone dirs.
     live = set()
     for g in retained_gens:
-        s = _load_snapshot(spark, root, g)
+        try:
+            s = _load_snapshot(spark, root, g)
+        except ValueError:
+            continue  # expired by a concurrent vacuum — not live here
         live |= (
             set(s.data_dirs)
             | set(s.tombstone_dirs)
             | set(s.extra.get("aux_dirs", ()))
         )
-    # 3) collect unreferenced dirs (age-gated: young ones may be a
-    # concurrent writer's not-yet-committed staging)
+    # 3) collect unreferenced dirs. Horizon-expired references delete
+    # immediately; true orphans (never referenced by any manifest)
+    # stay age-gated — young ones may be a concurrent writer's
+    # not-yet-committed staging.
     for name in fs_list_names(spark, root):
         if name == MANIFEST_SUBDIR or name in live:
             continue
@@ -564,9 +593,10 @@ def manifest_vacuum(
             or name.startswith("aux-")
         ):
             continue
-        mt = fs_mtime(spark, f"{root}/{name}")
-        if mt is not None and now - mt < min_age_sec:
-            continue
+        if name not in expired_refs:
+            mt = fs_mtime(spark, f"{root}/{name}")
+            if mt is not None and now - mt < min_age_sec:
+                continue
         fs_delete(spark, f"{root}/{name}")
         removed["dirs"].append(name)
     return removed

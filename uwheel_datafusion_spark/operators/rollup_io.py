@@ -287,20 +287,28 @@ def manifest_rollup_append(
                 f"{root}: key_cols {key_cols} differ from the table's "
                 f"{tuple(snap.extra.get('key_cols'))}"
             )
-    if batch.isEmpty():
-        # update-mode triggers can fire with zero changed rows (e.g. a
-        # watermark-only advance); an empty generation dir would carry
-        # no parquet footer to read a schema from, and there is nothing
-        # to commit — the epoch guard intentionally stays put so a
-        # replay of the same empty epoch is another no-op
-        return None
-    dname = f"data-{_token()}"
-    (
-        batch.withColumn("dt", _dt_col())
-        .repartition("dt")
-        .write.partitionBy("dt")
-        .parquet(f"{root}/{dname}")
-    )
+    # persist: the emptiness probe and the generation write must not
+    # recompute the micro-batch aggregation twice per trigger
+    # (code-review r13 #5 — foreachBatch frames are not cached)
+    batch = batch.persist()
+    try:
+        if batch.isEmpty():
+            # update-mode triggers can fire with zero changed rows
+            # (e.g. a watermark-only advance); an empty generation dir
+            # would carry no parquet footer to read a schema from, and
+            # there is nothing to commit — the epoch guard
+            # intentionally stays put so a replay of the same empty
+            # epoch is another no-op
+            return None
+        dname = f"data-{_token()}"
+        (
+            batch.withColumn("dt", _dt_col())
+            .repartition("dt")
+            .write.partitionBy("dt")
+            .parquet(f"{root}/{dname}")
+        )
+    finally:
+        batch.unpersist()
 
     def mutate(s):
         if s is not None and epoch is not None and epoch <= int(

@@ -53,12 +53,27 @@ def hash_rank_sql(key: str) -> str:
     bigint key — hash_bucket_sql without the bucket fold. Ordering by
     (this, key) is a seeded deterministic shuffle of the rows that
     renders identically in Spark SQL and DuckDB: the k-means training
-    samplers (round 13 — VERDICT r12 next #2/#3) take their sample AND
-    their centroid init as prefixes of this order, so the oracle
-    replays the exact training set and the init stops being the
-    n lowest vec_ids (which on clustered corpora can all land in one
-    latent cluster, wasting cells)."""
+    samplers (round 13 — VERDICT r12 next #2/#3) seed their centroid
+    init from prefixes of this order (so the init stops being the n
+    lowest vec_ids, which on clustered corpora can all land in one
+    latent cluster), and take their training SAMPLE by thresholding it
+    (:func:`hash_sample_threshold` — a map-only filter; a rank-PREFIX
+    sample would need a global TakeOrdered whose single-task merge of
+    partitions×N rows breaks at 10⁹-row corpora)."""
     return f"(((abs({key}) % {_P1}) * {_KNUTH} + {_OFF}) % {_P2})"
+
+
+def hash_sample_threshold(target_n: int, corpus_n: int) -> int:
+    """The rank cutoff T such that ``hash_rank < T`` keeps ≈``target_n``
+    of ``corpus_n`` rows — exact int64 ceiling arithmetic that both
+    engines reproduce bit-for-bit (T = ceil(P2·target/corpus); every
+    intermediate < 2^63 for any real corpus). The selected SET is a
+    deterministic function of the keys alone — partitioning-, order-
+    and engine-invariant — and selecting it is one scan-adjacent
+    predicate: no sort, no shuffle, no driver merge."""
+    if target_n >= corpus_n:
+        return _P2  # keep everything
+    return (_P2 * target_n + corpus_n - 1) // corpus_n
 
 
 def hash_sample(

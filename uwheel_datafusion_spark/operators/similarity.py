@@ -1667,19 +1667,26 @@ def ivf_build_wide(
 
     ``train_sample=N`` (round 13 — VERDICT r12 next #2/#3, the FAISS
     ``max_points_per_centroid`` discipline: size it ~256·n_cells)
-    trains the Lloyd loop on the first N rows of the seeded
-    hash-ranked order (sampling.hash_rank_sql — a deterministic,
-    DuckDB-replayable shuffle of the corpus) instead of the full
-    corpus, and seeds the centroids from that same order (fixing the
-    lowest-vec_id init, which on clustered corpora can burn many seeds
-    inside one latent cluster). The FINAL assignment stays exact over
-    the full corpus. At 10⁹ vectors full-corpus training is ~1000× the
-    needed work — per iteration this cuts the posexplode shuffle from
-    n·dim to N·dim rows. None keeps the legacy full-corpus/lowest-id
-    behavior bit-for-bit."""
+    trains the Lloyd loop on a seeded hash-THRESHOLD sample of ≈N rows
+    (sampling.hash_sample_threshold over hash_rank_sql — ONE map-only
+    filter, deterministic and DuckDB-replayable; a rank-prefix sample
+    would pay a global TakeOrdered whose single-task merge breaks at
+    10⁹ rows) instead of the full corpus, and seeds the centroids from
+    the sample's hash order (fixing the lowest-vec_id init, which on
+    clustered corpora can burn many seeds inside one latent cluster).
+    The FINAL assignment stays exact over the full corpus. At 10⁹
+    vectors full-corpus training is ~1000× the needed work — per
+    iteration this cuts the posexplode shuffle from n·dim to N·dim
+    rows, and the sample selection itself is scan-adjacent. None keeps
+    the legacy full-corpus/lowest-id behavior bit-for-bit."""
     if n_cells < 2:
         raise ValueError("n_cells must be >= 2")
-    from uwheel_datafusion_spark.operators.sampling import hash_rank_sql
+    if rotate:
+        assert dim & (dim - 1) == 0, "Hadamard needs a power-of-two dim"
+    from uwheel_datafusion_spark.operators.sampling import (
+        hash_rank_sql,
+        hash_sample_threshold,
+    )
 
     qv = (
         _rotated_qv(vecs, vec_col, dim)
@@ -1688,7 +1695,8 @@ def ivf_build_wide(
     ).cache()
     if train_sample is not None:
         rank = F.expr(hash_rank_sql("vec_id"))
-        train = qv.orderBy(rank, "vec_id").limit(train_sample).cache()
+        cut = hash_sample_threshold(train_sample, qv.count())
+        train = qv.filter(rank < F.lit(cut)).cache()
         centroids = [
             list(r["qvec"])
             for r in train.orderBy(rank, "vec_id").limit(n_cells).collect()
@@ -1875,17 +1883,21 @@ def _pq_wide_books_codes(
     (vector − coarse-centroid residuals). Init: the k lowest-vec_id
     subvectors; truncating integer centroid updates; assignment via the
     Arrow exact-int64 kernel. Returns (books, cached codes frame).
-    ``train_sample=N`` trains every subspace codebook on the first N
-    rows of the seeded hash-ranked order and inits from that order —
-    the same FAISS max_points_per_centroid discipline as
-    ivf_build_wide; the FINAL code assignment stays exact over the
-    full frame."""
-    from uwheel_datafusion_spark.operators.sampling import hash_rank_sql
+    ``train_sample=N`` trains every subspace codebook on a seeded
+    hash-THRESHOLD sample of ≈N rows (map-only filter) and inits from
+    the sample's hash order — the same FAISS max_points_per_centroid
+    discipline as ivf_build_wide; the FINAL code assignment stays
+    exact over the full frame."""
+    from uwheel_datafusion_spark.operators.sampling import (
+        hash_rank_sql,
+        hash_sample_threshold,
+    )
 
     geom = _pq_geometry(dim, m)
     if train_sample is not None:
         rank = F.expr(hash_rank_sql("vec_id"))
-        train = qv.orderBy(rank, "vec_id").limit(train_sample).cache()
+        cut = hash_sample_threshold(train_sample, qv.count())
+        train = qv.filter(rank < F.lit(cut)).cache()
         init_rows = train.orderBy(rank, "vec_id").limit(k).collect()
     else:
         train = qv
@@ -2076,14 +2088,17 @@ def _wide_kmeans_ctes(
     kernel's first-minimum argmin — instead of the mord dist·16+cid
     packing the literal-path oracles use (which caps cid at 16).
     Returns (parts, final_centroid_cte_name). ``train_sample`` replays
-    the seeded hash-ranked sample training (round 13): init AND Lloyd
-    iterations read the first N rows of the (hash_rank, vec_id) order
-    — exactly the Spark builders' training set."""
+    the seeded hash-THRESHOLD sample training (round 13): init and the
+    Lloyd iterations read exactly the rows whose Knuth-mix rank falls
+    under the same ceiling cutoff the Spark builders compute — the
+    cutoff is derived IN SQL from COUNT(*) with the identical exact
+    int64 arithmetic (sampling.hash_sample_threshold)."""
     d = d or DUCK
     dist = d.sum_list_bigint(d.zip_sqdiff("qv.qvec", "c.cvec"))
     parts = []
     if train_sample is not None:
         from uwheel_datafusion_spark.operators.sampling import (
+            _P2,
             hash_rank_sql,
         )
 
@@ -2092,7 +2107,15 @@ def _wide_kmeans_ctes(
         parts.append(
             f"""{tsrc} AS MATERIALIZED (
                 SELECT vec_id, qvec FROM {src}
-                ORDER BY {rank}, vec_id LIMIT {train_sample}
+                WHERE {rank} < (
+                    SELECT CASE WHEN COUNT(*) <= {train_sample}
+                                THEN CAST({_P2} AS BIGINT)
+                                ELSE (CAST({_P2} AS BIGINT)
+                                      * {train_sample}
+                                      + COUNT(*) - 1) // COUNT(*)
+                           END
+                    FROM {src}
+                )
             )"""
         )
         init_order = f"{rank}, vec_id"
@@ -2368,6 +2391,7 @@ def ivfpq_rerank_oracle(
     dim: int = 64,
     candidate_where: str | None = None,
     train_sample: "int | None" = None,
+    metric: str = "l2",
 ) -> str:
     """DuckDB replay of the refine stage: the full wide IVF-PQ oracle
     (Lloyd cells + codebooks + ADC ranking) runs as a candidate
@@ -2393,6 +2417,33 @@ def ivfpq_rerank_oracle(
         train_sample=train_sample,
     )
     q = d.quantize_vec(vec_col, Q_SCALE)
+    if metric == "cosine":
+        cos = d.cosine_q(
+            d.dot_q("q.qvec", "n.qvec"), "q.qnorm", "n.qnorm"
+        )
+        return f"""
+            WITH cand AS (SELECT query_id, neighbor_id FROM ({inner})),
+            fullv AS (
+                SELECT vec_id, qvec,
+                       {d.dot_q('qvec', 'qvec')} AS qnorm
+                FROM (SELECT vec_id, {q} AS qvec FROM {table})
+            ),
+            refined AS (
+                SELECT c.query_id, c.neighbor_id, {cos} AS cosine
+                FROM cand c
+                JOIN fullv n ON n.vec_id = c.neighbor_id
+                           AND n.qnorm > 0
+                JOIN fullv q ON q.vec_id = c.query_id
+            )
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS rnk
+                FROM refined
+            )
+            WHERE rnk <= {topk}
+        """
     sqd = d.sum_list_bigint(d.zip_sqdiff("q.qvec", "n.qvec"))
     return f"""
         WITH cand AS (SELECT query_id, neighbor_id FROM ({inner})),
@@ -2464,6 +2515,8 @@ def pq_build_residual(
     Hadamard-ROTATED residuals against a ROTATED-space coarse quantizer
     (pass the ivf_index from ``ivf_build_wide(..., rotate=True)``) —
     the OPQ-style composition the served compressed tier carries."""
+    if rotate:
+        assert dim & (dim - 1) == 0, "Hadamard needs a power-of-two dim"
     spark = vecs.sparkSession
     qv = (
         _rotated_qv(vecs, vec_col, dim)
@@ -2761,6 +2814,7 @@ def ivfpq_rerank_residual_oracle(
     rotated: bool = False,
     candidate_where: "str | None" = None,
     train_sample: "int | None" = None,
+    metric: str = "l2",
 ) -> str:
     """DuckDB replay of the residual(-rotated) two-stage rerank: the
     full residual-ADC oracle runs as the candidate subquery at
@@ -2787,6 +2841,33 @@ def ivfpq_rerank_residual_oracle(
         train_sample=train_sample,
     )
     q = d.quantize_vec(vec_col, Q_SCALE)
+    if metric == "cosine":
+        cos = d.cosine_q(
+            d.dot_q("q.qvec", "n.qvec"), "q.qnorm", "n.qnorm"
+        )
+        return f"""
+            WITH cand AS (SELECT query_id, neighbor_id FROM ({inner})),
+            fullv AS (
+                SELECT vec_id, qvec,
+                       {d.dot_q('qvec', 'qvec')} AS qnorm
+                FROM (SELECT vec_id, {q} AS qvec FROM {table})
+            ),
+            refined AS (
+                SELECT c.query_id, c.neighbor_id, {cos} AS cosine
+                FROM cand c
+                JOIN fullv n ON n.vec_id = c.neighbor_id
+                           AND n.qnorm > 0
+                JOIN fullv q ON q.vec_id = c.query_id
+            )
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS rnk
+                FROM refined
+            )
+            WHERE rnk <= {topk}
+        """
     sqd = d.sum_list_bigint(d.zip_sqdiff("q.qvec", "n.qvec"))
     return f"""
         WITH cand AS (SELECT query_id, neighbor_id FROM ({inner})),

@@ -351,12 +351,17 @@ def fs_acquire_lock(
     the holder dead (``steal_lock``) or proves it from a stale
     heartbeat (``stale_lock_after_sec``), else raise.
 
-    A STEAL re-stamps the heartbeat immediately: the stolen lock's
-    frozen timestamp would otherwise stay stale, letting a SECOND
-    scheduler also steal mid-run — two concurrent compactions of the
-    same table, each folding the other's staged dirs into one snapshot
-    (every base row duplicated in subsequent probes). Re-stamping
-    closes that window to the one steal decision."""
+    A STEAL is delete-then-recreate, and the CREATE decides: two
+    schedulers that both judge the heartbeat stale both delete the
+    dead holder's file (idempotent), but createNewFile is atomic
+    (HDFS/file:), so exactly one wins; the loser's create fails and it
+    raises instead of proceeding — re-stamping the heartbeat alone
+    would let simultaneous stealers both pass the staleness check and
+    run two concurrent compactions of one table (code-review r13 #3).
+    The winner's fresh acquisition heartbeat then guards against any
+    LATER staleness probe. (On S3A neither create nor delete is a
+    coordination primitive — the same external-lock caveat as
+    fs_try_lock.)"""
     if fs_try_lock(spark, lock):
         return
     age = fs_lock_age_sec(spark, lock)
@@ -373,6 +378,9 @@ def fs_acquire_lock(
             "to steal automatically once the holder's heartbeat goes "
             "stale."
         )
-    # stolen: claim liveness NOW so the next caller's staleness check
-    # measures THIS holder, not the crashed one
-    fs_heartbeat(spark, lock)
+    fs_delete(spark, lock)
+    if not fs_try_lock(spark, lock):
+        raise RuntimeError(
+            f"{lock}: a concurrent caller won the steal race; exactly "
+            "one stealer may proceed"
+        )

@@ -46,10 +46,26 @@ _SRC = os.path.join(
     "catalyst_ext",
     "WheelRollupRewrite.java",
 )
-_CLASSDIR = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "catalyst_ext", "_classes"
-)
+def _classdir() -> str:
+    # keyed by the Spark version: classes compiled against one
+    # installation must never be injected into a JVM running another
+    # (a binary-incompatible Catalyst change would surface as
+    # NoSuchMethodError at optimization time of arbitrary queries)
+    import pyspark
+
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "catalyst_ext",
+        f"_classes-spark{pyspark.__version__}",
+    )
+
+
 _CLASSNAME = "WheelRollupRewrite"
+
+#: per-JVM install state: {gateway id: (cls, rule instance, prior seq)}
+#: — install() composes (one loaded class, one injected instance, many
+#: register() calls) instead of clobbering extraOptimizations per call
+_STATE: dict = {}
 
 
 def javac_available() -> bool:
@@ -59,13 +75,15 @@ def javac_available() -> bool:
 
 
 def ensure_compiled() -> str:
-    """Compile the rule against the session's own Spark jars (cached —
-    recompiles only when the source is newer than the classfile)."""
-    cls_file = os.path.join(_CLASSDIR, f"{_CLASSNAME}.class")
+    """Compile the rule against the session's own Spark jars (cached
+    per Spark version — recompiles when the source is newer than the
+    classfile)."""
+    classdir = _classdir()
+    cls_file = os.path.join(classdir, f"{_CLASSNAME}.class")
     if os.path.exists(cls_file) and os.path.getmtime(
         cls_file
     ) >= os.path.getmtime(_SRC):
-        return _CLASSDIR
+        return classdir
     import pyspark
 
     jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
@@ -73,16 +91,16 @@ def ensure_compiled() -> str:
         os.path.join(jars, j) for j in sorted(os.listdir(jars))
         if j.endswith(".jar")
     )
-    os.makedirs(_CLASSDIR, exist_ok=True)
+    os.makedirs(classdir, exist_ok=True)
     subprocess.run(
         [
             "javac", "-nowarn", "-encoding", "UTF-8",
-            "-cp", cp, "-d", _CLASSDIR, _SRC,
+            "-cp", cp, "-d", classdir, _SRC,
         ],
         check=True,
         capture_output=True,
     )
-    return _CLASSDIR
+    return classdir
 
 
 def _load_rule_class(spark: SparkSession):
@@ -112,10 +130,28 @@ def install(
     MATERIALIZED minute rollup — (bucket_ms, sum_micros, ...) read
     from WheelIndex.save's parquet; passing the in-memory groupBy
     lineage would re-scan the fact per query, defeating the point),
-    then inject the rule into the session optimizer. Returns the
-    loaded rule class (for clear()/registeredCount() in tests)."""
-    cls = _load_rule_class(spark)
+    then inject the rule into the session optimizer. COMPOSES: one
+    loaded class + one injected instance per JVM, any number of
+    registered tables (a second install() must not clobber the first
+    registration or a foreign library's extraOptimizations). Returns
+    the loaded rule class (for clear()/registeredCount() in tests)."""
+    # UTC contract (code-review r13 #1): the rollup's dt partitions
+    # were written with session-tz date_format, the view's ts rides a
+    # session-tz cast, and the rule's day-bound arithmetic is UTC —
+    # under any other session timezone the rewrite would fire and
+    # silently prune the wrong day partitions. Refuse loudly; the
+    # engine pins UTC at table registration (sources.registry).
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            f"catalyst_rule.install requires spark.sql.session.timeZone="
+            f"'UTC' (found {tz!r}): the rollup layout, the NTZ view cast "
+            "and the rule's day-bound pruning all assume UTC epoch days"
+        )
     jvm = spark._jvm
+    key = id(spark.sparkContext._gateway)
+    state = _STATE.get(key)
+    cls = state[0] if state else _load_rule_class(spark)
 
     out = spark.table(fact_view)._jdf.queryExecution().analyzed().output()
     ids = {}
@@ -157,21 +193,31 @@ def install(
         jvm.java.lang.reflect.Array.set(args, i, v)
     m.invoke(None, args)
 
-    empty_sig = jvm.java.lang.reflect.Array.newInstance(
-        jvm.java.lang.Class.forName("java.lang.Class"), 0
-    )
-    empty_args = jvm.java.lang.reflect.Array.newInstance(
-        jvm.java.lang.Class.forName("java.lang.Object"), 0
-    )
-    rule = cls.getDeclaredConstructor(empty_sig).newInstance(empty_args)
-    seq = spark.sparkContext._jvm.PythonUtils.toSeq([rule])
-    exp = spark._jsparkSession.experimental()
-    getattr(exp, "extraOptimizations_$eq")(seq)
+    if state is None:
+        empty_sig = jvm.java.lang.reflect.Array.newInstance(
+            jvm.java.lang.Class.forName("java.lang.Class"), 0
+        )
+        empty_args = jvm.java.lang.reflect.Array.newInstance(
+            jvm.java.lang.Class.forName("java.lang.Object"), 0
+        )
+        rule = cls.getDeclaredConstructor(empty_sig).newInstance(empty_args)
+        exp = spark._jsparkSession.experimental()
+        prior = exp.extraOptimizations()  # preserve foreign rules
+        existing = []
+        pit = prior.iterator()
+        while pit.hasNext():
+            existing.append(pit.next())
+        seq = spark.sparkContext._jvm.PythonUtils.toSeq(
+            existing + [rule]
+        )
+        getattr(exp, "extraOptimizations_$eq")(seq)
+        _STATE[key] = (cls, rule, prior)
     return cls
 
 
 def uninstall(spark: SparkSession, cls=None) -> None:
-    """Remove the injected rule and its registrations."""
+    """Remove the injected rule and its registrations; foreign
+    extraOptimizations that predated install() are restored."""
     if cls is not None:
         cls.getMethod(
             "clear",
@@ -184,6 +230,12 @@ def uninstall(spark: SparkSession, cls=None) -> None:
                 spark._jvm.java.lang.Class.forName("java.lang.Object"), 0
             ),
         )
-    seq = spark.sparkContext._jvm.PythonUtils.toSeq([])
+    key = id(spark.sparkContext._gateway)
+    state = _STATE.pop(key, None)
     exp = spark._jsparkSession.experimental()
-    getattr(exp, "extraOptimizations_$eq")(seq)
+    if state is not None:
+        getattr(exp, "extraOptimizations_$eq")(state[2])
+    else:
+        getattr(exp, "extraOptimizations_$eq")(
+            spark.sparkContext._jvm.PythonUtils.toSeq([])
+        )
