@@ -416,3 +416,37 @@ def test_vacuum_horizon_expiry_ignores_age_gate(spark, tmp_path):
     assert removed["dirs"][0] != "data-orphan0000"
     assert util.fs_exists(spark, f"{root}/data-orphan0000")
     assert _rows(spark, root) == _expect(range(40))
+
+
+def test_cosine_refine_full_probe_equals_flat_cosine(spark, tmp_path):
+    """Semantic anchor for the cosine refine (round 13): with every
+    cell probed and the candidate budget covering the corpus, the
+    two-stage cosine rerank must equal the IVF-Flat cosine tier's
+    top-k exactly — same metric, same tie-breaks, the compressed tier
+    collapses onto the exact one."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    qids = (1, 2, 3)
+    ivf = sim.ivf_build_wide(emb, n_cells=4)
+    rpq = sim.pq_build_residual(emb, ivf, m=8, k=16)
+    ivf_served = srv.save_ivf_payload(ivf, emb, str(tmp_path / "pay"))
+    pq_served = srv.save_ivfpq_payload_residual(
+        rpq, str(tmp_path / "codes")
+    )
+    queries = emb.filter(F.col("vec_id").isin(*qids)).select(
+        "vec_id", "embedding"
+    )
+    got = srv.ivfpq_rerank_served(
+        pq_served, ivf_served, queries, topk=5, nprobe=4,
+        n_candidates=n, metric="cosine",
+    )
+    want = srv.ivf_search_served(ivf_served, queries, k=5, nprobe=4)
+    assert sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rnk)
+        for r in got.collect()
+    ) == sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rnk)
+        for r in want.collect()
+    )
+    ivf.cells.unpersist()
+    rpq.codes.unpersist()
