@@ -518,18 +518,14 @@ def _kmeans_centroids(qv: DataFrame, k: int, n_iter: int) -> list[list[int]]:
     centroids = [list(r["qvec"]) for r in init_rows]
 
     for _ in range(n_iter - 1):
-        assigned = _assign(qv, centroids).select(
-            (F.col("mord") % KMEANS_ENC).alias("cid"),
-            F.posexplode("qvec").alias("pos", "comp"),
-        )
-        sums = (
-            assigned.groupBy("cid", "pos")
-            .agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
+        # map-side-aggregated update (guide §2.3): the Arrow kernel's
+        # exact-int64 argmin ties toward the lower cid exactly like
+        # min(dist·ENC + cid), and integer sums fold associatively —
+        # bit-identical centroids, without shuffling n·dim exploded rows
+        sums = _cell_update_sums(qv, centroids)
         nxt = [list(c) for c in centroids]  # empty cluster keeps its centroid
         for r in sums:
-            nxt[r["cid"]][r["pos"]] = _tdiv(r["s"], r["c"])
+            nxt[r["cell"]][r["pos"]] = _tdiv(r["s"], r["c"])
         centroids = nxt
     return centroids
 
@@ -965,15 +961,30 @@ def _pq_geometry(dim: int, m: int) -> list[tuple[int, int]]:
 def _pq_codebooks(
     qv: DataFrame, dim: int, m: int, k: int, n_iter: int
 ) -> list[list[list[int]]]:
-    """Per-subspace Lloyd codebooks over a (vec_id, qvec) frame — the
-    broadcast-centroid loop of _kmeans_centroids run on each slice
-    (same init: the k lowest-vec_id subvectors)."""
-    books = []
-    for lo, w in _pq_geometry(dim, m):
-        qs = qv.select(
-            "vec_id", F.expr(f"slice(qvec, {lo}, {w})").alias("qvec")
-        )
-        books.append(_kmeans_centroids(qs, k, n_iter))
+    """Per-subspace Lloyd codebooks over a (vec_id, qvec) frame — init
+    = the k lowest-vec_id subvectors, truncating integer updates.
+    All m subspace loops share each corpus pass: ONE init job (the k
+    lowest full vectors, sliced) and ONE map-side-aggregated Arrow
+    update pass per iteration (guide §2.3), instead of m independent
+    literal-expression loops each scanning and shuffling the corpus.
+    The per-subspace updates are independent, so folding them into a
+    shared pass is bit-identical to running them separately."""
+    # same guard _kmeans_centroids enforced when it owned this loop:
+    # the literal encode projection packs mord = dist*ENC + cid
+    if not 2 <= k <= KMEANS_ENC:
+        raise ValueError(f"k must be in [2, {KMEANS_ENC}]")
+    geom = _pq_geometry(dim, m)
+    init_rows = qv.orderBy("vec_id").limit(k).collect()
+    books = [
+        [list(r["qvec"])[lo - 1 : lo - 1 + w] for r in init_rows]
+        for (lo, w) in geom
+    ]
+    for _ in range(n_iter - 1):
+        sums = _pq_update_sums(qv, books, dim, m)
+        nxt = [[list(c) for c in b] for b in books]
+        for r in sums:
+            nxt[r["sub"]][r["cid"]][r["pos"]] = _tdiv(r["s"], r["c"])
+        books = nxt
     return books
 
 
@@ -1646,6 +1657,130 @@ def _assign_cells_pandas(qv: DataFrame, centroids: list) -> DataFrame:
     return qv.mapInPandas(kernel, "vec_id long, cell long")
 
 
+def _cell_update_sums(qv: DataFrame, centroids: list) -> list:
+    """One Lloyd update's (cell, pos) → (sum, count) table in a single
+    map-side-aggregated Arrow pass: each task assigns its rows with the
+    SAME exact-int64 argmin as _assign_cells_pandas and folds component
+    sums per (cell, pos) in numpy, emitting n_cells×dim partials
+    instead of n·dim exploded rows — the shuffle then merges
+    tasks×cells×dim partial rows rather than moving the corpus
+    (assignment → self-join → posexplode did two extra shuffles of
+    n·dim rows each). Integer addition is associative, so the folded
+    sums are bit-identical to the exploded groupBy's."""
+    import numpy as np
+
+    cmat = np.asarray(centroids, dtype=np.int64)
+    cnorm = (cmat * cmat).sum(axis=1)
+    n_cells = len(centroids)
+    dim = len(centroids[0])
+
+    def kernel(batches):
+        import pandas as pd
+
+        acc_s = np.zeros((n_cells, dim), dtype=np.int64)
+        acc_c = np.zeros(n_cells, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            x = np.asarray(list(pdf["qvec"]), dtype=np.int64)
+            xnorm = (x * x).sum(axis=1)
+            d2 = xnorm[:, None] + cnorm[None, :] - 2 * (x @ cmat.T)
+            cell = d2.argmin(axis=1)
+            np.add.at(acc_s, cell, x)
+            acc_c += np.bincount(cell, minlength=n_cells)
+        if not seen:
+            return
+        live = np.flatnonzero(acc_c)
+        yield pd.DataFrame(
+            {
+                "cell": np.repeat(live, dim),
+                "pos": np.tile(np.arange(dim), len(live)),
+                "s": acc_s[live].reshape(-1),
+                "c": np.repeat(acc_c[live], dim),
+            }
+        )
+
+    # ship only qvec across the Arrow boundary (guide §4.1)
+    partials = qv.select("qvec").mapInPandas(
+        kernel, "cell long, pos int, s long, c long"
+    )
+    return (
+        partials.groupBy("cell", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+        .collect()
+    )
+
+
+def _pq_update_sums(
+    qv: DataFrame, books: list, dim: int, m: int
+) -> list:
+    """One PQ Lloyd update's (subspace, cid, pos) → (sum, count) table
+    in a single map-side-aggregated Arrow pass: each task encodes its
+    rows with the SAME exact-int64 argmin as _pq_assign_codes_pandas
+    and folds subvector component sums per (s, cid, pos) in numpy.
+    Replaces m separate jobs that each re-encoded the corpus, joined it
+    back to itself by vec_id, and shuffled a posexploded subvector —
+    the shuffle now merges tasks×m×k×w partial rows. Bit-identical:
+    integer addition is associative and the argmin is unchanged."""
+    import numpy as np
+
+    geom = _pq_geometry(dim, m)
+    mats = [np.asarray(b, dtype=np.int64) for b in books]
+    norms = [(c * c).sum(axis=1) for c in mats]
+    k = len(books[0])
+
+    def kernel(batches):
+        import pandas as pd
+
+        acc_s = [np.zeros((k, w), dtype=np.int64) for (_, w) in geom]
+        acc_c = [np.zeros(k, dtype=np.int64) for _ in geom]
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            x = np.asarray(list(pdf["qvec"]), dtype=np.int64)
+            for s, (lo, w) in enumerate(geom):
+                sub = x[:, lo - 1 : lo - 1 + w]
+                d2 = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    + norms[s][None, :]
+                    - 2 * (sub @ mats[s].T)
+                )
+                cid = d2.argmin(axis=1)  # ties → lower cid
+                np.add.at(acc_s[s], cid, sub)
+                acc_c[s] += np.bincount(cid, minlength=k)
+        if not seen:
+            return
+        frames = []
+        for s, (_, w) in enumerate(geom):
+            live = np.flatnonzero(acc_c[s])
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "sub": np.full(len(live) * w, s, dtype=np.int64),
+                        "cid": np.repeat(live, w),
+                        "pos": np.tile(np.arange(w), len(live)),
+                        "s": acc_s[s][live].reshape(-1),
+                        "c": np.repeat(acc_c[s][live], w),
+                    }
+                )
+            )
+        yield pd.concat(frames, ignore_index=True)
+
+    # ship only qvec across the Arrow boundary (guide §4.1)
+    partials = qv.select("qvec").mapInPandas(
+        kernel, "sub int, cid long, pos int, s long, c long"
+    )
+    return (
+        partials.groupBy("sub", "cid", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+        .collect()
+    )
+
+
 def ivf_build_wide(
     vecs: DataFrame,
     n_cells: int,
@@ -1708,13 +1843,12 @@ def ivf_build_wide(
             for r in qv.orderBy("vec_id").limit(n_cells).collect()
         ]
     for _ in range(n_iter - 1):
-        assigned = _assign_cells_pandas(train, centroids).join(train, "vec_id")
-        sums = (
-            assigned.select("cell", F.posexplode("qvec").alias("pos", "comp"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
+        # map-side-aggregated update: one Arrow pass folds per-(cell,
+        # pos) integer sums inside each task (guide §2.3 — aggregate
+        # before the shuffle); bit-identical to the old assignment →
+        # self-join → posexplode → groupBy chain, minus two corpus
+        # shuffles per iteration
+        sums = _cell_update_sums(train, centroids)
         nxt = [list(c) for c in centroids]
         for r in sums:
             nxt[r["cell"]][r["pos"]] = _tdiv(r["s"], r["c"])
@@ -1816,16 +1950,25 @@ class PqIndex:
 
 
 def _pq_assign_codes_pandas(
-    qv: DataFrame, books: list, dim: int, m: int
+    qv: DataFrame,
+    books: list,
+    dim: int,
+    m: int,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """(vec_id, code_0..code_{m-1}) in ONE Arrow pass: per subspace,
-    exact-int64 argmin against that subspace's codebook matrix."""
+    exact-int64 argmin against that subspace's codebook matrix.
+    ``extra_cols``: ((name, sql_type), ...) input columns passed
+    through unchanged — lets callers carry e.g. the coarse cell id
+    without a join-back of the corpus by vec_id."""
     import numpy as np
 
     geom = _pq_geometry(dim, m)
     mats = [np.asarray(b, dtype=np.int64) for b in books]
     norms = [(c * c).sum(axis=1) for c in mats]
     schema = "vec_id long, " + ", ".join(f"code_{s} long" for s in range(m))
+    for name, typ in extra_cols:
+        schema += f", {name} {typ}"
 
     def kernel(batches):
         import pandas as pd
@@ -1843,6 +1986,8 @@ def _pq_assign_codes_pandas(
                     - 2 * (sub @ mats[s].T)
                 )
                 out[f"code_{s}"] = d2.argmin(axis=1)  # ties → lower cid
+            for name, _ in extra_cols:
+                out[name] = pdf[name]
             yield pd.DataFrame(out)
 
     return qv.mapInPandas(kernel, schema)
@@ -1877,6 +2022,8 @@ def _pq_wide_books_codes(
     k: int,
     n_iter: int,
     train_sample: "int | None" = None,
+    assign_frame: "DataFrame | None" = None,
+    extra_cols: tuple = (),
 ):
     """The wide-PQ Lloyd loop over an arbitrary (vec_id, qvec) frame —
     shared by pq_build_wide (raw vectors) and pq_build_residual
@@ -1907,28 +2054,25 @@ def _pq_wide_books_codes(
         for (lo, w) in geom
     ]
     for _ in range(n_iter - 1):
-        assigned = _pq_assign_codes_pandas(train, books, dim, m).join(
-            train, "vec_id"
-        )
+        # map-side-aggregated update: ONE Arrow pass encodes and folds
+        # per-(subspace, cid, pos) integer sums inside each task (guide
+        # §2.3), replacing m jobs that each re-encoded the corpus,
+        # self-joined it by vec_id, and shuffled a posexploded
+        # subvector — bit-identical sums, m+2 corpus passes fewer
+        sums = _pq_update_sums(train, books, dim, m)
         nxt = [[list(c) for c in b] for b in books]
-        for s, (lo, w) in enumerate(geom):
-            sums = (
-                assigned.select(
-                    F.col(f"code_{s}").alias("cid"),
-                    F.posexplode(F.expr(f"slice(qvec, {lo}, {w})")).alias(
-                        "pos", "comp"
-                    ),
-                )
-                .groupBy("cid", "pos")
-                .agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("c"))
-                .collect()
-            )
-            for r in sums:
-                nxt[s][r["cid"]][r["pos"]] = _tdiv(r["s"], r["c"])
+        for r in sums:
+            nxt[r["sub"]][r["cid"]][r["pos"]] = _tdiv(r["s"], r["c"])
         books = nxt
     if train is not qv:
         train.unpersist()
-    codes = _pq_assign_codes_pandas(qv, books, dim, m).cache()
+    # final exact assignment; ``assign_frame``/``extra_cols`` let the
+    # residual path carry its coarse cell id through the kernel instead
+    # of joining the codes back to the corpus by vec_id afterwards
+    src = assign_frame if assign_frame is not None else qv
+    codes = _pq_assign_codes_pandas(
+        src, books, dim, m, extra_cols=extra_cols
+    ).cache()
     codes.count()
     return books, codes
 
@@ -2538,13 +2682,15 @@ def pq_build_residual(
         .cache()
     )
     res.count()
-    books, codes0 = _pq_wide_books_codes(
+    # the final assignment kernel passes `cell` straight through, so
+    # the codes frame is born with its coarse cell id — no join-back
+    # of the codes to the corpus by vec_id (one full shuffle fewer)
+    books, codes = _pq_wide_books_codes(
         res.select("vec_id", "qvec"), dim, m, k, n_iter,
         train_sample=train_sample,
+        assign_frame=res.select("vec_id", "qvec", "cell"),
+        extra_cols=(("cell", "long"),),
     )
-    codes = codes0.join(res.select("vec_id", "cell"), "vec_id").cache()
-    codes.count()
-    codes0.unpersist()
     res.unpersist()
     return ResidualPqIndex(
         centroids=ivf_index.centroids,
