@@ -707,19 +707,25 @@ def connected_components(
         prop = sym.join(labels, sym.src == labels.doc).select(
             F.col("dst").alias("doc"), "label"
         )
+        # fused convergence check (guide §2.4 — one exchange, not two):
+        # tag the old label through the union so the SAME groupBy that
+        # takes the min also recovers each doc's previous label; changed
+        # = min < previous. The old shape re-joined new labels to old
+        # labels every round — a whole extra shuffle per round for a
+        # boolean. Every doc has exactly one old row, so _prev is exact
+        # and min(label) ≤ _prev always; identical labels either way.
         new_labels = (
-            labels.unionByName(prop)
+            labels.select("doc", "label", F.lit(True).alias("_old"))
+            .unionByName(prop.select("doc", "label", F.lit(False).alias("_old")))
             .groupBy("doc")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.max(F.when(F.col("_old"), F.col("label"))).alias("_prev"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") < F.col("_prev")).count()
+        labels = new_labels.select("doc", "label")
         if changed == 0:
             break
     if changed != 0:
@@ -785,6 +791,7 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     e = canon
+    e_count = e.count()  # carried forward: each round's small.count()
     for _ in range(max_iter):
         # large-star over the symmetric view
         sym = e.select("u", "v").unionByName(
@@ -812,11 +819,14 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # count equality first (carried from last round — no job for
+        # e.count()); the set-difference probe only runs near fixpoint
+        small_count = small.count()
         same = (
-            small.count() == e.count()
+            small_count == e_count
             and small.exceptAll(e).limit(1).count() == 0
         )
-        e = small
+        e, e_count = small, small_count
         if same:
             break
     else:
