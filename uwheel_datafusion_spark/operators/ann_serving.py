@@ -1304,6 +1304,8 @@ def ivfpq_rerank_served(
     rotated-space IvfIndex), or the probed-partition refine read would
     prune to the wrong cells."""
     assert n_candidates >= topk
+    import numpy as np
+
     spark = queries.sparkSession
     cand_rows = (
         ivfpq_search_served(
@@ -1312,10 +1314,6 @@ def ivfpq_rerank_served(
         )
         .select("query_id", "neighbor_id")
         .collect()
-    )
-    cand = spark.createDataFrame(
-        [(r["query_id"], r["neighbor_id"]) for r in cand_rows],
-        "query_id long, neighbor_id long",
     )
     cand_ids = sorted({r["neighbor_id"] for r in cand_rows})
     # candidate vectors: point reads from the served payload. Every
@@ -1335,50 +1333,80 @@ def ivfpq_rerank_served(
             )
         }
     )
-    fullv = _payload_df(
-        ivf_served,
-        spark,
-        probed,
-        "vec_id long, qvec array<long>, qnorm long, cell long",
-    ).filter(F.col("vec_id").isin(cand_ids)).select(
-        "vec_id", "qvec", "qnorm"
+    # the refine itself folds on the DRIVER: the point-lookup read is
+    # bounded at |q|·n_candidates rows (the documented LUT/centroid
+    # collect class), and the relational tail it replaces ran two
+    # broadcast joins plus a window over those same rows as full Spark
+    # jobs. Distances stay exact: integer sums for L2; for cosine the
+    # stored integer norms and double(dot)/sqrt(double·double) match
+    # cosine_q's single-IEEE-op SQL, and a candidate id absent from the
+    # payload (or with qnorm ≤ 0 under cosine) drops exactly like the
+    # old inner join / filter did.
+    vec_rows = (
+        _payload_df(
+            ivf_served,
+            spark,
+            probed,
+            "vec_id long, qvec array<long>, qnorm long, cell long",
+        )
+        .filter(F.col("vec_id").isin(cand_ids))
+        .select("vec_id", "qvec", "qnorm")
+        .collect()
     )
-    qframe = _quantized(queries, vec_col).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qvec").alias("q_qvec"),
-        F.col("qnorm").alias("q_qnorm"),
-    )
-    joined = fullv.join(
-        F.broadcast(cand), F.col("vec_id") == F.col("neighbor_id")
-    ).join(F.broadcast(qframe), "query_id")
+    vmap = {
+        r["vec_id"]: (np.asarray(r["qvec"], dtype=np.int64), r["qnorm"])
+        for r in vec_rows
+    }
+    qmap = {
+        r["vec_id"]: np.asarray(r["qvec"], dtype=np.int64) for r in qrows
+    }
+    by_q: dict = {}
+    for r in cand_rows:
+        q, nbr = r["query_id"], r["neighbor_id"]
+        if nbr not in vmap or q not in qmap:
+            continue
+        nv, nnorm = vmap[nbr]
+        by_q.setdefault(q, []).append((nbr, nv, nnorm))
+    out = []
     if metric == "cosine":
-        cos = F.expr(
-            SPARK.cosine_q(
-                SPARK.dot_q("q_qvec", "qvec"), "q_qnorm", "qnorm"
-            )
+        for q in sorted(by_q):
+            qv = qmap[q]
+            qn = np.float64(int((qv * qv).sum()))
+            if qn == 0.0:
+                # 0/0 = NaN cosine for every candidate; Spark ranks NaN
+                # first under DESC and ties break by neighbor_id — same
+                # rows, same order, cosine stays NaN
+                live = sorted(
+                    nbr for nbr, _, nnorm in by_q[q] if nnorm > 0
+                )
+                for rnk, nbr in enumerate(live[:topk], start=1):
+                    out.append((q, nbr, float("nan"), rnk))
+                continue
+            scored = []
+            for nbr, nv, nnorm in by_q[q]:
+                if nnorm <= 0:
+                    continue
+                cos = np.float64(int(qv @ nv)) / np.sqrt(
+                    qn * np.float64(nnorm)
+                )
+                scored.append((-cos, nbr))
+            for rnk, (negcos, nbr) in enumerate(
+                sorted(scored)[:topk], start=1
+            ):
+                out.append((q, nbr, float(-negcos), rnk))
+        return spark.createDataFrame(
+            out, "query_id long, neighbor_id long, cosine double, rnk long"
         )
-        refined = joined.filter(F.col("qnorm") > 0).select(
-            "query_id", "neighbor_id", cos.alias("cosine")
-        )
-        w = W.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("neighbor_id")
-        )
-        return (
-            refined.withColumn("rnk", F.row_number().over(w).cast("long"))
-            .filter(F.col("rnk") <= topk)
-            .select("query_id", "neighbor_id", "cosine", "rnk")
-        )
-    sqd = F.expr(SPARK.sum_list_bigint(SPARK.zip_sqdiff("q_qvec", "qvec")))
-    refined = joined.select(
-        "query_id",
-        "neighbor_id",
-        sqd.cast("long").alias("exact_dist"),
-    )
-    w = W.partitionBy("query_id").orderBy("exact_dist", "neighbor_id")
-    return (
-        refined.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= topk)
-        .select("query_id", "neighbor_id", "exact_dist", "rnk")
+    for q in sorted(by_q):
+        qv = qmap[q]
+        scored = [
+            (int(((qv - nv) ** 2).sum()), nbr)
+            for nbr, nv, _ in by_q[q]
+        ]
+        for rnk, (d, nbr) in enumerate(sorted(scored)[:topk], start=1):
+            out.append((q, nbr, d, rnk))
+    return spark.createDataFrame(
+        out, "query_id long, neighbor_id long, exact_dist long, rnk long"
     )
 
 

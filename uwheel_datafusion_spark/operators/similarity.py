@@ -61,31 +61,114 @@ _COS = SPARK.cosine_q(
 )
 
 
+def _brute_cosine_topk(
+    qv: DataFrame,
+    vec_col: str,
+    query_ids: tuple[int, ...],
+    k: int,
+    out_col: str,
+) -> DataFrame:
+    """Shared exact integer-cosine brute-force top-k over a
+    (vec_id, <codes>) frame. The query rows are collected once (|q|
+    bounded — the documented LUT/centroid collect class); the corpus is
+    scanned ONCE in an Arrow kernel that computes every query's integer
+    dot products as one int64 matmul and keeps a task-local top-k per
+    query by the SAME total order (score DESC, neighbor_id ASC) before
+    the exchange — a correct prefilter, since a row outside a task's
+    local top-k cannot enter the global top-k. The final window then
+    ranks tasks·k·|q| surviving rows instead of n·|q|.
+
+    Norms are folded in the SAME kernel pass (and zero-norm rows
+    dropped there, both sides — knn_brute_force's NaN rule): a
+    ``dot_q(codes, codes)`` SQL column would re-inline the whole
+    unmaterialized quantize transform once per lambda reference
+    (neither engine eliminates common subexpressions inside lambdas —
+    measured 0.25 → 1.8 s at sf0.1 from the norm column alone).
+    cosine = double(dot) / sqrt(double(na)·double(nb)) with each step a
+    single correctly-rounded IEEE op, identical to cosine_q's SQL
+    (guide §4.2: batch the pairwise math in native code; §2.3: shuffle
+    candidates, not the cross product)."""
+    import numpy as np
+
+    qrows = (
+        qv.filter(F.col("vec_id").isin(*query_ids))
+        .select("vec_id", vec_col)
+        .collect()
+    )
+    qids0 = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat0 = (
+        np.array([list(r[vec_col]) for r in qrows], dtype=np.int64)
+        if qrows
+        else np.zeros((0, 1), dtype=np.int64)
+    )
+    qnorm0 = (qmat0 * qmat0).sum(axis=1)
+    live = qnorm0 > 0  # zero-norm queries never rank (same as qnorm>0)
+    qids, qmat, qnorm = qids0[live], qmat0[live], qnorm0[live]
+    n_q = len(qids)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf) or not n_q:
+                continue
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            x = np.asarray(list(pdf[vec_col]), dtype=np.int64)
+            vn = (x * x).sum(axis=1)
+            keep = vn > 0  # zero-norm corpus rows excluded (NaN rule)
+            if not keep.all():
+                ids, x, vn = ids[keep], x[keep], vn[keep]
+            if not len(ids):
+                continue
+            dot = x @ qmat.T  # (B, Q) exact int64
+            cos = dot.astype(np.float64) / np.sqrt(
+                vn[:, None].astype(np.float64)
+                * qnorm[None, :].astype(np.float64)
+            )
+            out_q, out_n, out_c = [], [], []
+            for qi in range(n_q):
+                cand = np.flatnonzero(ids != qids[qi])
+                if not len(cand):
+                    continue
+                col = cos[cand, qi]
+                order = np.lexsort((ids[cand], -col))[:k]
+                sel = cand[order]
+                out_q.append(np.full(len(sel), qids[qi], dtype=np.int64))
+                out_n.append(ids[sel])
+                out_c.append(cos[sel, qi])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    out_col: np.concatenate(out_c),
+                }
+            )
+
+    pre = qv.select("vec_id", vec_col).mapInPandas(
+        kernel, f"query_id long, neighbor_id long, {out_col} double"
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col(out_col).desc(), F.col("neighbor_id")
+    )
+    return (
+        pre.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", out_col, "rnk")
+    )
+
+
 def knn_brute_force(
     vecs: DataFrame, query_ids: tuple[int, ...], k: int = 5, vec_col: str = "embedding"
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector; ties broken by
     vec_id so results are fully deterministic."""
-    qv = _quantized(vecs, vec_col, drop_zero=True)
-    queries = qv.filter(F.col("vec_id").isin(*query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qvec").alias("q_qvec"),
-        F.col("qnorm").alias("q_qnorm"),
-    )
-    cos = F.expr(
-        SPARK.cosine_q(SPARK.dot_q("q_qvec", "qvec"), "q_qnorm", "qnorm")
-    )
-    scored = (
-        qv.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", cos)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rnk")
-    )
+    # no drop_zero / qnorm column: the kernel folds norms and applies
+    # the zero-norm exclusion itself, so the quantize transform is
+    # evaluated exactly once per row
+    qv = _quantized(vecs, vec_col).select("vec_id", "qvec")
+    return _brute_cosine_topk(qv, "qvec", query_ids, k, "cosine")
 
 
 def _oracle_qv(table: str, vec_col: str) -> str:
@@ -858,32 +941,8 @@ def knn_brute_force_int8(
     path (recall vs the float ranking is measured per round in
     bench.py ann_recall). Zero-code vectors (all-zero embeddings) are
     excluded like knn_brute_force's zero-norm rule."""
-    d = SPARK
-    codes = quantize_int8(vecs, vec_col)
-    qv = codes.withColumn(
-        "qnorm", F.expr(d.dot_q("qvec8", "qvec8"))
-    ).filter(F.col("qnorm") > 0)
-    queries = qv.filter(F.col("vec_id").isin(*query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qvec8").alias("q_qvec"),
-        F.col("qnorm").alias("q_qnorm"),
-    )
-    cos = F.expr(
-        d.cosine_q(d.dot_q("q_qvec", "qvec8"), "q_qnorm", "qnorm")
-    )
-    scored = (
-        qv.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine8", cos)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine8")
-    )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cosine8").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "cosine8", "rnk")
-    )
+    codes = quantize_int8(vecs, vec_col).select("vec_id", "qvec8")
+    return _brute_cosine_topk(codes, "qvec8", query_ids, k, "cosine8")
 
 
 def knn_brute_force_int8_oracle(
@@ -2077,6 +2136,83 @@ def _pq_wide_books_codes(
     return books, codes
 
 
+def _adc_scan_topk(
+    codes: DataFrame,
+    m: int,
+    entries: list,
+    topk: int,
+) -> DataFrame:
+    """Shared ADC scan: one Arrow pass over a codes frame
+    (vec_id, code_0..code_{m-1}[, cell]) gathers every entry's LUT sums
+    vectorized and keeps a task-local top-``topk`` per query by the
+    SAME (adc_dist, neighbor_id) order before the exchange — a correct
+    prefilter (a row outside a task's local top-k cannot enter the
+    global top-k); the final window ranks tasks·topk·|q| survivors.
+    ``entries`` = [(query_id, cell-or-None, (m,k) int64 LUT)]: a None
+    cell scores every row (flat PQ), otherwise only that cell's rows
+    (IVF probe). Replaces the broadcast-LUT join + element_at chain +
+    full-width window shuffle (guide §4.2 / §2.3). Integer-exact: the
+    ADC sum is the same m LUT lookups added in int64."""
+    import numpy as np
+
+    code_cols = [f"code_{s}" for s in range(m)]
+    cell_keyed = any(c is not None for _, c, _ in entries)
+    in_cols = ["vec_id", *code_cols] + (["cell"] if cell_keyed else [])
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf) or not entries:
+                continue
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            cmat = np.stack(
+                [pdf[c].to_numpy().astype(np.int64) for c in code_cols],
+                axis=1,
+            )
+            cells = (
+                pdf["cell"].to_numpy().astype(np.int64)
+                if cell_keyed
+                else None
+            )
+            out_q, out_n, out_d = [], [], []
+            for qid, cell, lut in entries:
+                if cell is None:
+                    rows = np.flatnonzero(ids != qid)
+                else:
+                    rows = np.flatnonzero((cells == cell) & (ids != qid))
+                if not len(rows):
+                    continue
+                sub = cmat[rows]
+                adc = np.zeros(len(rows), dtype=np.int64)
+                for s in range(m):
+                    adc += lut[s][sub[:, s]]
+                order = np.lexsort((ids[rows], adc))[:topk]
+                sel = rows[order]
+                out_q.append(np.full(len(sel), qid, dtype=np.int64))
+                out_n.append(ids[sel])
+                out_d.append(adc[order])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc_dist": np.concatenate(out_d),
+                }
+            )
+
+    pre = codes.select(*in_cols).mapInPandas(
+        kernel, "query_id long, neighbor_id long, adc_dist long"
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        pre.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= topk)
+        .select("query_id", "neighbor_id", "adc_dist", "rnk")
+    )
+
+
 def knn_pq_adc_wide(
     index: PqIndex,
     vecs: DataFrame,
@@ -2086,55 +2222,33 @@ def knn_pq_adc_wide(
 ) -> DataFrame:
     """ADC top-k against a PREBUILT wide PqIndex: per-query LUTs are
     computed driver-side in the same exact int64 arithmetic (|query
-    set| × m × k ints) and ship as one broadcast frame; the corpus
-    side reads CODES ONLY. Same output contract as knn_pq_adc."""
+    set| × m × k ints); the corpus side reads CODES ONLY through the
+    shared Arrow ADC scan. Same output contract as knn_pq_adc."""
     import numpy as np
 
     m, dim = index.m, index.dim
     geom = _pq_geometry(dim, m)
     mats = [np.asarray(b, dtype=np.int64) for b in index.books]
     norms = [(c * c).sum(axis=1) for c in mats]
-    spark = vecs.sparkSession
 
     qrows = (
         _quantized(vecs.filter(F.col("vec_id").isin(*query_ids)), vec_col)
         .select("vec_id", "qvec")
         .collect()
     )
-    lut_rows = []
+    entries = []
     for r in qrows:
         x = np.asarray(r["qvec"], dtype=np.int64)
-        luts = []
-        for s, (lo, w) in enumerate(geom):
-            sub = x[lo - 1 : lo - 1 + w]
-            d2 = (sub * sub).sum() + norms[s] - 2 * (mats[s] @ sub)
-            luts.append([int(v) for v in d2])
-        lut_rows.append((int(r["vec_id"]), *luts))
-    schema = "query_id long, " + ", ".join(
-        f"lut_{s} array<long>" for s in range(m)
-    )
-    lut_frame = spark.createDataFrame(lut_rows, schema)
-
-    adc = sum(
-        F.element_at(f"lut_{s}", (F.col(f"code_{s}") + 1).cast("int"))
-        for s in range(m)
-    )
-    scored = (
-        index.codes.join(
-            F.broadcast(lut_frame), F.col("vec_id") != F.col("query_id")
+        lut = np.stack(
+            [
+                (x[lo - 1 : lo - 1 + w] ** 2).sum()
+                + norms[s]
+                - 2 * (mats[s] @ x[lo - 1 : lo - 1 + w])
+                for s, (lo, w) in enumerate(geom)
+            ]
         )
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            adc.cast("long").alias("adc_dist"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= topk)
-        .select("query_id", "neighbor_id", "adc_dist", "rnk")
-    )
+        entries.append((int(r["vec_id"]), None, lut))
+    return _adc_scan_topk(index.codes, m, entries, topk)
 
 
 def ivfpq_search_wide(
@@ -2170,50 +2284,34 @@ def ivfpq_search_wide(
         .select("vec_id", "qvec")
         .collect()
     )
-    pairs, lut_rows = [], []
+    pairs, entries = [], []
     for r in qrows:
         x = np.asarray(r["qvec"], dtype=np.int64)
         d2 = (x * x).sum() + cnorm - 2 * (cmat @ x)
         order = np.lexsort((np.arange(len(d2)), d2))
+        lut = np.stack(
+            [
+                (x[lo - 1 : lo - 1 + w] ** 2).sum()
+                + norms[s]
+                - 2 * (mats[s] @ x[lo - 1 : lo - 1 + w])
+                for s, (lo, w) in enumerate(geom)
+            ]
+        )
         for cell in order[:nprobe]:
             pairs.append((int(r["vec_id"]), int(cell)))
-        luts = []
-        for s, (lo, w) in enumerate(geom):
-            sub = x[lo - 1 : lo - 1 + w]
-            ld = (sub * sub).sum() + norms[s] - 2 * (mats[s] @ sub)
-            luts.append([int(v) for v in ld])
-        lut_rows.append((int(r["vec_id"]), *luts))
-    probe_pairs = spark.createDataFrame(pairs, "query_id long, q_cell long")
-    lut_schema = "query_id long, " + ", ".join(
-        f"lut_{s} array<long>" for s in range(m)
-    )
-    lut_frame = spark.createDataFrame(lut_rows, lut_schema)
+            entries.append((int(r["vec_id"]), int(cell), lut))
 
-    adc = sum(
-        F.element_at(f"lut_{s}", (F.col(f"code_{s}") + 1).cast("int"))
-        for s in range(m)
-    )
     # probed-cell predicate for partition/row-group pruning on a
     # parquet-backed cells table (see ivf_search_wide) — the join
     # would drop the rows anyway, but only after reading them
     probed_cells = sorted({c for _, c in pairs})
     cells = ivf_index.cells.filter(F.col("cell").isin(probed_cells))
-    scored = (
-        pq_index.codes.join(cells, "vec_id")
-        .join(F.broadcast(probe_pairs), F.col("cell") == F.col("q_cell"))
-        .join(F.broadcast(lut_frame), "query_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            adc.cast("long").alias("adc_dist"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= topk)
-        .select("query_id", "neighbor_id", "adc_dist", "rnk")
+    # one equi-join attaches the cell id to the codes; probe matching,
+    # LUT gather and the local top-k all happen in the shared Arrow ADC
+    # scan (the old plan: two more broadcast joins + a window over
+    # every probed (row, query) pair)
+    return _adc_scan_topk(
+        pq_index.codes.join(cells, "vec_id"), m, entries, topk
     )
 
 
@@ -2488,36 +2586,38 @@ def ivfpq_search_rerank(
         .select("query_id", "neighbor_id")
         .collect()
     )
+    import numpy as np
+
     spark = vecs.sparkSession
-    cand = spark.createDataFrame(
-        [(r["query_id"], r["neighbor_id"]) for r in cand_rows],
-        "query_id long, neighbor_id long",
-    )
     cand_ids = sorted({r["neighbor_id"] for r in cand_rows})
-    qv = _quantized(
-        vecs.filter(F.col("vec_id").isin(cand_ids + list(query_ids))),
-        vec_col,
-    ).select("vec_id", "qvec")
-    queries = qv.filter(F.col("vec_id").isin(*query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qvec")
-    )
-    sqd = F.expr(SPARK.sum_list_bigint(SPARK.zip_sqdiff("q_qvec", "qvec")))
-    refined = (
-        qv.join(
-            F.broadcast(cand), F.col("vec_id") == F.col("neighbor_id")
+    # ONE point-lookup read (isin pushdown) collects the candidate and
+    # query vectors — bounded at |q|·(C+1) rows — and the exact-L2
+    # refine folds on the driver: the relational tail ran two broadcast
+    # joins and a window over the same ≤|q|·C rows as full Spark jobs.
+    # The quantized vectors come from the SAME SQL expression (HALF_UP
+    # round), so every distance is the identical int64 sum.
+    vec_rows = (
+        _quantized(
+            vecs.filter(F.col("vec_id").isin(cand_ids + list(query_ids))),
+            vec_col,
         )
-        .join(F.broadcast(queries), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            sqd.cast("long").alias("exact_dist"),
-        )
+        .select("vec_id", "qvec")
+        .collect()
     )
-    w = W.partitionBy("query_id").orderBy("exact_dist", "neighbor_id")
-    return (
-        refined.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= topk)
-        .select("query_id", "neighbor_id", "exact_dist", "rnk")
+    vmap = {
+        r["vec_id"]: np.asarray(r["qvec"], dtype=np.int64) for r in vec_rows
+    }
+    by_q: dict = {}
+    for r in cand_rows:
+        q, nbr = r["query_id"], r["neighbor_id"]
+        d = int(((vmap[q] - vmap[nbr]) ** 2).sum())
+        by_q.setdefault(q, []).append((d, nbr))
+    out = []
+    for q in sorted(by_q):
+        for rnk, (d, nbr) in enumerate(sorted(by_q[q])[:topk], start=1):
+            out.append((q, nbr, d, rnk))
+    return spark.createDataFrame(
+        out, "query_id long, neighbor_id long, exact_dist long, rnk long"
     )
 
 
@@ -2742,7 +2842,7 @@ def ivfpq_search_residual(
         .select("vec_id", "qvec")
         .collect()
     )
-    lut_rows = []
+    entries = []
     for r in qrows:
         x = np.asarray(r["qvec"], dtype=np.int64)
         if H is not None:
@@ -2751,37 +2851,20 @@ def ivfpq_search_residual(
         order = np.lexsort((np.arange(len(d2)), d2))
         for cell in order[:nprobe]:
             qres = x - cmat[cell]
-            luts = []
-            for s, (lo, w) in enumerate(geom):
-                sub = qres[lo - 1 : lo - 1 + w]
-                ld = (sub * sub).sum() + norms[s] - 2 * (mats[s] @ sub)
-                luts.append([int(v) for v in ld])
-            lut_rows.append((int(r["vec_id"]), int(cell), *luts))
-    schema = "query_id long, q_cell long, " + ", ".join(
-        f"lut_{s} array<long>" for s in range(m)
-    )
-    lut_frame = spark.createDataFrame(lut_rows, schema)
-    adc = sum(
-        F.element_at(f"lut_{s}", (F.col(f"code_{s}") + 1).cast("int"))
-        for s in range(m)
-    )
-    scored = (
-        index.codes.join(
-            F.broadcast(lut_frame), F.col("cell") == F.col("q_cell")
-        )
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            adc.cast("long").alias("adc_dist"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= topk)
-        .select("query_id", "neighbor_id", "adc_dist", "rnk")
-    )
+            lut = np.stack(
+                [
+                    (qres[lo - 1 : lo - 1 + w] ** 2).sum()
+                    + norms[s]
+                    - 2 * (mats[s] @ qres[lo - 1 : lo - 1 + w])
+                    for s, (lo, w) in enumerate(geom)
+                ]
+            )
+            entries.append((int(r["vec_id"]), int(cell), lut))
+    # the residual codes frame already carries its coarse cell id, so
+    # probe matching, per-(query, cell) LUT gather and the local top-k
+    # all fold into the shared Arrow ADC scan — no broadcast-LUT join,
+    # no window over every probed (row, query) pair
+    return _adc_scan_topk(index.codes, m, entries, topk)
 
 
 def ivfpq_search_residual_oracle(
@@ -3732,31 +3815,80 @@ def knn_binary_hamming(
     packed words and the full quantized vector, so the rerank needs no
     second corpus access."""
     assert n_candidates >= k
-    d = SPARK
-    qv = _quantized(vecs, vec_col, drop_zero=True)
-    bv = qv.withColumn("bvec", F.expr(d.sign_pack32("qvec", dim)))
-    queries = bv.filter(F.col("vec_id").isin(*query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("bvec").alias("q_bvec"),
-        F.col("qvec").alias("q_qvec"),
-        F.col("qnorm").alias("q_qnorm"),
+    import numpy as np
+
+    # one Arrow pass over the corpus (guide §4.2 / §2.3): sign bits,
+    # Hamming counts and a task-local top-n_candidates cut per query
+    # all fold in the kernel; cosine is computed only for surviving
+    # local candidates (the old plan evaluated the full 64-dim dot for
+    # EVERY (row, query) pair before the candidate cut). The packed
+    # sign-bit Hamming popcount(a XOR b) equals the count of dims where
+    # (x > 0) disagrees — same integers, no packing round-trip needed.
+    # Both global windows below are unchanged, ranking only the
+    # tasks·n_candidates·|q| survivors (a task-local cut by the same
+    # (hamming, neighbor_id) order can never drop a global candidate).
+    qv = _quantized(vecs, vec_col).select("vec_id", "qvec")
+    qrows = qv.filter(F.col("vec_id").isin(*query_ids)).collect()
+    qids0 = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat0 = (
+        np.array([list(r["qvec"]) for r in qrows], dtype=np.int64)
+        if qrows
+        else np.zeros((0, 1), dtype=np.int64)
     )
-    scored = (
-        bv.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .withColumn("hamming", F.expr(d.hamming_words("q_bvec", "bvec")))
-        .withColumn(
-            "cosine",
-            F.expr(d.cosine_q(d.dot_q("q_qvec", "qvec"), "q_qnorm", "qnorm")),
-        )
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            "hamming",
-            "cosine",
-        )
+    qnorm0 = (qmat0 * qmat0).sum(axis=1)
+    live = qnorm0 > 0  # drop_zero rule, applied to the query side
+    qids, qmat, qnorm = qids0[live], qmat0[live], qnorm0[live]
+    qsign = (qmat > 0).astype(np.int64)
+    n_q = len(qids)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf) or not n_q:
+                continue
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            x = np.asarray(list(pdf["qvec"]), dtype=np.int64)
+            vn = (x * x).sum(axis=1)
+            keep = vn > 0  # drop_zero rule, corpus side
+            if not keep.all():
+                ids, x, vn = ids[keep], x[keep], vn[keep]
+            if not len(ids):
+                continue
+            s = (x > 0).astype(np.int64)
+            # Hamming = disagreement count: s·(1−q)ᵀ + (1−s)·qᵀ
+            ham = s @ (1 - qsign).T + (1 - s) @ qsign.T  # (B, Q)
+            out = {"query_id": [], "neighbor_id": [], "hamming": [],
+                   "cosine": []}
+            for qi in range(n_q):
+                cand = np.flatnonzero(ids != qids[qi])
+                if not len(cand):
+                    continue
+                hq = ham[cand, qi]
+                order = np.lexsort((ids[cand], hq))[:n_candidates]
+                sel = cand[order]
+                dot = x[sel] @ qmat[qi]
+                cos = dot.astype(np.float64) / np.sqrt(
+                    vn[sel].astype(np.float64) * np.float64(qnorm[qi])
+                )
+                out["query_id"].append(
+                    np.full(len(sel), qids[qi], dtype=np.int64)
+                )
+                out["neighbor_id"].append(ids[sel])
+                out["hamming"].append(ham[sel, qi])
+                out["cosine"].append(cos)
+            if not out["query_id"]:
+                continue
+            yield pd.DataFrame(
+                {kk: np.concatenate(vv) for kk, vv in out.items()}
+            )
+
+    pre = qv.mapInPandas(
+        kernel,
+        "query_id long, neighbor_id long, hamming long, cosine double",
     )
     wh = W.partitionBy("query_id").orderBy(F.col("hamming"), F.col("neighbor_id"))
-    cand = scored.withColumn("h_rnk", F.row_number().over(wh)).filter(
+    cand = pre.withColumn("h_rnk", F.row_number().over(wh)).filter(
         F.col("h_rnk") <= n_candidates
     )
     wc = W.partitionBy("query_id").orderBy(
