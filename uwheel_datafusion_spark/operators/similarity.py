@@ -582,6 +582,15 @@ def _assign(qv: DataFrame, centroids: list[list[int]]) -> DataFrame:
     return qv.withColumn("mord", F.least(*ords))
 
 
+def _assign_cell_col(centroids: list[list[int]]) -> F.Column:
+    """The nearest-cell id as a single projection column (mord % ENC) —
+    lets callers attach the cell alongside other projections over the
+    same frame instead of joining a separate assignment frame back by
+    vec_id."""
+    ords = [F.expr(e) for e in _dist_ord_exprs(SPARK, centroids)]
+    return (F.least(*ords) % KMEANS_ENC).cast("long").alias("cell")
+
+
 def _kmeans_centroids(qv: DataFrame, k: int, n_iter: int) -> list[list[int]]:
     """Lloyd centroid loop over a (vec_id, qvec) frame: init = the k
     lowest-vec_id vectors, then ``n_iter − 1`` broadcast-centroid
@@ -1104,38 +1113,32 @@ def knn_pq_adc(
     dim floats. Approximate by construction (codes quantize the
     corpus); recall@10 vs the float ranking is measured per round in
     bench.py ann_recall next to the int8 and IVF tiers."""
+    import numpy as np
+
     qv = _quantized(vecs, vec_col).select("vec_id", "qvec").cache()
     books = _pq_codebooks(qv, dim, m, k, n_iter)
     codes = qv.select(F.col("vec_id"), *_pq_code_cols(books, dim, m))
 
-    lut_cols = [F.col("vec_id").alias("query_id")]
-    for s, (lo, w) in enumerate(_pq_geometry(dim, m)):
-        sub = f"slice(qvec, {lo}, {w})"
-        dists = []
-        for cvec in books[s]:
-            lit = "array(" + ", ".join(str(c) for c in cvec) + ")"
-            dists.append(SPARK.sum_list_bigint(SPARK.zip_sqdiff(sub, lit)))
-        lut_cols.append(F.expr("array(" + ", ".join(dists) + ")").alias(f"lut_{s}"))
-    luts = qv.filter(F.col("vec_id").isin(*query_ids)).select(*lut_cols)
-
-    adc = sum(
-        F.element_at(f"lut_{s}", (F.col(f"code_{s}") + 1).cast("int"))
-        for s in range(m)
-    )
-    scored = (
-        codes.join(F.broadcast(luts), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            adc.cast("long").alias("adc_dist"),
+    # per-query LUTs driver-side in the same exact int64 math the
+    # literal zip_sqdiff expressions computed; scoring through the
+    # shared Arrow ADC scan instead of a broadcast-LUT nested-loop join
+    # + a window over every (row, query) pair (guide §4.2 / §2.3)
+    geom = _pq_geometry(dim, m)
+    mats = [np.asarray(b, dtype=np.int64) for b in books]
+    norms = [(c * c).sum(axis=1) for c in mats]
+    entries = []
+    for r in qv.filter(F.col("vec_id").isin(*query_ids)).collect():
+        x = np.asarray(r["qvec"], dtype=np.int64)
+        lut = np.stack(
+            [
+                (x[lo - 1 : lo - 1 + w] ** 2).sum()
+                + norms[s]
+                - 2 * (mats[s] @ x[lo - 1 : lo - 1 + w])
+                for s, (lo, w) in enumerate(geom)
+            ]
         )
-    )
-    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= topk)
-        .select("query_id", "neighbor_id", "adc_dist", "rnk")
-    )
+        entries.append((int(r["vec_id"]), None, lut))
+    return _adc_scan_topk(codes, m, entries, topk)
 
 
 def _pq_cte_parts(
@@ -1325,58 +1328,44 @@ def ann_ivfpq_topk(
     if not 2 <= n_cells <= KMEANS_ENC:
         raise ValueError(f"n_cells must be in [2, {KMEANS_ENC}]")
     assert 1 <= nprobe <= n_cells
+    import numpy as np
+
     qv = _quantized(vecs, vec_col).select("vec_id", "qvec").cache()
     centroids = _kmeans_centroids(qv, n_cells, n_iter)
-    cells = _assign(qv, centroids).select(
-        "vec_id", (F.col("mord") % KMEANS_ENC).cast("long").alias("cell")
-    )
     books = _pq_codebooks(qv, dim, m, k, n_iter)
-    codes = qv.select("vec_id", *_pq_code_cols(books, dim, m)).join(
-        cells, "vec_id"
+    # codes AND cell in ONE projection over qv — the cell assignment is
+    # a literal expression over the same rows, so the old codes⋈cells
+    # self-join on vec_id bought nothing (guide §2.4)
+    codes = qv.select(
+        "vec_id",
+        *_pq_code_cols(books, dim, m),
+        _assign_cell_col(centroids),
     )
-
-    ords = ", ".join(_dist_ord_exprs(SPARK, centroids))
-    probes = (
-        f"transform(slice(array_sort(array({ords})), 1, {nprobe}), "
-        f"o -> CAST(o % {KMEANS_ENC} AS BIGINT))"
-    )
-    lut_cols = [
-        F.col("vec_id").alias("query_id"),
-        F.explode(F.expr(probes)).alias("q_cell"),
-    ]
-    for s, (lo, w) in enumerate(_pq_geometry(dim, m)):
-        sub = f"slice(qvec, {lo}, {w})"
-        dists = []
-        for cvec in books[s]:
-            lit = "array(" + ", ".join(str(c) for c in cvec) + ")"
-            dists.append(SPARK.sum_list_bigint(SPARK.zip_sqdiff(sub, lit)))
-        lut_cols.append(
-            F.expr("array(" + ", ".join(dists) + ")").alias(f"lut_{s}")
+    # probe ranking + LUTs driver-side in the same exact int64 math the
+    # literal expressions computed (mord = dist·ENC + cid ascending ≡
+    # lexsort by (dist, cid)); scoring through the shared Arrow ADC
+    # scan instead of a broadcast probe-frame join + full-width window
+    geom = _pq_geometry(dim, m)
+    cmat = np.asarray(centroids, dtype=np.int64)
+    cnorm = (cmat * cmat).sum(axis=1)
+    mats = [np.asarray(b, dtype=np.int64) for b in books]
+    norms = [(c * c).sum(axis=1) for c in mats]
+    entries = []
+    for r in qv.filter(F.col("vec_id").isin(*query_ids)).collect():
+        x = np.asarray(r["qvec"], dtype=np.int64)
+        d2 = (x * x).sum() + cnorm - 2 * (cmat @ x)
+        order = np.lexsort((np.arange(len(d2)), d2))
+        lut = np.stack(
+            [
+                (x[lo - 1 : lo - 1 + w] ** 2).sum()
+                + norms[s]
+                - 2 * (mats[s] @ x[lo - 1 : lo - 1 + w])
+                for s, (lo, w) in enumerate(geom)
+            ]
         )
-    probe_frame = qv.filter(F.col("vec_id").isin(*query_ids)).select(*lut_cols)
-
-    adc = sum(
-        F.element_at(f"lut_{s}", (F.col(f"code_{s}") + 1).cast("int"))
-        for s in range(m)
-    )
-    scored = (
-        codes.join(
-            F.broadcast(probe_frame),
-            (F.col("cell") == F.col("q_cell"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            adc.cast("long").alias("adc_dist"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= topk)
-        .select("query_id", "neighbor_id", "adc_dist", "rnk")
-    )
+        for cell in order[:nprobe]:
+            entries.append((int(r["vec_id"]), int(cell), lut))
+    return _adc_scan_topk(codes, m, entries, topk)
 
 
 def ann_ivfpq_topk_oracle(
@@ -2551,6 +2540,18 @@ def ivfpq_search_wide_oracle(
 # equi-join on vec_id over one corpus pass (no shuffle).
 
 
+def _rerank_refine_read(
+    vecs: DataFrame, vec_col: str, ids: list
+) -> DataFrame:
+    """The refine stage's point-lookup read — a named seam so the
+    In(vec_id, …) parquet pushdown stays plan-pinned in tests
+    (tests/test_plans.py): losing the pushdown would silently revert
+    the refine to a full corpus pass at 100 TB."""
+    return _quantized(
+        vecs.filter(F.col("vec_id").isin(ids)), vec_col
+    ).select("vec_id", "qvec")
+
+
 def ivfpq_search_rerank(
     ivf_index: IvfIndex,
     pq_index: PqIndex,
@@ -2596,14 +2597,9 @@ def ivfpq_search_rerank(
     # joins and a window over the same ≤|q|·C rows as full Spark jobs.
     # The quantized vectors come from the SAME SQL expression (HALF_UP
     # round), so every distance is the identical int64 sum.
-    vec_rows = (
-        _quantized(
-            vecs.filter(F.col("vec_id").isin(cand_ids + list(query_ids))),
-            vec_col,
-        )
-        .select("vec_id", "qvec")
-        .collect()
-    )
+    vec_rows = _rerank_refine_read(
+        vecs, vec_col, cand_ids + list(query_ids)
+    ).collect()
     vmap = {
         r["vec_id"]: np.asarray(r["qvec"], dtype=np.int64) for r in vec_rows
     }
