@@ -621,13 +621,23 @@ def test_served_ann_reads_only_probed_cell_partitions(
 
     # refine stage of the served rerank: candidate-id pushdown into the
     # PAYLOAD table scan (point lookups), never the corpus (the query
-    # frame is in-memory, so no embeddings.parquet may appear anywhere)
+    # frame is in-memory, so no embeddings.parquet may appear anywhere).
+    # Since round 13 the refine math folds on the driver, so the pin
+    # sits on the named read seam — the refine's only table access.
+    refine_read = srv._rerank_refine_read_served(
+        ivf_served, spark, sorted(probed), [1, 3, 5]
+    )
+    rr_plan = _executed_plan(refine_read)
+    assert "PushedFilters: [In(vec_id" in rr_plan, rr_plan[:2000]
+    assert "PartitionFilters" in rr_plan and "cell#" in rr_plan
+    assert all(
+        "embeddings.parquet" not in f for f in refine_read.inputFiles()
+    )
     rr = srv.ivfpq_rerank_served(
         pq_served, ivf_served, queries, topk=5, nprobe=2, n_candidates=10
     )
-    rr_plan = _executed_plan(rr)
-    assert "PushedFilters: [In(vec_id" in rr_plan, rr_plan[:2000]
     assert all("embeddings.parquet" not in f for f in rr.inputFiles())
+    assert {r["rnk"] for r in rr.collect()} <= set(range(1, 6))
 
     # FUNCTIONAL pruning proof (last — it destroys the table): corrupt
     # every UNPROBED partition's files — a scan that didn't prune would

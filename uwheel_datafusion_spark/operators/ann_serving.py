@@ -1264,6 +1264,27 @@ def merge_generations(
         fs_release_lock(spark, lock)
 
 
+def _rerank_refine_read_served(
+    ivf_served: "ServedIvfIndex", spark, probed: list, cand_ids: list
+) -> DataFrame:
+    """The served refine stage's point-lookup read — a named seam so
+    the probed-partition pruning + In(vec_id, …) pushdown stay
+    plan-pinned in tests (tests/test_plans.py) now that the refine
+    math folds on the driver: this read is the refine's ONLY table
+    access, and it must never widen to a full payload (or corpus)
+    scan."""
+    return (
+        _payload_df(
+            ivf_served,
+            spark,
+            probed,
+            "vec_id long, qvec array<long>, qnorm long, cell long",
+        )
+        .filter(F.col("vec_id").isin(cand_ids))
+        .select("vec_id", "qvec", "qnorm")
+    )
+
+
 def ivfpq_rerank_served(
     pq_served: ServedIvfPqIndex,
     ivf_served: ServedIvfIndex,
@@ -1342,17 +1363,9 @@ def ivfpq_rerank_served(
     # cosine_q's single-IEEE-op SQL, and a candidate id absent from the
     # payload (or with qnorm ≤ 0 under cosine) drops exactly like the
     # old inner join / filter did.
-    vec_rows = (
-        _payload_df(
-            ivf_served,
-            spark,
-            probed,
-            "vec_id long, qvec array<long>, qnorm long, cell long",
-        )
-        .filter(F.col("vec_id").isin(cand_ids))
-        .select("vec_id", "qvec", "qnorm")
-        .collect()
-    )
+    vec_rows = _rerank_refine_read_served(
+        ivf_served, spark, probed, cand_ids
+    ).collect()
     vmap = {
         r["vec_id"]: (np.asarray(r["qvec"], dtype=np.int64), r["qnorm"])
         for r in vec_rows

@@ -90,11 +90,13 @@ def _brute_cosine_topk(
     candidates, not the cross product)."""
     import numpy as np
 
-    qrows = (
-        qv.filter(F.col("vec_id").isin(*query_ids))
+    qrows = [
+        r
+        for r in qv.filter(F.col("vec_id").isin(*query_ids))
         .select("vec_id", vec_col)
         .collect()
-    )
+        if r[vec_col] is not None  # NULL codes = NULL qnorm → dropped
+    ]
     qids0 = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat0 = (
         np.array([list(r[vec_col]) for r in qrows], dtype=np.int64)
@@ -112,10 +114,16 @@ def _brute_cosine_topk(
         for pdf in batches:
             if not len(pdf) or not n_q:
                 continue
-            ids = pdf["vec_id"].to_numpy().astype(np.int64)
-            x = np.asarray(list(pdf[vec_col]), dtype=np.int64)
+            raw = list(pdf[vec_col])
+            notnull = np.array([v is not None for v in raw], dtype=bool)
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)[notnull]
+            if not len(ids):
+                continue
+            x = np.asarray(
+                [v for v in raw if v is not None], dtype=np.int64
+            )
             vn = (x * x).sum(axis=1)
-            keep = vn > 0  # zero-norm corpus rows excluded (NaN rule)
+            keep = vn > 0  # zero/NULL-norm corpus rows excluded (NaN rule)
             if not keep.all():
                 ids, x, vn = ids[keep], x[keep], vn[keep]
             if not len(ids):
@@ -1040,7 +1048,12 @@ def _pq_codebooks(
     # same guard _kmeans_centroids enforced when it owned this loop:
     # the literal encode projection packs mord = dist*ENC + cid
     if not 2 <= k <= KMEANS_ENC:
-        raise ValueError(f"k must be in [2, {KMEANS_ENC}]")
+        raise ValueError(
+            f"k must be in [2, {KMEANS_ENC}]: the encoded-ordinal "
+            f"(dist*{KMEANS_ENC}+cid) packing aliases ids mod "
+            f"{KMEANS_ENC} — use the wide Arrow-kernel tier "
+            f"(ivf_build_wide / pq_encode_wide) for larger k"
+        )
     geom = _pq_geometry(dim, m)
     init_rows = qv.orderBy("vec_id").limit(k).collect()
     books = [
@@ -3824,7 +3837,11 @@ def knn_binary_hamming(
     # tasks·n_candidates·|q| survivors (a task-local cut by the same
     # (hamming, neighbor_id) order can never drop a global candidate).
     qv = _quantized(vecs, vec_col).select("vec_id", "qvec")
-    qrows = qv.filter(F.col("vec_id").isin(*query_ids)).collect()
+    qrows = [
+        r
+        for r in qv.filter(F.col("vec_id").isin(*query_ids)).collect()
+        if r["qvec"] is not None  # NULL codes = NULL qnorm → dropped
+    ]
     qids0 = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat0 = (
         np.array([list(r["qvec"]) for r in qrows], dtype=np.int64)
@@ -3843,10 +3860,16 @@ def knn_binary_hamming(
         for pdf in batches:
             if not len(pdf) or not n_q:
                 continue
-            ids = pdf["vec_id"].to_numpy().astype(np.int64)
-            x = np.asarray(list(pdf["qvec"]), dtype=np.int64)
+            raw = list(pdf["qvec"])
+            notnull = np.array([v is not None for v in raw], dtype=bool)
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)[notnull]
+            if not len(ids):
+                continue
+            x = np.asarray(
+                [v for v in raw if v is not None], dtype=np.int64
+            )
             vn = (x * x).sum(axis=1)
-            keep = vn > 0  # drop_zero rule, corpus side
+            keep = vn > 0  # drop_zero rule, corpus side (NULL → dropped)
             if not keep.all():
                 ids, x, vn = ids[keep], x[keep], vn[keep]
             if not len(ids):
