@@ -127,17 +127,45 @@ def ivf_payload_frame(
     payload writer materializes — shared by the dir-swap layout
     (:func:`save_ivf_payload`), the manifest-committed layout
     (:func:`save_ivf_payload_manifest`), and any later generation
-    append (manifest_table_append on the same root)."""
+    append (manifest_table_append on the same root).
+
+    CELL CONTRACT (round 14 — VERDICT r13 next #1): the cell is
+    recomputed map-side from the index's FROZEN centroids inside the
+    quantize pass (similarity._assign_cells_passthrough — the exact
+    argmin kernel, rotated-space when ``index.rotated``), NOT joined
+    from ``index.cells``. This is the contract the streaming ingest
+    twin (ann_stream.payload_rows_stream) has always had — batch save
+    and streamed ingest now assign identically by construction — and
+    it removes the build-time corpus-by-vec_id shuffle (guide §2.4):
+    at 10⁹ vectors the old payload ⋈ cells join re-shuffled the whole
+    corpus to attach a value that is a pure function of (centroids,
+    row). Every IvfIndex this repo constructs (ivf_build,
+    ivf_build_wide incl. sample-trained/rotated, streamed rehydration
+    via ivf_index_from_table) satisfies cells ≡ argmin(centroids), so
+    for any ``vecs`` drawn from the indexed corpus the frame is
+    row-identical to the old join; rows of ``vecs`` NOT in
+    ``index.cells`` are now assigned (FAISS add() semantics) instead
+    of silently dropped — callers needing membership filtering must
+    pre-filter ``vecs``."""
     from uwheel_datafusion_spark.functions.dialect import SPARK as _D
+    from uwheel_datafusion_spark.operators.similarity import (
+        _assign_cells_passthrough,
+    )
 
     qv = _quantized(vecs, vec_col).select(
         "vec_id", "qvec", "qnorm", *extra_cols
     )
+    assigned = _assign_cells_passthrough(
+        qv, index.centroids,
+        rotated=getattr(index, "rotated", False), dim=dim,
+    )
     bin_cols = ()
     if include_binary:
-        qv = qv.withColumn("bvec", F.expr(_D.sign_pack32("qvec", dim)))
+        assigned = assigned.withColumn(
+            "bvec", F.expr(_D.sign_pack32("qvec", dim))
+        )
         bin_cols = ("bvec",)
-    return qv.join(index.cells, "vec_id").select(
+    return assigned.select(
         "cell", "vec_id", "qvec", "qnorm", *bin_cols, *extra_cols
     )
 
@@ -152,9 +180,10 @@ def save_ivf_payload(
     include_binary: bool = False,
     dim: int = 64,
 ) -> ServedIvfIndex:
-    """Materialize the IVF-Flat payload into its cell layout: one
-    build-time shuffle (payload ⋈ cells on vec_id, then the
-    partitioned write), amortized over every subsequent search. The
+    """Materialize the IVF-Flat payload into its cell layout: ONE
+    build-time shuffle (the cell-partitioned write; the cell itself is
+    assigned map-side from the frozen centroids — see
+    :func:`ivf_payload_frame`), amortized over every search. The
     zero-norm rows are kept (the write is metric-agnostic); cosine
     search filters qnorm > 0 at read exactly like the in-memory path.
     ``extra_cols`` denormalizes metadata columns (label, lang, ...)
@@ -259,6 +288,8 @@ def _rank_probes(centroids: list, qrows, nprobe: int) -> list:
     cnorm = (cmat * cmat).sum(axis=1)
     pairs = []
     for r in qrows:
+        if r["qvec"] is None:  # NULL embedding: never probes (ADVICE r13)
+            continue
         x = np.asarray(r["qvec"], dtype=np.int64)
         d2 = (x * x).sum() + cnorm - 2 * (cmat @ x)
         order = np.lexsort((np.arange(len(d2)), d2))
@@ -572,26 +603,6 @@ def ivf_search_served(
     )
 
 
-def _query_luts(books: list, dim: int, m: int, qrows) -> list:
-    """Per-query ADC lookup tables — |q| x m x k exact int64 squared
-    distances, computed driver-side (the centroid/LUT collect policy)."""
-    import numpy as np
-
-    geom = _pq_geometry(dim, m)
-    mats = [np.asarray(b, dtype=np.int64) for b in books]
-    norms = [(c * c).sum(axis=1) for c in mats]
-    lut_rows = []
-    for r in qrows:
-        x = np.asarray(r["qvec"], dtype=np.int64)
-        luts = []
-        for s, (lo, w) in enumerate(geom):
-            sub = x[lo - 1 : lo - 1 + w]
-            ld = (sub * sub).sum() + norms[s] - 2 * (mats[s] @ sub)
-            luts.append([int(v) for v in ld])
-        lut_rows.append((int(r["vec_id"]), *luts))
-    return lut_rows
-
-
 def _maybe_rotated_qrows(index, qrows) -> list:
     """Collected (vec_id, qvec) rows, Hadamard-rotated when the served
     index lives in rotated space — exact int64 H @ x driver-side, the
@@ -613,37 +624,6 @@ def _maybe_rotated_qrows(index, qrows) -> list:
     ]
 
 
-def _residual_query_luts(
-    books: list, centroids: list, dim: int, m: int, qrows, pairs
-) -> list:
-    """Per-(query, probed cell) residual ADC LUTs — |q|·nprobe·m·k
-    exact int64 squared distances against the residual codebooks
-    (driver-side, the bounded centroid/LUT collect policy). Mirrors
-    similarity.ivfpq_search_residual's LUT loop bit-for-bit."""
-    import numpy as np
-
-    from uwheel_datafusion_spark.operators.similarity import _pq_geometry
-
-    geom = _pq_geometry(dim, m)
-    cmat = np.asarray(centroids, dtype=np.int64)
-    mats = [np.asarray(b, dtype=np.int64) for b in books]
-    norms = [(c * c).sum(axis=1) for c in mats]
-    xs = {
-        int(r["vec_id"]): np.asarray(r["qvec"], dtype=np.int64)
-        for r in qrows
-    }
-    lut_rows = []
-    for qid, cell in pairs:
-        qres = xs[qid] - cmat[cell]
-        luts = []
-        for s, (lo, w) in enumerate(geom):
-            sub = qres[lo - 1 : lo - 1 + w]
-            ld = (sub * sub).sum() + norms[s] - 2 * (mats[s] @ sub)
-            luts.append([int(v) for v in ld])
-        lut_rows.append((int(qid), int(cell), *luts))
-    return lut_rows
-
-
 def ivfpq_search_served(
     index: ServedIvfPqIndex,
     queries: DataFrame,
@@ -652,24 +632,36 @@ def ivfpq_search_served(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ADC top-k answered entirely from the served codes table: probe
-    pairs and LUTs driver-side (exact int64), then codes of the probed
-    partitions ⋈ broadcast probes ⋈ broadcast LUTs — equi-joins only,
-    no corpus access. Bit-identical to ivfpq_search_wide.
+    pairs and LUTs driver-side (exact int64), then ONE Arrow pass over
+    the probed partitions' codes through the shared ADC scan kernel
+    (similarity._adc_scan_topk — round 14: the served candidate stage
+    was the last ADC path still running the broadcast-LUT join +
+    element_at chain + full-width window the in-memory paths dropped
+    in round 13; guide §4.2 / §2.3). No corpus access; bit-identical
+    to ivfpq_search_wide — the kernel computes the same m int64 LUT
+    lookups and the same (adc_dist, neighbor_id) total order.
 
     RESIDUAL tables (``index.residual`` — round 13): the LUT is built
     per (query, probed cell) against the residual codebooks (query
-    residual q − c driver-side), broadcast keyed (query_id, q_cell),
-    and the probe join collapses into the LUT join — bit-identical to
+    residual q − c driver-side) — bit-identical to
     ivfpq_search_residual. ROTATED tables additionally rotate the
     collected query vectors with the integer Hadamard first. Disk
     layout, partition pruning and tombstone handling are identical
     across all four code spaces."""
     assert 1 <= nprobe <= index.n_cells
-    m = index.m
+    import numpy as np
+
+    from uwheel_datafusion_spark.operators.similarity import (
+        _adc_scan_topk,
+        _pq_geometry,
+    )
+
+    m, dim = index.m, index.dim
     spark = queries.sparkSession
     qrows = (
         _quantized(queries, vec_col).select("vec_id", "qvec").collect()
     )
+    qrows = [r for r in qrows if r["qvec"] is not None]
     qrows = _maybe_rotated_qrows(index, qrows)
     pairs = _rank_probes(index.centroids, qrows, nprobe)
     probed = sorted({c for _, c in pairs})
@@ -677,47 +669,47 @@ def ivfpq_search_served(
     payload = _payload_df(
         index, spark, probed, f"vec_id long, {code_schema}, cell long"
     )
-    adc = sum(
-        F.element_at(f"lut_{s}", (F.col(f"code_{s}") + 1).cast("int"))
-        for s in range(m)
-    )
+    geom = _pq_geometry(dim, m)
+    mats = [np.asarray(b, dtype=np.int64) for b in index.books]
+    norms = [(c * c).sum(axis=1) for c in mats]
+    probes_by_q: dict = {}
+    for qid, cell in pairs:
+        probes_by_q.setdefault(qid, []).append(cell)
+    entries = []
     if index.residual:
-        lut_rows = _residual_query_luts(
-            index.books, index.centroids, index.dim, m, qrows, pairs
-        )
-        lut_schema = "query_id long, q_cell long, " + ", ".join(
-            f"lut_{s} array<long>" for s in range(m)
-        )
-        lut_frame = spark.createDataFrame(lut_rows, lut_schema)
-        scored = payload.join(
-            F.broadcast(lut_frame), F.col("cell") == F.col("q_cell")
-        )
+        cmat = np.asarray(index.centroids, dtype=np.int64)
+        for r in qrows:
+            x = np.asarray(r["qvec"], dtype=np.int64)
+            for cell in probes_by_q.get(int(r["vec_id"]), ()):
+                qres = x - cmat[cell]
+                lut = np.stack(
+                    [
+                        (qres[lo - 1 : lo - 1 + w] ** 2).sum()
+                        + norms[s]
+                        - 2 * (mats[s] @ qres[lo - 1 : lo - 1 + w])
+                        for s, (lo, w) in enumerate(geom)
+                    ]
+                )
+                entries.append((int(r["vec_id"]), [int(cell)], lut))
     else:
-        probe_pairs = spark.createDataFrame(
-            pairs, "query_id long, q_cell long"
-        )
-        lut_rows = _query_luts(index.books, index.dim, m, qrows)
-        lut_schema = "query_id long, " + ", ".join(
-            f"lut_{s} array<long>" for s in range(m)
-        )
-        lut_frame = spark.createDataFrame(lut_rows, lut_schema)
-        scored = payload.join(
-            F.broadcast(probe_pairs), F.col("cell") == F.col("q_cell")
-        ).join(F.broadcast(lut_frame), "query_id")
-    scored = (
-        scored.filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            adc.cast("long").alias("adc_dist"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= topk)
-        .select("query_id", "neighbor_id", "adc_dist", "rnk")
-    )
+        for r in qrows:
+            x = np.asarray(r["qvec"], dtype=np.int64)
+            lut = np.stack(
+                [
+                    (x[lo - 1 : lo - 1 + w] ** 2).sum()
+                    + norms[s]
+                    - 2 * (mats[s] @ x[lo - 1 : lo - 1 + w])
+                    for s, (lo, w) in enumerate(geom)
+                ]
+            )
+            entries.append(
+                (
+                    int(r["vec_id"]),
+                    [int(c) for c in probes_by_q.get(int(r["vec_id"]), ())],
+                    lut,
+                )
+            )
+    return _adc_scan_topk(payload, m, entries, topk)
 
 
 def recover_compaction(

@@ -1141,6 +1141,8 @@ def knn_pq_adc(
     norms = [(c * c).sum(axis=1) for c in mats]
     entries = []
     for r in qv.filter(F.col("vec_id").isin(*query_ids)).collect():
+        if r["qvec"] is None:  # NULL embedding: never a query (ADVICE r13)
+            continue
         x = np.asarray(r["qvec"], dtype=np.int64)
         lut = np.stack(
             [
@@ -1365,6 +1367,8 @@ def ann_ivfpq_topk(
     norms = [(c * c).sum(axis=1) for c in mats]
     entries = []
     for r in qv.filter(F.col("vec_id").isin(*query_ids)).collect():
+        if r["qvec"] is None:  # NULL embedding: never a query (ADVICE r13)
+            continue
         x = np.asarray(r["qvec"], dtype=np.int64)
         d2 = (x * x).sum() + cnorm - 2 * (cmat @ x)
         order = np.lexsort((np.arange(len(d2)), d2))
@@ -1376,8 +1380,10 @@ def ann_ivfpq_topk(
                 for s, (lo, w) in enumerate(geom)
             ]
         )
-        for cell in order[:nprobe]:
-            entries.append((int(r["vec_id"]), int(cell), lut))
+        # one entry per query, probed cells as a list (ADVICE r13 #3)
+        entries.append(
+            (int(r["vec_id"]), [int(c) for c in order[:nprobe]], lut)
+        )
     return _adc_scan_topk(codes, m, entries, topk)
 
 
@@ -1494,11 +1500,15 @@ class IvfIndex:
     """Coarse quantizer + cell assignment — IVF-Flat's stored half.
     ``cells`` is (vec_id, cell); at scale the fact table is
     partitioned/bucketed by ``cell`` so a probe reads only the probed
-    partitions."""
+    partitions. ``rotated`` records that the centroids (and therefore
+    every cell assignment) live in the Hadamard-ROTATED space
+    (ivf_build_wide(rotate=True)) — payload writers must assign
+    through the same rotation (ann_serving.ivf_payload_frame)."""
 
     centroids: list
     cells: DataFrame
     n_cells: int
+    rotated: bool = False
 
 
 def ivf_build(
@@ -1705,6 +1715,14 @@ def _assign_cells_pandas(qv: DataFrame, centroids: list) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
+            # NULL embeddings (ADVICE r13): the relational chains this
+            # kernel replaced NULL-propagated such rows out of the
+            # assignment — drop them the same way instead of raising
+            ok = np.array([v is not None for v in pdf["qvec"]], dtype=bool)
+            if not ok.all():
+                pdf = pdf.loc[ok]
+                if not len(pdf):
+                    continue
             x = np.asarray(list(pdf["qvec"]), dtype=np.int64)
             xnorm = (x * x).sum(axis=1)
             # exact int64: |x|² + |c|² − 2 x·c per (row, centroid)
@@ -1716,6 +1734,55 @@ def _assign_cells_pandas(qv: DataFrame, centroids: list) -> DataFrame:
             )
 
     return qv.mapInPandas(kernel, "vec_id long, cell long")
+
+
+def _assign_cells_passthrough(
+    qv: DataFrame, centroids: list, rotated: bool = False, dim: int = 64
+) -> DataFrame:
+    """``qv``'s columns + ``cell``: the same exact-int64 argmin
+    assignment as :func:`_assign_cells_pandas`, with every payload
+    column passed through the SAME Arrow batch — the streaming
+    payload_rows_stream shape for batch saves (guide §2.4: the cells
+    join on vec_id re-shuffled the whole corpus just to attach a value
+    that is a pure function of the frozen centroids and the row's own
+    vector). ``rotated=True`` assigns in the Hadamard-rotated space
+    (H @ x, exact ±1 int64 — the build-side rotation) while passing the
+    RAW payload columns through untouched. NULL-qvec rows are dropped,
+    matching the build kernels' NULL policy."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cmat = np.asarray(centroids, dtype=np.int64)
+    cnorm = (cmat * cmat).sum(axis=1)
+    H = (
+        np.array([_had_row(j, dim) for j in range(dim)], dtype=np.int64)
+        if rotated
+        else None
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ok = np.array([v is not None for v in pdf["qvec"]], dtype=bool)
+            if not ok.all():
+                pdf = pdf.loc[ok]
+                if not len(pdf):
+                    continue
+            x = np.asarray(list(pdf["qvec"]), dtype=np.int64)
+            if H is not None:
+                x = x @ H.T
+            xnorm = (x * x).sum(axis=1)
+            d2 = xnorm[:, None] + cnorm[None, :] - 2 * (x @ cmat.T)
+            out = pdf.copy()
+            out["cell"] = d2.argmin(axis=1)  # first-min → lower cid
+            yield out
+
+    schema = StructType(
+        list(qv.schema.fields) + [StructField("cell", LongType())]
+    )
+    return qv.mapInPandas(kernel, schema)
 
 
 def _cell_update_sums(qv: DataFrame, centroids: list) -> list:
@@ -1744,8 +1811,13 @@ def _cell_update_sums(qv: DataFrame, centroids: list) -> list:
         for pdf in batches:
             if not len(pdf):
                 continue
+            # NULL embeddings (ADVICE r13): drop like the NULL-
+            # propagating relational chain did, instead of raising
+            vals = [v for v in pdf["qvec"] if v is not None]
+            if not vals:
+                continue
             seen = True
-            x = np.asarray(list(pdf["qvec"]), dtype=np.int64)
+            x = np.asarray(vals, dtype=np.int64)
             xnorm = (x * x).sum(axis=1)
             d2 = xnorm[:, None] + cnorm[None, :] - 2 * (x @ cmat.T)
             cell = d2.argmin(axis=1)
@@ -1801,8 +1873,12 @@ def _pq_update_sums(
         for pdf in batches:
             if not len(pdf):
                 continue
+            # NULL embeddings (ADVICE r13): drop, don't raise
+            vals = [v for v in pdf["qvec"] if v is not None]
+            if not vals:
+                continue
             seen = True
-            x = np.asarray(list(pdf["qvec"]), dtype=np.int64)
+            x = np.asarray(vals, dtype=np.int64)
             for s, (lo, w) in enumerate(geom):
                 sub = x[:, lo - 1 : lo - 1 + w]
                 d2 = (
@@ -1919,7 +1995,9 @@ def ivf_build_wide(
     if train is not qv:
         train.unpersist()
     qv.unpersist()
-    return IvfIndex(centroids=centroids, cells=cells, n_cells=n_cells)
+    return IvfIndex(
+        centroids=centroids, cells=cells, n_cells=n_cells, rotated=rotate
+    )
 
 
 def ivf_search_wide(
@@ -2150,39 +2228,71 @@ def _adc_scan_topk(
     SAME (adc_dist, neighbor_id) order before the exchange — a correct
     prefilter (a row outside a task's local top-k cannot enter the
     global top-k); the final window ranks tasks·topk·|q| survivors.
-    ``entries`` = [(query_id, cell-or-None, (m,k) int64 LUT)]: a None
-    cell scores every row (flat PQ), otherwise only that cell's rows
-    (IVF probe). Replaces the broadcast-LUT join + element_at chain +
-    full-width window shuffle (guide §4.2 / §2.3). Integer-exact: the
-    ADC sum is the same m LUT lookups added in int64."""
+    ``entries`` = [(query_id, cells-or-None, (m,k) int64 LUT)]: a None
+    cells scores every row (flat PQ); otherwise ``cells`` is the
+    query's probed-cell list and only those cells' rows score (IVF
+    probe — ONE entry per query whose LUT is cell-independent, so the
+    batch loop runs |q| masks instead of |q|·nprobe and the task-local
+    cut keeps topk rows per QUERY, not per (query, cell); residual
+    LUTs differ per probed cell and pass 1-element lists). A per-query
+    union prefilter is still correct: a row outside the per-query
+    local top-k cannot enter the global per-query top-k. Replaces the
+    broadcast-LUT join + element_at chain + full-width window shuffle
+    (guide §4.2 / §2.3). Integer-exact: the ADC sum is the same m LUT
+    lookups added in int64. NULL code rows (NULL embeddings upstream)
+    are dropped — the NULL-propagating expressions this kernel
+    replaced never ranked them either (ADVICE r13)."""
     import numpy as np
 
     code_cols = [f"code_{s}" for s in range(m)]
     cell_keyed = any(c is not None for _, c, _ in entries)
     in_cols = ["vec_id", *code_cols] + (["cell"] if cell_keyed else [])
+    norm_entries = [
+        (
+            qid,
+            None
+            if cells is None
+            else np.asarray(sorted(cells), dtype=np.int64),
+            lut,
+        )
+        for qid, cells, lut in entries
+    ]
 
     def kernel(batches):
         import pandas as pd
 
         for pdf in batches:
-            if not len(pdf) or not entries:
+            if not len(pdf) or not norm_entries:
                 continue
+            ok = pdf[code_cols].notna().all(axis=1).to_numpy()
+            if cell_keyed:
+                ok &= pdf["cell"].notna().to_numpy()
+            if not ok.all():
+                pdf = pdf.loc[ok]
+                if not len(pdf):
+                    continue
             ids = pdf["vec_id"].to_numpy().astype(np.int64)
             cmat = np.stack(
                 [pdf[c].to_numpy().astype(np.int64) for c in code_cols],
                 axis=1,
             )
-            cells = (
+            cells_col = (
                 pdf["cell"].to_numpy().astype(np.int64)
                 if cell_keyed
                 else None
             )
             out_q, out_n, out_d = [], [], []
-            for qid, cell, lut in entries:
-                if cell is None:
+            for qid, qcells, lut in norm_entries:
+                if qcells is None:
                     rows = np.flatnonzero(ids != qid)
+                elif len(qcells) == 1:
+                    rows = np.flatnonzero(
+                        (cells_col == qcells[0]) & (ids != qid)
+                    )
                 else:
-                    rows = np.flatnonzero((cells == cell) & (ids != qid))
+                    rows = np.flatnonzero(
+                        np.isin(cells_col, qcells) & (ids != qid)
+                    )
                 if not len(rows):
                     continue
                 sub = cmat[rows]
@@ -2240,6 +2350,8 @@ def knn_pq_adc_wide(
     )
     entries = []
     for r in qrows:
+        if r["qvec"] is None:  # NULL embedding: never a query (ADVICE r13)
+            continue
         x = np.asarray(r["qvec"], dtype=np.int64)
         lut = np.stack(
             [
@@ -2286,8 +2398,10 @@ def ivfpq_search_wide(
         .select("vec_id", "qvec")
         .collect()
     )
-    pairs, entries = [], []
+    entries = []
     for r in qrows:
+        if r["qvec"] is None:  # NULL embedding: never a query (ADVICE r13)
+            continue
         x = np.asarray(r["qvec"], dtype=np.int64)
         d2 = (x * x).sum() + cnorm - 2 * (cmat @ x)
         order = np.lexsort((np.arange(len(d2)), d2))
@@ -2299,14 +2413,18 @@ def ivfpq_search_wide(
                 for s, (lo, w) in enumerate(geom)
             ]
         )
-        for cell in order[:nprobe]:
-            pairs.append((int(r["vec_id"]), int(cell)))
-            entries.append((int(r["vec_id"]), int(cell), lut))
+        # ONE entry per query carrying its probed-cell list: the LUT is
+        # cell-independent here, so the kernel masks each query once
+        # (ADVICE r13 #3 — the per-(query, cell) entries also pickled
+        # the LUT nprobe times into every task closure)
+        entries.append(
+            (int(r["vec_id"]), [int(c) for c in order[:nprobe]], lut)
+        )
 
     # probed-cell predicate for partition/row-group pruning on a
     # parquet-backed cells table (see ivf_search_wide) — the join
     # would drop the rows anyway, but only after reading them
-    probed_cells = sorted({c for _, c in pairs})
+    probed_cells = sorted({c for _, cs, _ in entries for c in cs})
     cells = ivf_index.cells.filter(F.col("cell").isin(probed_cells))
     # one equi-join attaches the cell id to the codes; probe matching,
     # LUT gather and the local top-k all happen in the shared Arrow ADC
@@ -2853,12 +2971,15 @@ def ivfpq_search_residual(
     )
     entries = []
     for r in qrows:
+        if r["qvec"] is None:  # NULL embedding: never a query (ADVICE r13)
+            continue
         x = np.asarray(r["qvec"], dtype=np.int64)
         if H is not None:
             x = H @ x
         d2 = (x * x).sum() + cnorm - 2 * (cmat @ x)
         order = np.lexsort((np.arange(len(d2)), d2))
         for cell in order[:nprobe]:
+            # residual LUTs differ per probed cell — 1-element lists
             qres = x - cmat[cell]
             lut = np.stack(
                 [
@@ -2868,7 +2989,7 @@ def ivfpq_search_residual(
                     for s, (lo, w) in enumerate(geom)
                 ]
             )
-            entries.append((int(r["vec_id"]), int(cell), lut))
+            entries.append((int(r["vec_id"]), [int(cell)], lut))
     # the residual codes frame already carries its coarse cell id, so
     # probe matching, per-(query, cell) LUT gather and the local top-k
     # all fold into the shared Arrow ADC scan — no broadcast-LUT join,
